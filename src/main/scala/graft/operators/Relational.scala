@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** The relational query surface (SURVEY.md §2.3 Q1-Q16).
+  *
+  * Q1/Q2 are the two reference applications re-expressed relationally:
+  * `sort` = DISTINCT + total order (`/root/reference/map___reduce/sort.c:9-36`)
+  * and `wordcount` = GROUP BY COUNT (`/root/reference/map___reduce/wordcount.c:9-40`).
+  * The rest pin the generalized surface (joins, windows, set ops, rollup,
+  * string/date/JSON functions) that the reference's map→shuffle→reduce
+  * skeleton generalizes to.
+  *
+  * Determinism discipline (driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY;
+  *  - double SUMs go through DECIMAL(18,s) so the aggregate is *exact* and
+  *    independent of partition/addition order (a raw double sum differs in
+  *    late ulps between engines and between runs — at 100 TB a float sum is
+  *    never reproducible), then cast back to double for a stable schema;
+  *  - counts stay BIGINT on both sides (DuckDB SUM(int) would widen to
+  *    HUGEINT, so oracle SQL casts integer sums back to BIGINT).
+  *
+  * Scale notes: all aggregates here are partial+final (map-side combine is
+  * automatic in HashAggregateExec); the joins in Q5-Q7 broadcast the small
+  * side explicitly so only the fact table streams; filters/projections sit
+  * directly on the parquet scan so pushdown + column pruning apply.
+  */
+object Relational {
+  private val T = Tables
+
+  /** Exact, order-independent money sum: SUM(CAST(c AS DECIMAL(18,s)))
+    * rounded and cast to double. Identical bit-for-bit in Spark and DuckDB.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(18, scale))), scale).cast("double")
+
+  /** Q1 — the `sort` app (O12): DISTINCT + global order. */
+  def q1Distinct(spark: SparkSession, d: String): DataFrame =
+    T.lineitem(spark, d).select("l_orderkey").distinct().orderBy("l_orderkey")
+
+  /** Q2 — the `wordcount` app (O11): GROUP BY key COUNT(*), key-sorted. */
+  def q2GroupCount(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d).select(col("o_orderpriority").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy("key")
+
+  /** Q3 — filter + projection (pushed down to the parquet scan). */
+  def q3FilterProject(spark: SparkSession, d: String): DataFrame =
+    T.lineitem(spark, d)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q4 — multi-aggregate with exact decimal sums. */
+  def q4MultiAgg(spark: SparkSession, d: String): DataFrame =
+    T.lineitem(spark, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("s"),
+        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("a"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q5 — equi join with a broadcast-sized dimension. */
+  def q5Join(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d)
+      .join(broadcast(T.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("c"))
+      .orderBy("n_name")
+
+  /** Q6 — 3-way join + aggregate; every dimension broadcast, so the only
+    * shuffle is the final tiny group-by. */
+  def q6MultiJoin(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d).select("o_custkey", "o_totalprice")
+      .join(broadcast(T.customer(spark, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(spark, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(spark, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(dsum(col("o_totalprice")).as("rev"))
+      .orderBy("r_name")
+
+  /** Q7 — anti join (NOT IN with a non-null subquery ≡ LEFT ANTI).
+    * Restricted to urgent orders so the result is non-empty at every SF. */
+  def q7AntiJoin(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select("c_custkey")
+      .join(T.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  /** Q7b — semi join (IN / EXISTS ≡ LEFT SEMI). */
+  def q7SemiJoin(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select("c_custkey")
+      .join(T.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+
+  /** Q8 — per-group top-k via ROW_NUMBER (deterministic tiebreak). */
+  def q8TopKPerGroup(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, d).select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q9 — running sum with an explicit frame; decimal-exact. */
+  def q9RunningSum(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.orders(spark, d).select("o_orderkey", "o_totalprice")
+      .withColumn("rt",
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w), 2)
+          .cast("double"))
+      .select("o_orderkey", "rt")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q10 — set operation (INTERSECT is distinct-semantics in both engines). */
+  def q10Intersect(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select(col("c_nationkey").as("k"))
+      .intersect(T.supplier(spark, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q11 — string functions + LIKE predicate. */
+  def q11StringFns(spark: SparkSession, d: String): DataFrame =
+    T.part(spark, d)
+      .filter(col("p_name").like("%a%"))
+      .select(upper(col("p_brand")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy("b")
+
+  /** Q12 — date functions (timestamp → date in UTC on both engines). */
+  def q12DateFns(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .select(col("o_orderdate").cast("date").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .orderBy("d")
+
+  /** Q13 — event-time tumbling window, batch form (streaming twin lives in
+    * graft.streaming.EventStreams). */
+  def q13TimeWindow(spark: SparkSession, d: String): DataFrame =
+    T.events(spark, d)
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"), col("value"))
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("c"), dsum(col("value")).as("s"))
+      .orderBy("w", "event_type")
+
+  /** Q14 — ROLLUP grouping sets; NULLS FIRST pinned on both sides because
+    * Spark's ASC default is nulls-first while DuckDB's is nulls-last. */
+  def q14Rollup(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))
+
+  /** Q15 — exact distinct aggregate (expands to a two-phase plan). */
+  def q15CountDistinct(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d).agg(countDistinct(col("o_custkey")).as("c"))
+
+  /** Q16 — text-table aggregate (north-star `documents` table). */
+  def q16DocStats(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .orderBy("lang")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_distinct" -> q1Distinct _,
+    "q2_group_count" -> q2GroupCount _,
+    "q3_filter_project" -> q3FilterProject _,
+    "q4_multi_agg" -> q4MultiAgg _,
+    "q5_join" -> q5Join _,
+    "q6_multi_join" -> q6MultiJoin _,
+    "q7_anti_join" -> q7AntiJoin _,
+    "q7_semi_join" -> q7SemiJoin _,
+    "q8_topk_per_group" -> q8TopKPerGroup _,
+    "q9_running_sum" -> q9RunningSum _,
+    "q10_intersect" -> q10Intersect _,
+    "q11_string_fns" -> q11StringFns _,
+    "q12_date_fns" -> q12DateFns _,
+    "q13_time_window" -> q13TimeWindow _,
+    "q14_rollup" -> q14Rollup _,
+    "q15_count_distinct" -> q15CountDistinct _,
+    "q16_doc_stats" -> q16DocStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_distinct" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "q2_group_count" ->
+      "SELECT o_orderpriority AS key, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY key",
+    "q3_filter_project" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+    "q4_multi_agg" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS s, " +
+        "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS a " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q5_join" ->
+      "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q6_multi_join" ->
+      ("SELECT r_name, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
+    "q7_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+    "q7_semi_join" ->
+      ("SELECT c_custkey FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+    "q8_topk_per_group" ->
+      ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q9_running_sum" ->
+      ("SELECT o_orderkey, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rt " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q10_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q11_string_fns" ->
+      "SELECT UPPER(p_brand) AS b, COUNT(*) AS c FROM part WHERE p_name LIKE '%a%' GROUP BY UPPER(p_brand) ORDER BY b",
+    "q12_date_fns" ->
+      "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c FROM orders GROUP BY CAST(o_orderdate AS DATE) ORDER BY d",
+    "q13_time_window" ->
+      ("SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS c, " +
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS s " +
+        "FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY w, event_type"),
+    "q14_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders " +
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
+    "q15_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS c FROM orders",
+    "q16_doc_stats" ->
+      ("SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"))
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (see /root/repo/TESTDATA.md).
+  *
+  * The reference engine's only source is a newline-delimited text scan
+  * (`/root/reference/wordcount.c:9-21`); the generalized engine reads the
+  * TPC-H-ish star schema + `events`/`documents`/`embeddings` as parquet.
+  * Columnar scans give free predicate pushdown + column pruning — at 100 TB
+  * the scan is the dominant cost, so every query should select only the
+  * columns it needs (Catalyst prunes the rest down to the parquet reader).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables: always broadcast-join these. At sf=1000 (100 TB)
+    * region/nation are still O(10..100) rows and customer/supplier/part stay
+    * far under a gigabyte — broadcast avoids shuffling the fact table side.
+    */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+    * nanos; normalize to a microsecond TimestampType here (`ts div 1000`)
+    * so every consumer sees a plain timestamp column. DuckDB keeps ns
+    * precision — oracle-compared queries must `date_trunc` coarser than µs
+    * (SURVEY §7.4), which all declared queries do. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
