@@ -24,25 +24,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // One warm-up pass over the smallest SF absorbs JIT + codegen cost so
-    // the measured numbers reflect steady-state throughput, as on a warm
-    // cluster (round 1: warm up on the bench data itself at tiny cost).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop")
-        .mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // One warm-up pass over a small SF absorbs JIT + codegen cost so the
+    // measured numbers reflect steady-state throughput, as on a warm
+    // cluster. Warm-up failures are logged (not swallowed silently): a
+    // missing warm-up dir would otherwise shift JIT cost into the first
+    // measured queries.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
 
+    // Timed loop: a crashed query must NOT masquerade as a fast one — its
+    // error is recorded per query and the whole run exits nonzero.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -17,6 +17,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is deliberate and load-bearing here: the driver's
+      // compare is ROW-ORDER-sensitive, and coalesce merges the orderBy's
+      // range partitions in index order, preserving the global sort.
+      // repartition(1) would shuffle the order away. This is a test-dump
+      // sink for tiny result sets — real sinks should write per-partition.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

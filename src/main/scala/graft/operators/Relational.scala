@@ -73,11 +73,13 @@ object Relational {
       .groupBy("n_name").agg(count(lit(1)).as("c"))
       .orderBy("n_name")
 
-  /** Q6 — 3-way join + aggregate; every dimension broadcast, so the only
-    * shuffle is the final tiny group-by. */
+  /** Q6 — 3-way join + aggregate. region/nation are bounded dims and are
+    * broadcast explicitly; customer grows with SF (~150M rows at sf1000) so
+    * its join is left to AQE — broadcast at small SF, shuffle-hash at scale
+    * — rather than pinned to a broadcast that would OOM a 100 TB run. */
   def q6MultiJoin(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d).select("o_custkey", "o_totalprice")
-      .join(broadcast(T.customer(spark, d).select("c_custkey", "c_nationkey")),
+      .join(T.customer(spark, d).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(spark, d).select("n_nationkey", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -114,14 +116,40 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Q9 — running sum with an explicit frame; decimal-exact. */
+  /** Q9 — running sum, computed as a two-phase distributed prefix sum.
+    *
+    * A naive `Window.orderBy` with no partitionBy funnels every row through
+    * ONE task ("Moving all data to a single partition") — correct, but a
+    * non-starter at 100 TB. Instead:
+    *   1. bucket rows by key range (`pid = key * NB / (max+1)` — a pure
+    *      function of the row, so recomputed plan subtrees always agree,
+    *      unlike sampled RangePartitioner boundaries);
+    *   2. per-bucket running sums in parallel (window partitioned by pid);
+    *   3. per-bucket totals → cumulative offsets (NB rows — trivially small
+    *      at any scale) broadcast back and added.
+    * Decimal arithmetic keeps the sum exact, so phase order can't change
+    * the result. Buckets are balanced when keys are near-uniform (true for
+    * dense surrogate keys); skewed keys would want quantile buckets instead.
+    */
   def q9RunningSum(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("o_orderkey")
+    val nb = 32
+    val maxKey = T.orders(spark, d).agg(max("o_orderkey").as("mk"))
+    val base = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+      .join(broadcast(maxKey))
+      .withColumn("pid", (col("o_orderkey") * nb / (col("mk") + 1)).cast("int"))
+      .withColumn("v", col("o_totalprice").cast(DecimalType(18, 2)))
+    val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T.orders(spark, d).select("o_orderkey", "o_totalprice")
-      .withColumn("rt",
-        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w), 2)
-          .cast("double"))
+    val wOffset = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("pid").agg(sum(col("v")).as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOffset),
+        lit(0).cast(DecimalType(18, 2))))
+      .select("pid", "off")
+    base
+      .withColumn("lrt", sum(col("v")).over(wLocal))
+      .join(broadcast(offsets), "pid")
+      .withColumn("rt", round(col("lrt") + col("off"), 2).cast("double"))
       .select("o_orderkey", "rt")
       .orderBy("o_orderkey")
   }

@@ -18,11 +18,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables: always broadcast-join these. At sf=1000 (100 TB)
-    * region/nation are still O(10..100) rows and customer/supplier/part stay
-    * far under a gigabyte — broadcast avoids shuffling the fact table side.
+  /** Dimension tables that are safe to ALWAYS broadcast: only region/nation,
+    * which are bounded by geography (O(10..100) rows at every scale factor).
+    * customer/supplier/part grow linearly with SF — at sf1000 (the 100 TB
+    * design point) customer is ~150M rows and would OOM executors if
+    * broadcast; joins against those rely on AQE's join selection instead
+    * (broadcast when the runtime size is small, shuffle-hash otherwise).
     */
-  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+  val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
