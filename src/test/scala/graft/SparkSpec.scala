@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (Spark sessions are
+  * expensive; ScalaTest suites run sequentially in one JVM under sbt).
+  */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  /** sf0.001 keeps unit tests fast; sf0.01 is the driver's oracle SF. */
+  val sfTiny = "/root/testdata/sf0.001"
+  val sfSmall = "/root/testdata/sf0.01"
+}
