@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q6MultiJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, aggregated
+    * from the per-family query packs. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational surface extensions (round-2): set ops, outer joins, global
+  * top-k / limit, ranking + offset window functions, approximate distinct.
+  * Same determinism discipline as [[Relational]]: total ORDER BY, integer
+  * or exact-decimal outputs wherever arithmetic happens.
+  */
+object RelationalExt {
+  private val T = Tables
+
+  /** Q17 — UNION ALL + aggregate (bag semantics preserved through the
+    * union, then a single hash-agg; no extra shuffle beyond the agg). */
+  def q17UnionAll(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select(col("c_nationkey").as("k"))
+      .union(T.supplier(spark, d).select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  /** Q18 — EXCEPT (distinct semantics in both engines): customers with no
+    * urgent order, as a set op (the set-op twin of Q7's anti join; the
+    * urgency filter keeps the result non-empty at every SF). */
+  def q18Except(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select(col("c_custkey").as("k"))
+      .except(T.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q19 — LEFT OUTER join + null-skipping COUNT(col): orders per
+    * customer including order-less customers. Dimension side (nation) is
+    * broadcast; the customer-orders join is left to AQE (shuffle-hash at
+    * scale — customer grows with SF). */
+  def q19LeftOuter(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select("c_custkey", "c_nationkey")
+      .join(T.orders(spark, d).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .join(broadcast(T.nation(spark, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(col("o_orderkey")).as("orders"),
+           countDistinct(col("c_custkey")).as("customers"))
+      .orderBy("n_name")
+
+  /** Q19b — FULL OUTER join with coalesced keys (null-producing on both
+    * sides: suppliers vs customers aggregated per nation key). */
+  def q19FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = T.customer(spark, d).groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("cust"))
+    val s = T.supplier(spark, d).filter(col("s_suppkey") % 3 === 0)
+      .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("supp"))
+    c.withColumnRenamed("k", "ck")
+      .join(s.withColumnRenamed("k", "sk"), col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("k"),
+        coalesce(col("cust"), lit(0L)).as("cust"),
+        coalesce(col("supp"), lit(0L)).as("supp"))
+      .orderBy("k")
+  }
+
+  /** Q20 — global top-k: ORDER BY ... LIMIT k. Plans as
+    * TakeOrderedAndProject — each partition keeps a k-row heap, the driver
+    * merges #partitions × k rows; no global sort materialization, safe at
+    * any scale. */
+  def q20Limit(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q21 — ranking + offset window functions (rank, dense_rank, lag,
+    * lead) partitioned by priority — parallel across groups, no
+    * single-partition window. Offset columns are integer keys, so the
+    * result is float-free. */
+  def q21RankLagLead(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, d)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("rnk") <= 5)
+      .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "prev_key", "next_key")
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  /** Q22 — approx_count_distinct (HyperLogLog++). Sketch-based: merges
+    * associatively, so the plan is partial+final with no exact-distinct
+    * expand — the 100 TB way to count uniques. HLL implementations differ
+    * across engines, so there is no DuckDB oracle; ApproxDistinctSpec
+    * asserts the estimate lands within 5% of the exact count. */
+  def q22ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_c"),
+           countDistinct(col("o_custkey")).as("exact_c"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_union_all" -> q17UnionAll _,
+    "q18_except" -> q18Except _,
+    "q19_left_outer" -> q19LeftOuter _,
+    "q19_full_outer" -> q19FullOuter _,
+    "q20_limit" -> q20Limit _,
+    "q21_rank_lag_lead" -> q21RankLagLead _,
+    "q22_approx_distinct" -> q22ApproxDistinct _)
+
+  val oracles: Map[String, String] = Map(
+    "q17_union_all" ->
+      ("SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer " +
+        "UNION ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k"),
+    "q18_except" ->
+      ("SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' ORDER BY k"),
+    "q19_left_outer" ->
+      ("SELECT n_name, COUNT(o_orderkey) AS orders, COUNT(DISTINCT c_custkey) AS customers " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "q19_full_outer" ->
+      ("SELECT COALESCE(c.k, s.k) AS k, COALESCE(c.cust, 0) AS cust, COALESCE(s.supp, 0) AS supp " +
+        "FROM (SELECT c_nationkey AS k, COUNT(*) AS cust FROM customer GROUP BY c_nationkey) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS supp FROM supplier " +
+        "WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey) s ON c.k = s.k ORDER BY k"),
+    "q20_limit" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q21_rank_lag_lead" ->
+      ("SELECT o_orderpriority, o_orderkey, rnk, drnk, prev_key, next_key FROM (" +
+        "SELECT o_orderpriority, o_orderkey, " +
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, " +
+        "LAG(o_orderkey, 1) OVER w AS prev_key, LEAD(o_orderkey, 1) OVER w AS next_key " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey)) t " +
+        "WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey"))
+}

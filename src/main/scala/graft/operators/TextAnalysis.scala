@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis + JSON operators over the `documents` / `events` tables —
+  * the LLM-training-pipeline surface (SURVEY.md §2.2 "LLM-pipeline" row).
+  *
+  * Everything here is per-row expression work (tokenize, count, ratio,
+  * hash) followed by an aggregate or total sort — the shape that scales:
+  * expressions stay inside whole-stage codegen, no UDFs, no driver-side
+  * loops, and the only shuffles are the final aggregates. Determinism:
+  * per-row arithmetic on exact integers (or one correctly-rounded double
+  * division) is bit-identical across engines, so these are all
+  * DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+  private val T = Tables
+
+  /** QJ1 — JSON property extraction (R10): parse `events.props` with an
+    * explicit schema (schema-on-read — `from_json` vectorizes and prunes;
+    * never regex-parse JSON), bucket the value, aggregate. */
+  def qjJsonProps(spark: SparkSession, d: String): DataFrame =
+    T.events(spark, d)
+      .select(from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        col("user_id"))
+      .groupBy((col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("user_id")).as("users"))
+      .orderBy("k_bucket")
+
+  /** QT1 — token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs — the pre-tokenizer split most BPE vocabs
+    * use), aggregated per lang. */
+  def qtTokenStats(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_toks"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))")
+          .cast("long").as("bpe_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("ws_toks").as("ws_total"),
+        max("ws_toks").as("ws_max"),
+        sum("bpe_toks").as("bpe_total"))
+      .orderBy("lang")
+
+  /** QT2 — per-document quality signals: length, mean word length,
+    * stopword ratio, unique-token ratio. Per-row only (one correctly
+    * rounded double division each — cross-engine deterministic); the
+    * downstream filter "keep docs above quality X" is a free pushdown. */
+  def qtQuality(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .select(col("doc_id"),
+        expr("length(text)").cast("long").as("n_chars"),
+        expr("size(split(text, ' '))").cast("long").as("n_toks"),
+        expr("size(array_distinct(split(text, ' ')))").cast("long").as("n_uniq"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'to', 'and')))")
+          .cast("long").as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_toks"), 6))
+      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_toks"), 6))
+      .select("doc_id", "n_chars", "n_toks", "stop_ratio", "uniq_ratio")
+      .orderBy("doc_id")
+
+  /** QT3 — language-ID heuristic: character-bigram profile scores via
+    * replace-count (integer arithmetic only — `(len(s)-len(replace(s,g,'')))
+    * / len(g)` is the classic occurrence count, identical in any engine).
+    * A real lang-ID model would load n-gram profiles per language; the
+    * engine-side shape (per-row score → argmax → aggregate) is what
+    * matters at 100 TB and is fully exercised here. */
+  def qtLangId(spark: SparkSession, d: String): DataFrame = {
+    def occurrences(g: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length)
+        .cast("long")
+    val scoreEn = (occurrences("th") + occurrences("er") + occurrences("the ")).as("s_en")
+    val scoreRo = (occurrences("de ") + occurrences("la ") + occurrences("el ")).as("s_ro")
+    T.documents(spark, d)
+      .select(col("lang"), col("text"))
+      .withColumn("s_en", scoreEn).withColumn("s_ro", scoreRo)
+      .withColumn("pred",
+        when(col("s_en") >= col("s_ro") * 2, lit("en"))
+          .when(col("s_ro") > col("s_en"), lit("romance"))
+          .otherwise(lit("unknown")))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+      .orderBy("lang", "pred")
+  }
+
+  /** QT4 — document fingerprinting: winnowing-style min-hash-of-shingles.
+    * fingerprint = MIN(md5(4-token shingle)) per doc — a stable content
+    * fingerprint robust to local edits, computed entirely per-row
+    * (transform + md5 + array_min stay in codegen; no shuffle until the
+    * group-by on fingerprints that finds collisions). */
+  def qtFingerprint(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("fp",
+        expr("array_min(transform(sequence(1, size(toks) - 3), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 4)))))"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qj_json_props" -> qjJsonProps _,
+    "qt_token_stats" -> qtTokenStats _,
+    "qt_quality" -> qtQuality _,
+    "qt_langid" -> qtLangId _,
+    "qt_fingerprint" -> qtFingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "qj_json_props" ->
+      // `//` (integer division): DuckDB CAST(9.9 AS INT) rounds where Spark's
+      // cast truncates, so avoid the double division entirely.
+      ("SELECT (CAST(json_extract_string(props, '$.k') AS INT) // 10) AS k_bucket, " +
+        "COUNT(*) AS c, COUNT(DISTINCT user_id) AS users " +
+        "FROM events GROUP BY 1 ORDER BY k_bucket"),
+    "qt_token_stats" ->
+      ("SELECT lang, COUNT(*) AS docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_total, " +
+        "CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS ws_max, " +
+        "CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS bpe_total " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "qt_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+        "ROUND(CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 6) AS stop_ratio, " +
+        "ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 6) AS uniq_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "qt_langid" ->
+      ("WITH scored AS (SELECT lang, " +
+        "CAST((length(text) - length(replace(text, 'th', ''))) / 2 " +
+        " + (length(text) - length(replace(text, 'er', ''))) / 2 " +
+        " + (length(text) - length(replace(text, 'the ', ''))) / 4 AS BIGINT) AS s_en, " +
+        "CAST((length(text) - length(replace(text, 'de ', ''))) / 3 " +
+        " + (length(text) - length(replace(text, 'la ', ''))) / 3 " +
+        " + (length(text) - length(replace(text, 'el ', ''))) / 3 AS BIGINT) AS s_ro " +
+        "FROM documents) " +
+        "SELECT lang, CASE WHEN s_en >= s_ro * 2 THEN 'en' " +
+        "WHEN s_ro > s_en THEN 'romance' ELSE 'unknown' END AS pred, COUNT(*) AS c " +
+        "FROM scored GROUP BY 1, 2 ORDER BY lang, pred"),
+    "qt_fingerprint" ->
+      ("SELECT doc_id, list_min(list_transform(range(1, len(string_split(text, ' ')) - 2), " +
+        "i -> md5(array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS fp " +
+        "FROM documents ORDER BY doc_id"))
+}

@@ -1,0 +1,24 @@
+package graft
+
+import graft.operators.RelationalExt
+
+class RelationalExtSpec extends SparkSpec {
+
+  test("q22: approx_count_distinct within 5% of exact (HLL++ default rsd)") {
+    val r = RelationalExt.q22ApproxDistinct(spark, sfSmall).collect().head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q20: limit plans as TakeOrderedAndProject (no global sort materialization)") {
+    val plan = RelationalExt.q20Limit(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
+
+  test("q18: non-empty at oracle SF") {
+    assert(RelationalExt.q18Except(spark, sfSmall).limit(1).count() == 1)
+  }
+}
