@@ -20,10 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, aggregated
     * from the per-family query packs. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries
+    Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries ++
+      Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles
+    Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles
 }

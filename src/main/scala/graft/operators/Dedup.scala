@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the first pillar
+  * of the LLM-training-pipeline surface (exact, n-gram Jaccard, MinHash
+  * LSH, SimHash).
+  *
+  * Scale discipline (the whole point of these shapes at 100 TB):
+  *  - NEVER all-pairs. Candidate generation is always a join on a small
+  *    key (shared shingle, LSH band bucket, SimHash chunk) so the shuffle
+  *    carries (doc, key) rows, not doc×doc pairs.
+  *  - Per-row fingerprint math (shingling, minhash, simhash) happens in
+  *    expressions before any shuffle — map-side, codegen where it matters
+  *    (`simhash64` is a native Catalyst expression).
+  *  - The one skew hazard is a shingle shared by millions of docs; the
+  *    `maxDocFreq` knob drops such stop-shingles (standard practice — they
+  *    carry no signal) and bounds the worst key's fan-out.
+  */
+object Dedup {
+  private val T = Tables
+
+  /** Distinct n-token shingles of `text` (token = whitespace split), as a
+    * column over a `toks` array column. */
+  private def shingles(n: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice(toks, i, $n))))")
+
+  private def withShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", shingles(n))
+
+  /** Exact group-dedup with keeper selection: one aggregate, keeper = min
+    * id per key group. (vs `dropDuplicates`, which keeps an arbitrary row
+    * — fine for filtering, useless when you must report what was dropped.)
+    */
+  def exactDedup(docs: DataFrame, keys: Seq[String]): DataFrame =
+    docs.groupBy(keys.map(col): _*)
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("members"))
+
+  /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
+    * explode shingles → self-join on the shingle → count shared per pair →
+    * J = |∩| / (|A|+|B|-|∩|). Exact (not approximate) but still no
+    * all-pairs: only doc pairs sharing ≥1 surviving shingle meet.
+    * `maxDocFreq` > 0 drops shingles appearing in more docs than that.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJ: Double, n: Int = 3,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val filtered =
+      if (maxDocFreq > 0) {
+        val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("s")
+        sh.join(df, "s")
+      } else sh
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("j",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("j") >= minJ)
+      .select("da", "db", "j")
+      .orderBy("da", "db")
+  }
+
+  /** MinHash + LSH near-dup pairs: k=64 minhash signature per doc, banded
+    * into b=16 bands of r=4 → docs agreeing on any band meet in a
+    * band-bucket join; candidates are then verified with the exact
+    * Jaccard. Band probability 1-(1-J^4)^16 ≈ 1 for J ≥ 0.8 — at the 0.5
+    * verify threshold recall is ~0.64 for a pair at exactly 0.5 and
+    * ≥ 0.9999 above 0.8 (tune r/b per corpus). Deterministic (xxhash64,
+    * fixed seeds).
+    *
+    * The signature is computed RELATIONALLY — explode shingles, one row
+    * per (doc, hash-index), `min(xxhash64(s, i))` aggregate, then a
+    * band-hash aggregate — NOT as nested array lambdas. Nested HOFs here
+    * are a trap: CollapseProject inlines the shingle array into the
+    * 64-way transform and the band expression re-inlines the whole
+    * signature 16×, exploding interpreted-eval work multiplicatively
+    * (observed: minutes per 500 docs). The relational form is all
+    * codegen'd aggregates with map-side combine and scales linearly.
+    */
+  def minhashPairs(docs: DataFrame, minJ: Double, n: Int = 3): DataFrame = {
+    val k = 64; val r = 4
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // (doc, i, h) rows: k hashes per shingle; min per (doc, i) = signature
+    // element i. The groupBy gets a map-side partial min for free.
+    val sigElems = sh
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${k - 1}), i -> xxhash64(s, i))"))
+          .as(Seq("i", "h")))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+    val buckets = sigElems
+      .withColumn("band_idx", (col("i") / lit(r)).cast("int"))
+      .groupBy("doc_id", "band_idx")
+      .agg(expr("xxhash64(transform(sort_array(collect_list(struct(i, mh))), x -> x.mh))")
+        .as("bucket"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // Verify candidates with the exact Jaccard over shingle sets.
+    val shSets = withShingles(docs, n).select(col("doc_id"), col("sh"))
+    cands
+      .join(shSets.withColumnRenamed("doc_id", "da").withColumnRenamed("sh", "sha"), "da")
+      .join(shSets.withColumnRenamed("doc_id", "db").withColumnRenamed("sh", "shb"), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", round(col("inter").cast("double")
+        / (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("j") >= minJ)
+      .select("da", "db", "j")
+      .orderBy("da", "db")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc via the native
+    * `simhash64` expression, banded into 4 16-bit chunks → docs agreeing
+    * on any chunk meet; candidates verified by Hamming distance
+    * (pigeonhole: distance ≤ 3 is guaranteed to share a chunk; beyond
+    * that recall decays — widen chunks or add rotations for higher radii).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val fp = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sim", expr("simhash64(toks)"))
+    val chunks = fp.select(col("doc_id"), col("sim"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(sim, c * 16) & 65535)"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("da", "db")
+  }
+
+  // ---- query-pack entries over the documents table ----
+
+  def qdExactDedup(spark: SparkSession, d: String): DataFrame =
+    exactDedup(T.documents(spark, d), Seq("lang", "source"))
+      .orderBy("lang", "source")
+
+  def qdNgramJaccard(spark: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(T.documents(spark, d), minJ = 0.1)
+
+  def qdMinhashLsh(spark: SparkSession, d: String): DataFrame =
+    minhashPairs(T.documents(spark, d), minJ = 0.5)
+
+  /** maxHamming = 3 makes the search EXACT: with 4 16-bit chunks, any
+    * pair within Hamming distance 3 shares at least one chunk
+    * (pigeonhole), so banding has 100% recall at this radius. */
+  def qdSimhash(spark: SparkSession, d: String): DataFrame =
+    simhashPairs(T.documents(spark, d), maxHamming = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_exact_dedup" -> qdExactDedup _,
+    "qd_ngram_jaccard" -> qdNgramJaccard _,
+    "qd_minhash_lsh" -> qdMinhashLsh _,
+    "qd_simhash" -> qdSimhash _)
+
+  /** DuckDB twin of the shingle inverted index (list comprehension form).
+    * `qd_minhash_lsh` shares the J≥0.5 oracle: every true pair at sf0.01
+    * sits at J≥0.9 where LSH recall is ≥ 1-4e-8, and the hash seeds are
+    * fixed, so the result is deterministic and equal to the exact answer
+    * (verified locally). `qd_simhash` has no oracle: its output depends
+    * on xxhash64, which DuckDB lacks — DedupSpec covers it.
+    */
+  private def jaccardOracle(minJ: Double): String =
+    "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
+      "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s FROM documents), " +
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+    "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter " +
+      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+    "SELECT da, db, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j " +
+    "FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+    // filter on the ROUNDED value, exactly like the Spark side, so the
+    // boundary comparison is bit-identical across engines
+    s"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $minJ " +
+    "ORDER BY da, db"
+
+  val oracles: Map[String, String] = Map(
+    "qd_exact_dedup" ->
+      ("SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS members " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "qd_ngram_jaccard" -> jaccardOracle(0.1),
+    "qd_minhash_lsh" -> jaccardOracle(0.5))
+}

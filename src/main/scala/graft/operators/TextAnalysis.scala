@@ -93,10 +93,13 @@ object TextAnalysis {
   def qtFingerprint(spark: SparkSession, d: String): DataFrame =
     T.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("fp",
-        expr("array_min(transform(sequence(1, size(toks) - 3), " +
-          "i -> md5(concat_ws(' ', slice(toks, i, 4)))))"))
-      .select("doc_id", "fp")
+      // explode + min aggregate, not array_min over a nested lambda:
+      // generators evaluate their input once per row, and the min gets a
+      // map-side partial — the shape that survives 100 TB.
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 3), " +
+          "i -> concat_ws(' ', slice(toks, i, 4)))")).as("shingle"))
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("fp"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 0
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near dup of 0
+    (3L, "completely different words entirely unrelated content here now today friend"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min-id keeper") {
+    val out = Dedup.exactDedup(planted, Seq("text"))
+      .where($"members" > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keeper") == 0L)
+    assert(out.head.getAs[Long]("members") == 2L)
+  }
+
+  test("ngram Jaccard: exact dup = 1.0, one-token edit ≈ 0.78, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(planted, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val asMap = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(asMap((0L, 1L)) == 1.0)
+    assert(math.abs(asMap((0L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(!asMap.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the planted pairs (high-J recall)") {
+    val pairs = Dedup.minhashPairs(planted, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH == exact Jaccard pairs at J>=0.5 on real docs (sf0.001)") {
+    val docs = Tables.documents(spark, sfTiny)
+    val lsh = Dedup.minhashPairs(docs, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"lsh-only=${lsh -- exact} exact-only=${exact -- lsh}")
+  }
+
+  test("simhash: identical docs at distance 0; radius-3 search is pigeonhole-exact") {
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("stop-shingle cap (maxDocFreq) drops ubiquitous shingles but keeps true dups") {
+    // the shared prefix shingles appear in 3 docs; cap at 2 still leaves
+    // the exact-dup pair intact via its full shingle overlap
+    val pairs = Dedup.ngramJaccardPairs(planted, minJ = 0.9, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("simhash64 is callable from SQL and deterministic") {
+    GraftFunctions.ensureRegistered(spark)
+    val a = spark.sql("SELECT simhash64(array('alpha', 'beta', 'gamma')) AS h")
+      .collect().head.getLong(0)
+    val b = spark.sql("SELECT simhash64(array('alpha', 'beta', 'gamma')) AS h")
+      .collect().head.getLong(0)
+    assert(a == b)
+    // one-token change flips few bits; disjoint tokens flip many
+    val near = spark.sql("SELECT simhash64(array('alpha', 'beta', 'delta')) AS h")
+      .collect().head.getLong(0)
+    val far = spark.sql("SELECT simhash64(array('xx', 'yy', 'zz')) AS h")
+      .collect().head.getLong(0)
+    assert(java.lang.Long.bitCount(a ^ near) < java.lang.Long.bitCount(a ^ far))
+  }
+
+  test("simhash64 survives whole-stage codegen (no interpreted fallback errors)") {
+    GraftFunctions.ensureRegistered(spark)
+    // must read from a real source: a LocalRelation would be constant-
+    // folded at optimization time and never reach codegen
+    val df = graft.sources.Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "simhash64(split(text, ' ')) AS h")
+    // `*(n)` marks a WholeStageCodegen span in the physical plan string;
+    // the simhash projection must sit inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("simhash64")),
+      s"simhash64 not inside a codegen span:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).distinct.length > 1)
+  }
+
+  test("simhash64 rejects wrong input type at analysis") {
+    GraftFunctions.ensureRegistered(spark)
+    intercept[Exception] {
+      spark.sql("SELECT simhash64(42)").collect()
+    }
+  }
+}
