@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.SimHash64
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FunctionBuilders
 
 /** Engine extensions, installed with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -13,10 +13,11 @@ import graft.functions.SimHash64
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(children.head)))
+    FunctionBuilders.all.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => builder(children)))
+    }
   }
 }

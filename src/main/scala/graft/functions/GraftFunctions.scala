@@ -2,7 +2,29 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Builders for the engine's native expressions, shared by
+  * [[graft.GraftExtensions]] (session-build-time injection) and
+  * [[GraftFunctions.ensureRegistered]] (runtime registration).
+  */
+object FunctionBuilders {
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("simhash64", classOf[SimHash64],
+      (c: Seq[Expression]) => SimHash64(c.head)),
+    ("cosine_similarity", classOf[CosineSimilarity],
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("cosine_lsh_sketch", classOf[CosineLshSketch],
+      (c: Seq[Expression]) => CosineLshSketch(c(0),
+        intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))))
+}
 
 /** Runtime registration of the engine's native expressions, for sessions
   * not built with [[graft.GraftExtensions]] (e.g. an already-running
@@ -13,11 +35,13 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    if (!registry.functionExists(new FunctionIdentifier("simhash64"))) {
-      registry.registerFunction(
-        new FunctionIdentifier("simhash64"),
-        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        (children: Seq[Expression]) => SimHash64(children.head))
+    FunctionBuilders.all.foreach { case (name, clazz, builder) =>
+      val id = new FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id,
+          new ExpressionInfo(clazz.getName, name),
+          (children: Seq[Expression]) => builder(children))
+      }
     }
   }
 }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Static kernels for the vector expressions — tight JVM loops reachable
+  * from generated code (same pattern as [[SimHashUtil]]).
+  */
+object VectorUtil {
+
+  private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity in double precision, single sequential pass (the
+    * accumulation order is fixed, so results are reproducible run-to-run
+    * and engine-to-engine). Length mismatch → NaN (caller filters). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, i, aFloat); val y = elem(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-random-projection LSH sketch: `numTables` buckets, each from
+    * `numBits` hyperplanes with Rademacher (±1) components derived from
+    * xxhash64(dim, seed=table*numBits+bit) — deterministic, no stored
+    * model. Vectors within a small angle agree on all bits of some table
+    * with high probability. */
+  def lshSketch(v: ArrayData, isFloat: Boolean, numTables: Int, numBits: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < numBits) {
+        val seed = (t * numBits + j + 1).toLong
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val sign = if ((XXH64.hashLong(d.toLong, seed) & 1L) == 1L) 1.0 else -1.0
+          dot += elem(v, d, isFloat) * sign
+          d += 1
+        }
+        if (dot > 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cosine_similarity(array<float|double>, array<float|double>) -> double`
+  * — native codegen'd expression. The HOF composition
+  * (`aggregate(zip_with(...))`) allocates a lambda frame per element and
+  * stays interpreted; on a 100 TB scan of embeddings this expression IS
+  * the workload, so it gets the tight loop. (SURVEY.md §7.3.)
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity requires array<float|double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left), isFloatArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorUtil.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** `cosine_lsh_sketch(vec, numTables, numBits) -> array<bigint>` — one
+  * LSH bucket id per table. numTables/numBits must be integer literals.
+  */
+case class CosineLshSketch(child: Expression, numTables: Int, numBits: Int)
+    extends UnaryExpression {
+
+  private def isFloatArr: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if numTables > 0 && numBits > 0 && numBits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure("numTables must be > 0 and 0 < numBits <= 63")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cosine_lsh_sketch requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cosine_lsh_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorUtil.lshSketch(input.asInstanceOf[ArrayData], isFloatArr, numTables, numBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorUtil.lshSketch($c, $isFloatArr, $numTables, $numBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): CosineLshSketch =
+    copy(child = newChild)
+}

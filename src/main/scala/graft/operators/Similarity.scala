@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k. The query set is broadcast, the
+  *    data side streams once through a codegen'd `cosine_similarity`, and
+  *    the per-query top-k is a rank-limited window — Spark inserts a
+  *    partial WindowGroupLimit before the shuffle, so each input partition
+  *    forwards at most k rows per query (no all-rows-to-one-task funnel).
+  *    Cost: one full scan per batch of queries — the right baseline, and
+  *    exact.
+  *  - [[annTopK]]: sign-random-projection LSH. Each vector gets
+  *    `numTables` bucket ids at scan time (codegen'd sketch, no stored
+  *    model); query and data meet in a bucket equi-join, candidates are
+  *    ranked by exact cosine. Sub-linear candidate volume, tunable
+  *    recall/cost via (tables × bits) — the 100 TB path where a full scan
+  *    per query batch is unaffordable.
+  */
+object Similarity {
+  private val T = Tables
+
+  /** Exact cosine top-k for each query vector. */
+  def bruteTopK(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val scored = data
+      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .withColumn("cos", round(expr("cosine_similarity(qv, embedding)"), 6))
+    // rank on the ROUNDED score with an id tiebreak → deterministic
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Approximate cosine top-k: LSH bucket join + exact re-rank of
+    * candidates. Recall is the probability a true neighbor shares at
+    * least one of `numTables` buckets: 1-(1-p^numBits)^numTables with
+    * p = 1 - θ/π. Tune up for clustered corpora, out for random ones. */
+  def annTopK(data: DataFrame, queries: DataFrame, k: Int,
+              numTables: Int = 16, numBits: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    def sketched(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+          posexplode(expr(s"cosine_lsh_sketch(embedding, $numTables, $numBits)"))
+            .as(Seq("t", "bucket")))
+    val cand = sketched(data, "vec_id", "v")
+      .join(broadcast(sketched(queries, "qid", "qv")), Seq("t", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id", "qv", "v")
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  // ---- query-pack entries ----
+
+  /** QS1 — exact cosine top-10 for the first five vectors as queries. */
+  def qsCosineTopK(spark: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(spark, d)
+    bruteTopK(e, e.filter(col("vec_id") < 5), k = 10)
+  }
+
+  /** QS2 — LSH ANN top-10 for the same query set (rows-only check: the
+    * sketch depends on xxhash64, which the oracle engine lacks;
+    * SimilaritySpec pins recall vs the exact result). */
+  def qsAnnLsh(spark: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(spark, d)
+    // 32 tables × 6 bits: measured recall@10 ≈ 0.73 on this corpus
+    // (near-orthogonal vectors — ANN's worst case; clustered real-world
+    // embeddings do far better at the same cost)
+    annTopK(e, e.filter(col("vec_id") < 5), k = 10, numTables = 32, numBits = 6)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_cosine_topk" -> qsCosineTopK _,
+    "qs_ann_lsh" -> qsAnnLsh _)
+
+  val oracles: Map[String, String] = Map(
+    "qs_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "scored AS (SELECT qid, vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM q CROSS JOIN embeddings), " +
+        "ranked AS (SELECT qid, vec_id, cos, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) " +
+        "SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Similarity
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine_similarity: exact values on known vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth, " +
+      "cosine_similarity(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS same, " +
+      "cosine_similarity(array(1.0D, 0.0D), array(-1.0D, 0.0D)) AS opp")
+      .collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: self is rank 1 with cos 1.0") {
+    val e = Tables.embeddings(spark, sfTiny)
+    val top = Similarity.bruteTopK(e, e.filter(col("vec_id") < 3), k = 1)
+      .collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "rank-1 neighbor must be self")
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("ANN LSH recall@10 >= 0.6 at 32x6 on near-orthogonal vectors (worst case)") {
+    val e = Tables.embeddings(spark, sfSmall)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteTopK(e, q, 10)
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(e, q, 10, numTables = 32, numBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("ANN examines a sub-linear candidate set (never all pairs)") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, sfSmall)
+    val n = e.count()
+    // candidate pairs for one query = vectors sharing >= 1 bucket
+    val sk = e.selectExpr("vec_id", "cosine_lsh_sketch(embedding, 16, 8) AS s")
+    val q = sk.filter(col("vec_id") === 0).selectExpr("s AS qs")
+    // positional compare: a bucket only matches within the same table
+    val cands = sk.crossJoin(q)
+      .selectExpr("vec_id", "exists(zip_with(s, qs, (a, b) -> a = b), x -> x) AS hit")
+      .filter(col("hit")).count()
+    assert(cands < n / 2, s"candidates=$cands of $n — bucketing isn't pruning")
+  }
+}
