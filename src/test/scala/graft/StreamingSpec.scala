@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Top-level (not nested in the suite): nested case classes can't get
+  * encoders without their outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, hhmm: String, user: Long = 1L,
+                 typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(s"2026-01-01 $hhmm:00"), user, typ, value, "{}")
+
+  private def runBatches[T](stream: MemoryStream[Ev],
+                            query: org.apache.spark.sql.DataFrame,
+                            name: String,
+                            mode: String,
+                            batches: Seq[Seq[Ev]]): Seq[org.apache.spark.sql.Row] = {
+    val q = query.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming hourly window == batch q13 aggregation (complete mode)") {
+    val stream = MemoryStream[Ev](spark)
+    val rows = Seq(
+      ev(1, "10:05"), ev(2, "10:55", value = 2.5), ev(3, "11:10"),
+      ev(4, "10:30", typ = "view", value = 4.0), ev(5, "12:01", value = 0.5))
+    val got = runBatches(stream, EventStreams.hourlyWindowedAgg(stream.toDF()),
+      "hourly_complete", "complete", Seq(rows))
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch twin on the same data
+    val batch = EventStreams.hourlyWindowedAgg(rows.toDF())
+    val want = batch.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.5)))
+  }
+
+  test("append mode: a window emits once the watermark passes; late rows are dropped") {
+    val stream = MemoryStream[Ev](spark)
+    val out = runBatches(stream, EventStreams.hourlyWindowedAgg(stream.toDF(), "1 hour"),
+      "hourly_append", "append", Seq(
+        Seq(ev(1, "10:05"), ev(2, "10:40", value = 2.0)), // window [10,11)
+        Seq(ev(3, "14:00")),  // watermark -> 13:00, finalizes [10,11)
+        Seq(ev(4, "10:50", value = 100.0)), // LATE: behind watermark, dropped
+        Seq(ev(5, "17:00"))   // advances watermark again; [14,15) finalizes
+      ))
+    val byWindow = out.map(r => r.getTimestamp(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    // the finalized 10:00 window contains only the two on-time rows
+    assert(byWindow("2026-01-01 10:00:00.0") == ((2L, 3.0)),
+      s"late row leaked into a finalized window: $byWindow")
+  }
+
+  test("session windows split on the inactivity gap") {
+    val stream = MemoryStream[Ev](spark)
+    val out = runBatches(stream,
+      EventStreams.userSessions(stream.toDF(), gap = "30 minutes"),
+      "sessions", "complete", Seq(Seq(
+        ev(1, "10:00"), ev(2, "10:10"), ev(3, "10:25"), // session 1
+        ev(4, "11:30"), ev(5, "11:40"),                 // session 2 (65 min gap)
+        ev(6, "10:05", user = 2L))))                    // other user
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2, s"expected 2 sessions for user 1, got: ${u1.toList}")
+    assert(u1.map(_.getAs[Long]("events")).toSet == Set(3L, 2L))
+    assert(out.count(_.getAs[Long]("user_id") == 2L) == 1)
+  }
+
+  test("mapGroupsWithState accumulates per-user stats across batches") {
+    val stream = MemoryStream[EventStreams.UserEvent](spark)
+    val q = EventStreams.runningUserStats(stream.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    try {
+      stream.addData(
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.5),
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2026-01-01 10:01:00"), 2.5))
+      q.processAllAvailable()
+      stream.addData(
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2026-01-01 10:02:00"), 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("user_stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode appends one row per state change: (2, 4.0) then (3, 10.0)
+      assert(rows.contains((1L, 2L, 4.0)))
+      assert(rows.contains((1L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("file-source stream reads event-shaped parquet with the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq(ev(1, "10:00"), ev(2, "10:30")).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStreams.hourlyWindowedAgg(
+      EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("file_stream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("file_stream").collect()
+      assert(rows.length == 1 && rows.head.getLong(2) == 2L)
+    } finally q.stop()
+  }
+}
