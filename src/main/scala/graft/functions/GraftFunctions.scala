@@ -23,7 +23,9 @@ object FunctionBuilders {
       (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
     ("cosine_lsh_sketch", classOf[CosineLshSketch],
       (c: Seq[Expression]) => CosineLshSketch(c(0),
-        intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))))
+        intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))),
+    ("word_shingles", classOf[WordShingles],
+      (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

@@ -22,15 +22,13 @@ import graft.sources.Tables
 object Dedup {
   private val T = Tables
 
-  /** Distinct n-token shingles of `text` (token = whitespace split), as a
-    * column over a `toks` array column. */
-  private def shingles(n: Int): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice(toks, i, $n))))")
-
-  private def withShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", shingles(n))
+  /** Distinct n-token shingles of `text` via the native `word_shingles`
+    * expression (one split, one pass, codegen — the HOF composition
+    * re-splits the text per shingle; see [[graft.functions.WordShingles]]). */
+  private def withShingles(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.withColumn("sh", expr(s"array_distinct(word_shingles(text, $n))"))
+  }
 
   /** Exact group-dedup with keeper selection: one aggregate, keeper = min
     * id per key group. (vs `dropDuplicates`, which keeps an arbitrary row
@@ -93,18 +91,19 @@ object Dedup {
     val k = 64; val r = 4
     val sh = withShingles(docs, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    // (doc, i, h) rows: k hashes per shingle; min per (doc, i) = signature
-    // element i. The groupBy gets a map-side partial min for free.
-    val sigElems = sh
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${k - 1}), i -> xxhash64(s, i))"))
-          .as(Seq("i", "h")))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
-    val buckets = sigElems
-      .withColumn("band_idx", (col("i") / lit(r)).cast("int"))
-      .groupBy("doc_id", "band_idx")
-      .agg(expr("xxhash64(transform(sort_array(collect_list(struct(i, mh))), x -> x.mh))")
-        .as("bucket"))
+    // one k-vector of hashes per shingle, folded into the signature by an
+    // element-wise-min typed Aggregator: ONE aggregate with a k-long
+    // buffer per doc (partial+final), instead of exploding k rows per
+    // shingle (k× the shuffle volume — measured 20 s vs ~4 s at sf0.1).
+    val sig = sh
+      .withColumn("hs", expr(s"transform(sequence(0, ${k - 1}), i -> xxhash64(s, i))"))
+      .groupBy("doc_id")
+      .agg(graft.functions.VectorAggs.elementwiseMin(col("hs")).as("sig"))
+    val nBands = k / r
+    val buckets = sig.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"j -> xxhash64(slice(sig, j * $r + 1, $r)))"))
+        .as(Seq("band_idx", "bucket")))
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

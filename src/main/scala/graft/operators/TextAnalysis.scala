@@ -90,17 +90,18 @@ object TextAnalysis {
     * fingerprint robust to local edits, computed entirely per-row
     * (transform + md5 + array_min stay in codegen; no shuffle until the
     * group-by on fingerprints that finds collisions). */
-  def qtFingerprint(spark: SparkSession, d: String): DataFrame =
+  def qtFingerprint(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     T.documents(spark, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // explode + min aggregate, not array_min over a nested lambda:
-      // generators evaluate their input once per row, and the min gets a
-      // map-side partial — the shape that survives 100 TB.
+      // native word_shingles (one split, codegen) + explode + min
+      // aggregate with a map-side partial — the shape that survives
+      // 100 TB. (An array_min-over-lambda variant re-splits the text per
+      // shingle in interpreted eval; see graft.functions.WordShingles.)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 3), " +
-          "i -> concat_ws(' ', slice(toks, i, 4)))")).as("shingle"))
+        explode(expr("word_shingles(text, 4)")).as("shingle"))
       .groupBy("doc_id").agg(min(md5(col("shingle"))).as("fp"))
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qj_json_props" -> qjJsonProps _,
