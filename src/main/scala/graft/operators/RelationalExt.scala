@@ -92,12 +92,79 @@ object RelationalExt {
   /** Q22 — approx_count_distinct (HyperLogLog++). Sketch-based: merges
     * associatively, so the plan is partial+final with no exact-distinct
     * expand — the 100 TB way to count uniques. HLL implementations differ
-    * across engines, so there is no DuckDB oracle; ApproxDistinctSpec
-    * asserts the estimate lands within 5% of the exact count. */
+    * across engines, so there is no DuckDB oracle; RelationalExtSpec
+    * asserts the estimate lands within 5% of the exact count (computed
+    * there, not here — bundling the exact count into this query would
+    * reintroduce the expand the sketch exists to avoid). */
   def q22ApproxDistinct(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d)
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_c"),
-           countDistinct(col("o_custkey")).as("exact_c"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_c"))
+
+  /** Q23 — CUBE grouping sets (all 4 combinations; rollup's big sibling). */
+  def q23Cube(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))
+
+  /** Q24 — exact percentiles (linear interpolation — identical math in
+    * both engines on the same sorted multiset; division is correctly
+    * rounded, so round(6) is stable). */
+  def q24Percentile(spark: SparkSession, d: String): DataFrame =
+    T.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Q25 — pivot (conditional aggregation across a known key domain;
+    * plans as one hash-agg, no per-key scans). */
+  def q25Pivot(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Q26 — date arithmetic: day difference, month shift, year extraction
+    * (all integer-valued — no float risk). */
+  def q26DateArith(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .select(col("o_orderkey"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"),
+        year(add_months(col("o_orderdate").cast("date"), 6)).cast("long").as("y_shift"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy("o_orderkey")
+
+  /** Q27 — edit distance (levenshtein — exact integer metric, a text
+    * near-dup primitive in its own right) between part names and brands. */
+  def q27EditDistance(spark: SparkSession, d: String): DataFrame =
+    T.part(spark, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_brand")).cast("long").as("dist"),
+        length(col("p_name")).cast("long").as("len"))
+      .orderBy("p_partkey")
+
+  /** Q28 — null-handling scalar functions over the outer-join result
+    * (coalesce / nullif / greatest / least through an aggregate). */
+  def q28NullFns(spark: SparkSession, d: String): DataFrame = {
+    val c = T.customer(spark, d).groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("cust"))
+    val s = T.supplier(spark, d).filter(col("s_suppkey") % 5 === 0)
+      .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("supp"))
+    c.withColumnRenamed("k", "ck")
+      .join(s.withColumnRenamed("k", "sk"), col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("k"),
+        greatest(coalesce(col("cust"), lit(0L)), coalesce(col("supp"), lit(0L))).as("hi"),
+        least(coalesce(col("cust"), lit(0L)), coalesce(col("supp"), lit(0L))).as("lo"),
+        nullif(coalesce(col("supp"), lit(0L)), lit(0L)).as("supp_or_null"))
+      .orderBy("k")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_union_all" -> q17UnionAll _,
@@ -106,7 +173,13 @@ object RelationalExt {
     "q19_full_outer" -> q19FullOuter _,
     "q20_limit" -> q20Limit _,
     "q21_rank_lag_lead" -> q21RankLagLead _,
-    "q22_approx_distinct" -> q22ApproxDistinct _)
+    "q22_approx_distinct" -> q22ApproxDistinct _,
+    "q23_cube" -> q23Cube _,
+    "q24_percentile" -> q24Percentile _,
+    "q25_pivot" -> q25Pivot _,
+    "q26_date_arith" -> q26DateArith _,
+    "q27_edit_distance" -> q27EditDistance _,
+    "q28_null_fns" -> q28NullFns _)
 
   val oracles: Map[String, String] = Map(
     "q17_union_all" ->
@@ -134,5 +207,36 @@ object RelationalExt {
         "LAG(o_orderkey, 1) OVER w AS prev_key, LEAD(o_orderkey, 1) OVER w AS next_key " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice DESC, o_orderkey)) t " +
-        "WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey"))
+        "WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey"),
+    "q23_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
+    "q24_percentile" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
+        "ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q25_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "COUNT(*) FILTER (o_orderstatus = 'F') AS \"F\", " +
+        "COUNT(*) FILTER (o_orderstatus = 'O') AS \"O\", " +
+        "COUNT(*) FILTER (o_orderstatus = 'P') AS \"P\" " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q26_date_arith" ->
+      ("SELECT o_orderkey, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98, " +
+        "CAST(year(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH) AS BIGINT) AS y_shift " +
+        "FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"),
+    "q27_edit_distance" ->
+      ("SELECT p_partkey, CAST(levenshtein(p_name, p_brand) AS BIGINT) AS dist, " +
+        "CAST(length(p_name) AS BIGINT) AS len " +
+        "FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"),
+    "q28_null_fns" ->
+      ("SELECT COALESCE(c.k, s.k) AS k, " +
+        "GREATEST(COALESCE(c.cust, 0), COALESCE(s.supp, 0)) AS hi, " +
+        "LEAST(COALESCE(c.cust, 0), COALESCE(s.supp, 0)) AS lo, " +
+        "NULLIF(COALESCE(s.supp, 0), 0) AS supp_or_null " +
+        "FROM (SELECT c_nationkey AS k, COUNT(*) AS cust FROM customer GROUP BY c_nationkey) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS supp FROM supplier " +
+        "WHERE s_suppkey % 5 = 0 GROUP BY s_nationkey) s ON c.k = s.k ORDER BY k"))
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{FileFormats, Tables}
+
+class FileFormatsSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private lazy val nation = Tables.nation(spark, sfTiny).cache()
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("n_nationkey").collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")).toSeq
+
+  test("CSV round-trip with explicit schema preserves every row") {
+    val dir = tmp("graft-csv")
+    FileFormats.writeCsv(nation, dir)
+    val back = FileFormats.readCsv(spark, nation.schema, dir)
+    assert(canon(back) == canon(nation))
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves every row") {
+    val dir = tmp("graft-json")
+    FileFormats.writeJsonLines(nation, dir)
+    val back = FileFormats.readJsonLines(spark, nation.schema, dir)
+    assert(canon(back) == canon(nation))
+  }
+
+  test("multi-file text source: one row per line across files") {
+    val d1 = tmp("graft-txt1"); val d2 = tmp("graft-txt2")
+    import spark.implicits._
+    Seq("a", "b").toDF("value").coalesce(1).write.mode("overwrite").text(d1)
+    Seq("c").toDF("value").coalesce(1).write.mode("overwrite").text(d2)
+    val lines = FileFormats.readTextLines(spark, d1, d2)
+    assert(lines.count() == 3)
+  }
+
+  test("FAILFAST surfaces malformed CSV instead of null-filling") {
+    val dir = tmp("graft-bad")
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.csv"),
+      "k,v\n1,x\nnot_a_number,y\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    // permissive: bad cell -> null, row count preserved
+    val permissive = FileFormats.readCsv(spark, schema, dir)
+    assert(permissive.count() == 2)
+    assert(permissive.filter(col("k").isNull).count() == 1)
+    // strict: the malformed row must fail the job
+    intercept[Exception] {
+      FileFormats.readCsvStrict(spark, schema, dir).collect()
+    }
+  }
+
+  test("partitioned sink prunes partitions under an equality filter") {
+    val dir = tmp("graft-part")
+    FileFormats.writePartitioned(Tables.documents(spark, sfTiny), dir, "lang")
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"no partition pruning in plan:\n$plan")
+    // pruned read returns exactly the en rows
+    val want = Tables.documents(spark, sfTiny).filter(col("lang") === "en").count()
+    assert(scan.count() == want)
+  }
+
+  test("projection + filter reach the parquet scan (pushdown sanity)") {
+    val df = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+}
