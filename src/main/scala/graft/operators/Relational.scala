@@ -130,6 +130,11 @@ object Relational {
     * Decimal arithmetic keeps the sum exact, so phase order can't change
     * the result. Buckets are balanced when keys are near-uniform (true for
     * dense surrogate keys); skewed keys would want quantile buckets instead.
+    *
+    * Cost note: the plan scans the source twice (per-row pass + per-bucket
+    * totals pass) since nothing is cached — at scale that's 2× a 2-column
+    * columnar scan, the standard price of a distributed prefix sum without
+    * materialization; persist `base` if the input is hot.
     */
   def q9RunningSum(spark: SparkSession, d: String): DataFrame = {
     val nb = 32
