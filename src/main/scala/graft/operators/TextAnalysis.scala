@@ -103,12 +103,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** QT5 — PII scrubbing: regex redaction of email-shaped spans. The
+    * corpus carries no PII, so a deterministic synthetic email is
+    * injected into every 10th doc first — the scrub then has real work
+    * whose effect (docs touched, chars removed) is integer-exact. The
+    * pipeline shape (per-row regexp_replace chain → aggregate) is the
+    * production scrub pass; at scale it's pure scan-side codegen'd
+    * string work. */
+  def qtScrub(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .withColumn("raw",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com")))
+          .otherwise(col("text")))
+      .withColumn("scrubbed",
+        regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"))
+      .select(col("lang"),
+        (col("raw") =!= col("scrubbed")).cast("int").as("touched"),
+        (length(col("raw")) - length(col("scrubbed"))).cast("long").as("removed"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("touched").cast("long").as("scrubbed_docs"),
+        sum("removed").as("chars_removed"))
+      .orderBy("lang")
+
+  /** QT6 — vocabulary statistics: global top-20 tokens by frequency
+    * (explode → count → rank-limited). At scale: partial counts map-side,
+    * one shuffle on token, TakeOrdered merge — never a driver-side
+    * vocabulary. */
+  def qtVocab(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qj_json_props" -> qjJsonProps _,
     "qt_token_stats" -> qtTokenStats _,
     "qt_quality" -> qtQuality _,
     "qt_langid" -> qtLangId _,
-    "qt_fingerprint" -> qtFingerprint _)
+    "qt_fingerprint" -> qtFingerprint _,
+    "qt_scrub" -> qtScrub _,
+    "qt_vocab" -> qtVocab _)
 
   val oracles: Map[String, String] = Map(
     "qj_json_props" ->
@@ -147,5 +183,20 @@ object TextAnalysis {
     "qt_fingerprint" ->
       ("SELECT doc_id, list_min(list_transform(range(1, len(string_split(text, ' ')) - 2), " +
         "i -> md5(array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS fp " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id"),
+    "qt_scrub" ->
+      ("WITH injected AS (SELECT lang, CASE WHEN doc_id % 10 = 0 " +
+        "THEN text || ' contact: user' || doc_id || '@example.com' ELSE text END AS raw " +
+        "FROM documents), " +
+        "scrubbed AS (SELECT lang, raw, " +
+        "regexp_replace(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g') AS clean " +
+        "FROM injected) " +
+        "SELECT lang, COUNT(*) AS docs, " +
+        "CAST(SUM(CASE WHEN raw <> clean THEN 1 ELSE 0 END) AS BIGINT) AS scrubbed_docs, " +
+        "CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_removed " +
+        "FROM scrubbed GROUP BY lang ORDER BY lang"),
+    "qt_vocab" ->
+      ("SELECT token, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"))
 }

@@ -55,6 +55,16 @@ object EventStreams {
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("events"), col("total"))
 
+  /** Streaming exact dedup: drops rows whose `keys` were already seen,
+    * keeping the seen-set only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — without the bound the state grows
+    * forever; the streaming twin of [[graft.operators.Dedup.exactDedup]]). */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserStat(user_id: Long, events: Long, total: Double)
 

@@ -96,6 +96,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicate event_ids within the watermark") {
+    val stream = MemoryStream[Ev](spark)
+    val out = runBatches(stream,
+      EventStreams.dedupedStream(stream.toDF(), Seq("event_id")),
+      "dedup_stream", "append", Seq(
+        Seq(ev(1, "10:00"), ev(2, "10:05"), ev(1, "10:00")), // in-batch dup
+        Seq(ev(1, "10:01"), ev(3, "10:10"))))                // cross-batch dup
+    val ids = out.map(_.getAs[Long]("event_id"))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ids: ${ids.toList}")
+  }
+
   test("file-source stream reads event-shaped parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Seq(ev(1, "10:00"), ev(2, "10:30")).toDF()
