@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation primitives (SURVEY.md §7.4 "100 TB design
+  * discipline").
+  *
+  * Scope note: for associative aggregates (count/sum/min/max) skew is
+  * already defused by map-side partial aggregation — the hot key reaches
+  * the shuffle as one partial row per map task. Salting earns its keep in
+  * the two shapes that DON'T combine map-side: exact distinct counting,
+  * and joins where one fact key floods a single reducer. AQE's skew-join
+  * split covers shuffle joins at runtime; [[saltedJoin]] is for when the
+  * build side must be replicated instead.
+  */
+object Skew {
+
+  /** Exact COUNT(DISTINCT value) per key, decomposed so no single reducer
+    * sees all of a hot key's rows: stage 1 groups on (key, hash(value)
+    * mod salts) — each distinct value deterministically lands in exactly
+    * one salt bucket, so per-bucket distinct counts are disjoint — stage
+    * 2 sums them. Identical to the direct countDistinct (SkewSpec), but
+    * the hot key's state is spread over `salts` reducers.
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
+                          salts: Int = 16): DataFrame =
+    df.groupBy(col(key), pmod(hash(col(valueCol)), lit(salts)).as("_salt"))
+      .agg(countDistinct(col(valueCol)).as("_d"))
+      .groupBy(col(key))
+      .agg(sum("_d").as("distinct_cnt"))
+
+  /** Salted replicated join for a skewed fact side against a dimension
+    * that is too large to broadcast but small enough to replicate
+    * `salts`×: the fact side gets a per-row salt, the dimension is
+    * exploded across every salt, so the hot key's rows spread over
+    * `salts` reducers and each still finds its dimension row. The salt
+    * uses a row-content hash, so retried tasks recompute the same value.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_fsalt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val repDim = dim.withColumn("_dsalt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim,
+      saltedFact(factKey) === repDim(dimKey) &&
+        saltedFact("_fsalt") === repDim("_dsalt"))
+      .drop("_fsalt", "_dsalt")
+  }
+}

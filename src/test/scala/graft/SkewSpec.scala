@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Tables
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted distinct count == direct countDistinct on real data") {
+    val orders = Tables.orders(spark, sfSmall)
+    val salted = Skew.saltedDistinctCount(orders, "o_orderpriority", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted distinct count spreads a pathologically hot key") {
+    // one key owns 99% of rows — the shape that stalls a single reducer
+    val skewed = ((1 to 5000).map(i => ("hot", i % 700)) ++
+      (1 to 50).map(i => ("cold", i))).toDF("k", "v")
+    val salted = Skew.saltedDistinctCount(skewed, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 700L, "cold" -> 50L))
+    // stage-1 output really is spread across salt buckets
+    val buckets = skewed.filter($"k" === "hot")
+      .select(pmod(hash($"v"), lit(8)).as("s")).distinct().count()
+    assert(buckets > 1, "salting failed to spread the hot key")
+  }
+
+  test("salted join == plain join, with the fact side spread across salts") {
+    val fact = Tables.orders(spark, sfTiny).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, sfTiny).select("c_custkey", "c_nationkey")
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey")).count()
+    val salted = Skew.saltedJoin(fact, dim, "o_custkey", "c_custkey", salts = 4)
+    assert(salted.count() == plain)
+    assert(salted.columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "c_custkey", "c_nationkey"))
+  }
+}
