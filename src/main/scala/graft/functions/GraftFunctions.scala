@@ -25,7 +25,10 @@ object FunctionBuilders {
       (c: Seq[Expression]) => CosineLshSketch(c(0),
         intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))),
     ("word_shingles", classOf[WordShingles],
-      (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))))
+      (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))),
+    ("minhash_signature", classOf[MinHashSignature],
+      (c: Seq[Expression]) => MinHashSignature(c(0),
+        intLiteral(c(1), "n"), intLiteral(c(2), "k"))))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

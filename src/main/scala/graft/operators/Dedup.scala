@@ -89,16 +89,12 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJ: Double, n: Int = 3): DataFrame = {
     val k = 64; val r = 4
-    val sh = withShingles(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    // one k-vector of hashes per shingle, folded into the signature by an
-    // element-wise-min typed Aggregator: ONE aggregate with a k-long
-    // buffer per doc (partial+final), instead of exploding k rows per
-    // shingle (k× the shuffle volume — measured 20 s vs ~4 s at sf0.1).
-    val sig = sh
-      .withColumn("hs", expr(s"transform(sequence(0, ${k - 1}), i -> xxhash64(s, i))"))
-      .groupBy("doc_id")
-      .agg(graft.functions.VectorAggs.elementwiseMin(col("hs")).as("sig"))
+    // whole signature per doc at the scan via the native expression — no
+    // shingle explode, no shuffle until the band join (5.2 s -> sub-second
+    // signature phase at sf0.1; see minhashSignatureViaAgg for the
+    // aggregator-based reference formulation).
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sig = docs.withColumn("sig", expr(s"minhash_signature(text, $n, $k)"))
     val nBands = k / r
     val buckets = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
@@ -122,6 +118,24 @@ object Dedup {
       .filter(col("j") >= minJ)
       .select("da", "db", "j")
       .orderBy("da", "db")
+  }
+
+  /** Aggregator-based MinHash signature — the relational reference
+    * formulation (explode shingles → k seeded hashes per shingle →
+    * element-wise-min typed Aggregator, partial+final). Shuffles k longs
+    * per shingle where [[minhashPairs]]'s native expression ships k longs
+    * per DOC, but it composes with arbitrary upstream shapes (pre-joined
+    * inputs, non-text shingles) and pins the expression's hash math:
+    * DedupSpec asserts both paths emit identical signatures.
+    */
+  def minhashSignatureViaAgg(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    sh
+      .withColumn("hs",
+        expr(s"transform(sequence(bigint(0), bigint(${k - 1})), i -> xxhash64(s, i))"))
+      .groupBy("doc_id")
+      .agg(graft.functions.VectorAggs.elementwiseMin(col("hs")).as("sig"))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc via the native

@@ -54,6 +54,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("native minhash_signature == aggregator reference path, bit for bit") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sfTiny)
+    val native = docs.selectExpr("doc_id", "minhash_signature(text, 3, 64) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minhashSignatureViaAgg(docs, 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == viaAgg.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == viaAgg(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("stop-shingle cap (maxDocFreq) drops ubiquitous shingles but keeps true dups") {
     // the shared prefix shingles appear in 3 docs; cap at 2 still leaves
     // the exact-dup pair intact via its full shingle overlap
