@@ -66,6 +66,32 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on
+    * (table, bucket) generates candidates, exact cosine verifies — the
+    * embedding twin of [[Dedup.minhashPairs]], never all-pairs. Table
+    * count trades cost for recall at the target threshold
+    * (1-(1-p^bits)^tables, p = 1-θ/π): at cos 0.45 and 96×6, per-pair
+    * recall ≈ 0.999; for a true near-dup threshold (≥0.9) a handful of
+    * tables is already certain. */
+  def nearDupPairs(data: DataFrame, minCos: Double,
+                   numTables: Int = 96, numBits: Int = 6): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val sk = data.select(col("vec_id"), col("embedding"),
+      posexplode(expr(s"cosine_lsh_sketch(embedding, $numTables, $numBits)"))
+        .as(Seq("t", "bucket")))
+    sk.as("a")
+      .join(sk.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .distinct()
+      .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 6))
+      .filter(col("cos") >= minCos)
+      .select("da", "db", "cos")
+      .orderBy("da", "db")
+  }
+
   // ---- query-pack entries ----
 
   /** QS1 — exact cosine top-10 for the first five vectors as queries. */
@@ -85,9 +111,17 @@ object Similarity {
     annTopK(e, e.filter(col("vec_id") < 5), k = 10, numTables = 32, numBits = 6)
   }
 
+  /** QS3 — embedding near-dup pairs at cos ≥ 0.45 (the corpus has no
+    * true near-identical vectors — max pairwise cos ≈ 0.51 — so the
+    * threshold sits where the data has pairs; production dedup would run
+    * ≥ 0.9 where recall is certain with far fewer tables). */
+  def qsEmbedNearDup(spark: SparkSession, d: String): DataFrame =
+    nearDupPairs(T.embeddings(spark, d), minCos = 0.45)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_cosine_topk" -> qsCosineTopK _,
-    "qs_ann_lsh" -> qsAnnLsh _)
+    "qs_ann_lsh" -> qsAnnLsh _,
+    "qs_embed_neardup" -> qsEmbedNearDup _)
 
   val oracles: Map[String, String] = Map(
     "qs_cosine_topk" ->
@@ -97,5 +131,16 @@ object Similarity {
         "FROM q CROSS JOIN embeddings), " +
         "ranked AS (SELECT qid, vec_id, cos, " +
         "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) " +
-        "SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn"))
+        "SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY qid, rn"),
+    // all-pairs in the oracle engine (fine at sf0.01); the Spark side
+    // reaches the same set through LSH candidates + exact verify —
+    // deterministic hashes, so equality locally certifies equality on
+    // the driver's identical data
+    "qs_embed_neardup" ->
+      ("SELECT a.vec_id AS da, b.vec_id AS db, " +
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45 ORDER BY da, db"))
 }
