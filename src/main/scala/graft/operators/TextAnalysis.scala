@@ -137,6 +137,24 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
 
+  /** QT7 — deterministic dataset split (train/val/test by content hash):
+    * the split must be a pure function of the record so it is stable
+    * across runs, partitionings, and engines — md5 here (cross-engine),
+    * xxhash64 in a pure-Spark pipeline. Never `rand()`: resampling on
+    * every action leaks val into train. */
+  def qtSplit(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      // lexicographic compare of the lowercase hex prefix == numeric
+      // compare of the first byte, with no hex-to-int dialect risk
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))     // 0x00-0xcb ~ 80%
+          .when(col("bucket") < "e6", lit("val"))    // 0xcc-0xe5 ~ 10%
+          .otherwise(lit("test")))                   // 0xe6-0xff ~ 10%
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qj_json_props" -> qjJsonProps _,
     "qt_token_stats" -> qtTokenStats _,
@@ -144,7 +162,8 @@ object TextAnalysis {
     "qt_langid" -> qtLangId _,
     "qt_fingerprint" -> qtFingerprint _,
     "qt_scrub" -> qtScrub _,
-    "qt_vocab" -> qtVocab _)
+    "qt_vocab" -> qtVocab _,
+    "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
     "qj_json_props" ->
@@ -198,5 +217,11 @@ object TextAnalysis {
     "qt_vocab" ->
       ("SELECT token, COUNT(*) AS cnt FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
-        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"))
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "qt_split" ->
+      ("WITH b AS (SELECT substr(md5(text), 1, 2) AS bucket, n_chars FROM documents) " +
+        "SELECT CASE WHEN bucket < 'cc' THEN 'train' WHEN bucket < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split, COUNT(*) AS docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+        "FROM b GROUP BY 1 ORDER BY split"))
 }
