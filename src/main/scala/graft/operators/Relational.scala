@@ -69,7 +69,7 @@ object Relational {
   /** Q5 — equi join with a broadcast-sized dimension. */
   def q5Join(spark: SparkSession, d: String): DataFrame =
     T.customer(spark, d)
-      .join(broadcast(T.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(T.dim(spark, d, "nation"), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("c"))
       .orderBy("n_name")
 
@@ -81,9 +81,9 @@ object Relational {
     T.orders(spark, d).select("o_custkey", "o_totalprice")
       .join(T.customer(spark, d).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T.nation(spark, d).select("n_nationkey", "n_regionkey")),
+      .join(T.dim(spark, d, "nation").select("n_nationkey", "n_regionkey"),
         col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T.region(spark, d).select("r_regionkey", "r_name")),
+      .join(T.dim(spark, d, "region").select("r_regionkey", "r_name"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name").agg(dsum(col("o_totalprice")).as("rev"))
       .orderBy("r_name")

@@ -30,6 +30,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Dimension loader: broadcast-hints the genuinely bounded dims, leaves
+    * everything else to AQE's join selection. The hint survives
+    * projections stacked on top (it resolves onto the nearest join). */
+  def dim(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    if (broadcastable(name)) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
