@@ -164,6 +164,48 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation. Pairs only say "a ~ b"; choosing a
+    * canonical doc per duplicate group needs the transitive closure
+    * (a~b, b~c ⇒ {a,b,c} one group).
+    *
+    * Each iteration joins every node's current label against its
+    * neighbors' and keeps the minimum — O(diameter) iterations, each one
+    * shuffle on doc_id. Near-dup graphs are overwhelmingly tiny cliques
+    * (diameter ≤ 2-3), so `maxIter` 5 converges in practice;
+    * convergence is checked, not assumed. Labels and edges are ids only
+    * — nothing wide shuffles. (The classic alternative — collect edges
+    * to the driver for union-find — caps at driver memory; this stays
+    * distributed.)
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over own label and all neighbors' labels
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("minN"))
+      val next = labels.join(neighborLabels, "id")
+        .select(col("id"), least(col("label"), col("minN")).as("label"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      converged = !changed
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   // ---- query-pack entries over the documents table ----
 
   def qdExactDedup(spark: SparkSession, d: String): DataFrame =
@@ -182,11 +224,16 @@ object Dedup {
   def qdSimhash(spark: SparkSession, d: String): DataFrame =
     simhashPairs(T.documents(spark, d), maxHamming = 3)
 
+  def qdDupClusters(spark: SparkSession, d: String): DataFrame =
+    dupClusters(ngramJaccardPairs(T.documents(spark, d), minJ = 0.5))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_exact_dedup" -> qdExactDedup _,
     "qd_ngram_jaccard" -> qdNgramJaccard _,
     "qd_minhash_lsh" -> qdMinhashLsh _,
-    "qd_simhash" -> qdSimhash _)
+    "qd_simhash" -> qdSimhash _,
+    "qd_dup_clusters" -> qdDupClusters _)
 
   /** DuckDB twin of the shingle inverted index (list comprehension form).
     * `qd_minhash_lsh` shares the J≥0.5 oracle: every true pair at sf0.01
@@ -209,10 +256,30 @@ object Dedup {
     s"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $minJ " +
     "ORDER BY da, db"
 
+  /** Connected components as a recursive CTE over the same pair set —
+    * `reach` enumerates every node's reachable set (UNION dedup bounds
+    * it), the component label is the minimum. */
+  private def clustersOracle(minJ: Double): String =
+    "WITH RECURSIVE " +
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
+      "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s FROM documents), " +
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+    "p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter " +
+      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "pairs AS (SELECT da, db FROM p0 JOIN sizes sa ON da = sa.doc_id " +
+      "JOIN sizes sb ON db = sb.doc_id " +
+      s"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $minJ), " +
+    "edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs), " +
+    "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src) " +
+    "SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"
+
   val oracles: Map[String, String] = Map(
     "qd_exact_dedup" ->
       ("SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS members " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "qd_ngram_jaccard" -> jaccardOracle(0.1),
-    "qd_minhash_lsh" -> jaccardOracle(0.5))
+    "qd_minhash_lsh" -> jaccardOracle(0.5),
+    "qd_dup_clusters" -> clustersOracle(0.5))
 }

@@ -67,6 +67,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters computes the transitive closure of near-dup pairs") {
+    // chain 1-2-3 plus isolated pair 7-8: two clusters
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 8L, 1.0))
+      .toDF("da", "db", "j")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dupClusters on real sf0.01 near-dup pairs == in-memory union-find") {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfSmall), minJ = 0.5)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // in-memory union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("stop-shingle cap (maxDocFreq) drops ubiquitous shingles but keeps true dups") {
     // the shared prefix shingles appear in 3 docs; cap at 2 still leaves
     // the exact-dup pair intact via its full shingle overlap
