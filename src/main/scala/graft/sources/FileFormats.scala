@@ -43,4 +43,26 @@ object FileFormats {
     * `partitionCol`; equality/IN filters on it prune at planning time. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * files. Streaming sinks and over-parallel writers leave thousands of
+    * tiny files; at 100 TB the resulting open/footer overhead dominates
+    * scan time, so periodic compaction is part of the pipeline, not an
+    * afterthought. Sizing uses the on-disk byte count (compressed), so
+    * output files land near the target. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(inPath)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (BigDecimal(totalBytes) / targetBytes).setScale(0,
+      BigDecimal.RoundingMode.CEILING).toInt)
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Read parquet written across schema versions: `mergeSchema` unions
+    * per-file schemas (columns absent in older files read as null). Off
+    * by default in Spark because it footer-scans every file — turn it on
+    * only at evolution boundaries, then rewrite to the target schema. */
+  def readMergedSchema(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

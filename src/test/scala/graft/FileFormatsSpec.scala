@@ -65,6 +65,32 @@ class FileFormatsSpec extends SparkSpec {
     assert(scan.count() == want)
   }
 
+  test("compaction collapses small files without losing rows") {
+    val in = tmp("graft-small"); val out = tmp("graft-compacted")
+    val li = Tables.lineitem(spark, sfTiny)
+    li.repartition(40).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 40)
+    FileFormats.compact(spark, in, out, targetBytes = 64L << 20)
+    val bigFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(bigFiles < smallFiles, s"$bigFiles files after compaction")
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
+  test("mergeSchema unions schema versions; old files read nulls for new columns") {
+    val dir = tmp("graft-evolve")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/epoch=1")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(s"$dir/epoch=2")
+    val merged = FileFormats.readMergedSchema(spark, s"$dir/epoch=1", s"$dir/epoch=2")
+    assert(merged.columns.toSet == Set("id", "v1", "v2"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("v2")))
+    assert(byId(2L).getLong(merged.columns.indexOf("v2")) == 9L)
+  }
+
   test("projection + filter reach the parquet scan (pushdown sanity)") {
     val df = Tables.lineitem(spark, sfTiny)
       .filter(col("l_quantity") > 45).select("l_orderkey")
