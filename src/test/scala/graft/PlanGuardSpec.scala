@@ -1,0 +1,66 @@
+package graft
+
+/** Plan-structure guards: the scale-critical physical-plan properties,
+  * asserted so a refactor that silently loses one (a filter that stops
+  * pushing, a join that degrades to nested-loop, a window that funnels to
+  * one partition) fails CI instead of surfacing at 100 TB.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("per-group top-k queries carry a partial WindowGroupLimit (map-side pruning)") {
+    for (q <- Seq("q8_topk_per_group", "qs_cosine_topk")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost its group-limit pushdown:\n$p")
+    }
+  }
+
+  test("no accidental cartesian products or nested-loop joins in pair generation") {
+    for (q <- Seq("qd_ngram_jaccard", "qd_minhash_lsh", "qd_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to an all-pairs join:\n$p")
+    }
+  }
+
+  test("no single-partition window anywhere in the query surface") {
+    // 'Window ... ORDER BY' without PARTITION BY plans an Exchange
+    // SinglePartition directly under a Window — the q9 anti-pattern.
+    // q9's own offsets window is exempt: it windows NB=32 pre-aggregated
+    // rows, not the data.
+    for ((name, fn) <- SparkEntry.queries if name != "q9_running_sum") {
+      val p = fn(spark, sfTiny).queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+        val below = lines.slice(i + 1, i + 3).mkString("\n")
+        assert(!below.contains("Exchange SinglePartition"),
+          s"$name funnels a window through one partition:\n$p")
+      }
+    }
+  }
+
+  test("dimension joins broadcast the bounded dims (q5, q6)") {
+    for (q <- Seq("q5_join", "q6_multi_join")) {
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast:\n${plan(q)}")
+    }
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q20_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"q20 fell back to a global sort:\n$p")
+  }
+
+  test("native expressions stay inside whole-stage codegen spans") {
+    for ((q, fnName) <- Seq(("qd_simhash", "simhash64"),
+                            ("qs_cosine_topk", "cosine_similarity"))) {
+      val df = SparkEntry.queries(q)(spark, sfTiny)
+      df.collect() // AQE plans only show codegen spans once finalized
+      val p = df.queryExecution.executedPlan.toString
+      val inCodegen = p.linesIterator.exists(l => l.contains("*(") && l.contains(fnName))
+      assert(inCodegen, s"$q: $fnName fell out of codegen:\n$p")
+    }
+  }
+}
