@@ -31,6 +31,19 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Stream a directory of event files written with TIMESTAMP(NANOS)
+    * (the driver's `events` table): nanos arrive as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong` — normalize to microsecond
+    * timestamps exactly like the batch loader
+    * ([[graft.sources.Tables.events]]), so stream and batch agree. */
+  def readEventStreamNanos(spark: SparkSession, dir: String): DataFrame = {
+    val nanosSchema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    spark.readStream.schema(nanosSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Streaming twin of Q13: event-time tumbling 1-hour window per
     * event_type, late data dropped past the watermark. In append mode a
     * window emits exactly once, when the watermark passes its end. */

@@ -81,6 +81,22 @@ class MapReduceApiSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "runs bled into each other")
   }
 
+  test("empty input file yields empty output (no phantom groups)") {
+    val f = java.nio.file.Files.createTempFile("graft-empty", ".txt")
+    val out = graft.operators.TextPipeline.wordCount(spark, Seq(f.toString), 2)
+    assert(out.count() == 0)
+  }
+
+  test("unicode lines survive the pipeline intact") {
+    val f = java.nio.file.Files.createTempFile("graft-uni", ".txt")
+    java.nio.file.Files.writeString(f, "héllo wörld\n héllo wörld\nこんにちは\nhéllo wörld\n")
+    val out = graft.operators.TextPipeline.wordCount(spark, Seq(f.toString), 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("héllo wörld") == "2")       // exact line, with leading space distinct
+    assert(out(" héllo wörld") == "1")
+    assert(out("こんにちは") == "1")
+  }
+
   test("result invariant under partition count (reference test-matrix axis)") {
     val files = Seq(s"$testsDir/1.txt", s"$testsDir/2.txt", s"$testsDir/3.txt")
     val results = Seq(1, 4, 7).map { p =>

@@ -107,6 +107,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ids: ${ids.toList}")
   }
 
+  test("streaming the REAL events table == batch q13 (full sf0.001 round-trip)") {
+    // file sources stream directories; expose the single real file via a
+    // symlinked temp dir (testdata itself is read-only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-real-events")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
+    val q = EventStreams.hourlyWindowedAgg(
+      EventStreams.readEventStreamNanos(spark, dir.toString))
+      .writeStream.format("memory").queryName("real_events").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("real_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = graft.operators.Relational.q13TimeWindow(spark, sfTiny).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"stream/batch divergence: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    } finally q.stop()
+  }
+
   test("file-source stream reads event-shaped parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Seq(ev(1, "10:00"), ev(2, "10:30")).toDF()
