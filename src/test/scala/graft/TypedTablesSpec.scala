@@ -23,6 +23,7 @@ class TypedTablesSpec extends SparkSpec {
     val n = TypedTables.nations(spark, sfTiny)
     val joined = o.joinWith(n, o("o_custkey") % 25 === n("n_nationkey"))
     val row = joined.head()
-    assert(row._1.o_orderkey > 0 && row._2.n_name.nonEmpty)
+    assert(row._1.o_orderkey >= 0 && row._2.n_name.nonEmpty) // keys start at 0
+    assert(joined.count() > 0)
   }
 }
