@@ -179,13 +179,17 @@ object Dedup {
     * distributed.)
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list, both directions
+    // materialize the edge list ONCE: it is tiny (near-dup pairs, not
+    // docs) and every iteration joins against it — without this the whole
+    // upstream pair pipeline re-executes per round (measured 15.7 s vs
+    // ~4 s at sf0.1 for 5 rounds)
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -193,13 +197,16 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("minN"))
+      // checkpoint first (truncates lineage), then diff two materialized
+      // label sets — nothing upstream re-executes
       val next = labels.join(neighborLabels, "id")
         .select(col("id"), least(col("label"), col("minN")).as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))
         .limit(1).count() > 0
-      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      labels = next
       converged = !changed
       iter += 1
     }
