@@ -178,7 +178,7 @@ object Dedup {
     * to the driver for union-find — caps at driver memory; this stays
     * distributed.)
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the edge list ONCE: it is tiny (near-dup pairs, not
     // docs) and every iteration joins against it — without this the whole
     // upstream pair pipeline re-executes per round (measured 15.7 s vs
@@ -210,6 +210,11 @@ object Dedup {
       converged = !changed
       iter += 1
     }
+    // a partial labeling is NOT components — fail loudly rather than
+    // hand back something that looks right on small graphs
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter iterations - " +
+        "the dup graph has a longer path than expected; raise maxIter")
     labels.withColumnRenamed("label", "cluster")
   }
 
