@@ -63,7 +63,12 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` works too. */
+  /** Register every table as a temp view so `spark.sql` works too
+    * (`events` goes through its nanos→timestamp normalization, so SQL
+    * users see a plain timestamp column like DataFrame users do). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.Tables
+
+/** The `spark.sql` surface: every oracle SQL string that is also valid
+  * Spark SQL must produce exactly the DataFrame program's result. This
+  * pins API-vs-SQL parity (a user of this engine can write either) and
+  * doubles as a second differential check of the oracle strings
+  * themselves. Queries using DuckDB-only syntax (list lambdas,
+  * string_split, FILTER clauses, `//`) are excluded.
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val sparkParsable = Seq(
+    "q1_distinct", "q2_group_count", "q3_filter_project", "q4_multi_agg",
+    "q5_join", "q6_multi_join", "q7_anti_join", "q7_semi_join",
+    "q8_topk_per_group", "q9_running_sum", "q10_intersect", "q11_string_fns",
+    "q12_date_fns", "q13_time_window", "q14_rollup", "q15_count_distinct", "q16_doc_stats",
+    "q17_union_all", "q18_except", "q19_left_outer", "q19_full_outer",
+    "q20_limit", "q21_rank_lag_lead", "q23_cube", "q27_edit_distance",
+    "q28_null_fns")
+
+  for (name <- sparkParsable) {
+    test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
+      Tables.registerAll(spark, sfTiny)
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+        .collect().map(_.toString).toSeq
+      val viaApi = SparkEntry.queries(name)(spark, sfTiny)
+        .collect().map(_.toString).toSeq
+      assert(viaSql == viaApi,
+        s"first diff: ${viaSql.zip(viaApi).find(p => p._1 != p._2)}")
+    }
+  }
+}
