@@ -166,6 +166,30 @@ object RelationalExt {
       .orderBy("k")
   }
 
+  /** Q29 — null semantics through aggregation: COUNT(col) skips nulls,
+    * COUNT(*) doesn't; SUM/MIN/MAX ignore nulls; an all-null group yields
+    * NULL sums, zero counts. Nulls are manufactured with NULLIF (the
+    * tables ship none). */
+  def q29NullAgg(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .select(col("o_orderstatus"),
+        nullif((col("o_custkey") % 7).cast("long"), lit(0L)).as("x"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("all_rows"),
+        count(col("x")).as("non_null"),
+        sum(col("x")).as("s"),
+        min(col("x")).as("lo"),
+        max(col("x")).as("hi"))
+      .orderBy("o_orderstatus")
+
+  /** Q30 — empty result set: predicates can eliminate everything; the
+    * schema contract (names, types) must survive with zero rows. */
+  def q30EmptyResult(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .filter(col("o_totalprice") < 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_union_all" -> q17UnionAll _,
     "q18_except" -> q18Except _,
@@ -179,7 +203,9 @@ object RelationalExt {
     "q25_pivot" -> q25Pivot _,
     "q26_date_arith" -> q26DateArith _,
     "q27_edit_distance" -> q27EditDistance _,
-    "q28_null_fns" -> q28NullFns _)
+    "q28_null_fns" -> q28NullFns _,
+    "q29_null_agg" -> q29NullAgg _,
+    "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
     "q17_union_all" ->
@@ -238,5 +264,13 @@ object RelationalExt {
         "NULLIF(COALESCE(s.supp, 0), 0) AS supp_or_null " +
         "FROM (SELECT c_nationkey AS k, COUNT(*) AS cust FROM customer GROUP BY c_nationkey) c " +
         "FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS supp FROM supplier " +
-        "WHERE s_suppkey % 5 = 0 GROUP BY s_nationkey) s ON c.k = s.k ORDER BY k"))
+        "WHERE s_suppkey % 5 = 0 GROUP BY s_nationkey) s ON c.k = s.k ORDER BY k"),
+    "q29_null_agg" ->
+      ("SELECT o_orderstatus, COUNT(*) AS all_rows, COUNT(x) AS non_null, " +
+        "CAST(SUM(x) AS BIGINT) AS s, MIN(x) AS lo, MAX(x) AS hi " +
+        "FROM (SELECT o_orderstatus, NULLIF(o_custkey % 7, 0) AS x FROM orders) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q30_empty_result" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0 " +
+        "ORDER BY o_orderkey"))
 }
