@@ -18,7 +18,7 @@ class SqlParitySpec extends SparkSpec {
     "q12_date_fns", "q13_time_window", "q14_rollup", "q15_count_distinct", "q16_doc_stats",
     "q17_union_all", "q18_except", "q19_left_outer", "q19_full_outer",
     "q20_limit", "q21_rank_lag_lead", "q23_cube", "q27_edit_distance",
-    "q28_null_fns")
+    "q28_null_fns", "q29_null_agg", "q30_empty_result")
 
   for (name <- sparkParsable) {
     test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
