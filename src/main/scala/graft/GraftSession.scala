@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Session factory with the engine's scale defaults (SURVEY.md §7.1 M6).
-  * Local runs parameterize core count; on a real cluster the same builder
-  * applies — only master/deploy settings differ.
+  * The local[cores] master is a FALLBACK: when a master is already
+  * configured (spark-submit --master sets the `spark.master` system
+  * property / SPARK_MASTER env), the builder leaves it alone, so the same
+  * entry points run unchanged on a real cluster instead of silently
+  * dropping into local mode.
   */
 object GraftSession {
 
@@ -14,9 +17,8 @@ object GraftSession {
     *                   cluster size this to 2-3× total executor cores
     *                   and let AQE coalesce down)
     */
-  def builder(appName: String, cores: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cores]")
+  def builder(appName: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
       // shuffle sizing: match available parallelism, let AQE coalesce
@@ -35,4 +37,8 @@ object GraftSession {
       // cross-engine determinism: one wall-clock zone everywhere
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
+      b
+    else b.master(s"local[$cores]")
+  }
 }

@@ -42,8 +42,16 @@ object MapReduce {
     * (`/root/reference/mapreduce.c:250-257`) including the `atoi` overflow
     * wrap: C's `(unsigned)atoi(key)` is `key mod 2^32` for any |key| < 2^63
     * (observed in the corpus: key 3333333333 → bucket 3 of 4,
-    * `map___reduce/tests/11.out:7-9`). Non-numeric keys → 0 like `atoi`.
-    * Composed from built-ins (cast, pmod, shiftright) so it stays inside
+    * `map___reduce/tests/11.out:7-9`).
+    *
+    * `atoi` parses a numeric PREFIX (optional whitespace, optional sign,
+    * digits): "42abc" → 42, "abc"/"" → 0 — so the key is first reduced to
+    * that prefix with `regexp_extract` and only then cast. A bare
+    * `try_cast` would send "42abc" to 0, diverging from the reference.
+    * Known residual divergence, documented rather than emulated: for
+    * |key| ≥ 2^63 glibc `strtol` clamps to LONG_MAX so C lands in bucket
+    * (2^32-1)>>shift, while the cast here nulls → bucket 0. Composed from
+    * built-ins (regexp_extract, cast, pmod, shiftright) so it stays inside
     * whole-stage codegen; no custom Expression needed.
     */
   def sortedBucket32(key: Column, numPartitions: Int): Column = {
@@ -51,9 +59,12 @@ object MapReduce {
     if (numPartitions == 1) lit(0L)
     else {
       val shift = 32 - (31 - Integer.numberOfLeadingZeros(numPartitions))
+      // atoi prefix: leading whitespace, optional sign, digit run. No
+      // match → "" → try_cast null → 0, exactly atoi's non-numeric case.
+      val prefix = regexp_extract(key, "^[ \\t\\r\\n]*([+-]?[0-9]+)", 1)
       // try_cast, not cast: ANSI mode (Spark 4 default) would throw on a
       // non-numeric key, where C atoi returns 0.
-      shiftright(pmod(coalesce(key.try_cast("long"), lit(0L)), lit(4294967296L)), shift)
+      shiftright(pmod(coalesce(prefix.try_cast("long"), lit(0L)), lit(4294967296L)), shift)
     }
   }
 

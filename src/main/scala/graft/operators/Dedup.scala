@@ -224,11 +224,21 @@ object Dedup {
     exactDedup(T.documents(spark, d), Seq("lang", "source"))
       .orderBy("lang", "source")
 
+  /** Stop-shingle cap for the declared ngram entries: a shingle present in
+    * more docs than this is dropped before the inverted-index join. At
+    * corpus scale a ubiquitous shingle ("of the x") otherwise fans out
+    * quadratically on one shuffle key; the cap bounds any key's join
+    * fan-out to maxDocFreq² rows. Mirrored exactly in the DuckDB oracle
+    * (a HAVING on the shingle doc-frequency CTE), so the check stays
+    * hash-exact with the cap active. */
+  val NgramMaxDocFreq = 50L
+
   def qdNgramJaccard(spark: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(T.documents(spark, d), minJ = 0.1)
+    ngramJaccardPairs(T.documents(spark, d), minJ = 0.1,
+      maxDocFreq = NgramMaxDocFreq)
 
   def qdMinhashLsh(spark: SparkSession, d: String): DataFrame =
-    minhashPairs(T.documents(spark, d), minJ = 0.5)
+    minhashPairs(T.documents(spark, d), minJ = 0.8)
 
   /** maxHamming = 3 makes the search EXACT: with 4 16-bit chunks, any
     * pair within Hamming distance 3 shares at least one chunk
@@ -237,7 +247,8 @@ object Dedup {
     simhashPairs(T.documents(spark, d), maxHamming = 3)
 
   def qdDupClusters(spark: SparkSession, d: String): DataFrame =
-    dupClusters(ngramJaccardPairs(T.documents(spark, d), minJ = 0.5))
+    dupClusters(ngramJaccardPairs(T.documents(spark, d), minJ = 0.5,
+      maxDocFreq = NgramMaxDocFreq))
       .orderBy("id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,19 +259,34 @@ object Dedup {
     "qd_dup_clusters" -> qdDupClusters _)
 
   /** DuckDB twin of the shingle inverted index (list comprehension form).
-    * `qd_minhash_lsh` shares the J≥0.5 oracle: every true pair at sf0.01
-    * sits at J≥0.9 where LSH recall is ≥ 1-4e-8, and the hash seeds are
-    * fixed, so the result is deterministic and equal to the exact answer
-    * (verified locally). `qd_simhash` has no oracle: its output depends
+    * `maxDocFreq` > 0 mirrors the Spark side's stop-shingle cap: the `fs`
+    * CTE keeps only shingles whose doc-frequency is within the cap, and
+    * sizes/pairs are computed over the filtered set — exactly like
+    * [[ngramJaccardPairs]], so the comparison stays hash-exact.
+    *
+    * `qd_minhash_lsh` shares the exact-Jaccard oracle at the J≥0.8 verify
+    * threshold, squarely in the high-recall band regime: per-pair band
+    * recall is 1-(1-J^4)^16 ≥ 0.9998 at J=0.8 and ≥ 1-4e-8 at J≥0.9
+    * (where every true pair of this corpus actually sits), and the hash
+    * seeds are fixed, so the result equals the exact answer
+    * deterministically — not by corpus accident, as the previous 0.5
+    * threshold relied on. `qd_simhash` has no oracle: its output depends
     * on xxhash64, which DuckDB lacks — DedupSpec covers it.
     */
-  private def jaccardOracle(minJ: Double): String =
-    "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+  private def shingleCtes(maxDocFreq: Long): String =
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
       "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s FROM documents), " +
-    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+    (if (maxDocFreq > 0)
+      s"keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $maxDocFreq), " +
+        "fs AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), "
+     else "fs AS (SELECT doc_id, s FROM sh), ") +
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM fs GROUP BY doc_id), " +
     "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter " +
-      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "FROM fs a JOIN fs b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  private def jaccardOracle(minJ: Double, maxDocFreq: Long = 0L): String =
+    s"WITH ${shingleCtes(maxDocFreq)} " +
     "SELECT da, db, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j " +
     "FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
     // filter on the ROUNDED value, exactly like the Spark side, so the
@@ -271,18 +297,12 @@ object Dedup {
   /** Connected components as a recursive CTE over the same pair set —
     * `reach` enumerates every node's reachable set (UNION dedup bounds
     * it), the component label is the minimum. */
-  private def clustersOracle(minJ: Double): String =
-    "WITH RECURSIVE " +
-    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-      "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
-      "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s FROM documents), " +
-    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-    "p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter " +
-      "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
-    "pairs AS (SELECT da, db FROM p0 JOIN sizes sa ON da = sa.doc_id " +
+  private def clustersOracle(minJ: Double, maxDocFreq: Long = 0L): String =
+    s"WITH RECURSIVE ${shingleCtes(maxDocFreq)}, " +
+    "jp AS (SELECT da, db FROM pairs JOIN sizes sa ON da = sa.doc_id " +
       "JOIN sizes sb ON db = sb.doc_id " +
       s"WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $minJ), " +
-    "edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs), " +
+    "edges AS (SELECT da AS src, db AS dst FROM jp UNION SELECT db, da FROM jp), " +
     "reach(id, r) AS (SELECT src, src FROM edges " +
       "UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src) " +
     "SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"
@@ -291,7 +311,7 @@ object Dedup {
     "qd_exact_dedup" ->
       ("SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS members " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
-    "qd_ngram_jaccard" -> jaccardOracle(0.1),
-    "qd_minhash_lsh" -> jaccardOracle(0.5),
-    "qd_dup_clusters" -> clustersOracle(0.5))
+    "qd_ngram_jaccard" -> jaccardOracle(0.1, NgramMaxDocFreq),
+    "qd_minhash_lsh" -> jaccardOracle(0.8),
+    "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq))
 }

@@ -145,16 +145,22 @@ object Relational {
       .withColumn("v", col("o_totalprice").cast(DecimalType(18, 2)))
     val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOffset = Window.orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // Per-bucket totals → cumulative offsets WITHOUT a global window (a
+    // Window.orderBy with no partitionBy — even over 32 rows — fires the
+    // "No Partition Defined" warning the plan guard exists to catch).
+    // Instead each bucket's total is exploded to every HIGHER bucket id and
+    // summed there: pure equi-groupBy over ≤ nb² tiny rows, no window, no
+    // nested-loop join. Bucket 0 (and any bucket no smaller bucket feeds)
+    // simply has no offset row → left join + coalesce(0).
     val offsets = base.groupBy("pid").agg(sum(col("v")).as("ptot"))
-      .withColumn("off", coalesce(sum("ptot").over(wOffset),
-        lit(0).cast(DecimalType(18, 2))))
-      .select("pid", "off")
+      .filter(col("pid") < nb - 1) // the last bucket feeds no one
+      .select(explode(sequence(col("pid") + 1, lit(nb - 1))).as("pid"), col("ptot"))
+      .groupBy("pid").agg(sum("ptot").as("off"))
     base
       .withColumn("lrt", sum(col("v")).over(wLocal))
-      .join(broadcast(offsets), "pid")
-      .withColumn("rt", round(col("lrt") + col("off"), 2).cast("double"))
+      .join(broadcast(offsets), Seq("pid"), "left")
+      .withColumn("rt", round(col("lrt")
+        + coalesce(col("off"), lit(0).cast(DecimalType(18, 2))), 2).cast("double"))
       .select("o_orderkey", "rt")
       .orderBy("o_orderkey")
   }

@@ -190,7 +190,39 @@ object RelationalExt {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** Q31 — INTERSECT ALL (bag semantics: each key survives with
+    * min(multiplicity) copies — the multiset twin of Q10). Plans as a
+    * single hash-aggregate pair counting per-side multiplicities, no
+    * join. Duplicate output rows are byte-identical, so ORDER BY k alone
+    * is still a deterministic total order for the hash compare. */
+  def q31IntersectAll(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select(col("c_nationkey").as("k"))
+      .intersectAll(T.supplier(spark, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q32 — EXCEPT ALL (bag semantics: multiplicities subtract). */
+  def q32ExceptAll(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d).select(col("c_nationkey").as("k"))
+      .exceptAll(T.supplier(spark, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q33 — arbitrary GROUPING SETS ((status), (priority), ()) with
+    * grouping_id() distinguishing which set produced each row — the
+    * general form rollup (Q14) and cube (Q23) are special cases of.
+    * gid bit = 1 ⇔ that column is aggregated-over in the row's set. */
+  def q33GroupingSets(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("c"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_intersect_all" -> q31IntersectAll _,
+    "q32_except_all" -> q32ExceptAll _,
+    "q33_grouping_sets" -> q33GroupingSets _,
     "q17_union_all" -> q17UnionAll _,
     "q18_except" -> q18Except _,
     "q19_left_outer" -> q19LeftOuter _,
@@ -208,6 +240,17 @@ object RelationalExt {
     "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
+    "q31_intersect_all" ->
+      ("SELECT c_nationkey AS k FROM customer INTERSECT ALL " +
+        "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q32_except_all" ->
+      ("SELECT c_nationkey AS k FROM customer EXCEPT ALL " +
+        "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    "q33_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, COUNT(*) AS c " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
     "q17_union_all" ->
       ("SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer " +
         "UNION ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k ORDER BY k"),

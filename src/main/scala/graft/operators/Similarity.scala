@@ -48,15 +48,24 @@ object Similarity {
   def annTopK(data: DataFrame, queries: DataFrame, k: Int,
               numTables: Int = 16, numBits: Int = 8): DataFrame = {
     GraftFunctions.ensureRegistered(data.sparkSession)
-    def sketched(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+    def sketched(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
           posexplode(expr(s"cosine_lsh_sketch(embedding, $numTables, $numBits)"))
             .as(Seq("t", "bucket")))
-    val cand = sketched(data, "vec_id", "v")
-      .join(broadcast(sketched(queries, "qid", "qv")), Seq("t", "bucket"))
+        .select(col(idAs), col("t"), col("bucket"))
+    // ids ONLY through the bucket join and the collision dedup (same
+    // discipline as [[nearDupPairs]]): a pair colliding in several of the
+    // tables would otherwise shuffle both vectors once per collision.
+    // Vectors are fetched exactly once per surviving candidate — the query
+    // side by broadcast, the data side by an id equi-join.
+    val candIds = sketched(data, "vec_id")
+      .join(broadcast(sketched(queries, "qid")), Seq("t", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select("qid", "vec_id", "qv", "v")
+      .select("qid", "vec_id")
       .distinct() // a pair may collide in several tables
+    val cand = candIds
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(data.select(col("vec_id"), col("embedding").as("v")), "vec_id")
       .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     cand

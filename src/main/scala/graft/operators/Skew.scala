@@ -34,13 +34,23 @@ object Skew {
     * that is too large to broadcast but small enough to replicate
     * `salts`×: the fact side gets a per-row salt, the dimension is
     * exploded across every salt, so the hot key's rows spread over
-    * `salts` reducers and each still finds its dimension row. The salt
-    * uses a row-content hash, so retried tasks recompute the same value.
+    * `salts` reducers and each still finds its dimension row.
+    *
+    * The salt mixes a row-content hash with the row's physical position
+    * (`monotonically_increasing_id` = partition id ‖ in-partition index):
+    * a content-only hash sends byte-identical duplicate fact rows — the
+    * most common hot-key shape — all to ONE salt bucket, silently
+    * degrading to an unsalted join. The positional part spreads exact
+    * duplicates too. Salt choice never affects the RESULT (the dimension
+    * is replicated across every salt, so a row matches its dim row under
+    * any salt value); it only shapes the distribution, so positional
+    * nondeterminism under AQE replans is harmless.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salts: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("_fsalt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salts)))
     val repDim = dim.withColumn("_dsalt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim,
       saltedFact(factKey) === repDim(dimKey) &&

@@ -78,6 +78,41 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: click→view attribution — each click
+    * joins the same user's views from the preceding `horizonMinutes`.
+    *
+    * Both sides carry a watermark and the join condition bounds the event
+    * times against each other; TOGETHER those let the engine compute how
+    * long each side's rows stay joinable and drop state the moment the
+    * other side's watermark passes that bound (an interval condition
+    * without watermarks would buffer both streams forever). Inner join:
+    * a pair emits as soon as both rows have arrived — no waiting on the
+    * watermark, which only drives state cleanup and late-row dropping.
+    * State is keyed by user_id, so it shuffles/partitions like any join.
+    *
+    * Applied to a BATCH DataFrame the same code degrades gracefully
+    * (withWatermark is a no-op) to a plain interval join — StreamingSpec
+    * uses that as the equivalence oracle.
+    */
+  def clickViewAttribution(events: DataFrame, watermark: String = "10 minutes",
+                           horizonMinutes: Int = 60): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "inner")
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserStat(user_id: Long, events: Long, total: Double)
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamingDedup
-import graft.streaming.StreamingDedup.DocEvent
+import graft.streaming.StreamingDedup.{DocEvent, DocEventTs}
 
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,43 @@ class StreamingDedupSpec extends SparkSpec {
       // 11 sees 10; 12 sees 11 and 10-or-evicted; all hits are among these
       assert(pairs.contains((11L, 10L)))
       assert(pairs.contains((12L, 11L)))
+    } finally q.stop()
+  }
+
+  test("event-time TTL expires idle bucket keys once the watermark passes") {
+    val stream = MemoryStream[DocEventTs](spark)
+    def at(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val docs = stream.toDF().withWatermark("ts", "0 seconds")
+    val q = StreamingDedup.nearDupHits(docs, minJ = 0.9,
+      stateTtlMs = 60L * 60 * 1000) // 1 hour
+      .writeStream.format("memory").queryName("dup_ttl").outputMode("update").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    try {
+      // doc 1 opens 16 bucket keys with expiry 10:00 + 1h
+      stream.addData(DocEventTs(1L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa", at("10:00")))
+      q.processAllAvailable()
+      val s1 = stateRows
+      assert(s1 > 0, "expected bucket state after the first batch")
+      // doc 2's novel content opens its own ~16 keys AND lifts the
+      // watermark to 20:00 — past doc 1's 11:00 expiry. processAllAvailable
+      // drains the follow-up timeout batch too, so by the time we measure,
+      // doc 1's keys are gone: without the TTL this would read 2×s1.
+      stream.addData(DocEventTs(2L,
+        "totally different words live in this one here now friend", at("20:00")))
+      q.processAllAvailable()
+      val s2 = stateRows
+      assert(s2 <= s1, s"doc 1's idle buckets did not expire: $s1 -> $s2")
+      // doc 3 at 20:05 keeps the watermark short of doc 2's 21:00 expiry:
+      // doc 2 (still fresh) survives, doc 3 adds its keys — state stays
+      // bounded by the TTL horizon, not by stream length
+      stream.addData(DocEventTs(3L,
+        "yet another unrelated pile of words goes right here today", at("20:05")))
+      q.processAllAvailable()
+      val s3 = stateRows
+      assert(s3 <= 2 * s1, s"state grew past the TTL horizon: $s1 -> $s2 -> $s3")
     } finally q.stop()
   }
 }

@@ -127,6 +127,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin, and old state is cleaned up") {
+    val stream = MemoryStream[Ev](spark)
+    val all = Seq(
+      // joinable era (user 1: one in-horizon click, one out-of-horizon)
+      Seq(ev(100, "10:00", typ = "view", value = 0.0),
+        ev(200, "10:20"),                      // joins view 100
+        ev(201, "11:30"),                      // 90 min after the view: outside horizon
+        ev(101, "10:05", user = 2L, typ = "view"),
+        ev(202, "10:06", user = 2L)),          // joins view 101
+      // far-future rows on BOTH sides advance both watermarks past the era above
+      Seq(ev(9000, "20:00", user = 9L, typ = "view"), ev(9001, "20:01", user = 9L)),
+      Seq(ev(9100, "21:00", user = 8L, typ = "view"), ev(9101, "21:01", user = 8L)))
+    val q = EventStreams.clickViewAttribution(stream.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    val (got, stateRows) = try {
+      all.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+        .toSet
+      val progress = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+      (rows, progress.stateOperators.map(_.numRowsTotal).sum)
+    } finally q.stop()
+    // batch twin: the identical code path on a batch DataFrame
+    // (withWatermark is a no-op there) is the equivalence oracle
+    val want = EventStreams.clickViewAttribution(all.flatten.toDF()).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      .toSet
+    assert(got == want, s"stream/batch divergence: got $got want $want")
+    assert(got.contains((1L, 100L, 200L)) && !got.exists(_._3 == 201L),
+      s"horizon misapplied: $got")
+    // 9 rows went in; the 5 early-era rows sit far behind both watermarks
+    // (10:xx vs ~20:50) and must have been evicted from join state
+    assert(stateRows <= 6, s"join state not cleaned up: $stateRows rows retained")
+  }
+
   test("file-source stream reads event-shaped parquet with the declared schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Seq(ev(1, "10:00"), ev(2, "10:30")).toDF()
