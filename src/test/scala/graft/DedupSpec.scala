@@ -102,4 +102,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("a planted ubiquitous shingle no longer explodes the candidate pair count") {
+    // 60 otherwise-unrelated docs all share a 4-token prefix, i.e. two
+    // ubiquitous 3-grams (df=60 > cap): uncapped, those keys fan out
+    // 60·59/2 = 1770 pairs at J = 2/14 ≈ 0.14; with the cap they
+    // contribute none, and only the one real near-dup pair (ids 100/101)
+    // survives.
+    val hot = (0 until 60).map(i =>
+      (i.toLong, s"the quick brown fox w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val dup = Seq(
+      (100L, "zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (101L, "zeta eta theta iota kappa lambda mu nu xi pi"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, minJ = 0.1,
+      maxDocFreq = Dedup.NgramMaxDocFreq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"expected only the true near-dup pair, got ${capped.size} pairs")
+    // sanity: the uncapped run DOES see the hot-shingle quadratic blowup
+    val uncapped = Dedup.ngramJaccardPairs(docs, minJ = 0.1).count()
+    assert(uncapped > 1000L, s"planted hot shingle should fan out uncapped: $uncapped")
+  }
 }

@@ -28,9 +28,8 @@ class PlanGuardSpec extends SparkSpec {
   test("no single-partition window anywhere in the query surface") {
     // 'Window ... ORDER BY' without PARTITION BY plans an Exchange
     // SinglePartition directly under a Window — the q9 anti-pattern.
-    // q9's own offsets window is exempt: it windows NB=32 pre-aggregated
-    // rows, not the data.
-    for ((name, fn) <- SparkEntry.queries if name != "q9_running_sum") {
+    // No exemptions: q9's offsets are now an equi-aggregate, not a window.
+    for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sfTiny).queryExecution.executedPlan.toString
       val lines = p.linesIterator.toSeq
       lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
@@ -39,6 +38,26 @@ class PlanGuardSpec extends SparkSpec {
           s"$name funnels a window through one partition:\n$p")
       }
     }
+  }
+
+  test("self-join pipelines reuse the shared exchange at shuffle-join scale") {
+    // At test/bench SF the small side broadcasts — there is no shuffle
+    // pair to reuse and the build side is computed once anyway. Disabling
+    // broadcast simulates the 100 TB shape, where the self-join MUST
+    // collapse its two identical sides into one exchange + ReusedExchange
+    // or every fingerprint/sketch is computed (and shuffled) twice.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      for (q <- Seq("qd_simhash", "qd_minhash_lsh", "qs_embed_neardup", "qd_ngram_jaccard")) {
+        val df = SparkEntry.queries(q)(spark, sfTiny)
+        df.collect() // AQE finalizes reuse only in the executed plan
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.linesIterator.exists(l =>
+          l.contains("ReusedExchange") || l.contains("reuses")),
+          s"$q recomputes its self-join side instead of reusing the exchange:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dimension joins broadcast the bounded dims (q5, q6)") {
