@@ -28,7 +28,10 @@ object FunctionBuilders {
       (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))),
     ("minhash_signature", classOf[MinHashSignature],
       (c: Seq[Expression]) => MinHashSignature(c(0),
-        intLiteral(c(1), "n"), intLiteral(c(2), "k"))))
+        intLiteral(c(1), "n"), intLiteral(c(2), "k"))),
+    ("topk_pairs", classOf[BoundedTopK],
+      (c: Seq[Expression]) => BoundedTopK(c(0), c(1),
+        intLiteral(c(2), "k")).toAggregateExpression()))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

@@ -219,7 +219,25 @@ object RelationalExt {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first, col("c"))
 
+  /** Q34 — group-wise top-k via the bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK]], SURVEY §7.3): identical semantics
+    * and rank contract as Q8's window form, so the two share one oracle —
+    * a differential check that the custom aggregate's partial/merge/final
+    * path reproduces `row_number() <= k` exactly. Unlike the window, a
+    * skewed group costs O(k) state and shuffle here. */
+  def q34TopKAgg(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    T.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(expr("topk_pairs(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("o_custkey"), col("entry.id").as("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_topk_agg" -> q34TopKAgg _,
     "q31_intersect_all" -> q31IntersectAll _,
     "q32_except_all" -> q32ExceptAll _,
     "q33_grouping_sets" -> q33GroupingSets _,
@@ -240,6 +258,11 @@ object RelationalExt {
     "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
+    // q34 shares q8's oracle: same rank contract, different physical path
+    "q34_topk_agg" ->
+      ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "q31_intersect_all" ->
       ("SELECT c_nationkey AS k FROM customer INTERSECT ALL " +
         "SELECT s_nationkey AS k FROM supplier ORDER BY k"),
