@@ -21,11 +21,13 @@ object SparkEntry {
     * from the per-family query packs. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Temporal.oracles
 }

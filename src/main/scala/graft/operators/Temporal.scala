@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Temporal join operators over the `events` table: as-of join and
+  * bounded interval join — the two time-series shapes a training-data /
+  * clickstream pipeline needs that plain equi-joins can't express.
+  *
+  * Spark has no ASOF JOIN operator (DuckDB/Pandas do), so [[asofJoin]]
+  * composes it from built-ins — the preferred path before custom plans:
+  * union the two sides, one shuffle by key, in-partition sort by time,
+  * and a running `last(value, ignoreNulls)` window. Each partition
+  * streams once; no per-row probe, no range join explosion. Skew note: a
+  * hot key's rows meet in one task (like any partitioned window) — the
+  * window is a simple running carry, so cost is linear in the key's rows
+  * and spills at worst; salt the key upstream if a single key exceeds a
+  * task's disk.
+  */
+object Temporal {
+  private val T = Tables
+
+  /** As-of join: attach to each `left` row the `valueCol` of the LATEST
+    * `right` row with `right.ts <= left.ts` for the same `key` (null when
+    * no prior right row exists — i.e. ASOF LEFT JOIN, `>=` semantics).
+    *
+    * Contract: both sides carry (`key`, `ts`); `right` rows must be
+    * unique per (key, ts) — pre-aggregate otherwise (ties would make the
+    * match nondeterministic in ANY engine). Right rows order BEFORE left
+    * rows at the same timestamp, so an exactly-simultaneous right row IS
+    * matched, mirroring the `>=` of `ASOF JOIN ... ON l.ts >= r.ts`.
+    * Output: `left`'s columns plus `asof_<valueCol>`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCol: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val rTagged = right.select(col(key), col(ts), col(valueCol).as("_asof_v"))
+      .withColumn("_kind", lit(0))
+    val lTagged = left
+      .withColumn("_asof_v", lit(null).cast(vType))
+      .withColumn("_kind", lit(1))
+    // right rows sort first at equal ts (kind 0 < 1): >= match semantics
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_m", last(col("_asof_v"), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .drop("_asof_v", "_kind")
+      .withColumnRenamed("_m", s"asof_$valueCol")
+  }
+
+  // ---- query-pack entries ----
+
+  /** QE1 — as-of join: each click matched to the user's most recent view
+    * at or before it. Views are pre-deduped to one per (user, ts) — the
+    * determinism contract of [[asofJoin]] — and the oracle is DuckDB's
+    * native ASOF LEFT JOIN, a genuine cross-engine differential for an
+    * operator Spark lacks. */
+  def qeAsof(spark: SparkSession, d: String): DataFrame = {
+    val e = T.events(spark, d)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    asofJoin(clicks, views, "user_id", "ts", "view_id")
+      .select(col("click_id"), col("user_id"), col("asof_view_id").as("view_id"))
+      .orderBy("click_id")
+  }
+
+  /** QE2 — bounded interval join, batch form: every (view, click) pair of
+    * one user with the click inside [view_ts, view_ts + 60 min]. Exactly
+    * [[graft.streaming.EventStreams.clickViewAttribution]] run on a batch
+    * frame (withWatermark is a no-op there) — the batch/stream pair share
+    * one code path, and this entry pins it against a DuckDB oracle.
+    * Plans as an equi-join on user_id with the time bounds as post-join
+    * filters — no range-join explosion. */
+  def qeAttribution(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.clickViewAttribution(T.events(spark, d))
+      .select("user_id", "view_id", "click_id")
+      .orderBy("click_id", "view_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_asof" -> qeAsof _,
+    "qe_attribution" -> qeAttribution _)
+
+  val oracles: Map[String, String] = Map(
+    "qe_asof" ->
+      ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id, ts), " +
+        "clicks AS (SELECT event_id AS click_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT c.click_id, c.user_id, v.view_id FROM clicks c " +
+        "ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts " +
+        "ORDER BY c.click_id"),
+    "qe_attribution" ->
+      ("WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM events " +
+        "WHERE event_type = 'view'), " +
+        "c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT c.user_id, v.view_id, c.click_id FROM c JOIN v " +
+        "ON c.user_id = v.user_id AND c.click_ts >= v.view_ts " +
+        "AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTE " +
+        "ORDER BY click_id, view_id"))
+}

@@ -65,4 +65,27 @@ object FileFormats {
     * only at evolution boundaries, then rewrite to the target schema. */
   def readMergedSchema(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Range-clustered parquet write: `repartitionByRange` + in-partition
+    * sort gives each output file a DISJOINT range of `keys`, so every
+    * file/row-group's parquet min-max statistics become selective and a
+    * range or point predicate on the key decodes only the O(1) matching
+    * files — the poor man's Z-order, exact for one key (for two keys the
+    * lexicographic range still prunes on the leading key).
+    *
+    * This is the high-cardinality complement to [[writePartitioned]]:
+    * directory partitioning on a high-cardinality key (user_id, doc_id)
+    * would create millions of tiny directories; clustering keeps file
+    * count = `files` and moves the pruning into row-group stats, which
+    * Spark's parquet reader applies under `spark.sql.parquet.filterPushdown`
+    * (on by default; `PushedFilters` in `.explain` shows the predicates
+    * that reach the footer check). ClusteredWriteSpec proves the
+    * pairwise-disjoint file ranges the pruning relies on. */
+  def writeRangeClustered(df: DataFrame, path: String, files: Int,
+                          keys: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.head, keys.tail: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

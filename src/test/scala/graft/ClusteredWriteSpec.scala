@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{FileFormats, Tables}
+
+class ClusteredWriteSpec extends SparkSpec {
+
+  test("range-clustered write: per-file key ranges are pairwise disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    FileFormats.writeRangeClustered(
+      Tables.events(spark, sfTiny), dir, files = 8, "user_id")
+    // per-file min/max — exactly the parquet footer stats row-group
+    // pruning consults; disjointness is what makes a key predicate
+    // selective instead of matching every file
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getAs[String]("f"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(ranges.length > 1, "expected multiple clustered files")
+    val sorted = ranges.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((fa, _, hiA), (fb, loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $fa hi=$hiA vs $fb lo=$loB")
+      case _ =>
+    }
+    // an unclustered write of the same data has no such property: every
+    // file spans ~the full key range (control, guards the test itself)
+    val flat = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    Tables.events(spark, sfTiny).repartition(8).write.mode("overwrite").parquet(flat)
+    val flatRanges = spark.read.parquet(flat)
+      .groupBy(input_file_name()).agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    val flatOverlaps = flatRanges.sliding(2).count {
+      case Array((_, hiA), (loB, _)) => hiA > loB
+      case _ => false
+    }
+    assert(flatOverlaps > 0, "control failed: random partitioning produced disjoint ranges")
+  }
+
+  test("key predicate on clustered data reads back exactly and pushes to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustered2").toString
+    val src = Tables.events(spark, sfTiny)
+    FileFormats.writeRangeClustered(src, dir, files = 8, "user_id")
+    val probe = src.select("user_id").first().getLong(0)
+    val filtered = spark.read.parquet(dir).filter(col("user_id") === probe)
+    // the predicate must reach the parquet scan for footer-stats pruning
+    val scanLine = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("EqualTo(user_id"), s"predicate not pushed: $scanLine")
+    assert(filtered.count() == src.filter(col("user_id") === probe).count())
+    // and all surviving rows came from ONE clustered file
+    val files = filtered.select(input_file_name()).distinct().count()
+    assert(files == 1L, s"expected the probe key in exactly 1 clustered file, got $files")
+  }
+}

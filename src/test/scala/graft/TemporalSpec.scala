@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("asofJoin: latest at-or-before match, >= tie semantics, null when no prior") {
+    val right = Seq(
+      (1L, ts("10:00"), 100L), (1L, ts("11:00"), 101L), (2L, ts("09:00"), 200L))
+      .toDF("user_id", "ts", "view_id")
+    val left = Seq(
+      (1L, ts("10:30"), 900L), // between the two views -> earlier one
+      (1L, ts("11:00"), 901L), // exactly simultaneous view -> matched (>=)
+      (1L, ts("09:59"), 902L), // before any view -> null
+      (3L, ts("12:00"), 903L)) // key absent from right -> null
+      .toDF("user_id", "ts", "click_id")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", "view_id")
+      .collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_view_id"))) None
+         else Some(r.getAs[Long]("asof_view_id"))))
+      .toMap
+    assert(got == Map(900L -> Some(100L), 901L -> Some(101L),
+      902L -> None, 903L -> None))
+  }
+
+  test("qe_asof on real events: every matched view is the max prior view (spot oracle)") {
+    val out = SparkEntry.queries("qe_asof")(spark, sfTiny).collect()
+    assert(out.nonEmpty)
+    // independently recompute a handful of rows with a brute-force scan
+    val e = graft.sources.Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+    val views = e.filter(_.getAs[String]("event_type") == "view")
+    val byClick = out.take(20).map { r =>
+      val cid = r.getAs[Long]("click_id")
+      val uid = r.getAs[Long]("user_id")
+      val cts = e.find(_.getAs[Long]("event_id") == cid).get.getAs[Timestamp]("ts")
+      val want = views.filter(v => v.getAs[Long]("user_id") == uid &&
+          !v.getAs[Timestamp]("ts").after(cts))
+        .sortBy(v => (v.getAs[Timestamp]("ts").getTime, v.getAs[Long]("event_id")))
+        .lastOption.map(_.getAs[Long]("event_id"))
+      val gotV = if (r.isNullAt(r.fieldIndex("view_id"))) None
+                 else Some(r.getAs[Long]("view_id"))
+      (cid, gotV, want)
+    }
+    byClick.foreach { case (cid, gotV, want) =>
+      assert(gotV == want, s"click $cid: got $gotV want $want")
+    }
+  }
+
+  test("qe_attribution == brute-force interval pairs on real events") {
+    val got = SparkEntry.queries("qe_attribution")(spark, sfTiny).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("click_id"))).toSet
+    val e = graft.sources.Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+    val views = e.filter(_.getAs[String]("event_type") == "view")
+    val clicks = e.filter(_.getAs[String]("event_type") == "click")
+    val want = (for {
+      v <- views; c <- clicks
+      if c.getAs[Long]("user_id") == v.getAs[Long]("user_id")
+      dt = c.getAs[Timestamp]("ts").getTime - v.getAs[Timestamp]("ts").getTime
+      if dt >= 0 && dt <= 60L * 60 * 1000
+    } yield (c.getAs[Long]("user_id"), v.getAs[Long]("event_id"),
+      c.getAs[Long]("event_id"))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
