@@ -44,6 +44,17 @@ object FileFormats {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** ORC source/sink — the second columnar format in lake migrations
+    * (Hive-era warehouses are ORC). Spark's native vectorized ORC reader
+    * gives the same pushdown/pruning machinery as parquet: predicates
+    * reach stripe/row-group stats, column pruning applies, and
+    * `spark.sql.orc.filterPushdown` is on by default in Spark 4. */
+  def readOrc(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).orc(paths: _*)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Compact a directory of small parquet files into ~`targetBytes`
     * files. Streaming sinks and over-parallel writers leave thousands of
     * tiny files; at 100 TB the resulting open/footer overhead dominates

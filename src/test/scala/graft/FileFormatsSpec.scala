@@ -28,6 +28,20 @@ class FileFormatsSpec extends SparkSpec {
     assert(canon(back) == canon(nation))
   }
 
+  test("ORC round-trip preserves every row and pushes predicates to the scan") {
+    val dir = tmp("graft-orc")
+    FileFormats.writeOrc(nation, dir)
+    val back = FileFormats.readOrc(spark, nation.schema, dir)
+    assert(canon(back) == canon(nation))
+    val filtered = back.filter(col("n_nationkey") > 10).select("n_name")
+    val scan = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]")
+      || scan.contains("GreaterThan(n_nationkey,10)"),
+      s"ORC scan lost predicate pushdown: $scan")
+    assert(filtered.count() == nation.filter(col("n_nationkey") > 10).count())
+  }
+
   test("multi-file text source: one row per line across files") {
     val d1 = tmp("graft-txt1"); val d2 = tmp("graft-txt2")
     import spark.implicits._
