@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import scala.util.Random
 
-/** Differential fuzzing over the relational surface: 120 seeded-random
-  * plans (scan / filter / join / group / aggregate / distinct), each
-  * built SIMULTANEOUSLY as a DataFrame program and an equivalent ANSI SQL
-  * string from one AST, executed both ways, compared as sorted multisets.
+/** Differential fuzzing over the relational surface: 150 seeded-random
+  * plans (scan / filter / join / group / aggregate / distinct /
+  * sort+limit / window top-k / union-all), each built SIMULTANEOUSLY as
+  * a DataFrame program and an equivalent ANSI SQL string from one AST,
+  * executed both ways, compared row for row.
   *
   * This generalizes SqlParitySpec's 30 hand-written pairs to a random
   * family: any drift between the two front-ends (aliasing, null
@@ -18,19 +20,21 @@ import scala.util.Random
   * drive a cross-engine oracle where that engine is available (the
   * driver's t2 harness); in-JVM the differential is DataFrame-vs-SQL.
   *
-  * Determinism: results are compared as SORTED row-string multisets, so
-  * no generated query needs a total ORDER BY (ties would make row order
-  * engine-plan-dependent).
+  * Determinism: unordered shapes are compared as SORTED row-string
+  * multisets; the sort+limit shape orders by EVERY projected column
+  * (total order up to duplicate rows) and is compared in order.
   */
 class FuzzParitySpec extends SparkSpec {
 
-  private case class Tbl(name: String, nums: Seq[String], strs: Seq[String])
+  private case class Tbl(name: String, nums: Seq[String], strs: Seq[String],
+                         uniqueKey: String)
   private val tbls = Seq(
-    Tbl("orders", Seq("o_orderkey", "o_custkey"), Seq("o_orderstatus", "o_orderpriority")),
-    Tbl("customer", Seq("c_custkey", "c_nationkey"), Seq.empty),
+    Tbl("orders", Seq("o_orderkey", "o_custkey"), Seq("o_orderstatus", "o_orderpriority"),
+      "o_orderkey"),
+    Tbl("customer", Seq("c_custkey", "c_nationkey"), Seq.empty, "c_custkey"),
     Tbl("lineitem", Seq("l_orderkey", "l_linenumber", "l_quantity"),
-      Seq("l_returnflag", "l_linestatus")),
-    Tbl("supplier", Seq("s_suppkey", "s_nationkey"), Seq.empty))
+      Seq("l_returnflag", "l_linestatus"), "l_orderkey"),
+    Tbl("supplier", Seq("s_suppkey", "s_nationkey"), Seq.empty, "s_suppkey"))
 
   /** Joinable pairs: (left tbl index, right tbl index, left key, right key).
     * TPC-H column prefixes keep all names disjoint, so no qualification
@@ -77,10 +81,10 @@ class FuzzParitySpec extends SparkSpec {
     }
   }
 
-  /** Build one (DataFrame, SQL) pair from the case's seed. */
-  private def genCase(seed: Int): (DataFrame, String) = {
+  /** Build one (DataFrame, SQL, orderedCompare) triple from the seed. */
+  private def genCase(seed: Int): (DataFrame, String, Boolean) = {
     val rng = new Random(seed)
-    rng.nextInt(4) match {
+    rng.nextInt(7) match {
       case 0 => // scan + filter + projection (maybe DISTINCT)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
@@ -93,7 +97,7 @@ class FuzzParitySpec extends SparkSpec {
         if (distinct) df = df.distinct()
         val sql = s"SELECT ${if (distinct) "DISTINCT " else ""}${cols.mkString(", ")} " +
           s"FROM ${t.name}${pred.map(p => s" WHERE ${p.sql}").getOrElse("")}"
-        (df, sql)
+        (df, sql, false)
 
       case 1 => // groupBy + aggregates
         val t = tbls(rng.nextInt(tbls.size))
@@ -107,7 +111,7 @@ class FuzzParitySpec extends SparkSpec {
         val sql = s"SELECT ${keys.mkString(", ")}, ${aggs.map(_._3).mkString(", ")} " +
           s"FROM ${t.name}${pred.map(p => s" WHERE ${p.sql}").getOrElse("")} " +
           s"GROUP BY ${keys.mkString(", ")}"
-        (df, sql)
+        (df, sql, false)
 
       case 2 => // join + filter + groupBy + aggregate
         val (li, ri, lk, rk) = joinPairs(rng.nextInt(joinPairs.size))
@@ -123,9 +127,9 @@ class FuzzParitySpec extends SparkSpec {
           s"FROM ${lt.name} JOIN ${rt.name} ON $lk = $rk" +
           s"${pred.map(p => s" WHERE ${p.sql}").getOrElse("")} " +
           s"GROUP BY ${keys.mkString(", ")}"
-        (df, sql)
+        (df, sql, false)
 
-      case _ => // global aggregate (no GROUP BY; empty input → one null-ish row)
+      case 3 => // global aggregate (no GROUP BY; empty input → one null-ish row)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
         val aggs = (0 until 1 + rng.nextInt(3)).map(genAgg(rng, t.nums, _))
@@ -134,17 +138,71 @@ class FuzzParitySpec extends SparkSpec {
         df = df.agg(aggs.head._2, aggs.tail.map(_._2): _*)
         val sql = s"SELECT ${aggs.map(_._3).mkString(", ")} " +
           s"FROM ${t.name}${pred.map(p => s" WHERE ${p.sql}").getOrElse("")}"
-        (df, sql)
+        (df, sql, false)
+
+      case 4 => // sort + limit, ordered by every projected column (total
+                // order up to duplicate rows) — compared IN ORDER
+        val t = tbls(rng.nextInt(tbls.size))
+        val pred = genPred(rng, t)
+        val all = t.nums ++ t.strs
+        val cols = rng.shuffle(all).take(1 + rng.nextInt(all.size)).sorted
+        val n = 5 + rng.nextInt(40)
+        var df = spark.table(t.name)
+        pred.foreach(p => df = df.filter(p.c))
+        df = df.select(cols.map(col): _*).orderBy(cols.map(col): _*).limit(n)
+        val sql = s"SELECT ${cols.mkString(", ")} FROM ${t.name}" +
+          s"${pred.map(p => s" WHERE ${p.sql}").getOrElse("")} " +
+          s"ORDER BY ${cols.mkString(", ")} LIMIT $n"
+        (df, sql, true)
+
+      case 5 => // per-group window top-k (row_number with a unique tiebreak)
+        val t = tbls(rng.nextInt(tbls.size))
+        val part = (t.strs ++ t.nums.filterNot(_ == t.uniqueKey))(
+          rng.nextInt(t.strs.size + t.nums.size - 1))
+        val ord = t.nums(rng.nextInt(t.nums.size))
+        val k = 1 + rng.nextInt(4)
+        val w = Window.partitionBy(part)
+          .orderBy(col(ord).desc, col(t.uniqueKey))
+        val df = spark.table(t.name)
+          .select(col(part), col(ord), col(t.uniqueKey))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+        val sql = s"SELECT $part, $ord, ${t.uniqueKey}, rn FROM (" +
+          s"SELECT $part, $ord, ${t.uniqueKey}, " +
+          s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord DESC, ${t.uniqueKey}) AS rn " +
+          s"FROM ${t.name}) WHERE rn <= $k"
+        (df, sql, false)
+
+      case _ => // self UNION ALL under two predicates, then re-aggregate
+        val t = tbls(rng.nextInt(tbls.size))
+        val c = t.nums(rng.nextInt(t.nums.size))
+        val (p1, p2) = (genPred(rng, t), genPred(rng, t))
+        def side(p: Option[Pred]) = {
+          var d = spark.table(t.name)
+          p.foreach(x => d = d.filter(x.c))
+          d.select(col(c).as("k"))
+        }
+        val df = side(p1).union(side(p2))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+        def sideSql(p: Option[Pred]) =
+          s"SELECT $c AS k FROM ${t.name}${p.map(x => s" WHERE ${x.sql}").getOrElse("")}"
+        val sql = s"SELECT k, COUNT(*) AS c FROM " +
+          s"(${sideSql(p1)} UNION ALL ${sideSql(p2)}) GROUP BY k"
+        (df, sql, false)
     }
   }
 
-  test("120 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
+  test("150 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
     Tables.registerAll(spark, sfTiny)
-    val failures = (0 until 120).flatMap { i =>
+    val failures = (0 until 150).flatMap { i =>
       val seed = 0xF0002 + i
-      val (df, sql) = genCase(seed)
-      val viaApi = df.collect().map(_.toString).sorted.toSeq
-      val viaSql = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      val (df, sql, ordered) = genCase(seed)
+      def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] = {
+        val s = rows.map(_.toString).toSeq
+        if (ordered) s else s.sorted
+      }
+      val viaApi = canon(df.collect())
+      val viaSql = canon(spark.sql(sql).collect())
       if (viaApi == viaSql) None
       else Some(s"seed=$seed sql=[$sql] first-diff=" +
         viaApi.zipAll(viaSql, "<none>", "<none>").find(p => p._1 != p._2))
