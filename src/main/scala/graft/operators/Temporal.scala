@@ -81,9 +81,21 @@ object Temporal {
       .select("user_id", "view_id", "click_id")
       .orderBy("click_id", "view_id")
 
+  /** QE3 — batch sessionization: Spark's `session_window` (via the
+    * shared [[graft.streaming.EventStreams.userSessions]] code path —
+    * watermark is a no-op in batch) checked against the classic
+    * gaps-and-islands SQL formulation (LAG → boundary flag → running sum
+    * → group). Two entirely different algorithms, one contract: events
+    * of a user belong to one session iff consecutive gaps < 30 min;
+    * session_end = last event + gap. */
+  def qeSessions(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.userSessions(T.events(spark, d))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_asof" -> qeAsof _,
-    "qe_attribution" -> qeAttribution _)
+    "qe_attribution" -> qeAttribution _,
+    "qe_sessions" -> qeSessions _)
 
   val oracles: Map[String, String] = Map(
     "qe_asof" ->
@@ -102,5 +114,20 @@ object Temporal {
         "SELECT c.user_id, v.view_id, c.click_id FROM c JOIN v " +
         "ON c.user_id = v.user_id AND c.click_ts >= v.view_ts " +
         "AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTE " +
-        "ORDER BY click_id, view_id"))
+        "ORDER BY click_id, view_id"),
+    // gaps-and-islands: a row opens a new session when its gap from the
+    // previous row is >= 30 min (mirrors session_window's strict-< merge);
+    // the running sum of boundary flags is the session id
+    "qe_sessions" ->
+      ("WITH m AS (SELECT user_id, ts, value, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL " +
+        "OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, value, SUM(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+        "FROM m) " +
+        "SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "user_id, COUNT(*) AS events, " +
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"))
 }
