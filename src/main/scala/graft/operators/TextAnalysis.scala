@@ -155,7 +155,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
       .orderBy("split")
 
+  /** QP — the end-to-end training-data prep pipeline as ONE declarative
+    * plan: PII scrub → quality gate → exact dedup (min-id keeper) →
+    * deterministic content-hash split → per-(lang, split) report. Each
+    * stage is oracle-checked in isolation elsewhere (qt_scrub,
+    * qt_quality, qd_exact_dedup, qt_split); this entry pins their
+    * COMPOSITION — the shape a real corpus-prep job runs.
+    *
+    * Scale shape: scrub, quality signals, and the split hash are all
+    * scan-side codegen'd expression work; Catalyst pipelines them into
+    * the pre-shuffle stage, so the whole pipeline costs exactly two
+    * shuffles (dedup group-by, final report group-by) regardless of how
+    * many per-row stages compose. The quality gate uses integer
+    * cross-multiplication (uniq*10 >= toks*3), not a float ratio — no
+    * rounding drift across engines.
+    */
+  def qpPrepPipeline(spark: SparkSession, d: String): DataFrame = {
+    val cleaned = T.documents(spark, d)
+      .withColumn("raw",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com")))
+          .otherwise(col("text")))
+      .withColumn("clean",
+        regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"))
+    val gated = cleaned
+      .withColumn("n_toks", size(split(col("clean"), " ")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(split(col("clean"), " "))).cast("long"))
+      .filter(col("n_toks") >= 5 && col("n_uniq") * 10 >= col("n_toks") * 3)
+    val deduped = gated
+      .groupBy("clean")
+      .agg(min("doc_id").as("keeper"), expr("min_by(lang, doc_id)").as("lang"))
+    deduped
+      .withColumn("bucket", substring(md5(col("clean")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"), sum(length(col("clean"))).cast("long").as("chars"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_prep_pipeline" -> qpPrepPipeline _,
     "qj_json_props" -> qjJsonProps _,
     "qt_token_stats" -> qtTokenStats _,
     "qt_quality" -> qtQuality _,
@@ -166,6 +208,24 @@ object TextAnalysis {
     "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
+    "qp_prep_pipeline" ->
+      ("WITH injected AS (SELECT doc_id, lang, CASE WHEN doc_id % 10 = 0 " +
+        "THEN text || ' contact: user' || doc_id || '@example.com' ELSE text END AS raw " +
+        "FROM documents), " +
+        "cleaned AS (SELECT doc_id, lang, " +
+        "regexp_replace(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g') AS clean " +
+        "FROM injected), " +
+        "gated AS (SELECT * FROM cleaned " +
+        "WHERE len(string_split(clean, ' ')) >= 5 " +
+        "AND len(list_distinct(string_split(clean, ' '))) * 10 " +
+        ">= len(string_split(clean, ' ')) * 3), " +
+        "deduped AS (SELECT clean, MIN(doc_id) AS keeper, arg_min(lang, doc_id) AS lang " +
+        "FROM gated GROUP BY clean), " +
+        "sp AS (SELECT lang, clean, CASE WHEN substr(md5(clean), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(clean), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split " +
+        "FROM deduped) " +
+        "SELECT lang, split, COUNT(*) AS docs, CAST(SUM(length(clean)) AS BIGINT) AS chars " +
+        "FROM sp GROUP BY lang, split ORDER BY lang, split"),
     "qj_json_props" ->
       // `//` (integer division): DuckDB CAST(9.9 AS INT) rounds where Spark's
       // cast truncates, so avoid the double division entirely.
