@@ -100,6 +100,22 @@ object RelationalExt {
     T.orders(spark, d)
       .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_c"))
 
+  /** Q35 — approximate percentiles (KLL-style quantile sketch behind
+    * `approx_percentile`): the sketch twin of Q24's exact percentile,
+    * completing the sketch family with Q22's HLL. Sketches merge
+    * associatively → partial+final aggregation, no global sort of the
+    * value column — the only percentile that scales to 100 TB. Accuracy
+    * knob = max relative rank error 1/accuracy (here 1e-4). No DuckDB
+    * oracle (sketch internals are engine-specific); RelationalExtSpec
+    * bounds the estimate against Q24's exact answer. */
+  def q35ApproxPercentile(spark: SparkSession, d: String): DataFrame =
+    T.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("p95_approx"))
+      .orderBy("l_returnflag")
+
   /** Q23 — CUBE grouping sets (all 4 combinations; rollup's big sibling). */
   def q23Cube(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d)
@@ -238,6 +254,7 @@ object RelationalExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_topk_agg" -> q34TopKAgg _,
+    "q35_approx_percentile" -> q35ApproxPercentile _,
     "q31_intersect_all" -> q31IntersectAll _,
     "q32_except_all" -> q32ExceptAll _,
     "q33_grouping_sets" -> q33GroupingSets _,
