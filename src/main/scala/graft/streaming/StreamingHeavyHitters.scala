@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters: online top-token tracking with HARD-bounded
+  * state — the streaming answer to [[graft.operators.TextAnalysis.qtVocab]]
+  * (batch top-k vocabulary).
+  *
+  * A naive streaming `groupBy(token).count` keeps one state row per
+  * DISTINCT token — unbounded on an open vocabulary. Instead each token
+  * is hashed to one of `shards` keys and each shard runs a Misra-Gries
+  * summary of `capacity` counters: arrivals of tracked tokens increment;
+  * an untracked arrival with a full table decrements every counter
+  * (dropping zeros) and records one global decrement. Total state is
+  * EXACTLY ≤ shards × capacity counters forever.
+  *
+  * Guarantee (classic MG, per shard): counter ≤ true count ≤ counter +
+  * decrements, and any token with true count > decrements is present in
+  * the table. Sharding by token hash splits the stream into disjoint
+  * sub-streams, so per-shard bounds apply to each token's full count
+  * (a token lives in exactly one shard) — the union of shard tables
+  * contains every token above any shard's decrement count, and
+  * estimates carry their shard's error bound (`err`). Each batch emits
+  * the shard's current table (update mode); downstream keeps the latest
+  * row per token and ranks by `est`.
+  */
+object StreamingHeavyHitters {
+
+  case class TokenEvent(token: String)
+  /** est ≤ true count ≤ est + err. */
+  case class HitterEstimate(token: String, est: Long, err: Long)
+
+  case class MGState(counts: Map[String, Long], decrements: Long)
+
+  def topTokens(tokens: DataFrame, shards: Int = 32,
+                capacity: Int = 256): Dataset[HitterEstimate] = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val sharded = tokens
+      .select(col("token"), pmod(xxhash64(col("token")), lit(shards)).as("shard"))
+      .as[(String, Long)]
+    sharded
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MGState, HitterEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(String, Long)], state: GroupState[MGState]) =>
+          val st = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          var counts = scala.collection.mutable.Map[String, Long](st.counts.toSeq: _*)
+          var dec = st.decrements
+          rows.foreach { case (tok, _) =>
+            counts.get(tok) match {
+              case Some(c) => counts(tok) = c + 1
+              case None if counts.size < capacity => counts(tok) = 1L
+              case None =>
+                // Misra-Gries step: one arrival cancels one unit of every
+                // tracked token; zeros drop out to make room
+                dec += 1
+                counts = counts.collect {
+                  case (t, c) if c > 1 => (t, c - 1)
+                }
+            }
+          }
+          state.update(MGState(counts.toMap, dec))
+          counts.iterator.map { case (t, c) => HitterEstimate(t, c, dec) }
+      }
+  }
+}
