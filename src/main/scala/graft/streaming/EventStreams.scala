@@ -78,6 +78,41 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming MATERIALIZED-VIEW maintenance: keep a parquet table of
+    * the hourly per-type aggregate continuously up to date, including
+    * windows still receiving data.
+    *
+    * Update-mode emits each (window, event_type) row whenever its
+    * aggregate changes; `foreachBatch` rewrites EXACTLY the changed
+    * partitions via dynamic partition overwrite (partitioned by BOTH
+    * grouping keys — overwriting on the window alone would drop the
+    * window's other event_types written by earlier batches). Rewrites
+    * are idempotent (same rows → same partition contents), so a replayed
+    * micro-batch after restart converges instead of duplicating — the
+    * upsert analogue of the append-only finalized-window sink, for
+    * consumers that cannot wait out the watermark.
+    */
+  def materializeHourlyCounts(events: DataFrame, outPath: String,
+                              checkpoint: String,
+                              watermark: String = "2 hours") = {
+    hourlyWindowedAgg(events, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ss = batch.sparkSession
+        val prev = ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite")
+          .partitionBy("w", "event_type").parquet(outPath)
+        finally prev match {
+          case Some(v) => ss.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => ss.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: click→view attribution — each click
     * joins the same user's views from the preceding `horizonMinutes`.
     *

@@ -162,6 +162,33 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows <= 6, s"join state not cleaned up: $stateRows rows retained")
   }
 
+  test("materialized hourly view tracks the batch aggregate across updating windows") {
+    val stream = MemoryStream[Ev](spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-mv-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-mv-chk").toString
+    val batches = Seq(
+      Seq(ev(1, "10:05"), ev(2, "10:10", typ = "view", value = 2.0)),
+      // batch 2 UPDATES the open 10:00 window (both types) and opens 11:00
+      Seq(ev(3, "10:40", value = 3.0), ev(4, "11:15", typ = "view")),
+      // batch 3 updates 11:00 again
+      Seq(ev(5, "11:30", value = 7.0)))
+    val q = EventStreams.materializeHourlyCounts(stream.toDF(), out, chk)
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // the maintained table must equal the batch aggregate of ALL data —
+    // including windows never finalized by the watermark
+    val got = spark.read.parquet(out)
+      .select("w", "event_type", "c", "s").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = EventStreams.hourlyWindowedAgg(batches.flatten.toDF()).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"view drifted: got $got want $want")
+    // the 10:00 click row reflects BOTH its updates (ids 1 + 3)
+    assert(got.contains(("2026-01-01 10:00:00.0", "click", 2L, 4.0)))
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once (no loss, no dups)") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-ck-src").toString
