@@ -116,6 +116,29 @@ object RelationalExt {
         expr("approx_percentile(l_quantity, 0.95, 10000)").as("p95_approx"))
       .orderBy("l_returnflag")
 
+  /** Q36 — the classic OLAP composite (TPC-H Q3 shape adapted to this
+    * schema): selective dimension filter → fact join → derived-measure
+    * aggregate → global top-10. One query exercising the whole optimizer
+    * stack together: both filters push to scans, the join streams only
+    * surviving orders, revenue sums exactly in decimal (per-row double
+    * product rounded once, then decimal sum — order-independent), and
+    * the final top-10 plans as TakeOrderedAndProject, not a global sort.
+    */
+  def q36OrderRevenue(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    T.lineitem(spark, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(T.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .cast(DecimalType(18, 6))), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Q23 — CUBE grouping sets (all 4 combinations; rollup's big sibling). */
   def q23Cube(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d)
@@ -255,6 +278,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_topk_agg" -> q34TopKAgg _,
     "q35_approx_percentile" -> q35ApproxPercentile _,
+    "q36_order_revenue" -> q36OrderRevenue _,
     "q31_intersect_all" -> q31IntersectAll _,
     "q32_except_all" -> q32ExceptAll _,
     "q33_grouping_sets" -> q33GroupingSets _,
@@ -280,6 +304,12 @@ object RelationalExt {
       ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +
         "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q36_order_revenue" ->
+      ("SELECT l_orderkey, CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) " +
+        "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' AND CAST(o_orderdate AS DATE) < DATE '1996-01-01' " +
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q31_intersect_all" ->
       ("SELECT c_nationkey AS k FROM customer INTERSECT ALL " +
         "SELECT s_nationkey AS k FROM supplier ORDER BY k"),

@@ -67,9 +67,11 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
-    val p = plan("q20_limit")
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("Exchange rangepartitioning"), s"q20 fell back to a global sort:\n$p")
+    for (q <- Seq("q20_limit", "q36_order_revenue")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q fell back to a global sort:\n$p")
+    }
   }
 
   test("native expressions stay inside whole-stage codegen spans") {
