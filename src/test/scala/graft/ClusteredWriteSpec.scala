@@ -37,6 +37,25 @@ class ClusteredWriteSpec extends SparkSpec {
     assert(flatOverlaps > 0, "control failed: random partitioning produced disjoint ranges")
   }
 
+  test("nested struct columns prune to the accessed leaf at the scan (multimodal metadata shape)") {
+    // multimodal tables carry wide typed metadata structs next to big
+    // binary payloads; reading one leaf must not drag the whole struct
+    // (or the payload) through the scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    Tables.events(spark, sfTiny)
+      .select(col("event_id"),
+        struct(col("user_id"), col("event_type"), col("value")).as("meta"),
+        col("props").cast("binary").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select(col("meta.user_id"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("meta:struct<user_id:bigint>"),
+      s"nested pruning lost (whole struct read): $scan")
+    assert(!scan.contains("payload"), s"payload column not pruned: $scan")
+    assert(q.distinct().count() > 0)
+  }
+
   test("key predicate on clustered data reads back exactly and pushes to the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-clustered2").toString
     val src = Tables.events(spark, sfTiny)

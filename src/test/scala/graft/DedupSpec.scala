@@ -103,6 +103,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("dupClusters fails loudly when maxIter is too small for the graph diameter") {
+    // a 12-node path needs ~log(diameter) rounds of min-label hops; with
+    // maxIter = 1 the labeling is partial and MUST throw, not return
+    // something that merely looks like components
+    val chain = (1L until 12L).map(i => (i, i + 1, 1.0))
+      .toDF("da", "db", "j")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("a planted ubiquitous shingle no longer explodes the candidate pair count") {
     // 60 otherwise-unrelated docs all share a 4-token prefix, i.e. two
     // ubiquitous 3-grams (df=60 > cap): uncapped, those keys fan out
