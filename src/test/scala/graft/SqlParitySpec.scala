@@ -21,7 +21,10 @@ class SqlParitySpec extends SparkSpec {
     "q28_null_fns", "q29_null_agg", "q30_empty_result",
     // q33's oracle uses DuckDB's two-arg GROUPING(a,b); Spark spells that
     // grouping_id(), so only the set-op ALL pair joins the parity list
-    "q31_intersect_all", "q32_except_all", "q36_order_revenue")
+    "q31_intersect_all", "q32_except_all", "q36_order_revenue",
+    // temporal pack: the interval-join and gaps-and-islands oracles are
+    // plain ANSI (qe_asof's ASOF JOIN and qp's arg_min are DuckDB-only)
+    "qe_attribution", "qe_sessions")
 
   for (name <- sparkParsable) {
     test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
