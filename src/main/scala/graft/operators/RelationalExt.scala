@@ -139,6 +139,53 @@ object RelationalExt {
       .limit(10)
   }
 
+  /** Q37 — RANGE window frame (value-based, vs Q9's row-based running
+    * frame): per priority, the exact-decimal sum of totalprice over
+    * orders whose key lies within 100 of the current row's. Range
+    * frames bound by VALUE, so peers enter/leave by distance, not
+    * position — deterministic here because o_orderkey is unique. */
+  def q37RangeFrame(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rangeBetween(-100, Window.currentRow)
+    T.orders(spark, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w), 2)
+          .cast("double").as("near_sum"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Q38 — distribution rank statistics: ntile quartiles, percent_rank,
+    * cume_dist over a unique ordering (orderkey tiebreak ⇒ every rank is
+    * deterministic; the two ratio functions divide exact integers, so
+    * rounding is stable cross-engine). */
+  def q38RankStats(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Q39 — math scalar family over exact inputs: abs/ceil/floor on
+    * integer-derived values, integer power, sqrt rounded once — the
+    * numeric-function surface with no float-drift risk. */
+  def q39MathFns(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        abs(col("o_custkey") - 1000).cast("long").as("a"),
+        ceil(col("o_totalprice") / 1000).cast("long").as("ce"),
+        floor(col("o_totalprice") / 1000).cast("long").as("fl"),
+        pow(col("o_orderkey") % 10, 2).cast("long").as("p2"),
+        round(sqrt(col("o_orderkey")), 6).as("sq"))
+      .orderBy("o_orderkey")
+
   /** Q23 — CUBE grouping sets (all 4 combinations; rollup's big sibling). */
   def q23Cube(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d)
@@ -279,6 +326,9 @@ object RelationalExt {
     "q34_topk_agg" -> q34TopKAgg _,
     "q35_approx_percentile" -> q35ApproxPercentile _,
     "q36_order_revenue" -> q36OrderRevenue _,
+    "q37_range_frame" -> q37RangeFrame _,
+    "q38_rank_stats" -> q38RankStats _,
+    "q39_math_fns" -> q39MathFns _,
     "q31_intersect_all" -> q31IntersectAll _,
     "q32_except_all" -> q32ExceptAll _,
     "q33_grouping_sets" -> q33GroupingSets _,
@@ -304,6 +354,28 @@ object RelationalExt {
       ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +
         "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q37_range_frame" ->
+      ("SELECT o_orderpriority, o_orderkey, " +
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY o_orderkey " +
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS near_sum " +
+        "FROM orders WHERE o_orderkey % 50 = 0 " +
+        "ORDER BY o_orderpriority, o_orderkey"),
+    "q38_rank_stats" ->
+      ("SELECT o_orderpriority, o_orderkey, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pr, " +
+        "ROUND(CUME_DIST() OVER w, 6) AS cd " +
+        "FROM orders WHERE o_orderkey % 100 = 0 " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_orderpriority, o_orderkey"),
+    "q39_math_fns" ->
+      ("SELECT o_orderkey, CAST(ABS(o_custkey - 1000) AS BIGINT) AS a, " +
+        "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce, " +
+        "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
+        "CAST(POWER(o_orderkey % 10, 2) AS BIGINT) AS p2, " +
+        "ROUND(SQRT(o_orderkey), 6) AS sq " +
+        "FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"),
     "q36_order_revenue" ->
       ("SELECT l_orderkey, CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) " +
         "AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue " +

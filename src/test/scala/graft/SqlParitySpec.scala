@@ -22,6 +22,7 @@ class SqlParitySpec extends SparkSpec {
     // q33's oracle uses DuckDB's two-arg GROUPING(a,b); Spark spells that
     // grouping_id(), so only the set-op ALL pair joins the parity list
     "q31_intersect_all", "q32_except_all", "q36_order_revenue",
+    "q37_range_frame", "q38_rank_stats", "q39_math_fns",
     // temporal pack: the interval-join and gaps-and-islands oracles are
     // plain ANSI (qe_asof's ASOF JOIN and qp's arg_min are DuckDB-only)
     "qe_attribution", "qe_sessions")
