@@ -9,7 +9,9 @@ import graft.functions.FunctionBuilders
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
   * Registers the engine's native expressions so they are callable from
-  * both the Column API (`expr("simhash64(...)")`) and plain SQL.
+  * both the Column API (`expr("simhash64(...)")`) and plain SQL, and
+  * injects the [[graft.plans.BroadcastBoundedDims]] optimizer rule
+  * (bounded dims broadcast even when the query author forgot the hint).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz.getName, name),
         (children: Seq[Expression]) => builder(children)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastBoundedDims)
   }
 }

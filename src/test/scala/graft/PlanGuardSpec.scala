@@ -66,6 +66,35 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("injected rule broadcasts bounded dims even without an explicit hint") {
+    // kill both fallbacks that could mask the rule: the size-threshold
+    // auto-broadcast and an explicit broadcast() call — the UNHINTED join
+    // must still plan as broadcast because BroadcastBoundedDims tags the
+    // nation scan side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = graft.sources.Tables.customer(spark, sfTiny)
+        .join(graft.sources.Tables.nation(spark, sfTiny) // no broadcast()
+            .filter(col("n_nationkey") >= 0),            // rule must see through this
+          col("c_nationkey") === col("n_nationkey"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"unhinted bounded-dim join degraded to a shuffle join:\n$p")
+      // control: the same join against SUPPLIER (unbounded, grows with SF)
+      // must NOT be force-broadcast by the rule
+      val ctrl = graft.sources.Tables.customer(spark, sfTiny)
+        .join(graft.sources.Tables.supplier(spark, sfTiny),
+          col("c_nationkey") === col("s_nationkey"))
+      ctrl.collect()
+      val cp = ctrl.queryExecution.executedPlan.toString
+      assert(!cp.contains("BroadcastHashJoin"),
+        s"rule over-reached onto an unbounded table:\n$cp")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     for (q <- Seq("q20_limit", "q36_order_revenue")) {
       val p = plan(q)

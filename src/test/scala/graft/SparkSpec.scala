@@ -11,6 +11,9 @@ object SharedSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production extensions (native functions + the bounded-dim
+      // broadcast rule) — tests must see the same planner users do
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
