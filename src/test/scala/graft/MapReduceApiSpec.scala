@@ -51,6 +51,21 @@ class MapReduceApiSpec extends SparkSpec {
     assert(got("notanum") == 0L)     // atoi garbage -> 0
   }
 
+  test("sortedBucket32 parses an atoi-style numeric PREFIX, not the whole key") {
+    // C atoi: skip whitespace, optional sign, digit run, stop at the first
+    // non-digit — "42abc" parses as 42 where a whole-string cast gives 0
+    val df = Seq("3333333333abc", "  42xyz", "+7tail", "-5.9", "x42", "")
+      .toDF("key")
+      .select(col("key"), MapReduce.sortedBucket32(col("key"), 4).as("b"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("3333333333abc") == 3L) // prefix wraps exactly like the bare key
+    assert(got("  42xyz") == 0L)       // whitespace + digits
+    assert(got("+7tail") == 0L)        // explicit sign
+    assert(got("-5.9") == 3L)          // parses -5, ignores the fraction
+    assert(got("x42") == 0L)           // no leading digits -> atoi 0
+    assert(got("") == 0L)
+  }
+
   test("sortedBucket32 with one partition is always 0 (mapreduce.c:230-232 guard)") {
     val df = Seq("7", "4000000000").toDF("key")
       .select(MapReduce.sortedBucket32(col("key"), 1).as("b"))
