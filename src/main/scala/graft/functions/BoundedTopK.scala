@@ -51,6 +51,12 @@ object BoundedTopKUtil {
   * Result is sorted best-first and byte-equal to the window form's rank
   * order (ties: higher score first, then smaller id — pinned by the
   * q34/q8 shared oracle).
+  *
+  * Null semantics: null-score rows are SKIPPED, like any SQL aggregate
+  * ignoring null inputs — this differs from the window form, which
+  * ranks a null-score row (nulls-last) and still emits it. The shared
+  * q34/q8 oracle is valid because o_totalprice is non-null; for a
+  * nullable score column, filter nulls first if window parity matters.
   */
 case class BoundedTopK(
     score: Expression,

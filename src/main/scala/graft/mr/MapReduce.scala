@@ -59,9 +59,10 @@ object MapReduce {
     if (numPartitions == 1) lit(0L)
     else {
       val shift = 32 - (31 - Integer.numberOfLeadingZeros(numPartitions))
-      // atoi prefix: leading whitespace, optional sign, digit run. No
-      // match → "" → try_cast null → 0, exactly atoi's non-numeric case.
-      val prefix = regexp_extract(key, "^[ \\t\\r\\n]*([+-]?[0-9]+)", 1)
+      // atoi prefix: leading whitespace (the full C isspace() set, incl.
+      // \v and \f), optional sign, digit run. No match → "" → try_cast
+      // null → 0, exactly atoi's non-numeric case.
+      val prefix = regexp_extract(key, "^[ \\t\\r\\n\\x0B\\f]*([+-]?[0-9]+)", 1)
       // try_cast, not cast: ANSI mode (Spark 4 default) would throw on a
       // non-numeric key, where C atoi returns 0.
       shiftright(pmod(coalesce(prefix.try_cast("long"), lit(0L)), lit(4294967296L)), shift)

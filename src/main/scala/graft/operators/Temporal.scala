@@ -35,11 +35,21 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
+    // The carried value is WRAPPED in a struct: `last(_, ignoreNulls)`
+    // must skip only the left rows' padding, never a right row whose
+    // value happens to BE null — a bare nullable column can't tell the
+    // two apart (a null-valued right row would leak the previous row's
+    // value instead of the latest row's null, diverging from ASOF LEFT
+    // JOIN). A struct is null only for the padding; a matched null value
+    // arrives as a non-null struct with a null field.
     val vType = right.schema(valueCol).dataType
-    val rTagged = right.select(col(key), col(ts), col(valueCol).as("_asof_v"))
+    val rTagged = right.select(col(key), col(ts),
+        struct(col(valueCol).as("v")).as("_asof_v"))
       .withColumn("_kind", lit(0))
     val lTagged = left
-      .withColumn("_asof_v", lit(null).cast(vType))
+      .withColumn("_asof_v",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("v", vType)))))
       .withColumn("_kind", lit(1))
     // right rows sort first at equal ts (kind 0 < 1): >= match semantics
     val w = Window.partitionBy(key).orderBy(col(ts), col("_kind"))
@@ -47,8 +57,8 @@ object Temporal {
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("_m", last(col("_asof_v"), ignoreNulls = true).over(w))
       .filter(col("_kind") === 1)
-      .drop("_asof_v", "_kind")
-      .withColumnRenamed("_m", s"asof_$valueCol")
+      .withColumn(s"asof_$valueCol", col("_m.v"))
+      .drop("_asof_v", "_kind", "_m")
   }
 
   // ---- query-pack entries ----

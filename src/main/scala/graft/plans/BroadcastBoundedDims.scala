@@ -25,15 +25,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object BroadcastBoundedDims extends Rule[LogicalPlan] {
 
-  private def isBoundedDimScan(plan: LogicalPlan): Boolean =
-    plan.collectLeaves().nonEmpty && plan.collectLeaves().forall {
+  private def isBoundedDimScan(plan: LogicalPlan): Boolean = {
+    val leaves = plan.collectLeaves()
+    // EVERY leaf, and EVERY root path of each leaf, must be a bounded dim
+    // — a relation mixing one nation path with arbitrary other paths is
+    // NOT bounded, and broadcasting it is exactly the OOM this rule
+    // exists to prevent
+    leaves.nonEmpty && leaves.forall {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.exists { p =>
+        fs.location.rootPaths.nonEmpty && fs.location.rootPaths.forall { p =>
           val n = p.getName
           graft.sources.Tables.broadcastable.exists(t => n == s"$t.parquet" || n == t)
         }
       case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, _, _, hint) =>

@@ -100,15 +100,13 @@ object EventStreams {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val ss = batch.sparkSession
-        val prev = ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try batch.write.mode("overwrite")
+        // per-WRITE option, not the session conf: mutating the global
+        // partitionOverwriteMode would leak dynamic mode to any
+        // concurrent writer in the same session for the duration of the
+        // micro-batch
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("w", "event_type").parquet(outPath)
-        finally prev match {
-          case Some(v) => ss.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => ss.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
       }
       .start()
   }

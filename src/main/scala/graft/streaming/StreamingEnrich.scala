@@ -51,7 +51,12 @@ object StreamingEnrich {
           ordered.foreach { e =>
             e.event_type match {
               case "view" =>
-                if (last == null || e.ts.getTime >= last.tsMillis)
+                // strict tie rule ACROSS batches too: at equal ts the
+                // higher view id wins (matching the batch side's
+                // max-per-(user, ts) dedup) — a plain >= would let a
+                // lower-id view from a later batch overwrite it
+                if (last == null || e.ts.getTime > last.tsMillis ||
+                    (e.ts.getTime == last.tsMillis && e.event_id > last.view_id))
                   last = LastView(e.event_id, e.ts.getTime)
               case "click" =>
                 out += Enriched(e.event_id, uid,

@@ -26,15 +26,20 @@ import scala.util.Random
   */
 class FuzzParitySpec extends SparkSpec {
 
-  private case class Tbl(name: String, nums: Seq[String], strs: Seq[String],
-                         uniqueKey: String)
+  /** `intNums` ⊆ `nums`: the integer-typed columns safe for SUM/AVG
+    * (l_quantity is double — order-dependent accumulation). */
+  private case class Tbl(name: String, nums: Seq[String], intNums: Seq[String],
+                         strs: Seq[String], uniqueKey: String)
   private val tbls = Seq(
-    Tbl("orders", Seq("o_orderkey", "o_custkey"), Seq("o_orderstatus", "o_orderpriority"),
-      "o_orderkey"),
-    Tbl("customer", Seq("c_custkey", "c_nationkey"), Seq.empty, "c_custkey"),
+    Tbl("orders", Seq("o_orderkey", "o_custkey"), Seq("o_orderkey", "o_custkey"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_orderkey"),
+    Tbl("customer", Seq("c_custkey", "c_nationkey"), Seq("c_custkey", "c_nationkey"),
+      Seq.empty, "c_custkey"),
     Tbl("lineitem", Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber"),
       Seq("l_returnflag", "l_linestatus"), "l_orderkey"),
-    Tbl("supplier", Seq("s_suppkey", "s_nationkey"), Seq.empty, "s_suppkey"))
+    Tbl("supplier", Seq("s_suppkey", "s_nationkey"), Seq("s_suppkey", "s_nationkey"),
+      Seq.empty, "s_suppkey"))
 
   /** Joinable pairs: (left tbl index, right tbl index, left key, right key).
     * TPC-H column prefixes keep all names disjoint, so no qualification
@@ -67,17 +72,24 @@ class FuzzParitySpec extends SparkSpec {
       }
     }
 
-  /** One aggregate: (alias, DataFrame column, SQL text). */
-  private def genAgg(rng: Random, nums: Seq[String], i: Int): (String, Column, String) = {
+  /** One aggregate: (alias, DataFrame column, SQL text). SUM/AVG draw
+    * only from INTEGER-typed columns: a double sum's value depends on
+    * accumulation order, so it can drift across engines (and across
+    * shuffle-fetch orders) in the last ulps — exactly the false-positive
+    * an exact row compare must not be exposed to. MIN/MAX/COUNT are
+    * order-independent and may use any numeric column. */
+  private def genAgg(rng: Random, nums: Seq[String], intNums: Seq[String],
+                     i: Int): (String, Column, String) = {
     val a = s"a$i"
     val c = nums(rng.nextInt(nums.size))
+    val ic = intNums(rng.nextInt(intNums.size))
     rng.nextInt(6) match {
       case 0 => (a, count(lit(1)).as(a), s"COUNT(*) AS $a")
-      case 1 => (a, sum(col(c)).as(a), s"SUM($c) AS $a")
+      case 1 => (a, sum(col(ic)).as(a), s"SUM($ic) AS $a")
       case 2 => (a, min(col(c)).as(a), s"MIN($c) AS $a")
       case 3 => (a, max(col(c)).as(a), s"MAX($c) AS $a")
       case 4 => (a, countDistinct(col(c)).as(a), s"COUNT(DISTINCT $c) AS $a")
-      case _ => (a, avg(col(c)).as(a), s"AVG($c) AS $a")
+      case _ => (a, avg(col(ic)).as(a), s"AVG($ic) AS $a")
     }
   }
 
@@ -104,7 +116,7 @@ class FuzzParitySpec extends SparkSpec {
         val pred = genPred(rng, t)
         val all = t.strs ++ t.nums
         val keys = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
-        val aggs = (0 until 1 + rng.nextInt(3)).map(genAgg(rng, t.nums, _))
+        val aggs = (0 until 1 + rng.nextInt(3)).map(genAgg(rng, t.nums, t.intNums, _))
         var df = spark.table(t.name)
         pred.foreach(p => df = df.filter(p.c))
         df = df.groupBy(keys.map(col): _*).agg(aggs.head._2, aggs.tail.map(_._2): _*)
@@ -119,7 +131,7 @@ class FuzzParitySpec extends SparkSpec {
         val pred = genPred(rng, lt)
         val keyPool = lt.strs ++ rt.nums
         val keys = rng.shuffle(keyPool).take(1 + rng.nextInt(2)).sorted
-        val aggs = (0 until 1 + rng.nextInt(2)).map(genAgg(rng, lt.nums, _))
+        val aggs = (0 until 1 + rng.nextInt(2)).map(genAgg(rng, lt.nums, lt.intNums, _))
         var df = spark.table(lt.name).join(spark.table(rt.name), col(lk) === col(rk))
         pred.foreach(p => df = df.filter(p.c))
         df = df.groupBy(keys.map(col): _*).agg(aggs.head._2, aggs.tail.map(_._2): _*)
@@ -132,7 +144,7 @@ class FuzzParitySpec extends SparkSpec {
       case 3 => // global aggregate (no GROUP BY; empty input → one null-ish row)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
-        val aggs = (0 until 1 + rng.nextInt(3)).map(genAgg(rng, t.nums, _))
+        val aggs = (0 until 1 + rng.nextInt(3)).map(genAgg(rng, t.nums, t.intNums, _))
         var df = spark.table(t.name)
         pred.foreach(p => df = df.filter(p.c))
         df = df.agg(aggs.head._2, aggs.tail.map(_._2): _*)

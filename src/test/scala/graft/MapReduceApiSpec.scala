@@ -64,6 +64,13 @@ class MapReduceApiSpec extends SparkSpec {
     assert(got("-5.9") == 3L)          // parses -5, ignores the fraction
     assert(got("x42") == 0L)           // no leading digits -> atoi 0
     assert(got("") == 0L)
+    // full C isspace() set: vertical tab and form feed also skip
+    val ws = Seq("3333333333", "\f42")
+      .toDF("key")
+      .select(col("key"), MapReduce.sortedBucket32(col("key"), 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ws("3333333333") == 3L)
+    assert(ws("\f42") == 0L)
   }
 
   test("sortedBucket32 with one partition is always 0 (mapreduce.c:230-232 guard)") {

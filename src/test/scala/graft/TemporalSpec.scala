@@ -28,6 +28,18 @@ class TemporalSpec extends SparkSpec {
       902L -> None, 903L -> None))
   }
 
+  test("asofJoin: a null-VALUED right row is matched as null, not skipped for a stale value") {
+    // the latest right row's value being null must surface AS null —
+    // leaking the previous row's value would diverge from ASOF LEFT JOIN
+    val right = Seq(
+      (1L, ts("09:00"), Some(500L)), (1L, ts("10:00"), None: Option[Long]))
+      .toDF("user_id", "ts", "view_id")
+    val left = Seq((1L, ts("10:30"), 900L)).toDF("user_id", "ts", "click_id")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", "view_id").collect().head
+    assert(r.isNullAt(r.fieldIndex("asof_view_id")),
+      s"stale value leaked past a null-valued latest row: $r")
+  }
+
   test("qe_asof on real events: every matched view is the max prior view (spot oracle)") {
     val out = SparkEntry.queries("qe_asof")(spark, sfTiny).collect()
     assert(out.nonEmpty)
