@@ -31,7 +31,9 @@ object FunctionBuilders {
         intLiteral(c(1), "n"), intLiteral(c(2), "k"))),
     ("topk_pairs", classOf[BoundedTopK],
       (c: Seq[Expression]) => BoundedTopK(c(0), c(1),
-        intLiteral(c(2), "k")).toAggregateExpression()))
+        intLiteral(c(2), "k")).toAggregateExpression()),
+    ("zorder_key", classOf[ZOrderKey],
+      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

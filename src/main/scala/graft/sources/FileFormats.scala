@@ -99,4 +99,24 @@ object FileFormats {
       .sortWithinPartitions(keys.head, keys.tail: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-ordered parquet write: range-cluster on the Morton interleaving of
+    * TWO dimensions, so a predicate on EITHER dimension alone skips most
+    * files (each file covers ~√files of each axis). The lexicographic
+    * [[writeRangeClustered]] prunes perfectly on the leading key but not
+    * at all on the second alone — Z-order trades a little of the first
+    * axis's locality for real locality on both. `exprA`/`exprB` must be
+    * bigint-valued and pre-normalized into [0, 2^31) (ranks, epoch
+    * seconds, bucketed doubles); see `zorder_key`'s masking note.
+    */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+                    exprA: String, exprB: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("_zkey", expr(s"zorder_key($exprA, $exprB)"))
+      .repartitionByRange(files, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -37,6 +37,42 @@ class ClusteredWriteSpec extends SparkSpec {
     assert(flatOverlaps > 0, "control failed: random partitioning produced disjoint ranges")
   }
 
+  test("z-ordered files prune on BOTH dimensions; lexicographic only on the leading one") {
+    val src = Tables.events(spark, sfTiny)
+      .withColumn("secs", unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "secs", "value")
+    val st = src.agg(min("user_id"), max("user_id"), min("secs"), max("secs")).collect().head
+    val (minU, maxU, minS, maxS) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    // normalize both axes to a COMMON 10-bit resolution: z-order locality
+    // requires comparable bit widths (a 31-bit axis interleaved with a
+    // 7-bit one degenerates to single-axis ordering)
+    val nb = 1024
+    val uExpr = s"((user_id - $minU) * $nb) div ${maxU - minU + 1}"
+    val sExpr = s"((secs - $minS) * $nb) div ${maxS - minS + 1}"
+    val zdir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val lexdir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    FileFormats.writeZOrdered(src, zdir, files = 16, uExpr, sExpr)
+    FileFormats.writeRangeClustered(src, lexdir, files = 16, "user_id", "secs")
+    def touched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val probeUser = (minU + maxU) / 2
+    val userPred = col("user_id") === probeUser
+    val (tLo, tHi) = (minS + (maxS - minS) * 45 / 100, minS + (maxS - minS) * 55 / 100)
+    val timePred = col("secs").between(tLo, tHi)
+    val (zU, zT) = (touched(zdir, userPred), touched(zdir, timePred))
+    val (lexU, lexT) = (touched(lexdir, userPred), touched(lexdir, timePred))
+    // lexicographic: perfect on the leading key, helpless on time alone
+    assert(lexU <= 2, s"lex leading-key pruning broken: $lexU files")
+    // z-order: BOTH axes prune — strictly better than lex on the second
+    // axis, real pruning (not all files) on each
+    assert(zT < lexT, s"z-order did not beat lex on the 2nd axis: z=$zT lex=$lexT")
+    assert(zU < 16 && zT < 16, s"z-order pruned nothing: user=$zU time=$zT of 16")
+    // correctness: same rows back regardless of layout
+    assert(spark.read.parquet(zdir).filter(timePred).count() == src.filter(timePred).count())
+    assert(spark.read.parquet(zdir).filter(userPred).count() == src.filter(userPred).count())
+  }
+
   test("nested struct columns prune to the accessed leaf at the scan (multimodal metadata shape)") {
     // multimodal tables carry wide typed metadata structs next to big
     // binary payloads; reading one leaf must not drag the whole struct

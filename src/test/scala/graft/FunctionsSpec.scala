@@ -40,4 +40,27 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT simhash64(42)").collect()
     }
   }
+
+  test("zorder_key bit-interleaving matches the naive per-bit reference") {
+    import graft.functions.ZOrderUtil
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 2000) {
+      val a = rng.nextLong() & 0x7FFFFFFFL
+      val b = rng.nextLong() & 0x7FFFFFFFL
+      assert(ZOrderUtil.interleave(a, b) == naive(a, b), s"($a, $b)")
+      assert(ZOrderUtil.interleave(a, b) >= 0L, "must stay non-negative for signed ordering")
+    }
+    // SQL-registered form agrees with the kernel
+    GraftFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql("SELECT zorder_key(5L, 9L)").collect().head.getLong(0)
+    assert(viaSql == ZOrderUtil.interleave(5L, 9L))
+  }
 }
