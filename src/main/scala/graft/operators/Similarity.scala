@@ -75,6 +75,70 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) approximate top-k — the OTHER classic ANN
+    * family next to [[annTopK]]'s LSH: a KMeans coarse quantizer assigns
+    * every vector to one of `nlist` cells; a query probes only its
+    * `nprobe` nearest cells and exact-ranks those candidates.
+    *
+    * Scale shape: training samples once (MLlib KMeans, deterministic
+    * seed), assignment is one map-side model.transform, the probe set is
+    * computed against `nlist` driver-side centroids (tiny by
+    * construction) and broadcast, so the search reads ~nprobe/nlist of
+    * the corpus — the fraction IS the speed/recall knob. `nprobe ==
+    * nlist` degenerates to exact brute force (SimilaritySpec pins that),
+    * which LSH cannot do without infinite tables. Vectors are ranked by
+    * cosine; cell residence comes from euclidean KMeans, so recall at
+    * small nprobe depends on how clusterable the corpus is (weak on
+    * near-orthogonal synthetic data, strong on real embedding clouds —
+    * same caveat as LSH recall).
+    *
+    * Kept out of the declared query pack deliberately: a `queries()`
+    * entry would re-TRAIN the quantizer inside every bench run and
+    * measure MLlib fit, not search. In production the model trains once
+    * per corpus snapshot and persists.
+    */
+  def ivfTopK(data: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val featured = data.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cl")
+      .fit(featured)
+    val assigned = model.transform(featured).select("vec_id", "embedding", "cl")
+    val centroids = model.clusterCenters.map(_.toArray) // nlist × dim, driver-tiny
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      val d = dot(a, b) / math.max(math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)), 1e-12)
+      1.0 - d
+    }
+    val spark = data.sparkSession
+    import spark.implicits._
+    // the query batch is bounded by contract (it is the probe set);
+    // collecting it is how the nprobe cells per query are chosen
+    val probes = queries.select("vec_id", "embedding").collect().toSeq.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, cosDist(qv, c)) }
+        .sortBy(_._2).take(nprobe)
+        .map { case (ci, _) => (r.getLong(0), ci) }
+    }.toDF("qid", "cl")
+    val cand = assigned
+      .join(broadcast(probes), "cl")
+      .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .withColumn("cos", round(expr("cosine_similarity(qv, embedding)"), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on
     * (table, bucket) generates candidates, exact cosine verifies — the
     * embedding twin of [[Dedup.minhashPairs]], never all-pairs. Table

@@ -55,4 +55,26 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("hit")).count()
     assert(cands < n / 2, s"candidates=$cands of $n — bucketing isn't pruning")
   }
+
+  test("IVF with nprobe == nlist is exactly brute force; small nprobe reads a fraction") {
+    val e = graft.sources.Tables.embeddings(spark, sfTiny)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    // brute keeps the self-match at rank 1; IVF follows the ANN
+    // convention (self excluded) — so the exact-equality target is
+    // brute's top-11 minus the self rows (= its top-10 non-self)
+    val bruteSet = Similarity.bruteTopK(e, q, k = 11).collect()
+      .filter(r => r.getLong(0) != r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probing every cell degenerates to exhaustive search - must EQUAL brute
+    val full = Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == bruteSet, "nprobe == nlist must be exact")
+    // small nprobe: a real candidate-set reduction with usable recall
+    val part = Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = bruteSet.map(t => (t._1, t._2))
+    val recall = (part & brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.25, s"IVF recall collapsed: $recall (near-orthogonal corpus is the worst case)")
+    assert(part.size <= brutePairs.size, "IVF returns at most k per query")
+  }
 }
