@@ -26,19 +26,25 @@ import graft.sources.Tables
 object Similarity {
   private val T = Tables
 
+  /** Shared rank-and-limit tail of every top-k path: rank on the ROUNDED
+    * score with an id tiebreak → deterministic. One definition so a
+    * tie-rule change can never make the exact/LSH/IVF paths diverge. */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Exact cosine top-k for each query vector. */
   def bruteTopK(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(data.sparkSession)
     val scored = data
       .crossJoin(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
       .withColumn("cos", round(expr("cosine_similarity(qv, embedding)"), 6))
-    // rank on the ROUNDED score with an id tiebreak → deterministic
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "cos", "rn")
-      .orderBy("qid", "rn")
+    rankTopK(scored, k)
   }
 
   /** Approximate cosine top-k: LSH bucket join + exact re-rank of
@@ -67,12 +73,7 @@ object Similarity {
       .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
       .join(data.select(col("vec_id"), col("embedding").as("v")), "vec_id")
       .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "cos", "rn")
-      .orderBy("qid", "rn")
+    rankTopK(cand, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the OTHER classic ANN
@@ -118,25 +119,29 @@ object Similarity {
     val spark = data.sparkSession
     import spark.implicits._
     // the query batch is bounded by contract (it is the probe set);
-    // collecting it is how the nprobe cells per query are chosen
-    val probes = queries.select("vec_id", "embedding").collect().toSeq.flatMap { r =>
-      val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+    // collect it ONCE — double-cast so array<float|double> inputs both
+    // work — and reuse the rows for probe selection AND the broadcast
+    // scoring side (a second scan of a nondeterministic query plan could
+    // otherwise diverge from the probe set). Null embeddings are skipped
+    // like every other path's null handling.
+    val qRows = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("qv"))
+      .collect().toSeq
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getSeq[Double](1)) }
+    val probes = qRows.flatMap { case (qid, qv) =>
+      val arr = qv.toArray
       centroids.zipWithIndex
-        .map { case (c, i) => (i, cosDist(qv, c)) }
+        .map { case (c, i) => (i, cosDist(arr, c)) }
         .sortBy(_._2).take(nprobe)
-        .map { case (ci, _) => (r.getLong(0), ci) }
+        .map { case (ci, _) => (qid, ci) }
     }.toDF("qid", "cl")
+    val qSide = qRows.toDF("qid", "qv")
     val cand = assigned
       .join(broadcast(probes), "cl")
       .filter(col("qid") =!= col("vec_id"))
-      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(broadcast(qSide), "qid")
       .withColumn("cos", round(expr("cosine_similarity(qv, embedding)"), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    cand
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id", "cos", "rn")
-      .orderBy("qid", "rn")
+    rankTopK(cand, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on

@@ -112,6 +112,10 @@ object FileFormats {
   def writeZOrdered(df: DataFrame, path: String, files: Int,
                     exprA: String, exprB: String): Unit = {
     import org.apache.spark.sql.functions.{col, expr}
+    // withColumn would silently REPLACE (and the final drop delete) a
+    // legitimate user column of this name — refuse instead of losing data
+    require(!df.columns.contains("_zkey"),
+      "input already has a _zkey column; rename it before writeZOrdered")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.withColumn("_zkey", expr(s"zorder_key($exprA, $exprB)"))
       .repartitionByRange(files, col("_zkey"))

@@ -62,8 +62,10 @@ class ClusteredWriteSpec extends SparkSpec {
     val timePred = col("secs").between(tLo, tHi)
     val (zU, zT) = (touched(zdir, userPred), touched(zdir, timePred))
     val (lexU, lexT) = (touched(lexdir, userPred), touched(lexdir, timePred))
-    // lexicographic: perfect on the leading key, helpless on time alone
-    assert(lexU <= 2, s"lex leading-key pruning broken: $lexU files")
+    // lexicographic: near-perfect on the leading key (RangePartitioner
+    // boundaries come from sampling, so one hot user's run can straddle
+    // a couple of boundaries — allow that margin), helpless on time alone
+    assert(lexU <= 3, s"lex leading-key pruning broken: $lexU files")
     // z-order: BOTH axes prune — strictly better than lex on the second
     // axis, real pruning (not all files) on each
     assert(zT < lexT, s"z-order did not beat lex on the 2nd axis: z=$zT lex=$lexT")
