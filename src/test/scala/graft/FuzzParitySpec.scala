@@ -206,6 +206,7 @@ class FuzzParitySpec extends SparkSpec {
 
   test("150 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
     Tables.registerAll(spark, sfTiny)
+    val dump = scala.collection.mutable.ListBuffer[String]()
     val failures = (0 until 150).flatMap { i =>
       val seed = 0xF0002 + i
       val (df, sql, ordered) = genCase(seed)
@@ -215,10 +216,18 @@ class FuzzParitySpec extends SparkSpec {
       }
       val viaApi = canon(df.collect())
       val viaSql = canon(spark.sql(sql).collect())
+      dump += s"$seed\t${viaApi.size}\t$sql"
       if (viaApi == viaSql) None
       else Some(s"seed=$seed sql=[$sql] first-diff=" +
         viaApi.zipAll(viaSql, "<none>", "<none>").find(p => p._1 != p._2))
     }
+    // side artifact for the cross-engine leg: tools/check_fuzz_sql.py
+    // replays every generated SQL in DuckDB (parse + execute + row-count
+    // compare), proving the "ANSI subset DuckDB parses too" claim
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/fuzz_sql.tsv"),
+      dump.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
