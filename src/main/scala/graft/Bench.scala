@@ -13,6 +13,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional comma-separated query-name filter (dev loop + scale smokes;
+    // the driver's full run leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val pack = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -22,7 +28,7 @@ object Bench {
     // missing warm-up dir would otherwise shift JIT cost into the first
     // measured queries.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    pack.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
@@ -31,7 +37,7 @@ object Bench {
 
     // Timed loop: a crashed query must NOT masquerade as a fast one — its
     // error is recorded per query and the whole run exits nonzero.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = pack.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None

@@ -173,6 +173,22 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Truncate lineage between label-propagation rounds. Iterative
+    * DataFrame algorithms MUST cut lineage every round or the plan (and
+    * recomputation cost) grows exponentially. Two modes:
+    *  - a reliable checkpoint dir is configured
+    *    (`spark.sparkContext.setCheckpointDir(...)`) → `df.checkpoint`:
+    *    blocks go to the fault-tolerant store (HDFS/S3 on a cluster), so
+    *    an executor loss mid-iteration recovers from the checkpoint
+    *    instead of aborting the job — the right mode on a real cluster;
+    *  - no checkpoint dir (local runs, tests, bench) → `localCheckpoint`:
+    *    blocks pinned to executor storage, no FS round-trip — fastest,
+    *    but an executor loss is unrecoverable (lineage is truncated).
+    */
+  private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation. Pairs only say "a ~ b"; choosing a
     * canonical doc per duplicate group needs the transitive closure
@@ -185,20 +201,22 @@ object Dedup {
     * convergence is checked, not assumed. Labels and edges are ids only
     * — nothing wide shuffles. (The classic alternative — collect edges
     * to the driver for union-find — caps at driver memory; this stays
-    * distributed.)
+    * distributed.) Lineage is cut per round via [[cutLineage]]: reliable
+    * checkpoints when a checkpoint dir is set, local otherwise.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the edge list ONCE: it is tiny (near-dup pairs, not
     // docs) and every iteration joins against it — without this the whole
     // upstream pair pipeline re-executes per round (measured 15.7 s vs
     // ~4 s at sf0.1 for 5 rounds)
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+    val edges = cutLineage(pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
+    // no cut for the seed labels: they are one distinct over the already
+    // materialized edge blocks, so round 1's two consumers recompute a
+    // trivial aggregate instead of paying an extra eager checkpoint job
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -206,16 +224,18 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("minN"))
-      // checkpoint first (truncates lineage), then diff two materialized
-      // label sets — nothing upstream re-executes
-      val next = labels.join(neighborLabels, "id")
-        .select(col("id"), least(col("label"), col("minN")).as("label"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
-      labels = next
+      // carry the previous label alongside the update so convergence is
+      // read off the SAME job that materializes the checkpoint: the lazy
+      // cut is computed by the aggregate below — one Spark job per round
+      // where a separate next-vs-labels diff join + limit(1).count()
+      // probe cost an extra job and an extra shuffle every iteration
+      val next = cutLineage(labels.join(neighborLabels, "id")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), col("minN")).as("label")), eager = false)
+      val changed = next
+        .agg(coalesce(max(col("label") =!= col("prev")), lit(false)).as("c"))
+        .head.getBoolean(0)
+      labels = next.select("id", "label")
       converged = !changed
       iter += 1
     }

@@ -76,6 +76,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dupClusters uses reliable checkpoints when a checkpoint dir is set") {
+    // cluster mode: with a checkpoint dir configured, lineage cuts go to
+    // the fault-tolerant store (recoverable after executor loss) instead
+    // of executor-pinned localCheckpoint blocks — same answer either way
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (7L, 8L, 1.0))
+        .toDF("da", "db", "j")
+      val got = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+      // checkpoint data really landed in the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally sc.setCheckpointDir(null) // restore local mode for other specs
+  }
+
   test("dupClusters on real sf0.01 near-dup pairs == in-memory union-find") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfSmall), minJ = 0.5)
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
