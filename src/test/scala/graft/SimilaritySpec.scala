@@ -77,4 +77,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall collapsed: $recall (near-orthogonal corpus is the worst case)")
     assert(part.size <= brutePairs.size, "IVF returns at most k per query")
   }
+
+  test("IVF with a pre-trained quantizer == in-place training (production path)") {
+    val e = graft.sources.Tables.embeddings(spark, sfTiny)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val model = Similarity.trainQuantizer(e, nlist = 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pretrained = asSet(Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 3,
+      quantizer = Some(model)))
+    val inplace = asSet(Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 3))
+    assert(pretrained == inplace,
+      "same seed + same corpus must give identical search results either way")
+  }
 }
