@@ -46,11 +46,15 @@ object Skew {
     * any salt value); it only shapes the distribution, so positional
     * nondeterminism under AQE replans is harmless.
     */
+  /** The fact-side salt of [[saltedJoin]] (exposed for tests): row-content
+    * hash mixed with the row's physical position. */
+  private[graft] def factSalt(fact: DataFrame, salts: Int) =
+    pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(salts))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salts: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("_fsalt",
-      pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts)))
+    val saltedFact = fact.withColumn("_fsalt", factSalt(fact, salts))
     val repDim = dim.withColumn("_dsalt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim,
       saltedFact(factKey) === repDim(dimKey) &&

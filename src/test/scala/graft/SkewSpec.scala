@@ -30,6 +30,19 @@ class SkewSpec extends SparkSpec {
     assert(buckets > 1, "salting failed to spread the hot key")
   }
 
+  test("salted join spreads byte-identical duplicate fact rows (the common hot-key shape)") {
+    // 4k copies of ONE row: a content-only salt sends them all to a
+    // single bucket — the positional mix must spread them, and the join
+    // result must still be a full 4k × dim match
+    val fact = Seq.fill(4000)(("hot", 1)).toDF("fk", "payload")
+      .repartition(8) // several partitions, like a real scan
+    val buckets = fact.select(Skew.factSalt(fact, 8).as("s"))
+      .distinct().count()
+    assert(buckets > 4, s"identical rows landed in only $buckets/8 salt buckets")
+    val dim = Seq(("hot", 99)).toDF("dk", "attr")
+    assert(Skew.saltedJoin(fact, dim, "fk", "dk", salts = 8).count() == 4000L)
+  }
+
   test("salted join == plain join, with the fact side spread across salts") {
     val fact = Tables.orders(spark, sfTiny).select("o_orderkey", "o_custkey")
     val dim = Tables.customer(spark, sfTiny).select("c_custkey", "c_nationkey")
