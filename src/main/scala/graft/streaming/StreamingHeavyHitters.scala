@@ -23,16 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (a token lives in exactly one shard) — the union of shard tables
   * contains every token above any shard's decrement count, and
   * estimates carry their shard's error bound (`err`). Each batch emits
-  * the shard's current table (update mode); downstream keeps the latest
-  * row per token and ranks by `est`.
+  * the shard's current table (update mode); [[currentTopK]] consolidates
+  * an accumulated sink into the current global top-k.
   */
 object StreamingHeavyHitters {
 
   case class TokenEvent(token: String)
-  /** est ≤ true count ≤ est + err. */
-  case class HitterEstimate(token: String, est: Long, err: Long)
+  /** est ≤ true count ≤ est + err. `seq` is the emitting shard's flush
+    * counter: a token lives in exactly one shard, so its latest estimate
+    * is its max-`seq` row — the relational "latest" key [[currentTopK]]
+    * consolidates on (sink row order is not a contract). */
+  case class HitterEstimate(token: String, est: Long, err: Long, seq: Long)
 
-  case class MGState(counts: Map[String, Long], decrements: Long)
+  case class MGState(counts: Map[String, Long], decrements: Long, seq: Long)
 
   def topTokens(tokens: DataFrame, shards: Int = 32,
                 capacity: Int = 256): Dataset[HitterEstimate] = {
@@ -46,9 +49,10 @@ object StreamingHeavyHitters {
       .flatMapGroupsWithState[MGState, HitterEstimate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[(String, Long)], state: GroupState[MGState]) =>
-          val st = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          val st = state.getOption.getOrElse(MGState(Map.empty, 0L, 0L))
           var counts = scala.collection.mutable.Map[String, Long](st.counts.toSeq: _*)
           var dec = st.decrements
+          val seq = st.seq + 1
           rows.foreach { case (tok, _) =>
             counts.get(tok) match {
               case Some(c) => counts(tok) = c + 1
@@ -62,8 +66,31 @@ object StreamingHeavyHitters {
                 }
             }
           }
-          state.update(MGState(counts.toMap, dec))
-          counts.iterator.map { case (t, c) => HitterEstimate(t, c, dec) }
+          state.update(MGState(counts.toMap, dec, seq))
+          counts.iterator.map { case (t, c) => HitterEstimate(t, c, dec, seq) }
       }
+  }
+
+  /** Consolidate an accumulated [[topTokens]] sink into the CURRENT
+    * global top-k: latest estimate per token (max `seq` within its
+    * shard's emissions), ranked by `est` desc with a token tiebreak —
+    * the same order as the batch vocabulary top-k, so when capacity
+    * covers the vocabulary (err = 0) this equals
+    * [[graft.operators.TextAnalysis.qtVocab]] exactly. `err` rides along
+    * as the upper-bound half-width: true count ∈ [est, est + err].
+    *
+    * Plan shape: per-token latest is a partitioned window (partial
+    * WindowGroupLimit before the shuffle), the global rank is
+    * TakeOrderedAndProject — no full sort, no driver-side vocabulary.
+    */
+  def currentTopK(hits: DataFrame, k: Int): DataFrame = {
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("seq").desc)
+    hits
+      .withColumn("_rn", row_number().over(latest))
+      .filter(col("_rn") === 1)
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+      .select("token", "est", "err")
   }
 }

@@ -60,4 +60,25 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(latest("y") == (("y", 25L, 0L)))
     assert(latest("z") == (("z", 10L, 0L)))
   }
+
+  test("currentTopK over the sink == batch qtVocab top-k when capacity covers the vocabulary") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    // stream the real documents' tokens (multi-batch so per-token rows
+    // accumulate across flushes and 'latest' actually has to pick)
+    val toks = graft.sources.Tables.documents(spark, sfTiny)
+      .select(explode(split(col("text"), " ")).as("t")).as[String]
+      .collect().map(TokenEvent.apply)
+    val stream = MemoryStream[TokenEvent](spark)
+    val q = StreamingHeavyHitters.topTokens(stream.toDF(), shards = 4, capacity = 4096)
+      .writeStream.format("memory").queryName("hitters_vocab").outputMode("update").start()
+    val got = try {
+      toks.grouped((toks.length + 2) / 3)
+        .foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      StreamingHeavyHitters.currentTopK(spark.table("hitters_vocab"), 20)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally q.stop()
+    val want = graft.operators.TextAnalysis.qtVocab(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L)).toSeq
+    assert(got == want, s"streaming consolidation diverged from batch vocab:\n$got\nvs\n$want")
+  }
 }
