@@ -103,6 +103,44 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE'd catalog tables drive cost-based join reorder on ad-hoc SQL") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    graft.sources.Stats.analyzeAll(spark, sfTiny,
+      Seq("lineitem", "orders", "customer", "nation"))
+    // deliberately mis-ordered: the two FACT tables join first
+    // syntactically; the selective customer filter should join first
+    val sql =
+      "SELECT count(*) FROM g_lineitem l " +
+      "JOIN g_orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN g_customer c ON o.o_custkey = c.c_custkey " +
+      "WHERE c.c_nationkey = 1"
+    def innermostJoin(p: LogicalPlan): String = {
+      val joins = p.collect { case j: Join => j }
+      assert(joins.size == 2, s"expected a 2-join chain, got:\n$p")
+      joins.find(j => j.children.forall(c =>
+        c.collect { case x: Join => x }.isEmpty)).get.toString
+    }
+    // without stats-based costing: syntactic order, lineitem⋈orders first
+    val plain = innermostJoin(spark.sql(sql).queryExecution.optimizedPlan)
+    assert(plain.contains("g_lineitem") && plain.contains("g_orders") &&
+      !plain.contains("g_customer"),
+      s"baseline (no CBO) should keep syntactic join order:\n$plain")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // ANALYZE's row counts are visible to the optimizer
+      val rc = spark.table("g_nation").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(25)), s"g_nation rowCount stat missing: $rc")
+      // ...and the filtered dimension now joins FIRST
+      val cbo = innermostJoin(spark.sql(sql).queryExecution.optimizedPlan)
+      assert(cbo.contains("g_customer"),
+        s"CBO + stats failed to reorder the filtered dim inward:\n$cbo")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     for ((q, fnName) <- Seq(("qd_simhash", "simhash64"),
                             ("qs_cosine_topk", "cosine_similarity"))) {
