@@ -6,11 +6,13 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import scala.util.Random
 
-/** Differential fuzzing over the relational surface: 150 seeded-random
-  * plans (scan / filter / join / group / aggregate / distinct /
-  * sort+limit / window top-k / union-all), each built SIMULTANEOUSLY as
-  * a DataFrame program and an equivalent ANSI SQL string from one AST,
-  * executed both ways, compared row for row.
+/** Differential fuzzing over the relational surface: 260 seeded-random
+  * plans over 12 shapes (scan / filter / join / group / aggregate /
+  * distinct / sort+limit / window top-k / union-all / set-ops incl. ALL
+  * / semi+anti via IN-subquery / rank+lag+running-sum windows / HAVING /
+  * CASE WHEN), each built SIMULTANEOUSLY as a DataFrame program and an
+  * equivalent ANSI SQL string from one AST, executed both ways, compared
+  * row for row.
   *
   * This generalizes SqlParitySpec's 30 hand-written pairs to a random
   * family: any drift between the two front-ends (aliasing, null
@@ -96,7 +98,7 @@ class FuzzParitySpec extends SparkSpec {
   /** Build one (DataFrame, SQL, orderedCompare) triple from the seed. */
   private def genCase(seed: Int): (DataFrame, String, Boolean) = {
     val rng = new Random(seed)
-    rng.nextInt(7) match {
+    rng.nextInt(12) match {
       case 0 => // scan + filter + projection (maybe DISTINCT)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
@@ -185,7 +187,7 @@ class FuzzParitySpec extends SparkSpec {
           s"FROM ${t.name}) WHERE rn <= $k"
         (df, sql, false)
 
-      case _ => // self UNION ALL under two predicates, then re-aggregate
+      case 6 => // self UNION ALL under two predicates, then re-aggregate
         val t = tbls(rng.nextInt(tbls.size))
         val c = t.nums(rng.nextInt(t.nums.size))
         val (p1, p2) = (genPred(rng, t), genPred(rng, t))
@@ -201,13 +203,123 @@ class FuzzParitySpec extends SparkSpec {
         val sql = s"SELECT k, COUNT(*) AS c FROM " +
           s"(${sideSql(p1)} UNION ALL ${sideSql(p2)}) GROUP BY k"
         (df, sql, false)
+
+      case 7 => // set ops between two filtered projections, incl. ALL forms
+        val t = tbls(rng.nextInt(tbls.size))
+        val all = t.nums ++ t.strs
+        val cols = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
+        val (p1, p2) = (genPred(rng, t), genPred(rng, t))
+        def side(p: Option[Pred]) = {
+          var d = spark.table(t.name)
+          p.foreach(x => d = d.filter(x.c))
+          d.select(cols.map(col): _*)
+        }
+        def sideSql(p: Option[Pred]) =
+          s"SELECT ${cols.mkString(", ")} FROM ${t.name}" +
+            p.map(x => s" WHERE ${x.sql}").getOrElse("")
+        val (opSql, df) = rng.nextInt(4) match {
+          case 0 => ("INTERSECT", side(p1).intersect(side(p2)))
+          case 1 => ("EXCEPT", side(p1).except(side(p2)))
+          case 2 => ("INTERSECT ALL", side(p1).intersectAll(side(p2)))
+          case _ => ("EXCEPT ALL", side(p1).exceptAll(side(p2)))
+        }
+        (df, s"${sideSql(p1)} $opSql ${sideSql(p2)}", false)
+
+      case 8 => // semi / anti join, written as IN / NOT IN subquery (the
+                // spelling BOTH engines parse; TPC-H keys are non-null,
+                // so IN-subquery ≡ left_semi and NOT IN ≡ left_anti)
+        val (li, ri, lk, rk) = joinPairs(rng.nextInt(joinPairs.size))
+        val (lt, rt) = (tbls(li), tbls(ri))
+        val rp = genPred(rng, rt)
+        val anti = rng.nextBoolean()
+        val all = lt.nums ++ lt.strs
+        val cols = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
+        var right = spark.table(rt.name)
+        rp.foreach(p => right = right.filter(p.c))
+        val df = spark.table(lt.name)
+          .join(right, col(lk) === col(rk), if (anti) "left_anti" else "left_semi")
+          .select(cols.map(col): _*)
+        val sub = s"SELECT $rk FROM ${rt.name}" +
+          rp.map(p => s" WHERE ${p.sql}").getOrElse("")
+        val sql = s"SELECT ${cols.mkString(", ")} FROM ${lt.name} " +
+          s"WHERE $lk ${if (anti) "NOT IN" else "IN"} ($sub)"
+        (df, sql, false)
+
+      case 9 => // window-function family beyond row_number: rank /
+                // dense_rank / lag / running sum (frame + unique tiebreak
+                // keep every variant deterministic; running sum draws
+                // from INT columns only — double accumulation order)
+        val t = tbls(rng.nextInt(tbls.size))
+        val part = (t.strs ++ t.nums.filterNot(_ == t.uniqueKey))(
+          rng.nextInt(t.strs.size + t.nums.size - 1))
+        val ord = t.nums(rng.nextInt(t.nums.size))
+        val ic = t.intNums(rng.nextInt(t.intNums.size))
+        val base = spark.table(t.name).select(col(part), col(ord), col(t.uniqueKey))
+        val (wCol, wSql) = rng.nextInt(4) match {
+          case 0 =>
+            val w = Window.partitionBy(part).orderBy(col(ord).desc, col(t.uniqueKey))
+            (rank().over(w),
+              s"RANK() OVER (PARTITION BY $part ORDER BY $ord DESC, ${t.uniqueKey})")
+          case 1 =>
+            val w = Window.partitionBy(part).orderBy(col(ord).desc, col(t.uniqueKey))
+            (dense_rank().over(w),
+              s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ord DESC, ${t.uniqueKey})")
+          case 2 =>
+            val w = Window.partitionBy(part).orderBy(col(ord), col(t.uniqueKey))
+            (lag(col(ord), 1).over(w),
+              s"LAG($ord, 1) OVER (PARTITION BY $part ORDER BY $ord, ${t.uniqueKey})")
+          case _ =>
+            val w = Window.partitionBy(part).orderBy(col(ic), col(t.uniqueKey))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            (sum(col(ic)).over(w),
+              s"SUM($ic) OVER (PARTITION BY $part ORDER BY $ic, ${t.uniqueKey} " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        }
+        val df = base.withColumn("wv", wCol)
+        val sql = s"SELECT $part, $ord, ${t.uniqueKey}, $wSql AS wv FROM ${t.name}"
+        (df, sql, false)
+
+      case 10 => // groupBy + HAVING on an aggregate
+        val t = tbls(rng.nextInt(tbls.size))
+        val all = t.strs ++ t.nums
+        val keys = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
+        val aggs = (0 until 1 + rng.nextInt(2)).map(genAgg(rng, t.nums, t.intNums, _))
+        val n = 1 + rng.nextInt(10)
+        val aggCols = count(lit(1)).as("hc") +: aggs.map(_._2)
+        val df = spark.table(t.name)
+          .groupBy(keys.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .filter(col("hc") > n)
+        val sql = s"SELECT ${keys.mkString(", ")}, COUNT(*) AS hc, " +
+          s"${aggs.map(_._3).mkString(", ")} FROM ${t.name} " +
+          s"GROUP BY ${keys.mkString(", ")} HAVING COUNT(*) > $n"
+        (df, sql, false)
+
+      case _ => // CASE WHEN bucketing expression, then re-aggregate
+        val t = tbls(rng.nextInt(tbls.size))
+        val c = t.intNums(rng.nextInt(t.intNums.size))
+        val m = 2 + rng.nextInt(4)
+        val pred = genPred(rng, t)
+        var df = spark.table(t.name)
+        pred.foreach(p => df = df.filter(p.c))
+        df = df
+          .select(when(col(c) % m === 0, "zero")
+            .when(col(c) % m === 1, "one")
+            .otherwise("rest").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("c"))
+        val sql = "SELECT CASE WHEN " +
+          s"$c % $m = 0 THEN 'zero' WHEN $c % $m = 1 THEN 'one' ELSE 'rest' END " +
+          s"AS bucket, COUNT(*) AS c FROM ${t.name}" +
+          s"${pred.map(p => s" WHERE ${p.sql}").getOrElse("")} " +
+          "GROUP BY 1"
+        (df, sql, false)
     }
   }
 
-  test("150 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
+  test("260 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
     Tables.registerAll(spark, sfTiny)
     val dump = scala.collection.mutable.ListBuffer[String]()
-    val failures = (0 until 150).flatMap { i =>
+    val failures = (0 until 260).flatMap { i =>
       val seed = 0xF0002 + i
       val (df, sql, ordered) = genCase(seed)
       def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] = {
