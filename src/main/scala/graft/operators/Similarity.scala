@@ -186,6 +186,44 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** [[nearDupPairs]] with LSH geometry derived from the corpus instead
+    * of fixed: `numBits` targets a constant bucket occupancy
+    * (≈ log2(N / targetOccupancy)), `numTables` then hits `recallTarget`
+    * for a worst-case pair at exactly `minCos`
+    * (tables = ln(1-recall) / ln(1-p^bits), p = 1-θ/π).
+    *
+    * WHY (measured, PERF.md round-4 scale smoke): with bits FIXED, bucket
+    * occupancy grows linearly in N, the bucket self-join quadratically —
+    * 10× the corpus made the fixed 96×6 declared query 25× slower
+    * (~300M candidate rows from 20k vectors). Occupancy-targeted bits
+    * keep per-bucket work constant, so candidate volume stays ~linear in
+    * N at a FIXED similarity threshold. The table clamp (512) is the
+    * honesty valve: a low `minCos` on a near-orthogonal corpus can demand
+    * more tables than any budget (p^bits vanishes) — LSH cannot be both
+    * high-recall and sub-quadratic there; production near-dup thresholds
+    * (≥ 0.9) stay cheap at any N. Costs one `count()` job up front.
+    */
+  def nearDupPairsAuto(data: DataFrame, minCos: Double,
+                       recallTarget: Double = 0.999,
+                       targetOccupancy: Int = 32): DataFrame = {
+    require(minCos > 0.0 && minCos < 1.0, s"minCos in (0,1), got $minCos")
+    require(recallTarget > 0.0 && recallTarget < 1.0, "recallTarget in (0,1)")
+    val (tables, bits) = lshGeometry(data.count(), minCos, recallTarget, targetOccupancy)
+    nearDupPairs(data, minCos, numTables = tables, numBits = bits)
+  }
+
+  /** The sizing rule of [[nearDupPairsAuto]] as a pure function
+    * (tables, bits) — exposed for tests and for callers that know N. */
+  private[graft] def lshGeometry(n: Long, minCos: Double, recallTarget: Double,
+                                 targetOccupancy: Int): (Int, Int) = {
+    val bits = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    val tables = math.min(512, math.max(1,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-math.pow(p, bits))).toInt))
+    (tables, bits)
+  }
+
   // ---- query-pack entries ----
 
   /** QS1 — exact cosine top-10 for the first five vectors as queries. */

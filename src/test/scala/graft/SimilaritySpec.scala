@@ -78,6 +78,29 @@ class SimilaritySpec extends SparkSpec {
     assert(part.size <= brutePairs.size, "IVF returns at most k per query")
   }
 
+  test("auto-sized LSH: bits track corpus size, tables track threshold; planted dups found") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // sizing rule: occupancy-constant bits (log2 N), more tables for
+    // weaker thresholds, and the low-threshold table clamp engages
+    val (t1, b1) = Similarity.lshGeometry(2000, 0.9, 0.999, 32)
+    val (t2, b2) = Similarity.lshGeometry(2000000, 0.9, 0.999, 32)
+    assert(b2 > b1, s"bits must grow with N: $b1 vs $b2")
+    assert(t2 >= t1, "recall compensation must not shrink with more bits")
+    val (tLow, _) = Similarity.lshGeometry(2000, 0.45, 0.999, 32)
+    assert(tLow > t1, "weaker threshold needs more tables")
+    // plant exact-scale near-dups (x*1.001 → cos ≈ 1) and recover them
+    // at the production threshold via the auto path
+    val base = Tables.embeddings(spark, sfTiny)
+    val planted = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> x * 1.001f)").as("embedding"))
+    val corpus = base.select("vec_id", "embedding").unionAll(planted)
+    val got = Similarity.nearDupPairsAuto(corpus, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 5L).map(i => (i, i + 100000)).toSet
+    assert(want.subsetOf(got), s"planted near-dups missed: ${want -- got}")
+  }
+
   test("IVF with a pre-trained quantizer == in-place training (production path)") {
     val e = graft.sources.Tables.embeddings(spark, sfTiny)
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
