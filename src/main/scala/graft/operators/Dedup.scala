@@ -57,12 +57,20 @@ object Dedup {
     // ubiquitous stop-shingles — so the filter stays map-side and
     // `filtered`'s three consumers (sizes + both join sides) each stream
     // the scan with no extra exchange.
-    val filtered =
+    val filtered0 =
       if (maxDocFreq > 0) {
         val drop = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("s")
         sh.join(broadcast(drop), Seq("s"), "left_anti")
       } else sh
+    // materialize the filtered exploded-shingle stream ONCE for its three
+    // consumers (sizes + both self-join sides): each otherwise re-derives
+    // the scan→split→explode→anti-join chain, including the doc-frequency
+    // aggregate behind the drop list. Neutral at sf0.1, measured 1.9×
+    // (21.5 s → 11.5 s) on the 10× scale smoke. Lazy cut: the first
+    // consumer's job materializes it; reliable-checkpoint-aware like
+    // dupClusters (cluster mode recovers from executor loss).
+    val filtered = cutLineage(filtered0, eager = false)
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
