@@ -54,9 +54,9 @@ object Dedup {
     // 100 TB — unbroadcastable, and joining it shuffles the whole
     // exploded-shingle stream once per consumer; measured 9 s → 55 s at
     // sf0.1), while the drop list is BY DEFINITION tiny — only the
-    // ubiquitous stop-shingles — so the filter stays map-side and
-    // `filtered`'s three consumers (sizes + both join sides) each stream
-    // the scan with no extra exchange.
+    // ubiquitous stop-shingles — so the filter stays map-side: deriving
+    // `filtered` is a single exchange-free pass over the scan (which is
+    // what makes the one-shot materialization below cheap to produce).
     val filtered0 =
       if (maxDocFreq > 0) {
         val drop = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -188,14 +188,27 @@ object Dedup {
     *    (`spark.sparkContext.setCheckpointDir(...)`) → `df.checkpoint`:
     *    blocks go to the fault-tolerant store (HDFS/S3 on a cluster), so
     *    an executor loss mid-iteration recovers from the checkpoint
-    *    instead of aborting the job — the right mode on a real cluster;
+    *    instead of aborting the job — the right mode on a real cluster.
+    *    The Dataset is cached around the checkpoint: `RDD.checkpoint`'s
+    *    write job otherwise RECOMPUTES the whole plan from scratch (the
+    *    documented RDD behavior), doubling every round's work. With the
+    *    cache, the write job reads blocks; cost per cut is one compute
+    *    job + one cache-read write job.
     *  - no checkpoint dir (local runs, tests, bench) → `localCheckpoint`:
-    *    blocks pinned to executor storage, no FS round-trip — fastest,
-    *    but an executor loss is unrecoverable (lineage is truncated).
+    *    blocks pinned to executor storage, no FS round-trip — fastest
+    *    (`eager = false` lets the caller fold the materialization into
+    *    its next action: one job per round), but an executor loss is
+    *    unrecoverable (lineage is truncated).
     */
   private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager regardless of the flag: the checkpoint must be written
+      // while the cache is alive, and unpersist must come after it
+      val out = cached.checkpoint(true)
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager)
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation. Pairs only say "a ~ b"; choosing a

@@ -88,10 +88,13 @@ object Similarity {
     * itself distributed: the `nlist` centroids (tiny by construction)
     * become a broadcast table, every query ranks its cells with the same
     * codegen'd cosine + windowed-rank tail the search uses, and only
-    * (qid, cell) id pairs move. No driver-side collect anywhere — the
-    * query batch can be arbitrarily large. The search then reads
-    * ~nprobe/nlist of the corpus — the fraction IS the speed/recall
-    * knob. `nprobe == nlist` degenerates to exact brute force
+    * (qid, cell) id pairs move. No driver-side collect in this method —
+    * but the query batch is still BROADCAST to the scoring join, so it
+    * remains bounded by contract (broadcast limits apply); what changed
+    * vs the collect formulation is that probe selection no longer
+    * funnels through driver memory or a driver-side loop. The search
+    * then reads ~nprobe/nlist of the corpus — the fraction IS the
+    * speed/recall knob. `nprobe == nlist` degenerates to exact brute force
     * (SimilaritySpec pins that), which LSH cannot do without infinite
     * tables. Vectors are ranked by cosine; cell residence comes from
     * euclidean KMeans, so recall at small nprobe depends on how
@@ -118,9 +121,14 @@ object Similarity {
     // (it lives in the fitted model, not collected from data)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cl", "cv")
+    // pin the query batch ONCE: it feeds probe selection AND the scoring
+    // broadcast, and a nondeterministic query plan (sample, unordered
+    // limit) re-scanned twice could probe one row set and score another
+    // — the same hazard the old collect-once formulation guarded against
     val qv = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
       .filter(col("qv").isNotNull)
+      .localCheckpoint(false)
     // rank cells per query: cosine distance, NaN (zero-norm vector) → 1.0
     // i.e. "orthogonal", ties broken by cell id — all computed where the
     // queries live, queries × nlist narrow rows through the window

@@ -29,11 +29,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingHeavyHitters {
 
   case class TokenEvent(token: String)
-  /** est ≤ true count ≤ est + err. `seq` is the emitting shard's flush
-    * counter: a token lives in exactly one shard, so its latest estimate
-    * is its max-`seq` row — the relational "latest" key [[currentTopK]]
-    * consolidates on (sink row order is not a contract). */
-  case class HitterEstimate(token: String, est: Long, err: Long, seq: Long)
+  /** At EMISSION time: est ≤ true count ≤ est + err. `seq` is the
+    * emitting shard's flush counter: a token lives in exactly one shard,
+    * so its latest estimate is its max-`seq` row — the relational
+    * "latest" key [[currentTopK]] consolidates on (sink row order is not
+    * a contract). A row can go STALE between emissions — if its token is
+    * later evicted, arrivals keep counting into the shard's decrement
+    * total with no new row emitted — so a CURRENT bound must widen `err`
+    * to the shard's latest decrement count ([[currentTopK]] does; `est`
+    * stays a valid lower bound forever, counts only grow). */
+  case class HitterEstimate(token: String, est: Long, err: Long, seq: Long,
+                            shard: Long)
 
   case class MGState(counts: Map[String, Long], decrements: Long, seq: Long)
 
@@ -48,7 +54,7 @@ object StreamingHeavyHitters {
       .groupByKey(_._2)
       .flatMapGroupsWithState[MGState, HitterEstimate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(String, Long)], state: GroupState[MGState]) =>
+        (shard: Long, rows: Iterator[(String, Long)], state: GroupState[MGState]) =>
           val st = state.getOption.getOrElse(MGState(Map.empty, 0L, 0L))
           var counts = scala.collection.mutable.Map[String, Long](st.counts.toSeq: _*)
           var dec = st.decrements
@@ -67,7 +73,7 @@ object StreamingHeavyHitters {
             }
           }
           state.update(MGState(counts.toMap, dec, seq))
-          counts.iterator.map { case (t, c) => HitterEstimate(t, c, dec, seq) }
+          counts.iterator.map { case (t, c) => HitterEstimate(t, c, dec, seq, shard) }
       }
   }
 
@@ -76,21 +82,37 @@ object StreamingHeavyHitters {
     * shard's emissions), ranked by `est` desc with a token tiebreak —
     * the same order as the batch vocabulary top-k, so when capacity
     * covers the vocabulary (err = 0) this equals
-    * [[graft.operators.TextAnalysis.qtVocab]] exactly. `err` rides along
-    * as the upper-bound half-width: true count ∈ [est, est + err].
+    * [[graft.operators.TextAnalysis.qtVocab]] exactly.
+    *
+    * The reported `err` is the token's SHARD's latest decrement count,
+    * not the (possibly stale) row's own: a token evicted after its last
+    * emission keeps counting into the shard's decrements with no new row
+    * emitted, so only the shard-current slack bounds it now. For every
+    * reported token, tracked or since-evicted: est ≤ true count ≤ est +
+    * err (est was ≤ the count when emitted and counts only grow; an
+    * evicted token's count is ≤ the current decrement total, a tracked
+    * token's row is from the latest flush where counter + dec bounds it).
     *
     * Plan shape: per-token latest is a partitioned window (partial
-    * WindowGroupLimit before the shuffle), the global rank is
+    * WindowGroupLimit before the shuffle), the shard decrement table is
+    * a bounded broadcast (≤ `shards` rows), the global rank is
     * TakeOrderedAndProject — no full sort, no driver-side vocabulary.
     */
   def currentTopK(hits: DataFrame, k: Int): DataFrame = {
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy("token").orderBy(col("seq").desc)
+    // re-alias to mint fresh attribute ids: both join sides otherwise
+    // share the sink plan's attributes and analysis rejects the self-join
+    val shardDec = hits
+      .select(col("shard").as("shard"), col("err").as("_sd_err"), col("seq").as("_sd_seq"))
+      .groupBy("shard")
+      .agg(max_by(col("_sd_err"), col("_sd_seq")).as("cur_dec"))
     hits
       .withColumn("_rn", row_number().over(latest))
       .filter(col("_rn") === 1)
+      .join(broadcast(shardDec), "shard")
       .orderBy(col("est").desc, col("token"))
       .limit(k)
-      .select("token", "est", "err")
+      .select(col("token"), col("est"), col("cur_dec").as("err"))
   }
 }

@@ -39,16 +39,25 @@ object ScaleUp {
     val spark = GraftSession.builder("graft-scaleup", 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    require(copies >= 1 && copies <= 64,
+      s"copies must be in [1, 64] (embedding rotation is per-coordinate), got $copies")
     def amplify(name: String, perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val base = graft.sources.Tables.load(spark, src, name)
       val all = (0 until copies).map(i => perCopy(base, i)).reduce(_ unionAll _)
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name -> ${copies}x")
     }
+    def copyThrough(name: String): Unit = {
+      graft.sources.Tables.load(spark, src, name)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name -> unscaled (bounded dim)")
+    }
     def shift(c: String, i: Int) = col(c) + lit(i.toLong * KeyOffset)
 
-    amplify("region", (df, _) => df)
-    amplify("nation", (df, _) => df)
+    // ONE copy, not `copies` identical ones: duplicated dim keys would
+    // fan every nation/region join out copies× (corrupted cardinalities)
+    copyThrough("region")
+    copyThrough("nation")
     amplify("customer", (df, i) => df.withColumn("c_custkey", shift("c_custkey", i)))
     amplify("supplier", (df, i) => df.withColumn("s_suppkey", shift("s_suppkey", i)))
     amplify("part", (df, i) => df.withColumn("p_partkey", shift("p_partkey", i)))
@@ -77,14 +86,13 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text"))))
     amplify("embeddings", (df, i) =>
       if (i == 0) df
-      else {
-        val dim = 64
-        df
-          .withColumn("vec_id", shift("vec_id", i))
-          .withColumn("embedding",
-            concat(slice(col("embedding"), i + 1, dim - i),
-              slice(col("embedding"), 1, i)))
-      })
+      else df
+        .withColumn("vec_id", shift("vec_id", i))
+        // cyclic rotation by i, dimension read from the data (a
+        // hardcoded dim would silently corrupt other-width corpora)
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))")))
     spark.stop()
   }
 }

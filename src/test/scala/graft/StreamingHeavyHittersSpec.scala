@@ -61,6 +61,41 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(latest("z") == (("z", 10L, 0L)))
   }
 
+  test("currentTopK bounds hold even for tokens evicted AFTER their last emission") {
+    // capacity 2, one shard. Batch 1 tracks T and U exactly. Batch 2's
+    // 20-token flood first decrements both out (9 decrements), then X/Y
+    // occupy the table — T's seq-1 row (est 5, err 0) is now stale.
+    // Batch 3 sends 3 MORE T's; the full table turns them into
+    // decrements, so T's true count is 8 with no newer T row. The
+    // consolidated err must come from the shard's CURRENT decrement
+    // count (8), not the stale row's 0 — else the reported interval
+    // [5, 5] excludes the true count.
+    val stream = MemoryStream[TokenEvent](spark)
+    val q = StreamingHeavyHitters.topTokens(stream.toDF(), shards = 1, capacity = 2)
+      .writeStream.format("memory").queryName("hitters_evict").outputMode("update").start()
+    val rows = try {
+      stream.addData(Seq.fill(5)(TokenEvent("T")) ++ Seq.fill(4)(TokenEvent("U")))
+      q.processAllAvailable()
+      stream.addData(new scala.util.Random(11).shuffle(
+        Seq.fill(10)(TokenEvent("X")) ++ Seq.fill(10)(TokenEvent("Y"))))
+      q.processAllAvailable()
+      stream.addData(Seq.fill(3)(TokenEvent("T")))
+      q.processAllAvailable()
+      StreamingHeavyHitters.currentTopK(spark.table("hitters_evict"), 10)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    } finally q.stop()
+    val truth = Map("T" -> 8L, "U" -> 4L, "X" -> 10L, "Y" -> 10L)
+    rows.foreach { case (tok, (est, err)) =>
+      val t = truth(tok)
+      assert(est <= t && t <= est + err,
+        s"$tok: true $t outside reported [$est, ${est + err}]")
+    }
+    // the stale-T scenario really occurred: T's latest row predates the
+    // flood, yet its bound covers the 3 post-eviction arrivals
+    val (estT, errT) = rows("T")
+    assert(estT == 5L && errT >= 8L, s"expected stale T(5) widened by shard dec>=8, got ($estT, $errT)")
+  }
+
   test("currentTopK over the sink == batch qtVocab top-k when capacity covers the vocabulary") {
     import org.apache.spark.sql.functions.{col, explode, split}
     // stream the real documents' tokens (multi-batch so per-token rows
