@@ -67,10 +67,16 @@ object Dedup {
     // consumers (sizes + both self-join sides): each otherwise re-derives
     // the scan→split→explode→anti-join chain, including the doc-frequency
     // aggregate behind the drop list. Neutral at sf0.1, measured 1.9×
-    // (21.5 s → 11.5 s) on the 10× scale smoke. Lazy cut: the first
-    // consumer's job materializes it; reliable-checkpoint-aware like
-    // dupClusters (cluster mode recovers from executor loss).
-    val filtered = cutLineage(filtered0, eager = false)
+    // (21.5 s → 11.5 s) on the 10× scale smoke. persist, NOT a lineage
+    // cut: reuse is the goal here (unlike dupClusters' per-round plan
+    // growth), it stays lazy at construction, and the intact lineage
+    // means an executor loss recomputes instead of failing. Lifetime:
+    // the CacheManager keys entries by canonicalized plan, so repeated
+    // calls over the same input reuse one entry rather than piling up;
+    // MEMORY_AND_DISK evicts memory blocks LRU under pressure. Long
+    // sessions sweeping many distinct corpora should clearCache()
+    // between them — entries are only freed by unpersist/clearCache.
+    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),

