@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Relational surface extensions (round-2): set ops, outer joins, global
@@ -322,7 +323,70 @@ object RelationalExt {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Q40 — scalar-subquery predicate ("rows above 2× the global mean").
+    * The scalar aggregate is broadcast and the comparison is done in exact
+    * arithmetic (`price * n > 2 * total` with a decimal SUM) instead of a
+    * float AVG — a float mean differs in last-bit between engines (and
+    * between Spark partition orders), and a row sitting on the boundary
+    * would flip. Cross-multiplication keeps the predicate exact and
+    * engine-portable. Scale shape: one scan for the scalar (2 columns),
+    * one scan for the probe; the scalar side is a 1-row broadcast. */
+  def q40ScalarSubquery(spark: SparkSession, d: String): DataFrame = {
+    val totals = T.orders(spark, d)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+    T.orders(spark, d)
+      .join(broadcast(totals))
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("n") > col("tot") * 2)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q41 — correlated EXISTS with an extra non-key predicate: customers
+    * holding at least one high-value order. Plans as a left-semi join with
+    * the `o_totalprice` filter pushed below the join (only filtered order
+    * keys are shuffled) — the decorrelation Catalyst applies to EXISTS
+    * subqueries, written directly against the DataFrame API. */
+  def q41ExistsSubquery(spark: SparkSession, d: String): DataFrame =
+    T.customer(spark, d)
+      .join(T.orders(spark, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Q42 — UNPIVOT (wide → long): the inverse of Q25's pivot. All melted
+    * metrics share LongType so the `value` column needs no lossy
+    * unification cast. Unpivot is a per-row expression expansion (one
+    * output row per id×metric) — no shuffle beyond the source aggregate. */
+  def q42Unpivot(spark: SparkSession, d: String): DataFrame = {
+    val wide = T.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("orders"),
+        countDistinct(col("o_custkey")).as("customers"),
+        max(col("o_orderkey")).as("max_key"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("orders"), col("customers"), col("max_key")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
+  /** Q43 — posexplode (generator with ordinality): token streams with
+    * positions, the lateral-view shape every sequence-labeling pipeline
+    * starts from. The filter lands BEFORE the generator, so only selected
+    * docs are exploded. */
+  def q43Posexplode(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_scalar_subquery" -> q40ScalarSubquery _,
+    "q41_exists_subquery" -> q41ExistsSubquery _,
+    "q42_unpivot" -> q42Unpivot _,
+    "q43_posexplode" -> q43Posexplode _,
     "q34_topk_agg" -> q34TopKAgg _,
     "q35_approx_percentile" -> q35ApproxPercentile _,
     "q36_order_revenue" -> q36OrderRevenue _,
@@ -349,6 +413,26 @@ object RelationalExt {
     "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
+    "q40_scalar_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders, " +
+        "(SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot FROM orders) s " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > 2 * tot ORDER BY o_orderkey"),
+    "q41_exists_subquery" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+    "q42_unpivot" ->
+      ("WITH w AS (SELECT o_orderpriority, COUNT(*) AS orders, " +
+        "COUNT(DISTINCT o_custkey) AS customers, MAX(o_orderkey) AS max_key " +
+        "FROM orders GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, 'orders' AS metric, orders AS value FROM w " +
+        "UNION ALL SELECT o_orderpriority, 'customers', customers FROM w " +
+        "UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM w " +
+        "ORDER BY o_orderpriority, metric"),
+    "q43_posexplode" ->
+      ("SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, " +
+        "unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id, pos"),
     // q34 shares q8's oracle: same rank contract, different physical path
     "q34_topk_agg" ->
       ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +

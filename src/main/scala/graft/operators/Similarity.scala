@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
@@ -258,12 +259,37 @@ object Similarity {
   def qsEmbedNearDup(spark: SparkSession, d: String): DataFrame =
     nearDupPairs(T.embeddings(spark, d), minCos = 0.45)
 
+  /** QS4 — per-label embedding centroids (the class-mean step behind
+    * nearest-centroid classification, IVF coarse training, and embedding
+    * quality monitoring). posexplode → groupBy(label, dim) with map-side
+    * partial aggregation: the shuffle carries only labels×dims partial
+    * sums per partition regardless of corpus size. Float summation order
+    * differs across engines/partitionings, so each element is cast to an
+    * exact DECIMAL first (the float→decimal widening is per-element and
+    * deterministic); the single double division at the end is IEEE-exact
+    * on identical inputs. */
+  def qsCentroid(spark: SparkSession, d: String): DataFrame =
+    T.embeddings(spark, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("v").cast(DecimalType(18, 9))).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("s").cast("double") / col("n"), 6).as("c"), col("n"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_cosine_topk" -> qsCosineTopK _,
     "qs_ann_lsh" -> qsAnnLsh _,
-    "qs_embed_neardup" -> qsEmbedNearDup _)
+    "qs_embed_neardup" -> qsEmbedNearDup _,
+    "qs_centroid" -> qsCentroid _)
 
   val oracles: Map[String, String] = Map(
+    "qs_centroid" ->
+      ("WITH e AS (SELECT label, unnest(range(len(embedding))) AS dim, " +
+        "unnest(embedding) AS v FROM embeddings) " +
+        "SELECT label, dim, " +
+        "ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS c, " +
+        "COUNT(*) AS n FROM e GROUP BY label, dim ORDER BY label, dim"),
     "qs_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
         "scored AS (SELECT qid, vec_id, " +

@@ -196,7 +196,141 @@ object TextAnalysis {
       .orderBy("lang", "split")
   }
 
+  /** QT8 — benchmark decontamination: find training docs sharing an
+    * 8-token shingle with any eval-set doc (the standard n-gram-overlap
+    * contamination check run before training on scraped corpora). The
+    * corpus has no natural overlap, so contamination is injected
+    * deterministically first: every `doc_id % 7 == 3` train doc gets the
+    * leading 8-token span of its marker eval doc appended — the detector
+    * then has real positives whose (train, eval, shared-count) triples are
+    * integer-exact in any engine.
+    *
+    * Scale shape: the eval set is small by nature (benchmarks are KBs, the
+    * corpus is TBs), so its distinct shingle set is BROADCAST and the
+    * whole check is one map-side join over the train scan — no shuffle of
+    * the 100 TB side; the only shuffle is the final per-pair count. Train
+    * shingling is the native codegen'd `word_shingles` at the scan. */
+  def qtContamination(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = T.documents(spark, d)
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_doc"), col("text"))
+    val spans = evalDocs.select(col("eval_doc"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ").as("span"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(spans), (col("doc_id") % 10) * 50 === col("eval_doc"))
+      .select(col("doc_id").as("train_doc"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), col("span")))
+          .otherwise(col("text")).as("text"))
+    val trainSh = train.select(col("train_doc"),
+      explode(expr("word_shingles(text, 8)")).as("sh"))
+    val evalSh = evalDocs.select(col("eval_doc"),
+      explode(expr("word_shingles(text, 8)")).as("sh")).distinct()
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("train_doc", "eval_doc")
+      .agg(countDistinct(col("sh")).as("shared"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** QP2 — weighted domain mixture: deterministic hash-sampling at
+    * per-domain rates (here: keep all `en`, ~20% of everything else) — how
+    * training mixtures are rebalanced without a shuffle or an RNG. The
+    * keep decision is a pure function of (lang, text), so the sample is
+    * stable across runs, partitionings, and engines — `rand()`-based
+    * sampling resamples per action and is not reproducible. Hex-prefix
+    * compare on md5, same mechanism qt_split pins. 'g0' > every hex
+    * bucket, so it spells "keep 100%" without a special case. */
+  def qpMixture(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .withColumn("bucket",
+        substring(md5(concat(col("lang"), lit(":"), col("text"))), 1, 2))
+      .withColumn("keep",
+        (col("bucket") < when(col("lang") === "en", lit("g0")).otherwise(lit("33")))
+          .cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("keep").cast("long").as("kept"),
+        sum(col("keep") * col("n_chars")).cast("long").as("chars_kept"))
+      .orderBy("lang")
+
+  /** QP3 — sequence packing (token-budget chunking): concatenate docs in
+    * doc_id order into a token stream and report the 2048-token chunk each
+    * doc STARTS in — the document-carryover packing used when training
+    * sequences are cut from a concatenated corpus. chunk = floor(
+    * start_offset / capacity) where start_offset is the exclusive prefix
+    * sum of token counts.
+    *
+    * The prefix sum reuses Q9's distributed two-phase shape (key-range
+    * buckets → per-bucket windows → exploded bucket offsets, no global
+    * single-partition window), so packing scales like any other aggregate:
+    * one narrow scan + one window per bucket + a tiny offset broadcast.
+    * For strict capacity packing (docs never straddle chunks) see
+    * [[packGreedy]]. */
+  def qpPack(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 32
+    val cap = 2048L
+    val docs = T.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val maxKey = docs.agg(max("doc_id").as("mk"))
+    val base = docs.join(broadcast(maxKey))
+      .withColumn("pid", (col("doc_id") * nb / (col("mk") + 1)).cast("int"))
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("pid").agg(sum("n_toks").as("ptot"))
+      .filter(col("pid") < nb - 1)
+      .select(explode(sequence(col("pid") + 1, lit(nb - 1))).as("pid"), col("ptot"))
+      .groupBy("pid").agg(sum("ptot").as("off"))
+    base
+      .withColumn("lcum", sum(col("n_toks")).over(wLocal))
+      .join(broadcast(offsets), Seq("pid"), "left")
+      .withColumn("cum", col("lcum") + coalesce(col("off"), lit(0L)))
+      .withColumn("chunk", ((col("cum") - col("n_toks")) / cap).cast("long"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("docs"), sum("n_toks").as("toks"),
+        min("doc_id").as("first_doc"))
+      .orderBy("chunk")
+  }
+
+  /** Strict greedy sequence packing: docs are packed in doc_id order into
+    * bins of at most `capacity` tokens; a doc never straddles bins (a bin
+    * closes when the next doc would overflow it; a single doc larger than
+    * `capacity` gets a bin of its own). Greedy next-fit is inherently
+    * sequential, so it runs per-shard: range-partition on doc_id, pack
+    * each shard independently in one `mapPartitions` pass (the way real
+    * training pipelines pack per worker shard). Bin ids are
+    * `shard * 2^32 + local_seq` — globally unique without coordination.
+    * Output: (doc_id, n_toks, bin). Wasted capacity is bounded: next-fit
+    * uses at most 2× the optimal bin count per shard, +1 partial bin per
+    * shard boundary. Validated by PackingSpec (capacity, order, coverage,
+    * determinism, bin-count bound). */
+  def packGreedy(docs: DataFrame, capacity: Long, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(capacity > 0 && shards > 0, "capacity and shards must be positive")
+    docs.select(col("doc_id").cast("long"), col("n_toks").cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId().toLong
+        var localBin = 0L
+        var used = 0L
+        var first = true
+        it.map { case (id, toks) =>
+          if (!first && used + toks > capacity) { localBin += 1; used = 0L }
+          first = false
+          used += toks
+          (id, toks, (shard << 32) | localBin)
+        }
+      }
+      .toDF("doc_id", "n_toks", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_contamination" -> qtContamination _,
+    "qp_mixture" -> qpMixture _,
+    "qp_pack" -> qpPack _,
     "qp_prep_pipeline" -> qpPrepPipeline _,
     "qj_json_props" -> qjJsonProps _,
     "qt_token_stats" -> qtTokenStats _,
@@ -208,6 +342,38 @@ object TextAnalysis {
     "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
+    "qt_contamination" ->
+      ("WITH ev AS (SELECT doc_id AS eval_doc, text FROM documents WHERE doc_id % 50 = 0), " +
+        "spans AS (SELECT eval_doc, array_to_string(string_split(text, ' ')[1:8], ' ') AS span " +
+        "FROM ev), " +
+        "tr AS (SELECT d.doc_id AS train_doc, " +
+        "CASE WHEN d.doc_id % 7 = 3 THEN d.text || ' ' || s.span ELSE d.text END AS text " +
+        "FROM documents d JOIN spans s ON s.eval_doc = (d.doc_id % 10) * 50 " +
+        "WHERE d.doc_id % 50 <> 0), " +
+        "trs AS (SELECT train_doc, unnest(list_transform(range(1, len(string_split(text, ' ')) - 6), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS sh FROM tr), " +
+        "evs AS (SELECT DISTINCT eval_doc, sh FROM " +
+        "(SELECT eval_doc, unnest(list_transform(range(1, len(string_split(text, ' ')) - 6), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS sh FROM ev)) " +
+        "SELECT t.train_doc, e.eval_doc, COUNT(DISTINCT t.sh) AS shared " +
+        "FROM trs t JOIN evs e USING (sh) " +
+        "GROUP BY 1, 2 ORDER BY train_doc, eval_doc"),
+    "qp_mixture" ->
+      ("WITH b AS (SELECT lang, n_chars, substr(md5(lang || ':' || text), 1, 2) AS bucket " +
+        "FROM documents), " +
+        "k AS (SELECT lang, n_chars, CASE WHEN bucket < " +
+        "(CASE WHEN lang = 'en' THEN 'g0' ELSE '33' END) THEN 1 ELSE 0 END AS keep FROM b) " +
+        "SELECT lang, COUNT(*) AS docs, CAST(SUM(keep) AS BIGINT) AS kept, " +
+        "CAST(SUM(keep * n_chars) AS BIGINT) AS chars_kept " +
+        "FROM k GROUP BY lang ORDER BY lang"),
+    "qp_pack" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_toks, SUM(n_toks) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT CAST((cum - n_toks) // 2048 AS BIGINT) AS chunk, COUNT(*) AS docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS toks, MIN(doc_id) AS first_doc " +
+        "FROM c GROUP BY 1 ORDER BY chunk"),
     "qp_prep_pipeline" ->
       ("WITH injected AS (SELECT doc_id, lang, CASE WHEN doc_id % 10 = 0 " +
         "THEN text || ' contact: user' || doc_id || '@example.com' ELSE text END AS raw " +

@@ -23,6 +23,10 @@ class SqlParitySpec extends SparkSpec {
     // grouping_id(), so only the set-op ALL pair joins the parity list
     "q31_intersect_all", "q32_except_all", "q36_order_revenue",
     "q37_range_frame", "q38_rank_stats", "q39_math_fns",
+    // round-4 widening: scalar subquery (comma-join spelling), correlated
+    // EXISTS, and the UNION-ALL unpivot are all plain ANSI; q43's oracle
+    // needs DuckDB's zip-unnest and stays DuckDB-only
+    "q40_scalar_subquery", "q41_exists_subquery", "q42_unpivot",
     // temporal pack: the interval-join and gaps-and-islands oracles are
     // plain ANSI (qe_asof's ASOF JOIN and qp's arg_min are DuckDB-only)
     "qe_attribution", "qe_sessions")
