@@ -12,12 +12,18 @@ import graft.sources.Tables
   * records streamed, no per-row task overhead).
   *
   * ── STUB BOUNDARY ────────────────────────────────────────────────────
-  * This container ships no image/audio codecs, so [[StubCodec]] is a
-  * DETERMINISTIC FAKE: a tiny "GRFT" header format stands in for
-  * JPEG/WAV/MP4. Swap `StubCodec` for a real codec (javacv, twelvemonkeys
-  * …) and nothing else changes — the schema, the partitioning, the batch
-  * iteration shape, and every test below exercise the real Spark-side
-  * plumbing.
+  * This container ships no COMPRESSED-format codecs (JPEG/WAV/MP4), so
+  * [[StubCodec]] is a DETERMINISTIC FAKE for those: a tiny "GRFT" header
+  * format stands in. Swap `StubCodec` for a real codec (javacv,
+  * twelvemonkeys …) and nothing else changes — the schema, the
+  * partitioning, the batch iteration shape, and every test below exercise
+  * the real Spark-side plumbing.
+  *
+  * [[PpmCodec]], by contrast, is a REAL codec: binary NetPBM P6 is an
+  * actual interchange format and its parse/decode/resize below is
+  * complete, pure-JVM byte work — the uncompressed-image path needs no
+  * stub at all (qm_image_stats verifies decoded pixel sums per record
+  * against an independent closed-form oracle).
   * ─────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -60,6 +66,106 @@ object Multimodal {
       val total = math.max(1f, payload.length - HeaderLen)
       hist.map(_ / total)
     }
+  }
+
+  /** REAL image codec: binary NetPBM (P6 / PPM), parsed and emitted as
+    * raw bytes with no library dependency. Covers the uncompressed-image
+    * leg of the multimodal surface for real — header parse, exact
+    * per-channel pixel sums (the feature-extract primitive), and
+    * nearest-neighbor resize (a genuine pixel transform). Our encoder
+    * never writes `#` comments, so the parser doesn't accept them —
+    * payloads from elsewhere should be normalized first. */
+  object PpmCodec {
+    /** `pixel(i)` supplies byte i of the interleaved RGB body. */
+    def encode(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](3 * w * h)
+      var i = 0
+      while (i < body.length) { body(i) = (pixel(i) & 0xFF).toByte; i += 1 }
+      header ++ body
+    }
+
+    /** (width, height, body offset), or None when not a well-formed P6
+      * with maxval 255 and a complete body. */
+    def decodeHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+      var i = 2
+      def skipWs(): Unit =
+        while (i < p.length &&
+          (p(i) == '\n' || p(i) == ' ' || p(i) == '\t' || p(i) == '\r')) i += 1
+      def int(): Int = {
+        var v = 0; val s = i
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+        if (i == s) -1 else v
+      }
+      skipWs(); val w = int(); skipWs(); val h = int(); skipWs(); val mx = int()
+      if (w <= 0 || h <= 0 || mx != 255 || i >= p.length) None
+      else {
+        i += 1 // exactly one whitespace byte separates maxval from the body
+        if (p.length - i < 3 * w * h) None else Some((w, h, i))
+      }
+    }
+
+    /** Integer-exact per-channel sums over the decoded pixels. */
+    def channelSums(p: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      decodeHeader(p).map { case (w, h, off) =>
+        var r = 0L; var g = 0L; var b = 0L
+        var i = off
+        val end = off + 3 * w * h
+        while (i < end) { r += p(i) & 0xFF; g += p(i + 1) & 0xFF; b += p(i + 2) & 0xFF; i += 3 }
+        (w, h, r, g, b)
+      }
+
+    /** Nearest-neighbor resize to (nw, nh); returns a new P6 payload. */
+    def resize(p: Array[Byte], nw: Int, nh: Int): Option[Array[Byte]] =
+      decodeHeader(p).map { case (w, h, off) =>
+        encode(nw, nh, { i =>
+          val pix = i / 3; val c = i % 3
+          val x = ((pix % nw).toLong * w / nw).toInt
+          val y = ((pix / nw).toLong * h / nh).toInt
+          p(off + 3 * (y * w + x) + c) & 0xFF
+        })
+      }
+  }
+
+  case class ImageRecord(media_id: Long, payload: Array[Byte])
+  case class ImageStats(media_id: Long, width: Long, height: Long,
+                        r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Synthetic PPM images derived deterministically from `documents`:
+    * dimensions from doc stats, pixel bytes from the same LCG-ish formula
+    * the oracle reproduces closed-form. Real P6 payloads — any PPM tool
+    * could open them. */
+  def syntheticPpm(spark: SparkSession, d: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (8 + id % 13).toInt; val h = (6 + id % 9).toInt
+        ImageRecord(id, PpmCodec.encode(w, h, i => ((id * 31 + i * 7) % 251).toInt))
+      }
+  }
+
+  /** Batch-iterating decode of real P6 payloads → per-record stats; the
+    * feature-extract step of an image ingest pipeline (corrupt payloads
+    * are dropped). */
+  def imageStats(images: Dataset[ImageRecord]): Dataset[ImageStats] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.flatMap { r =>
+      PpmCodec.channelSums(r.payload).map { case (w, h, rs, gs, bs) =>
+        ImageStats(r.media_id, w.toLong, h.toLong, rs, gs, bs)
+      }
+    })
+  }
+
+  /** Resize every image (the thumbnail/normalize step); payloads stay
+    * real P6 end to end. */
+  def resizeImages(images: Dataset[ImageRecord], nw: Int, nh: Int): Dataset[ImageRecord] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.flatMap { r =>
+      PpmCodec.resize(r.payload, nw, nh).map(p => ImageRecord(r.media_id, p))
+    })
   }
 
   /** Decode metadata from the payload header — batch-iterating per
@@ -126,10 +232,32 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
       .orderBy("media_type")
 
+  /** QM2 — REAL image decode, verified per record: encode documents as
+    * genuine P6 payloads, decode them back with [[PpmCodec]], and emit
+    * exact per-channel pixel sums. The oracle never sees the bytes — it
+    * recomputes every sum closed-form from the generator formula — so a
+    * hash match proves the encode → binary column → decode → pixel-sum
+    * path is byte-exact end to end. */
+  def qmImageStats(spark: SparkSession, d: String): DataFrame =
+    imageStats(syntheticPpm(spark, d)).toDF()
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qm_binary_stats" -> qmBinaryStats _)
+    "qm_binary_stats" -> qmBinaryStats _,
+    "qm_image_stats" -> qmImageStats _)
 
   val oracles: Map[String, String] = Map(
+    "qm_image_stats" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 8 + doc_id % 13 AS width, " +
+        "6 + doc_id % 9 AS height FROM documents) " +
+        "SELECT media_id, width, height, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*31 + (3*p)*7) % 251)) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*31 + (3*p+1)*7) % 251)) AS BIGINT) AS g_sum, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*31 + (3*p+2)*7) % 251)) AS BIGINT) AS b_sum " +
+        "FROM dims ORDER BY media_id"),
     "qm_binary_stats" ->
       ("SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' WHEN doc_id % 3 = 1 THEN 'image' " +
         "ELSE 'audio' END AS media_type, COUNT(*) AS n, " +

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, FloatType, ArrayType}
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaRecord, StubCodec}
+import graft.operators.Multimodal.{ImageRecord, MediaRecord, PpmCodec, StubCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +64,61 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getLong(1) == expected, s"video $id")
       }
     }
+  }
+
+  // ---- real PPM (P6) codec path ----
+
+  test("PpmCodec encodes a well-formed P6 that round-trips exactly") {
+    val p = PpmCodec.encode(5, 4, i => (i * 3 + 1) % 256)
+    // header is genuine NetPBM: external tools would accept this payload
+    assert(new String(p.take(3), "US-ASCII") == "P6\n")
+    val Some((w, h, off)) = PpmCodec.decodeHeader(p)
+    assert((w, h) == (5, 4))
+    assert(p.length - off == 3 * 5 * 4)
+    (0 until 3 * 5 * 4).foreach(i => assert((p(off + i) & 0xFF) == (i * 3 + 1) % 256))
+  }
+
+  test("PpmCodec rejects corrupt payloads: bad magic, bad maxval, truncated body") {
+    assert(PpmCodec.decodeHeader("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12)).isEmpty)
+    assert(PpmCodec.decodeHeader("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](12)).isEmpty)
+    assert(PpmCodec.decodeHeader("P6\n2 2\n255\n".getBytes ++ new Array[Byte](11)).isEmpty)
+    assert(PpmCodec.decodeHeader(Array.emptyByteArray).isEmpty)
+  }
+
+  test("channel sums match a directly computed reference") {
+    val p = PpmCodec.encode(7, 3, i => (i * 11) % 251)
+    val Some((_, _, rs, gs, bs)) = PpmCodec.channelSums(p)
+    def ref(c: Int) = (0 until 7 * 3).map(px => (3 * px + c) * 11 % 251).sum.toLong
+    assert((rs, gs, bs) == (ref(0), ref(1), ref(2)))
+  }
+
+  test("nearest-neighbor resize: dimensions change, same-size is identity, pixels map back") {
+    val src = PpmCodec.encode(8, 6, i => (i * 5) % 256)
+    val Some(same) = PpmCodec.resize(src, 8, 6)
+    assert(same.sameElements(src))
+    val Some(half) = PpmCodec.resize(src, 4, 3)
+    val Some((w, h, off)) = PpmCodec.decodeHeader(half)
+    assert((w, h) == (4, 3))
+    val Some((_, _, srcOff)) = PpmCodec.decodeHeader(src)
+    // each target pixel equals the source pixel at the floor-mapped coords
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * 8 / 4; val sy = y * 6 / 3
+      assert(half(off + 3 * (y * 4 + x) + c) == src(srcOff + 3 * (sy * 8 + sx) + c))
+    }
+  }
+
+  test("distributed image pipeline: synthesize -> resize -> decode stays byte-exact") {
+    val images = Multimodal.syntheticPpm(spark, sfTiny)
+    val stats = Multimodal.imageStats(images).collect()
+    assert(stats.length == images.count())
+    // resize every image to 4x3 and re-decode: all dims land, none dropped
+    val resized = Multimodal.imageStats(Multimodal.resizeImages(images, 4, 3)).collect()
+    assert(resized.length == stats.length)
+    assert(resized.forall(s => s.width == 4 && s.height == 3))
+    // corrupt P6 payloads are dropped, not crashed on
+    val corrupt = Seq(ImageRecord(990L, "P6\n2 2\n255".getBytes),
+      ImageRecord(991L, Array[Byte]('P', '6'))).toDS()
+    assert(Multimodal.imageStats(corrupt).count() == 0)
   }
 
   test("pipeline composes: decode -> features -> ANN-ready embedding column") {
