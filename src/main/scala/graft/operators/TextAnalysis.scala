@@ -232,6 +232,24 @@ object TextAnalysis {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** QT9 — repetition signal (the "duplicate n-gram fraction" quality
+    * rule): fraction of a doc's word 3-grams that are repeats of an
+    * earlier 3-gram in the same doc. Boilerplate/spam pages score high
+    * and get filtered before training. Entirely scan-side: native
+    * `word_shingles` + `array_distinct` per row, one exact double
+    * division rounded — no shuffle except the final sort. */
+  def qtRepetition(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    T.documents(spark, d)
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_sh"),
+        size(array_distinct(col("sh"))).cast("long").as("n_uniq"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_sh"), 6))
+      .orderBy("doc_id")
+  }
+
   /** QP2 — weighted domain mixture: deterministic hash-sampling at
     * per-domain rates (here: keep all `en`, ~20% of everything else) — how
     * training mixtures are rebalanced without a shuffle or an RNG. The
@@ -328,6 +346,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
     "qp_pack" -> qpPack _,
@@ -342,6 +361,13 @@ object TextAnalysis {
     "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
+    "qt_repetition" ->
+      ("WITH sh AS (SELECT doc_id, list_transform(range(1, len(string_split(text, ' ')) - 1), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS sh FROM documents) " +
+        "SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, " +
+        "CAST(len(list_distinct(sh)) AS BIGINT) AS n_uniq, " +
+        "ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio " +
+        "FROM sh ORDER BY doc_id"),
     "qt_contamination" ->
       ("WITH ev AS (SELECT doc_id AS eval_doc, text FROM documents WHERE doc_id % 50 = 0), " +
         "spans AS (SELECT eval_doc, array_to_string(string_split(text, ' ')[1:8], ' ') AS span " +

@@ -37,6 +37,60 @@ class ClusteredWriteSpec extends SparkSpec {
     assert(flatOverlaps > 0, "control failed: random partitioning produced disjoint ranges")
   }
 
+  test("row-group sizing: sorted small-group writes prune inside the file (footer evidence)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    def groupRanges(dir: String): Seq[(Long, Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      files.toSeq.flatMap { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.toString), new Configuration()))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "l_orderkey").get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+            b.getRowCount)
+        } finally r.close()
+      }
+    }
+
+    val li = Tables.lineitem(spark, sfSmall).select("l_orderkey", "l_quantity")
+    val small = java.nio.file.Files.createTempDirectory("graft-rg-small").toString
+    FileFormats.writeRowGrouped(li, small, files = 1, blockBytes = 256 * 1024, "l_orderkey")
+    val groups = groupRanges(small)
+    assert(groups.size >= 4, s"expected many small row groups, got ${groups.size}")
+    // sorted write -> per-group key ranges are pairwise disjoint, the
+    // property the reader's footer min/max check prunes on
+    val sorted = groups.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hiA, _), (loB, _, _)) => assert(hiA <= loB, "overlapping row groups")
+      case _ =>
+    }
+    // a point predicate overlaps exactly ONE of N groups: the reader
+    // decodes ~1/N of the file instead of all of it. Probe strictly
+    // inside a group's range — a key ON the cut (duplicates straddling
+    // two groups) legitimately overlaps both.
+    val mid = sorted(sorted.size / 2)
+    assert(mid._2 > mid._1 + 1, "degenerate group range")
+    val probe = (mid._1 + mid._2) / 2 max (mid._1 + 1) min (mid._2 - 1)
+    val overlapping = groups.filter(g => g._1 <= probe && probe <= g._2)
+    assert(overlapping.size == 1, s"point key $probe overlaps ${overlapping.size} groups")
+    val skippedRows = groups.map(_._3).sum - overlapping.map(_._3).sum
+    assert(skippedRows > groups.map(_._3).sum / 2, "pruning should skip most rows")
+    // control: the default 128 MB block puts everything in one group —
+    // the same predicate prunes nothing inside the file
+    val big = java.nio.file.Files.createTempDirectory("graft-rg-big").toString
+    FileFormats.writeRowGrouped(li, big, files = 1, blockBytes = 128L * 1024 * 1024, "l_orderkey")
+    assert(groupRanges(big).size == 1, "control failed: default block split into groups")
+  }
+
   test("z-ordered files prune on BOTH dimensions; lexicographic only on the leading one") {
     val src = Tables.events(spark, sfTiny)
       .withColumn("secs", unix_timestamp(col("ts")))

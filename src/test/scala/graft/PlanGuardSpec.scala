@@ -66,6 +66,17 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("contamination check broadcasts the eval side; the train corpus never shuffles pre-join") {
+    // The 100 TB contract of qt_contamination: both joins (span injection,
+    // shingle match) must be broadcast — eval sets are small by nature —
+    // so the only Exchange in the plan is the final per-pair aggregate.
+    val p = plan("qt_contamination")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"qt_contamination lost an eval-side broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"qt_contamination shuffles the train corpus into a join:\n$p")
+  }
+
   test("dimension joins broadcast the bounded dims (q5, q6)") {
     for (q <- Seq("q5_join", "q6_multi_join")) {
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast:\n${plan(q)}")
