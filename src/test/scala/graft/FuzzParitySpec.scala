@@ -6,11 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import scala.util.Random
 
-/** Differential fuzzing over the relational surface: 260 seeded-random
-  * plans over 12 shapes (scan / filter / join / group / aggregate /
+/** Differential fuzzing over the relational surface: 330 seeded-random
+  * plans over 15 shapes (scan / filter / join / group / aggregate /
   * distinct / sort+limit / window top-k / union-all / set-ops incl. ALL
   * / semi+anti via IN-subquery / rank+lag+running-sum windows / HAVING /
-  * CASE WHEN), each built SIMULTANEOUSLY as a DataFrame program and an
+  * CASE WHEN / correlated EXISTS / scalar MIN-MAX subquery / unpivot),
+  * each built SIMULTANEOUSLY as a DataFrame program and an
   * equivalent ANSI SQL string from one AST, executed both ways, compared
   * row for row.
   *
@@ -98,7 +99,7 @@ class FuzzParitySpec extends SparkSpec {
   /** Build one (DataFrame, SQL, orderedCompare) triple from the seed. */
   private def genCase(seed: Int): (DataFrame, String, Boolean) = {
     val rng = new Random(seed)
-    rng.nextInt(12) match {
+    rng.nextInt(15) match {
       case 0 => // scan + filter + projection (maybe DISTINCT)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
@@ -295,7 +296,7 @@ class FuzzParitySpec extends SparkSpec {
           s"GROUP BY ${keys.mkString(", ")} HAVING COUNT(*) > $n"
         (df, sql, false)
 
-      case _ => // CASE WHEN bucketing expression, then re-aggregate
+      case 11 => // CASE WHEN bucketing expression, then re-aggregate
         val t = tbls(rng.nextInt(tbls.size))
         val c = t.intNums(rng.nextInt(t.intNums.size))
         val m = 2 + rng.nextInt(4)
@@ -313,13 +314,72 @@ class FuzzParitySpec extends SparkSpec {
           s"${pred.map(p => s" WHERE ${p.sql}").getOrElse("")} " +
           "GROUP BY 1"
         (df, sql, false)
+
+      case 12 => // correlated EXISTS / NOT EXISTS with an extra right-side
+                 // predicate (decorrelates to semi/anti; the EXISTS spelling
+                 // both engines parse, complementing shape 8's IN form)
+        val (li, ri, lk, rk) = joinPairs(rng.nextInt(joinPairs.size))
+        val (lt, rt) = (tbls(li), tbls(ri))
+        val rp = genPred(rng, rt)
+        val anti = rng.nextBoolean()
+        val all = lt.nums ++ lt.strs
+        val cols = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
+        var right = spark.table(rt.name)
+        rp.foreach(p => right = right.filter(p.c))
+        val df = spark.table(lt.name)
+          .join(right.select(col(rk)), col(lk) === col(rk),
+            if (anti) "left_anti" else "left_semi")
+          .select(cols.map(col): _*)
+        val sql = s"SELECT ${cols.mkString(", ")} FROM ${lt.name} " +
+          s"WHERE ${if (anti) "NOT EXISTS" else "EXISTS"} " +
+          s"(SELECT 1 FROM ${rt.name} WHERE $rk = $lk" +
+          rp.map(p => s" AND ${p.sql}").getOrElse("") + ")"
+        (df, sql, false)
+
+      case 13 => // scalar subquery threshold: MIN/MAX are exact (no float
+                 // accumulation), so the comparison cannot drift across
+                 // engines; DataFrame side is the 1-row broadcast join
+        val t = tbls(rng.nextInt(tbls.size))
+        val t2 = tbls(rng.nextInt(tbls.size))
+        val c = t.intNums(rng.nextInt(t.intNums.size))
+        val c2 = t2.intNums(rng.nextInt(t2.intNums.size))
+        val useMin = rng.nextBoolean()
+        val all = t.nums ++ t.strs
+        val cols = rng.shuffle(all).take(1 + rng.nextInt(2)).sorted
+        val scalar = spark.table(t2.name)
+          .agg((if (useMin) min(col(c2)) else max(col(c2))).as("sv"))
+        val df = spark.table(t.name)
+          .join(broadcast(scalar))
+          .filter(col(c) <= col("sv"))
+          .select(cols.map(col): _*)
+        val sql = s"SELECT ${cols.mkString(", ")} FROM ${t.name} " +
+          s"WHERE $c <= (SELECT ${if (useMin) "MIN" else "MAX"}($c2) FROM ${t2.name})"
+        (df, sql, false)
+
+      case _ => // unpivot (wide aggregate melted to long): DataFrame
+                // unpivot vs the UNION ALL spelling every engine parses;
+                // both metrics are LongType so no unification cast
+        val t = tbls(rng.nextInt(tbls.size))
+        val all = t.strs ++ t.nums
+        val key = all(rng.nextInt(all.size))
+        val ic = t.intNums(rng.nextInt(t.intNums.size))
+        val wide = spark.table(t.name)
+          .groupBy(col(key))
+          .agg(count(lit(1)).as("m1"), max(col(ic)).as("m2"))
+        val df = wide.unpivot(Array(col(key)), Array(col("m1"), col("m2")),
+          "metric", "value")
+        val sql = s"WITH w AS (SELECT $key, COUNT(*) AS m1, MAX($ic) AS m2 " +
+          s"FROM ${t.name} GROUP BY $key) " +
+          s"SELECT $key, 'm1' AS metric, m1 AS value FROM w " +
+          s"UNION ALL SELECT $key, 'm2', m2 FROM w"
+        (df, sql, false)
     }
   }
 
-  test("260 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
+  test("330 random plans: DataFrame program == spark.sql of the generated ANSI SQL") {
     Tables.registerAll(spark, sfTiny)
     val dump = scala.collection.mutable.ListBuffer[String]()
-    val failures = (0 until 260).flatMap { i =>
+    val failures = (0 until 330).flatMap { i =>
       val seed = 0xF0002 + i
       val (df, sql, ordered) = genCase(seed)
       def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] = {

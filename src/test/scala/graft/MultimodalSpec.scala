@@ -83,6 +83,9 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmCodec.decodeHeader("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](12)).isEmpty)
     assert(PpmCodec.decodeHeader("P6\n2 2\n255\n".getBytes ++ new Array[Byte](11)).isEmpty)
     assert(PpmCodec.decodeHeader(Array.emptyByteArray).isEmpty)
+    // adversarial dims must not overflow 3*w*h into a "valid" payload
+    assert(PpmCodec.decodeHeader(
+      "P6\n99999999 99999999\n255\n".getBytes ++ new Array[Byte](32)).isEmpty)
   }
 
   test("channel sums match a directly computed reference") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Cross-engine leg of the fuzz differential (dev tool).
 
-FuzzParitySpec proves DataFrame == spark.sql for 260 generated plans and
+FuzzParitySpec proves DataFrame == spark.sql for 330 generated plans and
 dumps `seed<TAB>rowcount<TAB>sql` to target/fuzz_sql.tsv. This replays
 every SQL string in DuckDB over the same parquet tables: each must
 parse, execute, and return the SAME row count Spark saw — validating the
