@@ -206,7 +206,7 @@ object Dedup {
     *    its next action: one job per round), but an executor loss is
     *    unrecoverable (lineage is truncated).
     */
-  private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
+  private[operators] def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // eager regardless of the flag: the checkpoint must be written

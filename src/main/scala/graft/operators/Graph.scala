@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Link-graph analysis: iterative PageRank as plain DataFrame aggregates.
+  *
+  * PageRank is the canonical "beyond wordcount" MapReduce program (each
+  * iteration IS a map + shuffle + reduce: contributions flow along edges,
+  * sum per target — the reference's O3/O4/O8 loop; `mapreduce.c:64-154`
+  * generalized), and in an LLM-data pipeline it is a corpus-curation
+  * signal: link centrality over a page/citation graph is a classic
+  * quality prior for crawl filtering.
+  *
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * current scores (both partitioned by src — AQE picks the join), one
+  * shuffle to sum contributions per dst, one left join back to the node
+  * set. State between iterations is one (node, score) row per node with
+  * lineage cut per round via [[Dedup.cutLineage]] (reliable checkpoints
+  * when a checkpoint dir is configured, lazy local cuts otherwise — the
+  * dupClusters discipline; a fixed iteration count needs no per-round
+  * convergence job at all, so the cuts materialize inside the next
+  * round's own action). The only driver-side value is one scalar (the
+  * node count).
+  *
+  * Simplified model (documented, oracle-mirrored): dangling-node mass is
+  * not redistributed — nodes without out-edges absorb rank. Fine for
+  * scoring/ranking uses; add a dangling-mass term if probability mass
+  * must sum to 1.
+  */
+object Graph {
+
+  /** `edges`: (src: bigint, dst: bigint), multi-edges count once per
+    * occurrence. Returns (node, score) after `iterations` rounds of
+    * score = (1-d)/n + d * Σ_{in-edges} score(src)/outdeg(src). */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    // materialize the edge list once: every iteration joins against it
+    val e = Dedup.cutLineage(
+      edges.select(col("src").cast("long"), col("dst").cast("long")), eager = true)
+    val nodes = Dedup.cutLineage(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct(), eager = true)
+    val n = nodes.count() // bounded driver scalar: one long
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var scores = nodes.withColumn("score", lit(1.0) / n)
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(outdeg, "src")
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("score") / col("outdeg")).as("c"))
+      scores = Dedup.cutLineage(
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) / n + lit(damping) * coalesce(col("c"), lit(0.0)))
+              .as("score")), eager = false)
+    }
+    scores
+  }
+
+  /** QG — PageRank over a deterministic synthetic link graph derived
+    * from `orders` (src = customer, dst = a hashed order target), 3
+    * iterations, scores rounded at 1e-8 (double contribution sums drift
+    * only in the last ulps; the oracle unrolls the same 3 iterations as
+    * nested CTEs). */
+  def qgPageRank(spark: SparkSession, d: String): DataFrame =
+    pageRank(
+      Tables.orders(spark, d)
+        .select(col("o_custkey").as("src"),
+          ((col("o_orderkey") * 7) % 1500 + 1).as("dst")),
+      iterations = 3)
+      .select(col("node"), round(col("score"), 8).as("score"))
+      .orderBy("node")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qg_pagerank" -> qgPageRank _)
+
+  val oracles: Map[String, String] = Map(
+    "qg_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"c$out AS (SELECT dst, SUM(s.score / od.outdeg) AS c FROM e " +
+          s"JOIN $prev s ON s.node = e.src JOIN od ON od.src = e.src GROUP BY dst), " +
+          s"$out AS (SELECT nodes.node, CAST(0.15 AS DOUBLE) / nn.n + " +
+          s"CAST(0.85 AS DOUBLE) * COALESCE(c$out.c, 0) AS score " +
+          s"FROM nodes CROSS JOIN nn LEFT JOIN c$out ON c$out.dst = nodes.node), "
+      "WITH e AS (SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst FROM orders), " +
+        "nodes AS (SELECT DISTINCT node FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), " +
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), " +
+        "s0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS score FROM nodes CROSS JOIN nn), " +
+        iter("s0", "s1") + iter("s1", "s2") +
+        "cs3 AS (SELECT dst, SUM(s.score / od.outdeg) AS c FROM e " +
+        "JOIN s2 s ON s.node = e.src JOIN od ON od.src = e.src GROUP BY dst), " +
+        "s3 AS (SELECT nodes.node, CAST(0.15 AS DOUBLE) / nn.n + " +
+        "CAST(0.85 AS DOUBLE) * COALESCE(cs3.c, 0) AS score " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN cs3 ON cs3.dst = nodes.node) " +
+        "SELECT node, ROUND(score, 8) AS score FROM s3 ORDER BY node"
+    })
+}

@@ -250,6 +250,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** QT10 — TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)), top-3 terms per doc by (score desc, token). The
+    * classic term-weighting pipeline: one explode + two aggregates (term
+    * frequency per doc; document frequency per token) + a broadcast of
+    * the tiny (token, df) side + a partitioned rank window. At scale df
+    * is vocabulary-sized (bounded), so the join stays map-side; nothing
+    * ever materializes a dense doc×term matrix. ln differs across
+    * engines only in the last ulp — scores are compared rounded at 1e-6
+    * with an exact (tf, token) tiebreak. */
+  def qtTfidf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(spark, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .join(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("score"), 6).as("score"), col("rn").cast("long").as("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** QP2 — weighted domain mixture: deterministic hash-sampling at
     * per-domain rates (here: keep all `en`, ~20% of everything else) — how
     * training mixtures are rebalanced without a shuffle or an RNG. The
@@ -346,6 +377,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_tfidf" -> qtTfidf _,
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
@@ -361,6 +393,21 @@ object TextAnalysis {
     "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
+    "qt_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM terms GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, COUNT(*) AS df FROM " +
+        "(SELECT DISTINCT doc_id, token FROM terms) GROUP BY token), " +
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, tf.token, cnt, " +
+        "cnt * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score " +
+        "FROM tf JOIN dfreq USING (token) CROSS JOIN nd), " +
+        "ranked AS (SELECT doc_id, token, cnt, score, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn " +
+        "FROM scored) " +
+        "SELECT doc_id, token, cnt AS tf, ROUND(score, 6) AS score, rn " +
+        "FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"),
     "qt_repetition" ->
       ("WITH sh AS (SELECT doc_id, list_transform(range(1, len(string_split(text, ' ')) - 1), " +
         "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS sh FROM documents) " +

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** PageRank ([[Graph.pageRank]]): the declared query is oracle-checked
+  * (qg_pagerank vs 3 unrolled CTE iterations in the oracle engine); this
+  * spec pins the closed-form cases and invariants the oracle can't see.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("2-cycle is a fixed point: both nodes stay at exactly 1/2") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val scores = Graph.pageRank(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // (1-d)/2 + d * 1/2 = 1/2 for any damping — an exact invariant
+    assert(math.abs(scores(1L) - 0.5) < 1e-12)
+    assert(math.abs(scores(2L) - 0.5) < 1e-12)
+  }
+
+  test("star graph ranks the hub first; leaves keep only the teleport mass") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val scores = Graph.pageRank(edges, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // after one round: hub = 0.15/4 + 0.85 * (3 * 0.25), leaf = 0.15/4
+    assert(math.abs(scores(1L) - 0.675) < 1e-12)
+    Seq(2L, 3L, 4L).foreach(l => assert(math.abs(scores(l) - 0.0375) < 1e-12))
+  }
+
+  test("mass conservation: no dangling nodes -> scores sum to exactly 1") {
+    // 4-cycle: every node has an out-edge, so no mass leaks
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val total = Graph.pageRank(edges, iterations = 3)
+      .agg(sum("score")).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("dangling nodes absorb: total mass decays but stays positive and bounded") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val total = Graph.pageRank(edges, iterations = 3)
+      .agg(sum("score")).collect()(0).getDouble(0)
+    assert(total > 0 && total <= 1.0 + 1e-9)
+  }
+
+  test("deterministic across runs on the synthetic orders graph") {
+    val a = Graph.qgPageRank(spark, sfTiny).collect().toSeq
+    val b = Graph.qgPageRank(spark, sfTiny).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
