@@ -36,19 +36,21 @@ object Graph {
     * score = (1-d)/n + d * Σ_{in-edges} score(src)/outdeg(src). */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    // materialize the edge list once: every iteration joins against it
-    val e = Dedup.cutLineage(
-      edges.select(col("src").cast("long"), col("dst").cast("long")), eager = true)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // materialize the WEIGHTED edge list once (src, dst, outdeg): every
+    // iteration joins against it, and folding the out-degree in up front
+    // saves one aggregate + one join per round
+    val weighted = Dedup.cutLineage(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
+      eager = true)
     val nodes = Dedup.cutLineage(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
+      weighted.select(col("src").as("node"))
+        .union(weighted.select(col("dst").as("node")))
         .distinct(), eager = true)
     val n = nodes.count() // bounded driver scalar: one long
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var scores = nodes.withColumn("score", lit(1.0) / n)
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(outdeg, "src")
+      val contribs = weighted
         .join(scores.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("score") / col("outdeg")).as("c"))
