@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-structure guards: the scale-critical physical-plan properties,
   * asserted so a refactor that silently loses one (a filter that stops
   * pushing, a join that degrades to nested-loop, a window that funnels to
@@ -64,6 +66,54 @@ class PlanGuardSpec extends SparkSpec {
           s"$q recomputes its self-join side instead of reusing the exchange:\n$p")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runtime bloom filter from a selective dim reaches the fact scan (shuffle-join shape)") {
+    // At 100 TB the fact side of a selective join must be pre-filtered at
+    // the SCAN by a bloom filter built from the filtered dim — otherwise
+    // the full fact table shuffles only to be discarded by the join.
+    // Thresholds are lowered to make the tiny test corpus eligible; the
+    // FEATURE and plan shape are exactly what fires at scale.
+    val sets = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = sets.map { case (k, _) => k -> spark.conf.get(k) }
+    sets.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = sfSmall
+      val fact = graft.sources.Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+      val dim = graft.sources.Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 97 === 0)
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // Partition-pruning's join-driven form: the fact is partitioned on
+    // the join key's proxy column; filtering the DIM must inject a
+    // dynamicpruning subquery into the fact scan so only matching
+    // partitions are read — the mechanism star-schema queries live on.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val orders = graft.sources.Tables.orders(spark, sfSmall)
+      .withColumn("prio", col("o_orderpriority"))
+    graft.sources.FileFormats.writePartitioned(orders, dir, "prio")
+    val fact = spark.read.parquet(dir)
+    // the dim filter is on a NON-join column: a literal filter on the
+    // join key itself gets constant-propagated into a STATIC partition
+    // filter (also verified pruning, but not the dynamic mechanism)
+    val dim = orders.filter(col("o_custkey") % 1000 === 7)
+      .select(col("o_orderpriority").as("p")).distinct()
+    val joined = fact.join(dim, col("prio") === col("p"))
+      .agg(count(lit(1)))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan lacks a dynamic partition pruning subquery:\n$p")
   }
 
   test("contamination check broadcasts the eval side; the train corpus never shuffles pre-join") {
