@@ -29,7 +29,10 @@ class SqlParitySpec extends SparkSpec {
     "q40_scalar_subquery", "q41_exists_subquery", "q42_unpivot",
     // temporal pack: the interval-join and gaps-and-islands oracles are
     // plain ANSI (qe_asof's ASOF JOIN and qp's arg_min are DuckDB-only)
-    "qe_attribution", "qe_sessions")
+    "qe_attribution", "qe_sessions",
+    // the PageRank oracle's unrolled CTE iterations are plain ANSI too —
+    // Spark executes the same 3-iteration SQL the oracle engine runs
+    "qg_pagerank")
 
   for (name <- sparkParsable) {
     test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
