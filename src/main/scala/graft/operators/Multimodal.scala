@@ -102,7 +102,8 @@ object Multimodal {
       // dimension cap (64k per axis) + long arithmetic: an adversarial
       // header like "P6 99999999 99999999" must not overflow 3*w*h into
       // a "valid" negative body length
-      if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF || mx != 255 || i >= p.length) None
+      if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF || mx != 255 || i >= p.length ||
+        !(p(i) == '\n' || p(i) == '\r' || p(i) == ' ' || p(i) == '\t')) None
       else {
         i += 1 // exactly one whitespace byte separates maxval from the body
         if ((p.length - i).toLong < 3L * w * h) None else Some((w, h, i))
