@@ -12,18 +12,25 @@ import graft.sources.Tables
   * records streamed, no per-row task overhead).
   *
   * ── STUB BOUNDARY ────────────────────────────────────────────────────
-  * This container ships no COMPRESSED-format codecs (JPEG/WAV/MP4), so
-  * [[StubCodec]] is a DETERMINISTIC FAKE for those: a tiny "GRFT" header
-  * format stands in. Swap `StubCodec` for a real codec (javacv,
-  * twelvemonkeys …) and nothing else changes — the schema, the
-  * partitioning, the batch iteration shape, and every test below exercise
-  * the real Spark-side plumbing.
+  * VIDEO (MP4/H.264…) is the one leg this container genuinely cannot
+  * decode — the JDK ships no video codec and no javacv/ffmpeg jars are
+  * available — so [[StubCodec]] remains a DETERMINISTIC FAKE for the
+  * video rows of [[syntheticMedia]] only: a tiny "GRFT" header format
+  * stands in. Swap `StubCodec` for a real codec (javacv …) and nothing
+  * else changes — the schema, the partitioning, the batch iteration
+  * shape, and every test below exercise the real Spark-side plumbing.
   *
-  * [[PpmCodec]], by contrast, is a REAL codec: binary NetPBM P6 is an
-  * actual interchange format and its parse/decode/resize below is
-  * complete, pure-JVM byte work — the uncompressed-image path needs no
-  * stub at all (qm_image_stats verifies decoded pixel sums per record
-  * against an independent closed-form oracle).
+  * Everything else is REAL:
+  *  - [[PpmCodec]]: binary NetPBM P6, complete pure-JVM byte work
+  *    (qm_image_stats verifies decoded pixel sums per record against an
+  *    independent closed-form oracle).
+  *  - [[ImageIoCodec]]: COMPRESSED images (PNG/JPEG/BMP/GIF/TIFF) via
+  *    the JDK's `javax.imageio` readers/writers — qm_png_stats decodes
+  *    real PNG payloads and hash-matches closed-form pixel sums (PNG is
+  *    lossless, so the oracle never needs to see the bytes).
+  *  - [[WavCodec]]: PCM audio via `javax.sound.sampled` (WAVE/AU/AIFF
+  *    readers ship with the JDK) — qm_audio_stats decodes real RIFF/WAVE
+  *    payloads and hash-matches closed-form sample sums.
   * ─────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -94,9 +101,15 @@ object Multimodal {
         while (i < p.length &&
           (p(i) == '\n' || p(i) == ' ' || p(i) == '\t' || p(i) == '\r')) i += 1
       def int(): Int = {
-        var v = 0; val s = i
-        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
-        if (i == s) -1 else v
+        // accumulate in Long and clamp: a huge digit string ("12884901889")
+        // must fail the dimension cap below, not wrap Int into a small
+        // "valid" value (the clamp keeps the parse position correct)
+        var v = 0L; val s = i
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0'); if (v > Int.MaxValue) v = Int.MaxValue
+          i += 1
+        }
+        if (i == s) -1 else v.toInt
       }
       skipWs(); val w = int(); skipWs(); val h = int(); skipWs(); val mx = int()
       // dimension cap (64k per axis) + long arithmetic: an adversarial
@@ -132,9 +145,149 @@ object Multimodal {
       }
   }
 
+  /** REAL compressed-image codec backed by the JDK's `javax.imageio`
+    * (`java.desktop` module — PNG/JPEG/BMP/GIF/TIFF/WBMP readers and
+    * writers ship with this JVM; verified via
+    * `ImageIO.getReaderFormatNames()`). Decode is pure in-memory byte
+    * work per record — [[init]] disables ImageIO's temp-file cache so
+    * executors never touch local disk on the decode path. */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Idempotent per-JVM setup (driver and each executor JVM): decode
+      * fully in memory — the default ImageIO disk cache would add a
+      * temp-file write per record, a silent I/O tax at 100 TB. */
+    private lazy val init: Unit = ImageIO.setUseCache(false)
+
+    /** Encode interleaved-RGB pixels (`pixel(i)` = byte i, the same
+      * convention as [[PpmCodec.encode]]) to `format` — "png" (lossless),
+      * "jpg", "bmp", "gif", "tiff". */
+    def encode(w: Int, h: Int, format: String, pixel: Int => Int): Array[Byte] = {
+      init
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        img.setRGB(p % w, p / w,
+          ((pixel(3 * p) & 0xFF) << 16) | ((pixel(3 * p + 1) & 0xFF) << 8) | (pixel(3 * p + 2) & 0xFF))
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, format, out), s"no ImageIO writer for '$format'")
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload; None on corrupt/unknown
+      * bytes (ImageIO returns null for unrecognized formats and throws on
+      * truncated streams — both map to a dropped record, never a crash). */
+    def decode(payload: Array[Byte]): Option[BufferedImage] = {
+      init
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Integer-exact per-channel sums over the decoded pixels — the same
+      * feature-extract primitive as [[PpmCodec.channelSums]], but over
+      * real compressed payloads. */
+    def channelSums(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      decode(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val px = row(x)
+            r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, r, g, b)
+      }
+
+    /** Transcode a NetPBM P6 payload to the given ImageIO format
+      * (PNG keeps it lossless — the round-trip is byte-exact). */
+    def fromPpm(ppm: Array[Byte], format: String): Option[Array[Byte]] =
+      PpmCodec.decodeHeader(ppm).map { case (w, h, off) =>
+        encode(w, h, format, i => ppm(off + i) & 0xFF)
+      }
+
+    /** Transcode any ImageIO-decodable payload to NetPBM P6. */
+    def toPpm(payload: Array[Byte]): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val w = img.getWidth
+        PpmCodec.encode(w, img.getHeight, { i =>
+          val pix = i / 3
+          val px = img.getRGB(pix % w, pix / w)
+          (px >> (16 - 8 * (i % 3))) & 0xFF
+        })
+      }
+  }
+
+  /** REAL audio codec backed by the JDK's `javax.sound.sampled`
+    * (WAVE/AU/AIFF readers ship with this JVM; verified via
+    * `AudioSystem.getAudioFileTypes`). Encodes/decodes 16-bit signed PCM
+    * RIFF/WAVE; stats are integer-exact so they oracle-match closed-form. */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode `nFrames` frames of 16-bit signed little-endian PCM;
+      * `sample(i)` supplies interleaved channel sample i
+      * (i = frame * channels + channel), truncated to 16 bits. */
+    def encode(sampleRate: Int, channels: Int, nFrames: Int, sample: Int => Int): Array[Byte] = {
+      val n = nFrames * channels
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(i)
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a 16-bit PCM payload (any format `AudioSystem` can parse —
+      * WAVE/AU/AIFF, either endianness) → (sample_rate, channels,
+      * n_frames, sum of all samples). None on corrupt/unsupported bytes. */
+    def decodeStats(payload: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 ||
+              f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var sum = 0L
+            var i = 0
+            if (f.isBigEndian)
+              while (i < n) { sum += (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF); i += 1 }
+            else
+              while (i < n) { sum += (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF); i += 1 }
+            Some((f.getSampleRate.toInt, f.getChannels, (n / f.getChannels).toLong, sum))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   case class ImageRecord(media_id: Long, payload: Array[Byte])
   case class ImageStats(media_id: Long, width: Long, height: Long,
                         r_sum: Long, g_sum: Long, b_sum: Long)
+  case class AudioRecord(media_id: Long, payload: Array[Byte])
+  case class AudioStats(media_id: Long, sample_rate: Long, channels: Long,
+                        n_frames: Long, amp_sum: Long)
 
   /** Synthetic PPM images derived deterministically from `documents`:
     * dimensions from doc stats, pixel bytes from the same LCG-ish formula
@@ -169,6 +322,63 @@ object Multimodal {
     import images.sparkSession.implicits._
     images.mapPartitions(_.flatMap { r =>
       PpmCodec.resize(r.payload, nw, nh).map(p => ImageRecord(r.media_id, p))
+    })
+  }
+
+  /** Synthetic COMPRESSED images derived deterministically from
+    * `documents`: real PNG payloads written by the JDK's ImageIO encoder
+    * (any image tool could open them). PNG is lossless, so the pixel
+    * formula survives the encode → decode round trip exactly and the
+    * oracle can recompute sums closed-form without seeing a byte. */
+  def syntheticPng(spark: SparkSession, d: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (6 + id % 11).toInt; val h = (4 + id % 7).toInt
+        ImageRecord(id, ImageIoCodec.encode(w, h, "png", i => ((id * 37 + i * 11) % 253).toInt))
+      }
+  }
+
+  /** Batch-iterating decode of compressed payloads (PNG/JPEG/BMP/…) via
+    * the real ImageIO readers → per-record stats; corrupt payloads are
+    * dropped. Same plumbing shape as [[imageStats]], different codec. */
+  def imageStatsCompressed(images: Dataset[ImageRecord]): Dataset[ImageStats] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.flatMap { r =>
+      ImageIoCodec.channelSums(r.payload).map { case (w, h, rs, gs, bs) =>
+        ImageStats(r.media_id, w.toLong, h.toLong, rs, gs, bs)
+      }
+    })
+  }
+
+  /** Synthetic audio derived deterministically from `documents`: real
+    * 16-bit PCM RIFF/WAVE payloads written by `javax.sound.sampled` (any
+    * audio tool could play them). Sample values are integers, so stats
+    * are exact and the oracle recomputes them closed-form. */
+  def syntheticWav(spark: SparkSession, d: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val rate = (8000 * (1 + id % 3)).toInt
+        val ch = (1 + id % 2).toInt
+        val frames = (120 + id % 77).toInt
+        AudioRecord(id, WavCodec.encode(rate, ch, frames,
+          i => ((id * 131 + i * 17) % 4001 - 2000).toInt))
+      }
+  }
+
+  /** Batch-iterating decode of PCM audio payloads via the real
+    * `AudioSystem` parser → per-record stats; corrupt payloads dropped. */
+  def audioStats(audio: Dataset[AudioRecord]): Dataset[AudioStats] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.flatMap { r =>
+      WavCodec.decodeStats(r.payload).map { case (rate, ch, frames, sum) =>
+        AudioStats(r.media_id, rate.toLong, ch.toLong, frames, sum)
+      }
     })
   }
 
@@ -246,9 +456,29 @@ object Multimodal {
     imageStats(syntheticPpm(spark, d)).toDF()
       .orderBy("media_id")
 
+  /** QM3 — REAL compressed-image decode: encode documents as genuine PNG
+    * payloads with the JDK ImageIO writer, decode them back with the
+    * ImageIO reader, emit exact per-channel pixel sums. PNG is lossless,
+    * so the closed-form oracle (which never sees the bytes) still works —
+    * a hash match proves the compress → binary column → decompress →
+    * pixel-sum path is byte-exact end to end with a real codec. */
+  def qmPngStats(spark: SparkSession, d: String): DataFrame =
+    imageStatsCompressed(syntheticPng(spark, d)).toDF()
+      .orderBy("media_id")
+
+  /** QM4 — REAL audio decode: encode documents as genuine 16-bit PCM
+    * RIFF/WAVE payloads, decode them back through `AudioSystem`, emit
+    * format metadata + the exact sum of all samples. Integer samples ⇒
+    * the oracle recomputes everything closed-form. */
+  def qmAudioStats(spark: SparkSession, d: String): DataFrame =
+    audioStats(syntheticWav(spark, d)).toDF()
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_stats" -> qmBinaryStats _,
-    "qm_image_stats" -> qmImageStats _)
+    "qm_image_stats" -> qmImageStats _,
+    "qm_png_stats" -> qmPngStats _,
+    "qm_audio_stats" -> qmAudioStats _)
 
   val oracles: Map[String, String] = Map(
     "qm_image_stats" ->
@@ -266,5 +496,24 @@ object Multimodal {
       ("SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' WHEN doc_id % 3 = 1 THEN 'image' " +
         "ELSE 'audio' END AS media_type, COUNT(*) AS n, " +
         "CAST(SUM(9 + LEAST((64 + n_chars % 128) * (48 + doc_id % 96), 256)) AS BIGINT) AS total_bytes " +
-        "FROM documents GROUP BY 1 ORDER BY media_type"))
+        "FROM documents GROUP BY 1 ORDER BY media_type"),
+    "qm_png_stats" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 6 + doc_id % 11 AS width, " +
+        "4 + doc_id % 7 AS height FROM documents) " +
+        "SELECT media_id, width, height, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*37 + (3*p)*11) % 253)) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*37 + (3*p+1)*11) % 253)) AS BIGINT) AS g_sum, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "p -> (media_id*37 + (3*p+2)*11) % 253)) AS BIGINT) AS b_sum " +
+        "FROM dims ORDER BY media_id"),
+    "qm_audio_stats" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS BIGINT) AS channels, " +
+        "CAST(120 + doc_id % 77 AS BIGINT) AS n_frames, " +
+        "CAST(list_sum(list_transform(range(0, (120 + doc_id % 77) * (1 + doc_id % 2)), " +
+        "i -> (doc_id*131 + i*17) % 4001 - 2000)) AS BIGINT) AS amp_sum " +
+        "FROM documents ORDER BY media_id"))
 }

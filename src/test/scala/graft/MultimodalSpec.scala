@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, FloatType, ArrayType}
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{ImageRecord, MediaRecord, PpmCodec, StubCodec}
+import graft.operators.Multimodal.{AudioRecord, ImageIoCodec, ImageRecord, MediaRecord, PpmCodec, StubCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -86,6 +86,12 @@ class MultimodalSpec extends SparkSpec {
     // adversarial dims must not overflow 3*w*h into a "valid" payload
     assert(PpmCodec.decodeHeader(
       "P6\n99999999 99999999\n255\n".getBytes ++ new Array[Byte](32)).isEmpty)
+    // a non-whitespace byte after maxval is not a separator
+    assert(PpmCodec.decodeHeader("P6\n2 2\n255X".getBytes ++ new Array[Byte](12)).isEmpty)
+    // a digit string past Int.MaxValue must fail the dimension cap, not
+    // wrap into a small "valid" width (12884901889 = 3 * 2^32 + 1 → Int 1)
+    assert(PpmCodec.decodeHeader(
+      "P6\n12884901889 2\n255\n".getBytes ++ new Array[Byte](32)).isEmpty)
   }
 
   test("channel sums match a directly computed reference") {
@@ -122,6 +128,97 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = Seq(ImageRecord(990L, "P6\n2 2\n255".getBytes),
       ImageRecord(991L, Array[Byte]('P', '6'))).toDS()
     assert(Multimodal.imageStats(corrupt).count() == 0)
+  }
+
+  // ---- real compressed-image codec (JDK ImageIO) ----
+
+  test("ImageIoCodec: PNG encode -> decode is pixel-exact (lossless)") {
+    val p = ImageIoCodec.encode(9, 5, "png", i => (i * 7 + 3) % 256)
+    // genuine PNG signature: external tools would accept this payload
+    assert((p(0) & 0xFF) == 0x89 && new String(p.slice(1, 4), "US-ASCII") == "PNG")
+    val Some((w, h, rs, gs, bs)) = ImageIoCodec.channelSums(p)
+    assert((w, h) == (9, 5))
+    def ref(c: Int) = (0 until 9 * 5).map(px => ((3 * px + c) * 7 + 3) % 256).sum.toLong
+    assert((rs, gs, bs) == (ref(0), ref(1), ref(2)))
+  }
+
+  test("ImageIoCodec: PPM -> PNG -> PPM round-trip is byte-exact") {
+    val src = PpmCodec.encode(8, 6, i => (i * 13 + 5) % 251)
+    val Some(png) = ImageIoCodec.fromPpm(src, "png")
+    val Some(back) = ImageIoCodec.toPpm(png)
+    assert(back.sameElements(src))
+  }
+
+  test("ImageIoCodec: JPEG decode recovers exact dims and approximate pixels") {
+    val p = ImageIoCodec.encode(16, 12, "jpg", i => ((i / 3) * 2) % 256)
+    val Some((w, h, rs, gs, bs)) = ImageIoCodec.channelSums(p)
+    assert((w, h) == (16, 12))
+    // lossy: sums land near the source (smooth gradient, generous bound)
+    val exact = (0 until 16 * 12).map(px => (px * 2) % 256).sum.toLong
+    Seq(rs, gs, bs).foreach(s => assert(math.abs(s - exact) < exact / 10 + 200, s"$s vs $exact"))
+  }
+
+  test("ImageIoCodec: BMP decode is pixel-exact; corrupt payloads are dropped") {
+    val p = ImageIoCodec.encode(4, 4, "bmp", i => (i * 31) % 256)
+    val Some((w, h, rs, _, _)) = ImageIoCodec.channelSums(p)
+    assert((w, h) == (4, 4))
+    assert(rs == (0 until 16).map(px => (3 * px * 31) % 256).sum.toLong)
+    assert(ImageIoCodec.channelSums("not an image at all".getBytes).isEmpty)
+    assert(ImageIoCodec.channelSums(Array.emptyByteArray).isEmpty)
+    // truncated PNG: header recognized, stream dies mid-decode -> dropped
+    val png = ImageIoCodec.encode(9, 5, "png", _ => 7)
+    assert(ImageIoCodec.channelSums(png.take(png.length / 2)).isEmpty)
+  }
+
+  test("distributed compressed pipeline: synthesize PNG -> ImageIO decode, none dropped") {
+    val images = Multimodal.syntheticPng(spark, sfTiny)
+    val stats = Multimodal.imageStatsCompressed(images).collect()
+    assert(stats.length == images.count())
+    stats.foreach { s =>
+      val exp = (0 until (s.width * s.height).toInt).map { px =>
+        (s.media_id * 37 + (3 * px) * 11) % 253
+      }.sum
+      assert(s.r_sum == exp, s"media ${s.media_id}")
+    }
+  }
+
+  // ---- real audio codec (javax.sound.sampled) ----
+
+  test("WavCodec: WAV encode -> decode round-trips format and exact sample sum") {
+    for ((rate, ch, frames) <- Seq((8000, 1, 100), (16000, 2, 137), (44100, 2, 64))) {
+      val p = WavCodec.encode(rate, ch, frames, i => (i * 97) % 3001 - 1500)
+      // genuine RIFF/WAVE container
+      assert(new String(p.take(4), "US-ASCII") == "RIFF")
+      assert(new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+      val Some((r, c, f, sum)) = WavCodec.decodeStats(p)
+      assert((r, c, f) == (rate, ch, frames.toLong))
+      assert(sum == (0 until frames * ch).map(i => (i * 97) % 3001 - 1500).sum.toLong)
+    }
+  }
+
+  test("WavCodec: negative samples, corrupt payloads, truncation") {
+    val p = WavCodec.encode(8000, 1, 10, _ => -1)
+    assert(WavCodec.decodeStats(p).map(_._4).contains(-10L))
+    assert(WavCodec.decodeStats("definitely not audio".getBytes).isEmpty)
+    assert(WavCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.decodeStats(p.take(10)).isEmpty)
+  }
+
+  test("distributed audio pipeline: synthesize WAV -> AudioSystem decode, none dropped") {
+    val audio = Multimodal.syntheticWav(spark, sfTiny)
+    val stats = Multimodal.audioStats(audio).collect()
+    assert(stats.length == audio.count())
+    stats.foreach { s =>
+      assert(s.sample_rate == 8000 * (1 + s.media_id % 3))
+      assert(s.channels == 1 + s.media_id % 2)
+      assert(s.n_frames == 120 + s.media_id % 77)
+      val n = (s.n_frames * s.channels).toInt
+      val exp = (0 until n).map(i => (s.media_id * 131 + i * 17) % 4001 - 2000).sum
+      assert(s.amp_sum == exp, s"media ${s.media_id}")
+    }
+    // corrupt audio rows are dropped, not crashed on
+    val corrupt = Seq(AudioRecord(990L, "RIFFxxxx".getBytes)).toDS()
+    assert(Multimodal.audioStats(corrupt).count() == 0)
   }
 
   test("pipeline composes: decode -> features -> ANN-ready embedding column") {
