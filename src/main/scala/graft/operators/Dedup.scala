@@ -45,7 +45,18 @@ object Dedup {
     * `maxDocFreq` > 0 drops shingles appearing in more docs than that.
     */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double, n: Int = 3,
-                        maxDocFreq: Long = 0L): DataFrame = {
+                        maxDocFreq: Long = 0L): DataFrame =
+    ngramJaccardPairsManaged(docs, minJ, n, maxDocFreq)._1
+
+  /** [[ngramJaccardPairs]] plus a release handle: the second element
+    * unpersists the internally shared shingle stream (safe to call after
+    * the returned DataFrame has been materialized — results already
+    * computed are unaffected; later re-use just recomputes). Long-lived
+    * sessions sweeping many distinct corpora should call it (or use the
+    * loan-pattern [[withNgramJaccardPairs]]) so CacheManager entries
+    * don't accumulate until a global `clearCache()`. */
+  def ngramJaccardPairsManaged(docs: DataFrame, minJ: Double, n: Int = 3,
+                               maxDocFreq: Long = 0L): (DataFrame, () => Unit) = {
     val sh = withShingles(docs, n)
       .select(col("doc_id"), explode(col("sh")).as("s"))
     // The cap is applied as a broadcast LEFT ANTI join against the DROP
@@ -57,6 +68,10 @@ object Dedup {
     // ubiquitous stop-shingles — so the filter stays map-side: deriving
     // `filtered` is a single exchange-free pass over the scan (which is
     // what makes the one-shot materialization below cheap to produce).
+    // Lifetime: callers that materialize once and move on should release
+    // via the returned handle; the bare ngramJaccardPairs keeps the
+    // round-4 behavior (entry lives until unpersist/clearCache, re-use
+    // keyed by canonicalized plan).
     val filtered0 =
       if (maxDocFreq > 0) {
         val drop = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -83,7 +98,7 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("j",
@@ -91,6 +106,16 @@ object Dedup {
       .filter(col("j") >= minJ)
       .select("da", "db", "j")
       .orderBy("da", "db")
+    (out, () => { filtered.unpersist(); () })
+  }
+
+  /** Loan-pattern wrapper over [[ngramJaccardPairsManaged]]: `use` runs
+    * while the shared shingle stream is cached; the cache entry is
+    * released before this returns, even on failure. */
+  def withNgramJaccardPairs[T](docs: DataFrame, minJ: Double, n: Int = 3,
+                               maxDocFreq: Long = 0L)(use: DataFrame => T): T = {
+    val (pairs, release) = ngramJaccardPairsManaged(docs, minJ, n, maxDocFreq)
+    try use(pairs) finally release()
   }
 
   /** MinHash + LSH near-dup pairs: k=64 minhash signature per doc, banded

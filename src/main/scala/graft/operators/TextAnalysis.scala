@@ -253,12 +253,17 @@ object TextAnalysis {
   /** QT10 — TF-IDF top terms per document: tf = in-doc term count, idf =
     * ln((N+1)/(df+1)), top-3 terms per doc by (score desc, token). The
     * classic term-weighting pipeline: one explode + two aggregates (term
-    * frequency per doc; document frequency per token) + a broadcast of
-    * the tiny (token, df) side + a partitioned rank window. At scale df
-    * is vocabulary-sized (bounded), so the join stays map-side; nothing
-    * ever materializes a dense doc×term matrix. ln differs across
-    * engines only in the last ulp — scores are compared rounded at 1e-6
-    * with an exact (tf, token) tiebreak. */
+    * frequency per doc; document frequency per token) + a tf⋈df join on
+    * the token + a partitioned rank window. The df side is deliberately
+    * NOT broadcast-hinted: a web-scale corpus has a vocabulary of
+    * billions of tokens — far past any broadcast limit — so forcing the
+    * hint would turn a working plan into a driver OOM at 100 TB. AQE
+    * picks broadcast at runtime when the measured df side is small (it
+    * is here), and falls back to a shuffle join on the token — a
+    * high-cardinality, skew-tolerant key — when it isn't. Nothing ever
+    * materializes a dense doc×term matrix. ln differs across engines
+    * only in the last ulp — scores are compared rounded at 1e-6 with an
+    * exact (tf, token) tiebreak. */
   def qtTfidf(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = T.documents(spark, d)
@@ -270,8 +275,8 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), "token")
-      .join(broadcast(nDocs))
+    tf.join(df, "token")
+      .join(broadcast(nDocs)) // 1 row — always broadcastable
       .withColumn("score",
         col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
       .withColumn("rn", row_number().over(w))

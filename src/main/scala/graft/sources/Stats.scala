@@ -31,15 +31,21 @@ import org.apache.spark.sql.SparkSession
 object Stats {
 
   /** Register `tables` as external catalog tables over `sfDir` and
-    * compute row + column statistics; returns the catalog table names. */
+    * compute row + column statistics; returns the catalog table names.
+    * `sfDir` and the table identifiers are caller-supplied strings
+    * interpolated into SQL, so both are escaped — a directory (or
+    * prefix) containing a quote must not break or redirect the
+    * statement. */
   def analyzeAll(spark: SparkSession, sfDir: String,
                  tables: Seq[String] = Tables.all,
                  prefix: String = "g_"): Seq[String] =
     tables.map { n =>
       val t = s"$prefix$n"
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$sfDir/$n.parquet'")
-      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val tq = "`" + t.replace("`", "``") + "`"
+      val loc = s"$sfDir/$n.parquet".replace("'", "''")
+      spark.sql(s"DROP TABLE IF EXISTS $tq")
+      spark.sql(s"CREATE TABLE $tq USING parquet LOCATION '$loc'")
+      spark.sql(s"ANALYZE TABLE $tq COMPUTE STATISTICS FOR ALL COLUMNS")
       t
     }
 }

@@ -30,6 +30,31 @@ class DedupSpec extends SparkSpec {
     assert(!asMap.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("withNgramJaccardPairs: no cache entry outlives the call") {
+    // n = 4 gives this test a canonicalized plan no other test shares, so
+    // CacheManager must register a NEW entry (an identical plan would
+    // silently reuse an earlier test's cache and hide the leak)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rows = Dedup.withNgramJaccardPairs(planted, minJ = 0.5, n = 4) { pairs =>
+      val out = pairs.collect()
+      // while the loan is live, the shared shingle stream IS cached
+      // (materialized by the collect above)
+      assert(spark.sparkContext.getPersistentRDDs.size > before,
+        "expected the internal persist to be registered during the loan")
+      out
+    }
+    assert(rows.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the internal cache entry must be released when the loan returns")
+    // release is exception-safe too
+    intercept[RuntimeException] {
+      Dedup.withNgramJaccardPairs(planted, minJ = 0.5, n = 4) { p =>
+        p.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("minhash LSH finds the planted pairs (high-J recall)") {
     val pairs = Dedup.minhashPairs(planted, minJ = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -208,6 +208,27 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("analyzeAll survives a quote in the data directory and the prefix") {
+    // a path (or prefix) containing a single quote / backtick must be
+    // escaped into the CREATE TABLE statement, not break it
+    // absolute path: CREATE TABLE resolves relative LOCATIONs against the
+    // warehouse dir, not the working directory
+    val dir = new java.io.File("target/tmp/quote'dir").getAbsoluteFile
+    graft.sources.Tables.region(spark, sfTiny)
+      .write.mode("overwrite").parquet(s"${dir.getPath}/region.parquet")
+    val names = graft.sources.Stats.analyzeAll(spark, dir.getPath,
+      Seq("region"), prefix = "gq_")
+    assert(names == Seq("gq_region"))
+    assert(spark.table("gq_region").count() == 5)
+    // row-count stats only surface in plan.stats under CBO costing
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rc = spark.table("gq_region").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(5)), s"ANALYZE stats missing through quoted path: $rc")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    spark.sql("DROP TABLE IF EXISTS gq_region")
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     for ((q, fnName) <- Seq(("qd_simhash", "simhash64"),
                             ("qs_cosine_topk", "cosine_similarity"))) {
