@@ -24,17 +24,21 @@ import graft.sources.Tables
   * round's own action). The only driver-side value is one scalar (the
   * node count).
   *
-  * Simplified model (documented, oracle-mirrored): dangling-node mass is
-  * not redistributed — nodes without out-edges absorb rank. Fine for
-  * scoring/ranking uses; add a dangling-mass term if probability mass
-  * must sum to 1.
+  * Dangling-node mass: by default (oracle-mirrored) nodes without
+  * out-edges absorb rank — fine for scoring/ranking uses. With
+  * `redistributeDangling = true` their mass is spread uniformly each
+  * round (the probabilistic model; total mass stays 1). The dangling
+  * sum is a 1-row aggregate broadcast back into the round — never a
+  * driver collect — so the scale shape is unchanged.
   */
 object Graph {
 
   /** `edges`: (src: bigint, dst: bigint), multi-edges count once per
     * occurrence. Returns (node, score) after `iterations` rounds of
-    * score = (1-d)/n + d * Σ_{in-edges} score(src)/outdeg(src). */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    * score = (1-d)/n + d * (Σ_{in-edges} score(src)/outdeg(src)
+    *                        [+ danglingMass/n when redistributing]). */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     // materialize the WEIGHTED edge list once (src, dst, outdeg): every
@@ -48,33 +52,52 @@ object Graph {
         .union(weighted.select(col("dst").as("node")))
         .distinct(), eager = true)
     val n = nodes.count() // bounded driver scalar: one long
+    // the dangling set (no out-edges) is fixed across rounds: derive once
+    val dangling =
+      if (redistributeDangling)
+        Dedup.cutLineage(
+          nodes.join(weighted.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_anti"), eager = true)
+      else null
     var scores = nodes.withColumn("score", lit(1.0) / n)
     for (_ <- 1 to iterations) {
       val contribs = weighted
         .join(scores.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("score") / col("outdeg")).as("c"))
-      scores = Dedup.cutLineage(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
+      val joined = nodes.join(contribs, Seq("node"), "left")
+      val next =
+        if (redistributeDangling) {
+          // dangling mass this round: a 1-row aggregate, broadcast back —
+          // stays distributed, no driver-side value
+          val dm = scores.join(dangling, "node")
+            .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
+          joined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1.0 - damping) / n + lit(damping) *
+                (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("score"))
+        } else
+          joined.select(col("node"),
             (lit(1.0 - damping) / n + lit(damping) * coalesce(col("c"), lit(0.0)))
-              .as("score")), eager = false)
+              .as("score"))
+      scores = Dedup.cutLineage(next, eager = false)
     }
     scores
   }
 
   /** QG — PageRank over a deterministic synthetic link graph derived
     * from `orders` (src = customer, dst = a hashed order target), 3
-    * iterations, scores rounded at 1e-8 (double contribution sums drift
-    * only in the last ulps; the oracle unrolls the same 3 iterations as
-    * nested CTEs). */
+    * iterations, scores rounded at 1e-6 (double contribution sums drift
+    * only in the last ulps, so 1e-6 leaves ~9 orders of magnitude of
+    * headroom — aligned with the other float queries; the oracle unrolls
+    * the same 3 iterations as nested CTEs and rounds identically). */
   def qgPageRank(spark: SparkSession, d: String): DataFrame =
     pageRank(
       Tables.orders(spark, d)
         .select(col("o_custkey").as("src"),
           ((col("o_orderkey") * 7) % 1500 + 1).as("dst")),
       iterations = 3)
-      .select(col("node"), round(col("score"), 8).as("score"))
+      .select(col("node"), round(col("score"), 6).as("score"))
       .orderBy("node")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,6 +123,6 @@ object Graph {
         "s3 AS (SELECT nodes.node, CAST(0.15 AS DOUBLE) / nn.n + " +
         "CAST(0.85 AS DOUBLE) * COALESCE(cs3.c, 0) AS score " +
         "FROM nodes CROSS JOIN nn LEFT JOIN cs3 ON cs3.dst = nodes.node) " +
-        "SELECT node, ROUND(score, 8) AS score FROM s3 ORDER BY node"
+        "SELECT node, ROUND(score, 6) AS score FROM s3 ORDER BY node"
     })
 }

@@ -43,6 +43,27 @@ class GraphSpec extends SparkSpec {
     assert(total > 0 && total <= 1.0 + 1e-9)
   }
 
+  test("redistributeDangling: total mass stays exactly 1 every round") {
+    // node 1 -> 2; node 2 dangles. Closed form after one round with
+    // redistribution: dm = 0.5, score(x) = 0.15/2 + 0.85*(c + dm/2)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val one = Graph.pageRank(edges, iterations = 1, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(one(1L) - (0.075 + 0.85 * 0.25)) < 1e-12)
+    assert(math.abs(one(2L) - (0.075 + 0.85 * 0.75)) < 1e-12)
+    // ...and the invariant holds over more rounds and a bigger graph
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val total = Graph.pageRank(star, iterations = 4, redistributeDangling = true)
+      .agg(sum("score")).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"dangling redistribution must conserve probability mass, got $total")
+    // without redistribution the same graph leaks mass (the documented
+    // absorbing default) — the flag is what restores conservation
+    val absorbed = Graph.pageRank(star, iterations = 4)
+      .agg(sum("score")).collect()(0).getDouble(0)
+    assert(absorbed < 1.0 - 1e-6)
+  }
+
   test("deterministic across runs on the synthetic orders graph") {
     val a = Graph.qgPageRank(spark, sfTiny).collect().toSeq
     val b = Graph.qgPageRank(spark, sfTiny).collect().toSeq
