@@ -12,13 +12,14 @@ import graft.sources.Tables
   * records streamed, no per-row task overhead).
   *
   * ── STUB BOUNDARY ────────────────────────────────────────────────────
-  * VIDEO (MP4/H.264…) is the one leg this container genuinely cannot
-  * decode — the JDK ships no video codec and no javacv/ffmpeg jars are
-  * available — so [[StubCodec]] remains a DETERMINISTIC FAKE for the
-  * video rows of [[syntheticMedia]] only: a tiny "GRFT" header format
-  * stands in. Swap `StubCodec` for a real codec (javacv …) and nothing
-  * else changes — the schema, the partitioning, the batch iteration
-  * shape, and every test below exercise the real Spark-side plumbing.
+  * COMPRESSED video (MP4/H.264…) is the one leg this container genuinely
+  * cannot decode — the JDK ships no video codec and no javacv/ffmpeg
+  * jars are available — so [[StubCodec]] remains a DETERMINISTIC FAKE
+  * for the video rows of [[syntheticMedia]] only: a tiny "GRFT" header
+  * format stands in. Swap `StubCodec` for a real codec (javacv …) and
+  * nothing else changes — the schema, the partitioning, the batch
+  * iteration shape, and every test below exercise the real Spark-side
+  * plumbing.
   *
   * Everything else is REAL:
   *  - [[PpmCodec]]: binary NetPBM P6, complete pure-JVM byte work
@@ -31,6 +32,12 @@ import graft.sources.Tables
   *  - [[WavCodec]]: PCM audio via `javax.sound.sampled` (WAVE/AU/AIFF
   *    readers ship with the JDK) — qm_audio_stats decodes real RIFF/WAVE
   *    payloads and hash-matches closed-form sample sums.
+  *  - [[Y4mCodec]]: UNCOMPRESSED video via the public YUV4MPEG2 (.y4m)
+  *    stream format (what ffmpeg/mjpegtools pipe raw video through) —
+  *    pure-JVM parse of the stream header + per-frame planar YUV bodies
+  *    (4:4:4 and 4:2:0), per-plane pixel sums, and real frame sampling
+  *    (every k-th frame extracted as a genuine grayscale P6 payload).
+  *    qm_video_stats / qm_frame_sample hash-match closed-form oracles.
   * ─────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -282,12 +289,142 @@ object Multimodal {
     }
   }
 
+  /** REAL uncompressed-video codec: YUV4MPEG2 (.y4m), the public
+    * raw-video stream format ffmpeg/mjpegtools exchange (stream header
+    * `YUV4MPEG2 W.. H.. F..:.. C444\n`, then `FRAME\n` + planar YUV
+    * bytes per frame). Pure-JVM byte work, same hardening discipline as
+    * [[PpmCodec]]: dimension caps, Long body arithmetic, strict frame
+    * accounting (a truncated or over-long stream is corrupt, not
+    * "close enough"). 4:4:4 and 4:2:0 chroma are supported — we emit
+    * 4:4:4 so per-plane sums stay integer-exact and closed-form. */
+  object Y4mCodec {
+    private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
+    private val FrameMagic = "FRAME".getBytes("US-ASCII")
+
+    /** `sample(f, i)` supplies byte i of frame f's planar body
+      * (i in [0, 3wh): Y plane, then U, then V — C444). */
+    def encode(w: Int, h: Int, frames: Int, sample: (Int, Int) => Int): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+      val fb = 3 * w * h
+      val out = new java.io.ByteArrayOutputStream(header.length + frames * (6 + fb))
+      out.write(header)
+      var f = 0
+      while (f < frames) {
+        out.write(FrameMagic); out.write('\n')
+        var i = 0
+        while (i < fb) { out.write(sample(f, i) & 0xFF); i += 1 }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Parsed stream geometry: luma is always w*h per frame; chroma
+      * plane size depends on subsampling (w*h for C444, (w/2)*(h/2)
+      * for C420 and friends). `off` = first byte after the header. */
+    case class Geometry(w: Int, h: Int, chromaPlane: Int, off: Int) {
+      def frameBytes: Int = w * h + 2 * chromaPlane
+    }
+
+    /** Parse the stream header. None unless magic, sane dimensions
+      * (0 < w,h ≤ 64k; C420 requires even dims), and a known chroma tag
+      * (absent = C420, the spec default). Unknown parameter tags (X
+      * metadata, interlacing, aspect) are ignored, per the format. */
+    def decodeHeader(p: Array[Byte]): Option[Geometry] = {
+      if (p.length < Magic.length || !p.take(Magic.length).sameElements(Magic)) return None
+      var end = Magic.length
+      while (end < p.length && p(end) != '\n') end += 1
+      if (end >= p.length || end > 512) return None // header line unterminated or absurd
+      // all-digit parse, clamped: "12884901889" must fail the dimension
+      // cap below, not wrap Int into a small "valid" value (same
+      // hardening as PpmCodec.int)
+      def num(s: String): Long = {
+        if (s.isEmpty) return -1L
+        var v = 0L; var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c < '0' || c > '9') return -1L
+          v = v * 10 + (c - '0'); if (v > Int.MaxValue) v = Int.MaxValue
+          i += 1
+        }
+        v
+      }
+      val params = new String(p, Magic.length, end - Magic.length, "US-ASCII")
+        .split(' ').filter(_.nonEmpty)
+      var w = -1L; var h = -1L; var chroma = "420"
+      params.foreach { t =>
+        t.charAt(0) match {
+          case 'W' => w = num(t.drop(1))
+          case 'H' => h = num(t.drop(1))
+          case 'C' => chroma = t.drop(1)
+          case _   => () // F/I/A/X: irrelevant to the byte layout we read
+        }
+      }
+      // dimension cap + Long arithmetic: 64k×64k×3 overflows Int, and an
+      // overflowed frameBytes would under-demand body bytes below
+      if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
+          3L * w * h > Int.MaxValue) return None
+      val chromaPlane =
+        if (chroma == "444") w * h
+        else if (chroma.startsWith("420"))
+          if (w % 2 == 0 && h % 2 == 0) (w / 2) * (h / 2) else return None
+        else return None // 422/mono/alpha variants: unsupported, not misread
+      Some(Geometry(w.toInt, h.toInt, chromaPlane.toInt, end + 1))
+    }
+
+    /** Offsets of each frame's planar body. None if any FRAME marker is
+      * malformed, a body is truncated, or trailing bytes remain — a
+      * 100 TB ingest must count a half-written stream as corrupt. */
+    def frameOffsets(p: Array[Byte], g: Geometry): Option[Array[Int]] = {
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = g.off
+      while (i < p.length) {
+        if (i + FrameMagic.length > p.length ||
+            !java.util.Arrays.equals(p, i, i + FrameMagic.length,
+              FrameMagic, 0, FrameMagic.length)) return None
+        i += FrameMagic.length
+        while (i < p.length && p(i) != '\n') i += 1 // frame params: ignored
+        if (i >= p.length) return None
+        i += 1
+        if (p.length - i < g.frameBytes) return None
+        offs += i
+        i += g.frameBytes
+      }
+      Some(offs.toArray)
+    }
+
+    /** (w, h, n_frames, y_sum, u_sum, v_sum) — integer-exact per-plane
+      * sums over every frame; the video feature-extract primitive. */
+    def planeSums(p: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] =
+      decodeHeader(p).flatMap { g =>
+        frameOffsets(p, g).map { offs =>
+          var y = 0L; var u = 0L; var v = 0L
+          val luma = g.w * g.h
+          offs.foreach { o =>
+            var i = 0
+            while (i < luma) { y += p(o + i) & 0xFF; i += 1 }
+            while (i < luma + g.chromaPlane) { u += p(o + i) & 0xFF; i += 1 }
+            while (i < luma + 2 * g.chromaPlane) { v += p(o + i) & 0xFF; i += 1 }
+          }
+          (g.w, g.h, offs.length, y, u, v)
+        }
+      }
+
+    /** Extract frame `f`'s luma plane as a genuine grayscale P6 payload
+      * (R=G=B=Y) — the keyframe-thumbnail step of a video ingest
+      * pipeline, feeding the image operators unchanged. */
+    def frameToPpm(p: Array[Byte], g: Geometry, frameOff: Int): Array[Byte] =
+      PpmCodec.encode(g.w, g.h, i => p(frameOff + i / 3) & 0xFF)
+  }
+
   case class ImageRecord(media_id: Long, payload: Array[Byte])
   case class ImageStats(media_id: Long, width: Long, height: Long,
                         r_sum: Long, g_sum: Long, b_sum: Long)
   case class AudioRecord(media_id: Long, payload: Array[Byte])
   case class AudioStats(media_id: Long, sample_rate: Long, channels: Long,
                         n_frames: Long, amp_sum: Long)
+  case class VideoRecord(media_id: Long, payload: Array[Byte])
+  case class VideoStats(media_id: Long, width: Long, height: Long,
+                        n_frames: Long, y_sum: Long, u_sum: Long, v_sum: Long)
 
   /** Synthetic PPM images derived deterministically from `documents`:
     * dimensions from doc stats, pixel bytes from the same LCG-ish formula
@@ -382,6 +519,51 @@ object Multimodal {
     })
   }
 
+  /** Synthetic video derived deterministically from `documents`: real
+    * YUV4MPEG2 streams (4:4:4, a few small frames each) — ffmpeg could
+    * play them. Frame bytes are integers from a closed-form formula, so
+    * per-plane sums oracle exactly. */
+  def syntheticY4m(spark: SparkSession, d: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+        val frames = (2 + id % 4).toInt
+        VideoRecord(id, Y4mCodec.encode(w, h, frames,
+          (f, i) => ((id * 29 + f * 101 + i * 13) % 250).toInt))
+      }
+  }
+
+  /** Batch-iterating decode of real .y4m payloads → per-video stats
+    * (per-plane pixel sums over all frames); corrupt payloads dropped. */
+  def videoStats(videos: Dataset[VideoRecord]): Dataset[VideoStats] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { r =>
+      Y4mCodec.planeSums(r.payload).map { case (w, h, n, y, u, v) =>
+        VideoStats(r.media_id, w.toLong, h.toLong, n.toLong, y, u, v)
+      }
+    })
+  }
+
+  /** REAL frame sampling: every `stride`-th frame of each video becomes
+    * one output row carrying the frame's luma plane as a genuine
+    * grayscale P6 payload — the keyframe-extraction step of a video
+    * ingest pipeline, exploded so frames shuffle/partition independently
+    * of their source video and feed the image operators unchanged. */
+  def sampleVideoFrames(videos: Dataset[VideoRecord], stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { r =>
+      (for {
+        g    <- Y4mCodec.decodeHeader(r.payload)
+        offs <- Y4mCodec.frameOffsets(r.payload, g)
+      } yield (0 until offs.length by stride).map { f =>
+        (r.media_id, f.toLong, Y4mCodec.frameToPpm(r.payload, g, offs(f)))
+      }).getOrElse(Seq.empty)
+    }).toDF("media_id", "frame_idx", "frame")
+  }
+
   /** Decode metadata from the payload header — batch-iterating per
     * partition; corrupt records are dropped (count them upstream with a
     * filter on [[StubCodec.decode]] if needed). */
@@ -474,11 +656,38 @@ object Multimodal {
     audioStats(syntheticWav(spark, d)).toDF()
       .orderBy("media_id")
 
+  /** QM5 — REAL video decode: encode documents as genuine YUV4MPEG2
+    * streams, decode them back with [[Y4mCodec]], emit per-plane pixel
+    * sums over every frame. Integer frame bytes ⇒ the oracle recomputes
+    * all three plane sums closed-form (nested over frames × plane
+    * bytes) without seeing a byte. */
+  def qmVideoStats(spark: SparkSession, d: String): DataFrame =
+    videoStats(syntheticY4m(spark, d)).toDF()
+      .orderBy("media_id")
+
+  /** QM6 — REAL frame sampling, verified per frame: every 2nd frame of
+    * each .y4m stream is extracted as a genuine grayscale P6 payload,
+    * then decoded back through [[PpmCodec]] — a hash match on the luma
+    * sums proves the y4m parse → frame slice → P6 encode → P6 decode
+    * chain is byte-exact end to end. */
+  def qmFrameSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    sampleVideoFrames(syntheticY4m(spark, d), stride = 2)
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, f, ppm) =>
+        PpmCodec.channelSums(ppm).map { case (_, _, ys, _, _) => (id, f, ys) }
+      })
+      .toDF("media_id", "frame_idx", "y_sum")
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_stats" -> qmBinaryStats _,
     "qm_image_stats" -> qmImageStats _,
     "qm_png_stats" -> qmPngStats _,
-    "qm_audio_stats" -> qmAudioStats _)
+    "qm_audio_stats" -> qmAudioStats _,
+    "qm_video_stats" -> qmVideoStats _,
+    "qm_frame_sample" -> qmFrameSample _)
 
   val oracles: Map[String, String] = Map(
     "qm_image_stats" ->
@@ -515,5 +724,28 @@ object Multimodal {
         "CAST(120 + doc_id % 77 AS BIGINT) AS n_frames, " +
         "CAST(list_sum(list_transform(range(0, (120 + doc_id % 77) * (1 + doc_id % 2)), " +
         "i -> (doc_id*131 + i*17) % 4001 - 2000)) AS BIGINT) AS amp_sum " +
-        "FROM documents ORDER BY media_id"))
+        "FROM documents ORDER BY media_id"),
+    "qm_video_stats" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, " +
+        "3 + doc_id % 4 AS height, 2 + doc_id % 4 AS n_frames FROM documents) " +
+        "SELECT media_id, width, height, n_frames, " +
+        "CAST(list_sum(list_transform(range(0, n_frames), f -> " +
+        "list_sum(list_transform(range(0, width*height), " +
+        "i -> (media_id*29 + f*101 + i*13) % 250)))) AS BIGINT) AS y_sum, " +
+        "CAST(list_sum(list_transform(range(0, n_frames), f -> " +
+        "list_sum(list_transform(range(0, width*height), " +
+        "i -> (media_id*29 + f*101 + (i + width*height)*13) % 250)))) AS BIGINT) AS u_sum, " +
+        "CAST(list_sum(list_transform(range(0, n_frames), f -> " +
+        "list_sum(list_transform(range(0, width*height), " +
+        "i -> (media_id*29 + f*101 + (i + 2*width*height)*13) % 250)))) AS BIGINT) AS v_sum " +
+        "FROM dims ORDER BY media_id"),
+    "qm_frame_sample" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, " +
+        "3 + doc_id % 4 AS height, 2 + doc_id % 4 AS n_frames FROM documents), " +
+        "fr AS (SELECT media_id, width, height, " +
+        "unnest(range(0, n_frames, 2)) AS frame_idx FROM dims) " +
+        "SELECT media_id, frame_idx, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "i -> (media_id*29 + frame_idx*101 + i*13) % 250)) AS BIGINT) AS y_sum " +
+        "FROM fr ORDER BY media_id, frame_idx"))
 }

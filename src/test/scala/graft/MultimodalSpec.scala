@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, FloatType, ArrayType}
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{AudioRecord, ImageIoCodec, ImageRecord, MediaRecord, PpmCodec, StubCodec, WavCodec}
+import graft.operators.Multimodal.{AudioRecord, ImageIoCodec, ImageRecord, MediaRecord, PpmCodec, StubCodec, VideoRecord, WavCodec, Y4mCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -219,6 +219,96 @@ class MultimodalSpec extends SparkSpec {
     // corrupt audio rows are dropped, not crashed on
     val corrupt = Seq(AudioRecord(990L, "RIFFxxxx".getBytes)).toDS()
     assert(Multimodal.audioStats(corrupt).count() == 0)
+  }
+
+  // ---- real uncompressed-video codec (YUV4MPEG2) ----
+
+  test("Y4mCodec: encode -> decode round-trips geometry, frames, exact plane sums") {
+    val p = Y4mCodec.encode(6, 4, 3, (f, i) => (f * 97 + i * 7) % 256)
+    // genuine YUV4MPEG2 stream: ffmpeg would accept this payload
+    assert(new String(p.take(9), "US-ASCII") == "YUV4MPEG2")
+    val Some(g) = Y4mCodec.decodeHeader(p)
+    assert((g.w, g.h, g.chromaPlane) == (6, 4, 24)) // C444: chroma = luma
+    val Some(offs) = Y4mCodec.frameOffsets(p, g)
+    assert(offs.length == 3)
+    val Some((w, h, n, ys, us, vs)) = Y4mCodec.planeSums(p)
+    assert((w, h, n) == (6, 4, 3))
+    def ref(plane: Int) = (for (f <- 0 until 3; i <- 0 until 24)
+      yield (f * 97 + (plane * 24 + i) * 7) % 256).sum.toLong
+    assert((ys, us, vs) == (ref(0), ref(1), ref(2)))
+  }
+
+  test("Y4mCodec: C420 chroma sizing; unknown chroma and odd-dim C420 rejected") {
+    // hand-built C420 stream: luma 4x2=8, chroma planes 2x1=2 each
+    val body = Array.tabulate[Byte](12)(i => (i + 1).toByte)
+    val p = "YUV4MPEG2 W4 H2 F25:1 C420jpeg\nFRAME\n".getBytes("US-ASCII") ++ body
+    val Some(g) = Y4mCodec.decodeHeader(p)
+    assert((g.w, g.h, g.chromaPlane, g.frameBytes) == (4, 2, 2, 12))
+    val Some((_, _, n, ys, us, vs)) = Y4mCodec.planeSums(p)
+    assert(n == 1)
+    assert((ys, us, vs) == ((1 to 8).sum.toLong, (9 + 10).toLong, (11 + 12).toLong))
+    // default chroma (no C tag) is 420 per the spec
+    val dflt = "YUV4MPEG2 W4 H2\nFRAME\n".getBytes("US-ASCII") ++ body
+    assert(Y4mCodec.decodeHeader(dflt).map(_.frameBytes).contains(12))
+    // 422 is unsupported (not misread as something else); odd dims can't be 420
+    assert(Y4mCodec.decodeHeader("YUV4MPEG2 W4 H2 C422\nFRAME\n".getBytes ++ body).isEmpty)
+    assert(Y4mCodec.decodeHeader("YUV4MPEG2 W3 H2\n".getBytes).isEmpty)
+  }
+
+  test("Y4mCodec: corrupt streams rejected — bad magic, bad marker, truncation, trailing bytes") {
+    val good = Y4mCodec.encode(4, 3, 2, (_, i) => i % 256)
+    assert(Y4mCodec.planeSums(good).isDefined)
+    assert(Y4mCodec.planeSums("MPEG4 not y4m".getBytes).isEmpty)
+    assert(Y4mCodec.planeSums(Array.emptyByteArray).isEmpty)
+    // truncated mid-frame, truncated mid-marker, trailing garbage
+    assert(Y4mCodec.planeSums(good.dropRight(5)).isEmpty)
+    assert(Y4mCodec.planeSums(good ++ "FRA".getBytes).isEmpty)
+    assert(Y4mCodec.planeSums(good ++ Array[Byte](0)).isEmpty)
+    // a FRAME marker with parameters is legal and ignored
+    val g = Y4mCodec.decodeHeader(good).get
+    val withParams = good.take(g.off) ++ "FRAME Xmeta\n".getBytes ++
+      good.slice(g.off + 6, g.off + 6 + g.frameBytes)
+    assert(Y4mCodec.planeSums(withParams).map(_._3).contains(1))
+    // adversarial dims must not overflow frame arithmetic
+    assert(Y4mCodec.decodeHeader(
+      ("YUV4MPEG2 W65535 H65535 C444\n" + "FRAME\n").getBytes ++ new Array[Byte](64)).isEmpty)
+    assert(Y4mCodec.decodeHeader(
+      "YUV4MPEG2 W12884901889 H2 C444\n".getBytes ++ new Array[Byte](64)).isEmpty)
+  }
+
+  test("Y4mCodec: frame sampling extracts genuine P6 luma planes, byte-exact") {
+    val videos = Multimodal.syntheticY4m(spark, sfTiny)
+    val frames = Multimodal.sampleVideoFrames(videos, stride = 2)
+    // every sampled frame decodes as a real P6 whose pixels are the luma plane
+    val rows = frames.as[(Long, Long, Array[Byte])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, f, ppm) =>
+      val Some((w, h, rs, gs, bs)) = PpmCodec.channelSums(ppm)
+      assert(rs == gs && gs == bs, "grayscale: all channels carry Y")
+      val exp = (0 until w * h).map(i => (id * 29 + f * 101 + i * 13) % 250).sum
+      assert(rs == exp, s"video $id frame $f")
+    }
+    // stride accounting: ceil(frames/2) rows per video
+    val perVideo = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    Multimodal.videoStats(videos).collect().foreach { s =>
+      assert(perVideo(s.media_id) == (s.n_frames + 1) / 2, s"video ${s.media_id}")
+    }
+  }
+
+  test("distributed video pipeline: synthesize y4m -> decode, none dropped; corrupt dropped") {
+    val videos = Multimodal.syntheticY4m(spark, sfTiny)
+    val stats = Multimodal.videoStats(videos).collect()
+    assert(stats.length == videos.count())
+    stats.foreach { s =>
+      assert(s.width == 4 + s.media_id % 5 && s.height == 3 + s.media_id % 4)
+      assert(s.n_frames == 2 + s.media_id % 4)
+      val wh = (s.width * s.height).toInt
+      def ref(plane: Int) = (for (f <- 0 until s.n_frames.toInt; i <- 0 until wh)
+        yield (s.media_id * 29 + f * 101 + (plane * wh + i) * 13) % 250).sum
+      assert((s.y_sum, s.u_sum, s.v_sum) == (ref(0), ref(1), ref(2)), s"video ${s.media_id}")
+    }
+    val corrupt = Seq(VideoRecord(990L, "YUV4MPEG2 W4 H2\nFRAME\n12".getBytes)).toDS()
+    assert(Multimodal.videoStats(corrupt).count() == 0)
   }
 
   test("pipeline composes: decode -> features -> ANN-ready embedding column") {
