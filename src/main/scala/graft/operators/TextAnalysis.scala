@@ -307,6 +307,33 @@ object TextAnalysis {
         sum(col("keep") * col("n_chars")).cast("long").as("chars_kept"))
       .orderBy("lang")
 
+  /** QP5 — exact-k per-stratum sampling ("deterministic reservoir"):
+    * the fixed-BUDGET companion to [[qpMixture]]'s fixed-RATE sampling —
+    * "give me exactly k docs per language for an eval set / human
+    * review / pilot run". Classic reservoir sampling is sequential and
+    * RNG-seeded; the distributed, reproducible form is bottom-k by a
+    * seeded content hash: rank docs inside each stratum by
+    * md5(seed || doc_id) and keep the k smallest. Any engine, any
+    * partitioning, any run produces the same sample, and changing the
+    * seed string redraws it.
+    *
+    * Scale shape: rank-limit windows compile to WindowGroupLimit
+    * (pinned in PlanGuardSpec), so every map partition prunes to k
+    * rows per stratum BEFORE the shuffle — a billion-doc language ships
+    * partitions×k rows, not a billion; the per-stratum reducer never
+    * sees the stratum's full population. */
+  def qpSample(spark: SparkSession, d: String, k: Int = 20, seed: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    T.documents(spark, d)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang").orderBy("hk", "doc_id")).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+  }
+
   /** QP3 — sequence packing (token-budget chunking): concatenate docs in
     * doc_id order into a token stream and report the 2048-token chunk each
     * doc STARTS in — the document-carryover packing used when training
@@ -386,6 +413,7 @@ object TextAnalysis {
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
+    "qp_sample" -> ((s: SparkSession, d: String) => qpSample(s, d)),
     "qp_pack" -> qpPack _,
     "qp_prep_pipeline" -> qpPrepPipeline _,
     "qj_json_props" -> qjJsonProps _,
@@ -444,6 +472,11 @@ object TextAnalysis {
         "SELECT lang, COUNT(*) AS docs, CAST(SUM(keep) AS BIGINT) AS kept, " +
         "CAST(SUM(keep * n_chars) AS BIGINT) AS chars_kept " +
         "FROM k GROUP BY lang ORDER BY lang"),
+    "qp_sample" ->
+      ("SELECT lang, doc_id, rn FROM (" +
+        "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
+        "WHERE rn <= 20 ORDER BY lang, rn"),
     "qp_pack" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks " +
         "FROM documents), " +
