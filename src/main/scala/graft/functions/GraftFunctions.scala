@@ -33,7 +33,14 @@ object FunctionBuilders {
       (c: Seq[Expression]) => BoundedTopK(c(0), c(1),
         intLiteral(c(2), "k")).toAggregateExpression()),
     ("zorder_key", classOf[ZOrderKey],
-      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))))
+      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
+    ("theta_sketch_agg", classOf[ThetaSketchAgg],
+      (c: Seq[Expression]) => ThetaSketchAgg(c.head,
+        if (c.length > 1) intLiteral(c(1), "lgK") else 12).toAggregateExpression()),
+    ("theta_estimate", classOf[ThetaEstimate],
+      (c: Seq[Expression]) => ThetaEstimate(c.head)),
+    ("theta_intersect_estimate", classOf[ThetaIntersectEstimate],
+      (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

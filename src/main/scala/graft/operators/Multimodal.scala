@@ -241,7 +241,49 @@ object Multimodal {
     * RIFF/WAVE; stats are integer-exact so they oracle-match closed-form. */
   object WavCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+
+    /** The SPI readers, resolved ONCE per JVM. `AudioSystem
+      * .getAudioInputStream` re-consults the provider registry under a
+      * shared lock on EVERY call — the round-6 10× smoke measured the
+      * decode at 28× super-linear, and AudioProbe isolated why: 32
+      * threads through that lock run 0.6× the speed of ONE thread (a
+      * lock convoy, ~53× per-record CPU inflation). Calling the
+      * stateless readers directly restores linear thread scaling.
+      * WAVE-first ordering: the other readers reject foreign bytes by
+      * THROWING, so probing them first would pay two exception
+      * constructions per record. */
+    private lazy val fileReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toArray
+        .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+    }
+
+    /** Writers have the same per-call registry cost on the encode path
+      * (`AudioSystem.write` — re-measured 18 s of the 10× smoke's
+      * residue after the reader fix); resolved once, WAVE writer only. */
+    private lazy val waveWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    }
+
+    /** Open a payload with the first reader that accepts it — the same
+      * resolution `AudioSystem` performs, minus the per-call registry
+      * lock. Falls back to `AudioSystem` if the service loader sees no
+      * providers (an exotic classloader setup). */
+    private def openStream(payload: Array[Byte]): Option[AudioInputStream] = {
+      if (fileReaders.isEmpty)
+        return Some(AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload)))
+      var i = 0
+      while (i < fileReaders.length) {
+        try return Some(fileReaders(i).getAudioInputStream(new ByteArrayInputStream(payload)))
+        catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      None
+    }
 
     /** Encode `nFrames` frames of 16-bit signed little-endian PCM;
       * `sample(i)` supplies interleaved channel sample i
@@ -259,7 +301,10 @@ object Multimodal {
       val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
       val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
       val out = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      waveWriter match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out)
+        case None    => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      }
       out.toByteArray
     }
 
@@ -268,7 +313,10 @@ object Multimodal {
       * n_frames, sum of all samples). None on corrupt/unsupported bytes. */
     def decodeStats(payload: Array[Byte]): Option[(Int, Int, Long, Long)] = {
       try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val ais = openStream(payload) match {
+          case Some(s) => s
+          case None => return None
+        }
         try {
           val f = ais.getFormat
           if (f.getSampleSizeInBits != 16 ||

@@ -57,11 +57,50 @@ object Sketches {
   def qkHllRollup(spark: SparkSession, d: String): DataFrame =
     rollupToYears(customerSketchByMonth(spark, d))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qk_hll_rollup" -> qkHllRollup _)
+  /** Per-split theta sketches of the distinct token set. Theta — not
+    * HLL — because the question downstream is an INTERSECTION. `lgK` 14
+    * ⇒ 16k-entry k-min sample, exact below that, ~1% above. */
+  def tokenSketchBySplit(spark: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, d)
+      // the same deterministic content-hash split qt_split pins
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("split")
+      .agg(expr(s"theta_sketch_agg(token, $lgK)").as("sk"))
+  }
 
-  /** No oracle: DataSketches HLL binaries aren't reproducible in DuckDB.
-    * The driver records a rows-only check; SketchesSpec carries the
-    * correctness argument. */
+  /** QK2 — distinct-token OVERLAP between corpus splits from stored
+    * sketches: the "how much vocabulary do train and eval share"
+    * question (and, on user ids, the cross-corpus contamination
+    * question) that union-only summaries cannot answer. One shuffle
+    * builds all three sketches; the pairwise intersection runs on three
+    * kilobyte rows. Approximate ⇒ no SQL oracle; SketchesSpec proves
+    * the estimates exact below the sketch capacity and bounds them on
+    * the real corpus. */
+  def qkThetaOverlap(spark: SparkSession, d: String): DataFrame = {
+    val sk = tokenSketchBySplit(spark, d)
+    val a = sk.select(col("split").as("split_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("split").as("split_b"), col("sk").as("sk_b"))
+    a.join(b, col("split_a") < col("split_b")) // 3×3 rows: tiny by design
+      .select(col("split_a"), col("split_b"),
+        round(expr("theta_estimate(sk_a)")).cast("long").as("approx_a"),
+        round(expr("theta_estimate(sk_b)")).cast("long").as("approx_b"),
+        round(expr("theta_intersect_estimate(sk_a, sk_b)")).cast("long").as("approx_shared"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qk_hll_rollup" -> qkHllRollup _,
+    "qk_theta_overlap" -> qkThetaOverlap _)
+
+  /** No oracle: DataSketches HLL/theta binaries aren't reproducible in
+    * DuckDB. The driver records a rows-only check; SketchesSpec carries
+    * the correctness argument. */
   val oracles: Map[String, String] = Map.empty
 }

@@ -55,6 +55,67 @@ class SketchesSpec extends SparkSpec {
     assert(maxLen <= 4096 + 64, s"sketch blob unexpectedly large: $maxLen bytes")
   }
 
+  // ---- theta sketches: the intersectable summary (qk_theta_overlap) ----
+
+  test("theta sketches are exact below capacity: known sets, exact intersection") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // corpus a = t0..t999, corpus b = t500..t1499 → 500 shared tokens;
+    // both well under the 2^14 nominal entries ⇒ θ = 1, sketch is EXACT
+    val df = ((0 until 1000).map(i => ("a", s"t$i")) ++
+      (500 until 1500).map(i => ("b", s"t$i"))).toDF("corpus", "token")
+      .repartition(7) // sketches must not care how rows are partitioned
+    val sk = df.groupBy("corpus").agg(expr("theta_sketch_agg(token, 14)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(graft.functions.ThetaUtil.estimate(sk("a")) == 1000.0)
+    assert(graft.functions.ThetaUtil.estimate(sk("b")) == 1000.0)
+    assert(graft.functions.ThetaUtil.intersectEstimate(sk("a"), sk("b")) == 500.0)
+    // duplicates are idempotent: resketching the doubled input changes nothing
+    val doubled = df.union(df).groupBy("corpus").agg(expr("theta_sketch_agg(token, 14)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(graft.functions.ThetaUtil.estimate(doubled("a")) == 1000.0)
+  }
+
+  test("qk_theta_overlap bounds against exact split-token overlap on the real corpus") {
+    val overlap = Sketches.qkThetaOverlap(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(overlap.keySet == Set(("test", "train"), ("test", "val"), ("train", "val")))
+    // exact truth via plain distinct joins (same split definition)
+    val distinctTokens = graft.sources.Tables.documents(spark, sfTiny)
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").distinct().cache()
+    val exactSizes = distinctTokens.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t2 = distinctTokens.withColumnRenamed("split", "split_b")
+    val exactShared = distinctTokens.join(t2, Seq("token"))
+      .filter(col("split") < col("split_b"))
+      .groupBy("split", "split_b").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    distinctTokens.unpersist()
+    def close(est: Long, exact: Long, tol: Double): Boolean =
+      math.abs(est - exact) <= math.max(2.0, tol * exact)
+    overlap.foreach { case ((a, b), (estA, estB, estShared)) =>
+      assert(close(estA, exactSizes(a), 0.05), s"$a size: $estA vs ${exactSizes(a)}")
+      assert(close(estB, exactSizes(b), 0.05), s"$b size: $estB vs ${exactSizes(b)}")
+      assert(close(estShared, exactShared((a, b)), 0.10),
+        s"($a,$b) shared: $estShared vs ${exactShared((a, b))}")
+    }
+  }
+
+  test("theta functions are reachable from plain SQL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val est = spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(c, 12)) FROM VALUES ('x'), ('y'), ('x') AS t(c)")
+      .head.getDouble(0)
+    assert(est == 2.0)
+  }
+
   // ---- deterministic per-stratum sampling (qp_sample) ----
 
   test("qp_sample keeps exactly min(k, stratum size) docs per stratum") {
