@@ -40,7 +40,19 @@ object FunctionBuilders {
     ("theta_estimate", classOf[ThetaEstimate],
       (c: Seq[Expression]) => ThetaEstimate(c.head)),
     ("theta_intersect_estimate", classOf[ThetaIntersectEstimate],
-      (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))))
+      (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))),
+    // Spark's own runtime-filter expressions, surfaced under graft names
+    // (Spark registers no public SQL name for them): the STORED-membership
+    // pattern — build once, persist, probe later with zero join
+    ("seen_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (c: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c(0), c(1), c(2)).toAggregateExpression()),
+    ("seen_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))))
 }
 
 /** Runtime registration of the engine's native expressions, for sessions

@@ -95,9 +95,57 @@ object Sketches {
       .orderBy("split_a", "split_b")
   }
 
+  /** Build a STORED membership filter over a key column: the "seen set"
+    * a crawl/ingest pipeline checks new batches against. One aggregation
+    * pass; the blob is `numBits/8` bytes regardless of row count (no
+    * false negatives, `fpp`-bounded false positives). Rides Spark's own
+    * runtime-filter expression (`BloomFilterAggregate`), so probe-side
+    * semantics are exactly what AQE's injected join filters use.
+    *
+    * Scale note: one blob covers up to a few billion keys at a few GB;
+    * beyond that, build per-partition blobs (groupBy shard) and probe
+    * against the matching shard — same two functions, one extra key. */
+  def buildSeenFilter(df: DataFrame, keyCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(call_function("seen_filter_agg",
+      xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("f"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Probe a batch against a stored filter WITHOUT a join: keep only
+    * rows whose key the filter has never seen. No false negatives ⇒
+    * nothing genuinely new is dropped; false positives ⇒ a bounded
+    * fraction of new rows is conservatively re-processed. The filter
+    * bytes ship as an expression-tree literal (`lit(bytes)` — the
+    * broadcast shape, no shuffle, no SQL-text blow-up from a megabyte
+    * blob). */
+  def filterUnseen(df: DataFrame, keyCol: String, filter: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.filter(!call_function("seen_might_contain", lit(filter), xxhash64(col(keyCol))))
+  }
+
+  /** QK3 — the incremental-ingest membership pattern end to end: build
+    * the seen-filter over the first years' customers, probe the last
+    * years' orders, report per-year how many orders came from never-
+    * seen-before customers. Bloom is approximate (false positives) ⇒ no
+    * SQL oracle; SketchesSpec proves the no-false-negative contract and
+    * bounds the false-positive rate. */
+  def qkBloomUnseen(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"), substring(col("o_orderdate").cast("string"), 1, 4).as("year"))
+    val seen = buildSeenFilter(orders.filter(col("year") < "1998"), "o_custkey",
+      expectedItems = 200000L, numBits = 4000000L)
+    filterUnseen(orders.filter(col("year") >= "1998"), "o_custkey", seen)
+      .groupBy("year")
+      .agg(count(lit(1)).as("new_customer_orders"))
+      .orderBy("year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qk_hll_rollup" -> qkHllRollup _,
-    "qk_theta_overlap" -> qkThetaOverlap _)
+    "qk_theta_overlap" -> qkThetaOverlap _,
+    "qk_bloom_unseen" -> qkBloomUnseen _)
 
   /** No oracle: DataSketches HLL/theta binaries aren't reproducible in
     * DuckDB. The driver records a rows-only check; SketchesSpec carries

@@ -116,6 +116,46 @@ class SketchesSpec extends SparkSpec {
     assert(est == 2.0)
   }
 
+  // ---- stored bloom membership (qk_bloom_unseen) ----
+
+  test("seen-filter: no false negatives, bounded false positives, zero-join probe") {
+    import spark.implicits._
+    val seenKeys = (0L until 20000L).toDF("k")
+    val filter = Sketches.buildSeenFilter(seenKeys, "k",
+      expectedItems = 20000L, numBits = 400000L) // 20 bits/key
+    // the membership contract: a seen key can NEVER pass as unseen
+    assert(Sketches.filterUnseen(seenKeys, "k", filter).count() == 0)
+    // disjoint keys: false positives bounded by the sizing
+    val novel = (1000000L until 1020000L).toDF("k")
+    val passed = Sketches.filterUnseen(novel, "k", filter).count()
+    val fpRate = 1.0 - passed.toDouble / 20000
+    assert(fpRate < 0.05, s"false-positive rate $fpRate")
+    // and the probe is join-free: the filter ships inside the predicate
+    val plan = Sketches.filterUnseen(novel, "k", filter)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"membership probe must not plan a join:\n$plan")
+  }
+
+  test("qk_bloom_unseen: conservative subset of the exact anti-join truth") {
+    val bloom = Sketches.qkBloomUnseen(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bloom.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, sfTiny)
+      .select(col("o_custkey"), substring(col("o_orderdate").cast("string"), 1, 4).as("year"))
+    val seen = orders.filter(col("year") < "1998").select("o_custkey").distinct()
+    val exact = orders.filter(col("year") >= "1998")
+      .join(seen, Seq("o_custkey"), "left_anti")
+      .groupBy("year").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (year, ex) =>
+      val bl = bloom(year)
+      // no false negatives ⇒ never OVER-counts; fp sizing ⇒ misses few
+      assert(bl <= ex, s"$year: bloom $bl must not exceed exact $ex")
+      assert(bl >= (ex * 0.9).toLong, s"$year: bloom $bl lost too much of exact $ex")
+    }
+  }
+
   // ---- deterministic per-stratum sampling (qp_sample) ----
 
   test("qp_sample keeps exactly min(k, stratum size) docs per stratum") {
