@@ -33,7 +33,7 @@ object ThetaUtil {
     op.getResult.getEstimate
   }
 
-  private[functions] def wrap(bytes: Array[Byte]): Sketch =
+  private[graft] def wrap(bytes: Array[Byte]): Sketch =
     Sketches.wrapSketch(Memory.wrap(bytes))
 }
 
