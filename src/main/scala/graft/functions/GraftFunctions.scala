@@ -41,6 +41,14 @@ object FunctionBuilders {
       (c: Seq[Expression]) => ThetaEstimate(c.head)),
     ("theta_intersect_estimate", classOf[ThetaIntersectEstimate],
       (c: Seq[Expression]) => ThetaIntersectEstimate(c(0), c(1))),
+    ("kll_quantile_agg", classOf[KllSketchAgg],
+      (c: Seq[Expression]) => KllSketchAgg(c.head,
+        if (c.length > 1) intLiteral(c(1), "k") else 200).toAggregateExpression()),
+    ("kll_merge_agg", classOf[KllMergeAgg],
+      (c: Seq[Expression]) => KllMergeAgg(c.head,
+        if (c.length > 1) intLiteral(c(1), "k") else 200).toAggregateExpression()),
+    ("kll_quantile", classOf[KllQuantile],
+      (c: Seq[Expression]) => KllQuantile(c(0), c(1))),
     // Spark's own runtime-filter expressions, surfaced under graft names
     // (Spark registers no public SQL name for them): the STORED-membership
     // pattern — build once, persist, probe later with zero join

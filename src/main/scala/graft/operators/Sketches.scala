@@ -142,10 +142,44 @@ object Sketches {
       .orderBy("year")
   }
 
+  /** Per-month KLL quantile sketches of order value — the quantile leg
+    * of the persisted-summary family. Built in the same single pass as
+    * the HLL partials would be; any later rank query reads kilobytes. */
+  def priceSketchByMonth(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.orders(spark, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .groupBy("month")
+      .agg(call_function("kll_quantile_agg", col("o_totalprice")).as("sk"),
+        count(lit(1)).as("orders"))
+  }
+
+  /** QK4 — quantile rollup from stored sketches: merge per-month KLL
+    * partials to years, read p50/p95/p99 — no raw-data rescan, any rank
+    * after the fact. Rank-error-bounded estimates ⇒ no SQL oracle;
+    * SketchesSpec pins exactness below capacity and the rank-error
+    * envelope on the real column. */
+  def qkKllQuantiles(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    priceSketchByMonth(spark, d)
+      .withColumn("year", substring(col("month"), 1, 4))
+      .groupBy("year")
+      .agg(call_function("kll_merge_agg", col("sk")).as("ysk"),
+        sum("orders").as("orders"))
+      .select(col("year"),
+        round(call_function("kll_quantile", col("ysk"), lit(0.5)), 2).as("p50"),
+        round(call_function("kll_quantile", col("ysk"), lit(0.95)), 2).as("p95"),
+        round(call_function("kll_quantile", col("ysk"), lit(0.99)), 2).as("p99"),
+        col("orders"))
+      .orderBy("year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qk_hll_rollup" -> qkHllRollup _,
     "qk_theta_overlap" -> qkThetaOverlap _,
-    "qk_bloom_unseen" -> qkBloomUnseen _)
+    "qk_bloom_unseen" -> qkBloomUnseen _,
+    "qk_kll_quantiles" -> qkKllQuantiles _)
 
   /** No oracle: DataSketches HLL/theta binaries aren't reproducible in
     * DuckDB. The driver records a rows-only check; SketchesSpec carries

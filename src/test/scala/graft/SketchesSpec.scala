@@ -116,6 +116,62 @@ class SketchesSpec extends SparkSpec {
     assert(est == 2.0)
   }
 
+  // ---- KLL quantile sketches (qk_kll_quantiles) ----
+
+  test("KLL: exact below capacity; merged rollup within the rank-error envelope") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 150 values < k=200 ⇒ no compaction, quantiles are EXACT order stats
+    val small = (1 to 150).map(_.toDouble).toDF("v")
+    val sk = small.agg(expr("kll_quantile_agg(v)").as("s"))
+      .head.getAs[Array[Byte]](0)
+    assert(graft.functions.KllUtil.quantile(sk, 0.5) == 75.0)
+    assert(graft.functions.KllUtil.quantile(sk, 1.0) == 150.0)
+    // real column: per-year merged estimate must sit within the KLL rank
+    // envelope — check the RANK of each estimate against the exact data
+    val rows = Sketches.qkKllQuantiles(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val prices = graft.sources.Tables.orders(spark, sfTiny)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("year"),
+        col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val year = r.getString(0)
+      val sorted = prices(year)
+      for ((est, target) <- Seq((r.getDouble(1), 0.5), (r.getDouble(2), 0.95),
+        (r.getDouble(3), 0.99))) {
+        val rank = sorted.count(_ <= est).toDouble / sorted.length
+        // k=200 ⇒ ±1.65% rank at 99% confidence; 3% is comfortable
+        assert(math.abs(rank - target) < 0.03,
+          s"$year p$target: est $est sits at rank $rank")
+      }
+    }
+  }
+
+  test("KLL partials survive parquet byte-exact; stored blobs answer quantiles") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    // cache first: KLL level-0 layout depends on arrival order, so the
+    // blobs are compared against the SAME materialization that was
+    // written, not a recompute (merge compaction is also randomized —
+    // semantic bounds, not byte equality, are the cross-run contract)
+    val partials = Sketches.priceSketchByMonth(spark, sfTiny).cache()
+    try {
+      partials.write.mode("overwrite").parquet(dir)
+      val orig = partials.collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+      val back = spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+      assert(back == orig, "stored sketch blobs must round-trip byte-exact")
+      // a stored blob is immediately queryable at any rank
+      val anyMonth = orig.head._2.toArray
+      val p0 = graft.functions.KllUtil.quantile(anyMonth, 0.0)
+      val p100 = graft.functions.KllUtil.quantile(anyMonth, 1.0)
+      assert(p0 <= p100)
+    } finally partials.unpersist()
+  }
+
   // ---- stored bloom membership (qk_bloom_unseen) ----
 
   test("seen-filter: no false negatives, bounded false positives, zero-join probe") {
