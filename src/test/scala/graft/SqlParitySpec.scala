@@ -32,7 +32,10 @@ class SqlParitySpec extends SparkSpec {
     "qe_attribution", "qe_sessions",
     // the PageRank oracle's unrolled CTE iterations are plain ANSI too —
     // Spark executes the same 3-iteration SQL the oracle engine runs
-    "qg_pagerank")
+    "qg_pagerank",
+    // round-6: the deterministic-sampling oracle (ROW_NUMBER over a
+    // seeded md5) is plain ANSI — both engines draw the same sample
+    "qp_sample")
 
   for (name <- sparkParsable) {
     test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
