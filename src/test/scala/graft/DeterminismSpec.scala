@@ -11,7 +11,13 @@ class DeterminismSpec extends SparkSpec {
   // queries with float-sensitive arithmetic or rank tiebreaks — the ones
   // that would betray order-dependence first
   private val sensitive = Seq("q4_multi_agg", "q9_running_sum",
-    "q8_topk_per_group", "qs_cosine_topk", "qd_ngram_jaccard", "qt_quality")
+    "q8_topk_per_group", "qs_cosine_topk", "qd_ngram_jaccard", "qt_quality",
+    // round-6: hash-ranked sampling (tiebreak discipline), per-record
+    // codec decode (mapPartitions layout independence), and the theta
+    // overlap (a sketch is a SET function — layout must not move the
+    // estimate; KLL is deliberately absent: its compaction is randomized
+    // and only rank BOUNDS are the cross-run contract)
+    "qp_sample", "qm_video_stats", "qm_frame_sample", "qk_theta_overlap")
 
   private def fingerprint(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfTiny)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{AudioRecord, ImageRecord}
+import graft.operators.Multimodal.{AudioRecord, ImageRecord, VideoRecord}
 
 /** Streaming multimodal ingest: the operators that decode binary media
   * columns ([[Multimodal.imageStatsCompressed]], [[Multimodal.audioStats]])
@@ -80,6 +80,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     want.foreach { s =>
       assert(got(s.media_id) ==
         ((s.sample_rate, s.channels, s.n_frames, s.amp_sum)), s"media ${s.media_id}")
+    }
+  }
+
+  test("Y4M file-source stream decodes video arrivals == batch Y4mCodec decode") {
+    val dir = tempDir("stream_y4m")
+    val records = Multimodal.syntheticY4m(spark, sfTiny)
+    val all = records.collect()
+    val (first, second) = all.splitAt(all.length / 2)
+
+    first.toSeq.toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .parquet(dir)
+      .as[VideoRecord]
+    val q = Multimodal.videoStats(stream)
+      .writeStream.format("memory").queryName("y4m_stream").outputMode("append")
+      .start()
+    val got = try {
+      q.processAllAvailable()
+      assert(spark.table("y4m_stream").count() == first.length)
+      second.toSeq.toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      spark.table("y4m_stream").collect()
+    } finally q.stop()
+
+    val want = Multimodal.videoStats(records).collect()
+    assert(got.length == want.length, s"stream ${got.length} vs batch ${want.length}")
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    want.foreach { s =>
+      assert(byId(s.media_id) ==
+        ((s.width, s.height, s.n_frames, s.y_sum, s.u_sum, s.v_sum)), s"media ${s.media_id}")
     }
   }
 
