@@ -84,14 +84,23 @@ object Sketches {
     * the estimates exact below the sketch capacity and bounds them on
     * the real corpus. */
   def qkThetaOverlap(spark: SparkSession, d: String): DataFrame = {
-    val sk = tokenSketchBySplit(spark, d)
-    val a = sk.select(col("split").as("split_a"), col("sk").as("sk_a"))
-    val b = sk.select(col("split").as("split_b"), col("sk").as("sk_b"))
-    a.join(b, col("split_a") < col("split_b")) // 3×3 rows: tiny by design
-      .select(col("split_a"), col("split_b"),
-        round(expr("theta_estimate(sk_a)")).cast("long").as("approx_a"),
-        round(expr("theta_estimate(sk_b)")).cast("long").as("approx_b"),
-        round(expr("theta_intersect_estimate(sk_a, sk_b)")).cast("long").as("approx_shared"))
+    import spark.implicits._
+    import graft.functions.ThetaUtil
+    // materialize the per-split sketches ONCE (three kilobyte rows — the
+    // "stored summary" a real pipeline would read back from parquet): a
+    // DataFrame self-join here would duplicate the whole scan→explode→
+    // sketch lineage and read the corpus twice (verified in the plan)
+    val sketches = tokenSketchBySplit(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+    val pairs = for {
+      (sa, ba) <- sketches.toSeq
+      (sb, bb) <- sketches.toSeq if sa < sb
+    } yield (sa, sb,
+      math.round(ThetaUtil.estimate(ba)),
+      math.round(ThetaUtil.estimate(bb)),
+      math.round(ThetaUtil.intersectEstimate(ba, bb)))
+    pairs.toDF("split_a", "split_b", "approx_a", "approx_b", "approx_shared")
       .orderBy("split_a", "split_b")
   }
 
