@@ -704,6 +704,51 @@ object Multimodal {
     audioStats(syntheticWav(spark, d)).toDF()
       .orderBy("media_id")
 
+  case class ImageDecodeStatus(media_id: Long, status: String, width: Long,
+                               height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decode with QUARANTINE instead of silent drop: every input record
+    * emits exactly one row, corrupt payloads carrying status "corrupt"
+    * (zeroed stats) — at 100 TB a decoder that silently drops rows hides
+    * data loss; a real ingest counts, reports, and re-queues its
+    * failures. Same batch-iterating shape as [[imageStats]]. */
+  def imageStatsQuarantined(images: Dataset[ImageRecord]): Dataset[ImageDecodeStatus] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map { r =>
+      PpmCodec.channelSums(r.payload) match {
+        case Some((w, h, rs, gs, bs)) =>
+          ImageDecodeStatus(r.media_id, "ok", w.toLong, h.toLong, rs, gs, bs)
+        case None =>
+          ImageDecodeStatus(r.media_id, "corrupt", 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+  }
+
+  /** The [[syntheticPpm]] corpus with DETERMINISTIC corruption injected:
+    * every doc_id divisible by 7 ships only the first half of its
+    * payload (always shorter than the declared body ⇒ always rejected).
+    * The oracle reproduces the same arithmetic split closed-form. */
+  def syntheticPpmCorrupted(spark: SparkSession, d: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    syntheticPpm(spark, d).map { r =>
+      if (r.media_id % 7 == 0) ImageRecord(r.media_id, r.payload.take(r.payload.length / 2))
+      else r
+    }
+  }
+
+  /** QM7 — the quarantine contract, verified: inject corruption into a
+    * known fraction of real payloads, decode with [[imageStatsQuarantined]],
+    * and report per-status counts + pixel mass. The oracle recomputes
+    * both branches closed-form — a hash match proves no record is lost
+    * OR misclassified in either direction. */
+  def qmQuarantine(spark: SparkSession, d: String): DataFrame =
+    imageStatsQuarantined(syntheticPpmCorrupted(spark, d)).toDF()
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("r_sum"), lit(0L)).as("r_total"),
+        coalesce(sum("g_sum"), lit(0L)).as("g_total"))
+      .orderBy("status")
+
   /** QM5 — REAL video decode: encode documents as genuine YUV4MPEG2
     * streams, decode them back with [[Y4mCodec]], emit per-plane pixel
     * sums over every frame. Integer frame bytes ⇒ the oracle recomputes
@@ -735,7 +780,8 @@ object Multimodal {
     "qm_png_stats" -> qmPngStats _,
     "qm_audio_stats" -> qmAudioStats _,
     "qm_video_stats" -> qmVideoStats _,
-    "qm_frame_sample" -> qmFrameSample _)
+    "qm_frame_sample" -> qmFrameSample _,
+    "qm_quarantine" -> qmQuarantine _)
 
   val oracles: Map[String, String] = Map(
     "qm_image_stats" ->
@@ -787,6 +833,17 @@ object Multimodal {
         "list_sum(list_transform(range(0, width*height), " +
         "i -> (media_id*29 + f*101 + (i + 2*width*height)*13) % 250)))) AS BIGINT) AS v_sum " +
         "FROM dims ORDER BY media_id"),
+    "qm_quarantine" ->
+      ("WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 13 AS w, 6 + doc_id % 9 AS h " +
+        "FROM documents), " +
+        "ok AS (SELECT id, " +
+        "CAST(list_sum(list_transform(range(0, w*h), p -> (id*31 + (3*p)*7) % 251)) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, w*h), p -> (id*31 + (3*p+1)*7) % 251)) AS BIGINT) AS g_sum " +
+        "FROM dims WHERE id % 7 <> 0) " +
+        "SELECT 'corrupt' AS status, COUNT(*) AS n, CAST(0 AS BIGINT) AS r_total, " +
+        "CAST(0 AS BIGINT) AS g_total FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT 'ok', COUNT(*), CAST(SUM(r_sum) AS BIGINT), " +
+        "CAST(SUM(g_sum) AS BIGINT) FROM ok ORDER BY status"),
     "qm_frame_sample" ->
       ("WITH dims AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, " +
         "3 + doc_id % 4 AS height, 2 + doc_id % 4 AS n_frames FROM documents), " +

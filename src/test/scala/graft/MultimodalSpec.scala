@@ -221,6 +221,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioStats(corrupt).count() == 0)
   }
 
+  test("quarantine decode: every record emits exactly one row, correctly classified") {
+    val corrupted = Multimodal.syntheticPpmCorrupted(spark, sfTiny)
+    val rows = Multimodal.imageStatsQuarantined(corrupted).collect()
+    assert(rows.length == corrupted.count(), "no record may vanish")
+    rows.foreach { r =>
+      if (r.media_id % 7 == 0)
+        assert(r.status == "corrupt" && r.r_sum == 0, s"media ${r.media_id}")
+      else {
+        assert(r.status == "ok", s"media ${r.media_id}")
+        val exp = (0 until (r.width * r.height).toInt)
+          .map(p => (r.media_id * 31 + (3 * p) * 7) % 251).sum
+        assert(r.r_sum == exp, s"media ${r.media_id}")
+      }
+    }
+  }
+
   // ---- real uncompressed-video codec (YUV4MPEG2) ----
 
   test("Y4mCodec: encode -> decode round-trips geometry, frames, exact plane sums") {
