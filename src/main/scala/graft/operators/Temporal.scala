@@ -102,12 +102,62 @@ object Temporal {
     graft.streaming.EventStreams.userSessions(T.events(spark, d))
       .orderBy("user_id", "session_start")
 
+  /** Point-in-interval lookup join with NO equi key (the IP-to-geo /
+    * value-to-band class): Spark plans a bare `v BETWEEN lo AND hi` join
+    * as BroadcastNestedLoopJoin — O(points × ranges) per partition, the
+    * plan that dies first at 100 TB. The Spark-first rewrite BUCKETIZES:
+    * each range explodes to the fixed-width buckets it intersects, each
+    * point maps to exactly one bucket, and the join becomes a plain
+    * hash-partitioned equi-join on the bucket id + a residual BETWEEN
+    * filter. A point lives in one bucket, so no pair can duplicate.
+    *
+    * `bucketWidth` trades explode fan-out (≈ avg range width / bucket
+    * width rows per range) against bucket selectivity (ranges sharing a
+    * bucket that don't match the point). Both sides stay declarative —
+    * Catalyst still pushes filters, AQE still picks broadcast when the
+    * exploded range side is small. */
+  def rangeLookupJoin(points: DataFrame, pointCol: String,
+                      ranges: DataFrame, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val rb = ranges.withColumn("_bkt", explode(sequence(
+      expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+      expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
+    val pb = points.withColumn("_bkt", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
+    pb.join(rb, "_bkt")
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("_bkt")
+  }
+
+  /** QE4 — the bucketized range lookup end to end: synthetic disjoint
+    * value bands from `supplier`, order keys hashed into the band space,
+    * per-band hit counts. Oracle = DuckDB's plain BETWEEN join — exact
+    * row parity proves the bucket rewrite loses and duplicates nothing. */
+  def qeRangeLookup(spark: SparkSession, d: String): DataFrame = {
+    val ranges = T.supplier(spark, d).select(
+      col("s_suppkey").as("range_id"),
+      (col("s_suppkey") * 97).as("lo"),
+      (col("s_suppkey") * 97 + 53).as("hi"))
+    val points = T.orders(spark, d).select((col("o_orderkey") % 7919).as("v"))
+    rangeLookupJoin(points, "v", ranges, "lo", "hi", bucketWidth = 64)
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("hits"))
+      .orderBy("range_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_asof" -> qeAsof _,
     "qe_attribution" -> qeAttribution _,
-    "qe_sessions" -> qeSessions _)
+    "qe_sessions" -> qeSessions _,
+    "qe_range_lookup" -> qeRangeLookup _)
 
   val oracles: Map[String, String] = Map(
+    "qe_range_lookup" ->
+      ("WITH r AS (SELECT s_suppkey AS range_id, s_suppkey*97 AS lo, " +
+        "s_suppkey*97 + 53 AS hi FROM supplier), " +
+        "p AS (SELECT o_orderkey % 7919 AS v FROM orders) " +
+        "SELECT range_id, COUNT(*) AS hits FROM p JOIN r " +
+        "ON v BETWEEN lo AND hi GROUP BY range_id ORDER BY range_id"),
     "qe_asof" ->
       ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id, ts), " +

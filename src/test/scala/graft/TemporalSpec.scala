@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 import graft.operators.Temporal
 
 class TemporalSpec extends SparkSpec {
@@ -80,5 +81,31 @@ class TemporalSpec extends SparkSpec {
     } yield (c.getAs[Long]("user_id"), v.getAs[Long]("event_id"),
       c.getAs[Long]("event_id"))).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("rangeLookupJoin == naive BETWEEN join; bucket width cannot change the result") {
+    import spark.implicits._
+    // overlapping ranges + boundary points: the cases a bucket rewrite
+    // would get wrong first (a point on a bucket edge, a range spanning
+    // many buckets, two ranges claiming one point)
+    val ranges = Seq((1L, 0L, 100L), (2L, 50L, 149L), (3L, 140L, 160L), (4L, 1000L, 1063L))
+      .toDF("range_id", "lo", "hi")
+    val points = Seq(0L, 50L, 64L, 100L, 101L, 128L, 149L, 150L, 999L, 1000L, 1063L, 1064L)
+      .toDF("v")
+    val naive = points.join(ranges, col("v").between(col("lo"), col("hi")))
+      .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 64L, 1000L)) {
+      val got = Temporal.rangeLookupJoin(points, "v", ranges, "lo", "hi", w)
+        .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w: missing=${naive -- got} extra=${got -- naive}")
+    }
+  }
+
+  test("qe_range_lookup plans a hash join on the bucket id, never a nested loop") {
+    val plan = Temporal.qeRangeLookup(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range lookup degraded to an all-pairs join:\n$plan")
+    assert(plan.contains("Join"), s"expected a real join:\n$plan")
   }
 }
