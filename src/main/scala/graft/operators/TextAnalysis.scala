@@ -334,6 +334,32 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** QP6 — overlapping document chunking (the RAG/embedding prep step,
+    * distinct from [[qpPack]]'s cross-doc packing): each doc splits into
+    * token windows of `chunk` tokens advancing by `stride` (< chunk ⇒
+    * overlap), the shape retrieval corpora and long-doc training shards
+    * are cut into. Chunk boundaries are pure per-row arithmetic — the
+    * explode rides the scan, no shuffle until the final sort — and each
+    * chunk carries an md5 content fingerprint, so the oracle (same
+    * slicing in DuckDB) proves BYTE-EXACT chunk content, not just
+    * counts. Every token lands in ≥1 chunk: the window start walks while
+    * start ≤ n-1, and the tail window clamps. */
+  def qpChunk(spark: SparkSession, d: String,
+              chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    T.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, (size(toks) - 1) div $stride)")).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(toks, start * $stride + 1, $chunk)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("ctoks"))).as("fingerprint"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** QP3 — sequence packing (token-budget chunking): concatenate docs in
     * doc_id order into a token stream and report the 2048-token chunk each
     * doc STARTS in — the document-carryover packing used when training
@@ -414,6 +440,7 @@ object TextAnalysis {
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
     "qp_sample" -> ((s: SparkSession, d: String) => qpSample(s, d)),
+    "qp_chunk" -> ((s: SparkSession, d: String) => qpChunk(s, d)),
     "qp_pack" -> qpPack _,
     "qp_prep_pipeline" -> qpPrepPipeline _,
     "qj_json_props" -> qjJsonProps _,
@@ -477,6 +504,14 @@ object TextAnalysis {
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
         "WHERE rn <= 20 ORDER BY lang, rn"),
+    "qp_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, " +
+        "unnest(range(0, (len(toks) - 1) // 48 + 1)) AS chunk_idx FROM t) " +
+        "SELECT doc_id, chunk_idx, " +
+        "CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS n_tok, " +
+        "md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS fingerprint " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
     "qp_pack" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks " +
         "FROM documents), " +

@@ -88,4 +88,30 @@ class PackingSpec extends SparkSpec {
     assert(packed(2L) != packed(3L))
     assert(packed(3L) == packed(4L))
   }
+
+  test("qp_chunk: windows cover every token, overlap by chunk-stride, fingerprints match content") {
+    val chunk = 64; val stride = 48
+    val rows = TextAnalysis.qpChunk(spark, sfTiny, chunk, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(rows.map(_._1).toSet == docs.keySet, "every doc chunks")
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk count = the start-walk formula; indices contiguous from 0
+      assert(sorted.map(_._2).toSeq == (0L until ((toks.length - 1) / stride + 1)), s"doc $id")
+      sorted.foreach { case (_, i, nTok, fp) =>
+        val want = toks.slice((i * stride).toInt, (i * stride).toInt + chunk)
+        assert(nTok == want.length, s"doc $id chunk $i")
+        assert(fp == java.security.MessageDigest.getInstance("MD5")
+          .digest(want.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString, s"doc $id chunk $i fingerprint")
+      }
+      // coverage: the last chunk reaches the last token
+      val (_, lastI, lastN, _) = sorted.last
+      assert(lastI * stride + lastN == toks.length, s"doc $id tail coverage")
+    }
+  }
 }
