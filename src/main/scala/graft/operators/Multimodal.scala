@@ -749,6 +749,16 @@ object Multimodal {
         coalesce(sum("g_sum"), lit(0L)).as("g_total"))
       .orderBy("status")
 
+  /** QM8 — the resize transform, verified per pixel: synthesize real P6
+    * payloads, nearest-neighbor-resize every one to 4×3, decode the
+    * resized payloads back and emit channel sums. Floor-mapped source
+    * coordinates are pure integer arithmetic, so the oracle recomputes
+    * every resized pixel closed-form — a hash match proves the resize
+    * touches exactly the pixels it should and nothing else. */
+  def qmResizeStats(spark: SparkSession, d: String): DataFrame =
+    imageStats(resizeImages(syntheticPpm(spark, d), 4, 3)).toDF()
+      .orderBy("media_id")
+
   /** QM5 — REAL video decode: encode documents as genuine YUV4MPEG2
     * streams, decode them back with [[Y4mCodec]], emit per-plane pixel
     * sums over every frame. Integer frame bytes ⇒ the oracle recomputes
@@ -781,7 +791,8 @@ object Multimodal {
     "qm_audio_stats" -> qmAudioStats _,
     "qm_video_stats" -> qmVideoStats _,
     "qm_frame_sample" -> qmFrameSample _,
-    "qm_quarantine" -> qmQuarantine _)
+    "qm_quarantine" -> qmQuarantine _,
+    "qm_resize_stats" -> qmResizeStats _)
 
   val oracles: Map[String, String] = Map(
     "qm_image_stats" ->
@@ -832,6 +843,17 @@ object Multimodal {
         "CAST(list_sum(list_transform(range(0, n_frames), f -> " +
         "list_sum(list_transform(range(0, width*height), " +
         "i -> (media_id*29 + f*101 + (i + 2*width*height)*13) % 250)))) AS BIGINT) AS v_sum " +
+        "FROM dims ORDER BY media_id"),
+    "qm_resize_stats" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 8 + doc_id % 13 AS w, " +
+        "6 + doc_id % 9 AS h FROM documents) " +
+        "SELECT media_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height, " +
+        "CAST(list_sum(list_transform(range(0, 12), p -> " +
+        "(media_id*31 + (3*(((p//4)*h//3)*w + ((p%4)*w//4)))*7) % 251)) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, 12), p -> " +
+        "(media_id*31 + (3*(((p//4)*h//3)*w + ((p%4)*w//4)) + 1)*7) % 251)) AS BIGINT) AS g_sum, " +
+        "CAST(list_sum(list_transform(range(0, 12), p -> " +
+        "(media_id*31 + (3*(((p//4)*h//3)*w + ((p%4)*w//4)) + 2)*7) % 251)) AS BIGINT) AS b_sum " +
         "FROM dims ORDER BY media_id"),
     "qm_quarantine" ->
       ("WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 13 AS w, 6 + doc_id % 9 AS h " +
