@@ -134,6 +134,38 @@ object Sketches {
     df.filter(!call_function("seen_might_contain", lit(filter), xxhash64(col(keyCol))))
   }
 
+  /** Sharded variant for key universes past one blob's comfortable size
+    * (a few GB at billions of keys): build one filter per xxhash shard —
+    * a single aggregation pass, `shards` blob rows out. */
+  def buildSeenFilterSharded(df: DataFrame, keyCol: String, shards: Int,
+      expectedItemsPerShard: Long, numBitsPerShard: Long): Array[(Long, Array[Byte])] = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(shards > 0 && shards <= 1024, s"unreasonable shard count: $shards")
+    df.groupBy(pmod(xxhash64(col(keyCol)), lit(shards.toLong)).as("_shard"))
+      .agg(call_function("seen_filter_agg", xxhash64(col(keyCol)),
+        lit(expectedItemsPerShard), lit(numBitsPerShard)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+  }
+
+  /** Probe against sharded filters in ONE scan, still join-free: the
+    * predicate is a CASE chain over the shard id, each branch holding
+    * its shard's blob as a foldable literal (a per-row blob COLUMN would
+    * be rejected — Spark's might-contain requires a constant filter; a
+    * per-shard union of filtered scans would read the input `shards`
+    * times). Plan size grows with `shards`; ≤1024 keeps codegen sane. */
+  def filterUnseenSharded(df: DataFrame, keyCol: String, shards: Int,
+      filters: Array[(Long, Array[Byte])]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val k = xxhash64(col(keyCol))
+    val shardCol = pmod(k, lit(shards.toLong))
+    // a shard with no filter row saw no keys: everything there is unseen
+    val seen = filters.foldLeft(lit(false)) { case (acc, (s, blob)) =>
+      when(shardCol === s, call_function("seen_might_contain", lit(blob), k))
+        .otherwise(acc)
+    }
+    df.filter(!seen)
+  }
+
   /** QK3 — the incremental-ingest membership pattern end to end: build
     * the seen-filter over the first years' customers, probe the last
     * years' orders, report per-year how many orders came from never-

@@ -192,6 +192,24 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"membership probe must not plan a join:\n$plan")
   }
 
+  test("sharded seen-filter: same contract as one blob, one scan, join-free") {
+    import spark.implicits._
+    val seenKeys = (0L until 30000L).toDF("k")
+    val filters = Sketches.buildSeenFilterSharded(seenKeys, "k", shards = 8,
+      expectedItemsPerShard = 4000L, numBitsPerShard = 80000L)
+    assert(filters.length == 8, "every shard saw keys")
+    // no false negatives across shard routing
+    assert(Sketches.filterUnseenSharded(seenKeys, "k", 8, filters).count() == 0)
+    // disjoint keys: bounded fp, and a plan with neither join nor union
+    val novel = (5000000L until 5020000L).toDF("k")
+    val out = Sketches.filterUnseenSharded(novel, "k", 8, filters)
+    val passed = out.count()
+    assert(1.0 - passed.toDouble / 20000 < 0.05, s"fp rate ${1.0 - passed.toDouble / 20000}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      s"sharded probe must stay one join-free scan:\n$plan")
+  }
+
   test("qk_bloom_unseen: conservative subset of the exact anti-join truth") {
     val bloom = Sketches.qkBloomUnseen(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -99,6 +99,19 @@ class TemporalSpec extends SparkSpec {
         .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == naive, s"width $w: missing=${naive -- got} extra=${got -- naive}")
     }
+    // negative domains: `div` truncates toward zero rather than flooring,
+    // but truncation is monotonic, so a range's bucket interval still
+    // covers every point bucket inside it — pin that this holds
+    val negRanges = Seq((1L, -100L, -60L), (2L, -10L, 10L)).toDF("range_id", "lo", "hi")
+    val negPoints = Seq(-101L, -100L, -70L, -64L, -60L, -59L, -10L, -1L, 0L, 10L, 11L)
+      .toDF("v")
+    val negNaive = negPoints.join(negRanges, col("v").between(col("lo"), col("hi")))
+      .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 64L)) {
+      val got = Temporal.rangeLookupJoin(negPoints, "v", negRanges, "lo", "hi", w)
+        .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == negNaive, s"neg width $w: missing=${negNaive -- got} extra=${got -- negNaive}")
+    }
   }
 
   test("qe_range_lookup plans a hash join on the bucket id, never a nested loop") {
