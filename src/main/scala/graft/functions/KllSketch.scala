@@ -21,9 +21,14 @@ import org.apache.spark.sql.types._
   * confidence, mergeable without bound degradation (the DataSketches
   * KLL guarantee; SketchesSpec pins it empirically). */
 object KllUtil {
-  def quantile(bytes: Array[Byte], rank: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
+  /** NaN for an empty sketch (a group whose values were all null) —
+    * DataSketches throws there, and a crash is the wrong answer for one
+    * empty group in a million-group rollup. */
+  def quantile(bytes: Array[Byte], rank: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
+  }
 }
 
 /** `kll_quantile_agg(value double[, k]) -> binary`: per-group KLL

@@ -149,6 +149,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KLL: an all-null group yields NaN, not a crash") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(expr("kll_quantile(kll_quantile_agg(v), 0.5d)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 1.0 || out("a") == 2.0) // exact order stat, n=2
+    assert(out("b").isNaN, "empty sketch must answer NaN")
+  }
+
   test("KLL partials survive parquet byte-exact; stored blobs answer quantiles") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
