@@ -114,6 +114,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("rangeLookupJoin: seeded randomized differential vs naive join (incl. negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
+    for (trial <- 0 until 8) {
+      val ranges = (1 to 30).map { id =>
+        val lo = rnd.nextInt(2000) - 1000L
+        (id.toLong, lo, lo + rnd.nextInt(300)) // overlapping, random widths
+      }.toDF("range_id", "lo", "hi")
+      val points = (1 to 200).map(_ => rnd.nextInt(2600) - 1300L).toDF("v")
+      val naive = points.join(ranges, col("v").between(col("lo"), col("hi")))
+        .select("v", "range_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      val w = Seq(1L, 7L, 64L, 500L)(trial % 4)
+      val got = Temporal.rangeLookupJoin(points, "v", ranges, "lo", "hi", w)
+        .select("v", "range_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      // multiset equality: duplicated points must match multiplicities too
+      assert(got == naive, s"trial $trial width $w")
+    }
+  }
+
   test("qe_range_lookup plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeRangeLookup(spark, sfTiny)
       .queryExecution.executedPlan.toString
