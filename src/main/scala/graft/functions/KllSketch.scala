@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
   * confidence, mergeable without bound degradation (the DataSketches
   * KLL guarantee; SketchesSpec pins it empirically). */
 object KllUtil {
-  /** NaN for an empty sketch (a group whose values were all null) —
-    * DataSketches throws there, and a crash is the wrong answer for one
-    * empty group in a million-group rollup. */
+  /** NaN for an empty sketch (a group whose values were all null) and
+    * for an out-of-range rank — DataSketches throws in both cases, and a
+    * crash is the wrong answer for one bad row in a million-group
+    * rollup; NaN is diagnosable per-row. */
   def quantile(bytes: Array[Byte], rank: Double): Double = {
+    if (rank.isNaN || rank < 0.0 || rank > 1.0) return Double.NaN
     val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
     if (sk.isEmpty) Double.NaN
     else sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
@@ -84,7 +86,14 @@ case class KllSketchAgg(
 /** `kll_merge_agg(binary) -> binary`: merge STORED KLL sketches — the
   * re-aggregation path over persisted partials (the `hll_union_agg`
   * analogue for quantiles). Mergeability is the whole point of
-  * persisting sketches: rollups never revisit raw rows. */
+  * persisting sketches: rollups never revisit raw rows.
+  *
+  * The accumulator ADOPTS the k of the first stored sketch it absorbs:
+  * a still-empty default-k buffer merging partials built with a larger
+  * k would silently clamp the rollup's rank accuracy down to k=200
+  * (KLL merge degrades to the smaller k). Mixed-k INPUTS still degrade
+  * to the smallest input k — that is the KLL contract itself, not a
+  * buffer artifact. */
 case class KllMergeAgg(
     child: Expression,
     k: Int = 200,
@@ -105,17 +114,23 @@ case class KllMergeAgg(
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
-  override def update(s: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
-    val v = child.eval(input)
-    if (v != null)
-      s.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
-    s
+  /** Merge `in` into `s`, re-homing an empty low-k buffer onto `in`'s k
+    * first so the buffer never caps the inputs' precision. */
+  private def absorb(s: KllDoublesSketch, in: KllDoublesSketch): KllDoublesSketch = {
+    val acc = if (s.isEmpty && in.getK > s.getK)
+      KllDoublesSketch.newHeapInstance(in.getK) else s
+    acc.merge(in)
+    acc
   }
 
-  override def merge(s: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    s.merge(other)
-    s
+  override def update(s: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v == null) s
+    else absorb(s, KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
   }
+
+  override def merge(s: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch =
+    absorb(s, other)
 
   override def eval(s: KllDoublesSketch): Any = s.toByteArray
   override def serialize(s: KllDoublesSketch): Array[Byte] = s.toByteArray

@@ -117,6 +117,11 @@ object Sketches {
   def buildSeenFilter(df: DataFrame, keyCol: String,
       expectedItems: Long, numBits: Long): Array[Byte] = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // BloomFilterAggregate evaluates to NULL over zero rows; surface that
+    // as a null blob and let [[filterUnseen]] read it as "nothing seen".
+    // (Returning it raw would make `!might_contain(null,…)` null out the
+    // predicate and drop EVERY probe row — the exact inverse of the
+    // no-false-negative contract.)
     df.select(call_function("seen_filter_agg",
       xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("f"))
       .head.getAs[Array[Byte]](0)
@@ -130,6 +135,10 @@ object Sketches {
     * broadcast shape, no shuffle, no SQL-text blow-up from a megabyte
     * blob). */
   def filterUnseen(df: DataFrame, keyCol: String, filter: Array[Byte]): DataFrame = {
+    // A null/empty blob means the seen-set was built over zero rows —
+    // nothing has been seen, every probe row is new. (lit(null: Binary)
+    // would instead null the predicate and drop all rows.)
+    if (filter == null || filter.isEmpty) return df
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.filter(!call_function("seen_might_contain", lit(filter), xxhash64(col(keyCol))))
   }

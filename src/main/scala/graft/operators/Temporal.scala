@@ -115,18 +115,44 @@ object Temporal {
     * width rows per range) against bucket selectivity (ranges sharing a
     * bucket that don't match the point). Both sides stay declarative —
     * Catalyst still pushes filters, AQE still picks broadcast when the
-    * exploded range side is small. */
+    * exploded range side is small.
+    *
+    * `maxFanout` is the foot-gun guard: one sentinel-wide range (say
+    * `[0, Long.MaxValue]`) would otherwise explode to billions of bucket
+    * rows — Spark's `sequence` only rejects it AFTER planning, and a
+    * merely-huge range fans out silently. Any range spanning more than
+    * `maxFanout` buckets fails the job loudly (per-row `raise_error`
+    * naming the offending bounds) instead of melting the shuffle; widen
+    * `bucketWidth` or raise the cap deliberately. The guard is woven
+    * into the `sequence` upper bound so column pruning can never drop
+    * it. Inputs must not share column names (the residual BETWEEN would
+    * be ambiguous) — checked up front. */
   def rangeLookupJoin(points: DataFrame, pointCol: String,
                       ranges: DataFrame, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, maxFanout: Long = 1 << 16): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val rb = ranges.withColumn("_bkt", explode(sequence(
-      expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
-      expr(s"CAST($endCol AS BIGINT) div $bucketWidth"))))
-    val pb = points.withColumn("_bkt", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
-    pb.join(rb, "_bkt")
+    require(maxFanout > 0, s"maxFanout must be positive: $maxFanout")
+    val shared = points.columns.toSet.intersect(ranges.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeLookupJoin: points and ranges share column names ${shared.mkString(", ")} — " +
+        "rename one side; the residual BETWEEN filter would be ambiguous")
+    val bkt = "_graft_range_bkt"
+    require(!points.columns.contains(bkt) && !ranges.columns.contains(bkt),
+      s"rangeLookupJoin: inputs may not already carry the internal column $bkt")
+    val loB = expr(s"CAST($startCol AS BIGINT) div $bucketWidth")
+    val hiB = expr(s"CAST($endCol AS BIGINT) div $bucketWidth")
+    // guard rides the sequence bound itself — an unused side column
+    // holding assert_true would be pruned away with the assertion
+    val hiGuarded = when(hiB - loB < lit(maxFanout), hiB)
+      .otherwise(raise_error(format_string(
+        s"rangeLookupJoin: range [%s, %s] spans %s buckets at bucketWidth=$bucketWidth, " +
+          s"over maxFanout=$maxFanout — widen bucketWidth or raise maxFanout",
+        col(startCol), col(endCol), hiB - loB + lit(1))).cast("bigint"))
+    val rb = ranges.withColumn(bkt, explode(sequence(loB, hiGuarded)))
+    val pb = points.withColumn(bkt, expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
+    pb.join(rb, bkt)
       .filter(col(pointCol).between(col(startCol), col(endCol)))
-      .drop("_bkt")
+      .drop(bkt)
   }
 
   /** QE4 — the bucketized range lookup end to end: synthetic disjoint

@@ -272,4 +272,46 @@ class SketchesSpec extends SparkSpec {
     val k10 = a.map(s => (s(0).asInstanceOf[String], s(1).asInstanceOf[Long])).toSet
     assert(k5.subsetOf(k10), "k=5 sample must be a prefix of the k=10 sample")
   }
+
+  test("seen-filter over ZERO rows has seen nothing: the probe keeps every row") {
+    import spark.implicits._
+    // BloomFilterAggregate evaluates to null over an empty input; the
+    // probe must read that as "no key was ever seen", not drop the batch
+    val empty = spark.emptyDataset[Long].toDF("k")
+    val filter = Sketches.buildSeenFilter(empty, "k",
+      expectedItems = 100L, numBits = 10000L)
+    val probe = (0L until 500L).toDF("k")
+    assert(Sketches.filterUnseen(probe, "k", filter).count() == 500,
+      "an empty seen-set classified new rows as already seen")
+  }
+
+  test("kll_quantile: an out-of-range rank answers NaN, not a crash") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sk = (1 to 10).map(_.toDouble).toDF("v")
+      .agg(expr("kll_quantile_agg(v)")).head.getAs[Array[Byte]](0)
+    assert(graft.functions.KllUtil.quantile(sk, 1.5).isNaN)
+    assert(graft.functions.KllUtil.quantile(sk, -0.1).isNaN)
+    assert(graft.functions.KllUtil.quantile(sk, Double.NaN).isNaN)
+    assert(graft.functions.KllUtil.quantile(sk, 0.5) == 5.0) // in-range unchanged
+    // and through the codegen'd SQL path
+    val viaSql = (1 to 10).map(_.toDouble).toDF("v")
+      .agg(expr("kll_quantile(kll_quantile_agg(v), 1.5d)")).head.getDouble(0)
+    assert(viaSql.isNaN)
+  }
+
+  test("kll_merge_agg adopts the stored sketches' k — no silent precision clamp") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // partials built at k=800; the default-k merge buffer must re-home
+    // onto 800 instead of clamping the rollup to k=200
+    val partials = (1 to 4000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .groupBy("g").agg(expr("kll_quantile_agg(v, 800)").as("sk"))
+    val merged = partials.agg(expr("kll_merge_agg(sk)").as("m"))
+      .head.getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(merged))
+    assert(sk.getK == 800, s"merge clamped k=800 partials down to k=${sk.getK}")
+    assert(sk.getN == 4000)
+  }
 }

@@ -142,4 +142,48 @@ class TemporalSpec extends SparkSpec {
       s"range lookup degraded to an all-pairs join:\n$plan")
     assert(plan.contains("Join"), s"expected a real join:\n$plan")
   }
+
+  private def causeMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("rangeLookupJoin: a pathologically wide range fails LOUDLY, before the fan-out") {
+    import spark.implicits._
+    // one sentinel range — the row that would explode to 10^17 buckets
+    val ranges = Seq((1L, 0L, Long.MaxValue), (2L, 10L, 20L)).toDF("range_id", "lo", "hi")
+    val points = Seq(15L).toDF("v")
+    val e = intercept[Throwable] {
+      Temporal.rangeLookupJoin(points, "v", ranges, "lo", "hi", 64L).collect()
+    }
+    val msgs = causeMessages(e)
+    assert(msgs.contains("maxFanout"), s"expected the guard's message, got: $msgs")
+    // boundary: exactly maxFanout buckets passes, one more trips the guard
+    val atCap = Seq((1L, 0L, 9L)).toDF("range_id", "lo", "hi") // 10 buckets at width 1
+    assert(Temporal.rangeLookupJoin(points, "v", atCap, "lo", "hi",
+      bucketWidth = 1L, maxFanout = 10L).count() == 0) // point 15 outside; plan executes
+    val overCap = Seq((1L, 0L, 10L)).toDF("range_id", "lo", "hi") // 11 buckets
+    val e2 = intercept[Throwable] {
+      Temporal.rangeLookupJoin(points, "v", overCap, "lo", "hi",
+        bucketWidth = 1L, maxFanout = 10L).collect()
+    }
+    assert(causeMessages(e2).contains("maxFanout"))
+  }
+
+  test("rangeLookupJoin: colliding column names are rejected up front") {
+    import spark.implicits._
+    val points = Seq(5L).toDF("v")
+    // a column shared between the sides would make the residual BETWEEN ambiguous
+    val sharing = Seq((1L, 0L, 10L)).toDF("v", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeLookupJoin(points, "v", sharing, "lo", "hi", 8L)
+    }
+    assert(e.getMessage.contains("share column names"))
+    // a pre-existing internal bucket column would be silently shadowed
+    val withInternal = Seq((5L, 1L)).toDF("v", "_graft_range_bkt")
+    val ranges = Seq((1L, 0L, 10L)).toDF("range_id", "lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.rangeLookupJoin(withInternal, "v", ranges, "lo", "hi", 8L)
+    }
+    assert(e2.getMessage.contains("_graft_range_bkt"))
+  }
 }
