@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -299,6 +300,65 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Substring-level exact dedup — the duplicated-ngram removal of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" (public knowledge): emit, per document, the maximal token
+    * spans every token of which lies inside some k-token window that
+    * also appears in ≥ `minDocs` DISTINCT documents. Doc-level dedup
+    * (exact or near) cannot see these: two otherwise-unrelated documents
+    * quoting the same boilerplate paragraph both survive; span-level
+    * dedup names the paragraph and its exact token range in each doc.
+    *
+    * The paper's formulation is a corpus-wide suffix array — inherently
+    * one machine's memory. The Spark-first re-expression works on fixed
+    * k-token windows: (1) shingle each doc at the scan (native codegen'd
+    * `word_shingles`), keying windows by md5 so shuffle keys are 32
+    * bytes, not k tokens; (2) one aggregation finds the windows present
+    * in ≥ minDocs distinct docs; (3) a semi-join marks each doc's
+    * duplicated window starts; (4) a per-doc gaps-and-islands pass
+    * unions overlapping/adjacent covered intervals [p, p+k-1] into
+    * maximal spans (window starts p, q merge iff q-p ≤ k). Never
+    * all-pairs, nothing on the driver; the cost is two shuffles of
+    * (doc, window) rows plus one window function partitioned by doc —
+    * every stage partitions by a key whose groups are bounded (a window
+    * hash's doc list is only ever counted, never collected).
+    *
+    * Docs shorter than k tokens carry no k-window and are excluded
+    * (`word_shingles` pads them to one whole-text shingle for the
+    * near-dup operators; a whole-short-doc duplicate is doc-level
+    * dedup's job, and the pad would mis-state span_end here).
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window length must be positive: $k")
+    require(minDocs >= 2, s"minDocs < 2 would flag every window: $minDocs")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val windows = docs
+      .filter(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(call_function("word_shingles", col(textCol), lit(k)))
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("shingle")).as("h"))
+    val dupWindows = windows.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val hits = windows.join(dupWindows, Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"),
+        (max("pos") + lit(k) - min("pos")).as("span_tokens"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
   // ---- query-pack entries over the documents table ----
 
   def qdExactDedup(spark: SparkSession, d: String): DataFrame =
@@ -332,12 +392,23 @@ object Dedup {
       maxDocFreq = NgramMaxDocFreq))
       .orderBy("id")
 
+  /** Window length for the declared substring-dedup entry. 8 tokens
+    * matches qt_contamination's n-gram length; the corpus's planted
+    * near-duplicate docs share long exact runs, so the entry has real
+    * spans to find (47 at sf0.01) without injection. */
+  val SubstringDupK = 8
+
+  def qtSubstringDup(spark: SparkSession, d: String): DataFrame =
+    duplicatedSpans(T.documents(spark, d), k = SubstringDupK)
+      .orderBy("doc_id", "span_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_exact_dedup" -> qdExactDedup _,
     "qd_ngram_jaccard" -> qdNgramJaccard _,
     "qd_minhash_lsh" -> qdMinhashLsh _,
     "qd_simhash" -> qdSimhash _,
-    "qd_dup_clusters" -> qdDupClusters _)
+    "qd_dup_clusters" -> qdDupClusters _,
+    "qt_substring_dup" -> qtSubstringDup _)
 
   /** DuckDB twin of the shingle inverted index (list comprehension form).
     * `maxDocFreq` > 0 mirrors the Spark side's stop-shingle cap: the `fs`
@@ -388,11 +459,33 @@ object Dedup {
       "UNION SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src) " +
     "SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"
 
+  /** DuckDB twin of [[duplicatedSpans]]: the same k-token windows (list
+    * slice + md5), the same ≥-minDocs distinct-doc filter, the same
+    * gaps-and-islands merge — closed-form SQL, so the row is hash-exact,
+    * not rows-only. `pos` is 0-based on both sides; DuckDB list slicing
+    * is 1-based inclusive, hence `l[pos+1 : pos+k]`. */
+  private def substringDupOracle(k: Int, minDocs: Int = 2): String =
+    s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+    s"s0 AS (SELECT doc_id, l, unnest(range(0, len(l) - ${k - 1}))::BIGINT AS pos " +
+      s"FROM d WHERE len(l) >= $k), " +
+    s"sh AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1 : pos+$k], ' ')) AS h FROM s0), " +
+    s"dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $minDocs), " +
+    s"m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
+      s"OR pos - lag(pos) OVER w > $k THEN 1 ELSE 0 END AS ns " +
+      "FROM sh WHERE h IN (SELECT h FROM dup) " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+    "s AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) " +
+    s"SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end, " +
+    s"MAX(pos) + $k - MIN(pos) AS span_tokens " +
+    "FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start"
+
   val oracles: Map[String, String] = Map(
     "qd_exact_dedup" ->
       ("SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS members " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
     "qd_ngram_jaccard" -> jaccardOracle(0.1, NgramMaxDocFreq),
     "qd_minhash_lsh" -> jaccardOracle(0.8),
-    "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq))
+    "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq),
+    "qt_substring_dup" -> substringDupOracle(SubstringDupK))
 }

@@ -181,4 +181,72 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(docs, minJ = 0.1).count()
     assert(uncapped > 1000L, s"planted hot shingle should fan out uncapped: $uncapped")
   }
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Dedup.duplicatedSpans(df, k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"))).toSet
+
+  test("duplicatedSpans: planted cross-doc span found at exact boundaries; intra-doc repeat ignored") {
+    val shared = (1 to 10).map(i => s"x$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, s"a b c d e f g h $shared p q r"),  // span at tokens 8..17
+      (2L, s"$shared z1 z2 z3 z4 z5 z6 z7 z8"), // span at tokens 0..9
+      // an 8-token window repeated INSIDE one doc only: minDocs=2 distinct
+      // docs must NOT flag it
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 m r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "entirely unrelated filler words that never repeat anywhere at all"))
+      .toDF("doc_id", "text")
+    assert(spans(docs, k = 8) == Set(
+      (1L, 8L, 17L, 10L),
+      (2L, 0L, 9L, 10L)))
+  }
+
+  test("duplicatedSpans: covered intervals merge at gap <= k, split at gap > k") {
+    val s1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val s2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    // doc 1 carries s1 and s2 BACK TO BACK (window starts 0 and 8, gap
+    // exactly k): the covered intervals [0,7] and [8,15] are adjacent —
+    // one maximal span — even though the straddling windows are unique
+    val adjacent = Seq(
+      (1L, s"$s1 $s2"),
+      (2L, s"$s1 u1 u2 u3 u4 u5 u6 u7 u8"), // donor of s1 only
+      (3L, s"v1 v2 v3 v4 v5 v6 v7 v8 $s2")) // donor of s2 only
+      .toDF("doc_id", "text")
+    val got = spans(adjacent, k = 8)
+    assert(got((1L, 0L, 15L, 16L)), s"adjacent covers must merge: $got")
+    assert(got((2L, 0L, 7L, 8L)) && got((3L, 8L, 15L, 8L)))
+    // one separating token (gap k+1): two distinct spans
+    val split = Seq(
+      (1L, s"$s1 gap $s2"), // window starts 0 and 9
+      (2L, s"$s1 u1 u2 u3 u4 u5 u6 u7 u8"),
+      (3L, s"v1 v2 v3 v4 v5 v6 v7 v8 $s2"))
+      .toDF("doc_id", "text")
+    val got2 = spans(split, k = 8)
+    assert(got2((1L, 0L, 7L, 8L)) && got2((1L, 9L, 16L, 8L)),
+      s"a gap wider than k must split spans: $got2")
+  }
+
+  test("duplicatedSpans: docs shorter than k tokens never participate") {
+    val docs = Seq(
+      (1L, "tiny identical doc"), (2L, "tiny identical doc"), // doc-level dup, no k-window
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+      .toDF("doc_id", "text")
+    assert(spans(docs, k = 8) == Set(
+      (3L, 0L, 8L, 9L), (4L, 0L, 8L, 9L)))
+  }
+
+  test("qt_substring_dup finds real spans on the corpus; plan has no cartesian join") {
+    val q = Dedup.qtSubstringDup(spark, sfTiny)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degraded to all-pairs:\n$plan")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "the corpus's planted near-dup docs must yield spans")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("span_tokens") ==
+        r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1)
+      assert(r.getAs[Long]("span_tokens") >= 8)
+    }
+  }
 }
