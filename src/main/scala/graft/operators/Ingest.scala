@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The two-batch incremental-ingest composite: the stored-summary family
+  * ([[Sketches]]), the quarantine decode ([[Multimodal]]), exact dedup
+  * and the deterministic split ([[TextAnalysis]]) wired END TO END, the
+  * way a real crawl pipeline runs them — batch 1 is yesterday's ingest
+  * (its clean keys become the stored seen-filter), batch 2 is today's,
+  * probed against that filter before anything expensive touches it.
+  *
+  * Every stage is oracle-checked in isolation elsewhere (qm_quarantine,
+  * qk_bloom_unseen, qd_exact_dedup, qt_split); `qp_ingest` pins their
+  * COMPOSITION with one hash-exact row.
+  *
+  * The bloom step stays EXACT in composition by the standard two-tier
+  * probe: a key the filter has never seen is DEFINITELY new (no false
+  * negatives ⇒ the fast path is sound); a key the filter *might* have
+  * seen goes to an exact anti-join against the stored batch-1 keys.
+  * Union of the two tiers ≡ the plain exact anti-join — which is what
+  * the DuckDB oracle computes — while the expensive join only ever
+  * processes the might-seen sliver (FP-rate-bounded) instead of the
+  * whole batch. That is both the 100 TB shape AND the reason a
+  * closed-form oracle exists at all: false positives move rows between
+  * tiers, never across the result boundary.
+  */
+object Ingest {
+  private val T = Tables
+
+  /** Deterministic duplicate injection (the corpus has no natural exact
+    * text dups — same device as qt_contamination's planted overlaps):
+    * every doc_id ≡ 9 (mod 15) doc takes the text of doc_id−2 — a
+    * batch-1 resident, exercising the seen-filter drop — and every
+    * doc_id ≡ 12 (mod 15) doc takes the text of doc_id−6 — a fellow
+    * batch-2 resident, exercising the in-batch dedup. Mirrored verbatim
+    * in the oracle, so the triples stay integer-exact cross-engine. */
+  private def injectDuplicates(docs: DataFrame): DataFrame = {
+    val donors = docs.select(col("doc_id").as("donor_id"), col("text").as("donor_text"))
+    docs
+      .withColumn("donor_id",
+        when(col("doc_id") % 15 === 9, col("doc_id") - 2)
+          .when(col("doc_id") % 15 === 12, col("doc_id") - 6))
+      .join(donors, Seq("donor_id"), "left")
+      .withColumn("text", coalesce(col("donor_text"), col("text")))
+      .select("doc_id", "text")
+  }
+
+  /** QP-INGEST — the funnel, one row per stage:
+    * quarantine (real PPM decode of the per-doc payload; corrupt rows
+    * counted, never silently lost) → batch-1 clean keys become the
+    * stored seen-filter → batch-2 probes it (two-tier, see object doc)
+    * → exact dedup of the surviving new docs (min-id keeper) →
+    * deterministic content-hash split. Batch membership is doc_id % 3
+    * (2/3 history, 1/3 arriving); the dedup/split key is md5(text), so
+    * the split bucket is a prefix of the key already in hand. */
+  def qpIngest(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // real decode status for every doc's payload (media_id == doc_id;
+    // doc_id % 7 == 0 payloads are deterministically truncated)
+    val status = Multimodal
+      .imageStatsQuarantined(Multimodal.syntheticPpmCorrupted(spark, d))
+      .toDF().select(col("media_id").as("doc_id"), col("status"))
+    val docs = injectDuplicates(T.documents(spark, d).select("doc_id", "text"))
+      .join(status, "doc_id")
+      .withColumn("k", md5(col("text")))
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 0)
+    val clean1 = b1.filter(col("status") === "ok")
+    val clean2 = b2.filter(col("status") === "ok")
+    val b1Keys = clean1.select("k").distinct()
+
+    // the stored summary: built once over batch 1, kilobytes regardless
+    // of corpus size, shipped into batch 2's scan as a foldable literal
+    val seen = Sketches.buildSeenFilter(b1Keys, "k",
+      expectedItems = 1000000L, numBits = 8000000L)
+    val maybeSeen: Column =
+      if (seen == null) lit(false) // empty history: everything is new
+      else call_function("seen_might_contain", lit(seen), xxhash64(col("k")))
+    val definitelyNew = clean2.filter(!maybeSeen)
+    val confirmedNew = clean2.filter(maybeSeen)
+      .join(b1Keys, Seq("k"), "left_anti") // exact tier: FP-sliver only
+    val newDocs = definitelyNew.unionByName(confirmedNew)
+    val keepers = newDocs.groupBy("k").agg(min("doc_id").as("keeper"))
+
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs"))
+    val splits = keepers
+      .withColumn("bucket", substring(col("k"), 1, 2))
+      .groupBy(concat(lit("b2_"),
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test"))).as("stage"))
+      .agg(count(lit(1)).as("docs"))
+    stage("b1_corrupt", b1.filter(col("status") === "corrupt"))
+      .unionByName(stage("b1_clean", clean1))
+      .unionByName(stage("b2_corrupt", b2.filter(col("status") === "corrupt")))
+      .unionByName(stage("b2_clean", clean2))
+      .unionByName(stage("b2_new", newDocs))
+      .unionByName(stage("b2_dedup_keepers", keepers))
+      .unionByName(splits)
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_ingest" -> qpIngest _)
+
+  /** DuckDB twin: the same injection self-join, the %7 corruption rule
+    * (closed-form — qm_quarantine pins that truncated payloads are
+    * always rejected), and the EXACT seen-set semantics the two-tier
+    * bloom probe is equal to by construction. */
+  val oracles: Map[String, String] = Map(
+    "qp_ingest" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents), " +
+        "inj AS (SELECT b.doc_id, COALESCE(dn.text, b.text) AS text " +
+        "FROM base b LEFT JOIN base dn ON dn.doc_id = " +
+        "CASE WHEN b.doc_id % 15 = 9 THEN b.doc_id - 2 " +
+        "WHEN b.doc_id % 15 = 12 THEN b.doc_id - 6 END), " +
+        "d AS (SELECT doc_id, md5(text) AS k, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status, " +
+        "doc_id % 3 = 0 AS b2 FROM inj), " +
+        "c1 AS (SELECT k FROM d WHERE NOT b2 AND status = 'ok'), " +
+        "c2 AS (SELECT doc_id, k FROM d WHERE b2 AND status = 'ok'), " +
+        "nw AS (SELECT doc_id, k FROM c2 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM c1 WHERE c1.k = c2.k)), " +
+        "kp AS (SELECT k, MIN(doc_id) AS keeper FROM nw GROUP BY k) " +
+        "SELECT 'b1_corrupt' AS stage, COUNT(*) AS docs FROM d WHERE NOT b2 AND status = 'corrupt' " +
+        "UNION ALL SELECT 'b1_clean', COUNT(*) FROM d WHERE NOT b2 AND status = 'ok' " +
+        "UNION ALL SELECT 'b2_corrupt', COUNT(*) FROM d WHERE b2 AND status = 'corrupt' " +
+        "UNION ALL SELECT 'b2_clean', COUNT(*) FROM c2 " +
+        "UNION ALL SELECT 'b2_new', COUNT(*) FROM nw " +
+        "UNION ALL SELECT 'b2_dedup_keepers', COUNT(*) FROM kp " +
+        "UNION ALL SELECT 'b2_' || CASE WHEN substring(k, 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substring(k, 1, 2) < 'e6' THEN 'val' ELSE 'test' END, COUNT(*) " +
+        "FROM kp GROUP BY 1 ORDER BY stage"))
+}
