@@ -146,4 +146,37 @@ object FileFormats {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Parquet write with per-column BLOOM FILTERS in the footer — the
+    * last rung of the pruning ladder this module builds: file-level key
+    * ranges ([[writeRangeClustered]]) → row-group min/max
+    * ([[writeRowGrouped]]) → per-group bloom headers (this). The first
+    * two only prune on columns the data is SORTED by; a point lookup on
+    * any other column finds every group's min/max spanning ~the whole
+    * domain and prunes nothing. A bloom header answers "is this exact
+    * value possibly in this group" independently of sort order — absence
+    * proof for the values that aren't there (no false negatives, sized
+    * false positives), which is most values in a selective point query.
+    *
+    * `ndvPerCol` maps column → expected distinct values PER ROW GROUP;
+    * parquet sizes each group's filter from it (too low inflates the
+    * false-positive rate — absent values stop pruning; too high wastes
+    * footer bytes). Composes with [[writeRowGrouped]]'s `blockBytes`
+    * lever: sort by the range key, bloom the lookup keys.
+    *
+    * Options ride Spark's normal parquet write configuration
+    * (`parquet.bloom.filter.enabled#<col>` — public parquet-mr/Spark
+    * surface), so they apply per-write, not session-wide. */
+  def writeBloomFiltered(df: DataFrame, path: String,
+                         ndvPerCol: Map[String, Long]): Unit = {
+    require(ndvPerCol.nonEmpty, "no bloom columns requested")
+    val missing = ndvPerCol.keySet -- df.columns.toSet
+    require(missing.isEmpty, s"bloom columns absent from input: ${missing.mkString(", ")}")
+    val w = df.write.mode("overwrite")
+    ndvPerCol.foldLeft(w) { case (acc, (c, ndv)) =>
+      require(ndv > 0, s"expected ndv must be positive for $c: $ndv")
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
 }

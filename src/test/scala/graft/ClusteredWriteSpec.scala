@@ -163,4 +163,64 @@ class ClusteredWriteSpec extends SparkSpec {
     val files = filtered.select(input_file_name()).distinct().count()
     assert(files == 1L, s"expected the probe key in exactly 1 clustered file, got $files")
   }
+
+  test("bloom-filtered write: footer headers prove absence where min/max cannot (footer evidence)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import spark.implicits._
+
+    // EVEN keys only, deliberately unsorted: every row group's [min,max]
+    // spans ~the whole domain, so the column-index rungs of the pruning
+    // ladder cannot reject ANY point probe — exactly the case blooms are
+    // for (an odd probe key is inside every range yet in no group)
+    val n = 20000L
+    val df = (0L until n).map(i => (i * 2, s"payload$i")).toDF("k", "v")
+      .repartition(1) // one file; unsorted within it
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    FileFormats.writeBloomFiltered(df, dir, Map("k" -> n))
+
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).head
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.toString), new Configuration()))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      assert(blocks.nonEmpty)
+      blocks.foreach { b =>
+        val ck = b.getColumns.asScala.find(_.getPath.toDotString == "k").get
+        // 1. the bloom header is physically in the footer metadata
+        assert(ck.getBloomFilterOffset >= 0,
+          "no bloom filter header written for the enabled column")
+        val bloom = r.getBloomFilterDataReader(b).readBloomFilter(ck)
+        assert(bloom != null, "bloom filter unreadable from the footer")
+        // 2. min/max genuinely can't prune an in-range odd probe (the
+        //    control that makes the bloom the ONLY absence proof here)
+        val st = ck.getStatistics
+        val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        val oddProbes = (1L to 99L by 2L).map(lo + _).filter(p => p > lo && p < hi)
+        assert(oddProbes.nonEmpty && oddProbes.forall(p => p % 2 == 1))
+        // 3. no false negatives: every written key answers "might contain"
+        val presentMisses = (0L until 200L).map(_ * 2)
+          .count(k => !bloom.findHash(bloom.hash(java.lang.Long.valueOf(k))))
+        assert(presentMisses == 0, s"$presentMisses written keys denied — FN is a contract breach")
+        // 4. absence proof: odd keys (inside [min,max]!) are rejected, so
+        //    a point reader skips this group where stats alone kept it
+        val rejected = oddProbes
+          .count(p => !bloom.findHash(bloom.hash(java.lang.Long.valueOf(p))))
+        assert(rejected >= oddProbes.size - 2, // sized at true ndv: FP ~1%
+          s"bloom rejected only $rejected/${oddProbes.size} absent keys")
+        // 5. and the non-enabled column carries no header (per-column opt-in)
+        val cv = b.getColumns.asScala.find(_.getPath.toDotString == "v").get
+        assert(cv.getBloomFilterOffset < 0, "bloom written for a non-enabled column")
+      }
+    } finally r.close()
+    // round-trip sanity: the data itself is untouched by the option
+    assert(spark.read.parquet(dir).count() == n)
+    assert(spark.read.parquet(dir).filter(col("k") === 101L).count() == 0)
+    assert(spark.read.parquet(dir).filter(col("k") === 100L).count() == 1)
+  }
 }
