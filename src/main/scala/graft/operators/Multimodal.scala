@@ -12,14 +12,17 @@ import graft.sources.Tables
   * records streamed, no per-row task overhead).
   *
   * ── STUB BOUNDARY ────────────────────────────────────────────────────
-  * COMPRESSED video (MP4/H.264…) is the one leg this container genuinely
-  * cannot decode — the JDK ships no video codec and no javacv/ffmpeg
-  * jars are available — so [[StubCodec]] remains a DETERMINISTIC FAKE
-  * for the video rows of [[syntheticMedia]] only: a tiny "GRFT" header
-  * format stands in. Swap `StubCodec` for a real codec (javacv …) and
-  * nothing else changes — the schema, the partitioning, the batch
-  * iteration shape, and every test below exercise the real Spark-side
-  * plumbing.
+  * INTER-FRAME compressed video (MP4/H.264…) is the one leg this
+  * container genuinely cannot decode — the JDK ships no such codec and
+  * no javacv/ffmpeg jars are available — so [[StubCodec]] remains a
+  * DETERMINISTIC FAKE for the video rows of [[syntheticMedia]] only: a
+  * tiny "GRFT" header format stands in. INTRA-frame compressed video IS
+  * real: [[AviMjpegCodec]] parses the public RIFF/AVI container and
+  * decodes MJPEG ('00dc' JPEG-per-frame) clips with the JDK's own
+  * ImageIO reader (qm_avi_stats). Swap `StubCodec` for a real codec
+  * (javacv …) and nothing else changes — the schema, the partitioning,
+  * the batch iteration shape, and every test below exercise the real
+  * Spark-side plumbing.
   *
   * Everything else is REAL:
   *  - [[PpmCodec]]: binary NetPBM P6, complete pure-JVM byte work
@@ -464,6 +467,160 @@ object Multimodal {
       PpmCodec.encode(g.w, g.h, i => p(frameOff + i / 3) & 0xFF)
   }
 
+  /** REAL compressed video: MJPEG-in-AVI. The container is the public
+    * RIFF/AVI format — pure-JVM byte work, the same parse class as
+    * [[Y4mCodec]] — and every '00dc' chunk in the 'movi' list is a
+    * complete baseline JPEG, decoded by the JDK's own ImageIO reader
+    * ([[ImageIoCodec]]). That closes the compressed-video leg for the
+    * one compressed format a stock JVM can decode end to end; INTER-
+    * frame codecs (MP4/H.264) remain the documented [[StubCodec]]
+    * exclusion (no JDK codec, no ffmpeg/javacv jars on the box).
+    *
+    * Decode is quarantine-strict like the other codecs: any malformed
+    * or truncated structure — bad magic, a chunk overrunning its
+    * parent, a frame ImageIO rejects, a frame whose dimensions disagree
+    * with the stream header — answers None for the whole record. */
+  object AviMjpegCodec {
+    import java.io.ByteArrayOutputStream
+
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    }
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      le16(out, v & 0xFFFF); le16(out, (v >>> 16) & 0xFFFF)
+    }
+    private def fcc(out: ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, 4)
+
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(9 + body.length)
+      fcc(out, id); le32(out, body.length); out.write(body, 0, body.length)
+      if (body.length % 2 == 1) out.write(0) // RIFF chunks pad to even
+      out.toByteArray
+    }
+    private def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(12 + body.length)
+      fcc(out, "LIST"); le32(out, body.length + 4); fcc(out, kind)
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+
+    private def avih(w: Int, h: Int, n: Int, maxFrame: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream(56)
+      le32(out, 40000) // µs/frame: 25 fps
+      le32(out, 0); le32(out, 0); le32(out, 0) // maxBytesPerSec, padding, flags
+      le32(out, n); le32(out, 0); le32(out, 1) // totalFrames, initial, 1 stream
+      le32(out, maxFrame); le32(out, w); le32(out, h)
+      var i = 0; while (i < 4) { le32(out, 0); i += 1 } // dwReserved[4]
+      out.toByteArray
+    }
+    private def strh(w: Int, h: Int, n: Int, maxFrame: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream(56)
+      fcc(out, "vids"); fcc(out, "MJPG")
+      le32(out, 0); le16(out, 0); le16(out, 0); le32(out, 0) // flags, prio, lang, initial
+      le32(out, 1); le32(out, 25) // scale/rate: 25 fps
+      le32(out, 0); le32(out, n) // start, length (frames)
+      le32(out, maxFrame); le32(out, -1); le32(out, 0) // bufSize, quality, sampleSize
+      le16(out, 0); le16(out, 0); le16(out, w); le16(out, h) // rcFrame
+      out.toByteArray
+    }
+    private def strf(w: Int, h: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream(40) // BITMAPINFOHEADER
+      le32(out, 40); le32(out, w); le32(out, h)
+      le16(out, 1); le16(out, 24) // planes, bit count
+      fcc(out, "MJPG"); le32(out, 3 * w * h)
+      le32(out, 0); le32(out, 0); le32(out, 0); le32(out, 0)
+      out.toByteArray
+    }
+
+    /** Wrap pre-encoded JPEG frames (all w×h) into a playable
+      * single-stream MJPEG AVI. */
+    def encode(w: Int, h: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+      require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+      val maxFrame = jpegFrames.iterator.map(_.length).max
+      val hdrl = list("hdrl",
+        chunk("avih", avih(w, h, jpegFrames.size, maxFrame)) ++
+          list("strl",
+            chunk("strh", strh(w, h, jpegFrames.size, maxFrame)) ++
+              chunk("strf", strf(w, h))))
+      val movi = list("movi", jpegFrames.iterator.map(chunk("00dc", _))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = hdrl ++ movi
+      val out = new ByteArrayOutputStream(12 + body.length)
+      fcc(out, "RIFF"); le32(out, body.length + 4); fcc(out, "AVI ")
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+
+    private def rd32(p: Array[Byte], i: Int): Long =
+      (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+        ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+    private def isFcc(p: Array[Byte], i: Int, s: String): Boolean =
+      i + 4 <= p.length && {
+        val b = s.getBytes("US-ASCII")
+        p(i) == b(0) && p(i + 1) == b(1) && p(i + 2) == b(2) && p(i + 3) == b(3)
+      }
+
+    /** Parse the container: (width, height, per-frame JPEG payloads).
+      * Every size field is bounds-checked against its PARENT's extent —
+      * a hostile length can never read outside the payload. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      if (p.length < 12 || !isFcc(p, 0, "RIFF") || !isFcc(p, 8, "AVI ")) return None
+      val riffSize = rd32(p, 4)
+      if (riffSize < 4 || 8 + riffSize > p.length) return None
+      val end = (8 + riffSize).toInt
+      var w = -1L; var h = -1L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 12
+      while (i + 8 <= end) {
+        val size = rd32(p, i + 4)
+        if (size < 0 || i + 8 + size > end) return None
+        if (isFcc(p, i, "LIST")) {
+          if (size < 4) return None
+          if (isFcc(p, i + 8, "hdrl")) {
+            // avih must lead the header list (per the AVI spec)
+            val j = i + 12
+            if (!isFcc(p, j, "avih")) return None
+            val asz = rd32(p, j + 4)
+            if (asz < 40 || j + 8 + asz > end) return None
+            w = rd32(p, j + 8 + 32); h = rd32(p, j + 8 + 36)
+          } else if (isFcc(p, i + 8, "movi")) {
+            var j = i + 12
+            val mEnd = i + 8 + size.toInt
+            while (j + 8 <= mEnd) {
+              val csz = rd32(p, j + 4)
+              if (csz < 0 || j + 8 + csz > mEnd) return None
+              if (isFcc(p, j, "00dc") || isFcc(p, j, "00db"))
+                frames += java.util.Arrays.copyOfRange(p, j + 8, (j + 8 + csz).toInt)
+              j += 8 + csz.toInt + (csz.toInt & 1)
+            }
+          }
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF || frames.isEmpty) None
+      else Some((w.toInt, h.toInt, frames.toSeq))
+    }
+
+    /** (w, h, n_frames, r_sum, g_sum, b_sum): container parse + per-frame
+      * ImageIO JPEG decode, integer-exact channel sums over every pixel
+      * of every frame. None if the container OR any frame is corrupt —
+      * a clip with an undecodable frame is quarantined whole, never
+      * partially summed. */
+    def frameStats(p: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] =
+      decode(p).flatMap { case (w, h, frames) =>
+        frames.foldLeft(Option((0L, 0L, 0L))) {
+          case (Some((r, g, b)), f) =>
+            ImageIoCodec.channelSums(f) match {
+              case Some((fw, fh, fr, fg, fb)) if fw == w && fh == h =>
+                Some((r + fr, g + fg, b + fb))
+              case _ => None
+            }
+          case (none, _) => none
+        }.map { case (r, g, b) => (w, h, frames.size, r, g, b) }
+      }
+  }
+
   case class ImageRecord(media_id: Long, payload: Array[Byte])
   case class ImageStats(media_id: Long, width: Long, height: Long,
                         r_sum: Long, g_sum: Long, b_sum: Long)
@@ -784,6 +941,45 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Synthetic MJPEG-in-AVI clips derived deterministically from
+    * `documents` — real ImageIO JPEG frames inside a real RIFF/AVI
+    * container; any MJPEG-capable player could open them. */
+  def syntheticAvi(spark: SparkSession, d: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (8 + id % 13).toInt; val h = (6 + id % 9).toInt
+        val frames = (1 + id % 4).toInt
+        val jpegs = (0 until frames).map(f =>
+          ImageIoCodec.encode(w, h, "jpg",
+            i => ((id * 31 + f * 101 + i * 7) % 251).toInt))
+        VideoRecord(id, AviMjpegCodec.encode(w, h, jpegs))
+      }
+  }
+
+  /** Batch-iterating decode of MJPEG/AVI payloads → per-clip stats
+    * (channel sums over all decoded frames); corrupt clips dropped. */
+  def aviStats(videos: Dataset[VideoRecord]): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { r =>
+      AviMjpegCodec.frameStats(r.payload).map { case (w, h, n, rs, gs, bs) =>
+        (r.media_id, w.toLong, h.toLong, n.toLong, rs, gs, bs)
+      }
+    }).toDF("media_id", "width", "height", "n_frames", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** QM9 — COMPRESSED video decode (MJPEG-in-AVI): real JPEG frames in
+    * a real RIFF/AVI container, parsed and decoded per record. JPEG is
+    * lossy ⇒ no closed-form SQL oracle (the decoded sums depend on the
+    * DCT round-trip); MultimodalSpec pins the container layer byte-exact
+    * and the frame sums ≡ the oracle-verified single-image JPEG path on
+    * identical payloads, so the rows-only driver check rides verified
+    * decode arithmetic. */
+  def qmAviStats(spark: SparkSession, d: String): DataFrame =
+    aviStats(syntheticAvi(spark, d)).orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_stats" -> qmBinaryStats _,
     "qm_image_stats" -> qmImageStats _,
@@ -792,7 +988,8 @@ object Multimodal {
     "qm_video_stats" -> qmVideoStats _,
     "qm_frame_sample" -> qmFrameSample _,
     "qm_quarantine" -> qmQuarantine _,
-    "qm_resize_stats" -> qmResizeStats _)
+    "qm_resize_stats" -> qmResizeStats _,
+    "qm_avi_stats" -> qmAviStats _)
 
   val oracles: Map[String, String] = Map(
     "qm_image_stats" ->

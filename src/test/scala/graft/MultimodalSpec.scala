@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, FloatType, ArrayType}
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{AudioRecord, ImageIoCodec, ImageRecord, MediaRecord, PpmCodec, StubCodec, VideoRecord, WavCodec, Y4mCodec}
+import graft.operators.Multimodal.{AudioRecord, AviMjpegCodec, ImageIoCodec, ImageRecord, MediaRecord, PpmCodec, StubCodec, VideoRecord, WavCodec, Y4mCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -335,5 +335,85 @@ class MultimodalSpec extends SparkSpec {
     val top = graft.operators.Similarity.bruteTopK(
       feats, feats.filter(col("vec_id") < 2), k = 3)
     assert(top.count() == 6)
+  }
+
+  // deterministic JPEG frames, identical bytes inside and outside the
+  // container — the synthetic-corpus formulas of syntheticAvi
+  private def testJpegs(id: Long): (Int, Int, Seq[Array[Byte]]) = {
+    val w = (8 + id % 13).toInt; val h = (6 + id % 9).toInt
+    val n = (1 + id % 4).toInt
+    (w, h, (0 until n).map(f =>
+      ImageIoCodec.encode(w, h, "jpg", i => ((id * 31 + f * 101 + i * 7) % 251).toInt)))
+  }
+
+  test("AVI/MJPEG: container extraction is byte-exact; stats == single-image JPEG path") {
+    for (id <- Seq(0L, 5L, 12L, 38L)) {
+      val (w, h, jpegs) = testJpegs(id)
+      val avi = AviMjpegCodec.encode(w, h, jpegs)
+      val (dw, dh, frames) = AviMjpegCodec.decode(avi)
+        .getOrElse(fail(s"clip $id did not decode"))
+      assert(dw == w && dh == h && frames.size == jpegs.size)
+      // the container returns the EXACT jpeg bytes that went in — the
+      // frame path is the oracle-verified ImageIO path on identical input
+      frames.zip(jpegs).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"clip $id: frame bytes mutated in transit")
+      }
+      // differential: sum of the single-image channelSums (the path
+      // qm_png_stats hash-verifies against a closed-form oracle) must
+      // equal the whole-clip frameStats
+      val single = jpegs.map(ImageIoCodec.channelSums(_)
+        .getOrElse(fail(s"clip $id: standalone frame undecodable")))
+      val (sw, sh, sn, r, g, b) = AviMjpegCodec.frameStats(avi)
+        .getOrElse(fail(s"clip $id: frameStats failed"))
+      assert((sw, sh, sn) == (w, h, jpegs.size))
+      assert(r == single.map(_._3).sum && g == single.map(_._4).sum && b == single.map(_._5).sum,
+        s"clip $id: AVI frame stats diverge from the single-image JPEG path")
+    }
+  }
+
+  test("AVI/MJPEG: malformed containers are quarantined (None), never crash or misread") {
+    val (w, h, jpegs) = testJpegs(7L)
+    val good = AviMjpegCodec.encode(w, h, jpegs)
+    assert(AviMjpegCodec.frameStats(good).isDefined)
+    // truncation at every structural boundary
+    for (cut <- Seq(4, 11, 40, good.length / 2, good.length - 1))
+      assert(AviMjpegCodec.decode(good.take(cut)).isEmpty, s"accepted a $cut-byte prefix")
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(AviMjpegCodec.decode(badMagic).isEmpty)
+    // a chunk size pointing past its parent must be rejected, not read
+    val overrun = good.clone()
+    overrun(4) = 0xFF.toByte; overrun(5) = 0xFF.toByte
+    assert(AviMjpegCodec.decode(overrun).isEmpty)
+    // corrupt FRAME bytes: container parses, frame decode fails -> whole
+    // clip quarantined (find a frame body and zero its JPEG magic)
+    val (_, _, frames) = AviMjpegCodec.decode(good).get
+    val idx = indexOfSlice(good, frames.head)
+    val badFrame = good.clone()
+    badFrame(idx) = 0; badFrame(idx + 1) = 0
+    assert(AviMjpegCodec.frameStats(badFrame).isEmpty,
+      "a clip with an undecodable frame must quarantine whole")
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      if (java.util.Arrays.equals(hay, i, i + needle.length, needle, 0, needle.length)) return i
+      i += 1
+    }
+    fail("frame bytes not found in container")
+  }
+
+  test("qm_avi_stats decodes every synthetic clip distributed") {
+    val rows = Multimodal.qmAviStats(spark, sfTiny).collect()
+    val docs = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(rows.length == docs, "every clip must decode (no quarantine on clean payloads)")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("width") == 8 + id % 13)
+      assert(r.getAs[Long]("height") == 6 + id % 9)
+      assert(r.getAs[Long]("n_frames") == 1 + id % 4)
+      assert(r.getAs[Long]("r_sum") > 0)
+    }
   }
 }
