@@ -241,15 +241,34 @@ object Similarity {
     bruteTopK(e, e.filter(col("vec_id") < 5), k = 10)
   }
 
-  /** QS2 — LSH ANN top-10 for the same query set (rows-only check: the
-    * sketch depends on xxhash64, which the oracle engine lacks;
-    * SimilaritySpec pins recall vs the exact result). */
+  /** QS2 — LSH ANN, SELF-CERTIFYING: the row emits, per query, whether
+    * the ANN top-10 recovered at least `CertifiedHits` of the exact
+    * top-10 — both computed IN THE SAME PLAN ([[annTopK]] vs
+    * [[bruteTopK]], one semi-join and a count). DuckDB can't reproduce
+    * the xxhash64 sketch, but it doesn't have to: the oracle asserts the
+    * certified floor (`true` for every query), so the driver's hash
+    * check now PINS recall ≥ 0.7 per query instead of recording a
+    * rows-only pass — any LSH regression flips a boolean and fails the
+    * hash. Deterministic: fixed corpus, fixed seeds, fixed geometry.
+    *
+    * 48 tables × 5 bits: measured per-query hits ≥ 8/10 at sf0.001,
+    * sf0.01 AND sf0.1 on this corpus (near-orthogonal vectors — ANN's
+    * worst case; clustered real-world embeddings do better at the same
+    * cost); the floor of 7 leaves one-hit headroom at every SF. */
+  val CertifiedHits = 7L
+
   def qsAnnLsh(spark: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(spark, d)
-    // 32 tables × 6 bits: measured recall@10 ≈ 0.73 on this corpus
-    // (near-orthogonal vectors — ANN's worst case; clustered real-world
-    // embeddings do far better at the same cost)
-    annTopK(e, e.filter(col("vec_id") < 5), k = 10, numTables = 32, numBits = 6)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = bruteTopK(e, q, k = 10).select("qid", "vec_id")
+    val ann = annTopK(e, q, k = 10, numTables = 48, numBits = 5).select("qid", "vec_id")
+    val hits = exact.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    q.select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left") // a 0-hit query must still report
+      .select(col("qid"), lit(10L).as("k"),
+        (coalesce(col("hits"), lit(0L)) >= CertifiedHits).as("recall_ge_certified"))
+      .orderBy("qid")
   }
 
   /** QS3 — embedding near-dup pairs at cos ≥ 0.45 (the corpus has no
@@ -284,6 +303,12 @@ object Similarity {
     "qs_centroid" -> qsCentroid _)
 
   val oracles: Map[String, String] = Map(
+    // the self-certification contract: every query's ANN recall clears
+    // the floor — the oracle states it, the Spark plan measures it
+    "qs_ann_lsh" ->
+      ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, " +
+        "true AS recall_ge_certified " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "qs_centroid" ->
       ("WITH e AS (SELECT label, unnest(range(len(embedding))) AS dim, " +
         "unnest(embedding) AS v FROM embeddings) " +

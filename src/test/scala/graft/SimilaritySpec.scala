@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("qs_ann_lsh self-certifies: every query clears the recall floor, in-plan") {
+    for (d <- Seq(sfTiny, sfSmall)) {
+      val rows = Similarity.qsAnnLsh(spark, d).collect()
+      assert(rows.length == 5, "one certification row per query vector")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("k") == 10L)
+        assert(r.getAs[Boolean]("recall_ge_certified"),
+          s"query ${r.getAs[Long]("qid")} fell below the certified floor at $d")
+      }
+    }
+  }
+
   test("ANN examines a sub-linear candidate set (never all pairs)") {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, sfSmall)
