@@ -359,6 +359,36 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "span_tokens")
   }
 
+  /** The ACTIONABLE half of [[duplicatedSpans]]: remove every duplicated
+    * span from every document and return the cleaned text (plus how many
+    * tokens each doc kept/lost). This is the step Lee et al. 2022
+    * actually apply to the training corpus — finding spans is reporting;
+    * scrubbing them changes the data.
+    *
+    * Shape: the span frame (tiny — maximal merged spans per doc) is
+    * collected per doc into a struct list and joined back; token removal
+    * is then a scan-side higher-order `filter` with the position index
+    * tested against the doc's own span list. No second shuffle beyond
+    * the span computation itself; spans per doc are disjoint by
+    * construction (maximal merge), so a token matches at most one. Docs
+    * without spans (or shorter than k) pass through untouched. */
+  def scrubDuplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minDocs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      // null span list (untouched doc): `sp IS NULL OR` keeps every token
+      .withColumn("clean", expr(
+        "filter(toks, (t, i) -> sp IS NULL OR " +
+          "NOT exists(sp, s -> i >= s.span_start AND i <= s.span_end))"))
+      .select(col("doc_id"),
+        size(col("clean")).cast("long").as("kept"),
+        (size(col("toks")) - size(col("clean"))).cast("long").as("removed"),
+        md5(array_join(col("clean"), " ")).as("fp"))
+  }
+
   // ---- query-pack entries over the documents table ----
 
   def qdExactDedup(spark: SparkSession, d: String): DataFrame =
@@ -402,13 +432,22 @@ object Dedup {
     duplicatedSpans(T.documents(spark, d), k = SubstringDupK)
       .orderBy("doc_id", "span_start")
 
+  /** The scrub applied corpus-wide: per doc, tokens kept/removed and an
+    * md5 fingerprint of the CLEANED text — the fingerprint makes the
+    * oracle comparison byte-exact on the reassembled string, not just
+    * on counts. */
+  def qtSubstringScrub(spark: SparkSession, d: String): DataFrame =
+    scrubDuplicatedSpans(T.documents(spark, d), k = SubstringDupK)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_exact_dedup" -> qdExactDedup _,
     "qd_ngram_jaccard" -> qdNgramJaccard _,
     "qd_minhash_lsh" -> qdMinhashLsh _,
     "qd_simhash" -> qdSimhash _,
     "qd_dup_clusters" -> qdDupClusters _,
-    "qt_substring_dup" -> qtSubstringDup _)
+    "qt_substring_dup" -> qtSubstringDup _,
+    "qt_substring_scrub" -> qtSubstringScrub _)
 
   /** DuckDB twin of the shingle inverted index (list comprehension form).
     * `maxDocFreq` > 0 mirrors the Spark side's stop-shingle cap: the `fs`
@@ -480,6 +519,34 @@ object Dedup {
     s"MAX(pos) + $k - MIN(pos) AS span_tokens " +
     "FROM s GROUP BY doc_id, sid ORDER BY doc_id, span_start"
 
+  /** DuckDB twin of [[scrubDuplicatedSpans]]: same span CTEs, then a
+    * token-level left join against the (disjoint) spans and an ordered
+    * string_agg of the uncovered tokens — md5 equality on the
+    * reassembled text proves the removal is byte-exact, including the
+    * fully-covered docs (md5 of the empty string). */
+  private def substringScrubOracle(k: Int, minDocs: Int = 2): String =
+    s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+    s"s0 AS (SELECT doc_id, l, unnest(range(0, len(l) - ${k - 1}))::BIGINT AS pos " +
+      s"FROM d WHERE len(l) >= $k), " +
+    s"sh AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1 : pos+$k], ' ')) AS h FROM s0), " +
+    s"dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $minDocs), " +
+    s"m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL " +
+      s"OR pos - lag(pos) OVER w > $k THEN 1 ELSE 0 END AS ns " +
+      "FROM sh WHERE h IN (SELECT h FROM dup) " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+    "s AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), " +
+    s"spans AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + ${k - 1} AS b " +
+      "FROM s GROUP BY doc_id, sid), " +
+    "tk AS (SELECT doc_id, unnest(l) AS tok, " +
+      "generate_subscripts(l, 1)::BIGINT - 1 AS pos FROM d), " +
+    "j AS (SELECT t.doc_id, t.tok, t.pos, sp.a FROM tk t LEFT JOIN spans sp " +
+      "ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.a AND sp.b) " +
+    "SELECT doc_id, COUNT(*) FILTER (WHERE a IS NULL) AS kept, " +
+    "COUNT(*) FILTER (WHERE a IS NOT NULL) AS removed, " +
+    "md5(COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE a IS NULL), '')) AS fp " +
+    "FROM j GROUP BY doc_id ORDER BY doc_id"
+
   val oracles: Map[String, String] = Map(
     "qd_exact_dedup" ->
       ("SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS members " +
@@ -487,5 +554,6 @@ object Dedup {
     "qd_ngram_jaccard" -> jaccardOracle(0.1, NgramMaxDocFreq),
     "qd_minhash_lsh" -> jaccardOracle(0.8),
     "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq),
-    "qt_substring_dup" -> substringDupOracle(SubstringDupK))
+    "qt_substring_dup" -> substringDupOracle(SubstringDupK),
+    "qt_substring_scrub" -> substringScrubOracle(SubstringDupK))
 }

@@ -236,6 +236,34 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 8L, 9L), (4L, 0L, 8L, 9L)))
   }
 
+  test("scrubDuplicatedSpans removes exactly the covered tokens, byte-exact") {
+    val shared = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c d e f g h $shared p q r"), // span tokens 8..17
+      (2L, s"$shared z1 z2 z3 z4 z5 z6 z7 z8"), // span tokens 0..9
+      (3L, "untouched words that appear nowhere else at all today"),
+      (4L, "tiny doc")) // shorter than k: passes through whole
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicatedSpans(docs, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept"), r.getAs[Long]("removed"), r.getAs[String]("fp")))).toMap
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == ((11L, 10L, fp("a b c d e f g h p q r"))))
+    assert(got(2L) == ((8L, 10L, fp("z1 z2 z3 z4 z5 z6 z7 z8"))))
+    assert(got(3L) == ((9L, 0L, fp("untouched words that appear nowhere else at all today"))))
+    assert(got(4L) == ((2L, 0L, fp("tiny doc"))))
+    // a fully-covered doc scrubs to the empty string, not a crash/null
+    val full = Seq(
+      (1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val g2 = Dedup.scrubDuplicatedSpans(full, k = 8).collect()
+      .map(r => (r.getAs[Long]("kept"), r.getAs[String]("fp"))).toSet
+    assert(g2 == Set((0L, fp(""))))
+  }
+
   test("qt_substring_dup finds real spans on the corpus; plan has no cartesian join") {
     val q = Dedup.qtSubstringDup(spark, sfTiny)
     val plan = q.queryExecution.executedPlan.toString
