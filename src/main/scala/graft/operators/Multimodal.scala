@@ -970,15 +970,42 @@ object Multimodal {
     }).toDF("media_id", "width", "height", "n_frames", "r_sum", "g_sum", "b_sum")
   }
 
-  /** QM9 — COMPRESSED video decode (MJPEG-in-AVI): real JPEG frames in
-    * a real RIFF/AVI container, parsed and decoded per record. JPEG is
-    * lossy ⇒ no closed-form SQL oracle (the decoded sums depend on the
-    * DCT round-trip); MultimodalSpec pins the container layer byte-exact
-    * and the frame sums ≡ the oracle-verified single-image JPEG path on
-    * identical payloads, so the rows-only driver check rides verified
-    * decode arithmetic. */
-  def qmAviStats(spark: SparkSession, d: String): DataFrame =
-    aviStats(syntheticAvi(spark, d)).orderBy("media_id")
+  /** QM9 — COMPRESSED video decode (MJPEG-in-AVI), SELF-CERTIFYING:
+    * real JPEG frames in a real RIFF/AVI container, parsed and decoded
+    * per record. JPEG's lossy DCT means the pixel sums can't be
+    * closed-form in SQL, but everything else can: the row emits the
+    * container geometry (width/height/frame count — the oracle
+    * recomputes them from the synthesis formulas) plus two per-record
+    * certifications computed in the decode itself: the container
+    * round-trips BYTE-EXACT (re-encoding the extracted frames
+    * reproduces the original payload bit for bit — parse ↔ write are
+    * inverses) and every frame ImageIO-decodes at the declared
+    * dimensions with positive pixel mass. The hash check pins all of
+    * it; MultimodalSpec carries the pixel-sum differential against the
+    * single-image JPEG path. */
+  def qmAviStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    syntheticAvi(spark, d)
+      .mapPartitions(_.map { r =>
+        val decoded = AviMjpegCodec.decode(r.payload)
+        val roundtrip = decoded.exists { case (w, h, frames) =>
+          java.util.Arrays.equals(AviMjpegCodec.encode(w, h, frames), r.payload)
+        }
+        val stats = AviMjpegCodec.frameStats(r.payload)
+        val decodeOk = decoded.isDefined && stats.exists { case (w, h, n, rs, gs, bs) =>
+          decoded.exists { case (dw, dh, fr) => dw == w && dh == h && fr.size == n } &&
+            rs > 0 && gs > 0 && bs > 0
+        }
+        (r.media_id,
+          decoded.map(_._1.toLong).getOrElse(-1L),
+          decoded.map(_._2.toLong).getOrElse(-1L),
+          decoded.map(_._3.size.toLong).getOrElse(-1L),
+          roundtrip, decodeOk)
+      })
+      .toDF("media_id", "width", "height", "n_frames",
+        "container_roundtrip_exact", "frame_decode_ok")
+      .orderBy("media_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_stats" -> qmBinaryStats _,
@@ -1071,5 +1098,13 @@ object Multimodal {
         "SELECT media_id, frame_idx, " +
         "CAST(list_sum(list_transform(range(0, width*height), " +
         "i -> (media_id*29 + frame_idx*101 + i*13) % 250)) AS BIGINT) AS y_sum " +
-        "FROM fr ORDER BY media_id, frame_idx"))
+        "FROM fr ORDER BY media_id, frame_idx"),
+    // self-certification: geometry is closed-form from the synthesis
+    // formulas; the booleans assert the parse↔write bijection and the
+    // per-frame ImageIO decode the Spark side computed in-plan
+    "qm_avi_stats" ->
+      ("SELECT doc_id AS media_id, 8 + doc_id % 13 AS width, " +
+        "6 + doc_id % 9 AS height, 1 + doc_id % 4 AS n_frames, " +
+        "true AS container_roundtrip_exact, true AS frame_decode_ok " +
+        "FROM documents ORDER BY media_id"))
 }

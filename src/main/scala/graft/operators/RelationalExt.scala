@@ -90,31 +90,47 @@ object RelationalExt {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
-  /** Q22 — approx_count_distinct (HyperLogLog++). Sketch-based: merges
-    * associatively, so the plan is partial+final with no exact-distinct
-    * expand — the 100 TB way to count uniques. HLL implementations differ
-    * across engines, so there is no DuckDB oracle; RelationalExtSpec
-    * asserts the estimate lands within 5% of the exact count (computed
-    * there, not here — bundling the exact count into this query would
-    * reintroduce the expand the sketch exists to avoid). */
+  /** Q22 — approx_count_distinct (HyperLogLog++), SELF-CERTIFYING.
+    * Sketch-based: merges associatively, so its side of the plan is
+    * partial+final with no exact-distinct expand — the 100 TB way to
+    * count uniques. HLL binaries differ across engines, so the estimate
+    * itself can't hash-match DuckDB; instead the row emits the EXACT
+    * count (oracle-computable) plus a boolean asserting the estimate
+    * landed within 5% — the driver's hash check now pins the HLL error
+    * bound instead of recording a rows-only pass. The exact count rides
+    * the same scan (a production job would run the sketch alone; this
+    * is the validation row). */
   def q22ApproxDistinct(spark: SparkSession, d: String): DataFrame =
     T.orders(spark, d)
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_c"))
+      .agg(countDistinct(col("o_custkey")).as("exact_c"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+      .select(col("exact_c"),
+        (abs(col("a") - col("exact_c")) <= col("exact_c") * 0.05)
+          .as("approx_within_5pct"))
 
   /** Q35 — approximate percentiles (KLL-style quantile sketch behind
-    * `approx_percentile`): the sketch twin of Q24's exact percentile,
-    * completing the sketch family with Q22's HLL. Sketches merge
-    * associatively → partial+final aggregation, no global sort of the
-    * value column — the only percentile that scales to 100 TB. Accuracy
-    * knob = max relative rank error 1/accuracy (here 1e-4). No DuckDB
-    * oracle (sketch internals are engine-specific); RelationalExtSpec
-    * bounds the estimate against Q24's exact answer. */
+    * `approx_percentile`), SELF-CERTIFYING: the sketch twin of Q24's
+    * exact percentile, completing the sketch family with Q22's HLL.
+    * Sketches merge associatively → partial+final aggregation, no
+    * global sort of the value column — the only percentile that scales
+    * to 100 TB. Accuracy knob = max relative rank error 1/accuracy
+    * (1e-4 here). Sketch internals are engine-specific, so the row
+    * emits Q24's EXACT percentiles (quantile_cont parity is pinned by
+    * q24's own oracle) plus booleans asserting each estimate sits
+    * within one quantity unit of exact — `approx_percentile` returns a
+    * real data value, exact interpolates, so ±1 covers interpolation at
+    * this rank accuracy. The hash check pins the sketch's error. */
   def q35ApproxPercentile(spark: SparkSession, d: String): DataFrame =
     T.lineitem(spark, d)
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"),
-        expr("approx_percentile(l_quantity, 0.95, 10000)").as("p95_approx"))
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50a"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("p95a"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_exact"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        (abs(col("p50a") - col("p50_exact")) <= 1.0).as("p50_within_unit"),
+        (abs(col("p95a") - col("p95_exact")) <= 1.0).as("p95_within_unit"))
       .orderBy("l_returnflag")
 
   /** Q36 — the classic OLAP composite (TPC-H Q3 shape adapted to this
@@ -510,6 +526,16 @@ object RelationalExt {
     "q24_percentile" ->
       ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
         "ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // self-certification rows: the oracle computes the EXACT side and
+    // asserts the approximate side's error-bound booleans
+    "q22_approx_distinct" ->
+      ("SELECT COUNT(DISTINCT o_custkey) AS exact_c, " +
+        "true AS approx_within_5pct FROM orders"),
+    "q35_approx_percentile" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_exact, " +
+        "ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_exact, " +
+        "true AS p50_within_unit, true AS p95_within_unit " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q25_pivot" ->
       ("SELECT o_orderpriority, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -49,13 +49,32 @@ object Sketches {
         sum("orders").as("orders"))
       .orderBy("year")
 
-  /** QK1 — the end-to-end pattern in one plan: per-month sketches →
-    * merge → per-year approximate distinct customers. Approximate ⇒ no
-    * SQL oracle (DuckDB has no compatible HLL binary); SketchesSpec
-    * bounds it against the exact distinct count and proves
-    * merged-partials ≡ direct-sketch equality. */
-  def qkHllRollup(spark: SparkSession, d: String): DataFrame =
+  /** The raw estimate rollup (what a dashboard reads); kept public for
+    * SketchesSpec's estimate-level assertions. */
+  def hllRollupRaw(spark: SparkSession, d: String): DataFrame =
     rollupToYears(customerSketchByMonth(spark, d))
+
+  /** QK1 — the end-to-end pattern, SELF-CERTIFYING: per-month sketches
+    * → merge → per-year estimates, then the row emits the EXACT per-year
+    * distinct count (oracle-computable) plus a boolean asserting the
+    * merged-sketch estimate landed within 5% (lgConfigK=12 ⇒ ~1.6%
+    * standard error; 5% is ≈3σ). DuckDB can't reproduce DataSketches
+    * binaries, but it doesn't need to — the hash check pins the HLL
+    * error bound per year instead of recording a rows-only pass.
+    * SketchesSpec additionally proves merged-partials ≡ direct-sketch
+    * register equality (the stronger, bit-level claim). */
+  def qkHllRollup(spark: SparkSession, d: String): DataFrame = {
+    val est = hllRollupRaw(spark, d)
+    val exact = Tables.orders(spark, d)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("year"), col("o_custkey"))
+      .groupBy("year")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    est.join(exact, "year")
+      .select(col("year"), col("exact_customers"), col("orders"),
+        (abs(col("approx_customers") - col("exact_customers")) <=
+          greatest(col("exact_customers") * 0.05, lit(2.0))).as("hll_within_5pct"))
+      .orderBy("year")
+  }
 
   /** Per-split theta sketches of the distinct token set. Theta — not
     * HLL — because the question downstream is an INTERSECTION. `lgK` 14
@@ -75,21 +94,15 @@ object Sketches {
       .agg(expr(s"theta_sketch_agg(token, $lgK)").as("sk"))
   }
 
-  /** QK2 — distinct-token OVERLAP between corpus splits from stored
-    * sketches: the "how much vocabulary do train and eval share"
-    * question (and, on user ids, the cross-corpus contamination
-    * question) that union-only summaries cannot answer. One shuffle
-    * builds all three sketches; the pairwise intersection runs on three
-    * kilobyte rows. Approximate ⇒ no SQL oracle; SketchesSpec proves
-    * the estimates exact below the sketch capacity and bounds them on
-    * the real corpus. */
-  def qkThetaOverlap(spark: SparkSession, d: String): DataFrame = {
+  /** The raw pairwise estimates off the stored sketches; kept public
+    * for SketchesSpec's estimate-level assertions. Materializes the
+    * per-split sketches ONCE (three kilobyte rows — the "stored
+    * summary" a real pipeline would read back from parquet): a
+    * DataFrame self-join here would duplicate the whole scan→explode→
+    * sketch lineage and read the corpus twice (verified in the plan). */
+  def thetaOverlapRaw(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.ThetaUtil
-    // materialize the per-split sketches ONCE (three kilobyte rows — the
-    // "stored summary" a real pipeline would read back from parquet): a
-    // DataFrame self-join here would duplicate the whole scan→explode→
-    // sketch lineage and read the corpus twice (verified in the plan)
     val sketches = tokenSketchBySplit(spark, d).collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .sortBy(_._1)
@@ -101,6 +114,45 @@ object Sketches {
       math.round(ThetaUtil.estimate(bb)),
       math.round(ThetaUtil.intersectEstimate(ba, bb)))
     pairs.toDF("split_a", "split_b", "approx_a", "approx_b", "approx_shared")
+  }
+
+  /** QK2 — distinct-token OVERLAP between corpus splits from stored
+    * sketches, SELF-CERTIFYING: the "how much vocabulary do train and
+    * eval share" question (on user ids, the cross-corpus contamination
+    * question) that union-only summaries cannot answer. One shuffle
+    * builds all three sketches; the pairwise intersection runs on three
+    * kilobyte rows. The row joins the EXACT per-split distinct-token
+    * sizes and pairwise intersections (computed in-plan — the oracle
+    * mirrors them in SQL) and asserts the theta estimates within 5%
+    * (sizes) / 10% (intersection, error compounds) — SketchesSpec's
+    * bounds, now pinned by the driver's hash check. */
+  def qkThetaOverlap(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sizes = toks.groupBy("split").agg(count(lit(1)).as("n"))
+    val shared = toks.select(col("split").as("split_a"), col("token"))
+      .join(toks.select(col("split").as("split_b"), col("token")), "token")
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("exact_shared"))
+    def ok(est: Column, exact: Column, tol: Double): Column =
+      abs(est - exact) <= greatest(exact * tol, lit(2.0))
+    thetaOverlapRaw(spark, d)
+      .join(shared, Seq("split_a", "split_b"))
+      .join(sizes.select(col("split").as("split_a"), col("n").as("exact_a")), "split_a")
+      .join(sizes.select(col("split").as("split_b"), col("n").as("exact_b")), "split_b")
+      .select(col("split_a"), col("split_b"),
+        col("exact_a"), col("exact_b"), col("exact_shared"),
+        (ok(col("approx_a"), col("exact_a"), 0.05) &&
+          ok(col("approx_b"), col("exact_b"), 0.05)).as("theta_sizes_ok"),
+        ok(col("approx_shared"), col("exact_shared"), 0.10).as("theta_shared_ok"))
       .orderBy("split_a", "split_b")
   }
 
@@ -175,13 +227,8 @@ object Sketches {
     df.filter(!seen)
   }
 
-  /** QK3 — the incremental-ingest membership pattern end to end: build
-    * the seen-filter over the first years' customers, probe the last
-    * years' orders, report per-year how many orders came from never-
-    * seen-before customers. Bloom is approximate (false positives) ⇒ no
-    * SQL oracle; SketchesSpec proves the no-false-negative contract and
-    * bounds the false-positive rate. */
-  def qkBloomUnseen(spark: SparkSession, d: String): DataFrame = {
+  /** The raw bloom-filtered counts; kept public for SketchesSpec. */
+  def bloomUnseenRaw(spark: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(spark, d)
       .select(col("o_custkey"), substring(col("o_orderdate").cast("string"), 1, 4).as("year"))
     val seen = buildSeenFilter(orders.filter(col("year") < "1998"), "o_custkey",
@@ -189,6 +236,30 @@ object Sketches {
     filterUnseen(orders.filter(col("year") >= "1998"), "o_custkey", seen)
       .groupBy("year")
       .agg(count(lit(1)).as("new_customer_orders"))
+  }
+
+  /** QK3 — the incremental-ingest membership pattern end to end,
+    * SELF-CERTIFYING: build the seen-filter over the first years'
+    * customers, probe the last years' orders, count per-year orders
+    * from never-seen customers. The row joins the EXACT anti-join count
+    * (oracle-computable) and asserts the bloom count inside its
+    * one-sided band: ≤ exact (no false negatives ⇒ nothing non-new
+    * passes) and ≥ 95% of exact (false positives drop a sized fraction
+    * of genuinely-new rows; 20 bits/key puts fp ≪ 1%). The driver's
+    * hash check now pins BOTH sides of the membership contract. */
+  def qkBloomUnseen(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"), substring(col("o_orderdate").cast("string"), 1, 4).as("year"))
+    val pre = orders.filter(col("year") < "1998").select("o_custkey").distinct()
+    val exact = orders.filter(col("year") >= "1998")
+      .join(pre, Seq("o_custkey"), "left_anti")
+      .groupBy("year")
+      .agg(count(lit(1)).as("exact_new"))
+    bloomUnseenRaw(spark, d).join(exact, "year")
+      .select(col("year"), col("exact_new"),
+        (col("new_customer_orders") <= col("exact_new") &&
+          col("new_customer_orders") >= col("exact_new") * 0.95)
+          .as("bloom_within_band"))
       .orderBy("year")
   }
 
@@ -205,12 +276,9 @@ object Sketches {
         count(lit(1)).as("orders"))
   }
 
-  /** QK4 — quantile rollup from stored sketches: merge per-month KLL
-    * partials to years, read p50/p95/p99 — no raw-data rescan, any rank
-    * after the fact. Rank-error-bounded estimates ⇒ no SQL oracle;
-    * SketchesSpec pins exactness below capacity and the rank-error
-    * envelope on the real column. */
-  def qkKllQuantiles(spark: SparkSession, d: String): DataFrame = {
+  /** The raw merged-sketch quantile estimates; kept public for
+    * SketchesSpec's rank-envelope assertions. */
+  def kllQuantilesRaw(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     priceSketchByMonth(spark, d)
       .withColumn("year", substring(col("month"), 1, 4))
@@ -222,6 +290,32 @@ object Sketches {
         round(call_function("kll_quantile", col("ysk"), lit(0.95)), 2).as("p95"),
         round(call_function("kll_quantile", col("ysk"), lit(0.99)), 2).as("p99"),
         col("orders"))
+  }
+
+  /** QK4 — quantile rollup from stored sketches, SELF-CERTIFYING: merge
+    * per-month KLL partials to years, read p50/p95/p99 — no raw-data
+    * rescan, any rank after the fact. Sketch estimates are rank-error
+    * bounded, so the certification is in RANK space: each estimate's
+    * actual rank (fraction of the year's values ≤ it, computed in-plan
+    * by broadcasting the tiny estimate frame back over the orders scan)
+    * must sit within ±3% of its target rank — k=200's ±1.65%@99%
+    * envelope with headroom, the same bound SketchesSpec pins. The row
+    * emits the per-year order counts (oracle-computable) plus the three
+    * rank booleans. */
+  def qkKllQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val est = kllQuantilesRaw(spark, d)
+    val prices = Tables.orders(spark, d)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("year"),
+        col("o_totalprice"))
+    def rankOk(estCol: String, target: Double): Column =
+      abs((sum(when(col("o_totalprice") <= col(estCol), 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")) - target) <= 0.03
+    prices.join(broadcast(est), "year")
+      .groupBy("year", "orders")
+      .agg(rankOk("p50", 0.50).as("p50_rank_ok"),
+        rankOk("p95", 0.95).as("p95_rank_ok"),
+        rankOk("p99", 0.99).as("p99_rank_ok"))
+      .select("year", "orders", "p50_rank_ok", "p95_rank_ok", "p99_rank_ok")
       .orderBy("year")
   }
 
@@ -231,8 +325,39 @@ object Sketches {
     "qk_bloom_unseen" -> qkBloomUnseen _,
     "qk_kll_quantiles" -> qkKllQuantiles _)
 
-  /** No oracle: DataSketches HLL/theta binaries aren't reproducible in
-    * DuckDB. The driver records a rows-only check; SketchesSpec carries
-    * the correctness argument. */
-  val oracles: Map[String, String] = Map.empty
+  /** Self-certification oracles: DataSketches binaries aren't
+    * reproducible in DuckDB, so each row emits the EXACT side (which IS
+    * oracle-computable) plus booleans asserting the sketch estimates
+    * inside their error bounds — the hash check pins the bounds.
+    * SketchesSpec still carries the stronger estimate-level and
+    * bit-level claims via the *Raw methods. */
+  val oracles: Map[String, String] = Map(
+    "qk_hll_rollup" ->
+      ("SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS year, " +
+        "COUNT(DISTINCT o_custkey) AS exact_customers, COUNT(*) AS orders, " +
+        "true AS hll_within_5pct FROM orders GROUP BY 1 ORDER BY year"),
+    "qk_theta_overlap" ->
+      ("WITH tk AS (SELECT DISTINCT split, token FROM (" +
+        "SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        "unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''), " +
+        "sizes AS (SELECT split, COUNT(*) AS n FROM tk GROUP BY split), " +
+        "shared AS (SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS exact_shared " +
+        "FROM tk a JOIN tk b ON a.token = b.token AND a.split < b.split GROUP BY 1, 2) " +
+        "SELECT split_a, split_b, sa.n AS exact_a, sb.n AS exact_b, exact_shared, " +
+        "true AS theta_sizes_ok, true AS theta_shared_ok " +
+        "FROM shared JOIN sizes sa ON sa.split = split_a " +
+        "JOIN sizes sb ON sb.split = split_b ORDER BY split_a, split_b"),
+    "qk_bloom_unseen" ->
+      ("WITH o AS (SELECT o_custkey, substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS year " +
+        "FROM orders), " +
+        "pre AS (SELECT DISTINCT o_custkey FROM o WHERE year < '1998') " +
+        "SELECT year, COUNT(*) AS exact_new, true AS bloom_within_band " +
+        "FROM o WHERE year >= '1998' AND NOT EXISTS " +
+        "(SELECT 1 FROM pre WHERE pre.o_custkey = o.o_custkey) " +
+        "GROUP BY year ORDER BY year"),
+    "qk_kll_quantiles" ->
+      ("SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS year, " +
+        "COUNT(*) AS orders, true AS p50_rank_ok, true AS p95_rank_ok, " +
+        "true AS p99_rank_ok FROM orders GROUP BY 1 ORDER BY year"))
 }

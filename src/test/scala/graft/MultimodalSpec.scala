@@ -404,7 +404,7 @@ class MultimodalSpec extends SparkSpec {
     fail("frame bytes not found in container")
   }
 
-  test("qm_avi_stats decodes every synthetic clip distributed") {
+  test("qm_avi_stats: every clip decodes, round-trips byte-exact, and self-certifies") {
     val rows = Multimodal.qmAviStats(spark, sfTiny).collect()
     val docs = graft.sources.Tables.documents(spark, sfTiny).count()
     assert(rows.length == docs, "every clip must decode (no quarantine on clean payloads)")
@@ -413,7 +413,11 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("width") == 8 + id % 13)
       assert(r.getAs[Long]("height") == 6 + id % 9)
       assert(r.getAs[Long]("n_frames") == 1 + id % 4)
-      assert(r.getAs[Long]("r_sum") > 0)
+      assert(r.getAs[Boolean]("container_roundtrip_exact"),
+        s"clip $id: parse/write not bijective")
+      assert(r.getAs[Boolean]("frame_decode_ok"), s"clip $id: frame decode failed")
     }
+    // the pixel-sum surface (aviStats) still decodes every clip
+    assert(Multimodal.aviStats(Multimodal.syntheticAvi(spark, sfTiny)).count() == docs)
   }
 }

