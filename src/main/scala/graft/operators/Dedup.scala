@@ -413,9 +413,42 @@ object Dedup {
 
   /** maxHamming = 3 makes the search EXACT: with 4 16-bit chunks, any
     * pair within Hamming distance 3 shares at least one chunk
-    * (pigeonhole), so banding has 100% recall at this radius. */
-  def qdSimhash(spark: SparkSession, d: String): DataFrame =
-    simhashPairs(T.documents(spark, d), maxHamming = 3)
+    * (pigeonhole), so banding has 100% recall at this radius.
+    *
+    * SELF-CERTIFYING row: the simhash pair SET depends on xxhash64 (no
+    * DuckDB twin), so the declared entry plants identical-text pairs
+    * deterministically (doc_id ≡ 4 mod 11 takes the text of doc_id−3 —
+    * the corpus has no natural exact dups; same device as
+    * qt_contamination) and emits the identical-pair count (the oracle
+    * recomputes it closed-form from the same injection) plus the count
+    * found at hamming 0 and a completeness boolean. Identical text ⇒
+    * identical simhash ⇒ distance 0 ⇒ banding MUST surface the pair, so
+    * the hash check pins the native `simhash64` expression, the chunk
+    * banding join, and `bit_count` end to end — a regression in any of
+    * them breaks equality. DedupSpec carries the radius-3 pigeonhole
+    * claims on the raw pair list ([[simhashPairs]]). */
+  def qdSimhash(spark: SparkSession, d: String): DataFrame = {
+    val base = T.documents(spark, d).select("doc_id", "text")
+    val donors = base.select(col("doc_id").as("donor_id"), col("text").as("donor_text"))
+    val docs = base
+      .withColumn("donor_id", when(col("doc_id") % 11 === 4, col("doc_id") - 3))
+      .join(donors, Seq("donor_id"), "left")
+      .withColumn("text", coalesce(col("donor_text"), col("text")))
+      .select("doc_id", "text")
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val idPairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val atZero = simhashPairs(docs, maxHamming = 3)
+      .filter(col("hamming") === 0)
+      .select("da", "db").withColumn("_f", lit(true))
+    idPairs.join(atZero, Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("identical_pairs"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("found_at_zero"))
+      .select(col("identical_pairs"), col("found_at_zero"),
+        (col("identical_pairs") === col("found_at_zero")).as("recall_at_zero_complete"))
+  }
 
   def qdDupClusters(spark: SparkSession, d: String): DataFrame =
     dupClusters(ngramJaccardPairs(T.documents(spark, d), minJ = 0.5,
@@ -555,5 +588,18 @@ object Dedup {
     "qd_minhash_lsh" -> jaccardOracle(0.8),
     "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq),
     "qt_substring_dup" -> substringDupOracle(SubstringDupK),
-    "qt_substring_scrub" -> substringScrubOracle(SubstringDupK))
+    "qt_substring_scrub" -> substringScrubOracle(SubstringDupK),
+    // qd_simhash self-certification: the oracle recomputes the planted
+    // identical-pair count from the same injection and asserts complete
+    // recall at distance 0 (identical text ⇒ identical simhash)
+    "qd_simhash" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents), " +
+        "inj AS (SELECT b.doc_id, COALESCE(dn.text, b.text) AS text FROM base b " +
+        "LEFT JOIN base dn ON dn.doc_id = " +
+        "CASE WHEN b.doc_id % 11 = 4 THEN b.doc_id - 3 END), " +
+        "k AS (SELECT doc_id, md5(text) AS k FROM inj), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db FROM k a " +
+        "JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id) " +
+        "SELECT COUNT(*) AS identical_pairs, COUNT(*) AS found_at_zero, " +
+        "true AS recall_at_zero_complete FROM p"))
 }
