@@ -494,8 +494,9 @@ object Dedup {
     * (where every true pair of this corpus actually sits), and the hash
     * seeds are fixed, so the result equals the exact answer
     * deterministically — not by corpus accident, as the previous 0.5
-    * threshold relied on. `qd_simhash` has no oracle: its output depends
-    * on xxhash64, which DuckDB lacks — DedupSpec covers it.
+    * threshold relied on. `qd_simhash` carries the planted-pair
+    * recall-at-0 certification (see [[qdSimhash]]); DedupSpec covers
+    * the radius-3 pair list.
     */
   private def shingleCtes(maxDocFreq: Long): String =
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
