@@ -100,13 +100,19 @@ object RelationalExt {
     * bound instead of recording a rows-only pass. The exact count rides
     * the same scan (a production job would run the sketch alone; this
     * is the validation row). */
-  def q22ApproxDistinct(spark: SparkSession, d: String): DataFrame =
-    T.orders(spark, d)
-      .agg(countDistinct(col("o_custkey")).as("exact_c"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+  def q22ApproxDistinct(spark: SparkSession, d: String): DataFrame = {
+    // two singleton aggregates joined, NOT one mixed agg: combining a
+    // DISTINCT aggregate with a regular one makes Spark plan an Expand
+    // (row duplication per aggregate family) — measured 0.3 s + 0.9 s
+    // separate vs 2.4 s expanded at sf0.1
+    val o = T.orders(spark, d)
+    val exact = o.select("o_custkey").distinct().agg(count(lit(1)).as("exact_c"))
+    val approx = o.agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"))
+    exact.crossJoin(approx)
       .select(col("exact_c"),
         (abs(col("a") - col("exact_c")) <= col("exact_c") * 0.05)
           .as("approx_within_5pct"))
+  }
 
   /** Q35 — approximate percentiles (KLL-style quantile sketch behind
     * `approx_percentile`), SELF-CERTIFYING: the sketch twin of Q24's
