@@ -434,7 +434,51 @@ object TextAnalysis {
       .toDF("doc_id", "n_toks", "bin")
   }
 
+  /** QT9 — perplexity-proxy quality scoring: per-doc average bigram
+    * surprisal, −ln P(w₂|w₁), under an add-one-smoothed bigram model of
+    * the corpus itself — the LM-based quality filter of CCNet/CC-style
+    * pipelines (docs whose token transitions are improbable under the
+    * corpus distribution are boilerplate, spam, or wrong-language), here
+    * with the corpus as its own LM so no external model ships.
+    *
+    * Shape at scale: bigrams come off the scan via the native
+    * `word_shingles` (docs shorter than 2 tokens carry no bigram and are
+    * excluded); the count tables are VOCABULARY-bounded, not
+    * corpus-bounded, so the two count joins shuffle (bigram, count)
+    * rows; the per-doc average sums exact decimals (float sum order
+    * across partitions can't drift the oracle compare — the qs_centroid
+    * device). Smoothing: P = (c₂+1)/(c₁+V), V = corpus distinct tokens. */
+  def qtBigramSurprise(spark: SparkSession, d: String): DataFrame =
+    bigramSurprise(T.documents(spark, d))
+
+  /** [[qtBigramSurprise]] over any (doc_id, text) frame. */
+  def bigramSurprise(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val bi = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(2))).as("bg"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    bi.join(c2, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("s",
+        -log((col("c2") + lit(1)).cast("double") / (col("c1") + col("vocab")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s").cast(DecimalType(28, 12))).cast("double") / count(lit(1)), 4)
+          .as("avg_surprise"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_bigram_surprise" -> qtBigramSurprise _,
     "qt_tfidf" -> qtTfidf _,
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
@@ -453,6 +497,25 @@ object TextAnalysis {
     "qt_split" -> qtSplit _)
 
   val oracles: Map[String, String] = Map(
+    // same bigram slicing (1-based list slice ≡ word_shingles for docs
+    // of ≥2 tokens), same add-one smoothing, same exact-decimal
+    // summation; ln is IEEE-identical on identical doubles and round(4)
+    // sits far above any ULP divergence
+    "qt_bigram_surprise" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "b0 AS (SELECT doc_id, l, unnest(range(1, len(l)))::BIGINT AS i FROM d " +
+        "WHERE len(l) >= 2), " +
+        "bi AS (SELECT doc_id, array_to_string(l[i : i+1], ' ') AS bg FROM b0), " +
+        "c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg), " +
+        "c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bi GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT w) AS vocab FROM " +
+        "(SELECT unnest(l) AS w FROM d)) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "ROUND(CAST(SUM(CAST(-ln((c2 + 1.0) / (c1 + vocab)) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS avg_surprise " +
+        "FROM bi JOIN c2 USING (bg) " +
+        "JOIN c1 ON split_part(bg, ' ', 1) = c1.w1 CROSS JOIN v " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "qt_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
         "FROM documents), " +
