@@ -161,6 +161,100 @@ object Similarity {
       .fit(data.select(array_to_vector(col("embedding")).as("features")))
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `subDim` dims, each
+    * with 2^nbits centroids — `codebooks(s)(c)` is centroid c of
+    * subspace s. The whole model is m·2^nbits·subDim doubles (kilobytes):
+    * it ships to executors as an expression LITERAL, never a join. */
+  case class PqModel(m: Int, subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.forall(_.length == subDim)))
+    def codes: Int = codebooks.head.length
+  }
+
+  /** Train PQ codebooks (per-subspace KMeans, deterministic seeds) — the
+    * MEMORY-bound ANN family next to [[annTopK]]'s LSH and [[ivfTopK]]'s
+    * IVF: at 100 TB of embeddings the working set, not the compute, is
+    * the binding constraint, and PQ stores m bytes per vector (64-dim
+    * float = 256 B → 8 B at m=8, nbits=4 ⇒ 32×) while queries scan the
+    * CODES with table lookups instead of the vectors with float math.
+    * Like [[trainQuantizer]], train once per corpus snapshot and reuse —
+    * deliberately NOT a declared query (a queries() entry would bench
+    * MLlib fit, not search; same reasoning as ivfTopK). */
+  def trainPq(data: DataFrame, m: Int = 8, nbits: Int = 4): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = data.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { s =>
+      val sub = data.select(array_to_vector(
+        slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(1 << nbits).setSeed(42 + s)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(m, subDim, codebooks)
+  }
+
+  private def codebookLit(model: PqModel) =
+    typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode every vector to its m nearest-centroid codes — one
+    * scan-side declarative pass (nested higher-order functions over the
+    * codebook literal; no UDF, no join): the compressed representation a
+    * PQ index stores. */
+  def pqEncode(data: DataFrame, model: PqModel): DataFrame = {
+    val sd = model.subDim
+    data
+      .withColumn("_cb", codebookLit(model))
+      .withColumn("codes", expr(
+        s"""transform(_cb, (cb, s) ->
+              array_position(
+                transform(cb, c -> aggregate(
+                  zip_with(slice(CAST(embedding AS array<double>), s * $sd + 1, $sd), c,
+                    (a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y)),
+                array_min(transform(cb, c -> aggregate(
+                  zip_with(slice(CAST(embedding AS array<double>), s * $sd + 1, $sd), c,
+                    (a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y)))) - 1)"""))
+      .select(col("vec_id"), col("codes").cast("array<int>").as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k: queries precompute per-subspace
+    * inner-product lookup tables against the codebook literal (scan-side,
+    * still no driver work), the CODES table is scanned once per query
+    * batch with m table-lookup adds per vector — the asymmetric-distance
+    * scan that makes PQ the memory-bound family's workhorse — and the
+    * best `rerank·k` candidates per query are re-ranked with exact
+    * cosine on the true vectors. `rerank` covering the whole corpus
+    * degenerates to exact brute force (SimilaritySpec pins it, like
+    * IVF's nprobe == nlist). */
+  def pqTopK(data: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+             rerank: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val sd = model.subDim
+    val codes = pqEncode(data, model)
+    val qlut = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("_cb", codebookLit(model))
+      .withColumn("lut", expr(
+        s"""transform(_cb, (cb, s) -> transform(cb, c -> aggregate(
+              zip_with(slice(qv, s * $sd + 1, $sd), c, (a, b) -> a * b),
+              0D, (x, y) -> x + y)))"""))
+      .select("qid", "lut")
+    val candW = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    val cand = codes.crossJoin(broadcast(qlut))
+      .withColumn("approx", expr(
+        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), 0D, (a, x) -> a + x)"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("crn", row_number().over(candW))
+      .filter(col("crn") <= rerank * k)
+      .select("qid", "vec_id")
+    cand
+      .join(data.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv2"))), "qid")
+      .withColumn("cos", round(expr("cosine_similarity(qv2, v)"), 6))
+      .transform(rankTopK(_, k))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on
     * (table, bucket) generates candidates, exact cosine verifies — the
     * embedding twin of [[Dedup.minhashPairs]], never all-pairs. Table

@@ -113,6 +113,45 @@ class SimilaritySpec extends SparkSpec {
     assert(want.subsetOf(got), s"planted near-dups missed: ${want -- got}")
   }
 
+  test("PQ: codes compress 32x; full rerank degenerates to exact brute force") {
+    val e = Tables.embeddings(spark, sfTiny)
+    val n = e.count().toInt
+    val model = Similarity.trainPq(e, m = 8, nbits = 4)
+    assert(model.codebooks.length == 8 && model.codes == 16 && model.subDim == 8)
+    // every vector encodes to m small codes — the 32x-smaller representation
+    val codes = Similarity.pqEncode(e, model).collect()
+    assert(codes.length == n)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), s"bad codes $cs")
+    }
+    // rerank covering the corpus => the exact-cosine tail sees everything
+    // and PQ MUST equal brute force exactly (the IVF nprobe==nlist twin)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteTopK(e, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.pqTopK(e, q, 10, model, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute includes self (cos 1.0, rank 1); pq excludes self — brute's
+    // ranks 2..10 must therefore ALL appear in full-rerank pq's top-10
+    val exactNoSelf = exact.filterNot(t => t._1 == t._2)
+    assert(exactNoSelf.subsetOf(full),
+      s"full-rerank PQ diverged from brute force: missing ${exactNoSelf -- full}")
+  }
+
+  test("PQ-ADC at rerank=4 recovers most exact neighbors on the worst-case corpus") {
+    val e = Tables.embeddings(spark, sfSmall)
+    val model = Similarity.trainPq(e, m = 8, nbits = 4)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(e, q, 10)
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(e, q, 10, model, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+  }
+
   test("IVF with a pre-trained quantizer == in-place training (production path)") {
     val e = graft.sources.Tables.embeddings(spark, sfTiny)
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
