@@ -21,6 +21,8 @@ object FunctionBuilders {
       (c: Seq[Expression]) => SimHash64(c.head)),
     ("cosine_similarity", classOf[CosineSimilarity],
       (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("pq_adc", classOf[PqAdc],
+      (c: Seq[Expression]) => PqAdc(c(0), c(1))),
     ("cosine_lsh_sketch", classOf[CosineLshSketch],
       (c: Seq[Expression]) => CosineLshSketch(c(0),
         intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))),

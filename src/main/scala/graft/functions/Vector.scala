@@ -60,6 +60,25 @@ object VectorUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** PQ asymmetric-distance score: Σ_s lut(s)(codes(s)). The inner hot
+    * loop of a PQ scan — m lookups + adds per (vector, query). Any
+    * malformed record (subspace-count mismatch, code outside the lut)
+    * answers NaN so the rank tail drops it instead of crashing the scan. */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m) return Double.NaN
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      val t = lut.getArray(s)
+      if (c < 0 || c >= t.numElements()) return Double.NaN
+      acc += t.getDouble(c)
+      s += 1
+    }
+    acc
+  }
 }
 
 /** `cosine_similarity(array<float|double>, array<float|double>) -> double`
@@ -129,4 +148,34 @@ case class CosineLshSketch(child: Expression, numTables: Int, numBits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CosineLshSketch =
     copy(child = newChild)
+}
+
+/** `pq_adc(codes array<int>, lut array<array<double>>) -> double` — the
+  * PQ asymmetric-distance scan kernel as a native codegen'd expression.
+  * The HOF composition (`aggregate(zip_with(codes, lut, (c, t) -> t[c]),
+  * …)`) allocates lambda frames per subspace and runs interpreted; a PQ
+  * scan executes this once per (vector, query) over the WHOLE corpus —
+  * exactly the expression-is-the-workload case `cosine_similarity` made
+  * native (SURVEY.md §7.3). */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int>, array<array<double>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.pqAdc($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
 }

@@ -241,9 +241,10 @@ object Similarity {
               0D, (x, y) -> x + y)))"""))
       .select("qid", "lut")
     val candW = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    // native codegen'd kernel — the HOF form (aggregate ∘ zip_with) runs
+    // interpreted per (vector, query); FunctionsSpec pins their equality
     val cand = codes.crossJoin(broadcast(qlut))
-      .withColumn("approx", expr(
-        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), 0D, (a, x) -> a + x)"))
+      .withColumn("approx", expr("pq_adc(codes, lut)"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("crn", row_number().over(candW))
       .filter(col("crn") <= rerank * k)

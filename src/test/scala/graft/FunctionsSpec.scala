@@ -63,4 +63,38 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT zorder_key(5L, 9L)").collect().head.getLong(0)
     assert(viaSql == ZOrderUtil.interleave(5L, 9L))
   }
+
+  test("pq_adc == the HOF formulation bit for bit; malformed inputs answer NaN") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val m = 8
+      val codes = Array.fill(m)(rng.nextInt(16))
+      val lut = Array.fill(m)(Array.fill(16)(rng.nextDouble() * 2 - 1).toSeq).toSeq
+      (i.toLong, codes.toSeq, lut)
+    }.toDF("id", "codes", "lut")
+    val both = rows.selectExpr(
+      "pq_adc(codes, lut) AS native",
+      "aggregate(zip_with(codes, lut, (c, t) -> t[c]), 0D, (a, x) -> a + x) AS hof")
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    // stays inside whole-stage codegen (repartition blocks the
+    // LocalRelation constant-fold that would evaluate it at plan time;
+    // collect first — AQE shows codegen spans only in the final plan)
+    val codegenDf = rows.repartition(2).selectExpr("pq_adc(codes, lut) AS s")
+    codegenDf.collect()
+    val p = codegenDf.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("pq_adc")),
+      s"pq_adc fell out of codegen:\n$p")
+    // malformed: subspace mismatch and out-of-range code both answer NaN
+    val bad = Seq(
+      (Seq(0, 1), Seq(Seq(1.0, 2.0))), // 2 codes, 1 lut row
+      (Seq(5), Seq(Seq(1.0, 2.0)))) // code 5 outside a 2-entry lut
+      .toDF("codes", "lut")
+    bad.selectExpr("pq_adc(codes, lut) AS s").collect()
+      .foreach(r => assert(r.getDouble(0).isNaN))
+  }
 }
