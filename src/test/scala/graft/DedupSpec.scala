@@ -264,6 +264,40 @@ class DedupSpec extends SparkSpec {
     assert(g2 == Set((0L, fp(""))))
   }
 
+  test("duplicatedSpans: seeded randomized differential vs a brute-force reference") {
+    val rnd = new scala.util.Random(1234) // fixed seed: deterministic CI
+    val k = 4
+    for (trial <- 0 until 6) {
+      // small vocab forces real cross-doc window collisions
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val corpus = (1L to 20L).map { id =>
+        val n = 2 + rnd.nextInt(18) // some docs shorter than k
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val got = spans(docs, k)
+      // brute-force reference: enumerate every k-window, find those in
+      // >= 2 distinct docs, merge covered intervals per doc
+      val windows = corpus.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        (0 to toks.length - k).map(p => (toks.slice(p, p + k).mkString(" "), id, p.toLong))
+      }
+      val dupWins = windows.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val want = windows.filter(w => dupWins(w._1))
+        .groupBy(_._2).flatMap { case (id, ws) =>
+          val starts = ws.map(_._3).toSeq.sorted
+          // merge covered intervals [p, p+k-1]: gap > k starts a new span
+          val islands = starts.foldLeft(List.empty[(Long, Long)]) {
+            case (Nil, p) => List((p, p))
+            case ((a, b) :: rest, p) =>
+              if (p - b > k) (p, p) :: (a, b) :: rest else (a, p) :: rest
+          }
+          islands.map { case (a, b) => (id, a, b + k - 1, b + k - a) }
+        }.toSet
+      assert(got == want, s"trial $trial: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("qt_substring_dup finds real spans on the corpus; plan has no cartesian join") {
     val q = Dedup.qtSubstringDup(spark, sfTiny)
     val plan = q.queryExecution.executedPlan.toString
