@@ -20,10 +20,33 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("no accidental cartesian products or nested-loop joins in pair generation") {
-    for (q <- Seq("qd_ngram_jaccard", "qd_minhash_lsh", "qd_simhash")) {
+    for (q <- Seq("qd_ngram_jaccard", "qd_minhash_lsh", "qd_simhash",
+      "qt_substring_dup", "qt_substring_scrub")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degraded to an all-pairs join:\n$p")
+    }
+    // qt_bigram_surprise attaches its 1-row vocab scalar via a broadcast
+    // Cross BNLJ — that is Spark's scalar-attach shape, not an all-pairs
+    // hazard; the guard instead pins that NOTHING ELSE nested-loops
+    val p = plan("qt_bigram_surprise")
+    assert(!p.contains("CartesianProduct"), s"qt_bigram_surprise cartesian:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"qt_bigram_surprise: more than the scalar-attach BNLJ:\n$p")
+  }
+
+  test("the round-7 text operators prune the documents scan to the columns they read") {
+    // a scan that hauls lang/source/n_chars (or the props json) for a
+    // (doc_id, text) computation reads multiples of the needed bytes at
+    // 100 TB — ReadSchema is where column pruning is visible
+    for (q <- Seq("qt_substring_dup", "qt_substring_scrub", "qt_bigram_surprise")) {
+      val p = plan(q)
+      val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(reads.nonEmpty, s"$q: no file scan found:\n$p")
+      reads.foreach { l =>
+        assert(!l.contains("lang") && !l.contains("source") && !l.contains("props"),
+          s"$q reads columns it never uses: $l")
+      }
     }
   }
 
