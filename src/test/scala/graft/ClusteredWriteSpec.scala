@@ -222,5 +222,31 @@ class ClusteredWriteSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == n)
     assert(spark.read.parquet(dir).filter(col("k") === 101L).count() == 0)
     assert(spark.read.parquet(dir).filter(col("k") === 100L).count() == 1)
+
+    // and the READER honors it: parquet-mr's own row-group filter keeps
+    // every group at the statistics level (odd probe inside [min,max])
+    // but drops them all once the bloom level joins in — the exact
+    // "skips row groups the column index alone can't" contract
+    import org.apache.parquet.filter2.compat.{FilterCompat, RowGroupFilter}
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val r2 = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.toString), new Configuration()))
+    try {
+      val blocks = r2.getFooter.getBlocks
+      def surviving(value: Long, levels: RowGroupFilter.FilterLevel*): Int =
+        RowGroupFilter.filterRowGroups(
+          java.util.Arrays.asList(levels: _*),
+          FilterCompat.get(FilterApi.eq(FilterApi.longColumn("k"),
+            java.lang.Long.valueOf(value))),
+          blocks, r2).size
+      import RowGroupFilter.FilterLevel._
+      val absentOdd = 101L // inside every group's [min,max], never written
+      assert(surviving(absentOdd, STATISTICS) == blocks.size,
+        "control failed: stats alone should keep every group for an in-range key")
+      assert(surviving(absentOdd, STATISTICS, BLOOMFILTER) == 0,
+        "reader kept groups the bloom filter can prove empty")
+      assert(surviving(100L, STATISTICS, BLOOMFILTER) == blocks.size,
+        "a present key must never be bloom-skipped (false negative)")
+    } finally r2.close()
   }
 }
