@@ -114,4 +114,27 @@ class FileFormatsSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"columns not pruned:\n$plan")
   }
+
+  test("compressed text (gzip) reads transparently — the crawl-dump arrival format") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz").toString
+    val lines = (1 to 1000).map(i => s"line number $i with payload")
+    // write real .gz files through Spark's own codec path
+    lines.toDF("value").repartition(2).write
+      .option("compression", "gzip").mode("overwrite").text(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".txt.gz"))
+    assert(files.nonEmpty, "expected gzip-compressed part files")
+    // magic bytes prove the payload really is gzip, not renamed plaintext
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(2)
+    assert((head(0) & 0xFF) == 0x1F && (head(1) & 0xFF) == 0x8B, "not a gzip stream")
+    // readTextLines (the reference's text-scan surface) round-trips it
+    val back = graft.sources.FileFormats.readTextLines(spark, dir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == lines.sorted, "gzip text round-trip lost or mangled lines")
+    // caveat pinned: gzip is NOT splittable — each .gz file is one
+    // partition regardless of size (the reason a 100 TB lake prefers
+    // many medium .gz files or a splittable container)
+    assert(spark.read.text(dir).rdd.getNumPartitions == files.length,
+      "gzip inputs must map one file to one partition (non-splittable)")
+  }
 }
