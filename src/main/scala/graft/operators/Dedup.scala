@@ -287,7 +287,7 @@ object Dedup {
           least(col("label"), col("minN")).as("label")), eager = false)
       val changed = next
         .agg(coalesce(max(col("label") =!= col("prev")), lit(false)).as("c"))
-        .head.getBoolean(0)
+        .head().getBoolean(0)
       labels = next.select("id", "label")
       converged = !changed
       iter += 1

@@ -80,7 +80,7 @@ object Multimodal {
       val hist = new Array[Float](16)
       var i = HeaderLen
       while (i < payload.length) { hist((payload(i) & 0xFF) >> 4) += 1f; i += 1 }
-      val total = math.max(1f, payload.length - HeaderLen)
+      val total = math.max(1f, (payload.length - HeaderLen).toFloat)
       hist.map(_ / total)
     }
   }

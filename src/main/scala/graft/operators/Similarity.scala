@@ -182,7 +182,7 @@ object Similarity {
   def trainPq(data: DataFrame, m: Int = 8, nbits: Int = 4): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = data.select(size(col("embedding"))).head.getInt(0)
+    val dim = data.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val codebooks = (0 until m).map { s =>

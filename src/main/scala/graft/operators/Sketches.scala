@@ -176,7 +176,7 @@ object Sketches {
     // no-false-negative contract.)
     df.select(call_function("seen_filter_agg",
       xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("f"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** Probe a batch against a stored filter WITHOUT a join: keep only

@@ -49,7 +49,7 @@ object Skew {
   /** The fact-side salt of [[saltedJoin]] (exposed for tests): row-content
     * hash mixed with the row's physical position. */
   private[graft] def factSalt(fact: DataFrame, salts: Int) =
-    pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*),
+    pmod(hash((fact.columns.map(col).toIndexedSeq :+ monotonically_increasing_id()): _*),
       lit(salts))
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
