@@ -141,14 +141,21 @@ object Temporal {
       s"rangeLookupJoin: inputs may not already carry the internal column $bkt")
     val loB = expr(s"CAST($startCol AS BIGINT) div $bucketWidth")
     val hiB = expr(s"CAST($endCol AS BIGINT) div $bucketWidth")
-    // guard rides the sequence bound itself — an unused side column
-    // holding assert_true would be pruned away with the assertion
-    val hiGuarded = when(hiB - loB < lit(maxFanout), hiB)
+    val span = hiB - loB
+    // guard rides the bucket array itself — an unused side column holding
+    // assert_true would be pruned away with the assertion. Order matters:
+    // an INVERTED range (hi < lo) must translate to zero buckets — its
+    // BETWEEN matches nothing — and must not reach `sequence`, which
+    // would generate a DESCENDING sequence and bypass the fan-out cap
+    // with a negative span (a corrupted sentinel row would otherwise
+    // explode over the whole domain unguarded).
+    val buckets = when(span < 0, typedlit(Seq.empty[Long]))
+      .when(span < lit(maxFanout), sequence(loB, hiB))
       .otherwise(raise_error(format_string(
         s"rangeLookupJoin: range [%s, %s] spans %s buckets at bucketWidth=$bucketWidth, " +
           s"over maxFanout=$maxFanout — widen bucketWidth or raise maxFanout",
-        col(startCol), col(endCol), hiB - loB + lit(1))).cast("bigint"))
-    val rb = ranges.withColumn(bkt, explode(sequence(loB, hiGuarded)))
+        col(startCol), col(endCol), span + lit(1))).cast("array<bigint>"))
+    val rb = ranges.withColumn(bkt, explode(buckets))
     val pb = points.withColumn(bkt, expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
     pb.join(rb, bkt)
       .filter(col(pointCol).between(col(startCol), col(endCol)))

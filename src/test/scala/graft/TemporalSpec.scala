@@ -169,6 +169,19 @@ class TemporalSpec extends SparkSpec {
     assert(causeMessages(e2).contains("maxFanout"))
   }
 
+  test("rangeLookupJoin: an INVERTED range matches nothing and cannot bypass the guard") {
+    import spark.implicits._
+    // hi < lo with a domain-wide negative span: a descending sequence
+    // here would fan out over the whole domain UNDER the cap check
+    val inverted = Seq((1L, Long.MaxValue, 0L), (2L, 10L, 20L)).toDF("range_id", "lo", "hi")
+    val points = Seq(15L, 5L).toDF("v")
+    val got = Temporal.rangeLookupJoin(points, "v", inverted, "lo", "hi",
+      bucketWidth = 4L, maxFanout = 16L)
+      .select("v", "range_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the valid range still matches; the inverted one contributes zero rows
+    assert(got == Set((15L, 2L)), s"inverted range leaked or valid range lost: $got")
+  }
+
   test("rangeLookupJoin: colliding column names are rejected up front") {
     import spark.implicits._
     val points = Seq(5L).toDF("v")
