@@ -256,6 +256,81 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
+  /** IVF-PQ: the composition of [[ivfTopK]] and [[pqTopK]] into the
+    * production index layout (the FAISS `IVFx,PQy` workhorse — public
+    * knowledge). The coarse quantizer routes vectors to cells; PQ
+    * encodes each vector's RESIDUAL against its cell centroid (residuals
+    * cluster far tighter than raw vectors, so the same codebook budget
+    * quantizes them much more accurately); a query probes `nprobe` cells
+    * and ADC-scans only those cells' codes with a per-(query, cell)
+    * lookup table built from the query's own residual. Candidates
+    * re-rank exactly. Storage: m bytes + one cell id per vector;
+    * compute: the probed fraction of the corpus at m lookup-adds per
+    * vector — both knobs independent.
+    *
+    * Same train-once contract as its two parents (pass `quantizer`/`pq`
+    * from a prior fit); deliberately not a declared query. */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, nbits: Int = 4,
+                quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+                pq: Option[PqModel] = None, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val model = quantizer.getOrElse(trainQuantizer(data, nlist))
+    val featured = data.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val assigned = model.transform(featured).select("vec_id", "embedding", "cl")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cl", "cv")
+    // residual stream: the "embedding" the PQ layer sees
+    val residuals = assigned.join(broadcast(centroids), "cl")
+      .select(col("vec_id"), col("cl"),
+        zip_with(col("embedding").cast("array<double>"), col("cv"),
+          (a, b) => a - b).as("embedding"))
+    val pqm = pq.getOrElse(trainPq(residuals, m, nbits))
+    val codes = pqEncode(residuals, pqm)
+      .join(residuals.select("vec_id", "cl"), "vec_id")
+    // probe selection: identical to ivfTopK
+    val qv = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
+      .localCheckpoint(false)
+    val probeW = Window.partitionBy("qid").orderBy(col("cdist"), col("cl"))
+    val probes = qv
+      .join(broadcast(centroids))
+      .withColumn("cdist",
+        lit(1.0) - nanvl(expr("cosine_similarity(qv, cv)"), lit(0.0)))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select("qid", "cl", "qv", "cv")
+    // per-(query, cell) lookup table over the QUERY RESIDUAL — inner
+    // product with code centroids approximates <q - c, v - c>, the
+    // within-cell geometry PQ quantized
+    val sd = pqm.subDim
+    val luts = probes
+      .withColumn("qres", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("_cb", codebookLit(pqm))
+      .withColumn("lut", expr(
+        s"""transform(_cb, (cb, s) -> transform(cb, c -> aggregate(
+              zip_with(slice(qres, s * $sd + 1, $sd), c, (a, b) -> a * b),
+              0D, (x, y) -> x + y)))"""))
+      .select("qid", "cl", "lut")
+    val candW = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    val cand = codes.join(broadcast(luts), "cl") // only probed cells scan
+      .withColumn("approx", expr("pq_adc(codes, lut)"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("crn", row_number().over(candW))
+      .filter(col("crn") <= rerank * k)
+      .select("qid", "vec_id")
+    cand
+      .join(data.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv2"))), "qid")
+      .withColumn("cos", round(expr("cosine_similarity(qv2, v)"), 6))
+      .transform(rankTopK(_, k))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on
     * (table, bucket) generates candidates, exact cosine verifies — the
     * embedding twin of [[Dedup.minhashPairs]], never all-pairs. Table

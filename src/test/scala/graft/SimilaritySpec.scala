@@ -152,6 +152,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
   }
 
+  test("IVF-PQ: probing every cell with full rerank degenerates to exact brute force") {
+    val e = Tables.embeddings(spark, sfTiny)
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteTopK(e, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filterNot(t => t._1 == t._2)
+    val full = Similarity.ivfPqTopK(e, q, 10, nlist = 8, nprobe = 8, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.subsetOf(full),
+      s"degenerate IVF-PQ diverged from brute force: missing ${exact -- full}")
+  }
+
+  test("IVF-PQ: partial probe with residual codes recovers most exact neighbors") {
+    val e = Tables.embeddings(spark, sfSmall)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(e, q, 10)
+      .filter(col("qid") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(e, q, 10, nlist = 8, nprobe = 6, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // near-orthogonal corpus: cell residence is weakly informative (the
+    // documented IVF caveat), so the floor sits below the LSH/PQ ones
+    assert(recall >= 0.4, s"IVF-PQ recall@10 too low: $recall")
+  }
+
   test("IVF with a pre-trained quantizer == in-place training (production path)") {
     val e = graft.sources.Tables.embeddings(spark, sfTiny)
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
