@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Ingest.queries
+      Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Ingest.queries ++
+      Merge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Temporal.oracles ++ Graph.oracles ++ Sketches.oracles ++ Ingest.oracles
+      Temporal.oracles ++ Graph.oracles ++ Sketches.oracles ++ Ingest.oracles ++
+      Merge.oracles
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** MERGE INTO — the incremental-corpus maintenance operator (upsert +
+  * delete in one pass), the missing piece between append-only ingest
+  * ([[Ingest]]) and a table that tracks a changing upstream: crawl
+  * re-fetches replace stale documents, takedowns delete, new pages
+  * insert. Spark has no MERGE without a lakehouse format on top, so
+  * this is the Spark-first rewrite: COPY-ON-WRITE as one anti-join plus
+  * one union —
+  *
+  *   merged = (base ⟕̸ update_keys) ∪ (updates where ¬delete)
+  *
+  * The anti-join ships only the update KEYS to the base side, so AQE
+  * broadcasts them for any realistically-sized change batch and the
+  * base scan stays a single pushdown-friendly pass — no shuffle of the
+  * 100 TB side, no full outer join (whose both-sides shuffle is the
+  * naive MERGE plan). [[mergeIntoPartitioned]] adds the storage half:
+  * only partitions the batch touches are rewritten (dynamic partition
+  * overwrite), which is what bounds a daily merge's write cost by the
+  * change locality instead of the table size.
+  *
+  * Reference seed: the reference engine is strictly append/rerun
+  * (`/root/reference/mapreduce.c:158-225` recomputes from scratch every
+  * run); MERGE is the generalization its users would need first when
+  * the corpus stops being immutable.
+  */
+object Merge {
+  private val T = Tables
+
+  /** Apply a change batch to `base` with MERGE INTO semantics:
+    * a batch row whose `keys` match a base row REPLACES it (or, when
+    * `deleteCol` is true, deletes it); an unmatched batch row is an
+    * INSERT (a delete-flagged unmatched row is a no-op); base rows the
+    * batch doesn't name pass through untouched.
+    *
+    * `updates` must carry every `base` column (the full new image —
+    * partial-column updates are a projection the CALLER owns) plus the
+    * optional boolean `deleteCol`. Batch keys must be UNIQUE: two
+    * change rows for one key make the merged image nondeterministic in
+    * any engine, so the plan fails loudly per offending key (an in-plan
+    * `raise_error` guard — one window pass over the small batch side,
+    * never over base). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                  deleteCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert: at least one key column")
+    val missing = (base.columns.toSet ++ keys -- updates.columns).toSeq.sorted
+    require(missing.isEmpty,
+      s"mergeUpsert: updates lack base columns ${missing.mkString(", ")}")
+    val n = "_graft_merge_n"
+    require(!updates.columns.contains(n),
+      s"mergeUpsert: updates may not carry the internal column $n")
+    val guarded = updates.withColumn(n,
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    // the guard is WOVEN into the first key of the anti-join projection —
+    // a free-standing guard column would be pruned away with the column
+    // (nothing selects it), and riding the key means every batch row,
+    // delete-flagged ones included, must pass it before the join resolves
+    val guardedKey = when(col(n) === 1, col(keys.head))
+      .otherwise(raise_error(format_string(
+        s"mergeUpsert: %s change rows for key (${keys.mkString(", ")}) = (" +
+          keys.map(_ => "%s").mkString(", ") + ") — a merge batch must " +
+          "name each key once",
+        col(n) +: keys.map(col): _*)).cast(updates.schema(keys.head).dataType))
+      .as(keys.head)
+    val applied = deleteCol match {
+      case Some(c) => guarded.filter(!col(c))
+      case None    => guarded
+    }
+    base.join(guarded.select(guardedKey +: keys.tail.map(col): _*), keys, "left_anti")
+      .unionByName(applied.select(base.columns.toIndexedSeq.map(col): _*))
+  }
+
+  /** The storage half of MERGE at scale: apply `updates` to a
+    * `partitionCol`-partitioned parquet table IN PLACE, rewriting ONLY
+    * the partitions the batch touches (`partitionOverwriteMode=dynamic`
+    * scoped to this one write). Untouched partitions' files are not
+    * read, not rewritten, not even listed by the writer — a merge's
+    * write cost tracks change locality, not table size. An insert row
+    * may open a brand-new partition. Caveat of dynamic overwrite: a
+    * partition whose rows the merge deletes ENTIRELY produces no output
+    * rows, so the writer never claims it and its stale files survive —
+    * the returned touched-partition list exists so the caller can
+    * reconcile such full-partition deletes (MergeSpec pins this edge).
+    *
+    * Returns the touched partition values (driver-side — one row per
+    * PARTITION, bounded by the batch's partition spread, not its rows). */
+  def mergeIntoPartitioned(spark: SparkSession, basePath: String,
+                           updates: DataFrame, keys: Seq[String],
+                           partitionCol: String,
+                           deleteCol: Option[String] = None): Seq[String] = {
+    val base = spark.read.parquet(basePath)
+    val touched = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    // scope: only rows of touched partitions enter the merge; everything
+    // else is untouchable by construction (partition pruning on the scan)
+    val scoped = base.filter(col(partitionCol).cast("string").isin(touched: _*))
+    val merged = mergeUpsert(scoped, updates, keys, deleteCol)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(basePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched
+  }
+
+  /** QW1 — MERGE end to end on `orders`: a deterministic change batch
+    * (keys ≡3 mod 13 re-priced and re-statused, ≡7 deleted, ≡5 cloned
+    * to fresh keys as inserts) applied via [[mergeUpsert]]. Oracle =
+    * the same batch as NOT-IN + UNION ALL SQL — exact row parity pins
+    * all four fates (update, delete, insert, untouched) at once. */
+  def qwMergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val base = T.orders(spark, d)
+    val mods = base.filter(col("o_orderkey") % 13 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("_delete", lit(false))
+    val dels = base.filter(col("o_orderkey") % 13 === 7)
+      .withColumn("_delete", lit(true))
+    val ins = base.filter(col("o_orderkey") % 13 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("_delete", lit(false))
+    val updates = mods.unionByName(dels).unionByName(ins)
+    mergeUpsert(base, updates, Seq("o_orderkey"), Some("_delete"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_merge_upsert" -> qwMergeUpsert _)
+
+  val oracles: Map[String, String] = Map(
+    "qw_merge_upsert" ->
+      ("WITH mods AS (SELECT o_orderkey, 'U' AS o_orderstatus, " +
+        "o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 13 = 3), " +
+        "dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 7), " +
+        "ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, 'I' AS o_orderstatus, " +
+        "o_totalprice FROM orders WHERE o_orderkey % 13 = 5), " +
+        "touched AS (SELECT o_orderkey FROM mods UNION ALL " +
+        "SELECT o_orderkey FROM dels UNION ALL SELECT o_orderkey FROM ins) " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched) " +
+        "UNION ALL SELECT * FROM mods UNION ALL SELECT * FROM ins " +
+        "ORDER BY o_orderkey"))
+}

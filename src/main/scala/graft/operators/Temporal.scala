@@ -139,27 +139,87 @@ object Temporal {
     val bkt = "_graft_range_bkt"
     require(!points.columns.contains(bkt) && !ranges.columns.contains(bkt),
       s"rangeLookupJoin: inputs may not already carry the internal column $bkt")
-    val loB = expr(s"CAST($startCol AS BIGINT) div $bucketWidth")
-    val hiB = expr(s"CAST($endCol AS BIGINT) div $bucketWidth")
-    val span = hiB - loB
-    // guard rides the bucket array itself — an unused side column holding
-    // assert_true would be pruned away with the assertion. Order matters:
-    // an INVERTED range (hi < lo) must translate to zero buckets — its
-    // BETWEEN matches nothing — and must not reach `sequence`, which
-    // would generate a DESCENDING sequence and bypass the fan-out cap
-    // with a negative span (a corrupted sentinel row would otherwise
-    // explode over the whole domain unguarded).
-    val buckets = when(span < 0, typedlit(Seq.empty[Long]))
-      .when(span < lit(maxFanout), sequence(loB, hiB))
-      .otherwise(raise_error(format_string(
-        s"rangeLookupJoin: range [%s, %s] spans %s buckets at bucketWidth=$bucketWidth, " +
-          s"over maxFanout=$maxFanout — widen bucketWidth or raise maxFanout",
-        col(startCol), col(endCol), span + lit(1))).cast("array<bigint>"))
-    val rb = ranges.withColumn(bkt, explode(buckets))
+    val rb = ranges.withColumn(bkt, explode(guardedBuckets(
+      "rangeLookupJoin", startCol, endCol, bucketWidth, maxFanout)))
     val pb = points.withColumn(bkt, expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
     pb.join(rb, bkt)
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop(bkt)
+  }
+
+  /** The fan-out-guarded bucket array shared by [[rangeLookupJoin]] and
+    * [[intervalOverlapJoin]]. The guard rides the bucket array itself —
+    * an unused side column holding assert_true would be pruned away with
+    * the assertion. Order matters: an INVERTED range (hi < lo) must
+    * translate to zero buckets — its residual predicate matches nothing
+    * under the closed-interval contract — and must not reach `sequence`,
+    * which would generate a DESCENDING sequence and bypass the fan-out
+    * cap with a negative span (a corrupted sentinel row would otherwise
+    * explode over the whole domain unguarded). */
+  private def guardedBuckets(opName: String, startCol: String, endCol: String,
+                             bucketWidth: Long, maxFanout: Long)
+      : org.apache.spark.sql.Column = {
+    val loB = expr(s"CAST($startCol AS BIGINT) div $bucketWidth")
+    val hiB = expr(s"CAST($endCol AS BIGINT) div $bucketWidth")
+    val span = hiB - loB
+    when(span < 0, typedlit(Seq.empty[Long]))
+      .when(span < lit(maxFanout), sequence(loB, hiB))
+      .otherwise(raise_error(format_string(
+        s"$opName: range [%s, %s] spans %s buckets at bucketWidth=$bucketWidth, " +
+          s"over maxFanout=$maxFanout — widen bucketWidth or raise maxFanout",
+        col(startCol), col(endCol), span + lit(1))).cast("array<bigint>"))
+  }
+
+  /** Interval-OVERLAP join (range × range, no equi key): all (left,
+    * right) pairs whose closed intervals intersect —
+    * `l.lo <= r.hi AND r.lo <= l.hi` — the campaigns-vs-sessions /
+    * genomic-intervals class. Spark plans the bare predicate as a
+    * BroadcastNestedLoopJoin (O(|L|·|R|) comparisons); at 100 TB that is
+    * the first plan to die. Same bucketization as [[rangeLookupJoin]],
+    * but BOTH sides explode to the fixed-width buckets they cover, the
+    * join becomes a hash equi-join on bucket id, and a residual overlap
+    * filter removes bucket-mates that don't intersect.
+    *
+    * Unlike the point case, an overlapping pair shares EVERY bucket in
+    * the intersection of the two covers, so the join would duplicate it
+    * once per shared bucket. The dedup is responsibility assignment, not
+    * a `distinct()`: the shared cover starts at
+    * `max(floor(l.lo/w), floor(r.lo/w))`, so the pair is kept only in
+    * that one bucket — pure per-row arithmetic, no extra shuffle.
+    *
+    * Contract mirrors [[rangeLookupJoin]]: disjoint column sets, bounds
+    * castable to BIGINT, per-side fan-out capped loudly by `maxFanout`,
+    * and an inverted interval (hi < lo) is EMPTY — it joins nothing,
+    * diverging from what the raw SQL predicate would do with it (the
+    * predicate accidentally matches inverted intervals nested inside
+    * wide ones). */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketWidth: Long, maxFanout: Long = 1 << 16): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxFanout > 0, s"maxFanout must be positive: $maxFanout")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlapJoin: inputs share column names ${shared.mkString(", ")} — " +
+        "rename one side; the residual overlap filter would be ambiguous")
+    val bkt = "_graft_iv_bkt"
+    val lLoB = "_graft_iv_llo"
+    val rLoB = "_graft_iv_rlo"
+    val taken = Seq(bkt, lLoB, rLoB)
+    require(!taken.exists(c => left.columns.contains(c) || right.columns.contains(c)),
+      s"intervalOverlapJoin: inputs may not carry the internal columns ${taken.mkString(", ")}")
+    val lb = left
+      .withColumn(lLoB, expr(s"CAST($lStart AS BIGINT) div $bucketWidth"))
+      .withColumn(bkt, explode(guardedBuckets(
+        "intervalOverlapJoin", lStart, lEnd, bucketWidth, maxFanout)))
+    val rb = right
+      .withColumn(rLoB, expr(s"CAST($rStart AS BIGINT) div $bucketWidth"))
+      .withColumn(bkt, explode(guardedBuckets(
+        "intervalOverlapJoin", rStart, rEnd, bucketWidth, maxFanout)))
+    lb.join(rb, bkt)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(bkt) === greatest(col(lLoB), col(rLoB)))
+      .drop(taken: _*)
   }
 
   /** QE4 — the bucketized range lookup end to end: synthetic disjoint
@@ -178,11 +238,33 @@ object Temporal {
       .orderBy("range_id")
   }
 
+  /** QE5 — the interval-overlap join end to end: order-derived intervals
+    * (width 0–22) against supplier value bands (width 53), per-band pair
+    * count and total interval span. Oracle = DuckDB's plain overlap join
+    * (`l_lo <= r_hi AND r_lo <= l_hi`) — exact parity proves the
+    * two-sided bucket rewrite with responsibility dedup loses and
+    * duplicates nothing. */
+  def qeIntervalJoin(spark: SparkSession, d: String): DataFrame = {
+    val l = T.orders(spark, d).select(
+      (col("o_orderkey") % 7919).as("l_lo"),
+      (col("o_orderkey") % 7919 + col("o_orderkey") % 23).as("l_hi"))
+    val r = T.supplier(spark, d).select(
+      col("s_suppkey").as("range_id"),
+      (col("s_suppkey") * 97).as("r_lo"),
+      (col("s_suppkey") * 97 + 53).as("r_hi"))
+    intervalOverlapJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", bucketWidth = 64)
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("hits"),
+        sum(col("l_hi") - col("l_lo")).as("span_sum"))
+      .orderBy("range_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_asof" -> qeAsof _,
     "qe_attribution" -> qeAttribution _,
     "qe_sessions" -> qeSessions _,
-    "qe_range_lookup" -> qeRangeLookup _)
+    "qe_range_lookup" -> qeRangeLookup _,
+    "qe_interval_join" -> qeIntervalJoin _)
 
   val oracles: Map[String, String] = Map(
     "qe_range_lookup" ->
@@ -191,6 +273,14 @@ object Temporal {
         "p AS (SELECT o_orderkey % 7919 AS v FROM orders) " +
         "SELECT range_id, COUNT(*) AS hits FROM p JOIN r " +
         "ON v BETWEEN lo AND hi GROUP BY range_id ORDER BY range_id"),
+    "qe_interval_join" ->
+      ("WITH l AS (SELECT o_orderkey % 7919 AS l_lo, " +
+        "o_orderkey % 7919 + o_orderkey % 23 AS l_hi FROM orders), " +
+        "r AS (SELECT s_suppkey AS range_id, s_suppkey*97 AS r_lo, " +
+        "s_suppkey*97 + 53 AS r_hi FROM supplier) " +
+        "SELECT range_id, COUNT(*) AS hits, " +
+        "CAST(SUM(l_hi - l_lo) AS BIGINT) AS span_sum FROM l JOIN r " +
+        "ON l_lo <= r_hi AND r_lo <= l_hi GROUP BY range_id ORDER BY range_id"),
     "qe_asof" ->
       ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id, ts), " +

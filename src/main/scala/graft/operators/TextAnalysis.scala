@@ -334,6 +334,55 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** Deterministic WEIGHTED exact-k sampling per stratum — the priority
+    * sampling of Efraimidis & Spirakis 2006 ("Weighted random sampling
+    * with a reservoir", public knowledge): each row draws priority
+    * `u^(1/w)` with `u` uniform in (0,1], and the k highest priorities
+    * per stratum are exactly a weighted-without-replacement sample. The
+    * distributed, reproducible form replaces the RNG with a seeded
+    * integer hash — TWO LCG rounds mod the Mersenne prime 2^31−1, seed
+    * folded into the first (one round is nearly linear in the seed: a
+    * seed bump shifts every row's u by the same constant mod 1, which
+    * barely reorders; the second round scrambles the shift — pinned by
+    * the redraw test). Closed form in ANY engine, which is what makes
+    * the oracle row possible. Operands are pre-modded so the largest
+    * intermediate is < 2^62 — no overflow at any id scale.
+    * Rows with non-positive weight are EXCLUDED — the w→0 limit of the
+    * priority is 0, i.e. "never sample".
+    *
+    * Same scale shape as [[qpSample]]: the rank-limit window compiles
+    * to WindowGroupLimit, so each map partition prunes to k rows per
+    * stratum before the shuffle. The only cross-engine subtlety is that
+    * ranking compares `pow` results — IEEE doubles on both sides, so a
+    * rank flip would need two priorities within 1 ulp (never observed;
+    * the gate would catch it). */
+  def weightedSample(df: DataFrame, stratumCol: String, weightCol: String,
+                     idCol: String, k: Int, seed: Long = 12345L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 2147483647L
+    val h1 = (col(idCol) % m * 1103515245L + lit(seed % m)) % m
+    val u = ((h1 * 1103515245L + 12345L) % m + 1L) / lit(2147483648.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_pri", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(stratumCol).orderBy(col("_pri").desc, col(idCol)))
+        .cast("long"))
+      .filter(col("rn") <= k)
+      .drop("_pri")
+  }
+
+  /** QP7 — weighted per-language sampling, weight = token count: the
+    * "sample proportionally to content volume" draw (long docs carry
+    * more of the training distribution than boilerplate stubs). Oracle
+    * mirrors the LCG + pow priority closed-form in DuckDB. */
+  def qpWeightedSample(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    weightedSample(
+      T.documents(spark, d).select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w_toks")),
+      "lang", "w_toks", "doc_id", k)
+      .select("lang", "doc_id", "w_toks", "rn")
+      .orderBy("lang", "rn")
+
   /** QP6 — overlapping document chunking (the RAG/embedding prep step,
     * distinct from [[qpPack]]'s cross-doc packing): each doc splits into
     * token windows of `chunk` tokens advancing by `stride` (< chunk ⇒
@@ -484,6 +533,7 @@ object TextAnalysis {
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
     "qp_sample" -> ((s: SparkSession, d: String) => qpSample(s, d)),
+    "qp_weighted_sample" -> ((s: SparkSession, d: String) => qpWeightedSample(s, d)),
     "qp_chunk" -> ((s: SparkSession, d: String) => qpChunk(s, d)),
     "qp_pack" -> qpPack _,
     "qp_prep_pipeline" -> qpPrepPipeline _,
@@ -567,6 +617,15 @@ object TextAnalysis {
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
         "WHERE rn <= 20 ORDER BY lang, rn"),
+    "qp_weighted_sample" ->
+      ("WITH t AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS w_toks, " +
+        "(((doc_id % 2147483647 * 1103515245 + 12345) % 2147483647 " +
+        "* 1103515245 + 12345) % 2147483647 + 1) / 2147483648.0 AS u " +
+        "FROM documents), " +
+        "r AS (SELECT lang, doc_id, w_toks, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY pow(u, 1.0 / w_toks) DESC, doc_id) AS rn FROM t WHERE w_toks > 0) " +
+        "SELECT lang, doc_id, w_toks, rn FROM r WHERE rn <= 20 ORDER BY lang, rn"),
     "qp_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "c AS (SELECT doc_id, toks, " +

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base3 = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "s", "v")
+
+  test("mergeUpsert: update, delete, insert, untouched — all four fates in one batch") {
+    val updates = Seq(
+      (2L, "B", 200.0, false), // matched -> replace
+      (3L, "c", 30.0, true),   // matched + delete -> gone
+      (9L, "i", 90.0, false),  // unmatched -> insert
+      (8L, "x", 0.0, true))    // unmatched + delete -> no-op
+      .toDF("k", "s", "v", "_del")
+    val got = Merge.mergeUpsert(base3, updates, Seq("k"), Some("_del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "B", 200.0), (4L, "d", 40.0),
+      (9L, "i", 90.0)))
+  }
+
+  test("mergeUpsert without a delete column is pure upsert") {
+    val updates = Seq((1L, "A", 11.0), (5L, "e", 50.0)).toDF("k", "s", "v")
+    val got = Merge.mergeUpsert(base3, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "A", 11.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("mergeUpsert: duplicate batch keys fail LOUDLY, even when both rows are deletes") {
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val dup = Seq((2L, "x", 1.0, false), (2L, "y", 2.0, false))
+      .toDF("k", "s", "v", "_del")
+    val e = intercept[Throwable] {
+      Merge.mergeUpsert(base3, dup, Seq("k"), Some("_del")).collect()
+    }
+    assert(msgs(e).contains("name each key once"), msgs(e))
+    // delete rows are filtered before the union — the guard must still
+    // see them on the anti-join branch
+    val dupDel = Seq((2L, "x", 1.0, true), (2L, "y", 2.0, true))
+      .toDF("k", "s", "v", "_del")
+    val e2 = intercept[Throwable] {
+      Merge.mergeUpsert(base3, dupDel, Seq("k"), Some("_del")).collect()
+    }
+    assert(msgs(e2).contains("name each key once"), msgs(e2))
+  }
+
+  test("mergeUpsert: updates missing a base column are rejected up front") {
+    val bad = Seq((1L, "A")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(base3, bad, Seq("k"))
+    }
+    assert(e.getMessage.contains("lack base columns"))
+  }
+
+  test("mergeIntoPartitioned rewrites ONLY touched partitions (file-level proof)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p3", 40.0))
+      .toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val p2Before = files("p2")
+    val p3Before = files("p3")
+    val updates = Seq(
+      (2L, "p1", 200.0, false),  // update inside p1
+      (5L, "p4", 50.0, false),   // insert opening a NEW partition
+      (1L, "p1", 10.0, true))    // delete inside p1
+      .toDF("k", "p", "v", "_del")
+    val touched = Merge.mergeIntoPartitioned(spark, dir, updates,
+      Seq("k"), "p", Some("_del"))
+    assert(touched == Seq("p1", "p4"))
+    // untouched partitions: exactly the same files, byte-for-byte mtimes
+    assert(files("p2") == p2Before && files("p3") == p3Before,
+      "untouched partitions were rewritten")
+    val got = spark.read.parquet(dir)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, "p1", 200.0), (3L, "p2", 30.0),
+      (4L, "p3", 40.0), (5L, "p4", 50.0)))
+  }
+
+  test("mergeIntoPartitioned: a fully-deleted partition keeps stale files — the documented edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-del").toString
+    Seq((1L, "p1", 10.0), (2L, "p2", 20.0)).toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val updates = Seq((2L, "p2", 20.0, true)).toDF("k", "p", "v", "_del")
+    val touched = Merge.mergeIntoPartitioned(spark, dir, updates,
+      Seq("k"), "p", Some("_del"))
+    // the writer produced zero rows for p2, so dynamic overwrite never
+    // claimed it: the stale row SURVIVES. The touched list is the
+    // caller's reconciliation handle — p2 is named there.
+    assert(touched == Seq("p2"))
+    val got = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L),
+      s"dynamic-overwrite delete semantics changed — update the Merge scaladoc: $got")
+  }
+
+  test("qw_merge_upsert plans the anti-join as a broadcast, never shuffling the base") {
+    val plan = Merge.qwMergeUpsert(spark, sfTiny).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join for the change batch:\n$plan")
+  }
+}

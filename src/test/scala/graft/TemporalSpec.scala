@@ -199,4 +199,82 @@ class TemporalSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("_graft_range_bkt"))
   }
+
+  test("intervalOverlapJoin == naive overlap join; bucket width cannot change the result") {
+    import spark.implicits._
+    // the cases a two-sided bucket rewrite gets wrong first: intervals
+    // sharing exactly one boundary point, one nested inside another,
+    // identical twins, a pair sharing MANY buckets (dup risk), negatives
+    val left = Seq(
+      (1L, 0L, 100L), (2L, 100L, 100L), (3L, 50L, 149L), (4L, 640L, 660L),
+      (5L, -80L, -10L), (6L, 0L, 100L))
+      .toDF("l_id", "l_lo", "l_hi")
+    val right = Seq(
+      (10L, 100L, 200L), (11L, 0L, 1000L), (12L, 60L, 61L), (13L, -100L, -80L),
+      (14L, 661L, 700L))
+      .toDF("r_id", "r_lo", "r_hi")
+    val naive = left.crossJoin(right)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Temporal.intervalOverlapJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi", w)
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w: missing=${naive -- got} extra=${got -- naive}")
+    }
+  }
+
+  test("intervalOverlapJoin: seeded randomized differential vs naive (multiset-exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    for (trial <- 0 until 6) {
+      val left = (1 to 80).map { id =>
+        val lo = rnd.nextInt(2000) - 1000L
+        (id.toLong, lo, lo + rnd.nextInt(150))
+      }.toDF("l_id", "l_lo", "l_hi")
+      val right = (1 to 40).map { id =>
+        val lo = rnd.nextInt(2200) - 1100L
+        (id.toLong, lo, lo + rnd.nextInt(400))
+      }.toDF("r_id", "r_lo", "r_hi")
+      val naive = left.crossJoin(right)
+        .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      val w = Seq(1L, 13L, 64L, 512L)(trial % 4)
+      val got = Temporal.intervalOverlapJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi", w)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity).view.mapValues(_.length).toMap
+      // multiset equality: a pair sharing k buckets must appear ONCE, not k times
+      assert(got == naive, s"trial $trial width $w")
+    }
+  }
+
+  test("intervalOverlapJoin: inverted intervals are empty; wide intervals trip the guard") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, 10L), (2L, 0L, 30L)).toDF("l_id", "l_lo", "l_hi")
+    val right = Seq((10L, 0L, 40L)).toDF("r_id", "r_lo", "r_hi")
+    val got = Temporal.intervalOverlapJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi", 8L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the inverted interval (1) joins nothing even though the raw SQL
+    // predicate would match it nested inside [0, 40]
+    assert(got == Set((2L, 10L)), s"inverted interval leaked: $got")
+    val wide = Seq((1L, 0L, Long.MaxValue)).toDF("l_id", "l_lo", "l_hi")
+    val e = intercept[Throwable] {
+      Temporal.intervalOverlapJoin(wide, "l_lo", "l_hi", right, "r_lo", "r_hi", 64L).collect()
+    }
+    assert(causeMessages(e).contains("maxFanout"))
+    // the guard covers the RIGHT side too
+    val wideR = Seq((10L, 0L, Long.MaxValue)).toDF("r_id", "r_lo", "r_hi")
+    val e2 = intercept[Throwable] {
+      Temporal.intervalOverlapJoin(left, "l_lo", "l_hi", wideR, "r_lo", "r_hi", 64L).collect()
+    }
+    assert(causeMessages(e2).contains("maxFanout"))
+  }
+
+  test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
+    val plan = Temporal.qeIntervalJoin(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degraded to an all-pairs join:\n$plan")
+    assert(plan.contains("Join"), s"expected a real join:\n$plan")
+  }
 }

@@ -38,4 +38,44 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_surprise") == want)
     }
   }
+
+  test("weightedSample: exact k per stratum, deterministic, seed redraws") {
+    val df = (1L to 40L).map(i => ("s" + (i % 2), i, if (i <= 8) 10L else 1L))
+      .toDF("stratum", "id", "w")
+    def draw(seed: Long) = TextAnalysis
+      .weightedSample(df, "stratum", "w", "id", k = 5, seed = seed)
+      .select("stratum", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = draw(1L)
+    assert(a.groupBy(_._1).values.forall(_.size == 5), s"not exactly k per stratum: $a")
+    assert(draw(1L) == a, "same seed must redraw the same sample")
+    assert((1L to 6L).map(draw).toSet.size > 1, "changing the seed never redrew")
+  }
+
+  test("weightedSample: heavy rows are drawn proportionally more often (ES bias)") {
+    // weight 10 vs weight 1 in one stratum; over 24 seeds, the 8 heavy
+    // ids (weight share 80/112) must dominate the k=5 draws — and every
+    // light id must still be drawable in principle (no hard exclusion)
+    val df = (1L to 40L).map(i => ("s", i, if (i <= 8) 10L else 1L))
+      .toDF("stratum", "id", "w")
+    val draws = (1L to 24L).map { seed =>
+      TextAnalysis.weightedSample(df, "stratum", "w", "id", k = 5, seed = seed * 7919L)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val heavyPerDraw = draws.map(_.count(_ <= 8L))
+    val mean = heavyPerDraw.sum.toDouble / draws.size
+    // with-replacement expectation ≈ 5·80/112 ≈ 3.6; without-replacement
+    // is a bit lower — anything ≥ 2.5 proves the weighting bites, while
+    // an unweighted draw would sit at 5·8/40 = 1.0
+    assert(mean >= 2.5, s"weighting too weak: mean heavy per draw = $mean")
+    assert(mean <= 4.9, s"light rows never drawn: mean heavy per draw = $mean")
+  }
+
+  test("weightedSample: non-positive weights are excluded") {
+    val df = Seq(("s", 1L, 5L), ("s", 2L, 0L), ("s", 3L, -1L), ("s", 4L, 2L))
+      .toDF("stratum", "id", "w")
+    val got = TextAnalysis.weightedSample(df, "stratum", "w", "id", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
 }
