@@ -16,6 +16,12 @@ object FunctionBuilders {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringLiteral(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("simhash64", classOf[SimHash64],
       (c: Seq[Expression]) => SimHash64(c.head)),
@@ -36,6 +42,10 @@ object FunctionBuilders {
         intLiteral(c(2), "k")).toAggregateExpression()),
     ("zorder_key", classOf[ZOrderKey],
       (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
+    ("unicode_norm", classOf[UnicodeNorm],
+      (c: Seq[Expression]) => UnicodeNorm(c(0), stringLiteral(c(1), "form"))),
+    ("strip_accents", classOf[StripAccents],
+      (c: Seq[Expression]) => StripAccents(c(0))),
     ("theta_sketch_agg", classOf[ThetaSketchAgg],
       (c: Seq[Expression]) => ThetaSketchAgg(c.head,
         if (c.length > 1) intLiteral(c(1), "lgK") else 12).toAggregateExpression()),

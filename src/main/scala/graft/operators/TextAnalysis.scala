@@ -334,6 +334,35 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** QT-NORM — Unicode canonicalization over the corpus via the native
+    * [[graft.functions.UnicodeNorm]] / [[graft.functions.StripAccents]]
+    * expressions. The synthetic corpus is ASCII, so each doc gets a
+    * deterministic non-ASCII injection (decomposed e+◌́, precomposed é,
+    * a+◌̊, n+◌̃, the ﬁ ligature, or plain o — built from hex so both
+    * engines construct identical BYTES). The oracle is a genuine
+    * cross-implementation differential where DuckDB has the function
+    * (JDK Normalizer vs utf8proc for NFC and strip_accents) and
+    * closed-form where it doesn't (NFKC: the expected post-fold image
+    * of each injected piece is a published Unicode fact, so the oracle
+    * rebuilds it from hex). Length deltas pin composition state
+    * (decomposed pair → one code point), not just hashes. */
+  def qtNormalize(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val piece = element_at(
+      array(Seq("65CC81", "C3A9", "61CC8A", "6ECC83", "EFAC81", "6F").map(lit): _*),
+      (col("doc_id") % 6 + 1).cast("int"))
+    T.documents(spark, d)
+      .withColumn("raw", concat(substring(col("text"), 1, 24), lit(" "),
+        decode(unhex(piece), "UTF-8"), lit("x")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(expr("unicode_norm(raw, 'NFC')")).cast("long").as("len_nfc"),
+        md5(expr("unicode_norm(raw, 'NFC')")).as("nfc_md5"),
+        md5(expr("unicode_norm(raw, 'NFKC')")).as("nfkc_md5"),
+        expr("strip_accents(raw)").as("stripped"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic WEIGHTED exact-k sampling per stratum — the priority
     * sampling of Efraimidis & Spirakis 2006 ("Weighted random sampling
     * with a reservoir", public knowledge): each row draws priority
@@ -544,7 +573,8 @@ object TextAnalysis {
     "qt_fingerprint" -> qtFingerprint _,
     "qt_scrub" -> qtScrub _,
     "qt_vocab" -> qtVocab _,
-    "qt_split" -> qtSplit _)
+    "qt_split" -> qtSplit _,
+    "qt_normalize" -> qtNormalize _)
 
   val oracles: Map[String, String] = Map(
     // same bigram slicing (1-based list slice ≡ word_shingles for docs
@@ -617,6 +647,23 @@ object TextAnalysis {
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
         "WHERE rn <= 20 ORDER BY lang, rn"),
+    "qt_normalize" ->
+      ("WITH p AS (SELECT doc_id, text, CASE doc_id % 6 " +
+        "WHEN 0 THEN '65CC81' WHEN 1 THEN 'C3A9' WHEN 2 THEN '61CC8A' " +
+        "WHEN 3 THEN '6ECC83' WHEN 4 THEN 'EFAC81' ELSE '6F' END AS hx, " +
+        // the published NFKC image of each piece: composed forms, the
+        // ligature folded to 'fi' — closed-form because DuckDB has no NFKC
+        "CASE doc_id % 6 WHEN 0 THEN 'C3A9' WHEN 1 THEN 'C3A9' " +
+        "WHEN 2 THEN 'C3A5' WHEN 3 THEN 'C3B1' WHEN 4 THEN '6669' " +
+        "ELSE '6F' END AS nfkc_hx FROM documents), " +
+        "r AS (SELECT doc_id, " +
+        "substring(text, 1, 24) || ' ' || decode(from_hex(hx)) || 'x' AS raw, " +
+        "substring(text, 1, 24) || ' ' || decode(from_hex(nfkc_hx)) || 'x' AS nfkc_img " +
+        "FROM p) " +
+        "SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw, " +
+        "CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc, " +
+        "md5(nfc_normalize(raw)) AS nfc_md5, md5(nfkc_img) AS nfkc_md5, " +
+        "strip_accents(raw) AS stripped FROM r ORDER BY doc_id"),
     "qp_weighted_sample" ->
       ("WITH t AS (SELECT lang, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS w_toks, " +

@@ -97,4 +97,53 @@ class FunctionsSpec extends SparkSpec {
     bad.selectExpr("pq_adc(codes, lut) AS s").collect()
       .foreach(r => assert(r.getDouble(0).isNaN))
   }
+
+  test("unicode_norm: published UAX #15 answers, null-safe, literal-form contract") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // decomposed e+◌́ composes to é (1 code point); ﬁ folds only under
+    // the K forms; ASCII is a no-op in every form
+    val rows = spark.sql(
+      "SELECT unicode_norm('é', 'NFC') AS nfc, " +
+        "unicode_norm('é', 'NFD') AS nfd, " +
+        "unicode_norm('ﬁx', 'NFKC') AS nfkc, " +
+        "unicode_norm('ﬁx', 'NFC') AS nfc_lig, " +
+        "unicode_norm('plain', 'NFC') AS ascii, " +
+        "unicode_norm(CAST(NULL AS STRING), 'NFC') AS nul").collect().head
+    assert(rows.getString(0) == "é")
+    assert(rows.getString(1) == "é")
+    assert(rows.getString(2) == "fix")
+    assert(rows.getString(3) == "ﬁx")
+    assert(rows.getString(4) == "plain")
+    assert(rows.isNullAt(5))
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_norm('x', 'NFX')").collect()
+    }
+    assert(e.getMessage.contains("unknown form"), e.getMessage)
+    // form must be a literal — it is resolved at plan time
+    val e2 = intercept[Exception] {
+      Seq(("a", "NFC")).toDF("s", "f").selectExpr("unicode_norm(s, f)").collect()
+    }
+    assert(e2.getMessage.contains("string literal"), e2.getMessage)
+  }
+
+  test("strip_accents: marks drop, non-decomposable letters survive") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT strip_accents('café naïve Å ø ß é') AS s")
+      .collect().head.getString(0)
+    assert(r == "cafe naive A ø ß e")
+  }
+
+  test("unicode_norm and strip_accents stay inside whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = graft.sources.Tables.documents(spark, sfTiny)
+      .selectExpr("unicode_norm(text, 'NFC') AS n", "strip_accents(text) AS st")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("unicode_norm")),
+      s"unicode_norm not inside a codegen span:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("strip_accents")),
+      s"strip_accents not inside a codegen span:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
