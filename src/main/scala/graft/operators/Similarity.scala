@@ -161,6 +161,46 @@ object Similarity {
       .fit(data.select(array_to_vector(col("embedding")).as("features")))
   }
 
+  /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", public knowledge): k-means clusters the embedding
+    * space, then near-duplicate detection runs ONLY within each cluster
+    * — the clustering is what makes the quadratic pair step local, so
+    * total pair work is Σ|c|² ≈ n²/k instead of n². Removal rule is
+    * deterministic min-id domination: a vector is removed iff some
+    * SMALLER-id vector in its cluster is ≥ `minCos` similar (the
+    * smallest member of every duplicate neighborhood always survives;
+    * no RNG, no centroid-distance tie to break).
+    *
+    * Scale shape: one model.transform assigns clusters map-side; the
+    * within-cluster self-join shuffles by cluster id — pick `nClusters`
+    * ∝ n / target-cluster-size to bound per-task pair work (the
+    * published recipe's knob), and pre-train the quantizer on a sample
+    * via [[trainQuantizer]] for a 100 TB corpus. Identical vectors are
+    * ALWAYS co-clustered (assignment is a deterministic function of the
+    * vector), which is what lets the query row below certify exact-copy
+    * removal regardless of what the clustering converged to.
+    *
+    * Returns (vec_id, cluster, kept). */
+  def semanticDedup(data: DataFrame, nClusters: Int, minCos: Double,
+                    quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val model = quantizer.getOrElse(trainQuantizer(data, nClusters))
+    val assigned = model.transform(data.select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features")))
+      .select("vec_id", "embedding", "cl")
+    val removed = assigned.as("a").join(assigned.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id") &&
+          expr("cosine_similarity(a.embedding, b.embedding)") >= minCos)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select("vec_id", "cl")
+      .join(removed.withColumn("_rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl").cast("long").as("cluster"),
+        col("_rm").isNull.as("kept"))
+  }
+
   /** Product-quantization codebooks: `m` subspaces of `subDim` dims, each
     * with 2^nbits centroids — `codebooks(s)(c)` is centroid c of
     * subspace s. The whole model is m·2^nbits·subDim doubles (kilobytes):
@@ -466,13 +506,46 @@ object Similarity {
         round(col("s").cast("double") / col("n"), 6).as("c"), col("n"))
       .orderBy("label", "dim")
 
+  /** QS5 — [[semanticDedup]] end to end with planted exact clones:
+    * every vec_id ≡ 5 (mod 17) vector takes the embedding of vec_id−3,
+    * and the threshold (0.95) sits far above the corpus's max natural
+    * pairwise cosine (≈ 0.51), so the removed set is EXACTLY the
+    * planted clones — closed-form in DuckDB without reproducing the
+    * clustering, because identical vectors co-cluster under ANY fitted
+    * model. One hash row pins the full pipeline: injection, k-means
+    * assignment, within-cluster pair generation, threshold, and the
+    * min-id domination rule (the donor, being smaller, must survive;
+    * any false removal of a natural vector flips a row). */
+  def qsSemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(spark, d).select("vec_id", "embedding")
+    val donors = e.select(col("vec_id").as("donor_id"),
+      col("embedding").as("donor_emb"))
+    val injected = e
+      .withColumn("donor_id", when(col("vec_id") % 17 === 5, col("vec_id") - 3))
+      .join(donors, Seq("donor_id"), "left")
+      .withColumn("embedding", coalesce(col("donor_emb"), col("embedding")))
+      .select("vec_id", "embedding")
+    semanticDedup(injected, nClusters = 16, minCos = 0.95)
+      .select("vec_id", "kept")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_cosine_topk" -> qsCosineTopK _,
     "qs_ann_lsh" -> qsAnnLsh _,
     "qs_embed_neardup" -> qsEmbedNearDup _,
-    "qs_centroid" -> qsCentroid _)
+    "qs_centroid" -> qsCentroid _,
+    "qs_semantic_dedup" -> qsSemanticDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the removed set is exactly the planted clones: a clone and its
+    // donor are identical vectors (cos 1.0 > 0.95; co-clustered under
+    // any model), and no natural pair reaches the threshold (max ≈
+    // 0.51) — so DuckDB mirrors the output without running k-means
+    "qs_semantic_dedup" ->
+      ("SELECT vec_id, NOT (vec_id % 17 = 5 AND " +
+        "vec_id - 3 >= (SELECT MIN(vec_id) FROM embeddings)) AS kept " +
+        "FROM embeddings ORDER BY vec_id"),
     // the self-certification contract: every query's ANN recall clears
     // the floor — the oracle states it, the Spark plan measures it
     "qs_ann_lsh" ->

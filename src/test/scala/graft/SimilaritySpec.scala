@@ -191,4 +191,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pretrained == inplace,
       "same seed + same corpus must give identical search results either way")
   }
+
+  test("semanticDedup: min-id domination inside clusters, clusters partition the corpus") {
+    import spark.implicits._
+    // two tight groups far apart + one loner; ids chosen so the dedup
+    // rule is visible: within a duplicate neighborhood only the
+    // smallest id survives, and near-identical chains collapse to it
+    def v(base: Array[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x }.toSeq
+    val a = Array(10f, 0f, 0f, 0f)
+    val b = Array(0f, 10f, 0f, 0f)
+    val rows = Seq(
+      (1L, v(a, 0f)), (2L, v(a, 0.01f)), (3L, v(a, 0.02f)), // group A: keep 1
+      (10L, v(b, 0f)), (11L, v(b, 0.01f)),                  // group B: keep 10
+      (20L, Seq(5f, 5f, 5f, 5f)))                           // loner: kept
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.semanticDedup(rows, nClusters = 3, minCos = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      10L -> true, 11L -> false, 20L -> true), s"got $got")
+  }
+
+  test("semanticDedup on the real corpus at a high threshold removes ONLY planted clones") {
+    val out = Similarity.qsSemanticDedup(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val minId = out.keys.min
+    out.foreach { case (id, kept) =>
+      val planted = id % 17 == 5 && id - 3 >= minId
+      assert(kept == !planted, s"vec $id: kept=$kept planted=$planted")
+    }
+    assert(out.count(!_._2) > 0, "no clones planted — the check is vacuous")
+  }
 }
