@@ -404,7 +404,27 @@ object RelationalExt {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
       .orderBy("doc_id", "pos")
 
+  /** Q44 — equi-depth histogram via `ntile`: the bucketing behind
+    * quantile binning, score stratification, and range-partition
+    * boundary estimation. ntile splits the ORDERED rows into n
+    * near-equal buckets (sizes differ by ≤1); per-bucket count + value
+    * bounds make the bin edges readable. One global sort-window over a
+    * pre-aggregated (price, count) frame would be the scale refinement;
+    * here the window runs over order rows directly — the shape ntile is
+    * specified for. Ties at bucket edges are broken by the unique order
+    * key so the bucketing is deterministic cross-engine. */
+  def q44Ntile(spark: SparkSession, d: String): DataFrame =
+    T.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(8).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_ntile" -> q44Ntile _,
     "q40_scalar_subquery" -> q40ScalarSubquery _,
     "q41_exists_subquery" -> q41ExistsSubquery _,
     "q42_unpivot" -> q42Unpivot _,
@@ -435,6 +455,11 @@ object RelationalExt {
     "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
+    "q44_ntile" ->
+      ("WITH b AS (SELECT o_orderkey, o_totalprice, " +
+        "NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders) " +
+        "SELECT bucket, COUNT(*) AS rows, MIN(o_totalprice) AS lo, " +
+        "MAX(o_totalprice) AS hi FROM b GROUP BY bucket ORDER BY bucket"),
     "q40_scalar_subquery" ->
       ("SELECT o_orderkey, o_totalprice FROM orders, " +
         "(SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot FROM orders) s " +

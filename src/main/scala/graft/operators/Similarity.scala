@@ -48,6 +48,25 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query (anchor), the k MOST-similar vectors with a DIFFERENT label.
+    * These near-misses are what make a contrastive / retrieval model
+    * learn boundaries; random negatives are too easy to carry signal.
+    * Same scan shape as [[bruteTopK]] (queries broadcast, one data pass,
+    * rank-limited window) with the label-mismatch predicate applied
+    * BEFORE scoring — the 100 TB refinement swaps the scan for
+    * [[annTopK]]/[[ivfTopK]] candidates with oversampled k and the same
+    * label filter on the verified tail. */
+  def hardNegatives(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("label").as("qlabel"))
+    val scored = data
+      .join(broadcast(q), col("label") =!= col("qlabel"))
+      .withColumn("cos", round(expr("cosine_similarity(qv, embedding)"), 6))
+    rankTopK(scored, k)
+  }
+
   /** Approximate cosine top-k: LSH bucket join + exact re-rank of
     * candidates. Recall is the probability a true neighbor shares at
     * least one of `numTables` buckets: 1-(1-p^numBits)^numTables with
@@ -530,12 +549,21 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** QS6 — [[hardNegatives]] end to end: top-5 cross-label near-misses
+    * for the first five vectors. Oracle = the same label-filtered
+    * ranking brute-forced in DuckDB. */
+  def qsHardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(spark, d)
+    hardNegatives(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_cosine_topk" -> qsCosineTopK _,
     "qs_ann_lsh" -> qsAnnLsh _,
     "qs_embed_neardup" -> qsEmbedNearDup _,
     "qs_centroid" -> qsCentroid _,
-    "qs_semantic_dedup" -> qsSemanticDedup _)
+    "qs_semantic_dedup" -> qsSemanticDedup _,
+    "qs_hard_negatives" -> qsHardNegatives _)
 
   val oracles: Map[String, String] = Map(
     // the removed set is exactly the planted clones: a clone and its
@@ -546,6 +574,15 @@ object Similarity {
       ("SELECT vec_id, NOT (vec_id % 17 = 5 AND " +
         "vec_id - 3 >= (SELECT MIN(vec_id) FROM embeddings)) AS kept " +
         "FROM embeddings ORDER BY vec_id"),
+    "qs_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "scored AS (SELECT qid, vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM q JOIN embeddings ON label <> qlabel), " +
+        "ranked AS (SELECT qid, vec_id, cos, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) " +
+        "SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"),
     // the self-certification contract: every query's ANN recall clears
     // the floor — the oracle states it, the Spark plan measures it
     "qs_ann_lsh" ->
