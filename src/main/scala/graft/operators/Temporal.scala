@@ -222,6 +222,49 @@ object Temporal {
       .drop(taken: _*)
   }
 
+  /** SCD2 history build — the warehouse-side temporal versioning op
+    * (Kimball type-2 slowly-changing dimension): a change log of
+    * (key, ts, attr) becomes validity INTERVALS — one row per state,
+    * `[valid_from, valid_to)`, open-ended for the current state — the
+    * table an [[asofJoin]] or point-in-time query reads. Two window
+    * passes over the same (key, ts) partitioning (so ONE shuffle —
+    * Spark reuses the sort): (1) change compression: a row whose attr
+    * null-safely equals the previous row's is a no-change update and
+    * drops; (2) `lead(ts)` closes each surviving interval.
+    *
+    * Contract: one row per (key, ts) — pre-aggregate ties upstream
+    * (the query below uses max_by(event_id) as the deterministic
+    * tie-break). Nulls in `attr` are states like any other (null-safe
+    * comparison), not gaps. */
+  def scd2Build(changes: DataFrame, key: String, ts: String,
+                attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    changes
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      // null-safe: attr going null→null is NO change; x→null and
+      // null→x are changes; the first row always opens an interval
+      .filter(col("_first") || !(col(attr) <=> col("_prev")))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_prev", "_first", ts)
+  }
+
+  /** QE6 — SCD2 over each user's event-type state: consecutive
+    * same-type events compress away; what remains is the transition
+    * history with validity intervals. Oracle = the same two-window
+    * formulation in DuckDB (IS DISTINCT FROM mirrors the null-safe
+    * compare). */
+  def qeScd2(spark: SparkSession, d: String): DataFrame =
+    scd2Build(
+      T.events(spark, d)
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("event_type"), col("event_id")).as("state")),
+      key = "user_id", ts = "ts", attr = "state")
+      .select("user_id", "state", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from")
+
   /** QE4 — the bucketized range lookup end to end: synthetic disjoint
     * value bands from `supplier`, order keys hashed into the band space,
     * per-band hit counts. Oracle = DuckDB's plain BETWEEN join — exact
@@ -264,7 +307,8 @@ object Temporal {
     "qe_attribution" -> qeAttribution _,
     "qe_sessions" -> qeSessions _,
     "qe_range_lookup" -> qeRangeLookup _,
-    "qe_interval_join" -> qeIntervalJoin _)
+    "qe_interval_join" -> qeIntervalJoin _,
+    "qe_scd2" -> qeScd2 _)
 
   val oracles: Map[String, String] = Map(
     "qe_range_lookup" ->
@@ -281,6 +325,17 @@ object Temporal {
         "SELECT range_id, COUNT(*) AS hits, " +
         "CAST(SUM(l_hi - l_lo) AS BIGINT) AS span_sum FROM l JOIN r " +
         "ON l_lo <= r_hi AND r_lo <= l_hi GROUP BY range_id ORDER BY range_id"),
+    "qe_scd2" ->
+      ("WITH u AS (SELECT user_id, ts, arg_max(event_type, event_id) AS state " +
+        "FROM events GROUP BY user_id, ts), " +
+        "c AS (SELECT user_id, ts, state, LAG(state) OVER w AS prev, " +
+        "ROW_NUMBER() OVER w AS rn FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "ch AS (SELECT user_id, ts, state FROM c " +
+        "WHERE rn = 1 OR state IS DISTINCT FROM prev) " +
+        "SELECT user_id, state, ts AS valid_from, " +
+        "LEAD(ts) OVER w AS valid_to, LEAD(ts) OVER w IS NULL AS is_current " +
+        "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts) " +
+        "ORDER BY user_id, valid_from"),
     "qe_asof" ->
       ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id, ts), " +

@@ -334,6 +334,49 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** QT-PMI — collocation extraction: the top bigrams by pointwise
+    * mutual information, `pmi = ln(P(w₁w₂) / (P(w₁)·P(w₂)))` with
+    * unigram probabilities over the token stream and bigram
+    * probabilities over the bigram stream — the classic phrase-mining /
+    * tokenizer-seeding signal (high PMI = the pair co-occurs far above
+    * chance). Min-support filter first (count ≥ minCount) so the log
+    * ratios are stable and the rank join stays tiny; all counts are
+    * exact aggregates, the single `ln` per surviving bigram is an
+    * integer-ratio log (same cross-engine discipline as
+    * [[bigramSurprise]]). Scan-side shingles → two count aggregates →
+    * broadcast-sized rank tail: nothing here is corpus-quadratic. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 10, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(call_function("word_shingles", col("text"), lit(2))).as("bg"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    c2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(
+        log(col("c2").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_bi") * col("c1a") * col("c1b"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi").desc, col("bg"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select("rn", "bg", "c2", "pmi")
+      .orderBy("rn")
+  }
+
+  def qtPmi(spark: SparkSession, d: String): DataFrame =
+    pmiCollocations(T.documents(spark, d))
+
   /** QT-NORM — Unicode canonicalization over the corpus via the native
     * [[graft.functions.UnicodeNorm]] / [[graft.functions.StripAccents]]
     * expressions. The synthetic corpus is ASCII, so each doc gets a
@@ -574,7 +617,8 @@ object TextAnalysis {
     "qt_scrub" -> qtScrub _,
     "qt_vocab" -> qtVocab _,
     "qt_split" -> qtSplit _,
-    "qt_normalize" -> qtNormalize _)
+    "qt_normalize" -> qtNormalize _,
+    "qt_pmi" -> qtPmi _)
 
   val oracles: Map[String, String] = Map(
     // same bigram slicing (1-based list slice ≡ word_shingles for docs
@@ -647,6 +691,23 @@ object TextAnalysis {
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
         "WHERE rn <= 20 ORDER BY lang, rn"),
+    "qt_pmi" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "t AS (SELECT unnest(l) AS w FROM d), " +
+        "t2 AS (SELECT w FROM t WHERE w <> ''), " +
+        "uni AS (SELECT w, COUNT(*) AS c1 FROM t2 GROUP BY w), " +
+        "nt AS (SELECT COUNT(*) AS n_tok FROM t2), " +
+        "b0 AS (SELECT doc_id, l, unnest(range(1, len(l)))::BIGINT AS i FROM d " +
+        "WHERE len(l) >= 2), " +
+        "bi AS (SELECT array_to_string(l[i : i+1], ' ') AS bg FROM b0), " +
+        "nb AS (SELECT COUNT(*) AS n_bi FROM bi), " +
+        "cc AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg HAVING COUNT(*) >= 10), " +
+        "j AS (SELECT bg, c2, " +
+        "ROUND(ln(CAST(c2 AS DOUBLE) * n_tok * n_tok / (n_bi * a.c1 * b.c1)), 4) AS pmi " +
+        "FROM cc JOIN uni a ON split_part(bg, ' ', 1) = a.w " +
+        "JOIN uni b ON split_part(bg, ' ', 2) = b.w CROSS JOIN nt CROSS JOIN nb), " +
+        "r AS (SELECT bg, c2, pmi, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rn FROM j) " +
+        "SELECT rn, bg, c2, pmi FROM r WHERE rn <= 50 ORDER BY rn"),
     "qt_normalize" ->
       ("WITH p AS (SELECT doc_id, text, CASE doc_id % 6 " +
         "WHEN 0 THEN '65CC81' WHEN 1 THEN 'C3A9' WHEN 2 THEN '61CC8A' " +

@@ -270,6 +270,38 @@ class TemporalSpec extends SparkSpec {
     assert(causeMessages(e2).contains("maxFanout"))
   }
 
+  test("scd2Build: change compression, null states, chained intervals, is_current") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, ts("09:00"), Some("a")),
+      (1L, ts("10:00"), Some("a")), // no-change update: compressed away
+      (1L, ts("11:00"), Some("b")), // change
+      (1L, ts("12:00"), None),      // change to null (a real state)
+      (1L, ts("13:00"), None),      // null -> null: no change
+      (1L, ts("14:00"), Some("b")), // null -> b: change
+      (2L, ts("09:30"), Some("x"))) // single-state key
+      .toDF("k", "ts", "attr")
+    val got = Temporal.scd2Build(log, "k", "ts", "attr")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("attr")),
+        r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to")), r.getAs[Boolean]("is_current")))
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), ts("09:00"), Some(ts("11:00")), false),
+      (1L, Some("b"), ts("11:00"), Some(ts("12:00")), false),
+      (1L, None, ts("12:00"), Some(ts("14:00")), false),
+      (1L, Some("b"), ts("14:00"), None, true),
+      (2L, Some("x"), ts("09:30"), None, true)), got.toSeq.toString)
+    // intervals chain: each valid_to is the next row's valid_from
+    got.toSeq.groupBy(_._1).values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap between $a and $b")
+        case _ =>
+      }
+    }
+  }
+
   test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeIntervalJoin(spark, sfTiny)
       .queryExecution.executedPlan.toString

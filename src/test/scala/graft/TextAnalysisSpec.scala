@@ -39,6 +39,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pmiCollocations: an always-adjacent pair outranks frequent-but-independent pairs") {
+    // "aa bb" co-occur ONLY together; "xx" is frequent everywhere, so
+    // any "xx ..." bigram is near-chance and must rank below the
+    // collocation. Distinct filler words keep other bigrams under
+    // min-support.
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"aa bb xx f$i xx g$i xx h$i xx aa bb xx")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(docs, minCount = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(top.head._2 == "aa bb", s"expected the planted collocation first: ${top.toSeq}")
+  }
+
   test("weightedSample: exact k per stratum, deterministic, seed redraws") {
     val df = (1L to 40L).map(i => ("s" + (i % 2), i, if (i <= 8) 10L else 1L))
       .toDF("stratum", "id", "w")
