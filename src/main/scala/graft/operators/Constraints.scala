@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality constraint checking — the expectations gate a pipeline
+  * runs before publishing a table (the Deequ/dbt-tests class of
+  * operation): declare what must hold, get back one row per constraint
+  * with its violation count. A 100 TB table can't afford one scan per
+  * expectation, so the checker compiles every ROW-LEVEL constraint into
+  * a single aggregate pass (one conditional sum per constraint — the
+  * same one-labeled-pass discipline as [[Ingest.qpIngest]]); only
+  * constraints that are genuinely relational (uniqueness, referential
+  * integrity) get their own aggregation or join, and the FK probe
+  * builds on the dimension side (broadcast for real dims), never
+  * shuffling the fact table.
+  */
+object Constraints {
+  private val T = Tables
+
+  /** One expectation: `name` labels the report row, `violates` is a
+    * boolean Column that is true on each OFFENDING row. */
+  final case class RowRule(name: String, violates: Column)
+
+  def notNull(c: String): RowRule = RowRule(s"not_null($c)", col(c).isNull)
+  def nonNegative(c: String): RowRule =
+    RowRule(s"non_negative($c)", col(c) < 0)
+  def inSet(c: String, allowed: Seq[String]): RowRule =
+    RowRule(s"in_set($c)", !col(c).isin(allowed: _*) || col(c).isNull)
+  def inRange(c: String, lo: Double, hi: Double): RowRule =
+    RowRule(s"in_range($c)", col(c) < lo || col(c) > hi || col(c).isNull)
+
+  /** All row-level rules in ONE aggregate over ONE scan. */
+  def checkRows(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "checkRows: at least one rule")
+    val sums = rules.map(r =>
+      sum(when(r.violates, 1L).otherwise(0L)).as(r.name))
+    val wide = df.agg(sums.head, sums.tail: _*)
+    // unpivot the single wide row to (constraint, violations)
+    val stacked = rules.map(r =>
+      s"'${r.name}', `${r.name}`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${rules.size}, $stacked) AS (rule, violations)")
+  }
+
+  /** Duplicate-key count: rows beyond the first of each key group. */
+  def checkUnique(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations"))
+      .select(lit(s"unique(${keys.mkString(", ")})").as("rule"),
+        col("violations"))
+
+  /** Referential integrity: fact rows whose key misses the dimension.
+    * The anti-join build side is the DISTINCT dimension keys —
+    * broadcast-sized for a real dimension, so the fact side never
+    * shuffles. Null FKs are orphans (count them; a nullable-FK table
+    * should filter first). */
+  def checkForeignKey(fact: DataFrame, fkCol: String,
+                      dim: DataFrame, refCol: String): DataFrame =
+    fact.select(col(fkCol))
+      .join(broadcast(dim.select(col(refCol).as(fkCol)).distinct()),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"foreign_key($fkCol -> $refCol)").as("rule"),
+        col("violations"))
+
+  /** QA1 — the constraint report for `orders` with one planted
+    * violation class per constraint kind, via deterministic row
+    * corruption (doc-id arithmetic, mirrored in the oracle): nulled
+    * priorities, negative totals, out-of-set statuses, duplicate keys,
+    * and dangling customer references. The report pins both the zero
+    * rows (clean constraints stay clean) and the exact violation
+    * counts. */
+  def qaConstraints(spark: SparkSession, d: String): DataFrame = {
+    val base = T.orders(spark, d)
+    // deterministic corruption — each class hits a disjoint residue of
+    // o_orderkey % 101 so counts are independently checkable
+    val corrupted = base
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 101 === 3, lit(null: String))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 5, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 101 === 7, lit("Z"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 101 === 11, -col("o_custkey") - 1)
+          .otherwise(col("o_custkey")))
+    val dupes = base.filter(col("o_orderkey") % 101 === 13)
+    val df = corrupted.unionByName(dupes.select(corrupted.columns.map(col).toIndexedSeq: _*))
+    val rowReport = checkRows(df, Seq(
+      notNull("o_orderpriority"),
+      nonNegative("o_totalprice"),
+      inSet("o_orderstatus", Seq("O", "F", "P")),
+      notNull("o_orderdate")))
+    rowReport
+      .unionByName(checkUnique(df, Seq("o_orderkey")))
+      .unionByName(checkForeignKey(df, "o_custkey",
+        T.customer(spark, d), "c_custkey"))
+      .orderBy("rule")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_constraints" -> qaConstraints _)
+
+  val oracles: Map[String, String] = Map(
+    "qa_constraints" ->
+      ("WITH c AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 101 = 3 THEN NULL ELSE o_orderpriority END AS pri, " +
+        "CASE WHEN o_orderkey % 101 = 5 THEN -o_totalprice ELSE o_totalprice END AS tot, " +
+        "CASE WHEN o_orderkey % 101 = 7 THEN 'Z' ELSE o_orderstatus END AS st, " +
+        "CASE WHEN o_orderkey % 101 = 11 THEN -o_custkey - 1 ELSE o_custkey END AS ck, " +
+        "o_orderdate FROM orders), " +
+        "d AS (SELECT * FROM c UNION ALL SELECT * FROM c WHERE o_orderkey % 101 = 13) " +
+        "SELECT 'foreign_key(o_custkey -> c_custkey)' AS rule, " +
+        "COUNT(*) AS violations FROM d WHERE ck NOT IN (SELECT c_custkey FROM customer) " +
+        "UNION ALL SELECT 'in_set(o_orderstatus)', " +
+        "COUNT(*) FILTER (WHERE st NOT IN ('O','F','P') OR st IS NULL) FROM d " +
+        "UNION ALL SELECT 'non_negative(o_totalprice)', " +
+        "COUNT(*) FILTER (WHERE tot < 0) FROM d " +
+        "UNION ALL SELECT 'not_null(o_orderdate)', " +
+        "COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM d " +
+        "UNION ALL SELECT 'not_null(o_orderpriority)', " +
+        "COUNT(*) FILTER (WHERE pri IS NULL) FROM d " +
+        "UNION ALL SELECT 'unique(o_orderkey)', " +
+        "(SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM " +
+        "(SELECT COUNT(*) AS n FROM d GROUP BY o_orderkey)) " +
+        "ORDER BY rule"))
+}

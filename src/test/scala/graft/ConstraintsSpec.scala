@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Constraints
+import graft.operators.Constraints._
+
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkRows: every rule kind counts exactly its planted violations, in ONE scan") {
+    val df = Seq(
+      (1L, Some("x"), 5.0, "O"),
+      (2L, None: Option[String], -1.0, "F"),
+      (3L, Some("y"), -2.0, "Z"),
+      (4L, Some("z"), 0.0, "Q"))
+      .toDF("k", "s", "v", "st")
+    val report = Constraints.checkRows(df, Seq(
+      notNull("s"), nonNegative("v"), inSet("st", Seq("O", "F")),
+      inRange("v", 0.0, 4.0)))
+    val got = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null(s)" -> 1L,
+      "non_negative(v)" -> 2L,
+      "in_set(st)" -> 2L,
+      "in_range(v)" -> 3L), got.toString)
+    // one scan: a single aggregate over the input, no self-union of scans
+    val plan = report.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"row rules must share one scan:\n$plan")
+  }
+
+  test("checkUnique and checkForeignKey: exact counts, clean inputs report zero") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "s")
+    val uniq = Constraints.checkUnique(df, Seq("k")).collect().head
+    assert(uniq.getLong(1) == 2L) // three rows of k=1 -> 2 beyond the first
+    val dim = Seq(1L, 2L).toDF("id")
+    val fk = Constraints.checkForeignKey(
+      Seq(1L, 2L, 9L, 9L).toDF("k"), "k", dim, "id").collect().head
+    assert(fk.getLong(1) == 2L)
+    val clean = Constraints.checkUnique(Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+      .collect().head
+    assert(clean.getLong(1) == 0L)
+  }
+
+  test("qa_constraints: FK probe broadcasts the dimension; fact side never shuffles for it") {
+    val plan = Constraints.qaConstraints(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"FK check should be a broadcast anti-join:\n$plan")
+  }
+}
