@@ -180,6 +180,42 @@ object Similarity {
       .fit(data.select(array_to_vector(col("embedding")).as("features")))
   }
 
+  /** INT8 embedding quantization — the storage-compression step vector
+    * stores run before indexing (4× over float32; composes with PQ's
+    * 32× for the coarse tier): per-vector symmetric scale
+    * `s = max|vᵢ|/127`, codes `round(vᵢ/s) ∈ [−127,127]`, dequant error
+    * ≤ s/2 per coordinate by construction. Everything is per-row
+    * arithmetic on the scan — no shuffle, no model — and every step
+    * (float→double widening, division, round-half-away-from-zero) is
+    * bit-identical across engines, so the codes themselves are
+    * oracle-checkable, not just their shape. A zero vector quantizes to
+    * all-zero codes with scale 0 (kept, not dropped). */
+  def int8Quantize(data: DataFrame): DataFrame =
+    data.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", aggregate(col("e"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("codes", transform(col("e"),
+        x => when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x / col("scale"), 0)).cast("int")))
+
+  /** QS7 — [[int8Quantize]] end to end: per-vector scale and an md5
+    * over the exact code array (a hash match proves every one of the
+    * n_dims integers identical cross-engine), plus the s/2 dequant
+    * error bound re-verified IN-PLAN as a certified boolean — a
+    * rounding regression flips it. */
+  def qsInt8Quant(spark: SparkSession, d: String): DataFrame =
+    int8Quantize(T.embeddings(spark, d))
+      .withColumn("err", aggregate(
+        zip_with(col("codes"), col("e"), (c, x) => abs(c * col("scale") - x)),
+        lit(0.0), (acc, x) => greatest(acc, x)))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale_r"),
+        size(col("codes")).cast("long").as("n_dims"),
+        md5(concat_ws(",", transform(col("codes"), _.cast("string")))).as("codes_md5"),
+        (col("err") <= col("scale") / 2 * 1.0000001).as("err_within_bound"))
+      .orderBy("vec_id")
+
   /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", public knowledge): k-means clusters the embedding
@@ -563,7 +599,8 @@ object Similarity {
     "qs_embed_neardup" -> qsEmbedNearDup _,
     "qs_centroid" -> qsCentroid _,
     "qs_semantic_dedup" -> qsSemanticDedup _,
-    "qs_hard_negatives" -> qsHardNegatives _)
+    "qs_hard_negatives" -> qsHardNegatives _,
+    "qs_int8_quant" -> qsInt8Quant _)
 
   val oracles: Map[String, String] = Map(
     // the removed set is exactly the planted clones: a clone and its
@@ -574,6 +611,22 @@ object Similarity {
       ("SELECT vec_id, NOT (vec_id % 17 = 5 AND " +
         "vec_id - 3 >= (SELECT MIN(vec_id) FROM embeddings)) AS kept " +
         "FROM embeddings ORDER BY vec_id"),
+    // codes are BIT-identical cross-engine: float→double widening,
+    // double division, and round-half-away are all deterministic IEEE
+    // steps both engines implement identically; the error bound is
+    // mathematical (|round(x)·s − x·s| ≤ s/2), stated as the certified
+    // boolean while the Spark plan re-measures it
+    "qs_int8_quant" ->
+      ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale " +
+        "FROM q), " +
+        "c AS (SELECT vec_id, scale, " +
+        "list_transform(e, x -> CAST(CASE WHEN scale = 0 THEN 0 " +
+        "ELSE round(x / scale, 0) END AS INT)) AS codes FROM s) " +
+        "SELECT vec_id, ROUND(scale, 9) AS scale_r, " +
+        "CAST(len(codes) AS BIGINT) AS n_dims, " +
+        "md5(array_to_string(codes, ',')) AS codes_md5, " +
+        "true AS err_within_bound FROM c ORDER BY vec_id"),
     "qs_hard_negatives" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
         "FROM embeddings WHERE vec_id < 5), " +

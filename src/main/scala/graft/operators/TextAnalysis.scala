@@ -155,6 +155,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
       .orderBy("split")
 
+  /** QT-GSPLIT — GROUP-aware train/val/test split: every document of a
+    * SOURCE lands in one split (assignment hashes the source, not the
+    * doc), the leakage-safe discipline when near-duplicates cluster
+    * within a group — a per-doc split (qt_split) would scatter a
+    * domain's boilerplate twins across train AND test, leaking eval
+    * content into training. Same deterministic md5-prefix device as
+    * [[qtSplit]], one level up — the no-leak property holds by
+    * construction (split is a function of source alone), and the
+    * two-level report (sources/docs/chars per split) pins the
+    * assignment: a source straying into a second split would shift two
+    * rows' source counts. */
+  def qtGroupSplit(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d)
+      .withColumn("bucket", substring(md5(col("source")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("sources"),
+        sum("docs").as("docs"), sum("chars").as("chars"))
+      .orderBy("split")
+
   /** QP — the end-to-end training-data prep pipeline as ONE declarative
     * plan: PII scrub → quality gate → exact dedup (min-id keeper) →
     * deterministic content-hash split → per-(lang, split) report. Each
@@ -618,7 +643,8 @@ object TextAnalysis {
     "qt_vocab" -> qtVocab _,
     "qt_split" -> qtSplit _,
     "qt_normalize" -> qtNormalize _,
-    "qt_pmi" -> qtPmi _)
+    "qt_pmi" -> qtPmi _,
+    "qt_group_split" -> qtGroupSplit _)
 
   val oracles: Map[String, String] = Map(
     // same bigram slicing (1-based list slice ≡ word_shingles for docs
@@ -691,6 +717,14 @@ object TextAnalysis {
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('sample:' || doc_id), doc_id) AS rn FROM documents) t " +
         "WHERE rn <= 20 ORDER BY lang, rn"),
+    "qt_group_split" ->
+      ("WITH a AS (SELECT source, CASE " +
+        "WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split, COUNT(*) AS docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2) " +
+        "SELECT split, COUNT(*) AS sources, CAST(SUM(docs) AS BIGINT) AS docs, " +
+        "CAST(SUM(chars) AS BIGINT) AS chars FROM a GROUP BY split ORDER BY split"),
     "qt_pmi" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
         "t AS (SELECT unnest(l) AS w FROM d), " +

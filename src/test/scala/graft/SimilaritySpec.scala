@@ -192,6 +192,26 @@ class SimilaritySpec extends SparkSpec {
       "same seed + same corpus must give identical search results either way")
   }
 
+  test("int8Quantize: codes bounded to ±127, max-coordinate exact, zero vector survives") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, -2.54f, 2.54f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: scale 0, codes 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(rows)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getSeq[Int](3))).toMap
+    val (s1, c1) = got(1L)
+    assert(math.abs(s1 - 2.54f.toDouble / 127.0) < 1e-12)
+    assert(c1 == Seq(50, -127, 127, 0), c1.toString) // 1.0/(2.54/127) = 50.0
+    assert(got(2L) == ((0.0, Seq(0, 0, 0, 0))))
+    // dequant error bound s/2 holds on the real corpus (the query's
+    // certified boolean, asserted directly here)
+    val bad = Similarity.qsInt8Quant(spark, sfTiny)
+      .filter(!org.apache.spark.sql.functions.col("err_within_bound")).count()
+    assert(bad == 0L)
+  }
+
   test("semanticDedup: min-id domination inside clusters, clusters partition the corpus") {
     import spark.implicits._
     // two tight groups far apart + one loner; ids chosen so the dedup
