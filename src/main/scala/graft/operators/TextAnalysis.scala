@@ -392,11 +392,13 @@ object TextAnalysis {
       .withColumn("pmi", round(
         log(col("c2").cast("double") * col("n_tok") * col("n_tok") /
           (col("n_bi") * col("c1a") * col("c1b"))), 4))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("pmi").desc, col("bg"))).cast("long"))
-      .filter(col("rn") <= k)
-      .select("rn", "bg", "c2", "pmi")
-      .orderBy("rn")
+      .select("bg", "c2", "pmi")
+      // global top-k WITHOUT a single-partition rank window: orderBy +
+      // limit plans as TakeOrderedAndProject (per-partition heaps, one
+      // tiny driver merge) — the same shape as qt_vocab
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+      .orderBy(col("pmi").desc, col("bg"))
   }
 
   def qtPmi(spark: SparkSession, d: String): DataFrame =
@@ -740,8 +742,8 @@ object TextAnalysis {
         "ROUND(ln(CAST(c2 AS DOUBLE) * n_tok * n_tok / (n_bi * a.c1 * b.c1)), 4) AS pmi " +
         "FROM cc JOIN uni a ON split_part(bg, ' ', 1) = a.w " +
         "JOIN uni b ON split_part(bg, ' ', 2) = b.w CROSS JOIN nt CROSS JOIN nb), " +
-        "r AS (SELECT bg, c2, pmi, ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS rn FROM j) " +
-        "SELECT rn, bg, c2, pmi FROM r WHERE rn <= 50 ORDER BY rn"),
+        "r AS (SELECT bg, c2, pmi FROM j ORDER BY pmi DESC, bg LIMIT 50) " +
+        "SELECT bg, c2, pmi FROM r ORDER BY pmi DESC, bg"),
     "qt_normalize" ->
       ("WITH p AS (SELECT doc_id, text, CASE doc_id % 6 " +
         "WHEN 0 THEN '65CC81' WHEN 1 THEN 'C3A9' WHEN 2 THEN '61CC8A' " +

@@ -13,7 +13,8 @@ class PlanGuardSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
 
   test("per-group top-k queries carry a partial WindowGroupLimit (map-side pruning)") {
-    for (q <- Seq("q8_topk_per_group", "qs_cosine_topk", "qp_sample")) {
+    for (q <- Seq("q8_topk_per_group", "qs_cosine_topk", "qp_sample",
+      "qp_weighted_sample", "qs_hard_negatives")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q lost its group-limit pushdown:\n$p")
     }

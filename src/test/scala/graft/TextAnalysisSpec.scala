@@ -48,8 +48,8 @@ class TextAnalysisSpec extends SparkSpec {
       (i.toLong, s"aa bb xx f$i xx g$i xx h$i xx aa bb xx")
     }.toDF("doc_id", "text")
     val top = TextAnalysis.pmiCollocations(docs, minCount = 2, k = 3)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    assert(top.head._2 == "aa bb", s"expected the planted collocation first: ${top.toSeq}")
+      .collect().map(_.getString(0))
+    assert(top.head == "aa bb", s"expected the planted collocation first: ${top.toSeq}")
   }
 
   test("weightedSample: exact k per stratum, deterministic, seed redraws") {
