@@ -667,6 +667,75 @@ object Multimodal {
     })
   }
 
+  /** [[syntheticPpm]] with PLANTED perceptual near-duplicates: every
+    * media_id ≡ 5 (mod 17) image re-renders the id−3 donor's pixels
+    * with a +4 brightness shift (the formula's 251-modulus caps values
+    * at 254, so the shift can never clamp). Brightness shifts preserve
+    * every pairwise pixel comparison — the invariance class perceptual
+    * hashing is FOR — so the clone dHashes identically while byte-level
+    * exact dedup would miss it. */
+  def syntheticPpmShifted(spark: SparkSession, d: String): Dataset[ImageRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val clone = id % 17 == 5 && id >= 3
+        val src = if (clone) id - 3 else id
+        val dlt = if (clone) 4 else 0
+        val w = (8 + src % 13).toInt; val h = (6 + src % 9).toInt
+        ImageRecord(id, PpmCodec.encode(w, h,
+          i => ((src * 31 + i * 7) % 251 + dlt).toInt))
+      }
+  }
+
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint, public knowledge): nearest-neighbor resize to 9×8,
+    * integer-mean grayscale, one bit per horizontal gradient sign
+    * (`gray[y][x+1] > gray[y][x]`), rows packed low-bit-first into two
+    * hex chars each. Robust to brightness/contrast shifts (monotone
+    * per-pixel maps preserve every comparison) — the image-modality twin
+    * of [[graft.operators.Dedup]]'s text fingerprints. Corrupt payloads
+    * are dropped, same contract as [[imageStats]]. */
+  def imageDHash(images: Dataset[ImageRecord]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.flatMap { r =>
+      PpmCodec.resize(r.payload, 9, 8).flatMap { rp =>
+        PpmCodec.decodeHeader(rp).map { case (_, _, off) =>
+          def gray(y: Int, x: Int): Int = {
+            val i = off + 3 * (y * 9 + x)
+            ((rp(i) & 0xFF) + (rp(i + 1) & 0xFF) + (rp(i + 2) & 0xFF)) / 3
+          }
+          val hex = (0 until 8).map { y =>
+            var b = 0
+            var x = 0
+            while (x < 8) { if (gray(y, x + 1) > gray(y, x)) b |= 1 << x; x += 1 }
+            f"$b%02x"
+          }.mkString
+          (r.media_id, hex)
+        }
+      }
+    }).toDF("media_id", "dhash")
+  }
+
+  /** QM10 — perceptual dedup across the image corpus: dHash every
+    * image, keep the min-id representative of each hash group. The
+    * planted brightness-shifted clones ([[syntheticPpmShifted]]) must
+    * collapse onto their donors; the oracle recomputes the ENTIRE
+    * pipeline closed-form (pixel formula → resize coordinate map →
+    * integer-mean gray → gradient bits → hex), so a hash match proves
+    * decode, resize, grayscale, bit packing, and the dedup grouping all
+    * at once — and any natural hash collision between distinct images
+    * agrees cross-engine by construction. */
+  def qmDhashDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    imageDHash(syntheticPpmShifted(spark, d))
+      .withColumn("kept",
+        min(col("media_id")).over(Window.partitionBy("dhash")) === col("media_id"))
+      .select("media_id", "dhash", "kept")
+      .orderBy("media_id")
+  }
+
   /** Synthetic COMPRESSED images derived deterministically from
     * `documents`: real PNG payloads written by the JDK's ImageIO encoder
     * (any image tool could open them). PNG is lossless, so the pixel
@@ -1016,9 +1085,30 @@ object Multimodal {
     "qm_frame_sample" -> qmFrameSample _,
     "qm_quarantine" -> qmQuarantine _,
     "qm_resize_stats" -> qmResizeStats _,
-    "qm_avi_stats" -> qmAviStats _)
+    "qm_avi_stats" -> qmAviStats _,
+    "qm_dhash_dedup" -> qmDhashDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the full perceptual pipeline recomputed closed-form: pixel formula
+    // (+4 on planted clones — never clamps under the 251 modulus),
+    // nearest-neighbor 9×8 coordinate map, integer-mean gray, gradient
+    // bits packed low-bit-first, two hex chars per row, min-id keeper
+    "qm_dhash_dedup" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "s AS (SELECT id, CASE WHEN id%17=5 AND id>=3 THEN id-3 ELSE id END AS src, " +
+        "CASE WHEN id%17=5 AND id>=3 THEN 4 ELSE 0 END AS dlt FROM d), " +
+        "m AS (SELECT id, src, dlt, 8 + src%13 AS w, 6 + src%9 AS h FROM s), " +
+        "g AS (SELECT id, list_transform(range(8), y -> list_transform(range(9), x -> " +
+        "( (src*31 + (3*(((y*h)//8)*w + ((x*w)//9)) + 0)*7) % 251 + dlt " +
+        "+ (src*31 + (3*(((y*h)//8)*w + ((x*w)//9)) + 1)*7) % 251 + dlt " +
+        "+ (src*31 + (3*(((y*h)//8)*w + ((x*w)//9)) + 2)*7) % 251 + dlt ) // 3 " +
+        ")) AS grid FROM m), " +
+        "r AS (SELECT id, array_to_string(list_transform(range(8), y -> " +
+        "printf('%02x', CAST(list_sum(list_transform(range(8), x -> " +
+        "CASE WHEN grid[y+1][x+2] > grid[y+1][x+1] THEN 1<<x ELSE 0 END)) AS INT))), '') AS dhash " +
+        "FROM g) " +
+        "SELECT id AS media_id, dhash, " +
+        "MIN(id) OVER (PARTITION BY dhash) = id AS kept FROM r ORDER BY media_id"),
     "qm_image_stats" ->
       ("WITH dims AS (SELECT doc_id AS media_id, 8 + doc_id % 13 AS width, " +
         "6 + doc_id % 9 AS height FROM documents) " +

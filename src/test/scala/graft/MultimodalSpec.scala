@@ -420,4 +420,26 @@ class MultimodalSpec extends SparkSpec {
     // the pixel-sum surface (aviStats) still decodes every clip
     assert(Multimodal.aviStats(Multimodal.syntheticAvi(spark, sfTiny)).count() == docs)
   }
+
+  test("dHash: brightness-shifted clones collide with their donors; bytes differ") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticPpmShifted(spark, sfTiny)
+    val hashes = Multimodal.imageDHash(imgs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val payloads = imgs.collect().map(r => r.media_id -> r.payload).toMap
+    val clones = hashes.keys.filter(id => id % 17 == 5 && id >= 3).toSeq
+    assert(clones.nonEmpty, "no planted clones in the corpus")
+    clones.foreach { id =>
+      assert(hashes(id) == hashes(id - 3),
+        s"clone $id must perceptually collide with donor ${id - 3}")
+      assert(!java.util.Arrays.equals(payloads(id), payloads(id - 3)),
+        s"clone $id must NOT be byte-identical — that would test exact dedup, not perceptual")
+    }
+    // every hash is 16 lowercase hex chars
+    hashes.values.foreach(h => assert(h.matches("[0-9a-f]{16}"), h))
+    // the dedup query keeps donors and drops clones
+    val kept = Multimodal.qmDhashDedup(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    clones.foreach { id => assert(!kept(id), s"clone $id survived") }
+  }
 }
