@@ -311,6 +311,35 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Decode a 16-bit PCM payload → (sample_rate, channels, interleaved
+      * samples). None on corrupt/unsupported bytes — the feature-extract
+      * twin of [[decodeStats]], materializing the samples instead of
+      * folding them. */
+    def decodeSamples(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      try {
+        val ais = openStream(payload) match {
+          case Some(s) => s
+          case None => return None
+        }
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 ||
+              f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            if (f.isBigEndian)
+              while (i < n) { out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF); i += 1 }
+            else
+              while (i < n) { out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF); i += 1 }
+            Some((f.getSampleRate.toInt, f.getChannels, out))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Decode a 16-bit PCM payload (any format `AudioSystem` can parse —
       * WAVE/AU/AIFF, either endianness) → (sample_rate, channels,
       * n_frames, sum of all samples). None on corrupt/unsupported bytes. */
@@ -782,6 +811,48 @@ object Multimodal {
       }
   }
 
+  /** Windowed audio FEATURE EXTRACTION over decoded PCM — the
+    * per-segment signal descriptors an audio-data pipeline computes
+    * before filtering or embedding (speech/music/silence triage):
+    * per 64-frame window of channel 0, the ENERGY (sum of squared
+    * samples — integer-exact, so the oracle recomputes it closed-form;
+    * RMS is `sqrt(energy/n)` for anyone who wants the float) and the
+    * ZERO-CROSSING count (adjacent-sample sign products < 0, pairs
+    * window-local). Real `AudioSystem` decode, same quarantine contract
+    * as [[audioStats]]; the tail window is partial, never padded. */
+  def audioFeatures(audio: Dataset[AudioRecord], window: Int = 64): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.flatMap { r =>
+      WavCodec.decodeSamples(r.payload).toSeq.flatMap { case (_, ch, samples) =>
+        val frames = samples.length / ch
+        (0 until (frames + window - 1) / window).map { w =>
+          val lo = w * window
+          val hi = math.min(frames, lo + window)
+          var energy = 0L
+          var zc = 0L
+          var f = lo
+          while (f < hi) {
+            val s = samples(f * ch).toLong
+            energy += s * s
+            if (f + 1 < hi &&
+              s * samples((f + 1) * ch).toLong < 0) zc += 1
+            f += 1
+          }
+          (r.media_id, w.toLong, (hi - lo).toLong, energy, zc)
+        }
+      }
+    }).toDF("media_id", "win", "n_frames", "energy", "crossings")
+  }
+
+  /** QM11 — [[audioFeatures]] over the synthetic WAV corpus; oracle
+    * recomputes every window's energy and crossing count closed-form
+    * from the sample formula, so a hash match proves the real
+    * AudioSystem decode + windowing + integer feature math end to
+    * end. */
+  def qmAudioFeatures(spark: SparkSession, d: String): DataFrame =
+    audioFeatures(syntheticWav(spark, d))
+      .orderBy("media_id", "win")
+
   /** Batch-iterating decode of PCM audio payloads via the real
     * `AudioSystem` parser → per-record stats; corrupt payloads dropped. */
   def audioStats(audio: Dataset[AudioRecord]): Dataset[AudioStats] = {
@@ -1086,9 +1157,25 @@ object Multimodal {
     "qm_quarantine" -> qmQuarantine _,
     "qm_resize_stats" -> qmResizeStats _,
     "qm_avi_stats" -> qmAviStats _,
-    "qm_dhash_dedup" -> qmDhashDedup _)
+    "qm_dhash_dedup" -> qmDhashDedup _,
+    "qm_audio_features" -> qmAudioFeatures _)
 
   val oracles: Map[String, String] = Map(
+    // every window's energy and crossing count recomputed closed-form
+    // from the sample formula (integer-exact; empty pair list on a
+    // 1-frame tail window coalesces to 0)
+    "qm_audio_features" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "a AS (SELECT id, 1 + id%2 AS ch, 120 + id%77 AS frames FROM d), " +
+        "w AS (SELECT id, ch, frames, " +
+        "unnest(range((frames + 63)//64))::BIGINT AS win FROM a) " +
+        "SELECT id AS media_id, win, least(64, frames - win*64) AS n_frames, " +
+        "CAST(list_sum(list_transform(range(win*64, least(frames, win*64+64)), " +
+        "f -> ((id*131 + f*ch*17) % 4001 - 2000) * ((id*131 + f*ch*17) % 4001 - 2000))) AS BIGINT) AS energy, " +
+        "CAST(COALESCE(list_sum(list_transform(range(win*64, least(frames, win*64+64) - 1), " +
+        "f -> CASE WHEN ((id*131 + f*ch*17) % 4001 - 2000) * ((id*131 + (f+1)*ch*17) % 4001 - 2000) < 0 " +
+        "THEN 1 ELSE 0 END)), 0) AS BIGINT) AS crossings " +
+        "FROM w ORDER BY media_id, win"),
     // the full perceptual pipeline recomputed closed-form: pixel formula
     // (+4 on planted clones — never clamps under the 251 modulus),
     // nearest-neighbor 9×8 coordinate map, integer-mean gray, gradient

@@ -421,6 +421,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviStats(Multimodal.syntheticAvi(spark, sfTiny)).count() == docs)
   }
 
+  test("audioFeatures: windows tile the clip exactly; sign flips counted; corrupt dropped") {
+    import spark.implicits._
+    // 5 frames, mono: samples +1 -1 +1 -1 +1 -> window of 4: 3 flips,
+    // energy 4; tail window of 1: 0 flips, energy 1
+    val wav = Multimodal.WavCodec.encode(8000, 1, 5,
+      i => if (i % 2 == 0) 1 else -1)
+    val rec = Seq(Multimodal.AudioRecord(7L, wav),
+      Multimodal.AudioRecord(8L, Array[Byte](1, 2, 3))) // corrupt
+      .toDS()
+    val got = Multimodal.audioFeatures(rec, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((7L, 0L, 4L, 4L, 3L), (7L, 1L, 1L, 1L, 0L)), got.toString)
+    // frame totals reconcile on the real corpus: Σ window n_frames ==
+    // the decode's frame count for every clip
+    val tiles = Multimodal.audioFeatures(Multimodal.syntheticWav(spark, sfTiny))
+      .groupBy("media_id").agg(org.apache.spark.sql.functions.sum("n_frames").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Multimodal.audioStats(Multimodal.syntheticWav(spark, sfTiny)).collect()
+      .foreach(s => assert(tiles(s.media_id) == s.n_frames,
+        s"windows don't tile clip ${s.media_id}"))
+  }
+
   test("dHash: brightness-shifted clones collide with their donors; bytes differ") {
     import spark.implicits._
     val imgs = Multimodal.syntheticPpmShifted(spark, sfTiny)
