@@ -359,6 +359,48 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** QP-CAP — per-source document cap (domain curation): the
+    * RefinedWeb/Gopher-style step that stops any one domain from
+    * dominating the corpus — rank each source's documents by a quality
+    * key and keep at most `k`, reporting the per-source funnel
+    * (docs/chars in vs kept, and the kept set's score floor). The
+    * quality key is INTEGER-exact parts-per-million uniqueness
+    * (`n_uniq * 1e6 div n_toks`) so the ranking — not just the output —
+    * is bit-identical across engines; ties break on `doc_id`.
+    *
+    * Scale shape: the kept leg is a rank-limit window (partition by
+    * source), which compiles to WindowGroupLimit — map partitions prune
+    * to k rows per source BEFORE the shuffle, so a billion-doc domain
+    * ships partitions×k rows, not a billion (same device as
+    * [[qpSample]]). The totals leg is a plain partial aggregate
+    * (map-side combine). Both legs end at #sources rows, so the final
+    * join broadcasts. */
+  def sourceCapFunnel(docs: DataFrame, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("source"), col("doc_id"),
+      expr("length(text)").cast("long").as("n_chars"),
+      expr("(size(array_distinct(split(text, ' '))) * CAST(1000000 AS BIGINT)) " +
+        "div size(split(text, ' '))").as("score"))
+    val kept = scored
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_chars").as("chars_kept"),
+        min("score").as("min_kept_score"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("docs_in"), sum("n_chars").as("chars_in"))
+      .join(kept, Seq("source"))
+      .select("source", "docs_in", "docs_kept", "chars_in", "chars_kept",
+        "min_kept_score")
+      .orderBy("source")
+  }
+
+  /** QP6 — [[sourceCapFunnel]] over `documents` at k=15 (binding at
+    * every SF: sources hold ≥25 docs even at sf0.001). */
+  def qpSourceCap(spark: SparkSession, d: String): DataFrame =
+    sourceCapFunnel(T.documents(spark, d))
+
   /** QT-PMI — collocation extraction: the top bigrams by pointwise
     * mutual information, `pmi = ln(P(w₁w₂) / (P(w₁)·P(w₂)))` with
     * unigram probabilities over the token stream and bigram
@@ -632,6 +674,7 @@ object TextAnalysis {
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
     "qp_sample" -> ((s: SparkSession, d: String) => qpSample(s, d)),
+    "qp_source_cap" -> qpSourceCap _,
     "qp_weighted_sample" -> ((s: SparkSession, d: String) => qpWeightedSample(s, d)),
     "qp_chunk" -> ((s: SparkSession, d: String) => qpChunk(s, d)),
     "qp_pack" -> qpPack _,
@@ -649,6 +692,22 @@ object TextAnalysis {
     "qt_group_split" -> qtGroupSplit _)
 
   val oracles: Map[String, String] = Map(
+    // same integer ppm-uniqueness score (`//` ≡ Spark's `div`), same
+    // rank-and-cap, same two-leg funnel — DuckDB's ROW_NUMBER mirrors
+    // the WindowGroupLimit leg exactly
+    "qp_source_cap" ->
+      ("WITH s AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) * 1000000 " +
+        "// len(string_split(text, ' ')) AS BIGINT) AS score FROM documents), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY score DESC, doc_id) AS rn FROM s), " +
+        "kept AS (SELECT source, COUNT(*) AS docs_kept, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_kept, " +
+        "CAST(MIN(score) AS BIGINT) AS min_kept_score FROM r WHERE rn <= 15 GROUP BY source), " +
+        "a AS (SELECT source, COUNT(*) AS docs_in, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_in FROM s GROUP BY source) " +
+        "SELECT a.source, docs_in, docs_kept, chars_in, chars_kept, min_kept_score " +
+        "FROM a JOIN kept USING (source) ORDER BY source"),
     // same bigram slicing (1-based list slice ≡ word_shingles for docs
     // of ≥2 tokens), same add-one smoothing, same exact-decimal
     // summation; ln is IEEE-identical on identical doubles and round(4)

@@ -91,4 +91,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 4L))
   }
+
+  test("sourceCapFunnel: cap binds per source, best-scored docs survive, funnel reconciles") {
+    // srcA: 3 docs with distinct ppm-uniqueness scores; k=2 must keep
+    // the two most-unique and floor at the runner-up's score.
+    //   a1 "x x x x"   -> uniq 1/4 -> 250000
+    //   a2 "x y x y"   -> uniq 2/4 -> 500000
+    //   a3 "w x y z"   -> uniq 4/4 -> 1000000
+    // srcB: 1 doc (cap not binding).
+    val docs = Seq(
+      ("srcA", 1L, "x x x x"), ("srcA", 2L, "x y x y"), ("srcA", 3L, "w x y z"),
+      ("srcB", 4L, "lone doc"))
+      .toDF("source", "doc_id", "text")
+    val rows = TextAnalysis.sourceCapFunnel(docs, k = 2).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(rows("srcA") == Seq(3L, 2L, 21L, 14L, 500000L), rows("srcA").toString)
+    assert(rows("srcB") == Seq(1L, 1L, 8L, 8L, 1000000L), rows("srcB").toString)
+    // ties on score fall back to doc_id: two identical docs, k=1 keeps
+    // the lower id (chars_kept pins which one survived)
+    val tied = Seq(("s", 10L, "p q"), ("s", 11L, "p q r"))
+      .toDF("source", "doc_id", "text")
+    val t = TextAnalysis.sourceCapFunnel(tied, k = 1).collect()(0)
+    assert(t.getLong(2) == 1L && t.getLong(4) == 3L,
+      "equal-score tie must keep the lower doc_id")
+  }
 }
