@@ -100,10 +100,89 @@ object Graph {
       .select(col("node"), round(col("score"), 6).as("score"))
       .orderBy("node")
 
+  /** QG-TRI — triangle count + global clustering coefficient over an
+    * undirected graph, via the degree-ordered orientation (Suri &
+    * Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+    * Reducer" — public knowledge): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, so every wedge is
+    * generated at its LOWEST-degree vertex. A degree-d hub then owns
+    * O(√m) directed out-edges instead of a d² wedge explosion — the
+    * exact skew that kills the naive self-join at 100 TB (the "last
+    * reducer"). Each triangle materializes as exactly one wedge
+    * (at its rank-minimum vertex) closed by one canonical edge, so
+    * the count is exact, via two hash equi-joins.
+    *
+    * Output is one summary row: node/edge/wedge/triangle counts (all
+    * exact integers) and the global clustering coefficient
+    * 3·triangles / wedges (one division of exact longs, rounded 1e-6).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: a < b, self-loops dropped,
+    // multi-edges collapsed
+    val und = edges.select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"))
+    // wedges at the low-rank vertex, pair deduped by id order; the
+    // closing edge is then (min id, max id) = a canonical `und` row
+    val tri = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.hi").as("a"), col("e2.hi").as("b"))
+      .join(und, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodesEdges = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
+    nodesEdges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges").cast("long").as("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
+  }
+
+  /** QG2 — [[triangleStats]] over the same deterministic synthetic
+    * link graph as [[qgPageRank]] (the oracle repeats the naive
+    * a<b<c three-way join, which counts each triangle once — equal to
+    * the oriented count by construction). */
+  def qgTriangles(spark: SparkSession, d: String): DataFrame =
+    triangleStats(
+      Tables.orders(spark, d)
+        .select(col("o_custkey").as("src"),
+          ((col("o_orderkey") * 7) % 1500 + 1).as("dst")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qg_pagerank" -> qgPageRank _)
+    "qg_pagerank" -> qgPageRank _,
+    "qg_triangles" -> qgTriangles _)
 
   val oracles: Map[String, String] = Map(
+    // naive a<b<c three-way join over the canonical undirected edge
+    // set — counts each triangle exactly once, same total as the
+    // degree-oriented plan; wedge count folds from the degree table
+    "qg_triangles" ->
+      ("WITH e AS (SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst FROM orders), " +
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "deg AS (SELECT node, COUNT(*) AS d FROM " +
+        "(SELECT a AS node FROM u UNION ALL SELECT b FROM u) GROUP BY node), " +
+        "nn AS (SELECT COUNT(*) AS n_nodes, " +
+        "CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg), " +
+        "ne AS (SELECT COUNT(*) AS n_edges FROM u), " +
+        "tri AS (SELECT COUNT(*) AS n_triangles FROM u e1 " +
+        "JOIN u e2 ON e2.a = e1.b JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+        "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+        "ROUND(3.0 * n_triangles / n_wedges, 6) AS gcc " +
+        "FROM nn CROSS JOIN ne CROSS JOIN tri"),
     "qg_pagerank" -> {
       def iter(prev: String, out: String) =
         s"c$out AS (SELECT dst, SUM(s.score / od.outdeg) AS c FROM e " +

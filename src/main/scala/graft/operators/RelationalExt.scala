@@ -450,7 +450,42 @@ object RelationalExt {
       .orderBy("bucket")
   }
 
+  /** Q45 — correlation / covariance / regression-slope aggregates,
+    * computed from EXACT decimal sufficient statistics rather than
+    * Spark's native `corr`/`covar_samp` (whose streaming co-moment
+    * updates are partition-order-dependent in the last ulps — the
+    * classic cross-engine hash-match killer). Each group reduces to
+    * six exact values (n and the decimal sums Σx, Σy, Σxy, Σx², Σy²);
+    * the double arithmetic then runs on identical inputs in an
+    * identical expression order in both engines, so the rounded
+    * results are bit-equal. Scale shape: one partial-aggregable pass
+    * (map-side combine), 3 output rows — the textbook distributed
+    * moments pattern. */
+  def q45CorrStats(spark: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(spark, d).select(col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val agg = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val (dn, dsx, dsy) =
+      (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+    val (dsxy, dsxx, dsyy) =
+      (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val covN = dn * dsxy - dsx * dsy
+    agg.select(col("l_returnflag"), col("n"),
+      round((dsxy - dsx * dsy / dn) / (dn - lit(1.0)), 6).as("covar_samp"),
+      round(covN / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6)
+        .as("corr"),
+      round(covN / (dn * dsxx - dsx * dsx), 6).as("slope"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_corr_stats" -> q45CorrStats _,
     "q44_ntile" -> q44Ntile _,
     "q40_scalar_subquery" -> q40ScalarSubquery _,
     "q41_exists_subquery" -> q41ExistsSubquery _,
@@ -482,6 +517,22 @@ object RelationalExt {
     "q30_empty_result" -> q30EmptyResult _)
 
   val oracles: Map[String, String] = Map(
+    // identical exact-decimal sufficient statistics, identical double
+    // expression order — NOT DuckDB's native corr/covar (streaming
+    // co-moments, order-dependent last ulps)
+    "q45_corr_stats" ->
+      ("WITH s AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem), " +
+        "a AS (SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, " +
+        "CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(y * y) AS DOUBLE) AS syy FROM s GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "ROUND((sxy - sx * sy / n) / (n - CAST(1.0 AS DOUBLE)), 6) AS covar_samp, " +
+        "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr, " +
+        "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope " +
+        "FROM a ORDER BY l_returnflag"),
     "q44_ntile" ->
       ("WITH b AS (SELECT o_orderkey, o_totalprice, " +
         "NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders) " +

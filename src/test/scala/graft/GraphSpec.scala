@@ -70,4 +70,23 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("triangleStats: hand-counted K4-plus-tail, canonicalization collapses noise") {
+    // K4 on {1,2,3,4} = 4 triangles, plus a tail 4-5 (no new triangle).
+    // Noise: a self-loop, a duplicate, and a reversed duplicate — all
+    // must collapse in the canonical undirected edge set.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L),
+      (5L, 5L),           // self-loop: dropped
+      (2L, 1L), (3L, 1L)) // reversed dupes: collapsed
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect()(0)
+    assert(r.getLong(0) == 5L, s"n_nodes: $r")
+    assert(r.getLong(1) == 7L, s"n_edges: $r")
+    // degrees: 1,2->3; 3->3; 4->4; 5->1 => wedges 3+3+3+6+0 = 15
+    assert(r.getLong(2) == 15L, s"n_wedges: $r")
+    assert(r.getLong(3) == 4L, s"n_triangles: $r")
+    assert(r.getDouble(4) == 0.8, s"gcc 3*4/15: $r")
+  }
 }
