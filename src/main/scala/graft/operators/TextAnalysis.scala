@@ -446,55 +446,6 @@ object TextAnalysis {
   def qtPmi(spark: SparkSession, d: String): DataFrame =
     pmiCollocations(T.documents(spark, d))
 
-  /** QT-PPL — n-gram LM perplexity scoring (the CCNet-style quality
-    * signal, Wenzek et al. 2020, public knowledge): train a bigram
-    * model over the corpus (add-one smoothing against a V-token
-    * vocabulary), then score every document by its average per-bigram
-    * negative log-likelihood `ln(c(w1·)+V) − ln(c(w1w2)+1)` — low =
-    * common/fluent phrasing, high = rare/garbled, the classic
-    * LM-filtering curation stage. Cross-engine exactness: every NLL
-    * term is a log of exact integer counts, rounded at 1e-9 and summed
-    * as a BIGINT — an order-free integer sum, so double addition order
-    * (the usual hash-match killer for per-doc float sums) never
-    * enters; the only doubles are one `ln` per distinct (bigram,
-    * count) pair and the final division, re-rounded at 1e-4.
-    *
-    * Scale shape: one pass over the bigram stream builds the model
-    * (map-side combine); the first-token table folds from the
-    * ALREADY-AGGREGATED bigram counts, not a second stream pass;
-    * scoring is two hash equi-joins of the stream against
-    * vocabulary-bounded tables (AQE broadcasts them when they fit; at
-    * 100 TB they shuffle-join and both sides survive) plus one per-doc
-    * aggregate. V stays in-plan as a broadcast 1-row cross join —
-    * nothing collects to the driver. */
-  def perplexityScore(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val bi = docs
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"),
-        explode(call_function("word_shingles", col("text"), lit(2))).as("bg"))
-    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum("c2").as("c1"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .agg(countDistinct("w").as("v"))
-    bi.join(c2, "bg")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(c1, "w1")
-      .crossJoin(broadcast(vocab))
-      .withColumn("q", round((log((col("c1") + col("v")).cast("double")) -
-        log((col("c2") + lit(1)).cast("double"))) * lit(1e9)).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("q") / lit(1e9) / count(lit(1)), 4).as("avg_nll"))
-      .orderBy("doc_id")
-  }
-
-  /** QT8 — [[perplexityScore]] over `documents`. */
-  def qtPerplexity(spark: SparkSession, d: String): DataFrame =
-    perplexityScore(T.documents(spark, d))
-
   /** QT-NORM — Unicode canonicalization over the corpus via the native
     * [[graft.functions.UnicodeNorm]] / [[graft.functions.StripAccents]]
     * expressions. The synthetic corpus is ASCII, so each doc gets a
@@ -699,8 +650,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(call_function("word_shingles", col("text"), lit(2))).as("bg"))
     val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
+    // first-token counts fold from the ALREADY-AGGREGATED bigram table
+    // (Σ c2 grouped by w1 ≡ counting the stream again, at vocab² input
+    // size instead of corpus size) — saves a second full-stream pass
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
     val v = docs.select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("vocab"))
     bi.join(c2, "bg")
@@ -738,7 +692,6 @@ object TextAnalysis {
     "qt_split" -> qtSplit _,
     "qt_normalize" -> qtNormalize _,
     "qt_pmi" -> qtPmi _,
-    "qt_perplexity" -> qtPerplexity _,
     "qt_group_split" -> qtGroupSplit _)
 
   val oracles: Map[String, String] = Map(
@@ -853,26 +806,6 @@ object TextAnalysis {
         "JOIN uni b ON split_part(bg, ' ', 2) = b.w CROSS JOIN nt CROSS JOIN nb), " +
         "r AS (SELECT bg, c2, pmi FROM j ORDER BY pmi DESC, bg LIMIT 50) " +
         "SELECT bg, c2, pmi FROM r ORDER BY pmi DESC, bg"),
-    // same bigram slicing as qt_pmi, same add-one smoothing over the
-    // same V; each NLL term is ln of exact integer counts rounded at
-    // 1e-9 and summed as BIGINT (order-free), so the per-doc sum is
-    // bit-identical across engines; final ROUND(…, 4) after division
-    "qt_perplexity" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
-        "vv AS (SELECT COUNT(DISTINCT w) AS v FROM " +
-        "(SELECT unnest(l) AS w FROM d) WHERE w <> ''), " +
-        "b0 AS (SELECT doc_id, l, unnest(range(1, len(l)))::BIGINT AS i FROM d " +
-        "WHERE len(l) >= 2), " +
-        "bi AS (SELECT doc_id, array_to_string(l[i : i+1], ' ') AS bg FROM b0), " +
-        "cc AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg), " +
-        "c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM cc GROUP BY 1), " +
-        "j AS (SELECT doc_id, CAST(ROUND((ln(CAST(c1.c1 + vv.v AS DOUBLE)) - " +
-        "ln(CAST(cc.c2 + 1 AS DOUBLE))) * 1e9) AS BIGINT) AS q " +
-        "FROM bi JOIN cc USING (bg) " +
-        "JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1 CROSS JOIN vv) " +
-        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
-        "ROUND(SUM(q) / 1e9 / COUNT(*), 4) AS avg_nll " +
-        "FROM j GROUP BY doc_id ORDER BY doc_id"),
     "qt_normalize" ->
       ("WITH p AS (SELECT doc_id, text, CASE doc_id % 6 " +
         "WHEN 0 THEN '65CC81' WHEN 1 THEN 'C3A9' WHEN 2 THEN '61CC8A' " +

@@ -92,22 +92,6 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set(1L, 4L))
   }
 
-  test("perplexityScore: hand-computed bigram NLL, rarer phrasing scores higher") {
-    // corpus: "a b", "a b", "a c", "solo". bigrams: ab×2, ac×1.
-    // c1(a)=3. V = |{a,b,c,solo}| = 4 (the 1-token doc still counts
-    // toward the vocabulary).
-    //   doc with "a b": nll = ln(3+4) - ln(2+1) = ln(7/3) -> 0.8473
-    //   doc with "a c": nll = ln(3+4) - ln(1+1) = ln(7/2) -> 1.2528
-    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
-      .toDF("doc_id", "text")
-    val rows = TextAnalysis.perplexityScore(docs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(rows(1) == (1L, 0.8473) && rows(2) == (1L, 0.8473), rows.toString)
-    assert(rows(3) == (1L, 1.2528), rows.toString)
-    assert(!rows.contains(4L), "a 1-token doc has no bigrams and no score")
-    assert(rows(3)._2 > rows(1)._2, "rarer continuation must score higher NLL")
-  }
-
   test("sourceCapFunnel: cap binds per source, best-scored docs survive, funnel reconciles") {
     // srcA: 3 docs with distinct ppm-uniqueness scores; k=2 must keep
     // the two most-unique and floor at the runner-up's score.
