@@ -446,6 +446,45 @@ object TextAnalysis {
   def qtPmi(spark: SparkSession, d: String): DataFrame =
     pmiCollocations(T.documents(spark, d))
 
+  /** QT-ENT — per-document Shannon entropy of the token distribution,
+    * H = ln n − (Σ c·ln c)/n over the doc's token histogram, plus the
+    * [0,1]-normalized variant H/ln(n_uniq) — the information-density
+    * quality signal (low = repetitive boilerplate, ≈1 = every token
+    * novel), complementary to [[qtQuality]]'s uniqueness RATIO (which
+    * can't tell "one token repeated 99 times plus one other" from a
+    * balanced 50/50 split) and to [[bigramSurprise]]'s corpus-LM view.
+    * Cross-engine exactness: each histogram term ln(c) is a log of an
+    * exact integer, rounded at 1e-9 and summed c-weighted as BIGINTs —
+    * order-free — so only ln(n), ln(n_uniq) and two divisions run in
+    * floating point, on identical inputs in identical order.
+    *
+    * Scale shape: the distributed histogram — explode → groupBy
+    * (doc_id, token) with map-side combine → groupBy doc_id. Both
+    * shuffles key on doc-bounded cardinalities; Σ c·q ≤ n·max(q)
+    * keeps the weighted sum far inside a long even for million-token
+    * docs. No driver state, no per-doc arrays wider than the scan. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+    val hist = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val hExpr = log(col("n_toks").cast("double")) -
+      col("s").cast("double") / lit(1e9) / col("n_toks")
+    hist.groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), count(lit(1)).as("n_uniq"),
+        sum(col("c") *
+          round(log(col("c").cast("double")) * lit(1e9)).cast("long")).as("s"))
+      .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+        round(hExpr, 4).as("entropy"),
+        when(col("n_uniq") > 1,
+          round(hExpr / log(col("n_uniq").cast("double")), 4))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** QT9 — [[tokenEntropy]] over `documents`. */
+  def qtEntropy(spark: SparkSession, d: String): DataFrame =
+    tokenEntropy(T.documents(spark, d))
+
   /** QT-NORM — Unicode canonicalization over the corpus via the native
     * [[graft.functions.UnicodeNorm]] / [[graft.functions.StripAccents]]
     * expressions. The synthetic corpus is ASCII, so each doc gets a
@@ -692,6 +731,7 @@ object TextAnalysis {
     "qt_split" -> qtSplit _,
     "qt_normalize" -> qtNormalize _,
     "qt_pmi" -> qtPmi _,
+    "qt_entropy" -> qtEntropy _,
     "qt_group_split" -> qtGroupSplit _)
 
   val oracles: Map[String, String] = Map(
@@ -806,6 +846,24 @@ object TextAnalysis {
         "JOIN uni b ON split_part(bg, ' ', 2) = b.w CROSS JOIN nt CROSS JOIN nb), " +
         "r AS (SELECT bg, c2, pmi FROM j ORDER BY pmi DESC, bg LIMIT 50) " +
         "SELECT bg, c2, pmi FROM r ORDER BY pmi DESC, bg"),
+    // same histogram, same c-weighted 1e-9-rounded-BIGINT ln sum
+    // (order-free), same expression order for the two divisions
+    "qt_entropy" ->
+      ("WITH t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, w, COUNT(*) AS c FROM t2 WHERE w <> '' " +
+        "GROUP BY doc_id, w), " +
+        "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks, " +
+        "COUNT(*) AS n_uniq, CAST(SUM(c * " +
+        "CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS s " +
+        "FROM h GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, n_uniq, " +
+        "ROUND(ln(CAST(n_toks AS DOUBLE)) - CAST(s AS DOUBLE) / 1e9 / n_toks, 4) " +
+        "AS entropy, " +
+        "CASE WHEN n_uniq > 1 THEN " +
+        "ROUND((ln(CAST(n_toks AS DOUBLE)) - CAST(s AS DOUBLE) / 1e9 / n_toks) " +
+        "/ ln(CAST(n_uniq AS DOUBLE)), 4) ELSE 0.0 END AS norm_entropy " +
+        "FROM a ORDER BY doc_id"),
     "qt_normalize" ->
       ("WITH p AS (SELECT doc_id, text, CASE doc_id % 6 " +
         "WHEN 0 THEN '65CC81' WHEN 1 THEN 'C3A9' WHEN 2 THEN '61CC8A' " +

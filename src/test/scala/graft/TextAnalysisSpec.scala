@@ -92,6 +92,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set(1L, 4L))
   }
 
+  test("tokenEntropy: hand-computed H, uniform maxes norm at 1, constant doc floors at 0") {
+    // "a a b b": H = ln4 - (2·ln2 + 2·ln2)/4 = ln2 -> 0.6931, norm = H/ln2 = 1.0
+    // "a a a a": H = ln4 - 4·ln4/4 = 0, n_uniq=1 -> norm 0.0 by the guard
+    // "a b c d": H = ln4 - 0 = 1.3863, norm = 1.0
+    // "a a a b": H = ln4 - 3·ln3/4 = 0.5623, norm = 0.5623/ln2 = 0.8113
+    val docs = Seq((1L, "a a b b"), (2L, "a a a a"), (3L, "a b c d"), (4L, "a a a b"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows(1) == (4L, 2L, 0.6931, 1.0), rows(1).toString)
+    assert(rows(2) == (4L, 1L, 0.0, 0.0), rows(2).toString)
+    assert(rows(3) == (4L, 4L, 1.3863, 1.0), rows(3).toString)
+    assert(rows(4) == (4L, 2L, 0.5623, 0.8113), rows(4).toString)
+  }
+
   test("sourceCapFunnel: cap binds per source, best-scored docs survive, funnel reconciles") {
     // srcA: 3 docs with distinct ppm-uniqueness scores; k=2 must keep
     // the two most-unique and floor at the runner-up's score.
