@@ -302,7 +302,79 @@ object Temporal {
       .orderBy("range_id")
   }
 
+  /** QE-FUNNEL — ordered conversion funnel (view → click → purchase):
+    * a user counts at step k only if the step-k event happens STRICTLY
+    * AFTER their step-(k-1) entry time — the sequencing that separates
+    * a funnel from three independent filters (a purchase before the
+    * first view must not convert). Formulated as per-step min-timestamp
+    * tables chained by (user, ts > prev) joins: each step's table is
+    * one row per surviving user, so the chain is user-dimension-sized
+    * hash equi-joins (never event×event), partial-aggregable, and the
+    * final counts are three 1-row aggregates stitched by broadcast
+    * cross joins. Conversion ratios are divisions of exact longs,
+    * rounded 1e-6. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    // per-user entry time per step: t_k = min ts of a step-k event with
+    // ts > t_{k-1}
+    var entered = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    var tables = Vector(entered)
+    for (s <- steps.tail) {
+      entered = events.filter(col("event_type") === s)
+        .join(entered.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      tables = tables :+ entered
+    }
+    val counts = tables.zipWithIndex.map { case (t, i) =>
+      t.agg(count(lit(1)).as(s"u$i"))
+    }
+    val wide = counts.map(broadcast).reduce(_ crossJoin _)
+    val rows = steps.indices.map { i =>
+      wide.select(lit(i + 1).as("step"), lit(steps(i)).as("label"),
+        col(s"u$i").as("users"),
+        round(col(s"u$i").cast("double") / col("u0"), 6).as("conv"))
+    }
+    rows.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** QE5 — [[funnel]] over `events` with the view→click→purchase path. */
+  def qeFunnel(spark: SparkSession, d: String): DataFrame =
+    funnel(T.events(spark, d))
+
+  /** QE-COHORT — weekly cohort retention: users grouped by the week of
+    * their first event (the cohort), counted as active in each later
+    * week they emit any event. Both halves are aggregates with map-side
+    * combine (first-event per user; distinct user-weeks), joined on the
+    * user dimension; the output is cohorts × weeks — tiny — while no
+    * intermediate ever exceeds the distinct (user, week) set. The
+    * classic growth-analytics matrix, and at 100 TB the shape that
+    * matters: events stream through one aggregate, never self-join. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstWeek = events.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val activeWeeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      // week-aligned dates make the day diff an exact multiple of 7;
+      // integer `div` sidesteps DuckDB's round-on-cast vs Spark's
+      // truncate divergence entirely
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** QE6 — [[cohortRetention]] over `events`. */
+  def qeCohort(spark: SparkSession, d: String): DataFrame =
+    cohortRetention(T.events(spark, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_funnel" -> qeFunnel _,
+    "qe_cohort" -> qeCohort _,
     "qe_asof" -> qeAsof _,
     "qe_attribution" -> qeAttribution _,
     "qe_sessions" -> qeSessions _,
@@ -311,6 +383,34 @@ object Temporal {
     "qe_scd2" -> qeScd2 _)
 
   val oracles: Map[String, String] = Map(
+    // same chained per-step min-timestamp tables with strict ts ordering
+    "qe_funnel" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id), " +
+        "c AS (SELECT (SELECT COUNT(*) FROM s1) AS u0, " +
+        "(SELECT COUNT(*) FROM s2) AS u1, (SELECT COUNT(*) FROM s3) AS u2) " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS step, 'view' AS label, u0 AS users, " +
+        "ROUND(CAST(u0 AS DOUBLE) / u0, 6) AS conv FROM c " +
+        "UNION ALL SELECT 2, 'click', u1, ROUND(CAST(u1 AS DOUBLE) / u0, 6) FROM c " +
+        "UNION ALL SELECT 3, 'purchase', u2, ROUND(CAST(u2 AS DOUBLE) / u0, 6) FROM c) " +
+        "ORDER BY step"),
+    // same first-week cohort + distinct user-weeks; `//` ≡ Spark's div
+    // on the exact multiple-of-7 day diff
+    "qe_cohort" ->
+      ("WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week " +
+        "FROM events GROUP BY user_id), " +
+        "aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events) " +
+        "SELECT cohort_week, datediff('day', cohort_week, week) // 7 AS week_offset, " +
+        "COUNT(DISTINCT user_id) AS active_users " +
+        "FROM aw JOIN fw USING (user_id) " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
     "qe_range_lookup" ->
       ("WITH r AS (SELECT s_suppkey AS range_id, s_suppkey*97 AS lo, " +
         "s_suppkey*97 + 53 AS hi FROM supplier), " +

@@ -302,6 +302,43 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict ordering gates each step; out-of-order events don't convert") {
+    // u1: view 09:00 -> click 10:00 -> purchase 11:00  (full conversion)
+    // u2: click 09:00 BEFORE first view 10:00 -> stalls at view
+    // u3: view 09:00 -> purchase 10:00 (no click) -> stalls at view
+    // u4: purchase only -> never enters
+    // u5: view 09:00 -> click 10:00 -> purchase 09:30 (before click) -> step 2
+    val events = Seq(
+      (1L, ts("09:00"), "view"), (1L, ts("10:00"), "click"), (1L, ts("11:00"), "purchase"),
+      (2L, ts("09:00"), "click"), (2L, ts("10:00"), "view"),
+      (3L, ts("09:00"), "view"), (3L, ts("10:00"), "purchase"),
+      (4L, ts("09:00"), "purchase"),
+      (5L, ts("09:00"), "view"), (5L, ts("10:00"), "click"), (5L, ts("09:30"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val rows = Temporal.funnel(events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1, "view", 4L, 1.0), (2, "click", 2L, 0.5), (3, "purchase", 1L, 0.25)),
+      rows.mkString(", "))
+  }
+
+  test("cohortRetention: users land in their first-event week, activity counts by offset") {
+    def t(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // 2026-01-05 and 2026-01-12 are Mondays (week starts).
+    // u1: first event wk0, active wk0 and wk1. u2: first wk0 only.
+    // u3: first wk1, active wk1.
+    val events = Seq(
+      (1L, t("2026-01-05")), (1L, t("2026-01-14")),
+      (2L, t("2026-01-06")),
+      (3L, t("2026-01-13")))
+      .toDF("user_id", "ts")
+    val rows = Temporal.cohortRetention(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2026-01-05", 0L, 2L), ("2026-01-05", 1L, 1L), ("2026-01-12", 0L, 1L)),
+      rows.mkString(", "))
+  }
+
   test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeIntervalJoin(spark, sfTiny)
       .queryExecution.executedPlan.toString
