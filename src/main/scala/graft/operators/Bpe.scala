@@ -88,8 +88,54 @@ object Bpe {
   def qtBpeMerges(spark: SparkSession, d: String): DataFrame =
     learnMerges(T.documents(spark, d))
 
+  /** The encode half of the tokenizer: apply `steps` learned merges
+    * IN TRAINING ORDER to every token of every document (the
+    * production tokenization pass) and report per-doc subword counts
+    * and the chars-per-subword compression the vocabulary bought.
+    *
+    * The merge list arrives as `steps` broadcast 1-row cross joins
+    * (still collect-free), and each merge is the same
+    * whole-symbol-safe `replace` as training, nested left-to-right —
+    * so encode is pure scan-side string work: the corpus streams
+    * through one projection, no shuffle until the per-doc aggregate.
+    * At 100 TB that is the only acceptable shape for a pass that
+    * touches every byte. */
+  def encode(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val merges = learnMerges(docs, steps)
+    // one 1-row frame per step, fields renamed so the cross joins stack
+    val bests = (1 to steps).map { i =>
+      broadcast(merges.filter(col("step") === i)
+        .select(col("p1").as(s"p1_$i"), col("p2").as(s"p2_$i"),
+          col("new_sym").as(s"ns_$i")))
+    }
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+    val withMerges = bests.foldLeft(
+      tok.withColumn("r", concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))))(
+      _ crossJoin _)
+    val encoded = (1 to steps).foldLeft(withMerges) { (df, i) =>
+      df.withColumn("r", expr(
+        s"replace(r, ' ' || p1_$i || '  ' || p2_$i || ' ', ' ' || ns_$i || ' ')"))
+    }
+    encoded
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+        size(split(expr("trim(replace(r, '  ', ' '))"), " ")).cast("long").as("n_sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("n_chars").as("n_chars"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("chars_per_subword",
+        round(col("n_chars").cast("double") / col("n_subwords"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** QT11 — [[encode]] over `documents` with the 3 merges of
+    * [[qtBpeMerges]]. */
+  def qtBpeEncode(spark: SparkSession, d: String): DataFrame =
+    encode(T.documents(spark, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qt_bpe_merges" -> qtBpeMerges _)
+    "qt_bpe_merges" -> qtBpeMerges _,
+    "qt_bpe_encode" -> qtBpeEncode _)
 
   /** One unrolled iteration: pair extraction (the qt_pmi slice idiom),
     * weighted counts, deterministic best, and — unless this is the
@@ -122,5 +168,30 @@ object Bpe {
         "w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS r, freq FROM wf), " +
         iter(1, last = false) + iter(2, last = false) + iter(3, last = true) +
         sel(1) + " UNION ALL " + sel(2) + " UNION ALL " + sel(3) +
-        " ORDER BY step"))
+        " ORDER BY step"),
+    // identical training CTEs to rebuild the 3 merges, then the same
+    // nested whole-symbol replaces applied to every token
+    "qt_bpe_encode" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w), " +
+        "w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS r, freq FROM wf), " +
+        iter(1, last = false) + iter(2, last = false) + iter(3, last = true) + ", " +
+        (1 to 3).map(i => s"m$i AS (SELECT split_part(bg, ' ', 1) AS pa$i, " +
+          s"split_part(bg, ' ', 2) AS pb$i, replace(bg, ' ', '') AS ns$i " +
+          s"FROM best$i)").mkString(", ") + ", " +
+        "t2 AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), " +
+        "enc AS (SELECT doc_id, w, " +
+        "replace(replace(replace('  ' || regexp_replace(w, '(.)', '\\1  ', 'g'), " +
+        "' ' || pa1 || '  ' || pb1 || ' ', ' ' || ns1 || ' '), " +
+        "' ' || pa2 || '  ' || pb2 || ' ', ' ' || ns2 || ' '), " +
+        "' ' || pa3 || '  ' || pb3 || ' ', ' ' || ns3 || ' ') AS r " +
+        "FROM t2 CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3), " +
+        "a AS (SELECT doc_id, COUNT(*) AS n_toks, " +
+        "CAST(SUM(length(w)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(len(string_split(trim(replace(r, '  ', ' ')), ' '))) AS BIGINT) " +
+        "AS n_subwords FROM enc GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, n_chars, n_subwords, " +
+        "ROUND(CAST(n_chars AS DOUBLE) / n_subwords, 6) AS chars_per_subword " +
+        "FROM a ORDER BY doc_id"))
 }

@@ -44,6 +44,20 @@ class BpeSpec extends SparkSpec {
       (2, "xy", "xy", "xyxy", 1L)), rows.mkString(", "))
   }
 
+  test("encode: learned merges segment the corpus, in training order") {
+    // merges (from the first test): lo, low, lowe. Segmentations:
+    //   low    -> [low]          1 subword, 3 chars
+    //   lower  -> [lowe, r]      2 subwords, 5 chars
+    //   lowest -> [lowe, s, t]   3 subwords, 6 chars
+    val docs = Seq((1L, "low low lower"), (2L, "lowest low"))
+      .toDF("doc_id", "text")
+    val rows = Bpe.encode(docs, steps = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(1L) == (3L, 11L, 4L, 2.75), rows(1L).toString)
+    assert(rows(2L) == (2L, 9L, 4L, 2.25), rows(2L).toString)
+  }
+
   test("learnMerges: frequency weighting beats within-word multiplicity") {
     // "ab" appears in 10 words' worth of frequency; "cd" only in one
     // word but that word repeats the pair twice. Weighted counts:
