@@ -74,12 +74,18 @@ object Bpe {
         substring_index(col("bg"), " ", -1).as("p2"),
         expr("replace(bg, ' ', '')").as("new_sym"),
         col("cnt"))
-      cur = cur.crossJoin(broadcast(best))
-        .select(expr(
-          "replace(r, ' ' || substring_index(bg, ' ', 1) || '  ' || " +
-            "substring_index(bg, ' ', -1) || ' ', " +
-            "' ' || replace(bg, ' ', '') || ' ')").as("r"),
-          col("freq"))
+      // cut lineage per iteration: without this, step k's plan replays
+      // every previous step's pair count + merge (O(steps²) recompute —
+      // and the emitted best-rows would each replay their own chains
+      // too); with it, each step starts from materialized words
+      cur = Dedup.cutLineage(
+        cur.crossJoin(broadcast(best))
+          .select(expr(
+            "replace(r, ' ' || substring_index(bg, ' ', 1) || '  ' || " +
+              "substring_index(bg, ' ', -1) || ' ', " +
+              "' ' || replace(bg, ' ', '') || ' ')").as("r"),
+            col("freq")),
+        eager = false)
     }
     merges.reduce(_ unionByName _).orderBy("step")
   }
