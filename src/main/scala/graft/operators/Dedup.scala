@@ -389,6 +389,94 @@ object Dedup {
         md5(array_join(col("clean"), " ")).as("fp"))
   }
 
+  /** Asymmetric shingle containment C(A in B) = |S(A)∩S(B)| / |S(A)|:
+    * flags documents mostly CONTAINED in another — quoted excerpts,
+    * boilerplate-wrapped copies, page supersets — which symmetric
+    * Jaccard structurally misses (a long container B inflates the union
+    * and dilutes J; it never dilutes C). Standard resemblance-vs-
+    * containment distinction from Broder 1997 ("On the resemblance and
+    * containment of documents" — public knowledge).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] — explode
+    * shingles, self-join on the shingle, count shared per pair — so
+    * candidates exist only for pairs sharing ≥1 surviving shingle,
+    * never all-pairs, and `maxDocFreq` bounds the worst shingle's join
+    * fan-out. Emits BOTH orientations of a qualifying pair (containment
+    * is directional): `(inner, outer, c)` with `c = |∩| / |S(inner)|`.
+    */
+  def containmentPairs(docs: DataFrame, minC: Double, n: Int = 3,
+                       maxDocFreq: Long = 0L): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val filtered =
+      if (maxDocFreq > 0) {
+        val drop = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("s")
+        sh.join(broadcast(drop), Seq("s"), "left_anti")
+      } else sh
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // one undirected join (a < b), fanned to both orientations afterwards
+    // — half the pair-join shuffle of joining twice
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val both = pairs.select(col("da").as("doc_in"), col("db").as("doc_out"), col("inter"))
+      .unionAll(pairs.select(col("db").as("doc_in"), col("da").as("doc_out"), col("inter")))
+    both
+      .join(sizes.withColumnRenamed("doc_id", "doc_in").withColumnRenamed("n", "ni"), "doc_in")
+      .withColumn("c", round(col("inter").cast("double") / col("ni"), 6))
+      .filter(col("c") >= minC)
+      .select("doc_in", "doc_out", "c")
+  }
+
+  /** All id pairs whose `strCol` values are within Levenshtein distance
+    * `k`, exactly, via deletion-neighborhood blocking (the FastSS scheme
+    * of Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries"
+    * — public knowledge): if lev(a,b) ≤ k then deleting ≤ k characters
+    * from each side reaches a common string, so an equi-join on the
+    * deletion variants is a LOSSLESS candidate superset, and the exact
+    * `levenshtein` residual filter makes the output exact.
+    *
+    * 100 TB shape: variants are generated map-side by higher-order
+    * functions (no UDF, stays in codegen), the shuffle key is the
+    * variant string, and a variant is only ever shared by strings
+    * already within distance 2k of each other — so per-key fan-out is
+    * bounded by the size of a true near-duplicate cluster, never the
+    * corpus. The naive alternative is the O(n²) cross join the DuckDB
+    * oracle runs at sf0.01 (and could not run at scale — which is the
+    * point). Neighborhood size is O(len^k) per row; k is capped at 2.
+    */
+  def fuzzyJoinLev(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2,
+      s"fuzzyJoinLev: supported k is 1..2 (deletion neighborhood is O(len^k) per row), got $k")
+    // one deletion applied to every string of `arr`; empty strings have
+    // no deletions (and sequence(0,-1) would count DOWN, so guard them)
+    def delOnce(arr: String): String =
+      s"flatten(transform($arr, x -> if(length(x) = 0, " +
+        "cast(array() as array<string>), " +
+        "transform(sequence(0, length(x) - 1), " +
+        "i -> concat(substring(x, 1, i), substring(x, i + 2))))))"
+    val levels = Iterator.iterate("array(s)")(delOnce).take(k + 1).toSeq
+    val neighborhood = s"array_distinct(concat(${levels.mkString(", ")}))"
+    val v = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(expr(neighborhood)).as("v"))
+    val candidates = v.toDF("id_a", "s_a", "v")
+      .join(v.toDF("id_b", "s_b", "v"), Seq("v"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= k)
+      // distinct BEFORE the levenshtein: a pair sharing m variants
+      // arrives m times; dedup on ids first so the O(len²) distance
+      // runs once per pair
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
+
   // ---- query-pack entries over the documents table ----
 
   def qdExactDedup(spark: SparkSession, d: String): DataFrame =
@@ -410,6 +498,21 @@ object Dedup {
 
   def qdMinhashLsh(spark: SparkSession, d: String): DataFrame =
     minhashPairs(T.documents(spark, d), minJ = 0.8)
+
+  /** Containment at C ≥ 0.2 over trigram shingles, same stop-shingle cap
+    * as the Jaccard entry so the two rows describe the same filtered
+    * shingle universe. */
+  def qdContainment(spark: SparkSession, d: String): DataFrame =
+    containmentPairs(T.documents(spark, d), minC = 0.2,
+      maxDocFreq = NgramMaxDocFreq)
+      .orderBy("doc_in", "doc_out")
+
+  /** Record linkage over customer names at edit distance ≤ 1: TPC-H
+    * names differ in digit positions, so single-substitution neighbors
+    * abound — a realistic entity-resolution fixture. */
+  def qdFuzzyJoin(spark: SparkSession, d: String): DataFrame =
+    fuzzyJoinLev(T.customer(spark, d), "c_custkey", "c_name", 1)
+      .orderBy("id_a", "id_b")
 
   /** maxHamming = 3 makes the search EXACT: with 4 16-bit chunks, any
     * pair within Hamming distance 3 shares at least one chunk
@@ -479,6 +582,8 @@ object Dedup {
     "qd_minhash_lsh" -> qdMinhashLsh _,
     "qd_simhash" -> qdSimhash _,
     "qd_dup_clusters" -> qdDupClusters _,
+    "qd_containment" -> qdContainment _,
+    "qd_fuzzy_join" -> qdFuzzyJoin _,
     "qt_substring_dup" -> qtSubstringDup _,
     "qt_substring_scrub" -> qtSubstringScrub _)
 
@@ -509,6 +614,32 @@ object Dedup {
     "sizes AS (SELECT doc_id, COUNT(*) AS n FROM fs GROUP BY doc_id), " +
     "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter " +
       "FROM fs a JOIN fs b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  /** DuckDB twin of [[containmentPairs]]: the same filtered shingle
+    * universe as the Jaccard oracle, both orientations unioned, the
+    * denominator is the INNER doc's shingle count, and the ≥-filter is
+    * applied to the ROUNDED value exactly like the Spark side. */
+  private def containmentOracle(minC: Double, maxDocFreq: Long = 0L): String =
+    s"WITH ${shingleCtes(maxDocFreq)}, " +
+    "bo AS (SELECT da AS doc_in, db AS doc_out, inter FROM pairs " +
+      "UNION ALL SELECT db, da, inter FROM pairs) " +
+    "SELECT doc_in, doc_out, ROUND(CAST(inter AS DOUBLE) / si.n, 6) AS c " +
+    "FROM bo JOIN sizes si ON doc_in = si.doc_id " +
+    s"WHERE ROUND(CAST(inter AS DOUBLE) / si.n, 6) >= $minC " +
+    "ORDER BY doc_in, doc_out"
+
+  /** Brute-force twin of [[fuzzyJoinLev]]: the O(n²) cross join with an
+    * exact levenshtein — feasible at sf0.01 (1500² name pairs), which is
+    * exactly the plan shape the deletion-neighborhood join exists to
+    * avoid at scale. The length prefilter mirrors a necessary condition
+    * of lev ≤ k (never excludes a true pair), it only speeds DuckDB up. */
+  private def fuzzyJoinOracle(k: Int): String =
+    "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+    "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+    "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+    s"AND abs(length(a.c_name) - length(b.c_name)) <= $k " +
+    s"WHERE levenshtein(a.c_name, b.c_name) <= $k " +
+    "ORDER BY id_a, id_b"
 
   private def jaccardOracle(minJ: Double, maxDocFreq: Long = 0L): String =
     s"WITH ${shingleCtes(maxDocFreq)} " +
@@ -588,6 +719,8 @@ object Dedup {
     "qd_ngram_jaccard" -> jaccardOracle(0.1, NgramMaxDocFreq),
     "qd_minhash_lsh" -> jaccardOracle(0.8),
     "qd_dup_clusters" -> clustersOracle(0.5, NgramMaxDocFreq),
+    "qd_containment" -> containmentOracle(0.2, NgramMaxDocFreq),
+    "qd_fuzzy_join" -> fuzzyJoinOracle(1),
     "qt_substring_dup" -> substringDupOracle(SubstringDupK),
     "qt_substring_scrub" -> substringScrubOracle(SubstringDupK),
     // qd_simhash self-certification: the oracle recomputes the planted

@@ -311,4 +311,51 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("span_tokens") >= 8)
     }
   }
+
+  test("containment is asymmetric: an excerpt scores 1.0 inside its container, not back") {
+    // doc 0's trigram shingles are all present in doc 1 (a strict superset),
+    // so C(0 in 1) = 1.0 while C(1 in 0) < 1 and Jaccard < 1
+    val docs = Seq(
+      (0L, "one two three four five"),
+      (1L, "zero one two three four five six seven eight nine ten"),
+      (2L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, minC = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((1L, 0L)) < 1.0 && out((1L, 0L)) > 0.0)
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    val j = Dedup.ngramJaccardPairs(docs, minJ = 0.0)
+      .collect().map(r => r.getDouble(2))
+    assert(j.forall(_ < 1.0), "Jaccard must dilute the excerpt pair containment flags")
+  }
+
+  test("fuzzyJoinLev equals brute force at k=1 and k=2, incl. insert/delete/empty edges") {
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),  // chain of distance-1 hops
+      (4L, "kitte"),                                    // deletion neighbor of kitten
+      (5L, "kittens"),                                  // insertion neighbor of kitten
+      (6L, ""), (7L, "a"),                              // empty-string edge
+      (8L, "zebra"))                                    // isolated
+    val df = names.toDF("id", "name")
+    for (k <- 1 to 2) {
+      val got = Dedup.fuzzyJoinLev(df, "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (ia, sa) <- names; (ib, sb) <- names if ia < ib
+        d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+          .apply(sa, sb).toLong
+        if d <= k
+      } yield (ia, ib, d)).toSet
+      assert(got == brute,
+        s"k=$k: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
+  test("fuzzyJoinLev candidate generation is an equi-join, never a cross product") {
+    val plan = Dedup.qdFuzzyJoin(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to all-pairs:\n$plan")
+  }
 }
