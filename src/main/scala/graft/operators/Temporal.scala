@@ -372,6 +372,41 @@ object Temporal {
   def qeCohort(spark: SparkSession, d: String): DataFrame =
     cohortRetention(T.events(spark, d))
 
+  /** Rolling z-score anomaly detection: each event is scored against the
+    * mean/stddev of its own TRAILING window — the `lookback` rows before
+    * it, never itself (a self-inclusive window leaks the outlier into
+    * its own baseline and mutes exactly the spikes being hunted). Rows
+    * whose |z| exceeds `zThresh` are flagged; rows with a degenerate
+    * baseline (fewer than 2 prior events, or zero variance) can't be
+    * scored and are skipped.
+    *
+    * Shape at 100 TB: one shuffle by key, each partition streamed once
+    * in time order by the window operator — linear per key, no
+    * self-join, no collect. Skew = one hot key's rows in one task, same
+    * bound as any per-key window (salt upstream if a key outgrows a
+    * task). z is rounded to 4 decimals and the threshold applied to the
+    * ROUNDED value, so the oracle comparison is bit-stable across
+    * engines' summation orders. */
+  def rollingAnomalies(events: DataFrame, lookback: Int, zThresh: Double,
+                       key: String = "user_id", ts: String = "ts",
+                       value: String = "value"): DataFrame = {
+    require(lookback >= 2, s"rollingAnomalies: lookback must be >= 2, got $lookback")
+    val w = Window.partitionBy(key).orderBy(col(ts), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events
+      .withColumn("mu", avg(value).over(w))
+      .withColumn("sigma", stddev_samp(value).over(w))
+      .withColumn("z", round((col(value) - col("mu")) / col("sigma"), 4))
+      .filter(col("sigma") > 0 && abs(col("z")) > zThresh)
+      .select(col("event_id"), col(key), col("z"))
+  }
+
+  /** QE7 — [[rollingAnomalies]] over `events`: 20-event trailing
+    * baseline per user, |z| > 2.5. */
+  def qeAnomaly(spark: SparkSession, d: String): DataFrame =
+    rollingAnomalies(T.events(spark, d), lookback = 20, zThresh = 2.5)
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_funnel" -> qeFunnel _,
     "qe_cohort" -> qeCohort _,
@@ -380,7 +415,8 @@ object Temporal {
     "qe_sessions" -> qeSessions _,
     "qe_range_lookup" -> qeRangeLookup _,
     "qe_interval_join" -> qeIntervalJoin _,
-    "qe_scd2" -> qeScd2 _)
+    "qe_scd2" -> qeScd2 _,
+    "qe_anomaly" -> qeAnomaly _)
 
   val oracles: Map[String, String] = Map(
     // same chained per-step min-timestamp tables with strict ts ordering
@@ -436,6 +472,18 @@ object Temporal {
         "LEAD(ts) OVER w AS valid_to, LEAD(ts) OVER w IS NULL AS is_current " +
         "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts) " +
         "ORDER BY user_id, valid_from"),
+    // same trailing frame, same exclusion of the current row, and the
+    // threshold applied to the ROUNDED z on both engines — sliding-frame
+    // stddev internals (segment tree vs streaming) differ only in last
+    // ulps, far inside the 1e-4 rounding granularity
+    "qe_anomaly" ->
+      ("WITH b AS (SELECT event_id, user_id, value, " +
+        "AVG(value) OVER w AS mu, STDDEV_SAMP(value) OVER w AS sigma " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, ROUND((value - mu) / sigma, 4) AS z " +
+        "FROM b WHERE sigma > 0 AND ABS(ROUND((value - mu) / sigma, 4)) > 2.5 " +
+        "ORDER BY event_id"),
     "qe_asof" ->
       ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id, ts), " +

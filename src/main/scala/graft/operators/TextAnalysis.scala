@@ -709,7 +709,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Contiguous global row ids 0..n-1 in `orderCol` order — the stable
+    * example-id assignment a training pipeline needs before sharding.
+    * The tempting one-liner — `row_number() OVER (ORDER BY ...)` with no
+    * partition key — is a scale-killer: Spark plans a global-order window
+    * as a SINGLE partition holding the entire table. This is the
+    * two-phase design instead: range-repartition by `orderCol` (sampled
+    * boundaries, fully parallel), sort within partitions, then offset
+    * each partition's local indexes by the total size of the partitions
+    * before it — `zipWithIndex` runs exactly that lightweight per-
+    * partition count job (#partitions longs to the driver, never rows).
+    * Ids equal the single-partition answer — the oracle IS row_number()
+    * — but no stage ever gathers the data.
+    *
+    * Contract: `orderCol` values must be unique (they key the order;
+    * ties would make ids nondeterministic in ANY engine). Range
+    * boundaries move with sampling, but that only shifts partition
+    * SPLITS, never the global order, so ids reproduce run to run. */
+  def assignContiguousIds(df: DataFrame, orderCol: String,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    // no-arg form is advisory: AQE right-sizes the shuffle (tiny input →
+    // few partitions); pass numPartitions to pin the fan-out explicitly
+    val parted = numPartitions
+      .map(n => df.repartitionByRange(n, col(orderCol)))
+      .getOrElse(df.repartitionByRange(col(orderCol)))
+    val sorted = parted.sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add("gid", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** QP-IDS — [[assignContiguousIds]] over documents ordered by doc_id. */
+  def qpAssignIds(spark: SparkSession, d: String): DataFrame =
+    assignContiguousIds(T.documents(spark, d).select("doc_id", "source"), "doc_id")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_assign_ids" -> qpAssignIds _,
     "qt_bigram_surprise" -> qtBigramSurprise _,
     "qt_tfidf" -> qtTfidf _,
     "qt_repetition" -> qtRepetition _,
@@ -735,6 +773,12 @@ object TextAnalysis {
     "qt_group_split" -> qtGroupSplit _)
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the very single-partition plan the operator avoids —
+    // identical ids, different physics
+    "qp_assign_ids" ->
+      ("SELECT doc_id, source, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid " +
+        "FROM documents ORDER BY doc_id"),
     // same integer ppm-uniqueness score (`//` ≡ Spark's `div`), same
     // rank-and-cap, same two-leg funnel — DuckDB's ROW_NUMBER mirrors
     // the WindowGroupLimit leg exactly

@@ -339,6 +339,37 @@ class TemporalSpec extends SparkSpec {
       rows.mkString(", "))
   }
 
+  test("rollingAnomalies flags a spike against its trailing baseline, skips unscorable rows") {
+    // u1: gently varying baseline, then a spike — only the spike scores
+    // past |z| > 2.5. The window is TRAILING (excludes self): the spike
+    // cannot mute itself by inflating its own sigma.
+    val events = Seq(
+      (1L, 1L, ts("10:00"), 10.0), (2L, 1L, ts("10:01"), 11.0),
+      (3L, 1L, ts("10:02"), 10.0), (4L, 1L, ts("10:03"), 11.0),
+      (5L, 1L, ts("10:04"), 10.0), (6L, 1L, ts("10:05"), 100.0),
+      // u2: constant values -> sigma 0 -> never scorable, never flagged
+      (7L, 2L, ts("10:00"), 5.0), (8L, 2L, ts("10:01"), 5.0),
+      (9L, 2L, ts("10:02"), 5.0), (10L, 2L, ts("10:03"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingAnomalies(events, lookback = 20, zThresh = 2.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(6L), got.mkString(", "))
+    // baseline mu = 10.4, sigma_samp ~ 0.5477 -> z ~ +163
+    assert(got.head._2 > 100.0, s"z = ${got.head._2}")
+  }
+
+  test("rollingAnomalies: first rows have no scorable baseline (trailing frame, n < 2)") {
+    val events = Seq(
+      (1L, 1L, ts("10:00"), 1000.0), (2L, 1L, ts("10:01"), 1.0),
+      (3L, 1L, ts("10:02"), 2.0), (4L, 1L, ts("10:03"), 500.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingAnomalies(events, lookback = 20, zThresh = 2.5)
+      .collect().map(_.getLong(0)).toSet
+    // row 1: empty frame; row 2: single-row frame (stddev_samp null) —
+    // neither can score even though their values are extreme
+    assert(!got.contains(1L) && !got.contains(2L), got.mkString(", "))
+  }
+
   test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeIntervalJoin(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -131,4 +131,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.getLong(2) == 1L && t.getLong(4) == 3L,
       "equal-score tie must keep the lower doc_id")
   }
+
+  test("assignContiguousIds: dense 0..n-1 ids in key order, from shuffled non-contiguous keys") {
+    val keys = Seq(907L, 3L, 500L, 42L, 8L, 999L, 1L, 250L)
+    val df = keys.map(k => (k, s"p$k")).toDF("k", "payload")
+    val got = TextAnalysis.assignContiguousIds(df, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, s"p$k", i.toLong) }
+    assert(got.sortBy(_._3).toSeq == want, got.mkString(", "))
+  }
+
+  test("assignContiguousIds stays correct across partitions (the row_number trap)") {
+    // the operator's no-arg repartitionByRange lets AQE right-size (at
+    // sf0.001 that IS one partition — tiny data); pin an explicit count
+    // to prove the offsets compose correctly when the data genuinely
+    // spans partitions, as it always does at scale
+    val df = graft.sources.Tables.documents(spark, sfTiny).select("doc_id")
+    val ids = TextAnalysis.assignContiguousIds(df, "doc_id", numPartitions = Some(8))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(ids.toSeq == ids.indices.map(_.toLong), "ids must be dense 0..n-1 in key order")
+  }
 }
