@@ -103,10 +103,47 @@ object Constraints {
       .orderBy("rule")
   }
 
+  /** Key-skew diagnostic: the distribution of per-key group sizes for a
+    * prospective shuffle/join key — the profile every partition-strategy
+    * decision at 100 TB starts from (is the hottest key's fan-out safe?
+    * does the join need salting? how far is p99 above the median?).
+    * One aggregate builds per-key counts (map-side combined), a second
+    * reduces them to a one-row profile; only the profile leaves the
+    * executors. `skew_ratio` = max/mean is the [[Skew]] salting
+    * trigger; `top_share` = max/total bounds the worst task. */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_keys"),
+      sum("n").cast("long").as("n_rows"),
+      max("n").as("max_n"),
+      round(avg("n"), 6).as("mean_n"),
+      round(expr("percentile(n, 0.5)"), 6).as("p50"),
+      round(expr("percentile(n, 0.9)"), 6).as("p90"),
+      round(expr("percentile(n, 0.99)"), 6).as("p99"),
+      round(max("n") / avg("n"), 6).as("skew_ratio"),
+      round(max("n").cast("double") / sum("n"), 6).as("top_share"))
+  }
+
+  /** QA2 — [[skewReport]] for lineitem's supplier key (the classic
+    * "can I shuffle on this?" question). */
+  def qaSkewReport(spark: SparkSession, d: String): DataFrame =
+    skewReport(T.lineitem(spark, d), Seq("l_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qa_constraints" -> qaConstraints _)
+    "qa_constraints" -> qaConstraints _,
+    "qa_skew_report" -> qaSkewReport _)
 
   val oracles: Map[String, String] = Map(
+    // same two-level aggregate; percentile ↔ quantile_cont (both exact
+    // linear interpolation), profile doubles rounded on both sides
+    "qa_skew_report" ->
+      ("WITH s AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) " +
+        "SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, MAX(n) AS max_n, " +
+        "ROUND(AVG(n), 6) AS mean_n, ROUND(quantile_cont(n, 0.5), 6) AS p50, " +
+        "ROUND(quantile_cont(n, 0.9), 6) AS p90, ROUND(quantile_cont(n, 0.99), 6) AS p99, " +
+        "ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 6) AS skew_ratio, " +
+        "ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share FROM s"),
     "qa_constraints" ->
       ("WITH c AS (SELECT o_orderkey, " +
         "CASE WHEN o_orderkey % 101 = 3 THEN NULL ELSE o_orderpriority END AS pri, " +

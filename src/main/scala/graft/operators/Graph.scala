@@ -161,11 +161,80 @@ object Graph {
         .select(col("o_custkey").as("src"),
           ((col("o_orderkey") * 7) % 1500 + 1).as("dst")))
 
+  /** Per-node local clustering coefficient lcc(v) = 2·t(v) /
+    * (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to a
+    * clique; with [[triangleStats]]' global count this completes the
+    * standard triangle-metric pair (Watts–Strogatz 1998, public).
+    *
+    * Same degree-oriented triangle enumeration as [[triangleStats]]
+    * (wedges rooted at the LOW-degree vertex, closed by a semi-join —
+    * the O(m^1.5) bound, never node×node), but each closed triangle is
+    * kept and exploded to its three corners, one aggregate counts
+    * per-node memberships. Nodes of degree < 2 have no defined lcc and
+    * are excluded (mirrored in the oracle). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"))
+    val triangles = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"),
+        col("e1.hi").as("a"), col("e2.hi").as("b"))
+      .join(und, Seq("a", "b"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("x"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("lcc"))
+      .orderBy("node")
+  }
+
+  /** QG3 — [[localClustering]] over the same synthetic link graph. */
+  def qgClustering(spark: SparkSession, d: String): DataFrame =
+    localClustering(
+      Tables.orders(spark, d)
+        .select(col("o_custkey").as("src"),
+          ((col("o_orderkey") * 7) % 1500 + 1).as("dst")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg_pagerank" -> qgPageRank _,
-    "qg_triangles" -> qgTriangles _)
+    "qg_triangles" -> qgTriangles _,
+    "qg_clustering" -> qgClustering _)
 
   val oracles: Map[String, String] = Map(
+    // naive a<b<c triangle enumeration, corners unnested, counted per
+    // node, joined to the degree table — same exclusion of deg < 2
+    "qg_clustering" ->
+      ("WITH e AS (SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst FROM orders), " +
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "deg AS (SELECT node, COUNT(*) AS d FROM " +
+        "(SELECT a AS node FROM u UNION ALL SELECT b FROM u) GROUP BY node), " +
+        "tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 " +
+        "JOIN u e2 ON e2.a = e1.b JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "tn AS (SELECT unnest([x, y, z]) AS node FROM tr), " +
+        "tc AS (SELECT node, COUNT(*) AS tri FROM tn GROUP BY node) " +
+        "SELECT deg.node, CAST(deg.d AS BIGINT) AS deg, " +
+        "CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri, " +
+        "ROUND(2.0 * COALESCE(tc.tri, 0) / (deg.d * (deg.d - 1)), 6) AS lcc " +
+        "FROM deg LEFT JOIN tc USING (node) WHERE deg.d >= 2 ORDER BY node"),
     // naive a<b<c three-way join over the canonical undirected edge
     // set — counts each triangle exactly once, same total as the
     // degree-oriented plan; wedge count folds from the degree table

@@ -909,6 +909,48 @@ object Multimodal {
     }).toDF("media_id", "frame_idx", "frame")
   }
 
+  /** Scene-change (keyframe) detection over real .y4m streams: the
+    * luma-plane SAD (sum of absolute differences) between each frame
+    * and its predecessor — the standard shot-boundary signal — with
+    * frames whose SAD exceeds `threshold` flagged as cuts. This is the
+    * selection step before [[sampleVideoFrames]]-style extraction: a
+    * stride keeps every k-th frame regardless of content; SAD keeps the
+    * frames where the content actually changed.
+    *
+    * Per-record byte work inside one `mapPartitions` pass (no shuffle
+    * at all — the diff needs only adjacent frames of the SAME payload);
+    * corrupt streams are dropped, mirroring [[videoStats]]. */
+  def sceneChangeStats(videos: Dataset[VideoRecord], threshold: Long): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { r =>
+      (for {
+        g    <- Y4mCodec.decodeHeader(r.payload)
+        offs <- Y4mCodec.frameOffsets(r.payload, g)
+      } yield {
+        val n = g.w * g.h
+        val p = r.payload
+        (1 until offs.length).map { f =>
+          val o0 = offs(f - 1); val o1 = offs(f)
+          var s = 0L; var i = 0
+          while (i < n) {
+            s += math.abs((p(o1 + i) & 0xFF) - (p(o0 + i) & 0xFF))
+            i += 1
+          }
+          (r.media_id, f.toLong, s)
+        }
+      }).getOrElse(Seq.empty)
+    }).toDF("media_id", "frame_idx", "diff_sum")
+      .withColumn("is_cut", col("diff_sum") > threshold)
+  }
+
+  /** QM9 — [[sceneChangeStats]] over the synthetic .y4m corpus. The
+    * frame bytes are integer formulas, so the oracle recomputes every
+    * per-frame SAD closed-form — a hash match proves the y4m parse +
+    * adjacent-frame differencing byte-exact, including the flag. */
+  def qmSceneChange(spark: SparkSession, d: String): DataFrame =
+    sceneChangeStats(syntheticY4m(spark, d), threshold = 2000L)
+      .orderBy("media_id", "frame_idx")
+
   /** Decode metadata from the payload header — batch-iterating per
     * partition; corrupt records are dropped (count them upstream with a
     * filter on [[StubCodec.decode]] if needed). */
@@ -1158,9 +1200,25 @@ object Multimodal {
     "qm_resize_stats" -> qmResizeStats _,
     "qm_avi_stats" -> qmAviStats _,
     "qm_dhash_dedup" -> qmDhashDedup _,
-    "qm_audio_features" -> qmAudioFeatures _)
+    "qm_audio_features" -> qmAudioFeatures _,
+    "qm_scene_change" -> qmSceneChange _)
 
   val oracles: Map[String, String] = Map(
+    // per-frame luma SAD recomputed closed-form from the sample
+    // formula; the cut flag applies the same threshold to the same
+    // integer sum on both engines
+    "qm_scene_change" ->
+      ("WITH dims AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, " +
+        "3 + doc_id % 4 AS height, 2 + doc_id % 4 AS n_frames FROM documents), " +
+        "fr AS (SELECT media_id, width, height, " +
+        "unnest(range(1, n_frames)) AS frame_idx FROM dims), " +
+        "sad AS (SELECT media_id, frame_idx, " +
+        "CAST(list_sum(list_transform(range(0, width*height), " +
+        "i -> abs((media_id*29 + frame_idx*101 + i*13) % 250 - " +
+        "(media_id*29 + (frame_idx-1)*101 + i*13) % 250))) AS BIGINT) AS diff_sum " +
+        "FROM fr) " +
+        "SELECT media_id, frame_idx, diff_sum, diff_sum > 2000 AS is_cut " +
+        "FROM sad ORDER BY media_id, frame_idx"),
     // every window's energy and crossing count recomputed closed-form
     // from the sample formula (integer-exact; empty pair list on a
     // 1-frame tail window coalesces to 0)

@@ -47,4 +47,16 @@ class ConstraintsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"FK check should be a broadcast anti-join:\n$plan")
   }
+
+  test("skewReport profiles group sizes exactly, including the salting trigger ratio") {
+    // key sizes: a->6, b->2, c->1, d->1 => mean 2.5, max 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.toDF("k", "i")
+    val r = Constraints.skewReport(df, Seq("k")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 2.5)           // mean_n
+    assert(r.getDouble(4) == 1.5)           // p50 of (1,1,2,6)
+    assert(r.getDouble(7) == 2.4)           // skew_ratio 6/2.5
+    assert(r.getDouble(8) == 0.6)           // top_share 6/10
+  }
 }

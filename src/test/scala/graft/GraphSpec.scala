@@ -89,4 +89,16 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) == 4L, s"n_triangles: $r")
     assert(r.getDouble(4) == 0.8, s"gcc 3*4/15: $r")
   }
+
+  test("localClustering: triangle corners score 1.0, the hub is diluted, pendants excluded") {
+    // K3 on 1-2-3 plus a pendant 4 on node 1: lcc(2) = lcc(3) = 1.0
+    // (their whole neighborhood is a clique), lcc(1) = 2*1/(3*2) =
+    // 0.333333, node 4 (deg 1) has no defined lcc and must not appear
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> (3L, 1L, 0.333333), 2L -> (2L, 1L, 1.0), 3L -> (2L, 1L, 1.0)),
+      got.toString)
+  }
 }

@@ -465,4 +465,21 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     clones.foreach { id => assert(!kept(id), s"clone $id survived") }
   }
+
+  test("sceneChangeStats: hand-built frames give the exact SAD; corrupt streams drop") {
+    import spark.implicits._
+    // 2x1 C444, 3 frames: luma planes (10,10) -> (10,50) -> (200,50);
+    // SADs: f1 = |10-10|+|50-10| = 40, f2 = |200-10|+|50-50| = 190
+    val fb = Array(
+      Array(10, 10), Array(10, 50), Array(200, 50))
+    val payload = graft.operators.Multimodal.Y4mCodec.encode(2, 1, 3,
+      (f, i) => if (i < 2) fb(f)(i) else 0)
+    val corrupt = payload.take(payload.length - 1) // truncated last frame
+    val videos = Seq(
+      graft.operators.Multimodal.VideoRecord(1L, payload),
+      graft.operators.Multimodal.VideoRecord(2L, corrupt)).toDS()
+    val got = graft.operators.Multimodal.sceneChangeStats(videos, threshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSet == Set((1L, 1L, 40L, false), (1L, 2L, 190L, true)), got.mkString(", "))
+  }
 }
