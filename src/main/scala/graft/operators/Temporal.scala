@@ -407,6 +407,53 @@ object Temporal {
     rollingAnomalies(T.events(spark, d), lookback = 20, zThresh = 2.5)
       .orderBy("event_id")
 
+  /** Exponentially-weighted moving average per key — the time-series
+    * smoothing/feature-engineering primitive — as a `taps`-term FIR
+    * truncation: ewma_t = Σ_j (1−α)^j·v_{t−j} / Σ_j (1−α)^j over the
+    * lags that exist (series heads renormalize over the shorter
+    * window, the standard `adjust=true` definition). Truncation error
+    * is (1−α)^taps — for the default 8 taps at α = 0.3, < 6 % weight
+    * beyond the window, and the result is EXACTLY reproducible, which
+    * the recursive form never is across engines.
+    *
+    * One shuffle by key; the lag chain reads each partition once in
+    * time order. Determinism: each weight is embedded as the same
+    * decimal literal in the Spark plan and the oracle SQL, both parse
+    * to the identical double, and the term order is fixed — so the
+    * rounded output is bit-equal across engines. */
+  def ewmaSmooth(events: DataFrame, alpha: Double = 0.3, taps: Int = 8,
+                 key: String = "user_id", ts: String = "ts",
+                 value: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewmaSmooth: alpha in (0,1), got $alpha")
+    require(taps >= 1, s"ewmaSmooth: taps must be >= 1, got $taps")
+    val w = Window.partitionBy(key).orderBy(col(ts), col("event_id"))
+    val weights = ewmaWeights(alpha, taps)
+    val lags = weights.indices.map(j => lag(col(value), j).over(w))
+    val num = weights.indices.map { j =>
+      when(lags(j).isNotNull, lags(j) * expr(weights(j))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = weights.indices.map { j =>
+      when(lags(j).isNotNull, expr(weights(j))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events.withColumn("ewma", round(num / den, 6))
+      .select(col("event_id"), col(key), col(value), col("ewma"))
+  }
+
+  /** (1−α)^j as decimal literals — the SAME strings go into the Spark
+    * expression and the DuckDB oracle, so both engines parse the
+    * identical double and the FIR sums agree bit-for-bit. */
+  private[operators] def ewmaWeights(alpha: Double, taps: Int): Seq[String] =
+    (0 until taps).map { j =>
+      // Locale.ROOT: a comma decimal separator would corrupt both plans
+      val lit = String.format(java.util.Locale.ROOT, "%.17g", math.pow(1 - alpha, j))
+      s"CAST($lit AS DOUBLE)"
+    }
+
+  /** QE8 — [[ewmaSmooth]] over `events` (α = 0.3, 8 taps). */
+  def qeEwma(spark: SparkSession, d: String): DataFrame =
+    ewmaSmooth(T.events(spark, d))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_funnel" -> qeFunnel _,
     "qe_cohort" -> qeCohort _,
@@ -416,7 +463,8 @@ object Temporal {
     "qe_range_lookup" -> qeRangeLookup _,
     "qe_interval_join" -> qeIntervalJoin _,
     "qe_scd2" -> qeScd2 _,
-    "qe_anomaly" -> qeAnomaly _)
+    "qe_anomaly" -> qeAnomaly _,
+    "qe_ewma" -> qeEwma _)
 
   val oracles: Map[String, String] = Map(
     // same chained per-step min-timestamp tables with strict ts ordering
@@ -484,6 +532,21 @@ object Temporal {
         "SELECT event_id, user_id, ROUND((value - mu) / sigma, 4) AS z " +
         "FROM b WHERE sigma > 0 AND ABS(ROUND((value - mu) / sigma, 4)) > 2.5 " +
         "ORDER BY event_id"),
+    // the identical weight literals, lag terms, and left-to-right sum
+    // order as the Spark expression tree — see ewmaWeights
+    "qe_ewma" -> {
+      val ws = ewmaWeights(0.3, 8)
+      def lagT(j: Int) = s"LAG(value, $j) OVER w"
+      val num = ws.indices.map(j =>
+        s"CASE WHEN ${lagT(j)} IS NOT NULL THEN ${lagT(j)} * ${ws(j)} " +
+          "ELSE CAST(0 AS DOUBLE) END").mkString(" + ")
+      val den = ws.indices.map(j =>
+        s"CASE WHEN ${lagT(j)} IS NOT NULL THEN ${ws(j)} " +
+          "ELSE CAST(0 AS DOUBLE) END").mkString(" + ")
+      s"SELECT event_id, user_id, value, ROUND(($num) / ($den), 6) AS ewma " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"
+    },
     "qe_asof" ->
       ("WITH views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id, ts), " +

@@ -370,6 +370,22 @@ class TemporalSpec extends SparkSpec {
     assert(!got.contains(1L) && !got.contains(2L), got.mkString(", "))
   }
 
+  test("ewmaSmooth: constants pass through, heads renormalize, recent values dominate") {
+    val events = Seq(
+      (1L, 1L, ts("10:00"), 5.0), (2L, 1L, ts("10:01"), 5.0),
+      (3L, 1L, ts("10:02"), 5.0),
+      (4L, 2L, ts("10:00"), 0.0), (5L, 2L, ts("10:01"), 10.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.ewmaSmooth(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // constant series: weighted mean of constants is the constant
+    assert(got(1L) == 5.0 && got(2L) == 5.0 && got(3L) == 5.0, got.toString)
+    // series head: only its own value exists -> ewma = value (adjust=true)
+    assert(got(4L) == 0.0)
+    // one step later: (10 + 0.7*0) / 1.7 = 5.882353
+    assert(got(5L) == 5.882353, got(5L).toString)
+  }
+
   test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeIntervalJoin(spark, sfTiny)
       .queryExecution.executedPlan.toString
