@@ -130,11 +130,75 @@ object Constraints {
   def qaSkewReport(spark: SparkSession, d: String): DataFrame =
     skewReport(T.lineitem(spark, d), Seq("l_suppkey"))
 
+  /** Distribution-drift report between two snapshots of a numeric
+    * column — the population stability index (PSI), the standard
+    * train-vs-serve / yesterday-vs-today drift gate: fixed-width bins
+    * (top bin clamps the tail), add-one smoothing so an empty bin on
+    * either side stays finite, per-bin contribution
+    * (p−q)·ln(p/q), and the total. PSI < 0.1 is conventionally stable,
+    * > 0.25 action-worthy.
+    *
+    * Both snapshots count in ONE conditional aggregate over one scan
+    * (no per-side passes), and the whole report is a bins-sized frame.
+    * Determinism: contributions are rounded at 1e-9 and summed as
+    * BIGINTs (order-free — the qt_entropy discipline), so the total
+    * never depends on float summation order. */
+  def driftReport(df: DataFrame, valueCol: String, isCurrent: Column,
+                  binWidth: Double, maxBin: Int): DataFrame = {
+    val nBins = maxBin + 1
+    val binned = df.withColumn("bin",
+      least(floor(col(valueCol) / binWidth), lit(maxBin)).cast("long"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(!isCurrent, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur"))
+    val tots = counts.agg(
+      sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    val contrib = counts.crossJoin(broadcast(tots))
+      .withColumn("p", (col("n_ref") + 1).cast("double") / (col("tot_ref") + nBins))
+      .withColumn("q", (col("n_cur") + 1).cast("double") / (col("tot_cur") + nBins))
+      .withColumn("contrib_s",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9).cast("long"))
+    contrib
+      .crossJoin(broadcast(contrib.agg(sum("contrib_s").as("psi_s"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("contrib_s") / 1e9, 6).as("contrib"),
+        round(col("psi_s") / 1e9, 6).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  /** QA3 — [[driftReport]] over `events.value`, even vs odd event ids
+    * as the two snapshots (near-identical distributions ⇒ a stable-PSI
+    * fixture; the spec plants real drift). */
+  def qaDriftReport(spark: SparkSession, d: String): DataFrame =
+    driftReport(T.events(spark, d), "value", col("event_id") % 2 === 1,
+      binWidth = 50.0, maxBin = 9)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_constraints" -> qaConstraints _,
-    "qa_skew_report" -> qaSkewReport _)
+    "qa_skew_report" -> qaSkewReport _,
+    "qa_drift_report" -> qaDriftReport _)
 
   val oracles: Map[String, String] = Map(
+    // same one-pass conditional bin counts, same add-one smoothing,
+    // contributions rounded at 1e-9 and summed as BIGINTs (order-free).
+    // floor(), NOT `//`: DuckDB's `//` on DOUBLE operands is plain
+    // division (integer division only for integer types), and CAST to
+    // BIGINT would then ROUND — both diverge from Spark's floor()
+    "qa_drift_report" ->
+      ("WITH b AS (SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin, " +
+        "event_id % 2 = 1 AS cur FROM events), " +
+        "c AS (SELECT bin, SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref, " +
+        "SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur FROM b GROUP BY bin), " +
+        "t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur FROM c), " +
+        "k AS (SELECT bin, n_ref, n_cur, " +
+        "CAST(n_ref + 1 AS DOUBLE) / (tot_ref + 10) AS p, " +
+        "CAST(n_cur + 1 AS DOUBLE) / (tot_cur + 10) AS q FROM c CROSS JOIN t), " +
+        "s AS (SELECT bin, n_ref, n_cur, " +
+        "CAST(ROUND((p - q) * ln(p / q) * 1e9) AS BIGINT) AS cs FROM k), " +
+        "tot AS (SELECT SUM(cs) AS psi_s FROM s) " +
+        "SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, " +
+        "ROUND(cs / 1e9, 6) AS contrib, ROUND(psi_s / 1e9, 6) AS psi_total " +
+        "FROM s CROSS JOIN tot ORDER BY bin"),
     // same two-level aggregate; percentile ↔ quantile_cont (both exact
     // linear interpolation), profile doubles rounded on both sides
     "qa_skew_report" ->

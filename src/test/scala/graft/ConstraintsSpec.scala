@@ -59,4 +59,25 @@ class ConstraintsSpec extends SparkSpec {
     assert(r.getDouble(7) == 2.4)           // skew_ratio 6/2.5
     assert(r.getDouble(8) == 0.6)           // top_share 6/10
   }
+
+  test("driftReport: identical snapshots are stable, a shifted snapshot crosses the gate") {
+    import org.apache.spark.sql.functions.col
+    // ref: values clustered low; cur identical -> PSI ~ 0 (only
+    // smoothing noise); shifted cur -> PSI far above the 0.25 gate
+    val same = (1 to 200).flatMap(i => Seq((0L, i % 100 * 1.0), (1L, i % 100 * 1.0)))
+      .toDF("grp", "value")
+    val psiSame = Constraints.driftReport(same, "value", col("grp") === 1, 50.0, 9)
+      .collect().head.getDouble(4)
+    assert(math.abs(psiSame) < 0.01, s"identical snapshots drifted: $psiSame")
+    val shifted = ((1 to 200).map(i => (0L, i % 100 * 1.0)) ++
+      (1 to 200).map(i => (1L, 300.0 + i % 100)))
+      .toDF("grp", "value")
+    val psiShift = Constraints.driftReport(shifted, "value", col("grp") === 1, 50.0, 9)
+      .collect().head.getDouble(4)
+    assert(psiShift > 0.25, s"planted shift must cross the action gate: $psiShift")
+    // per-bin contributions sum to the total (integer-scaled, order-free)
+    val rows = Constraints.driftReport(shifted, "value", col("grp") === 1, 50.0, 9).collect()
+    val sum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(sum - rows.head.getDouble(4)) < 1e-5, s"$sum vs ${rows.head.getDouble(4)}")
+  }
 }
