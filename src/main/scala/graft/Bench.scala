@@ -8,11 +8,27 @@ import org.apache.spark.sql.SparkSession
   * Materialization is a `noop`-format write — unlike `.count()`, which lets
   * Catalyst prune sorts/projections out of the plan, noop executes the full
   * physical plan (every shuffle, sort and expression) without sink cost.
+  *
+  * Steady-state methodology (VERDICT r7 task 3): one warm-up pass at a tiny
+  * SF absorbs JIT/codegen, then the pack runs SPARK_GRAFT_REPS (default 2)
+  * timed repetitions and each query reports its MIN — first-execution
+  * compilation and same-JVM GC churn inflated three rounds of in-pack
+  * numbers that hand re-runs kept adjudicating back to the envelope; MIN
+  * over two reps is that envelope, measured instead of argued.
+  *
+  * Output contract (VERDICT r7 task 8): the driver captures only the LAST
+  * ~2000 chars of stdout, so a full 123-entry per-query map (~3.3 KB) gets
+  * head-truncated into unparseable JSON. The FULL result always lands in
+  * `bench_out.json` (and stderr); the final stdout line keeps the same
+  * shape but caps the `queries` map at a byte budget, filling with the
+  * most expensive queries first (the ones worth reading) and reporting
+  * how many cheap ones were elided (`queries_omitted`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     // optional comma-separated query-name filter (dev loop + scale smokes;
     // the driver's full run leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -28,11 +44,9 @@ object Bench {
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // One warm-up pass over a small SF absorbs JIT + codegen cost so the
-    // measured numbers reflect steady-state throughput, as on a warm
-    // cluster. Warm-up failures are logged (not swallowed silently): a
-    // missing warm-up dir would otherwise shift JIT cost into the first
-    // measured queries.
+    // Warm-up at a small SF: same plan structure → codegen cache primed
+    // cheaply. Failures are logged, not swallowed: a missing warm-up dir
+    // would silently shift JIT cost into the first measured queries.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     pack.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -41,34 +55,60 @@ object Bench {
       }
     }
 
-    // Timed loop: a crashed query must NOT masquerade as a fast one — its
-    // error is recorded per query and the whole run exits nonzero.
-    val results = pack.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed loop, `reps` passes, per-query MIN. A crashed query must NOT
+    // masquerade as a fast one — its error is recorded and the run exits
+    // nonzero; a query that failed in ANY rep keeps its error.
+    val names = pack.keys.toSeq.sorted
+    val times = collection.mutable.Map[String, Double]()
+    val errors = collection.mutable.Map[String, String]()
+    for (rep <- 1 to reps; name <- names) {
+      val fn = pack(name)
       val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
-      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times.get(name).fold(dt)(math.min(_, dt))
+      } catch { case e: Throwable =>
+        errors(name) = e.toString.takeWhile(_ != '\n').take(160)
+        times.getOrElseUpdate(name, (System.nanoTime() - t0) / 1e9)
+      }
     }
+    val results = names.map(n => (n, times(n), errors.get(n)))
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Option[String])]) =
+      rs.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout line travels through sbt's [info] prefixing and whatever
-    // else shares the log — one bad line and the signal is gone. Persist
-    // the same JSON to a file as the durable copy (env-overridable path).
+    def render(rs: Seq[(String, Double, Option[String])], omitted: Int) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"reps":$reps,"queries_omitted":$omitted,"queries":${qmap(rs)},"errors":$errs,"sf":"$sfDir"}"""
+
+    // Durable full copy first (env-overridable path), then stderr.
+    val fullJson = render(results, 0)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    System.err.println(fullJson)
+
+    // Final stdout line: greedily keep the most expensive queries until
+    // the rendered line fits the driver's tail window, then restore name
+    // order. Deterministic given the timings; heaviest queries — the ones
+    // a plan audit reads — always survive.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_STDOUT_BUDGET", "1750").toInt
+    val byCost = results.sortBy(-_._2)
+    var keep = byCost.length
+    while (keep > 0 && render(byCost.take(keep).sortBy(_._1), results.size - keep).length > budget)
+      keep -= 1
+    val stdoutJson = render(byCost.take(keep).sortBy(_._1), results.size - keep)
+
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    // printed LAST, after Spark shutdown, so nothing else can push it out
+    // of the tail capture
+    println(stdoutJson)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

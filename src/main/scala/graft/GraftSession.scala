@@ -31,10 +31,9 @@ object GraftSession {
       // ~128 MiB scan splits: big enough to amortize open/footer cost,
       // small enough that a task's working set fits executor memory
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
-      // the events table is parquet TIMESTAMP(NANOS); read as long, the
-      // Tables loader normalizes to microsecond timestamps
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // cross-engine determinism: one wall-clock zone everywhere
+      // (also makes the events loader's TIMESTAMP_NTZ→instant cast
+      // lossless — see Tables.events)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))

@@ -248,14 +248,24 @@ object Dedup {
     * (a~b, b~c ⇒ {a,b,c} one group).
     *
     * Each iteration joins every node's current label against its
-    * neighbors' and keeps the minimum — O(diameter) iterations, each one
-    * shuffle on doc_id. Near-dup graphs are overwhelmingly tiny cliques
-    * (diameter ≤ 2-3), so `maxIter` 5 converges in practice;
-    * convergence is checked, not assumed. Labels and edges are ids only
-    * — nothing wide shuffles. (The classic alternative — collect edges
-    * to the driver for union-find — caps at driver memory; this stays
-    * distributed.) Lineage is cut per round via [[cutLineage]]: reliable
-    * checkpoints when a checkpoint dir is set, local otherwise.
+    * neighbors' and keeps the minimum, then follows the winning label's
+    * OWN label one hop (pointer doubling / path halving, the classic
+    * PRAM shortcut also used by Kiveris et al.'s star algorithms): a
+    * label chain of length d collapses in O(log d) rounds instead of
+    * O(d), so a pathological CHAIN of near-dups — common in boilerplate
+    * corpora where doc i ~ doc i+1 — converges inside the default
+    * `maxIter` (10 rounds cover diameter ≳ 2^9; DedupSpec pins a
+    * 50-node path). Near-dup graphs are overwhelmingly tiny cliques
+    * (diameter ≤ 2-3) where round 2 already fixpoints; convergence is
+    * checked, not assumed. Labels and edges are ids only — nothing wide
+    * shuffles; the shortcut is one extra id↔id self-join per round. The
+    * shortcut preserves the invariant that a node's label is the id of
+    * some node in its component, so the fixpoint argument (all labels
+    * equal the component min) is unchanged. (The classic alternative —
+    * collect edges to the driver for union-find — caps at driver
+    * memory; this stays distributed.) Lineage is cut per round via
+    * [[cutLineage]]: reliable checkpoints when a checkpoint dir is set,
+    * local otherwise.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the edge list ONCE: it is tiny (near-dup pairs, not
@@ -282,9 +292,19 @@ object Dedup {
       // cut is computed by the aggregate below — one Spark job per round
       // where a separate next-vs-labels diff join + limit(1).count()
       // probe cost an extra job and an extra shuffle every iteration
-      val next = cutLineage(labels.join(neighborLabels, "id")
+      val propagated = labels.join(neighborLabels, "id")
         .select(col("id"), col("label").as("prev"),
-          least(col("label"), col("minN")).as("label")), eager = false)
+          least(col("label"), col("minN")).as("label"))
+      // pointer doubling: jump to the label's own (post-propagation)
+      // label. Left join: a component's min node is its own label and
+      // must survive the hop; label values are always member ids, so
+      // the probe side is the same labeling.
+      val ptr = propagated.select(col("id").as("p_id"), col("label").as("p_label"))
+      val next = cutLineage(propagated
+        .join(ptr, col("label") === col("p_id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label")),
+        eager = false)
       val changed = next
         .agg(coalesce(max(col("label") =!= col("prev")), lit(false)).as("c"))
         .head().getBoolean(0)

@@ -442,7 +442,7 @@ object Temporal {
   /** (1−α)^j as decimal literals — the SAME strings go into the Spark
     * expression and the DuckDB oracle, so both engines parse the
     * identical double and the FIR sums agree bit-for-bit. */
-  private[operators] def ewmaWeights(alpha: Double, taps: Int): Seq[String] =
+  private[graft] def ewmaWeights(alpha: Double, taps: Int): Seq[String] =
     (0 until taps).map { j =>
       // Locale.ROOT: a comma decimal separator would corrupt both plans
       val lit = String.format(java.util.Locale.ROOT, "%.17g", math.pow(1 - alpha, j))

@@ -23,10 +23,10 @@ import org.apache.spark.sql.SparkSession
   * orders are hand-tuned and AQE re-plans at runtime); stats serve the
   * ad-hoc SQL surface.
   *
-  * Note: `g_events` exposes the RAW parquet schema, so with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` its `ts` column is
-  * nanosecond longs (the `events` temp view normalizes to µs
-  * timestamps; ANALYZE works either way).
+  * Note: `g_events` exposes the RAW parquet schema, so its `ts` column
+  * carries whatever timestamp flavor the file was written with (the
+  * `events` temp view normalizes to instant µs timestamps; ANALYZE
+  * works either way).
   */
 object Stats {
 

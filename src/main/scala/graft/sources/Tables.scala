@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -45,18 +45,23 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
-    * nanos; normalize to a microsecond TimestampType here (`ts div 1000`)
-    * so every consumer sees a plain timestamp column. DuckDB keeps ns
-    * precision — oracle-compared queries must `date_trunc` coarser than µs
-    * (SURVEY §7.4), which all declared queries do. */
+  /** `events.ts` has shipped in three parquet encodings across driver
+    * regenerations: TIMESTAMP(NANOS) (reads as LongType nanos under the
+    * legacy flag), TIMESTAMP(µs, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ), and plain instant timestamps. Normalize ALL of them
+    * to a session-zone `TimestampType` here so every consumer — batch
+    * plans, streaming twins, JVM row readers — sees one type regardless
+    * of which encoding the current testdata carries. The NTZ→instant cast
+    * is lossless because the session time zone is pinned to UTC
+    * (GraftSession/SparkSpec). DuckDB reads the same file natively —
+    * oracle-compared queries stay µs-consistent across both engines. */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = load(spark, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

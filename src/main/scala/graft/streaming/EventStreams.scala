@@ -16,9 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Schema of the events table as a streaming file source sees it
-    * (micro-second timestamps; the batch reader's nanos normalization in
-    * [[graft.sources.Tables.events]] applies only to the nanos parquet). */
+  /** Normalized schema of the events table: instant (session-zone)
+    * micro-second timestamps, matching what the batch loader
+    * ([[graft.sources.Tables.events]]) hands every consumer. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -27,21 +27,23 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
-
-  /** Stream a directory of event files written with TIMESTAMP(NANOS)
-    * (the driver's `events` table): nanos arrive as a long under
-    * `spark.sql.legacy.parquet.nanosAsLong` — normalize to microsecond
-    * timestamps exactly like the batch loader
-    * ([[graft.sources.Tables.events]]), so stream and batch agree. */
-  def readEventStreamNanos(spark: SparkSession, dir: String): DataFrame = {
-    val nanosSchema = StructType(eventSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    spark.readStream.schema(nanosSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-source stream over a directory of event parquet files,
+    * encoding-adaptive: a streaming source needs its schema up front, so
+    * probe the files with a one-footer batch read and then apply the SAME
+    * normalization as the batch loader (long nanos → µs timestamps,
+    * TIMESTAMP_NTZ → instant cast, already-instant passthrough). Deriving
+    * the on-disk schema instead of hardcoding an encoding means a driver
+    * regeneration that changes the parquet timestamp flavor cannot
+    * silently desynchronize stream and batch — they normalize through one
+    * code path or fail loudly together. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(onDisk).parquet(dir)
+    onDisk("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming twin of Q13: event-time tumbling 1-hour window per

@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("dupClusters converges on a 50-node path within the default maxIter (pointer doubling)") {
+    // boilerplate corpora chain near-dups (doc i ~ doc i+1); plain
+    // min-label propagation needs O(diameter)=49 rounds here and would
+    // blow the default maxIter=10 — the pointer-doubling shortcut covers
+    // the label distance geometrically, so this must converge AND be
+    // correct (one cluster labeled by the min id)
+    val chain = (1L until 50L).map(i => (i, i + 1, 1.0)).toDF("da", "db", "j")
+    val got = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 50 && got.values.forall(_ == 1L),
+      s"path labeling wrong: ${got.toSeq.sortBy(_._1).take(8)}...")
+  }
+
   test("dupClusters fails loudly when maxIter is too small for the graph diameter") {
     // a 12-node path needs ~log(diameter) rounds of min-label hops; with
     // maxIter = 1 the labeling is partial and MUST throw, not return

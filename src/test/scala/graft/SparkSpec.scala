@@ -15,7 +15,6 @@ object SharedSpark {
       // broadcast rule) — tests must see the same planner users do
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

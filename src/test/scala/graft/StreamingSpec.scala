@@ -115,7 +115,7 @@ class StreamingSpec extends SparkSpec {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfTiny/events.parquet"))
     val q = EventStreams.hourlyWindowedAgg(
-      EventStreams.readEventStreamNanos(spark, dir.toString))
+      EventStreams.readEventStream(spark, dir.toString))
       .writeStream.format("memory").queryName("real_events").outputMode("complete").start()
     try {
       q.processAllAvailable()
