@@ -734,6 +734,50 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — public knowledge):
+    * merge two ranked lists by Σ 1/(k + rank), the standard way hybrid
+    * search combines lexical (BM25) and semantic (vector) retrieval
+    * without score calibration — ranks, not scores, fuse, so the two
+    * lists' incomparable scales never meet. Both inputs are already
+    * top-N (bounded); the fusion is a full-outer join on doc id + pure
+    * arithmetic — at 100 TB the heavy work happened upstream in the
+    * rank-limited retrievers, and RRF touches 2·N rows per query.
+    *
+    * Determinism: ranks are exact integers; `1.0/(k + rn)` and the
+    * two-term sum are identical IEEE ops both engines; fused score
+    * rounds 1e-6 and ranks on the ROUNDED value, doc_id tiebreak. */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame,
+              kConst: Int = 60, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = lexical.select(col("doc_id"), col("rn").as("rn_lex"))
+    val b = semantic.select(col("doc_id"), col("rn").as("rn_sem"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kConst) + col("rn_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("rn_sem")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rn_lex"), col("rn_sem"), col("rrf"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** QS8 — hybrid retrieval end to end: BM25 top-20 for {join, vector,
+    * scan} fused with exact cosine top-20 for query vector 0 (the
+    * documents and embeddings tables share an id universe by
+    * construction). The row pins the full lexical + semantic + fusion
+    * composition under one hash. */
+  def qsHybridRrf(spark: SparkSession, d: String): DataFrame = {
+    val lex = graft.operators.TextAnalysis
+      .bm25TopDocs(T.documents(spark, d), Seq("join", "vector", "scan"), topN = 20)
+      .select("doc_id", "rn")
+    val sem = bruteTopK(T.embeddings(spark, d),
+        T.embeddings(spark, d).filter(col("vec_id") === 0), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rn"))
+    rrfFuse(lex, sem)
+  }
+
   /** QS6 — [[hardNegatives]] end to end: top-5 cross-label near-misses
     * for the first five vectors. Oracle = the same label-filtered
     * ranking brute-forced in DuckDB. */
@@ -749,6 +793,7 @@ object Similarity {
     "qs_centroid" -> qsCentroid _,
     "qs_semantic_dedup" -> qsSemanticDedup _,
     "qs_hard_negatives" -> qsHardNegatives _,
+    "qs_hybrid_rrf" -> qsHybridRrf _,
     "qs_pq_recall" -> qsPqRecall _,
     "qs_int8_quant" -> qsInt8Quant _)
 
@@ -792,6 +837,46 @@ object Similarity {
       ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, " +
         "true AS recall_ge_certified " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
+    // both retriever legs mirrored exactly (the qt_bm25 and
+    // qs_cosine_topk shapes), then the same integer-rank 1/(60+rn)
+    // fusion, rounded and ranked identically
+    "qs_hybrid_rrf" ->
+      ("WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, " +
+        "SUM(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf0, " +
+        "SUM(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf1, " +
+        "SUM(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS tf2 " +
+        "FROM tok WHERE token IN ('join', 'vector', 'scan') GROUP BY doc_id), " +
+        "st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs, " +
+        "(SELECT SUM(dl) FROM dl) AS sum_dl, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'join') AS df0, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'vector') AS df1, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'scan') AS df2), " +
+        "sc AS (SELECT doc_id, " +
+        "CASE WHEN tf0 > 0 THEN ln(((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END + " +
+        "CASE WHEN tf1 > 0 THEN ln(((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END + " +
+        "CASE WHEN tf2 > 0 THEN ln(((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END AS score " +
+        "FROM tf JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "lex AS (SELECT doc_id, rn_lex FROM (SELECT doc_id, " +
+        "ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rn_lex FROM sc) " +
+        "WHERE rn_lex <= 20), " +
+        "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "cosd AS (SELECT vec_id AS doc_id, " +
+        "ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM qv CROSS JOIN embeddings), " +
+        "sem AS (SELECT doc_id, rn_sem FROM (SELECT doc_id, " +
+        "ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rn_sem FROM cosd) " +
+        "WHERE rn_sem <= 20), " +
+        "f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rn_lex, rn_sem, " +
+        "ROUND(COALESCE(1.0 / (60 + rn_lex), 0.0) + COALESCE(1.0 / (60 + rn_sem), 0.0), 6) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id), " +
+        "r AS (SELECT doc_id, rn_lex, rn_sem, rrf, " +
+        "ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f) " +
+        "SELECT doc_id, rn_lex, rn_sem, rrf, rank FROM r WHERE rank <= 10 ORDER BY rank"),
     // same self-certification contract for the PQ index layout: the
     // Spark plan measures recall vs the exact top-10, the oracle states
     // the floor every query must clear

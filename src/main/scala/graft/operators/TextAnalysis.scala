@@ -311,6 +311,73 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 retrieval scoring (Robertson et al.'s Okapi BM25 with the
+    * Lucene-default idf `ln(1 + (N − df + 0.5)/(df + 0.5))` — public
+    * knowledge): rank the corpus against a fixed query term set. This is
+    * the RETRIEVAL primitive next to [[qtTfidf]]'s vectorization — what a
+    * RAG/search layer runs per query — and the engine-side shape is the
+    * point: tf via conditional aggregates on the exploded token stream
+    * (terms filtered BEFORE the shuffle, so only matching tokens move),
+    * corpus statistics (N, Σdl, per-term df) reduced to ONE broadcast
+    * row, per-doc score as pure expression math, rank-limited output.
+    * At 100 TB: one token-scan pass + a bins-sized stats row — the
+    * score join never shuffles the corpus.
+    *
+    * Determinism across engines: tf/df/dl/N are exact integers; the
+    * double expression (term order, k1/b literals, ln form) is written
+    * identically in the Spark plan and the oracle SQL, with k1+1
+    * embedded as the literal `2.2` on both sides (computing `1.2 + 1`
+    * at runtime need not be the same double as the literal); terms sum
+    * in fixed written order; final score rounded 1e-6 and RANKED ON THE
+    * ROUNDED VALUE with a doc_id tiebreak. */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = hits.groupBy("doc_id").agg(
+      sum(when(col("token") === terms.head, 1L).otherwise(0L)).as("tf0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf${i + 1}")
+      }: _*)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .crossJoin(hits.select("doc_id", "token").distinct()
+        .agg(dfCols.head, dfCols.tail: _*))
+    val scoreTerms = terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+            ln(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) + 1.0) *
+            ((CAST(tf$i AS DOUBLE) * 2.2) /
+             (CAST(tf$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+          ELSE 0.0 END"""
+    }
+    // TakeOrderedAndProject FIRST (per-partition heaps of topN, driver
+    // merges topN — never a global single-task window over every scored
+    // doc), then row_number ranks only the bounded 20-row tail
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(stats)) // 1 row — always broadcastable
+      .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+      .withColumn("hits", expr(terms.indices.map(i => s"tf$i").mkString(" + ")))
+      .withColumn("bm25", round(expr(scoreTerms.mkString(" + ")), 6))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("doc_id", "hits", "bm25", "rn")
+      .orderBy("rn")
+  }
+
+  /** QT16 — [[bm25TopDocs]] for the 3-term query {join, vector, scan}
+    * (high-df corpus terms: every doc scores, so ranking — not matching
+    * — is what the hash pins), top 20. */
+  def qtBm25(spark: SparkSession, d: String): DataFrame =
+    bm25TopDocs(T.documents(spark, d), Seq("join", "vector", "scan"), topN = 20)
+
   /** QP2 — weighted domain mixture: deterministic hash-sampling at
     * per-domain rates (here: keep all `en`, ~20% of everything else) — how
     * training mixtures are rebalanced without a shuffle or an RNG. The
@@ -750,6 +817,7 @@ object TextAnalysis {
     "qp_assign_ids" -> qpAssignIds _,
     "qt_bigram_surprise" -> qtBigramSurprise _,
     "qt_tfidf" -> qtTfidf _,
+    "qt_bm25" -> qtBm25 _,
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
@@ -814,6 +882,33 @@ object TextAnalysis {
         "FROM bi JOIN c2 USING (bg) " +
         "JOIN c1 ON split_part(bg, ' ', 1) = c1.w1 CROSS JOIN v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same integer stats (tf/df/dl/N), same double expression with k1+1
+    // as the literal 2.2, same fixed term order, ranked on the ROUNDED
+    // score with a doc_id tiebreak
+    "qt_bm25" ->
+      ("WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, " +
+        "SUM(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf0, " +
+        "SUM(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf1, " +
+        "SUM(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS tf2 " +
+        "FROM tok WHERE token IN ('join', 'vector', 'scan') GROUP BY doc_id), " +
+        "st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs, " +
+        "(SELECT SUM(dl) FROM dl) AS sum_dl, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'join') AS df0, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'vector') AS df1, " +
+        "(SELECT COUNT(DISTINCT doc_id) FROM tok WHERE token = 'scan') AS df2), " +
+        "sc AS (SELECT doc_id, tf0 + tf1 + tf2 AS hits, " +
+        "CASE WHEN tf0 > 0 THEN ln(((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END + " +
+        "CASE WHEN tf1 > 0 THEN ln(((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END + " +
+        "CASE WHEN tf2 > 0 THEN ln(((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) ELSE 0.0 END AS score " +
+        "FROM tf JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "ranked AS (SELECT doc_id, CAST(hits AS BIGINT) AS hits, ROUND(score, 6) AS bm25, " +
+        "ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rn FROM sc) " +
+        "SELECT doc_id, hits, bm25, rn FROM ranked WHERE rn <= 20 ORDER BY rn"),
     "qt_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
         "FROM documents), " +

@@ -233,6 +233,28 @@ class SimilaritySpec extends SparkSpec {
       10L -> true, 11L -> false, 20L -> true), s"got $got")
   }
 
+  test("rrfFuse: hand-computed fusion — both-list docs dominate, single-list legs contribute 0") {
+    import spark.implicits._
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rn")
+    val sem = Seq((2L, 1L), (4L, 2L), (1L, 3L)).toDF("doc_id", "rn")
+    val got = Similarity.rrfFuse(lex, sem, kConst = 60, topN = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3), r.getLong(4)))
+    def s(rns: Seq[Long]) = BigDecimal(rns.map(rn => 1.0 / (60 + rn)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: ranks (2,1) -> 1/62+1/61; doc 1: (1,3) -> 1/61+1/63; both
+    // beat any single-list doc; doc 2 > doc 1 exactly
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId == Map(1L -> s(Seq(1, 3)), 2L -> s(Seq(2, 1)),
+      3L -> s(Seq(3)), 4L -> s(Seq(2))), got.toList.toString)
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L), s"fusion order: ${got.toList}")
+    // absent legs surface as nulls, not zeros-as-ranks
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._2.isEmpty && d4._3.contains(2L), d4.toString)
+  }
+
   test("semanticDedup on the real corpus at a high threshold removes ONLY planted clones") {
     val out = Similarity.qsSemanticDedup(spark, sfTiny)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap

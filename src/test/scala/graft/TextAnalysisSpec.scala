@@ -132,6 +132,40 @@ class TextAnalysisSpec extends SparkSpec {
       "equal-score tie must keep the lower doc_id")
   }
 
+  test("bm25TopDocs: hand-computed scores; tf saturation and length normalization rank correctly") {
+    // corpus: 4 docs, query {cat}. df(cat)=3, N=4, dl = 4/4/8/4, avgdl=5
+    val docs = Seq(
+      (1L, "cat sat on mat"),          // tf=1, dl=4
+      (2L, "cat cat cat cat"),         // tf=4, dl=4  — saturated, highest
+      (3L, "cat sat on mat dog dog dog dog"), // tf=1, dl=8 — longer doc, lowest
+      (4L, "dog ran far away"))        // no hit — absent
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25TopDocs(docs, Seq("cat"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = math.log(((4.0 - 3.0 + 0.5) / (3.0 + 0.5)) + 1.0)
+      val s = idf * ((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 5.0))))
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L), s"rank order: ${got.toList}")
+    assert(got.map(t => t._1 -> t._3).toMap ==
+      Map(2L -> bm25(4, 4), 1L -> bm25(1, 4), 3L -> bm25(1, 8)), got.toList.toString)
+    assert(!got.map(_._1).contains(4L), "no-hit doc must be absent")
+  }
+
+  test("bm25TopDocs: multi-term scores sum per term; a rarer term outweighs a common one") {
+    // {a}: df=3 (common); {z}: df=1 (rare). doc 30 has only z, doc 10 only a.
+    val docs = Seq(
+      (10L, "a b c d"), (20L, "a b c z"), (30L, "z z q q"), (40L, "a q q q"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25TopDocs(docs, Seq("a", "z"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 30 (rare term twice) must outrank every single-'a' doc
+    assert(got(30L) > got(10L) && got(30L) > got(40L), got.toString)
+    // doc 20 holds both terms: strictly more than its 'a'-only twin 10
+    assert(got(20L) > got(10L), got.toString)
+  }
+
   test("assignContiguousIds: dense 0..n-1 ids in key order, from shuffled non-contiguous keys") {
     val keys = Seq(907L, 3L, 500L, 42L, 8L, 999L, 1L, 250L)
     val df = keys.map(k => (k, s"p$k")).toDF("k", "payload")
