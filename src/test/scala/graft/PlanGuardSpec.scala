@@ -66,6 +66,33 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("retrieval queries rank-limit via TakeOrdered before any global window") {
+    // bm25/rrf rank a bounded candidate set: the plan must carry
+    // TakeOrderedAndProject (per-partition heaps, driver merge of topN)
+    // with the row_number window applied only to that bounded tail — a
+    // global window over every scored doc would funnel the corpus
+    // through one task at 100 TB
+    for (q <- Seq("qt_bm25", "qs_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost its rank-limit pushdown (global sort instead of top-N heaps):\n$p")
+    }
+  }
+
+  test("qt_bm25 prunes the documents scan and broadcasts its stats row") {
+    val p = plan("qt_bm25")
+    val reads = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("documents")).toSeq
+    assert(reads.nonEmpty, s"qt_bm25: no documents scan found:\n$p")
+    reads.foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source") && !l.contains("n_chars"),
+        s"qt_bm25 reads columns it never uses: $l")
+    }
+    // the (N, Σdl, df) stats row attaches via broadcast — never a shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"qt_bm25 stats row is not broadcast:\n$p")
+  }
+
   test("self-join pipelines reuse the shared exchange at shuffle-join scale") {
     // At test/bench SF the small side broadcasts — there is no shuffle
     // pair to reuse and the build side is computed once anyway. Disabling
