@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -377,6 +377,43 @@ object TextAnalysis {
     * — is what the hash pins), top 20. */
   def qtBm25(spark: SparkSession, d: String): DataFrame =
     bm25TopDocs(T.documents(spark, d), Seq("join", "vector", "scan"), topN = 20)
+
+  /** Sequence-length bucketing with padding-waste accounting — the
+    * dynamic-batching primitive (bucketed batching, as in Tensor2Tensor
+    * /fairseq — public knowledge): batching same-length sequences
+    * together bounds the tokens wasted on padding, and CHOOSING the
+    * bucket edges needs exactly this report — per bucket, how many
+    * docs, how many real tokens, and how many pad tokens the bucket cap
+    * would allocate. One scan, groupBy over ≤ |edges|+1 buckets with
+    * map-side partial aggregation — a bins-sized frame at any corpus
+    * size.
+    *
+    * Buckets are a fixed literal CASE chain over `edges` (doc length in
+    * whitespace tokens ≤ edge), overflow clamped to the last edge —
+    * integer-exact compares both engines, no float log2 binning. Docs
+    * longer than the top edge count their cap at that edge (they would
+    * be truncated to it), so padded ≥ 0 always. */
+  def lengthBuckets(docs: DataFrame, edges: Seq[Int]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"edges must be ascending and distinct: $edges")
+    val len = size(split(col("text"), " ")).cast("long")
+    val cap = edges.init.foldRight(lit(edges.last.toLong): Column) { (e, rest) =>
+      when(len <= e, e.toLong).otherwise(rest)
+    }
+    docs
+      .select(least(len, lit(edges.last.toLong)).as("len"), cap.as("bucket_cap"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("docs"), sum("len").as("tokens"))
+      .withColumn("padded", col("docs") * col("bucket_cap") - col("tokens"))
+      .withColumn("waste",
+        round(col("padded").cast("double") / (col("docs") * col("bucket_cap")), 6))
+      .select("bucket_cap", "docs", "tokens", "padded", "waste")
+      .orderBy("bucket_cap")
+  }
+
+  /** QP8 — [[lengthBuckets]] at the {32, 64, 128, 256} edge ladder. */
+  def qpLengthBuckets(spark: SparkSession, d: String): DataFrame =
+    lengthBuckets(T.documents(spark, d), Seq(32, 64, 128, 256))
 
   /** QP2 — weighted domain mixture: deterministic hash-sampling at
     * per-domain rates (here: keep all `en`, ~20% of everything else) — how
@@ -818,6 +855,7 @@ object TextAnalysis {
     "qt_bigram_surprise" -> qtBigramSurprise _,
     "qt_tfidf" -> qtTfidf _,
     "qt_bm25" -> qtBm25 _,
+    "qp_length_buckets" -> qpLengthBuckets _,
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
     "qp_mixture" -> qpMixture _,
@@ -882,6 +920,19 @@ object TextAnalysis {
         "FROM bi JOIN c2 USING (bg) " +
         "JOIN c1 ON split_part(bg, ' ', 1) = c1.w1 CROSS JOIN v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same fixed literal CASE-chain buckets, same integer-exact sums,
+    // one double division rounded at the end
+    "qp_length_buckets" ->
+      ("WITH l AS (SELECT len(string_split(text, ' ')) AS n FROM documents), " +
+        "b AS (SELECT LEAST(n, 256) AS len, " +
+        "CAST(CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 " +
+        "WHEN n <= 128 THEN 128 ELSE 256 END AS BIGINT) AS bucket_cap FROM l) " +
+        "SELECT bucket_cap, COUNT(*) AS docs, " +
+        "CAST(SUM(len) AS BIGINT) AS tokens, " +
+        "CAST(COUNT(*) * bucket_cap - SUM(len) AS BIGINT) AS padded, " +
+        "ROUND(CAST(COUNT(*) * bucket_cap - SUM(len) AS DOUBLE) / " +
+        "(COUNT(*) * bucket_cap), 6) AS waste " +
+        "FROM b GROUP BY bucket_cap ORDER BY bucket_cap"),
     // same integer stats (tf/df/dl/N), same double expression with k1+1
     // as the literal 2.2, same fixed term order, ranked on the ROUNDED
     // score with a doc_id tiebreak

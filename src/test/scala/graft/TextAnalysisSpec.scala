@@ -132,6 +132,23 @@ class TextAnalysisSpec extends SparkSpec {
       "equal-score tie must keep the lower doc_id")
   }
 
+  test("lengthBuckets: hand-computed caps, padding, and waste; overflow clamps to the top edge") {
+    val docs = Seq(
+      (1L, "a b c"),                                   // len 3  -> cap 4
+      (2L, "a b c d"),                                 // len 4  -> cap 4 (boundary: <=)
+      (3L, "a b c d e"),                               // len 5  -> cap 8
+      (4L, (1 to 8).map(_ => "t").mkString(" ")),      // len 8  -> cap 8
+      (5L, (1 to 20).map(_ => "t").mkString(" ")))     // len 20 -> clamped to cap 8, len counted as 8
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lengthBuckets(docs, Seq(4, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // cap 4: docs 1,2 -> tokens 3+4=7, padded 2*4-7=1, waste 1/8
+    // cap 8: docs 3,4,5 -> tokens 5+8+8=21, padded 3*8-21=3, waste 3/24
+    assert(got.toSeq == Seq(
+      (4L, 2L, 7L, 1L, 0.125),
+      (8L, 3L, 21L, 3L, 0.125)), got.toList.toString)
+  }
+
   test("bm25TopDocs: hand-computed scores; tf saturation and length normalization rank correctly") {
     // corpus: 4 docs, query {cat}. df(cat)=3, N=4, dl = 4/4/8/4, avgdl=5
     val docs = Seq(
