@@ -29,6 +29,8 @@ object FunctionBuilders {
       (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
     ("pq_adc", classOf[PqAdc],
       (c: Seq[Expression]) => PqAdc(c(0), c(1))),
+    ("pq_encode", classOf[PqEncode],
+      (c: Seq[Expression]) => PqEncode(c(0), c(1))),
     ("cosine_lsh_sketch", classOf[CosineLshSketch],
       (c: Seq[Expression]) => CosineLshSketch(c(0),
         intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))),

@@ -61,6 +61,49 @@ object VectorUtil {
     new GenericArrayData(out)
   }
 
+  /** PQ encode: per subspace, the index of the nearest centroid by
+    * squared L2 over the vector's slice — the write-side twin of
+    * [[pqAdc]]. Matches the declarative HOF form bit-for-bit: distances
+    * accumulate in ascending dim order, argmin keeps the FIRST minimum
+    * (`array_position(ds, array_min(ds))` semantics). A vector shorter
+    * than m·subDim returns null (malformed record; caller quarantines).
+    * Runs once per corpus row at index-build time — the
+    * expression-is-the-workload case that justifies a native kernel. */
+  def pqEncode(v: ArrayData, cb: ArrayData, isFloat: Boolean): ArrayData = {
+    val m = cb.numElements()
+    if (m == 0) return null
+    val out = new Array[Int](m)
+    var s = 0
+    var offset = 0
+    while (s < m) {
+      val centroids = cb.getArray(s)
+      val k = centroids.numElements()
+      if (k == 0) return null
+      val subDim = centroids.getArray(0).numElements()
+      if (offset + subDim > v.numElements()) return null
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = centroids.getArray(c)
+        if (cent.numElements() != subDim) return null
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val t = elem(v, offset + i, isFloat) - cent.getDouble(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      offset += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ asymmetric-distance score: Σ_s lut(s)(codes(s)). The inner hot
     * loop of a PQ scan — m lookups + adds per (vector, query). Any
     * malformed record (subspace-count mismatch, code outside the lut)
@@ -148,6 +191,50 @@ case class CosineLshSketch(child: Expression, numTables: Int, numBits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CosineLshSketch =
     copy(child = newChild)
+}
+
+/** `pq_encode(vec array<float|double>, codebooks array<array<array<double>>>)
+  * -> array<int>` — nearest-centroid codes per subspace, the PQ
+  * index-build kernel as a native codegen'd expression. The HOF form
+  * (nested `transform` + `aggregate∘zip_with` + `array_position` over a
+  * re-computed distance list) allocates lambda frames per (subspace,
+  * centroid, dim) and runs interpreted; encoding executes once per
+  * corpus row. Null-out (not crash) on malformed vectors. */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isFloatArr: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires (array<float|double>, array<array<array<double>>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloatArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloatArr
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.VectorUtil.pqEncode($a, $b, $f);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
 }
 
 /** `pq_adc(codes array<int>, lut array<array<double>>) -> double` — the

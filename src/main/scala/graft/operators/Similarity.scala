@@ -406,12 +406,25 @@ object Similarity {
     * codebook literal; no UDF, no join): the compressed representation a
     * PQ index stores. */
   def pqEncode(data: DataFrame, model: PqModel): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    data
+      .withColumn("_cb", codebookLit(model))
+      // native codegen kernel (functions/Vector.scala): the HOF form
+      // (nested transform/aggregate/zip_with) allocates lambda frames
+      // per (subspace, centroid, dim) and runs interpreted — encoding
+      // runs once per corpus row at index build, the same
+      // expression-is-the-workload argument as pq_adc/cosine.
+      // FunctionsSpec pins native ≡ HOF ([[pqEncodeHof]]) bit-for-bit.
+      .withColumn("codes", expr("pq_encode(embedding, _cb)"))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** The declarative HOF encode, kept as the differential oracle for
+    * the native kernel (FunctionsSpec) — semantics frozen here. */
+  private[graft] def pqEncodeHof(data: DataFrame, model: PqModel): DataFrame = {
     val sd = model.subDim
     data
       .withColumn("_cb", codebookLit(model))
-      // distances materialize ONCE per (row, subspace) into _d; argmin
-      // reads them twice (position + min) without recomputing the
-      // 2^nbits × subDim arithmetic
       .withColumn("_d", expr(
         s"""transform(_cb, (cb, s) -> transform(cb, c -> aggregate(
               zip_with(slice(CAST(embedding AS array<double>), s * $sd + 1, $sd), c,

@@ -98,6 +98,34 @@ class FunctionsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(0).isNaN))
   }
 
+  test("pq_encode == the HOF encode bit for bit on the real corpus; codegen; malformed nulls out") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val e = graft.sources.Tables.embeddings(spark, sfTiny).select("vec_id", "embedding")
+    val model = graft.operators.Similarity.trainPq(e, m = 8, nbits = 4)
+    val native = graft.operators.Similarity.pqEncode(e, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = graft.operators.Similarity.pqEncodeHof(e, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.nonEmpty && native == hof,
+      s"native/HOF disagree: ${native.toSeq.diff(hof.toSeq).take(3)}")
+    // stays inside whole-stage codegen
+    val cb = model.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    val rows = (1 to 50).map(i => (i.toLong,
+      Array.fill(64)(i * 0.01f).toSeq)).toDF("id", "v").repartition(2)
+      .withColumn("cb", org.apache.spark.sql.functions.typedlit(cb))
+      .selectExpr("pq_encode(v, cb) AS codes")
+    rows.collect()
+    val p = rows.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("pq_encode")),
+      s"pq_encode fell out of codegen:\n$p")
+    // a vector shorter than m·subDim nulls out instead of crashing
+    val bad = Seq((1L, Seq(0.5f, 0.5f))).toDF("id", "v")
+      .withColumn("cb", org.apache.spark.sql.functions.typedlit(cb))
+      .selectExpr("pq_encode(v, cb) AS codes").collect()
+    assert(bad.head.isNullAt(0), "short vector must encode to null")
+  }
+
   test("unicode_norm: published UAX #15 answers, null-safe, literal-form contract") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
