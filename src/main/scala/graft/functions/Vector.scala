@@ -31,6 +31,40 @@ object VectorUtil {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Rademacher sign matrix for [[lshSketch]], memoized per executor:
+    * the signs are a pure function of (numTables, numBits, dim) — the
+    * same hyperplanes for every vector — so hashing them per ROW
+    * multiplied the sketch cost by the corpus size for no reason
+    * (numTables·numBits·dim XXH64 calls per vector). One flat ±1 array
+    * per geometry, a few KB, computed once per JVM. Values are
+    * IDENTICAL to the previous per-row derivation (same
+    * xxhash64(dim, seed=table·numBits+bit+1) bit), so sketches — and
+    * every LSH bucket ever persisted — are unchanged. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def signs(numTables: Int, numBits: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((numTables, numBits, dim), { key =>
+      val (nt, nb, d0) = key
+      val a = new Array[Double](nt * nb * d0)
+      var t = 0
+      while (t < nt) {
+        var j = 0
+        while (j < nb) {
+          val seed = (t * nb + j + 1).toLong
+          var d = 0
+          while (d < d0) {
+            a((t * nb + j) * d0 + d) =
+              if ((XXH64.hashLong(d.toLong, seed) & 1L) == 1L) 1.0 else -1.0
+            d += 1
+          }
+          j += 1
+        }
+        t += 1
+      }
+      a
+    })
+
   /** Sign-random-projection LSH sketch: `numTables` buckets, each from
     * `numBits` hyperplanes with Rademacher (±1) components derived from
     * xxhash64(dim, seed=table*numBits+bit) — deterministic, no stored
@@ -38,18 +72,18 @@ object VectorUtil {
     * with high probability. */
   def lshSketch(v: ArrayData, isFloat: Boolean, numTables: Int, numBits: Int): ArrayData = {
     val dim = v.numElements()
+    val sgn = signs(numTables, numBits, dim)
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
       var bucket = 0L
       var j = 0
       while (j < numBits) {
-        val seed = (t * numBits + j + 1).toLong
+        val base = (t * numBits + j) * dim
         var dot = 0.0
         var d = 0
         while (d < dim) {
-          val sign = if ((XXH64.hashLong(d.toLong, seed) & 1L) == 1L) 1.0 else -1.0
-          dot += elem(v, d, isFloat) * sign
+          dot += elem(v, d, isFloat) * sgn(base + d)
           d += 1
         }
         if (dot > 0.0) bucket |= (1L << j)
