@@ -480,9 +480,16 @@ object Dedup {
         "i -> concat(substring(x, 1, i), substring(x, i + 2))))))"
     val levels = Iterator.iterate("array(s)")(delOnce).take(k + 1).toSeq
     val neighborhood = s"array_distinct(concat(${levels.mkString(", ")}))"
+    // the variant text itself is never needed downstream — only equality
+    // of variants matters — so the join key is its 8-byte xxhash64, not
+    // the string: roughly half the shuffle bytes on real names. LOSSLESS:
+    // a hash collision can only ADD a candidate pair, and every candidate
+    // passes the exact levenshtein filter below (the same argument that
+    // makes deletion blocking itself a superset).
     val v = df
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), explode(expr(neighborhood)).as("v"))
+      .select(col("id"), col("s"), explode(expr(neighborhood)).as("vs"))
+      .select(col("id"), col("s"), xxhash64(col("vs")).as("v"))
     val candidates = v.toDF("id_a", "s_a", "v")
       .join(v.toDF("id_b", "s_b", "v"), Seq("v"))
       .filter(col("id_a") < col("id_b") &&
