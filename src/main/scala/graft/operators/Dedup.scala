@@ -107,7 +107,10 @@ object Dedup {
       .filter(col("j") >= minJ)
       .select("da", "db", "j")
       .orderBy("da", "db")
-    (out, () => { filtered.unpersist(); () })
+    // blocking: the loan contract is "entry released BEFORE the wrapper
+    // returns" — the default async unpersist leaves a window where the
+    // entry outlives the call (seen as a rare suite flake under load)
+    (out, () => { filtered.unpersist(blocking = true); () })
   }
 
   /** Loan-pattern wrapper over [[ngramJaccardPairsManaged]]: `use` runs
