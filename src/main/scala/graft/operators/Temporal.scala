@@ -454,6 +454,60 @@ object Temporal {
     ewmaSmooth(T.events(spark, d))
       .orderBy("event_id")
 
+  /** Time-series regularization: gap-fill onto an hourly bucket grid +
+    * forward fill — the resample/asfreq primitive (financial bars, IoT
+    * sensor panels, feature-store point-in-time frames all need an
+    * observation per (key, bucket), not per event). Per key: the last
+    * observation of each bucket (by ts, then event_id — deterministic)
+    * lands on a generated [min-bucket, max-bucket] grid, and empty
+    * buckets carry the last prior observation forward
+    * (`last(ignoreNulls)` over an unbounded-preceding frame; the first
+    * grid bucket is always observed, so no leading nulls).
+    *
+    * Scale shape: the grid generates from ONE bounds row per key (never
+    * from the events), so fan-out = span÷bucket per key — guarded by the
+    * [[rangeLookupJoin]] idiom (the `raise_error` rides the sequence
+    * bound itself: a corrupted sentinel timestamp fails loudly instead
+    * of exploding the grid over the whole domain). One (key, bucket)
+    * equi-join + one per-key ordered window — two shuffles total, both
+    * on the key. */
+  def gapFillForwardFill(events: DataFrame, key: String = "user_id",
+                         ts: String = "ts", value: String = "value",
+                         maxBucketsPerKey: Long = 8784L): DataFrame = {
+    val obsW = Window.partitionBy(col(key), col("b"))
+      .orderBy(col(ts).desc, col("event_id").desc)
+    val lastObs = events
+      .withColumn("b", date_trunc("hour", col(ts)))
+      .withColumn("rn", row_number().over(obsW))
+      .filter(col("rn") === 1)
+      .select(col(key), col("b"), col(value).as("obs"))
+    val bounds = lastObs.groupBy(key)
+      .agg(min("b").as("mn"), max("b").as("mx"))
+      .withColumn("loH", expr("unix_timestamp(mn) div 3600"))
+      .withColumn("hiH", expr("unix_timestamp(mx) div 3600"))
+    val span = col("hiH") - col("loH")
+    val guardedGrid = when(span < lit(maxBucketsPerKey), sequence(col("loH"), col("hiH")))
+      .otherwise(raise_error(format_string(
+        s"gapFillForwardFill: key %s spans %s hourly buckets, over " +
+          s"maxBucketsPerKey=$maxBucketsPerKey — coarsen the bucket or raise the cap",
+        col(key), span + lit(1))).cast("array<bigint>"))
+    val fillW = Window.partitionBy(key).orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .select(col(key), explode(guardedGrid).as("h"))
+      .withColumn("w", expr("timestamp_seconds(h * 3600)"))
+      .join(lastObs.withColumnRenamed("b", "w"), Seq(key, "w"), "left")
+      .withColumn("filled", col("obs").isNull)
+      .withColumn("v", round(last(col("obs"), ignoreNulls = true).over(fillW), 6))
+      .select(col(key), col("w"), col("v"), col("filled"))
+  }
+
+  /** QE9 — [[gapFillForwardFill]] over `events` for user_id < 50 (the
+    * hourly panel: ~35k (key, hour) rows at sf0.01, ~75% filled). */
+  def qeGapFill(spark: SparkSession, d: String): DataFrame =
+    gapFillForwardFill(T.events(spark, d).filter(col("user_id") < 50))
+      .orderBy("user_id", "w")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_funnel" -> qeFunnel _,
     "qe_cohort" -> qeCohort _,
@@ -464,7 +518,8 @@ object Temporal {
     "qe_interval_join" -> qeIntervalJoin _,
     "qe_scd2" -> qeScd2 _,
     "qe_anomaly" -> qeAnomaly _,
-    "qe_ewma" -> qeEwma _)
+    "qe_ewma" -> qeEwma _,
+    "qe_gap_fill" -> qeGapFill _)
 
   val oracles: Map[String, String] = Map(
     // same chained per-step min-timestamp tables with strict ts ordering
@@ -534,6 +589,24 @@ object Temporal {
         "ORDER BY event_id"),
     // the identical weight literals, lag terms, and left-to-right sum
     // order as the Spark expression tree — see ewmaWeights
+    // same per-bucket last observation (ROW_NUMBER desc by ts, event_id),
+    // same one-bounds-row-per-key hourly grid, same left join +
+    // last_value IGNORE NULLS forward fill, values rounded identically
+    "qe_gap_fill" ->
+      ("WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS b, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events WHERE user_id < 50), " +
+        "lastobs AS (SELECT user_id, b, value AS obs FROM obs WHERE rn = 1), " +
+        "bounds AS (SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM lastobs GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS w " +
+        "FROM bounds), " +
+        "j AS (SELECT g.user_id, g.w, l.obs, l.obs IS NULL AS filled " +
+        "FROM grid g LEFT JOIN lastobs l ON g.user_id = l.user_id AND g.w = l.b) " +
+        "SELECT user_id, w, " +
+        "ROUND(last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY w " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v, filled " +
+        "FROM j ORDER BY user_id, w"),
     "qe_ewma" -> {
       val ws = ewmaWeights(0.3, 8)
       def lagT(j: Int) = s"LAG(value, $j) OVER w"

@@ -386,6 +386,34 @@ class TemporalSpec extends SparkSpec {
     assert(got(5L) == 5.882353, got(5L).toString)
   }
 
+  test("gapFillForwardFill: in-bucket last wins, gaps fill forward, grid is exactly [min,max]") {
+    val rows = Seq(
+      (1L, 1L, ts("10:00"), 1.0),
+      (2L, 1L, ts("10:30"), 2.0), // same bucket as event 1: later ts wins
+      (3L, 1L, ts("13:15"), 5.0), // 11:00 and 12:00 are gaps
+      (4L, 2L, ts("09:05"), 7.0)) // single-observation key: one-bucket grid
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.gapFillForwardFill(rows).orderBy("user_id", "w").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+    val want = Seq(
+      (1L, ts("10:00"), 2.0, false),
+      (1L, ts("11:00"), 2.0, true),
+      (1L, ts("12:00"), 2.0, true),
+      (1L, ts("13:00"), 5.0, false),
+      (2L, ts("09:00"), 7.0, false))
+    assert(got.toSeq == want, got.mkString("\n"))
+  }
+
+  test("gapFillForwardFill: a key spanning more buckets than the cap fails loudly") {
+    val rows = Seq(
+      (1L, 1L, ts("10:00"), 1.0), (2L, 1L, ts("15:00"), 2.0)) // span 6 buckets
+      .toDF("event_id", "user_id", "ts", "value")
+    val e = intercept[Exception] {
+      Temporal.gapFillForwardFill(rows, maxBucketsPerKey = 3).collect()
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+  }
+
   test("qe_interval_join plans a hash join on the bucket id, never a nested loop") {
     val plan = Temporal.qeIntervalJoin(spark, sfTiny)
       .queryExecution.executedPlan.toString
