@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver tail-captures the last ~2000 chars of `sbt runMain`
+// output and parses the final line as JSON. sbt's default LoggedOutput
+// re-logs the forked JVM's stdout with an "[info] " prefix and appends a
+// "[success] Total time…" line, so the driver never saw a bare JSON line
+// (BENCH_r01–r08 all have parsed:null). StdoutOutput passes the forked
+// process streams through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,11 +55,15 @@ object Bench {
       }
     }
 
-    // Timed loop, `reps` passes, per-query MIN. A crashed query must NOT
-    // masquerade as a fast one — its error is recorded and the run exits
-    // nonzero; a query that failed in ANY rep keeps its error.
+    // Timed loop, `reps` passes, per-query MIN over SUCCESSFUL reps only.
+    // A crashed query must NOT masquerade as a fast one: a crash's elapsed
+    // time never folds into the min (a 0.1 s plan-time failure is not a
+    // completed execution), it is used only as a fallback when NO rep
+    // succeeded. A query that failed in ANY rep keeps its error and the
+    // run exits nonzero.
     val names = pack.keys.toSeq.sorted
-    val times = collection.mutable.Map[String, Double]()
+    val succTimes = collection.mutable.Map[String, Double]()
+    val crashTimes = collection.mutable.Map[String, Double]()
     val errors = collection.mutable.Map[String, String]()
     for (rep <- 1 to reps; name <- names) {
       val fn = pack(name)
@@ -67,13 +71,14 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times.get(name).fold(dt)(math.min(_, dt))
+        succTimes(name) = succTimes.get(name).fold(dt)(math.min(_, dt))
       } catch { case e: Throwable =>
         errors(name) = e.toString.takeWhile(_ != '\n').take(160)
-        times.getOrElseUpdate(name, (System.nanoTime() - t0) / 1e9)
+        crashTimes.getOrElseUpdate(name, (System.nanoTime() - t0) / 1e9)
       }
     }
-    val results = names.map(n => (n, times(n), errors.get(n)))
+    val results = names.map(n =>
+      (n, succTimes.getOrElse(n, crashTimes(n)), errors.get(n)))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def qmap(rs: Seq[(String, Double, Option[String])]) =
