@@ -35,6 +35,12 @@ object GraftSession {
       // (also makes the events loader's TIMESTAMP_NTZ→instant cast
       // lossless — see Tables.events)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep parquet TIMESTAMP(NANOS) readable as LongType nanos: the
+      // driver's events regen has shipped NANOS before (round ≤7), and
+      // without this flag such a file fails at read (PARQUET_TYPE_ILLEGAL)
+      // before Tables.events' LongType normalization branch can run.
+      // Harmless for µs/instant encodings — the flag only affects NANOS.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
       b

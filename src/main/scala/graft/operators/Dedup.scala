@@ -295,9 +295,12 @@ object Dedup {
       // cut is computed by the aggregate below — one Spark job per round
       // where a separate next-vs-labels diff join + limit(1).count()
       // probe cost an extra job and an extra shuffle every iteration
-      val propagated = labels.join(neighborLabels, "id")
+      // materialized (lazy cut) because the pointer-doubling self-join
+      // below consumes it on BOTH sides: without the cut the labels ⋈
+      // neighborLabels propagation join runs twice per round
+      val propagated = cutLineage(labels.join(neighborLabels, "id")
         .select(col("id"), col("label").as("prev"),
-          least(col("label"), col("minN")).as("label"))
+          least(col("label"), col("minN")).as("label")), eager = false)
       // pointer doubling: jump to the label's own (post-propagation)
       // label. Left join: a component's min node is its own label and
       // must survive the hop; label values are always member ids, so

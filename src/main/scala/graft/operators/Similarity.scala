@@ -290,19 +290,35 @@ object Similarity {
     * fits — costs ~10 scheduled Spark jobs per subspace (init + one per
     * iteration); measured 16-19 s for m=16 on this corpus vs < 1 s
     * here, with the job-scheduling overhead, not the math, dominating.
-    * At 100 TB the collect is the SAME few megabytes; only the sample's
-    * source scan scales, and CollectLimit reads just enough partitions.
-    * Deterministic: fixed seed, k-means++ init from a seeded LCG-free
-    * java.util.Random, fixed iteration order.
+    * At 100 TB the collect is the SAME few megabytes.
+    * Deterministic END TO END: when `sampleOrderCol` is present the
+    * sample is the top-`sampleCap` rows by `(xxhash64(id), id)` — a
+    * TakeOrdered (bounded per-partition heap, no full sort) whose result
+    * is a pseudo-random subset INDEPENDENT of file/partition layout, so
+    * codebooks survive testdata regens and repartitions. The hash order
+    * does cost one full pass over the corpus at train time; pass
+    * `sampleOrderCol = None` to fall back to a bare CollectLimit (reads
+    * just enough partitions, but the chosen rows then depend on layout —
+    * determinism only for a fixed set of files). Lloyd itself is seeded
+    * and iteration-ordered, so equal samples give equal codebooks.
     *
     * @param maxIter   Lloyd rounds per subspace; codebooks only need
     *                  reasonable diversity — an exact re-rank tail
     *                  forgives coarse centers.
-    * @param sampleCap max training vectors pulled to the driver. */
+    * @param sampleCap max training vectors pulled to the driver.
+    * @param sampleOrderCol unique id column making the sample
+    *                  layout-stable; ignored if absent from `data`. */
   def trainPq(data: DataFrame, m: Int = 8, nbits: Int = 4,
-              maxIter: Int = 20, sampleCap: Int = 16384): PqModel = {
-    val rows = data.select(col("embedding").cast("array<double>"))
-      .limit(sampleCap).collect()
+              maxIter: Int = 20, sampleCap: Int = 16384,
+              sampleOrderCol: Option[String] = Some("vec_id")): PqModel = {
+    val emb = col("embedding").cast("array<double>").as("emb")
+    val sampled = sampleOrderCol.filter(data.columns.contains) match {
+      case Some(id) =>
+        data.select(emb, col(id).as("_ord"))
+          .orderBy(xxhash64(col("_ord")), col("_ord")).limit(sampleCap)
+      case None => data.select(emb).limit(sampleCap)
+    }
+    val rows = sampled.select("emb").collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "trainPq: empty training sample")
     val dim = rows.head.length

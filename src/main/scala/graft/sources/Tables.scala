@@ -46,8 +46,10 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   /** `events.ts` has shipped in three parquet encodings across driver
-    * regenerations: TIMESTAMP(NANOS) (reads as LongType nanos under the
-    * legacy flag), TIMESTAMP(µs, isAdjustedToUTC=false) (reads as
+    * regenerations: TIMESTAMP(NANOS) (reads as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`, which GraftSession/SparkSpec
+    * set — without it a NANOS file fails at read before this match),
+    * TIMESTAMP(µs, isAdjustedToUTC=false) (reads as
     * TIMESTAMP_NTZ), and plain instant timestamps. Normalize ALL of them
     * to a session-zone `TimestampType` here so every consumer — batch
     * plans, streaming twins, JVM row readers — sees one type regardless

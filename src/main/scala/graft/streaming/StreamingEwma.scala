@@ -23,7 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the key universe unless `stateTtlMs` > 0 (watermark-anchored
   * timeout, the [[StreamingAnomaly]] discipline; needs a watermarked
   * `ts`). In-batch arrivals apply in (ts, event_id) order per key, so
-  * micro-batch boundaries never change which lags a row saw.
+  * micro-batch boundaries never change which lags a row saw — FOR
+  * STREAMS THAT ARE IN ORDER ACROSS BATCHES. The sort is per
+  * micro-batch only: a late row arriving in a LATER batch is smoothed
+  * against the newer values already in the lag buffer and diverges
+  * from the batch operator, which sees the globally sorted series.
+  * True out-of-order parity would need watermark-buffered reordering
+  * (hold rows until the watermark passes, emit in ts order) — a
+  * latency-for-parity trade this operator deliberately does not make.
   */
 object StreamingEwma {
 

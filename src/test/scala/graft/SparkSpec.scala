@@ -16,6 +16,9 @@ object SharedSpark {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror GraftSession: keep a TIMESTAMP(NANOS) events regen readable
+      // so Tables.events' LongType branch stays live (see GraftSession)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
