@@ -378,6 +378,82 @@ object TextAnalysis {
   def qtBm25(spark: SparkSession, d: String): DataFrame =
     bm25TopDocs(T.documents(spark, d), Seq("join", "vector", "scan"), topN = 20)
 
+  /** BM25 against a QUERY TABLE — [[bm25TopDocs]] generalized from a
+    * fixed term list compiled into the plan (one column pair per term —
+    * right for 3 terms, wrong shape for a workload of queries) to an
+    * arbitrary `(query_id, term)` DataFrame: the batch-retrieval shape a
+    * search/RAG layer actually runs, scoring every query in ONE pass
+    * over the corpus.
+    *
+    * Plan shape, scale-first: the token stream is semi-joined against
+    * the (broadcast) distinct term set BEFORE the tf shuffle, so only
+    * tokens some query mentions ever move; per-term df and the
+    * one-row corpus stats reduce once and broadcast; the per-(query,
+    * doc) score is a groupBy over the term-match rows — corpus rows
+    * never fan out by query count, matches do. Top-N per query is a
+    * PARTITIONED window (never a global single-task sort).
+    *
+    * Determinism with a variable term set: per-term contributions sum
+    * in GROUP-BY order, which no engine pins for doubles — so each
+    * term's contribution is quantized to integer MICRO-UNITS
+    * (`round(c·1e6)` as BIGINT) first and the per-(query, doc) score is
+    * an exact integer sum, order-free in both engines; ranking compares
+    * the integer (doc_id tiebreak) and `bm25` is the micro-unit sum
+    * scaled back. Semantics differ from [[bm25TopDocs]] only in that
+    * 1e-6 per-term quantization. Terms absent from the corpus (df = 0)
+    * simply contribute no match rows. */
+  def bm25QueryTable(docs: DataFrame, queryTerms: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queryTerms
+      .select(col("query_id").cast("long"), col("term")).distinct()
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(q.select(col("term").as("token")).distinct()),
+        Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = hits.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // identical literals/shape to bm25TopDocs' per-term CASE, then
+    // micro-unit quantization for the order-free sum
+    val cTerm = expr(
+      """CAST(round((ln(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) + 1.0) *
+           ((CAST(tf AS DOUBLE) * 2.2) /
+            (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))) * 1000000.0, 0) AS BIGINT)""")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("doc_id"))
+    hits
+      .join(broadcast(q.withColumnRenamed("term", "token")), "token")
+      .join(dft, "token")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .withColumn("c_term", cTerm)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("tf").as("hits"), sum("c_term").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topN)
+      .withColumn("bm25", round(col("c").cast("double") / 1000000.0, 6))
+      .select("query_id", "doc_id", "hits", "bm25", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** The (query_id, term) workload qt_bm25_multi runs: query 1 is
+    * qt_bm25's own term set (a built-in cross-check — same ranking must
+    * emerge from the table-driven path), query 3 carries a term absent
+    * from the corpus (df = 0 leg). */
+  val Bm25MultiWorkload: Seq[(Long, String)] = Seq(
+    1L -> "join", 1L -> "vector", 1L -> "scan",
+    2L -> "sort", 2L -> "merge", 2L -> "window",
+    3L -> "filter", 3L -> "column", 3L -> "zzzabsent")
+
+  /** QT17 — [[bm25QueryTable]] over [[Bm25MultiWorkload]], top 10 per
+    * query. */
+  def qtBm25Multi(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    bm25QueryTable(T.documents(spark, d),
+      Bm25MultiWorkload.toDF("query_id", "term"), topN = 10)
+  }
+
   /** Sequence-length bucketing with padding-waste accounting — the
     * dynamic-batching primitive (bucketed batching, as in Tensor2Tensor
     * /fairseq — public knowledge): batching same-length sequences
@@ -855,6 +931,7 @@ object TextAnalysis {
     "qt_bigram_surprise" -> qtBigramSurprise _,
     "qt_tfidf" -> qtTfidf _,
     "qt_bm25" -> qtBm25 _,
+    "qt_bm25_multi" -> qtBm25Multi _,
     "qp_length_buckets" -> qpLengthBuckets _,
     "qt_repetition" -> qtRepetition _,
     "qt_contamination" -> qtContamination _,
@@ -960,6 +1037,29 @@ object TextAnalysis {
         "ranked AS (SELECT doc_id, CAST(hits AS BIGINT) AS hits, ROUND(score, 6) AS bm25, " +
         "ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rn FROM sc) " +
         "SELECT doc_id, hits, bm25, rn FROM ranked WHERE rn <= 20 ORDER BY rn"),
+    "qt_bm25_multi" ->
+      ("WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term " +
+        "FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'scan'), " +
+        "(2, 'sort'), (2, 'merge'), (2, 'window'), " +
+        "(3, 'filter'), (3, 'column'), (3, 'zzzabsent')) AS t(query_id, term)), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+        "st AS (SELECT COUNT(*) AS n_docs, (SELECT SUM(dl) FROM dl) AS sum_dl FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "hits AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok " +
+        "WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, token), " +
+        "dft AS (SELECT token, COUNT(*) AS df FROM hits GROUP BY token), " +
+        "co AS (SELECT q.query_id, h.doc_id, h.tf, " +
+        "CAST(round((ln(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) + 1.0) * " +
+        "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+        "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))) * 1000000.0, 0) AS BIGINT) AS c " +
+        "FROM hits h JOIN q ON h.token = q.term JOIN dft USING (token) " +
+        "JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "sc AS (SELECT query_id, doc_id, SUM(tf) AS hits, SUM(c) AS c FROM co GROUP BY 1, 2), " +
+        "ranked AS (SELECT query_id, doc_id, CAST(hits AS BIGINT) AS hits, " +
+        "ROUND(CAST(c AS DOUBLE) / 1000000.0, 6) AS bm25, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS rn FROM sc) " +
+        "SELECT query_id, doc_id, hits, bm25, rn FROM ranked WHERE rn <= 10 " +
+        "ORDER BY query_id, rn"),
     "qt_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
         "FROM documents), " +

@@ -183,6 +183,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(20L) > got(10L), got.toString)
   }
 
+  test("bm25QueryTable: single-term query reproduces bm25TopDocs exactly (quantization is a no-op for one term)") {
+    val docs = Seq(
+      (1L, "cat sat on mat"),
+      (2L, "cat cat cat cat"),
+      (3L, "cat sat on mat dog dog dog dog"),
+      (4L, "dog ran far away"))
+      .toDF("doc_id", "text")
+    val q = Seq((7L, "cat")).toDF("query_id", "term")
+    val got = graft.operators.TextAnalysis.bm25QueryTable(docs, q, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val ref = graft.operators.TextAnalysis.bm25TopDocs(docs, Seq("cat"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(t => (t._2, t._3, t._4, t._5)).toSeq == ref.toSeq,
+      s"got=${got.toList} ref=${ref.toList}")
+    assert(got.forall(_._1 == 7L))
+  }
+
+  test("bm25QueryTable: queries score independently in one pass; df=0 terms and no-match queries vanish") {
+    val docs = Seq(
+      (10L, "a b c d"), (20L, "a b c z"), (30L, "z z q q"), (40L, "a q q q"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "a"), (1L, "z"), (2L, "z"), (3L, "nope"))
+      .toDF("query_id", "term")
+    val got = graft.operators.TextAnalysis.bm25QueryTable(docs, q, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val byQ = got.groupBy(_._1)
+    // query 2 ({z} only): exactly the z-docs, rare-term doc 30 first
+    assert(byQ(2L).sortBy(_._4).map(_._2).toSeq == Seq(30L, 20L), got.toList.toString)
+    // query 1 ({a,z}): same rank order as the fixed-term path (ties are
+    // far beyond the 1e-6 quantum here), scores within one quantum/term
+    val ref = graft.operators.TextAnalysis.bm25TopDocs(docs, Seq("a", "z"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(byQ(1L).sortBy(_._4).map(_._2).toSeq == ref.sortBy(_._3).map(_._1).toSeq)
+    val refScores = ref.map(t => t._1 -> t._2).toMap
+    byQ(1L).foreach { case (_, d, s, _) =>
+      assert(math.abs(s - refScores(d)) <= 2.1e-6, s"doc $d: $s vs ${refScores(d)}") }
+    // query 3's term hits nothing: the query contributes zero rows
+    assert(!byQ.contains(3L), got.toList.toString)
+  }
+
   test("assignContiguousIds: dense 0..n-1 ids in key order, from shuffled non-contiguous keys") {
     val keys = Seq(907L, 3L, 500L, 42L, 8L, 999L, 1L, 250L)
     val df = keys.map(k => (k, s"p$k")).toDF("k", "payload")
