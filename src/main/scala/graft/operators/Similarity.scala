@@ -435,6 +435,55 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
   }
 
+  /** A servable PQ index: the trained codebooks plus the encoded corpus
+    * — what production actually stores between the (rare) index build
+    * and the (constant) query traffic. [[buildPqIndex]] →
+    * [[savePqIndex]] at build time; [[loadPqIndex]] → [[pqTopK]] with
+    * `codes = Some(index.codes)` at serving time, so neither training
+    * nor encoding reruns per query. */
+  case class PqIndex(model: PqModel, codes: DataFrame)
+
+  /** Train + encode in one pass over the corpus snapshot. */
+  def buildPqIndex(data: DataFrame, m: Int = 8, nbits: Int = 4,
+                   maxIter: Int = 20, sampleCap: Int = 16384): PqIndex = {
+    val model = trainPq(data, m, nbits, maxIter, sampleCap)
+    PqIndex(model, pqEncode(data, model))
+  }
+
+  /** Persist a PQ index as two parquet tables: `codebook` — one row per
+    * (subspace, code) centroid, the whole model in m·2^nbits rows — and
+    * `codes` — m small ints per corpus vector, the compressed corpus.
+    * The codebook is driver-sized (kilobytes) and written as one file;
+    * the codes table keeps its partitioning — at 100 TB it IS the index
+    * and writes distributed like any other table. */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val cb = index.model.codebooks.zipWithIndex.flatMap { case (cbS, s) =>
+      cbS.zipWithIndex.map { case (c, ci) => (s, ci, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "center")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a stored PQ index. The codebook collect is bins-sized by
+    * design (m·2^nbits rows); codes stay a distributed table.
+    * SimilaritySpec pins save→load→serve ≡ the retrained path
+    * bit-for-bit; [[qsPqRecall]] runs the stored path under the
+    * driver's gate. */
+  def loadPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    val rows = spark.read.parquet(s"$dir/codebook")
+      .select("subspace", "code", "center").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"loadPqIndex: empty codebook at $dir/codebook")
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val model = PqModel(m, codebooks.head.head.length, codebooks)
+    PqIndex(model, spark.read.parquet(s"$dir/codes"))
+  }
+
   /** The declarative HOF encode, kept as the differential oracle for
     * the native kernel (FunctionsSpec) — semantics frozen here. */
   private[graft] def pqEncodeHof(data: DataFrame, model: PqModel): DataFrame = {
@@ -460,10 +509,12 @@ object Similarity {
     * degenerates to exact brute force (SimilaritySpec pins it, like
     * IVF's nprobe == nlist). */
   def pqTopK(data: DataFrame, queries: DataFrame, k: Int, model: PqModel,
-             rerank: Int = 4): DataFrame = {
+             rerank: Int = 4, codes: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.ensureRegistered(data.sparkSession)
     val sd = model.subDim
-    val codes = pqEncode(data, model)
+    // stored-index serving: pass the persisted codes table and the scan
+    // side never re-encodes the corpus
+    val codesDf = codes.getOrElse(pqEncode(data, model))
     val qlut = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
       .withColumn("_cb", codebookLit(model))
@@ -475,7 +526,7 @@ object Similarity {
     val candW = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
     // native codegen'd kernel — the HOF form (aggregate ∘ zip_with) runs
     // interpreted per (vector, query); FunctionsSpec pins their equality
-    val cand = codes.crossJoin(broadcast(qlut))
+    val cand = codesDf.crossJoin(broadcast(qlut))
       .withColumn("approx", expr("pq_adc(codes, lut)"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("crn", row_number().over(candW))
@@ -488,24 +539,24 @@ object Similarity {
       .transform(rankTopK(_, k))
   }
 
-  /** IVF-PQ: the composition of [[ivfTopK]] and [[pqTopK]] into the
-    * production index layout (the FAISS `IVFx,PQy` workhorse — public
-    * knowledge). The coarse quantizer routes vectors to cells; PQ
-    * encodes each vector's RESIDUAL against its cell centroid (residuals
-    * cluster far tighter than raw vectors, so the same codebook budget
-    * quantizes them much more accurately); a query probes `nprobe` cells
-    * and ADC-scans only those cells' codes with a per-(query, cell)
-    * lookup table built from the query's own residual. Candidates
-    * re-rank exactly. Storage: m bytes + one cell id per vector;
-    * compute: the probed fraction of the corpus at m lookup-adds per
-    * vector — both knobs independent.
-    *
-    * Same train-once contract as its two parents (pass `quantizer`/`pq`
-    * from a prior fit); deliberately not a declared query. */
-  def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int,
-                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, nbits: Int = 4,
-                quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
-                pq: Option[PqModel] = None, rerank: Int = 4): DataFrame = {
+  /** A servable IVF-PQ index: the coarse-cell centroids, the residual
+    * PQ codebooks, and per vector its (cell, codes) row — everything
+    * the probe/ADC/re-rank serving path needs. The MLlib KMeansModel is
+    * a BUILD-time object only (it assigns corpus vectors to cells);
+    * serving needs just the centroid table, so the stored artifact is
+    * three parquet tables, no MLlib persistence. */
+  case class IvfPqIndex(centroids: Seq[(Int, Seq[Double])], model: PqModel,
+                        codes: DataFrame)
+
+  /** Build the IVF-PQ index: route vectors to coarse cells, PQ-train on
+    * the residual stream, encode. The residual stream is materialized
+    * ONCE (lazy local checkpoint): it has three consumers — the PQ
+    * training sample, the encode scan, and the cell-id join — and each
+    * would otherwise re-execute the MLlib assignment transform
+    * upstream (measured ~2× on the declared recall row). */
+  def buildIvfPqIndex(data: DataFrame, nlist: Int = 16, m: Int = 8, nbits: Int = 4,
+                      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+                      pq: Option[PqModel] = None): IvfPqIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     GraftFunctions.ensureRegistered(data.sparkSession)
     val spark = data.sparkSession
@@ -514,13 +565,9 @@ object Similarity {
     val featured = data.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     val assigned = model.transform(featured).select("vec_id", "embedding", "cl")
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cl", "cv")
-    // residual stream: the "embedding" the PQ layer sees. Materialized
-    // ONCE (lazy local checkpoint): it has three consumers — the PQ
-    // training sample, the encode scan, and the cell-id join — and each
-    // would otherwise re-execute the MLlib assignment transform
-    // upstream (measured ~2× on the declared recall row)
+    val centroidSeq = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centroids = centroidSeq.toDF("cl", "cv")
     val residuals = assigned.join(broadcast(centroids), "cl")
       .select(col("vec_id"), col("cl"),
         zip_with(col("embedding").cast("array<double>"), col("cv"),
@@ -529,6 +576,42 @@ object Similarity {
     val pqm = pq.getOrElse(trainPq(residuals, m, nbits))
     val codes = pqEncode(residuals, pqm)
       .join(residuals.select("vec_id", "cl"), "vec_id")
+    IvfPqIndex(centroidSeq, pqm, codes)
+  }
+
+  /** Persist an IVF-PQ index: `centroids` (nlist rows) + `codebook`
+    * (m·2^nbits rows) — both driver-sized — and the distributed `codes`
+    * table (vec_id, cl, codes). */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cl", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    savePqIndex(PqIndex(index.model, index.codes), dir)
+  }
+
+  /** Load a stored IVF-PQ index; SimilaritySpec pins save→load→serve ≡
+    * the freshly-built path bit-for-bit. */
+  def loadIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cl", "cv").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"loadIvfPqIndex: empty centroids at $dir/centroids")
+    val pqi = loadPqIndex(spark, dir)
+    IvfPqIndex(cents, pqi.model, pqi.codes)
+  }
+
+  /** Serve IVF-PQ queries from a (built or loaded) index: probe, build
+    * per-(query, cell) LUTs over the query residual, ADC-scan ONLY the
+    * probed cells' codes, re-rank exactly against `data`. */
+  def ivfPqServe(data: DataFrame, queries: DataFrame, k: Int, index: IvfPqIndex,
+                 nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(data.sparkSession)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val centroids = index.centroids.toDF("cl", "cv")
+    val pqm = index.model
+    val codes = index.codes
     // probe selection: identical to ivfTopK
     val qv = queries
       .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
@@ -567,6 +650,28 @@ object Similarity {
       .withColumn("cos", round(expr("cosine_similarity(qv2, v)"), 6))
       .transform(rankTopK(_, k))
   }
+
+  /** IVF-PQ: the composition of [[ivfTopK]] and [[pqTopK]] into the
+    * production index layout (the FAISS `IVFx,PQy` workhorse — public
+    * knowledge), as one call: [[buildIvfPqIndex]] then [[ivfPqServe]].
+    * The coarse quantizer routes vectors to cells; PQ encodes each
+    * vector's RESIDUAL against its cell centroid (residuals cluster far
+    * tighter than raw vectors, so the same codebook budget quantizes
+    * them much more accurately); a query probes `nprobe` cells and
+    * ADC-scans only those cells' codes with a per-(query, cell) lookup
+    * table built from the query's own residual; candidates re-rank
+    * exactly. Storage: m bytes + one cell id per vector; compute: the
+    * probed fraction of the corpus at m lookup-adds per vector — both
+    * knobs independent. Same train-once contract as its two parents
+    * (pass `quantizer`/`pq` from a prior fit, or build once and serve
+    * many via the index functions); deliberately not a declared
+    * query. */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, nbits: Int = 4,
+                quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+                pq: Option[PqModel] = None, rerank: Int = 4): DataFrame =
+    ivfPqServe(data, queries, k,
+      buildIvfPqIndex(data, nlist, m, nbits, quantizer, pq), nprobe, rerank)
 
   /** Embedding-cosine near-duplicate pairs: LSH sketch self-join on
     * (table, bucket) generates candidates, exact cosine verifies — the
@@ -756,14 +861,22 @@ object Similarity {
   def qsPqRecall(spark: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(spark, d)
     val q = e.filter(col("vec_id") < 5)
-    val pqm = trainPq(e, m = 16, nbits = 6, maxIter = 8)
+    // the STORED-index lifecycle under the gate: build → persist →
+    // load → serve. Queries run against the loaded artifact (codebook
+    // rows + parquet codes), not the in-memory model, so a store/load
+    // regression — not just a train/encode one — flips the row.
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    savePqIndex(buildPqIndex(e, m = 16, nbits = 6, maxIter = 8), idxDir)
+    val idx = loadPqIndex(spark, idxDir)
     val selfW = Window.partitionBy("qid").orderBy("rn")
     val exact = bruteTopK(e, q, k = 11)
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("rn2", row_number().over(selfW))
       .filter(col("rn2") <= 10)
       .select("qid", "vec_id")
-    val approx = pqTopK(e, q, 10, pqm, rerank = 16).select("qid", "vec_id")
+    val approx = pqTopK(e, q, 10, idx.model, rerank = 16,
+      codes = Some(idx.codes)).select("qid", "vec_id")
     val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("hits"))
     q.select(col("vec_id").as("qid"))
@@ -836,15 +949,22 @@ object Similarity {
   def qsIvfPqRecall(spark: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(spark, d)
     val q = e.filter(col("vec_id") < 5)
+    // stored-index lifecycle under the gate, like [[qsPqRecall]]:
+    // build → persist (centroids + codebook + codes) → load → serve
     val coarse = trainQuantizer(e, nlist = 16, maxIter = 8)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-index-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    saveIvfPqIndex(
+      buildIvfPqIndex(e, nlist = 16, m = 16, nbits = 6, quantizer = Some(coarse)),
+      idxDir)
+    val idx = loadIvfPqIndex(spark, idxDir)
     val selfW = Window.partitionBy("qid").orderBy("rn")
     val exact = bruteTopK(e, q, k = 11)
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("rn2", row_number().over(selfW))
       .filter(col("rn2") <= 10)
       .select("qid", "vec_id")
-    val approx = ivfPqTopK(e, q, 10, nlist = 16, nprobe = 12, m = 16, nbits = 6,
-        quantizer = Some(coarse), rerank = 16)
+    val approx = ivfPqServe(e, q, 10, idx, nprobe = 12, rerank = 16)
       .select("qid", "vec_id")
     val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("hits"))

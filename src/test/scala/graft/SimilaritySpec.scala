@@ -139,6 +139,34 @@ class SimilaritySpec extends SparkSpec {
       s"full-rerank PQ diverged from brute force: missing ${exactNoSelf -- full}")
   }
 
+  test("PQ index save->load->serve is bit-identical to the retrained path") {
+    val e = Tables.embeddings(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
+    val built = Similarity.buildPqIndex(e, m = 8, nbits = 4)
+    Similarity.savePqIndex(built, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    // model round-trips exactly: same shape, bit-equal centroids
+    assert(loaded.model.m == built.model.m && loaded.model.subDim == built.model.subDim)
+    (loaded.model.codebooks zip built.model.codebooks).foreach { case (ls, bs) =>
+      (ls zip bs).foreach { case (lc, bc) => assert(lc.toSeq == bc.toSeq) } }
+    // codes round-trip exactly (parquet ints, nothing lossy)
+    val freshCodes = built.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val storedCodes = loaded.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(storedCodes == freshCodes)
+    // and SERVING from the stored artifact returns the same ranked rows
+    val q = e.filter(col("vec_id") < 3)
+    val retrained = Similarity.pqTopK(e, q, 10, built.model, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = Similarity.pqTopK(e, q, 10, loaded.model, rerank = 4,
+        codes = Some(loaded.codes))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == retrained,
+      s"stored-index serving diverged: ${(served diff retrained).take(3)} vs " +
+        s"${(retrained diff served).take(3)}")
+  }
+
   test("PQ-ADC at rerank=4 recovers most exact neighbors on the worst-case corpus") {
     val e = Tables.embeddings(spark, sfSmall)
     val model = Similarity.trainPq(e, m = 8, nbits = 4)
@@ -150,6 +178,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & pq).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+  }
+
+  test("IVF-PQ index save->load->serve is bit-identical to the freshly-built path") {
+    val e = Tables.embeddings(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-store").toString
+    val built = Similarity.buildIvfPqIndex(e, nlist = 8, m = 8, nbits = 4)
+    Similarity.saveIvfPqIndex(built, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.centroids.map(_._1) == built.centroids.map(_._1))
+    (loaded.centroids zip built.centroids).foreach { case ((_, lc), (_, bc)) =>
+      assert(lc == bc) }
+    (loaded.model.codebooks zip built.model.codebooks).foreach { case (ls, bs) =>
+      (ls zip bs).foreach { case (lc, bc) => assert(lc.toSeq == bc.toSeq) } }
+    val q = e.filter(col("vec_id") < 3)
+    val fresh = Similarity.ivfPqServe(e, q, 10, built, nprobe = 4, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val served = Similarity.ivfPqServe(e, q, 10, loaded, nprobe = 4, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(served == fresh,
+      s"stored IVF-PQ serving diverged: ${(served diff fresh).take(3)} vs " +
+        s"${(fresh diff served).take(3)}")
   }
 
   test("IVF-PQ: probing every cell with full rerank degenerates to exact brute force") {
