@@ -783,12 +783,32 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** QS3 — embedding near-dup pairs at cos ≥ 0.45 (the corpus has no
-    * true near-identical vectors — max pairwise cos ≈ 0.51 — so the
-    * threshold sits where the data has pairs; production dedup would run
-    * ≥ 0.9 where recall is certain with far fewer tables). */
-  def qsEmbedNearDup(spark: SparkSession, d: String): DataFrame =
-    nearDupPairs(T.embeddings(spark, d), minCos = 0.45)
+  /** QS3 — embedding near-dup pairs at the PRODUCTION threshold
+    * (cos ≥ 0.9) over the corpus plus 20 planted near-identical clones
+    * (donor × 1.001 in float — the [[qsSemanticDedup]] planted-truth
+    * pattern): the output is exactly the 20 (donor, clone) pairs, which
+    * DuckDB reproduces by brute force, so the oracle pins LSH recall at
+    * the operating point near-dup dedup actually runs.
+    *
+    * Two scale lessons are baked in, both measured on the 10× corpus:
+    * (1) AUTO geometry, not the fixed 96×6 default — fixed bits mean
+    * bucket occupancy grows linearly in N and the bucket self-join
+    * quadratically (4 s → 146 s, ≈30G candidate rows, before the
+    * switch); (2) a production threshold, not 0.45 — below the corpus's
+    * natural similarity (max pairwise cos ≈ 0.51) the recall formula
+    * demands table counts that hit the 512 clamp (p^bits vanishes) and
+    * the SKETCH pass itself goes super-linear (24× at 10× data even
+    * with auto bits; the [[nearDupPairsAuto]] honesty valve, now kept
+    * out of the declared row's operating point). At cos 0.9 the auto
+    * geometry stays occupancy-constant AND table-cheap at any N. */
+  def qsEmbedNearDup(spark: SparkSession, d: String): DataFrame = {
+    val base = T.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))")
+          .as("embedding"))
+    nearDupPairsAuto(base.unionAll(planted), minCos = 0.9)
+  }
 
   /** QS4 — per-label embedding centroids (the class-mean step behind
     * nearest-centroid classification, IVF coarse training, and embedding
@@ -1106,10 +1126,14 @@ object Similarity {
     // deterministic hashes, so equality locally certifies equality on
     // the driver's identical data
     "qs_embed_neardup" ->
-      ("SELECT a.vec_id AS da, b.vec_id AS db, " +
+      ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 10000000, " +
+        "list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) " +
+        "FROM embeddings WHERE vec_id < 20) " +
+        "SELECT a.vec_id AS da, b.vec_id AS db, " +
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
         "CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +
         "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-        "CAST(b.embedding AS DOUBLE[])), 6) >= 0.45 ORDER BY da, db"))
+        "CAST(b.embedding AS DOUBLE[])), 6) >= 0.9 ORDER BY da, db"))
 }

@@ -58,7 +58,17 @@ object ScaleUp {
     // fan every nation/region join out copies× (corrupted cardinalities)
     copyThrough("region")
     copyThrough("nation")
-    amplify("customer", (df, i) => df.withColumn("c_custkey", shift("c_custkey", i)))
+    // c_name feeds the fuzzy join (edit distance ≤ 1): identical names
+    // across copies would make every original fuzzy PAIR appear copies²
+    // times (measured 22× wall on the declared row — the quadratic
+    // blowup this generator exists to avoid). A 2-char per-copy prefix
+    // (aa, bb, …) keeps within-copy edit structure EXACTLY the
+    // original's and puts every cross-copy pair at distance ≥ 2 — out
+    // of the k=1 (and k=2 deletion-variant) reach.
+    amplify("customer", (df, i) => df
+      .withColumn("c_custkey", shift("c_custkey", i))
+      .withColumn("c_name",
+        concat(lit(('a' + i).toChar.toString * 2), col("c_name"))))
     amplify("supplier", (df, i) => df.withColumn("s_suppkey", shift("s_suppkey", i)))
     amplify("part", (df, i) => df.withColumn("p_partkey", shift("p_partkey", i)))
     amplify("orders", (df, i) => df
