@@ -1,0 +1,726 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Multimodal.VideoRecord
+
+/** REAL inter-frame-format video: an MPEG-1 video elementary stream
+  * codec (ISO/IEC 11172-2), pure JVM — this retires the last stub leg
+  * of the multimodal surface (the old GRFT [[Multimodal.StubCodec]]
+  * remains only as the opaque byte-plumbing fixture of
+  * `qm_binary_stats`, no longer a codec stand-in).
+  *
+  * What is implemented, and the honest boundary of the subset:
+  *  - The full INTRA decode path of the public spec: start-code parse
+  *    (sequence header → GOP → picture → slices), macroblock address
+  *    increment VLC (complete table B.1 + escape/stuffing), macroblock
+  *    type for I-pictures (intra / intra+quant), the complete DC-size
+  *    VLC tables (B.12 luma / B.13 chroma) with per-component DC
+  *    prediction, AC run-level decode over the high-frequency subset of
+  *    table B.5 that our encoder emits PLUS the full 20-bit escape
+  *    range (escape coding is syntactically legal for every run/level,
+  *    so every stream we write is spec-conformant), inverse zigzag,
+  *    intra dequantization with the spec's oddification + saturation
+  *    (§2.4.4.2), and a separable double-precision 8×8 IDCT.
+  *  - The matching I-frame-only encoder (4:2:0, one slice per
+  *    macroblock row, default intra quant matrix).
+  *  - NOT implemented: P/B pictures (motion compensation). A stream
+  *    containing them quarantines loudly (`decode` → None) — the same
+  *    strict posture as every other codec here; an AC code outside the
+  *    implemented table subset likewise answers None rather than
+  *    misparse.
+  *
+  * Correctness anchors (the reason the corpus is built the way it is):
+  * intra DC is quantized with a FIXED step of 8 (spec §2.4.4.1), so a
+  * frame built from flat 16×16 macroblocks survives encode → decode
+  * BIT-EXACT — quantization never rounds (DC of a flat block of value
+  * v is exactly 8v; every AC coefficient is exactly 0). `qm_mpeg1_stats`
+  * rides that: the DuckDB oracle recomputes every decoded plane sum
+  * closed-form from the generator formula without seeing a byte, so a
+  * hash match proves the entire bitstream round trip — header bits, VLC
+  * tables, DC prediction chain, dequant, IDCT — is exact. The AC path
+  * (run-level codes, escapes, oddification, zigzag) is exercised by
+  * `qm_mpeg1_roundtrip` on textured frames, self-certifying the decoded
+  * pixels against the in-plan reference within the quantization error
+  * bound pinned by Mpeg1Spec.
+  *
+  * Scale posture: encode/decode are per-record scan-side byte work in
+  * one `mapPartitions` pass — no shuffle, embarrassingly parallel, the
+  * same shape as [[Multimodal.Y4mCodec]]. At 100 TB the only change
+  * worth making is swapping the double IDCT for the AAN integer one;
+  * the plan shape is already the right one.
+  */
+object Mpeg1 {
+
+  // ── bit I/O ─────────────────────────────────────────────────────────
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(1 << 12)
+    private var acc = 0; private var nAcc = 0
+
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1); nAcc += 1
+        if (nAcc == 8) { buf.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    /** code is a '0'/'1' string (VLC table entry). */
+    def writeCode(code: String): Unit = {
+      var i = 0
+      while (i < code.length) { writeBits(if (code.charAt(i) == '1') 1 else 0, 1); i += 1 }
+    }
+    def byteAlign(): Unit = if (nAcc > 0) writeBits(0, 8 - nAcc)
+    def startCode(code: Int): Unit = {
+      byteAlign(); writeBits(0, 16); writeBits(1, 8); writeBits(code, 8)
+    }
+    def toBytes: Array[Byte] = { byteAlign(); buf.toByteArray }
+  }
+
+  /** Parse failure → quarantine the whole record: decode catches this
+    * (and only this) and answers None. */
+  private final class Bail extends RuntimeException(null, null, false, false)
+  private def bail(): Nothing = throw new Bail
+
+  private final class BitReader(p: Array[Byte]) {
+    var pos = 0 // bit position
+
+    def bitsLeft: Int = p.length * 8 - pos
+    def read(n: Int): Int = {
+      if (n > bitsLeft) bail()
+      var v = 0; var i = 0
+      while (i < n) {
+        v = (v << 1) | ((p(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def peek(n: Int): Int = { val saved = pos; val v = read(n); pos = saved; v }
+    def byteAligned: Boolean = (pos & 7) == 0
+    def byteAlign(): Unit = if (!byteAligned) { if (read(8 - (pos & 7)) != 0) bail() }
+
+    /** True iff the padding bits to the next byte boundary are zero and
+      * a start-code prefix (0x000001) sits at that boundary — the spec's
+      * slice-termination condition for streams without stuffing. */
+    def atStartCode: Boolean = {
+      val pad = (8 - (pos & 7)) & 7
+      if (pad + 24 > bitsLeft) return bitsLeft <= pad // clean EOF also ends the slice loop
+      peek(pad + 24) == 1 // pad zeros + 0x000001
+    }
+    /** Align and consume a 0x000001 prefix, returning the code byte. */
+    def nextStartCode(): Int = {
+      byteAlign()
+      if (read(24) != 1) bail()
+      read(8)
+    }
+    def atEnd: Boolean = {
+      val pad = (8 - (pos & 7)) & 7
+      bitsLeft <= pad && (pad == 0 || peek(bitsLeft) == 0)
+    }
+  }
+
+  // ── tables (public spec) ────────────────────────────────────────────
+
+  /** Zigzag scan order (§2.4.4.1, Figure 2-D.1): zigzag(i) = raster
+    * index of the i-th scanned coefficient. */
+  val Zigzag: Array[Int] = Array(
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Default intra quantizer matrix (§2.4.2.3), raster order. */
+  val IntraQuant: Array[Int] = Array(
+    8, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83)
+
+  /** dct_dc_size_luminance (table B.12): size → code. */
+  private val DcSizeLuma: Array[String] = Array(
+    "100", "00", "01", "101", "110", "1110", "11110", "111110", "1111110")
+  /** dct_dc_size_chrominance (table B.13). */
+  private val DcSizeChroma: Array[String] = Array(
+    "00", "01", "10", "110", "1110", "11110", "111110", "1111110", "11111110")
+
+  /** macroblock_address_increment (table B.1): increment → code. */
+  private val AddrInc: Array[String] = Array("", // 1-based
+    "1", "011", "010", "0011", "0010", "00011", "00010", "0000111",
+    "0000110", "00001011", "00001010", "00001001", "00001000", "00000111",
+    "00000110", "0000010111", "0000010110", "0000010101", "0000010100",
+    "0000010011", "0000010010", "00000100011", "00000100010", "00000100001",
+    "00000100000", "00000011111", "00000011110", "00000011101", "00000011100",
+    "00000011011", "00000011010", "00000011001", "00000011000")
+  private val AddrEscape = "00000001000" // +33, may repeat
+  private val AddrStuffing = "00000001111" // no-op padding
+
+  /** dct_coeff_next (table B.5) — the (run, level) pairs our encoder
+    * emits as VLC (sign bit appended); everything else goes through the
+    * spec's escape coding, which is legal for any pair. Prefix-freeness
+    * of the whole code space (with EOB '10' and escape '000001') is
+    * pinned by Mpeg1Spec. */
+  val AcCodes: Seq[(Int, Int, String)] = Seq(
+    (0, 1, "11"), (1, 1, "011"), (0, 2, "0100"), (2, 1, "0101"),
+    (0, 3, "00101"), (3, 1, "00111"), (4, 1, "00110"),
+    (1, 2, "000110"), (5, 1, "000111"), (6, 1, "000101"), (7, 1, "000100"),
+    (0, 4, "0000110"), (2, 2, "0000100"), (8, 1, "0000111"), (9, 1, "0000101"),
+    (0, 5, "00100110"), (0, 6, "00100001"), (1, 3, "00100101"),
+    (3, 2, "00100100"), (10, 1, "00100111"), (11, 1, "00100011"),
+    (12, 1, "00100010"), (13, 1, "00100000"))
+  private val Eob = "10"
+  private val AcEscape = "000001"
+  private val AcEncode: Map[(Int, Int), String] =
+    AcCodes.map { case (r, l, c) => (r, l) -> c }.toMap
+
+  /** Longest-first VLC decode helper: walk bits, matching against the
+    * table; codes are short (≤ 11 bits here) so the linear walk is fine
+    * for scan-side work. */
+  private final class VlcDecoder[T](entries: Seq[(String, T)]) {
+    private val byCode = entries.toMap
+    private val maxLen = entries.iterator.map(_._1.length).max
+    def decode(r: BitReader): T = {
+      val sb = new java.lang.StringBuilder(maxLen)
+      while (sb.length < maxLen) {
+        sb.append(if (r.read(1) == 1) '1' else '0')
+        byCode.get(sb.toString) match {
+          case Some(t) => return t
+          case None    =>
+        }
+      }
+      bail()
+    }
+  }
+
+  private val DcLumaDec = new VlcDecoder[Int](DcSizeLuma.zipWithIndex.map { case (c, s) => (c, s) })
+  private val DcChromaDec = new VlcDecoder[Int](DcSizeChroma.zipWithIndex.map { case (c, s) => (c, s) })
+  private val AddrDec = new VlcDecoder[Int](
+    (1 to 33).map(i => (AddrInc(i), i)) :+ (AddrEscape, -1) :+ (AddrStuffing, -2))
+  private sealed trait AcSym
+  private case object AcEob extends AcSym
+  private case object AcEsc extends AcSym
+  private final case class AcRunLevel(run: Int, level: Int) extends AcSym
+  private val AcDec = new VlcDecoder[AcSym](
+    AcCodes.map { case (r, l, c) => (c, AcRunLevel(r, l): AcSym) } :+
+      (Eob, AcEob: AcSym) :+ (AcEscape, AcEsc: AcSym))
+
+  // ── DCT ─────────────────────────────────────────────────────────────
+
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) { t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0); u += 1 }
+      x += 1
+    }
+    t
+  }
+  private val C0 = 1.0 / math.sqrt(2.0)
+
+  /** Forward 8×8 DCT, spec normalization: F(0,0) of a flat block of
+    * value v is exactly 8v (up to ~1e-13 float noise, below the DC
+    * quantizer's rounding). */
+  def fdct(block: Array[Int]): Array[Double] = {
+    val tmp = new Array[Double](64) // rows transformed
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += block(y * 8 + x) * CosTab(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s * (if (u == 0) C0 else 1.0)
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * CosTab(yy * 8 + v); yy += 1 }
+        out(v * 8 + u) = 0.25 * s * (if (v == 0) C0 else 1.0)
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse 8×8 DCT → clamped 0..255 samples (intra: no predictor). */
+  def idct(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += (if (u == 0) C0 else 1.0) * coef(v * 8 + u) * CosTab(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += (if (vv == 0) C0 else 1.0) * tmp(vv * 8 + x) * CosTab(y * 8 + vv); vv += 1 }
+        val p = math.round(0.25 * s).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ── codec ───────────────────────────────────────────────────────────
+
+  /** One decoded/source frame: planar 4:2:0, values 0..255.
+    * y is w×h; cb/cr are (w/2)×(h/2). */
+  final case class Frame(y: Array[Int], cb: Array[Int], cr: Array[Int])
+  final case class Decoded(width: Int, height: Int, frames: Seq[Frame])
+
+  object Mpeg1Codec {
+
+    /** Encode an I-frame-only MPEG-1 video elementary stream. Dims must
+      * be multiples of 16 (the spec pads arbitrary dims up to the
+      * macroblock grid; our synthetic corpora generate aligned dims so
+      * the closed-form oracle needs no crop arithmetic). */
+    def encode(w: Int, h: Int, qscale: Int, frames: Seq[Frame]): Array[Byte] = {
+      require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0, s"dims must be multiples of 16: ${w}x$h")
+      require(qscale >= 1 && qscale <= 31, s"quantizer_scale in [1,31]: $qscale")
+      val mbw = w / 16; val mbh = h / 16
+      val bw = new BitWriter
+
+      // sequence_header (§2.4.2.3)
+      bw.startCode(0xB3)
+      bw.writeBits(w, 12); bw.writeBits(h, 12)
+      bw.writeBits(1, 4)       // pel_aspect_ratio: square
+      bw.writeBits(3, 4)       // picture_rate: 25 fps
+      bw.writeBits(0x3FFFF, 18) // bit_rate: variable
+      bw.writeBits(1, 1)       // marker
+      bw.writeBits(0, 10)      // vbv_buffer_size
+      bw.writeBits(0, 1)       // constrained_parameters_flag
+      bw.writeBits(0, 1); bw.writeBits(0, 1) // default quant matrices
+
+      // group_of_pictures header
+      bw.startCode(0xB8)
+      bw.writeBits(0, 1); bw.writeBits(0, 5); bw.writeBits(0, 6) // drop, hours, minutes
+      bw.writeBits(1, 1)                                         // marker
+      bw.writeBits(0, 6); bw.writeBits(0, 6)                     // seconds, pictures
+      bw.writeBits(1, 1); bw.writeBits(0, 1)                     // closed_gop, broken_link
+
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        require(fr.y.length == w * h && fr.cb.length == w * h / 4 && fr.cr.length == w * h / 4,
+          "planar 4:2:0 payload sizes must match the declared dims")
+        bw.startCode(0x00) // picture_start_code
+        bw.writeBits(f & 0x3FF, 10) // temporal_reference
+        bw.writeBits(1, 3)          // picture_coding_type: I
+        bw.writeBits(0xFFFF, 16)    // vbv_delay: variable
+        bw.writeBits(0, 1)          // extra_bit_picture
+
+        var row = 0
+        while (row < mbh) {
+          bw.startCode(row + 1) // slice_start_code: vertical position, 1-based
+          bw.writeBits(qscale, 5)
+          bw.writeBits(0, 1) // extra_bit_slice
+          var predY = 128; var predCb = 128; var predCr = 128
+          var mx = 0
+          while (mx < mbw) {
+            bw.writeCode(AddrInc(1)) // consecutive macroblocks
+            bw.writeCode("1")        // macroblock_type: intra
+            // 4 luma blocks (2×2 raster inside the MB), then Cb, Cr
+            var b = 0
+            while (b < 4) {
+              val ox = mx * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+              val blk = new Array[Int](64)
+              var i = 0
+              while (i < 64) { blk(i) = fr.y((oy + i / 8) * w + ox + i % 8); i += 1 }
+              predY = encodeBlock(bw, blk, qscale, predY, luma = true)
+              b += 1
+            }
+            val cw = w / 2
+            val cblk = new Array[Int](64); val rblk = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              val cy = row * 8 + i / 8; val cx = mx * 8 + i % 8
+              cblk(i) = fr.cb(cy * cw + cx); rblk(i) = fr.cr(cy * cw + cx)
+              i += 1
+            }
+            predCb = encodeBlock(bw, cblk, qscale, predCb, luma = false)
+            predCr = encodeBlock(bw, rblk, qscale, predCr, luma = false)
+            mx += 1
+          }
+          row += 1
+        }
+      }
+      bw.startCode(0xB7) // sequence_end_code
+      bw.toBytes
+    }
+
+    /** DCT → quantize → DC-diff + AC run-level emit. Returns the new DC
+      * predictor (quantized-DC scale, init 128 per slice). */
+    private def encodeBlock(bw: BitWriter, blk: Array[Int], qscale: Int,
+                            pred: Int, luma: Boolean): Int = {
+      val f = fdct(blk)
+      // intra DC: fixed step 8 (§2.4.4.1) — exact for flat blocks
+      val qdc0 = math.round(f(0) / 8.0).toInt
+      val qdc = if (qdc0 < 0) 0 else if (qdc0 > 255) 255 else qdc0
+      val diff = qdc - pred
+      val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bw.writeCode(if (luma) DcSizeLuma(size) else DcSizeChroma(size))
+      if (size > 0) {
+        val bits = if (diff > 0) diff else diff + (1 << size) - 1
+        bw.writeBits(bits, size)
+      }
+      // AC in zigzag order: level = round(8F / (qscale·W)), the inverse
+      // of the decoder's (2·level·qscale·W)/16
+      var run = 0; var zz = 1
+      while (zz < 64) {
+        val w = IntraQuant(Zigzag(zz))
+        val l0 = math.round(8.0 * f(Zigzag(zz)) / (qscale * w)).toInt
+        val level = if (l0 < -255) -255 else if (l0 > 255) 255 else l0
+        if (level == 0) run += 1
+        else {
+          AcEncode.get((run, math.abs(level))) match {
+            case Some(code) =>
+              bw.writeCode(code); bw.writeBits(if (level < 0) 1 else 0, 1)
+            case None =>
+              bw.writeCode(AcEscape); bw.writeBits(run, 6)
+              if (level >= -127 && level <= 127) bw.writeBits(level & 0xFF, 8)
+              else if (level > 0) { bw.writeBits(0, 8); bw.writeBits(level, 8) }
+              else { bw.writeBits(0x80, 8); bw.writeBits(level + 256, 8) }
+          }
+          run = 0
+        }
+        zz += 1
+      }
+      bw.writeCode(Eob)
+      qdc
+    }
+
+    /** Strict decode: any malformed structure — bad start code, a VLC
+      * outside the tables, a P/B picture, coefficients past 63, a
+      * truncated stream — answers None for the whole record. */
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      try { Some(decodeOrBail(payload)) } catch { case _: Bail => None }
+
+    private def decodeOrBail(p: Array[Byte]): Decoded = {
+      val r = new BitReader(p)
+      if (r.nextStartCode() != 0xB3) bail()
+      val w = r.read(12); val h = r.read(12)
+      if (w <= 0 || h <= 0 || w % 16 != 0 || h % 16 != 0 || w > 4096 || h > 4096) bail()
+      r.read(4); r.read(4); r.read(18)
+      if (r.read(1) != 1) bail() // marker
+      r.read(10); r.read(1)
+      if (r.read(1) == 1) { var i = 0; while (i < 64) { r.read(8); i += 1 } } // load intra matrix: skip (defaults used by our encoder)
+      if (r.read(1) == 1) { var i = 0; while (i < 64) { r.read(8); i += 1 } }
+      val mbw = w / 16; val mbh = h / 16
+
+      val frames = Seq.newBuilder[Frame]
+      var code = r.nextStartCode()
+      while (code != 0xB7) {
+        code match {
+          case 0xB8 => // GOP header: parse + discard
+            r.read(25); r.read(1); r.read(1)
+            code = r.nextStartCode()
+          case 0x00 => // picture
+            r.read(10)
+            if (r.read(3) != 1) bail() // intra-only subset: P/B quarantine
+            r.read(16)
+            while (r.read(1) == 1) r.read(8) // extra_information_picture
+            val y = new Array[Int](w * h)
+            val cb = new Array[Int](w * h / 4); val cr = new Array[Int](w * h / 4)
+            var sc = r.nextStartCode()
+            var nextRow = 0 // subset contract: one full slice per MB row, in order
+            // slices of this picture
+            while (sc >= 0x01 && sc <= 0xAF) {
+              val row = sc - 1
+              if (row >= mbh || row != nextRow) bail()
+              nextRow += 1
+              val qscale = r.read(5)
+              if (qscale == 0) bail()
+              while (r.read(1) == 1) r.read(8) // extra_information_slice
+              var q = qscale
+              var predY = 128; var predCb = 128; var predCr = 128
+              var mbAddr = -1 // within the row
+              while (!r.atStartCode) {
+                var inc = 0
+                var cont = true
+                while (cont) {
+                  AddrDec.decode(r) match {
+                    case -2 => // stuffing
+                    case -1 => inc += 33
+                    case n  => inc += n; cont = false
+                  }
+                }
+                if (inc != 1) bail() // skipped MBs are illegal in I-pictures (§2.4.3.4)
+                mbAddr += inc
+                if (mbAddr >= mbw) bail()
+                // macroblock_type (I-picture): 1 = intra, 01 = intra+quant
+                if (r.read(1) == 0) {
+                  if (r.read(1) != 1) bail()
+                  q = r.read(5); if (q == 0) bail()
+                }
+                var b = 0
+                while (b < 4) {
+                  val (blk, np) = decodeBlock(r, q, predY, luma = true)
+                  predY = np
+                  val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+                  var i = 0
+                  while (i < 64) { y((oy + i / 8) * w + ox + i % 8) = blk(i); i += 1 }
+                  b += 1
+                }
+                val cw = w / 2
+                val (cbBlk, ncb) = decodeBlock(r, q, predCb, luma = false); predCb = ncb
+                val (crBlk, ncr) = decodeBlock(r, q, predCr, luma = false); predCr = ncr
+                var i = 0
+                while (i < 64) {
+                  val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
+                  cb(cy * cw + cx) = cbBlk(i); cr(cy * cw + cx) = crBlk(i)
+                  i += 1
+                }
+              }
+              if (mbAddr != mbw - 1) bail() // every row slice covers its full row
+              sc = r.nextStartCode()
+            }
+            if (nextRow != mbh) bail() // no row may be left undecoded (silent zeros)
+            frames += Frame(y, cb, cr)
+            code = sc
+          case _ => bail()
+        }
+      }
+      if (!r.atEnd) bail()
+      val fs = frames.result()
+      if (fs.isEmpty) bail()
+      Decoded(w, h, fs)
+    }
+
+    /** One intra block: DC (predicted, step 8) + AC (run-level, intra
+      * dequant with oddification + saturation, §2.4.4.2) → IDCT. */
+    private def decodeBlock(r: BitReader, qscale: Int, pred: Int,
+                            luma: Boolean): (Array[Int], Int) = {
+      val size = (if (luma) DcLumaDec else DcChromaDec).decode(r)
+      val diff =
+        if (size == 0) 0
+        else {
+          val v = r.read(size)
+          if (v >= (1 << (size - 1))) v else v - (1 << size) + 1
+        }
+      val qdc = pred + diff
+      if (qdc < 0 || qdc > 255) bail()
+      val coef = new Array[Int](64)
+      coef(0) = qdc * 8
+      var zz = 0
+      var done = false
+      while (!done) {
+        AcDec.decode(r) match {
+          case AcEob => done = true
+          case sym =>
+            val (run, level) = sym match {
+              case AcRunLevel(rn, lv) =>
+                (rn, if (r.read(1) == 1) -lv else lv)
+              case AcEsc =>
+                val rn = r.read(6)
+                val b = r.read(8)
+                val lv =
+                  if (b == 0) { val x = r.read(8); if (x < 128) bail(); x }
+                  else if (b == 0x80) { val x = r.read(8); if (x == 0 || x > 128) bail(); x - 256 }
+                  else if (b < 128) b
+                  else b - 256
+                if (lv == 0) bail()
+                (rn, lv)
+              case AcEob => bail() // unreachable
+            }
+            zz += run + 1
+            if (zz > 63) bail()
+            val w = IntraQuant(Zigzag(zz))
+            var rec = (2 * level * qscale * w) / 16 // truncates toward zero
+            if (rec != 0 && (rec & 1) == 0) rec -= Integer.signum(rec)
+            if (rec > 2047) rec = 2047
+            if (rec < -2048) rec = -2048
+            coef(Zigzag(zz)) = rec
+        }
+      }
+      (idct(coef), qdc)
+    }
+  }
+
+  // ── synthetic corpora + declared queries ────────────────────────────
+
+  /** Flat-macroblock generator formulas — shared by the corpus builder,
+    * the in-plan decoder check, and (re-derived) the DuckDB oracle. */
+  private def flatGeom(id: Long): (Int, Int, Int) =
+    (16 * (1 + (id % 3)).toInt, 16 * (1 + (id % 2)).toInt, (1 + id % 3).toInt)
+  private def flatY(id: Long, f: Int, mb: Int): Int = ((id * 7 + f * 13 + mb * 5) % 200 + 16).toInt
+  private def flatCb(id: Long, f: Int, mb: Int): Int = ((id * 3 + f * 11 + mb * 2) % 200 + 20).toInt
+  private def flatCr(id: Long, f: Int, mb: Int): Int = ((id * 5 + f * 3 + mb * 7) % 200 + 25).toInt
+
+  /** Real MPEG-1 clips whose frames are flat 16×16 macroblocks — the
+    * geometry where intra coding is bit-exact (DC-only blocks, fixed
+    * step 8), so plane sums admit a closed-form oracle. */
+  def syntheticMpeg1(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h, nf) = flatGeom(id)
+        val mbw = w / 16; val cw = w / 2
+        val frames = (0 until nf).map { f =>
+          val y = new Array[Int](w * h)
+          val cb = new Array[Int](w * h / 4); val cr = new Array[Int](w * h / 4)
+          var py = 0
+          while (py < h) {
+            var px = 0
+            while (px < w) {
+              val mb = (py / 16) * mbw + px / 16
+              y(py * w + px) = flatY(id, f, mb)
+              px += 1
+            }
+            py += 1
+          }
+          var cy = 0
+          while (cy < h / 2) {
+            var cx = 0
+            while (cx < w / 2) {
+              val mb = (cy / 8) * mbw + cx / 8
+              cb(cy * cw + cx) = flatCb(id, f, mb)
+              cr(cy * cw + cx) = flatCr(id, f, mb)
+              cx += 1
+            }
+            cy += 1
+          }
+          Frame(y, cb, cr)
+        }
+        VideoRecord(id, Mpeg1Codec.encode(w, h, qscale = 4, frames))
+      }
+  }
+
+  /** QM13 — REAL MPEG-1 decode, verified bit-exact per record: encode
+    * flat-macroblock clips as genuine I-frame streams, decode them back
+    * through the full bitstream path, emit per-plane pixel sums. The
+    * oracle recomputes every sum closed-form from the generator formula
+    * without seeing a byte — a hash match proves headers, VLC tables,
+    * the DC prediction chain, dequant and IDCT are all exact. */
+  def qmMpeg1Stats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    syntheticMpeg1(spark, d)
+      .mapPartitions(_.flatMap { r =>
+        Mpeg1Codec.decode(r.payload).map { dec =>
+          var ys = 0L; var cbs = 0L; var crs = 0L
+          dec.frames.foreach { fr =>
+            fr.y.foreach(ys += _); fr.cb.foreach(cbs += _); fr.cr.foreach(crs += _)
+          }
+          (r.media_id, dec.width.toLong, dec.height.toLong, dec.frames.size.toLong, ys, cbs, crs)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_frames", "y_sum", "cb_sum", "cr_sum")
+      .orderBy("media_id")
+  }
+
+  /** Textured generator formulas (per-pixel gradients — every AC path
+    * in the codec lights up: run-level VLCs, escapes, oddification). */
+  private def texGeom(id: Long): (Int, Int, Int) =
+    (16 * (1 + (id % 2)).toInt, 16, (1 + id % 2).toInt)
+  private def texY(id: Long, f: Int, x: Int, y: Int): Int = ((id * 31 + f * 17 + x * 3 + y * 5) % 224 + 16).toInt
+  private def texCb(id: Long, f: Int, x: Int, y: Int): Int = ((id * 13 + f * 7 + x * 5 + y * 3) % 224 + 16).toInt
+  private def texCr(id: Long, f: Int, x: Int, y: Int): Int = ((id * 19 + f * 23 + x * 7 + y * 11) % 224 + 16).toInt
+
+  private def texFrames(id: Long): (Int, Int, Seq[Frame]) = {
+    val (w, h, nf) = texGeom(id)
+    val cw = w / 2
+    val frames = (0 until nf).map { f =>
+      val y = Array.tabulate(w * h)(i => texY(id, f, i % w, i / w))
+      val cb = Array.tabulate(w * h / 4)(i => texCb(id, f, i % cw, i / cw))
+      val cr = Array.tabulate(w * h / 4)(i => texCr(id, f, i % cw, i / cw))
+      Frame(y, cb, cr)
+    }
+    (w, h, frames)
+  }
+
+  /** Lossy-path error bound, pinned by Mpeg1Spec: at qscale 2 the worst
+    * per-pixel reconstruction error of the textured corpus (white-ish
+    * per-pixel detail — the adversarial case for DCT coding). */
+  val TexQscale = 2
+  val TexMaxErr = 24
+
+  /** QM14 — the AC path, SELF-CERTIFYING: textured frames (every block
+    * carries dozens of AC coefficients) encode → decode, and the plan
+    * itself compares the decoded pixels against the regenerated source,
+    * certifying max|err| ≤ [[TexMaxErr]] per record. The oracle
+    * recomputes the geometry closed-form and pins the certifications
+    * TRUE — the same pattern as `qm_avi_stats` (JPEG's lossy DCT there,
+    * MPEG's lossy quantizer here). */
+  def qmMpeg1Roundtrip(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, frames) = texFrames(id)
+        val payload = Mpeg1Codec.encode(w, h, TexQscale, frames)
+        val dec = Mpeg1Codec.decode(payload)
+        val geomOk = dec.exists(d0 => d0.width == w && d0.height == h && d0.frames.size == frames.size)
+        var maxErr = Int.MaxValue
+        if (geomOk) {
+          maxErr = 0
+          dec.get.frames.zip(frames).foreach { case (got, want) =>
+            var i = 0
+            while (i < want.y.length) { maxErr = maxErr max math.abs(got.y(i) - want.y(i)); i += 1 }
+            i = 0
+            while (i < want.cb.length) {
+              maxErr = maxErr max math.abs(got.cb(i) - want.cb(i))
+              maxErr = maxErr max math.abs(got.cr(i) - want.cr(i))
+              i += 1
+            }
+          }
+        }
+        (id, w.toLong, h.toLong, frames.size.toLong, geomOk, maxErr <= TexMaxErr)
+      })
+      .toDF("media_id", "width", "height", "n_frames", "geom_ok", "within_bound")
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm_mpeg1_stats" -> qmMpeg1Stats _,
+    "qm_mpeg1_roundtrip" -> qmMpeg1Roundtrip _)
+
+  val oracles: Map[String, String] = Map(
+    // every decoded plane sum recomputed closed-form: flat 16×16 MBs ⇒
+    // luma contributes 256·v per MB, each chroma plane 64·v per MB
+    // (4:2:0); i enumerates (frame, mb) pairs
+    "qm_mpeg1_stats" ->
+      ("WITH d AS (SELECT doc_id AS media_id, 16*(1 + doc_id % 3) AS width, " +
+        "16*(1 + doc_id % 2) AS height, 1 + doc_id % 3 AS n_frames FROM documents), " +
+        "g AS (SELECT media_id, width, height, n_frames, " +
+        "(width//16)*(height//16) AS mbs FROM d) " +
+        "SELECT media_id, width, height, n_frames, " +
+        "CAST(256 * list_sum(list_transform(range(n_frames*mbs), " +
+        "i -> (media_id*7 + (i//mbs)*13 + (i%mbs)*5) % 200 + 16)) AS BIGINT) AS y_sum, " +
+        "CAST(64 * list_sum(list_transform(range(n_frames*mbs), " +
+        "i -> (media_id*3 + (i//mbs)*11 + (i%mbs)*2) % 200 + 20)) AS BIGINT) AS cb_sum, " +
+        "CAST(64 * list_sum(list_transform(range(n_frames*mbs), " +
+        "i -> (media_id*5 + (i//mbs)*3 + (i%mbs)*7) % 200 + 25)) AS BIGINT) AS cr_sum " +
+        "FROM g ORDER BY media_id"),
+    // geometry closed-form; the lossy-path certifications are computed
+    // in-plan and pinned TRUE here (qm_avi_stats pattern)
+    "qm_mpeg1_roundtrip" ->
+      ("SELECT doc_id AS media_id, 16*(1 + doc_id % 2) AS width, " +
+        "16 AS height, 1 + doc_id % 2 AS n_frames, " +
+        "TRUE AS geom_ok, TRUE AS within_bound " +
+        "FROM documents ORDER BY media_id"))
+}
