@@ -25,6 +25,25 @@ import org.apache.spark.sql.SparkSession
   * how many cheap ones were elided (`queries_omitted`).
   */
 object Bench {
+
+  /** Per-query isolation (round 9): drop every cached block the previous
+    * query left behind — `persist`ed plans via the catalog, plus
+    * RDD-level state (`localCheckpoint` materializes through the same
+    * BlockManager) via the SparkContext registry. Without this, 132
+    * queries × reps accumulate storage until late-pack queries run under
+    * GC/eviction pressure that has nothing to do with their own plans:
+    * at the 10× tier, qd_containment measured 42.5 s in-pack vs 6.4 s
+    * quiet-targeted (3-rep MIN) before this hook, 2.0× scaling after.
+    * Runs BETWEEN queries (outside the timed window), so each query
+    * still pays the full cost of every persist it performs itself. */
+  private def dropCachedState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // Deliberately NO System.gc() here: measured at the 10× tier, a
+    // forced full GC per query cost more than the cleaner backlog it
+    // retired (pack 187 s → 204 s, qd_dup_clusters 11.3 s → 20.5 s).
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -53,6 +72,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
+      dropCachedState(spark)
     }
 
     // Timed loop, `reps` passes, per-query MIN over SUCCESSFUL reps only.
@@ -76,6 +96,7 @@ object Bench {
         errors(name) = e.toString.takeWhile(_ != '\n').take(160)
         crashTimes.getOrElseUpdate(name, (System.nanoTime() - t0) / 1e9)
       }
+      dropCachedState(spark) // outside the timed window
     }
     val results = names.map(n =>
       (n, succTimes.getOrElse(n, crashTimes(n)), errors.get(n)))
