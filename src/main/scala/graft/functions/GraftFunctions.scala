@@ -63,6 +63,16 @@ object FunctionBuilders {
         if (c.length > 1) intLiteral(c(1), "k") else 200).toAggregateExpression()),
     ("kll_quantile", classOf[KllQuantile],
       (c: Seq[Expression]) => KllQuantile(c(0), c(1))),
+    ("cms_agg", classOf[CmsAgg],
+      (c: Seq[Expression]) => CmsAgg(c.head,
+        if (c.length > 1) intLiteral(c(1), "depth") else 6,
+        if (c.length > 2) intLiteral(c(2), "width") else 16384).toAggregateExpression()),
+    ("cms_merge_agg", classOf[CmsMergeAgg],
+      (c: Seq[Expression]) => CmsMergeAgg(c.head).toAggregateExpression()),
+    ("cms_estimate", classOf[CmsEstimate],
+      (c: Seq[Expression]) => CmsEstimate(c(0), c(1))),
+    ("cms_total", classOf[CmsTotal],
+      (c: Seq[Expression]) => CmsTotal(c.head)),
     // Spark's own runtime-filter expressions, surfaced under graft names
     // (Spark registers no public SQL name for them): the STORED-membership
     // pattern — build once, persist, probe later with zero join

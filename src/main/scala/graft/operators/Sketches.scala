@@ -319,7 +319,71 @@ object Sketches {
       .orderBy("year")
   }
 
+  /** Per-split count-min partials over the token stream — the frequency
+    * leg's "stored summary": one pass, three ~770 KB rows, any later
+    * per-token count (any key, not just precomputed heavy hitters) reads
+    * kilobytes. Same deterministic split and tokenization as the theta
+    * leg. */
+  def tokenCmsBySplit(spark: SparkSession, d: String,
+      depth: Int = 6, width: Int = 16384): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, d)
+      .withColumn("bucket", substring(md5(col("text")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", lit("train"))
+          .when(col("bucket") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("split"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("split")
+      .agg(call_function("cms_agg", xxhash64(col("token")),
+        lit(depth), lit(width)).as("sk"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** The raw estimates for the corpus top-k off the MERGED stored
+    * partials; public for CmsSpec's estimate-level assertions. */
+  def cmsTopkRaw(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val merged = tokenCmsBySplit(spark, d)
+      .agg(call_function("cms_merge_agg", col("sk")).as("sk"))
+      .select(col("sk"), call_function("cms_total", col("sk")).as("total"))
+    val exact = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+      .limit(k)
+    // one-row scalar attach (the qk_kll pattern): the sketch + its total
+    // broadcast to the k exact rows
+    exact.crossJoin(broadcast(merged))
+      .select(col("token"), col("exact_count"), col("total"),
+        call_function("cms_estimate", col("sk"), xxhash64(col("token"))).as("est"))
+  }
+
+  /** QK5 — per-key frequency from stored count-min partials,
+    * SELF-CERTIFYING: per-split CMS → merge (elementwise sum — CmsSpec
+    * pins merged ≡ direct BIT equality) → point-query the corpus's exact
+    * top-20 tokens. The row emits the exact counts (oracle-computable)
+    * plus the two halves of the CMS contract as booleans the hash check
+    * pins: estimate ≥ exact (one-sided, structural — collisions only
+    * add) and estimate ≤ exact + 2ε·N with ε = e/width (the 2× headroom
+    * band over the paper's ε·N bound, same discipline as HLL's 5% vs
+    * 1.6%σ; per-token violation odds ≈ (2e)⁻ᵈᵉᵖᵗʰ ≈ 2e-5, and the
+    * hashing is deterministic so the row is stable, not a coin flip). */
+  def qkCmsTopk(spark: SparkSession, d: String): DataFrame = {
+    val width = 16384
+    cmsTopkRaw(spark, d)
+      .select(col("token"), col("exact_count"),
+        (col("est") >= col("exact_count")).as("cms_ge_exact"),
+        (col("est") <= col("exact_count") +
+          ceil(col("total") * lit(2.0 * math.E / width))).as("cms_within_eps"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qk_cms_topk" -> qkCmsTopk _,
     "qk_hll_rollup" -> qkHllRollup _,
     "qk_theta_overlap" -> qkThetaOverlap _,
     "qk_bloom_unseen" -> qkBloomUnseen _,
@@ -332,6 +396,11 @@ object Sketches {
     * SketchesSpec still carries the stronger estimate-level and
     * bit-level claims via the *Raw methods. */
   val oracles: Map[String, String] = Map(
+    "qk_cms_topk" ->
+      ("SELECT token, COUNT(*) AS exact_count, true AS cms_ge_exact, " +
+        "true AS cms_within_eps FROM (SELECT unnest(string_split(text, ' ')) " +
+        "AS token FROM documents) WHERE token <> '' GROUP BY token " +
+        "ORDER BY exact_count DESC, token LIMIT 20"),
     "qk_hll_rollup" ->
       ("SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS year, " +
         "COUNT(DISTINCT o_custkey) AS exact_customers, COUNT(*) AS orders, " +
