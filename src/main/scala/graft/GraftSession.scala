@@ -41,6 +41,19 @@ object GraftSession {
       // before Tables.events' LongType normalization branch can run.
       // Harmless for µs/instant encodings — the flag only affects NANOS.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-running-session hygiene: ContextCleaner is WEAK-REF driven —
+      // broadcast/shuffle/accumulator state is only released after a
+      // driver GC collects the reference, and on a large heap full GCs
+      // can be minutes apart. Hundreds of executions then stack their
+      // broadcast blocks in block-manager storage and tax every later
+      // query with eviction/GC pressure (measured on the 64× tier:
+      // qd_containment 48 s mid-pack vs 19 s isolated; with this
+      // interval 25 s — see PERF.md round 9). The default is 30 min,
+      // longer than an entire bench pack; 2 min bounds the backlog at a
+      // cost of one periodic driver GC — unlike a per-query System.gc(),
+      // which was measured and rejected (264 full GCs cost more than the
+      // backlog they retire).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
     if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
       b
