@@ -1003,6 +1003,80 @@ object Similarity {
     hardNegatives(e, e.filter(col("vec_id") < 5), k = 5)
   }
 
+  /** Maximal-marginal-relevance re-rank — the diversity stage of the
+    * retrieval stack (Carbonell & Goldstein, SIGIR 1998): after a top-N
+    * candidate fetch, greedily select k documents maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, so each pick trades
+    * relevance against redundancy with what is already selected. The
+    * missing third stage next to [[qsHybridRrf]]'s fusion: BM25/ANN
+    * fetch → RRF fuse → MMR diversify is the canonical serving pipeline.
+    *
+    * Scale shape: the expensive part is the candidate FETCH, which is
+    * [[bruteTopK]]/[[annTopK]]/[[ivfPqServe]] — this stage only ever
+    * touches the bounded top-N set per query, so the pairwise-similarity
+    * join and the selection rounds are per-qid joins/windows over ≤N rows
+    * each. The greedy loop is unrolled to a FIXED k at plan time (no
+    * data-dependent iteration), and the candidate set + pairwise sims are
+    * materialized once (`localCheckpoint`, the in-file discipline) so no
+    * round replays the corpus scan. Determinism: every score is computed
+    * from 6-rounded doubles with λ = 0.75 (1−λ = 0.25, both exact in
+    * binary) and ranked with a vec_id tiebreak — the oracle mirrors the
+    * unroll with the identical arithmetic, CTE by CTE.
+    *
+    * @param cands bounded candidates: (qid, vec_id, rel, v) where `rel`
+    *              is the 6-rounded relevance and `v` the vector
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double = 0.75): DataFrame = {
+    GraftFunctions.ensureRegistered(cands.sparkSession)
+    val base = cands.select("qid", "vec_id", "rel", "v").localCheckpoint(false)
+    // all candidate pairs per query: bounded N² per qid, partitioned by qid
+    val sims = base.select(col("qid"), col("vec_id").as("a"), col("v").as("va"))
+      .join(base.select(col("qid"), col("vec_id").as("b"), col("v").as("vb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", round(expr("cosine_similarity(va, vb)"), 6))
+      .select("qid", "a", "b", "sim")
+      .localCheckpoint(false)
+    val slim = base.select("qid", "vec_id", "rel")
+    val w = Window.partitionBy("qid").orderBy(col("mmr_score").desc, col("vec_id"))
+    def argmax(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(step.toLong).as("mmr_rank"),
+          col("rel"), col("mmr_score"))
+    // step 1: empty selected set ⇒ max-sim term is 0 — pure relevance
+    var selected = argmax(
+      slim.withColumn("mmr_score", round(lit(lambda) * col("rel"), 6)), 1)
+    for (step <- 2 to k) {
+      val rest = slim.join(selected.select("qid", "vec_id"),
+        Seq("qid", "vec_id"), "left_anti")
+      // redundancy of each remaining candidate vs the selected set
+      val maxSim = sims
+        .join(selected.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy("qid", "a").agg(max("sim").as("max_sim"))
+        .withColumnRenamed("a", "vec_id")
+      val scored = rest.join(maxSim, Seq("qid", "vec_id"), "left")
+        .withColumn("mmr_score", round(
+          lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("max_sim"), lit(0.0)), 6))
+      selected = selected.unionByName(
+        argmax(scored.select("qid", "vec_id", "rel", "mmr_score"), step))
+    }
+    selected.orderBy("qid", "mmr_rank")
+  }
+
+  /** QS12 — [[mmrRerank]] end to end: exact top-20 cosine candidates for
+    * the first three query vectors, diversified down to 5 picks at
+    * λ = 0.75. Oracle = the same fetch + the same greedy selection
+    * unrolled as chained CTEs. */
+  def qsMmrRerank(spark: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(spark, d)
+    val top = bruteTopK(e, e.filter(col("vec_id") < 3), k = 20)
+    // carry vectors into the bounded candidate set (broadcast: ≤60 rows)
+    val cands = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(top), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos").as("rel"), col("v"))
+    mmrRerank(cands, k = 5, lambda = 0.75)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_cosine_topk" -> qsCosineTopK _,
     "qs_ann_lsh" -> qsAnnLsh _,
@@ -1013,9 +1087,54 @@ object Similarity {
     "qs_hybrid_rrf" -> qsHybridRrf _,
     "qs_pq_recall" -> qsPqRecall _,
     "qs_ivfpq_recall" -> qsIvfPqRecall _,
-    "qs_int8_quant" -> qsInt8Quant _)
+    "qs_int8_quant" -> qsInt8Quant _,
+    "qs_mmr_rerank" -> qsMmrRerank _)
+
+  /** The [[qsMmrRerank]] oracle: the same candidate fetch, then the same
+    * greedy selection UNROLLED as one accumulated CTE per step (a1..a5) —
+    * no recursion, identical 6-rounded arithmetic (λ = 0.75 and 0.25 are
+    * exact doubles in both engines), identical (score DESC, vec_id)
+    * tiebreak. Built by a loop so the per-step SQL cannot drift between
+    * steps. */
+  private lazy val mmrOracleSql: String = {
+    val head =
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3), " +
+        "sc AS (SELECT qid, vec_id, " +
+        "ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS rel " +
+        "FROM q CROSS JOIN embeddings), " +
+        "cand AS (SELECT qid, vec_id, rel FROM (SELECT qid, vec_id, rel, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM sc) " +
+        "WHERE rn <= 20), " +
+        "pv AS (SELECT c.qid, c.vec_id, e.embedding AS v " +
+        "FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id), " +
+        "sim AS (SELECT a.qid, a.vec_id AS a, b.vec_id AS b, " +
+        "ROUND(list_cosine_similarity(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])), 6) AS sim " +
+        "FROM pv a JOIN pv b ON a.qid = b.qid AND a.vec_id <> b.vec_id), " +
+        "p1 AS (SELECT qid, vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel, mmr_score " +
+        "FROM (SELECT qid, vec_id, rel, ROUND(0.75 * rel, 6) AS mmr_score, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(0.75 * rel, 6) DESC, vec_id) AS rn " +
+        "FROM cand) WHERE rn = 1), " +
+        "a1 AS (SELECT * FROM p1)"
+    val steps = (2 to 5).map { i =>
+      val prev = s"a${i - 1}"
+      s", p$i AS (SELECT qid, vec_id, CAST($i AS BIGINT) AS mmr_rank, rel, mmr_score " +
+        s"FROM (SELECT c.qid, c.vec_id, c.rel, " +
+        s"ROUND(0.75 * c.rel - 0.25 * ms.m, 6) AS mmr_score, " +
+        s"ROW_NUMBER() OVER (PARTITION BY c.qid " +
+        s"ORDER BY ROUND(0.75 * c.rel - 0.25 * ms.m, 6) DESC, c.vec_id) AS rn " +
+        s"FROM cand c JOIN (SELECT s.qid, s.a, MAX(s.sim) AS m FROM sim s " +
+        s"JOIN $prev ON s.qid = $prev.qid AND s.b = $prev.vec_id " +
+        s"GROUP BY s.qid, s.a) ms ON c.qid = ms.qid AND c.vec_id = ms.a " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev " +
+        s"WHERE $prev.qid = c.qid AND $prev.vec_id = c.vec_id)) WHERE rn = 1), " +
+        s"a$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)"
+    }.mkString
+    head + steps +
+      " SELECT qid, vec_id, mmr_rank, rel, mmr_score FROM a5 ORDER BY qid, mmr_rank"
+  }
 
   val oracles: Map[String, String] = Map(
+    "qs_mmr_rerank" -> mmrOracleSql,
     // the removed set is exactly the planted clones: a clone and its
     // donor are identical vectors (cos 1.0 > 0.95; co-clustered under
     // any model), and no natural pair reaches the threshold (max ≈

@@ -304,6 +304,42 @@ class SimilaritySpec extends SparkSpec {
     assert(d4._2.isEmpty && d4._3.contains(2L), d4.toString)
   }
 
+  test("mmrRerank: a diverse 0.95-rel doc beats a 0.97-rel near-duplicate at λ=0.75") {
+    import spark.implicits._
+    // all unit vectors; d2 is a near-clone of d1 (sim ≈ 0.998977), d3 is
+    // diverse (sim to d1 = 0.931). Pure relevance ranks 1, 2, 3; MMR's
+    // redundancy penalty flips it: step-2 scores are
+    //   d2: 0.75·0.97 − 0.25·0.998977 ≈ 0.477756
+    //   d3: 0.75·0.95 − 0.25·0.931    = 0.479750  → d3 wins by 0.002
+    val cands = Seq(
+      (7L, 1L, 0.98, Seq(0.98f, 0.19899748f, 0f, 0f)),
+      (7L, 2L, 0.97, Seq(0.97f, 0.24310492f, 0f, 0f)),
+      (7L, 3L, 0.95, Seq(0.95f, 0f, 0.31224990f, 0f)))
+      .toDF("qid", "vec_id", "rel", "v")
+    val got = Similarity.mmrRerank(cands, k = 3, lambda = 0.75)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)),
+      s"MMR selection order: ${got.toList}")
+    val score = got.map(t => t._1 -> t._3).toMap
+    assert(math.abs(score(1L) - 0.735) < 1e-4, score.toString)    // 0.75·0.98
+    assert(math.abs(score(3L) - 0.47975) < 1e-4, score.toString)
+    assert(math.abs(score(2L) - 0.477756) < 1e-4, score.toString) // vs {d1,d3}: max-sim is still d1
+  }
+
+  test("qsMmrRerank on the real corpus: self first, k picks per query, no repeats") {
+    val rows = Similarity.qsMmrRerank(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L), byQ.keySet.toString)
+    byQ.foreach { case (qid, picks) =>
+      assert(picks.length == 5, s"qid $qid: ${picks.length} picks")
+      assert(picks.map(_._2).distinct.length == 5, s"qid $qid repeats a doc")
+      // the query vector is in the corpus, so pick 1 is self at rel 1.0
+      val first = picks.minBy(_._3)
+      assert(first._2 == qid && first._4 == 1.0, s"qid $qid first pick: $first")
+    }
+  }
+
   test("semanticDedup on the real corpus at a high threshold removes ONLY planted clones") {
     val out = Similarity.qsSemanticDedup(spark, sfTiny)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
