@@ -213,12 +213,90 @@ object Graph {
         .select(col("o_custkey").as("src"),
           ((col("o_orderkey") * 7) % 1500 + 1).as("dst")))
 
+  /** Bounded multi-source BFS: minimum hop distance from a source set,
+    * out to `maxHops` — the traversal primitive the family lacked next
+    * to scoring ([[pageRank]]) and structure ([[triangleStats]]):
+    * reachability/influence-radius queries ("everything within 3 clicks
+    * of the seed pages") are the crawl-frontier and
+    * contamination-neighborhood shape of corpus curation.
+    *
+    * Scale shape — frontier expansion, the textbook distributed BFS:
+    * each hop joins ONLY the current frontier against the edge list
+    * (partitioned on the join key, frontier is the small side early on)
+    * and anti-joins the reached set to drop revisits, so a node enters
+    * the result exactly once at its MINIMUM distance (level-synchronous
+    * BFS invariant — no per-node min aggregation needed). The loop is
+    * bounded by `maxHops` at plan time; per-hop lineage is cut
+    * ([[Dedup.cutLineage]], the pageRank/dupClusters discipline). At
+    * 100 TB the growing anti-join build side is the cost center — the
+    * refinement is a bloom filter over reached ids probed map-side
+    * (the [[Ingest]] two-tier pattern), trading exactness of the DROP
+    * (false positives re-dropped exactly here) for a shuffle-free
+    * revisit check; hop count stays small in practice (small-world
+    * graphs saturate in ≤ 6). */
+  def kHopDistances(edges: DataFrame, sources: DataFrame,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    // BFS is over the simple directed graph: multi-edges collapse
+    val e = Dedup.cutLineage(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).distinct(),
+      eager = true)
+    var reached = Dedup.cutLineage(
+      sources.select(col("node").cast("long")).distinct()
+        .withColumn("dist", lit(0L)), eager = true)
+    var frontier = reached
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("node").as("src"))
+        .join(e, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      frontier = Dedup.cutLineage(next, eager = true)
+      reached = Dedup.cutLineage(reached.unionByName(frontier), eager = false)
+    }
+    reached.orderBy("node")
+  }
+
+  /** QG4 — [[kHopDistances]] over the same synthetic link graph, seeded
+    * at every graph node ≡ 1 (mod 100), 4 hops. All-integer output —
+    * the oracle unrolls the same four frontier steps as chained CTEs. */
+  def qgKhop(spark: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(spark, d)
+      .select(col("o_custkey").as("src"),
+        ((col("o_orderkey") * 7) % 1500 + 1).as("dst"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    kHopDistances(edges, nodes.filter(col("node") % 100 === 1), maxHops = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg_pagerank" -> qgPageRank _,
     "qg_triangles" -> qgTriangles _,
-    "qg_clustering" -> qgClustering _)
+    "qg_clustering" -> qgClustering _,
+    "qg_khop" -> qgKhop _)
 
   val oracles: Map[String, String] = Map(
+    // the same four frontier steps unrolled: d_h = new nodes at hop h,
+    // r_h = everything reached so far; level-synchronous BFS gives the
+    // min distance by construction — all-integer, no float concerns
+    "qg_khop" -> {
+      def hop(h: Int) =
+        s"d$h AS (SELECT DISTINCT e.dst AS node, CAST($h AS BIGINT) AS dist " +
+          s"FROM e JOIN d${h - 1} ON e.src = d${h - 1}.node " +
+          s"WHERE e.dst NOT IN (SELECT node FROM r${h - 1})), " +
+          s"r$h AS (SELECT * FROM r${h - 1} UNION ALL SELECT * FROM d$h), "
+      "WITH raw AS (SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst FROM orders), " +
+        "e AS (SELECT DISTINCT src, dst FROM raw), " +
+        "nodes AS (SELECT DISTINCT node FROM " +
+        "(SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw)), " +
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 100 = 1), " +
+        "r0 AS (SELECT * FROM d0), " +
+        hop(1) + hop(2) + hop(3) +
+        "d4 AS (SELECT DISTINCT e.dst AS node, CAST(4 AS BIGINT) AS dist " +
+        "FROM e JOIN d3 ON e.src = d3.node " +
+        "WHERE e.dst NOT IN (SELECT node FROM r3)) " +
+        "SELECT * FROM (SELECT * FROM r3 UNION ALL SELECT * FROM d4) ORDER BY node"
+    },
     // naive a<b<c triangle enumeration, corners unnested, counted per
     // node, joined to the degree table — same exclusion of deg < 2
     "qg_clustering" ->

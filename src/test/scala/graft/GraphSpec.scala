@@ -101,4 +101,25 @@ class GraphSpec extends SparkSpec {
       1L -> (3L, 1L, 0.333333), 2L -> (2L, 1L, 1.0), 3L -> (2L, 1L, 1.0)),
       got.toString)
   }
+
+  test("kHopDistances: min distance wins, horizon truncates, multi-source floods independently") {
+    import spark.implicits._
+    // path 1→2→3→4→5→6 plus a shortcut 1→4: node 4 is dist 1 (the
+    // shortcut, not the 3-hop path), 5 is 2, 6 is 3; a second source 10
+    // with 10→11 floods its own component; 20→1 points INTO the source
+    // (1 stays dist 0, 20 is never reached — edges are directed)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L),
+      (1L, 2L), // duplicate edge: collapsed
+      (10L, 11L), (20L, 1L)).toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("node")
+    val got = Graph.kHopDistances(edges, sources, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L,
+      10L -> 0L, 11L -> 1L), got.toString)
+    // widening the horizon reaches 6 (1→4→5→6) but still never 20
+    val far = Graph.kHopDistances(edges, sources, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(6L) == 3L && !far.contains(20L), far.toString)
+  }
 }
