@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -173,12 +174,106 @@ object Constraints {
     driftReport(T.events(spark, d), "value", col("event_id") % 2 === 1,
       binWidth = 50.0, maxBin = 9)
 
+  /** Poisson(1) inverse-CDF cutoffs as 8-hex-char md5-prefix literals:
+    * a row's bootstrap weight in replicate r is k iff
+    * substring(md5(seed:r:id), 1, 8) < cutoff(k) first holds (else the
+    * capped tail weight 5 — P(>5) ≈ 0.06%). Computed ONCE here and
+    * embedded verbatim in both the Spark plan and the oracle SQL, so the
+    * engines cannot disagree; comparison is plain hex-string ordering —
+    * the qt_split / qp_sample determinism device, no numeric conversion. */
+  private val poissonCutoffs: Seq[String] = {
+    var cdf = 0.0
+    (0 to 4).map { k =>
+      cdf += math.exp(-1.0) / (1 to k).product.toDouble.max(1.0)
+      f"${math.floor(cdf * 4294967296.0).toLong}%08x"
+    }
+  }
+
+  /** Distributed bootstrap confidence interval for a mean — the
+    * resampling answer to "how sure is this corpus statistic?" that a
+    * fleet-scale eval pipeline needs (a point mean over a 100 TB corpus
+    * without an error bar is uninterpretable). Classic row-resampling
+    * cannot shuffle a bootstrap sample per replicate at scale; the
+    * scalable form is POISSON bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — public): each row enters
+    * replicate r with weight ~ Poisson(1), independent across replicates,
+    * so every replicate is one conditional aggregate over ONE scan.
+    *
+    * Scale shape: the b-fold `explode(sequence(...))` multiplies rows
+    * SCAN-SIDE only — partial aggregation reduces each partition to b
+    * rows before the shuffle (partitions×b rows move, never data×b).
+    * Weights are deterministic (md5 inverse-CDF, [[poissonCutoffs]]);
+    * weighted sums are exact BIGINTs, so replicate means are identical
+    * doubles in both engines. The CI is nearest-rank over the b replicate
+    * means (a bounded b-row set — the global window is declared and
+    * bounded, the qt_bm25 tail-window discipline): lo = 2nd, hi = 49th
+    * of 50 at 95%. */
+  def bootstrapCiMean(df: DataFrame, valueCol: String, idCol: String,
+                      b: Int = 50, seed: String = "boot"): DataFrame = {
+    require(b >= 10, "bootstrapCiMean: need >= 10 replicates for a CI")
+    val hk = substring(md5(concat(lit(seed), lit(":"),
+      col("rep").cast("string"), lit(":"), col(idCol).cast("string"))), 1, 8)
+    val w = poissonCutoffs.zipWithIndex
+      .foldRight(lit(5L): Column) { case ((cut, k), rest) =>
+        when(col("hk") < lit(cut), k.toLong).otherwise(rest)
+      }
+    val reps = df.select(col(valueCol).cast("long").as("x"), col(idCol))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("hk", hk)
+      .withColumn("w", w)
+      .groupBy("rep")
+      .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+      .withColumn("mean_r", round(col("swx").cast("double") / col("sw"), 6))
+    val loRank = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_r"), col("rep"))))
+    val ci = ranked.agg(
+      count(lit(1)).as("n_reps"),
+      max(when(col("rn") === loRank, col("mean_r"))).as("ci_lo"),
+      max(when(col("rn") === hiRank, col("mean_r"))).as("ci_hi"))
+    val point = df.agg(
+      round(sum(col(valueCol).cast("long")).cast("double") / count(lit(1)), 6)
+        .as("point_mean"))
+    ci.crossJoin(broadcast(point))
+      .select(col("n_reps"), col("point_mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** QA4 — [[bootstrapCiMean]] for the corpus-mean document length
+    * (50 replicates, 95% nearest-rank CI). */
+  def qaBootstrapCi(spark: SparkSession, d: String): DataFrame =
+    bootstrapCiMean(T.documents(spark, d), "n_chars", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_constraints" -> qaConstraints _,
     "qa_skew_report" -> qaSkewReport _,
-    "qa_drift_report" -> qaDriftReport _)
+    "qa_drift_report" -> qaDriftReport _,
+    "qa_bootstrap_ci" -> qaBootstrapCi _)
 
   val oracles: Map[String, String] = Map(
+    // same md5 inverse-CDF weights (cutoff literals generated from the
+    // SAME Scala vals the Spark plan embeds), exact BIGINT weighted
+    // sums, same nearest-rank CI over the 50 replicate means
+    "qa_bootstrap_ci" -> {
+      val wCase = "CASE " + poissonCutoffs.zipWithIndex
+        .map { case (c, k) => s"WHEN hk < '$c' THEN $k " }.mkString + "ELSE 5 END"
+      val (loRank, hiRank) = (math.max(1, math.ceil(0.025 * 50).toInt),
+        math.min(50, math.ceil(0.975 * 50).toInt))
+      "WITH r AS (SELECT rep, n_chars, " +
+        "substr(md5('boot:' || rep || ':' || doc_id), 1, 8) AS hk " +
+        "FROM documents CROSS JOIN (SELECT unnest(range(50)) AS rep)), " +
+        s"w AS (SELECT rep, n_chars, $wCase AS w FROM r), " +
+        "a AS (SELECT rep, SUM(w * n_chars) AS swx, SUM(w) AS sw FROM w GROUP BY rep), " +
+        "m AS (SELECT rep, ROUND(CAST(swx AS DOUBLE) / sw, 6) AS mean_r FROM a), " +
+        "rk AS (SELECT rep, mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, rep) AS rn FROM m), " +
+        "ci AS (SELECT COUNT(*) AS n_reps, " +
+        s"MAX(CASE WHEN rn = $loRank THEN mean_r END) AS ci_lo, " +
+        s"MAX(CASE WHEN rn = $hiRank THEN mean_r END) AS ci_hi FROM rk), " +
+        "p AS (SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS point_mean " +
+        "FROM documents) " +
+        "SELECT CAST(n_reps AS BIGINT) AS n_reps, point_mean, ci_lo, ci_hi " +
+        "FROM ci CROSS JOIN p"
+    },
     // same one-pass conditional bin counts, same add-one smoothing,
     // contributions rounded at 1e-9 and summed as BIGINTs (order-free).
     // floor(), NOT `//`: DuckDB's `//` on DOUBLE operands is plain

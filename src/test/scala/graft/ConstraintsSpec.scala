@@ -80,4 +80,33 @@ class ConstraintsSpec extends SparkSpec {
     val sum = rows.map(_.getDouble(3)).sum
     assert(math.abs(sum - rows.head.getDouble(4)) < 1e-5, s"$sum vs ${rows.head.getDouble(4)}")
   }
+
+  test("bootstrapCiMean: deterministic, CI brackets the mean, replicate mass ~ n") {
+    // 400 rows, values 1..400: point mean 200.5. Poisson(1) weights at
+    // n=400 give each replicate mean a std error of ~200/20 ≈ 10, so a
+    // 95% CI a few units wide around 200.5 — and everything md5-driven,
+    // so two runs must agree byte-for-byte.
+    val df = (1L to 400L).map(i => (i, i)).toSeq.toDF("doc_id", "v")
+    val a = Constraints.bootstrapCiMean(df, "v", "doc_id").collect().head
+    val b = Constraints.bootstrapCiMean(df, "v", "doc_id").collect().head
+    assert(a == b, s"bootstrap must be deterministic: $a vs $b")
+    val (nReps, point, lo, hi) =
+      (a.getLong(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(nReps == 50L)
+    assert(point == 200.5, s"point mean: $point")
+    assert(lo <= point && point <= hi, s"CI [$lo, $hi] must bracket $point")
+    assert(hi - lo > 1.0 && hi - lo < 80.0, s"CI width sanity: [$lo, $hi]")
+    // a different seed moves the replicate draws but not the point mean
+    val c = Constraints.bootstrapCiMean(df, "v", "doc_id", seed = "boot2")
+      .collect().head
+    assert(c.getDouble(1) == 200.5 && (c.getDouble(2) != lo || c.getDouble(3) != hi),
+      s"seed must redraw the CI: $c vs [$lo, $hi]")
+  }
+
+  test("qaBootstrapCi on the real corpus: stable bracketing CI at 50 replicates") {
+    val r = Constraints.qaBootstrapCi(spark, sfTiny).collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+      s"CI must bracket the point mean: $r")
+  }
 }
