@@ -133,10 +133,82 @@ object Merge {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot DIFF — the inverse of [[mergeUpsert]]: given yesterday's
+    * and today's snapshot of the same keyed table, derive the change
+    * feed (added / removed / changed per key, with old and new values
+    * for the compared columns). This is how a pipeline whose upstream
+    * only publishes full snapshots (most crawl dumps, vendor drops)
+    * manufactures the incremental batch that MERGE, SCD2
+    * ([[Temporal]]) and the CDC stream ([[graft.streaming.StreamingCdc]])
+    * consume.
+    *
+    * Scale shape: ONE full-outer hash join on the key — inherent to the
+    * semantics (either side may hold keys the other lacks), but only
+    * key + compared columns are read (column pruning reaches both
+    * scans), unchanged rows are dropped immediately after the join, and
+    * at 100 TB the join is co-located by bucketing both snapshots on
+    * the key at write time ([[graft.sources.FileFormats]]' bucketed
+    * sink) so neither snapshot reshuffles. Null-safe comparison: a
+    * column going null⇄value is a change, not a join miss. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val oldSel = oldSnap.select((keys.map(col) :+ lit(1).as("_in_old")) ++
+      compareCols.map(c => col(c).as(s"old_$c")): _*)
+    val newSel = newSnap.select((keys.map(col) :+ lit(1).as("_in_new")) ++
+      compareCols.map(c => col(c).as(s"new_$c")): _*)
+    val joined = oldSel.join(newSel, keys, "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(differs, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** QW2 — [[snapshotDiff]] end to end: today's `orders` is yesterday's
+    * with keys ≡3 (mod 101) dropped, ≡5 re-priced, and ≡7 cloned to
+    * fresh keys — the diff must recover exactly those three planted
+    * change classes and nothing else. */
+  def qwSnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    val old = T.orders(spark, d)
+    val neu = old.filter(col("o_orderkey") % 101 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 5, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")))
+      .unionByName(old.filter(col("o_orderkey") % 101 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    snapshotDiff(old, neu, Seq("o_orderkey"), Seq("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qw_merge_upsert" -> qwMergeUpsert _)
+    "qw_merge_upsert" -> qwMergeUpsert _,
+    "qw_snapshot_diff" -> qwSnapshotDiff _)
 
   val oracles: Map[String, String] = Map(
+    // same planted change classes, same full-outer-join derivation with
+    // IS NOT DISTINCT FROM mirroring Spark's null-safe <=>
+    "qw_snapshot_diff" ->
+      ("WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 101 = 5 " +
+        "THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 101 <> 3 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 101 = 7), " +
+        "j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "o.o_orderkey IS NOT NULL AS in_old, n.o_orderkey IS NOT NULL AS in_new, " +
+        "o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice " +
+        "FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey) " +
+        "SELECT o_orderkey, CASE WHEN NOT in_old THEN 'added' " +
+        "WHEN NOT in_new THEN 'removed' ELSE 'changed' END AS change, " +
+        "old_o_totalprice, new_o_totalprice FROM j " +
+        "WHERE NOT in_old OR NOT in_new " +
+        "OR old_o_totalprice IS DISTINCT FROM new_o_totalprice " +
+        "ORDER BY o_orderkey"),
     "qw_merge_upsert" ->
       ("WITH mods AS (SELECT o_orderkey, 'U' AS o_orderstatus, " +
         "o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 13 = 3), " +

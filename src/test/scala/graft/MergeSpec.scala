@@ -110,4 +110,46 @@ class MergeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected a broadcast anti-join for the change batch:\n$plan")
   }
+
+  test("snapshotDiff: all three change classes, null-safe compare, unchanged rows dropped") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some(10.0)), // unchanged — must NOT appear
+      (2L, Some(20.0)), // value change
+      (3L, Some(30.0)), // removed
+      (4L, None: Option[Double]), // null -> value: a change, not a miss
+      (5L, None: Option[Double])) // null -> null: unchanged
+      .toDF("k", "v")
+    val neu = Seq(
+      (1L, Some(10.0)),
+      (2L, Some(21.0)),
+      (4L, Some(40.0)),
+      (5L, None: Option[Double]),
+      (6L, Some(60.0))) // added
+      .toDF("k", "v")
+    val got = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got == Map(
+      2L -> ("changed", Some(20.0), Some(21.0)),
+      3L -> ("removed", Some(30.0), None),
+      4L -> ("changed", None, Some(40.0)),
+      6L -> ("added", None, Some(60.0))), got.toString)
+  }
+
+  test("qwSnapshotDiff recovers exactly the planted change classes") {
+    val rows = Merge.qwSnapshotDiff(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, change) =>
+      val expected =
+        if (k >= 100000000L) "added"
+        else if (k % 101 == 3) "removed"
+        else if (k % 101 == 5) "changed"
+        else fail(s"unplanted key $k surfaced as $change")
+      assert(change == expected, s"key $k: $change vs $expected")
+    }
+    assert(rows.map(_._2).toSet == Set("added", "removed", "changed"),
+      "all three classes must be planted at this SF")
+  }
 }
