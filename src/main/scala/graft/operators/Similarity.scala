@@ -1057,8 +1057,12 @@ object Similarity {
         .withColumn("mmr_score", round(
           lit(lambda) * col("rel") -
             lit(1.0 - lambda) * coalesce(col("max_sim"), lit(0.0)), 6))
+      // cut lineage per round (the dupClusters discipline): without it
+      // each round's plan embeds every prior round's joins — the k=5
+      // unroll measured 322 exchanges; with the cut it stays flat
       selected = selected.unionByName(
         argmax(scored.select("qid", "vec_id", "rel", "mmr_score"), step))
+        .localCheckpoint(false)
     }
     selected.orderBy("qid", "mmr_rank")
   }
