@@ -122,4 +122,31 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(far(6L) == 3L && !far.contains(20L), far.toString)
   }
+
+  test("kHopDistances matches Floyd–Warshall on a random 30-node graph (model check)") {
+    import spark.implicits._
+    val n = 30
+    val rng = new scala.util.Random(7)
+    val edgeSet = (for (_ <- 1 to 90) yield
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).distinct
+        .filter { case (a, b) => a != b }
+    val maxHops = 5
+    // reference: all-pairs shortest hop counts, then min over sources
+    val INF = Int.MaxValue / 4
+    val dist = Array.fill(n, n)(INF)
+    (0 until n).foreach(i => dist(i)(i) = 0)
+    edgeSet.foreach { case (a, b) => dist(a.toInt)(b.toInt) = 1 }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (dist(i)(k) + dist(k)(j) < dist(i)(j))
+        dist(i)(j) = dist(i)(k) + dist(k)(j)
+    val sources = Seq(0L, 13L, 29L)
+    val expected = (0 until n).flatMap { v =>
+      val d = sources.map(s => dist(s.toInt)(v)).min
+      if (d <= maxHops) Some(v.toLong -> d.toLong) else None
+    }.toMap
+    val got = Graph.kHopDistances(
+      edgeSet.toDF("src", "dst"), sources.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"BFS vs Floyd–Warshall:\n got $got\n exp $expected")
+  }
 }

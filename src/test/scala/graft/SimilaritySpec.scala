@@ -326,6 +326,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(score(2L) - 0.477756) < 1e-4, score.toString) // vs {d1,d3}: max-sim is still d1
   }
 
+  test("mmrRerank at λ=1 degenerates to pure relevance ranking (model check)") {
+    import spark.implicits._
+    // deterministic pseudo-random candidates: 2 queries × 12 docs with
+    // varied vectors; at λ=1 the redundancy term vanishes, so MMR must
+    // reproduce (rel DESC, vec_id) exactly — a closed-form reference
+    val rng = new scala.util.Random(42)
+    val cands = (for (q <- 0L until 2L; i <- 0L until 12L) yield {
+      val v = Seq.fill(8)(rng.nextFloat())
+      (q, i, BigDecimal(rng.nextDouble()).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v)
+    }).toDF("qid", "vec_id", "rel", "v")
+    val got = Similarity.mmrRerank(cands, k = 6, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byRel = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(6).map(_._2).toSeq).toMap
+    got.groupBy(_._1).foreach { case (qid, picks) =>
+      val order = picks.sortBy(_._3).map(_._2).toSeq
+      assert(order == byRel(qid), s"qid $qid: MMR@λ=1 $order vs rel-rank ${byRel(qid)}")
+    }
+  }
+
   test("qsMmrRerank on the real corpus: self first, k picks per query, no repeats") {
     val rows = Similarity.qsMmrRerank(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
