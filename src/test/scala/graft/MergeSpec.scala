@@ -137,6 +137,33 @@ class MergeSpec extends SparkSpec {
       6L -> ("added", None, Some(60.0))), got.toString)
   }
 
+  test("snapshotDiff ∘ mergeUpsert round-trips: applying the diff to old reproduces new") {
+    import spark.implicits._
+    // pseudo-random keyed snapshots with every fate represented
+    val rng = new scala.util.Random(11)
+    val old = (1L to 60L).map(k => (k, rng.nextInt(1000).toDouble)).toDF("k", "v")
+    val neu = (1L to 80L).flatMap { k =>
+      if (k % 7 == 0) None // removed (and 61..80 % 7 == 0 never existed)
+      else if (k <= 60 && k % 5 == 0) Some((k, -1.0)) // changed
+      else if (k <= 60) Some((k, 0.0)) // overwritten below by old values
+      else Some((k, k * 10.0)) // added
+    }.toDF("k", "v")
+      // unchanged rows must be byte-identical to old: patch them in
+      .join(old.withColumnRenamed("v", "v_old"), Seq("k"), "left")
+      .select(col("k"), when(col("v") === 0.0, col("v_old"))
+        .otherwise(col("v")).as("v"))
+    val diff = Merge.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+    // diff → MERGE batch: added/changed upsert the new value, removed deletes
+    val batch = diff.select(col("k"),
+      coalesce(col("new_v"), lit(0.0)).as("v"),
+      (col("change") === "removed").as("_delete"))
+    val merged = Merge.mergeUpsert(old, batch, Seq("k"), Some("_delete"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = neu.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(merged == want,
+      s"round-trip mismatch: extra=${merged -- want} missing=${want -- merged}")
+  }
+
   test("qwSnapshotDiff recovers exactly the planted change classes") {
     val rows = Merge.qwSnapshotDiff(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getString(1)))
