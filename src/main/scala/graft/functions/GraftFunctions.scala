@@ -63,6 +63,9 @@ object FunctionBuilders {
         if (c.length > 1) intLiteral(c(1), "k") else 200).toAggregateExpression()),
     ("kll_quantile", classOf[KllQuantile],
       (c: Seq[Expression]) => KllQuantile(c(0), c(1))),
+    ("cov_accum_agg", classOf[CovAccumAgg],
+      (c: Seq[Expression]) => CovAccumAgg(c(0),
+        intLiteral(c(1), "d")).toAggregateExpression()),
     ("cms_agg", classOf[CmsAgg],
       (c: Seq[Expression]) => CmsAgg(c.head,
         if (c.length > 1) intLiteral(c(1), "depth") else 6,

@@ -1081,7 +1081,87 @@ object Similarity {
     mmrRerank(cands, k = 5, lambda = 0.75)
   }
 
+  /** Distributed PCA over the embedding corpus — the missing
+    * dimensionality-reduction / whitening primitive the similarity
+    * family leans on everywhere else (SemDeDup whitens before
+    * clustering; IVF/PQ recall improves on decorrelated axes; 64→k
+    * projection is the standard cheap-ANN preprocessing).
+    *
+    * Scale shape — the classic d-bounded factorization: ONE aggregate
+    * pass reduces the corpus to a `cov_accum_agg` moment blob
+    * (1 + d + d(d+1)/2 doubles; map tasks ship one buffer each, never
+    * rows), the d×d eigen-decomposition is driver-side scalar work on
+    * that blob ([[graft.functions.CovUtil.jacobiEigen]], cyclic Jacobi —
+    * bounded by the embedding WIDTH, independent of corpus size — the
+    * Sketches blob-pull discipline), and any projection then runs as a
+    * broadcast matrix of k·d literals in plain column math.
+    *
+    * SELF-CERTIFYING row (the qs_ann_lsh pattern): float eigenvalues
+    * can drift in final ulps with partition merge order, so the row
+    * emits CERTIFICATES, not raw floats — per-component monotonicity,
+    * eigenvector orthonormality (≤1e-9), Rayleigh-quotient match
+    * v'Σv ≈ λ (≤1e-9·λ₁), eigenvalue-sum ≈ trace (≤1e-6 relative), and
+    * top-k mass ≥ k/d (an exact mathematical floor) — anchored on one
+    * EXACT cross-engine number: the covariance trace from per-dim
+    * DECIMAL sums (float→double products are exact, casts round
+    * deterministically, per-dim contributions integer-scaled before the
+    * order-free BIGINT sum — the qt_entropy discipline). */
+  def pcaSummary(e: DataFrame, dims: Int, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(e.sparkSession)
+    require(k >= 1 && k <= dims, s"pcaSummary: k=$k out of range for d=$dims")
+    // one moment blob; the ONLY driver pull, d²-sized (scale-free)
+    val blob = e.agg(expr(s"cov_accum_agg(embedding, $dims)")).head()
+      .getAs[Array[Byte]](0)
+    val buf = graft.functions.CovUtil.fromBytes(blob)
+    val cov = graft.functions.CovUtil.covariance(buf)
+    val (vals, vecs) = graft.functions.CovUtil.jacobiEigen(cov)
+    val d = buf.d
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val monotoneOk = (0 until d - 1).forall(i => vals(i) >= vals(i + 1) - 1e-12)
+    val orthoErr = (for (i <- 0 until d; j <- i until d) yield {
+      val dot = (0 until d).map(t => vecs(i)(t) * vecs(j)(t)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    val rayleighErr = (0 until k).map { c =>
+      val sv = (0 until d).map(i =>
+        (0 until d).map(j => cov(i)(j) * vecs(c)(j)).sum)
+      val q = (0 until d).map(i => vecs(c)(i) * sv(i)).sum
+      math.abs(q - vals(c))
+    }.max
+    val eigSumOk = math.abs(vals.sum - trace) <= 1e-6 * math.abs(trace)
+    val topkOk = vals.take(k).sum >= (k.toDouble / d) * trace - 1e-9
+    // the exact anchor: per-dim variance from DECIMAL sums of exact
+    // double products, integer-scaled before the cross-dim sum
+    val perDim = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("vd"))
+      .groupBy("dim").agg(
+        sum(col("vd").cast(DecimalType(38, 20))).as("sv"),
+        sum((col("vd") * col("vd")).cast(DecimalType(38, 20))).as("svv"),
+        count(lit(1)).as("n"))
+      .select(round((col("svv").cast("double") / col("n") -
+        (col("sv").cast("double") / col("n")) *
+          (col("sv").cast("double") / col("n"))) * 1e9).cast("long").as("vs"))
+    val traceRow = perDim.agg(round(sum("vs") / 1e9, 6).as("trace_r"))
+    val spark = e.sparkSession
+    spark.range(k).select(
+        col("id").as("component"),
+        lit(monotoneOk).as("evr_monotone_ok"),
+        lit(orthoErr <= 1e-9).as("orthonormal_ok"),
+        lit(rayleighErr <= 1e-9 * math.max(vals.headOption.getOrElse(1.0), 1e-12))
+          .as("rayleigh_ok"),
+        lit(eigSumOk).as("eigsum_matches_trace"),
+        lit(topkOk).as("topk_mass_ok"))
+      .crossJoin(broadcast(traceRow))
+      .orderBy("component")
+  }
+
+  /** QS13 — [[pcaSummary]] for the 64-dim corpus, top-8 components. */
+  def qsPca(spark: SparkSession, d: String): DataFrame =
+    pcaSummary(T.embeddings(spark, d), dims = 64, k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_pca" -> qsPca _,
     "qs_cosine_topk" -> qsCosineTopK _,
     "qs_ann_lsh" -> qsAnnLsh _,
     "qs_embed_neardup" -> qsEmbedNearDup _,
@@ -1139,6 +1219,21 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "qs_mmr_rerank" -> mmrOracleSql,
+    // certificates are stated true; the exact anchor (covariance trace)
+    // is recomputed from the same DECIMAL-sum / integer-scaled per-dim
+    // variances the Spark plan uses
+    "qs_pca" ->
+      ("WITH e AS (SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v " +
+        "FROM embeddings), " +
+        "b AS (SELECT dim, CAST(v AS DOUBLE) AS vd FROM e), " +
+        "s AS (SELECT dim, SUM(CAST(vd AS DECIMAL(38,20))) AS sv, " +
+        "SUM(CAST(vd * vd AS DECIMAL(38,20))) AS svv, COUNT(*) AS n FROM b GROUP BY dim), " +
+        "c AS (SELECT CAST(ROUND((CAST(svv AS DOUBLE) / n - " +
+        "(CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) * 1e9) AS BIGINT) AS vs FROM s), " +
+        "t AS (SELECT ROUND(SUM(vs) / 1e9, 6) AS trace_r FROM c) " +
+        "SELECT range AS component, true AS evr_monotone_ok, true AS orthonormal_ok, " +
+        "true AS rayleigh_ok, true AS eigsum_matches_trace, true AS topk_mass_ok, " +
+        "trace_r FROM range(8) CROSS JOIN t ORDER BY component"),
     // the removed set is exactly the planted clones: a clone and its
     // donor are identical vectors (cos 1.0 > 0.95; co-clustered under
     // any model), and no natural pair reaches the threshold (max ≈

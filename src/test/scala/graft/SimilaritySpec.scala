@@ -362,6 +362,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cov_accum_agg + jacobiEigen: hand-checked covariance and a known eigensystem") {
+    import spark.implicits._
+    import graft.functions.CovUtil
+    // covariance of {(1,2),(3,4),(5,0)}: means (3,2); population cov
+    // [[8/3, -4/3], [-4/3, 8/3]]
+    val df = Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 0f)).toDF("embedding")
+    GraftFunctions.ensureRegistered(spark)
+    val blob = df.agg(org.apache.spark.sql.functions.expr("cov_accum_agg(embedding, 2)"))
+      .head().getAs[Array[Byte]](0)
+    val cov = CovUtil.covariance(CovUtil.fromBytes(blob))
+    assert(math.abs(cov(0)(0) - 8.0 / 3) < 1e-12 && math.abs(cov(1)(1) - 8.0 / 3) < 1e-12)
+    assert(math.abs(cov(0)(1) + 4.0 / 3) < 1e-12 && cov(0)(1) == cov(1)(0))
+    // [[2,1],[1,2]] has eigenpairs (3, (1,1)/√2) and (1, (1,-1)/√2)
+    val (vals, vecs) = CovUtil.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(vecs(0)(0)) - r) < 1e-12 &&
+      math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-12, vecs(0).toSeq.toString)
+  }
+
+  test("pcaSummary recovers a planted dominant axis and certifies on the real corpus") {
+    import spark.implicits._
+    import graft.functions.CovUtil
+    // 200 deterministic points: spread 3u along axis 0, 1u along axis 2
+    // (axis 1, 3 silent) — top component must align with axis 0 and the
+    // eigenvalue ratio must be ~9
+    val pts = (0 until 200).map { i =>
+      val u = (i % 21).toDouble / 10.0 - 1.0 // [-1, 1]
+      val w = ((i * 7) % 21).toDouble / 10.0 - 1.0
+      Seq((3 * u).toFloat, 0f, w.toFloat, 0f)
+    }.toDF("embedding")
+    GraftFunctions.ensureRegistered(spark)
+    val blob = pts.agg(org.apache.spark.sql.functions.expr("cov_accum_agg(embedding, 4)"))
+      .head().getAs[Array[Byte]](0)
+    val (vals, vecs) = CovUtil.jacobiEigen(
+      CovUtil.covariance(CovUtil.fromBytes(blob)))
+    // u and w are weakly correlated by construction (both derived from
+    // i), so the top axis tilts a hair off e0 — 0.99 is the honest bound
+    assert(math.abs(vecs(0)(0)) > 0.99, s"top component: ${vecs(0).toSeq}")
+    assert(vals(0) / vals(1) > 6.0 && vals(0) / vals(1) < 12.0,
+      s"eigenvalue ratio: ${vals.toSeq}")
+    assert(vals(2) < 1e-9 && vals(3) < 1e-9, s"silent axes: ${vals.toSeq}")
+    // the oracle-gated row: every certificate true on the real corpus
+    val rows = Similarity.qsPca(spark, sfTiny).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      (1 to 5).foreach(i => assert(r.getBoolean(i), s"certificate $i false: $r"))
+      assert(r.getDouble(6) > 0.0, s"trace must be positive: $r")
+    }
+  }
+
   test("semanticDedup on the real corpus at a high threshold removes ONLY planted clones") {
     val out = Similarity.qsSemanticDedup(spark, sfTiny)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
