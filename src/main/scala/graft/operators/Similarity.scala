@@ -1106,16 +1106,40 @@ object Similarity {
     * DECIMAL sums (float→double products are exact, casts round
     * deterministically, per-dim contributions integer-scaled before the
     * order-free BIGINT sum — the qt_entropy discipline). */
-  def pcaSummary(e: DataFrame, dims: Int, k: Int): DataFrame = {
+  /** One-pass PCA train: moment blob → (mean, covariance, eigenpairs).
+    * The blob is the ONLY driver pull, d²-sized (scale-free). */
+  private def trainPca(e: DataFrame, dims: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
     GraftFunctions.ensureRegistered(e.sparkSession)
-    require(k >= 1 && k <= dims, s"pcaSummary: k=$k out of range for d=$dims")
-    // one moment blob; the ONLY driver pull, d²-sized (scale-free)
     val blob = e.agg(expr(s"cov_accum_agg(embedding, $dims)")).head()
       .getAs[Array[Byte]](0)
     val buf = graft.functions.CovUtil.fromBytes(blob)
+    val mean = buf.sums.map(_ / buf.n.toDouble)
     val cov = graft.functions.CovUtil.covariance(buf)
     val (vals, vecs) = graft.functions.CovUtil.jacobiEigen(cov)
-    val d = buf.d
+    (mean, cov, vals, vecs)
+  }
+
+  /** Project embeddings onto the top-k principal axes: the trained
+    * (mean, components) are k·d+d LITERALS baked into plain column
+    * arithmetic — a broadcast-free, shuffle-free map over the corpus,
+    * exactly how a 64→k reduction runs ahead of ANN at 100 TB. Returns
+    * (vec_id, projected array<double>[k]). */
+  def pcaProject(e: DataFrame, dims: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dims, s"pcaProject: k=$k out of range for d=$dims")
+    val (mean, _, _, vecs) = trainPca(e, dims)
+    val comps = (0 until k).map { c =>
+      (0 until dims).map(j =>
+        (col("embedding").getItem(j).cast("double") - lit(mean(j))) * lit(vecs(c)(j)))
+        .reduce(_ + _).as(s"pc$c")
+    }
+    e.select(col("vec_id"), array(comps: _*).as("projected"))
+  }
+
+  def pcaSummary(e: DataFrame, dims: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dims, s"pcaSummary: k=$k out of range for d=$dims")
+    val (_, cov, vals, vecs) = trainPca(e, dims)
+    val d = dims
     val trace = (0 until d).map(i => cov(i)(i)).sum
     val monotoneOk = (0 until d - 1).forall(i => vals(i) >= vals(i + 1) - 1e-12)
     val orthoErr = (for (i <- 0 until d; j <- i until d) yield {

@@ -404,6 +404,23 @@ class SimilaritySpec extends SparkSpec {
     assert(vals(0) / vals(1) > 6.0 && vals(0) / vals(1) < 12.0,
       s"eigenvalue ratio: ${vals.toSeq}")
     assert(vals(2) < 1e-9 && vals(3) < 1e-9, s"silent axes: ${vals.toSeq}")
+    // projection: per-axis variance of the projected coordinates must
+    // equal the eigenvalues (the defining property of PCA axes)
+    val withIds = (0 until 200).map { i =>
+      val u = (i % 21).toDouble / 10.0 - 1.0
+      val w = ((i * 7) % 21).toDouble / 10.0 - 1.0
+      (i.toLong, Seq((3 * u).toFloat, 0f, w.toFloat, 0f))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaProject(withIds, dims = 4, k = 2)
+      .collect().map(_.getSeq[Double](1))
+    (0 until 2).foreach { c =>
+      val xs = proj.map(_(c))
+      val m = xs.sum / xs.length
+      val variance = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(variance - vals(c)) < 1e-9 * math.max(vals(0), 1.0),
+        s"pc$c variance $variance vs eigenvalue ${vals(c)}")
+      assert(math.abs(m) < 1e-9, s"projected coordinates must be centered: $m")
+    }
     // the oracle-gated row: every certificate true on the real corpus
     val rows = Similarity.qsPca(spark, sfTiny).collect()
     assert(rows.length == 8)
