@@ -205,9 +205,11 @@ object Constraints {
     * Weights are deterministic (md5 inverse-CDF, [[poissonCutoffs]]);
     * weighted sums are exact BIGINTs, so replicate means are identical
     * doubles in both engines. The CI is nearest-rank over the b replicate
-    * means (a bounded b-row set — the global window is declared and
-    * bounded, the qt_bm25 tail-window discipline): lo = 2nd, hi = 49th
-    * of 50 at 95%. */
+    * means — picked from a `sort_array(collect_list(...))` aggregate
+    * over the bounded b-row set, NOT a global window (the PlanGuardSpec
+    * no-single-partition-window rule): lo = 2nd, hi = 49th of 50 at
+    * 95%. Rank ties are value-identical, so value-sorting needs no id
+    * tiebreak. */
   def bootstrapCiMean(df: DataFrame, valueCol: String, idCol: String,
                       b: Int = 50, seed: String = "boot"): DataFrame = {
     require(b >= 10, "bootstrapCiMean: need >= 10 replicates for a CI")
@@ -226,12 +228,12 @@ object Constraints {
       .withColumn("mean_r", round(col("swx").cast("double") / col("sw"), 6))
     val loRank = math.max(1, math.ceil(0.025 * b).toInt)
     val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
-    val ranked = reps.withColumn("rn",
-      row_number().over(Window.orderBy(col("mean_r"), col("rep"))))
-    val ci = ranked.agg(
-      count(lit(1)).as("n_reps"),
-      max(when(col("rn") === loRank, col("mean_r"))).as("ci_lo"),
-      max(when(col("rn") === hiRank, col("mean_r"))).as("ci_hi"))
+    val ci = reps.agg(
+        count(lit(1)).as("n_reps"),
+        sort_array(collect_list("mean_r")).as("ms"))
+      .select(col("n_reps"),
+        element_at(col("ms"), loRank).as("ci_lo"),
+        element_at(col("ms"), hiRank).as("ci_hi"))
     val point = df.agg(
       round(sum(col(valueCol).cast("long")).cast("double") / count(lit(1)), 6)
         .as("point_mean"))
@@ -265,10 +267,9 @@ object Constraints {
         s"w AS (SELECT rep, n_chars, $wCase AS w FROM r), " +
         "a AS (SELECT rep, SUM(w * n_chars) AS swx, SUM(w) AS sw FROM w GROUP BY rep), " +
         "m AS (SELECT rep, ROUND(CAST(swx AS DOUBLE) / sw, 6) AS mean_r FROM a), " +
-        "rk AS (SELECT rep, mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, rep) AS rn FROM m), " +
         "ci AS (SELECT COUNT(*) AS n_reps, " +
-        s"MAX(CASE WHEN rn = $loRank THEN mean_r END) AS ci_lo, " +
-        s"MAX(CASE WHEN rn = $hiRank THEN mean_r END) AS ci_hi FROM rk), " +
+        s"list_sort(list(mean_r))[$loRank] AS ci_lo, " +
+        s"list_sort(list(mean_r))[$hiRank] AS ci_hi FROM m), " +
         "p AS (SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS point_mean " +
         "FROM documents) " +
         "SELECT CAST(n_reps AS BIGINT) AS n_reps, point_mean, ci_lo, ci_hi " +
