@@ -103,6 +103,20 @@ class ConstraintsSpec extends SparkSpec {
       s"seed must redraw the CI: $c vs [$lo, $hi]")
   }
 
+  test("poissonCutoffs: the hex cutoff constants match the closed-form Poisson(1) CDF") {
+    // independently derived (verified against Python's math.exp/floor):
+    // floor(CDF(k) * 2^32) for k = 0..4 — the cutoffs both the Spark
+    // plan and the oracle SQL embed. A drift here silently re-weights
+    // every bootstrap replicate, so the constants are pinned.
+    val cutoffs = {
+      val f = Constraints.getClass.getDeclaredField("poissonCutoffs")
+      f.setAccessible(true)
+      f.get(Constraints).asInstanceOf[Seq[String]]
+    }
+    assert(cutoffs == Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5"),
+      cutoffs.toString)
+  }
+
   test("qaBootstrapCi on the real corpus: stable bracketing CI at 50 replicates") {
     val r = Constraints.qaBootstrapCi(spark, sfTiny).collect().head
     assert(r.getLong(0) == 50L)
