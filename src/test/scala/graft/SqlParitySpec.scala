@@ -35,7 +35,16 @@ class SqlParitySpec extends SparkSpec {
     "qg_pagerank",
     // round-6: the deterministic-sampling oracle (ROW_NUMBER over a
     // seeded md5) is plain ANSI — both engines draw the same sample
-    "qp_sample")
+    "qp_sample",
+    // round-9: the BFS unroll (chained CTEs + NOT IN) and the
+    // snapshot-diff (FULL OUTER + IS DISTINCT FROM) are plain ANSI
+    "qg_khop", "qw_snapshot_diff")
+
+  test("every query has an oracle and every oracle has a query (no_oracle is empty)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries-only: ${q -- o}; oracles-only: ${o -- q}")
+  }
 
   for (name <- sparkParsable) {
     test(s"$name: spark.sql(oracle SQL) == DataFrame program") {
