@@ -382,6 +382,29 @@ class SimilaritySpec extends SparkSpec {
       math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-12, vecs(0).toSeq.toString)
   }
 
+  test("cov_accum_agg is group-ready: per-label blobs equal per-label direct computation") {
+    import spark.implicits._
+    import graft.functions.CovUtil
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(3f, 2f)), ("a", Seq(5f, 4f)),
+      ("b", Seq(10f, -2f)), ("b", Seq(12f, -6f)))
+      .toDF("label", "embedding")
+    val blobs = rows.groupBy("label")
+      .agg(org.apache.spark.sql.functions.expr("cov_accum_agg(embedding, 2)").as("blob"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val a = CovUtil.fromBytes(blobs("a"))
+    assert(a.n == 3 && a.sums.toSeq == Seq(9.0, 6.0), s"${a.n} ${a.sums.toSeq}")
+    val covA = CovUtil.covariance(a)
+    assert(math.abs(covA(0)(0) - 8.0 / 3) < 1e-12 &&
+      math.abs(covA(0)(1) - 8.0 / 3) < 1e-12, covA.map(_.toSeq).toSeq.toString)
+    val b = CovUtil.fromBytes(blobs("b"))
+    // {(10,-2),(12,-6)}: means (11,-4), var_x = 1, var_y = 4, cov = -2
+    val covB = CovUtil.covariance(b)
+    assert(b.n == 2 && covB(0)(0) == 1.0 && covB(1)(1) == 4.0 && covB(0)(1) == -2.0,
+      covB.map(_.toSeq).toSeq.toString)
+  }
+
   test("pcaSummary recovers a planted dominant axis and certifies on the real corpus") {
     import spark.implicits._
     import graft.functions.CovUtil
