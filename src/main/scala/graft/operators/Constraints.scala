@@ -245,6 +245,46 @@ object Constraints {
   def qaBootstrapCi(spark: SparkSession, d: String): DataFrame =
     bootstrapCiMean(T.documents(spark, d), "n_chars", "doc_id")
 
+  /** Per-group [[bootstrapCiMean]] — the per-language / per-source CI
+    * a mixture report actually needs. Same single-scan shape with the
+    * group key joined into every aggregate: (group, rep) partial
+    * aggregates shuffle partitions×groups×b rows, the CI pick is a
+    * per-GROUP `sort_array(collect_list)` over b values (bounded, and
+    * keyed — no global anything). */
+  def bootstrapCiMeanBy(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, b: Int = 50,
+                        seed: String = "boot"): DataFrame = {
+    require(b >= 10, "bootstrapCiMeanBy: need >= 10 replicates for a CI")
+    val hk = substring(md5(concat(lit(seed), lit(":"),
+      col("rep").cast("string"), lit(":"), col(idCol).cast("string"))), 1, 8)
+    val w = poissonCutoffs.zipWithIndex
+      .foldRight(lit(5L): Column) { case ((cut, k), rest) =>
+        when(col("hk") < lit(cut), k.toLong).otherwise(rest)
+      }
+    val reps = df.select(col(groupCol), col(valueCol).cast("long").as("x"), col(idCol))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("hk", hk)
+      .withColumn("w", w)
+      .groupBy(groupCol, "rep")
+      .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+      .withColumn("mean_r", round(col("swx").cast("double") / col("sw"), 6))
+    val loRank = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
+    val ci = reps.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_reps"),
+        sort_array(collect_list("mean_r")).as("ms"))
+      .select(col(groupCol), col("n_reps"),
+        element_at(col("ms"), loRank).as("ci_lo"),
+        element_at(col("ms"), hiRank).as("ci_hi"))
+    val point = df.groupBy(groupCol)
+      .agg(round(sum(col(valueCol).cast("long")).cast("double") / count(lit(1)), 6)
+        .as("point_mean"))
+    ci.join(point, groupCol)
+      .select(col(groupCol), col("n_reps"), col("point_mean"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(groupCol)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_constraints" -> qaConstraints _,
     "qa_skew_report" -> qaSkewReport _,

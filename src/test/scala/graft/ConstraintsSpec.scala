@@ -117,6 +117,26 @@ class ConstraintsSpec extends SparkSpec {
       cutoffs.toString)
   }
 
+  test("bootstrapCiMeanBy: per-group CIs bracket per-group means independently") {
+    // two strata with far-apart means: each group's CI must bracket its
+    // own mean and the groups must not bleed into each other
+    val df = ((1L to 300L).map(i => ("lo", i, (i % 50) + 100.0)) ++
+      (1L to 300L).map(i => ("hi", i + 1000, (i % 50) + 5000.0)))
+      .toDF("grp", "doc_id", "v")
+    val got = Constraints.bootstrapCiMeanBy(df, "grp", "v", "doc_id").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("lo", "hi"))
+    got.foreach { case (g, (n, point, lo, hi)) =>
+      assert(n == 50L)
+      assert(lo <= point && point <= hi, s"$g: CI [$lo, $hi] vs $point")
+    }
+    assert(got("lo")._4 < got("hi")._3,
+      s"strata must not overlap: ${got("lo")} vs ${got("hi")}")
+    // per-group point means are the exact group means
+    assert(got("lo")._2 == 124.5 && got("hi")._2 == 5024.5, got.toString)
+  }
+
   test("qaBootstrapCi on the real corpus: stable bracketing CI at 50 replicates") {
     val r = Constraints.qaBootstrapCi(spark, sfTiny).collect().head
     assert(r.getLong(0) == 50L)
