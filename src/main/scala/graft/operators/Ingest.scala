@@ -138,14 +138,51 @@ object Ingest {
       .orderBy("stage")
   }
 
+  /** Row provenance — the training-data audit primitive ("which file,
+    * which position did this example come from?"): Spark's file-source
+    * `_metadata` columns (`file_name`, `row_index`) surfaced as data, at
+    * scan time, zero cost beyond the scan itself. A 100 TB corpus with
+    * provenance columns can answer takedown/contamination audits without
+    * re-deriving anything.
+    *
+    * The oracle-gated shape ([[qpProvenance]]) emits LAYOUT-INDEPENDENT
+    * per-file stats — row count and proof that `row_index` enumerates
+    * 0..n−1 contiguously per file (min/max/distinct) — so the row pins
+    * the metadata-column SEMANTICS without freezing which doc sits at
+    * which physical position (a testdata regen that reorders rows stays
+    * green; IngestSpec covers the row-level mapping on files this repo
+    * writes itself). */
+  def fileProvenanceStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_idx"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"),
+        min("row_idx").as("min_idx"),
+        max("row_idx").as("max_idx"),
+        countDistinct("row_idx").as("n_distinct"))
+      .orderBy("file_name")
+
+  /** QP-PROV — [[fileProvenanceStats]] over the documents table. */
+  def qpProvenance(spark: SparkSession, d: String): DataFrame =
+    fileProvenanceStats(spark, s"$d/documents.parquet")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qp_ingest" -> qpIngest _)
+    "qp_ingest" -> qpIngest _,
+    "qp_provenance" -> qpProvenance _)
 
   /** DuckDB twin: the same injection self-join, the %7 corruption rule
     * (closed-form — qm_quarantine pins that truncated payloads are
     * always rejected), and the EXACT seen-set semantics the two-tier
     * bloom probe is equal to by construction. */
   val oracles: Map[String, String] = Map(
+    // layout-independent: whatever order the file stores rows in,
+    // row_index must enumerate 0..n-1 — so the oracle needs only the
+    // row count (single-file table; the file name is the path's tail)
+    "qp_provenance" ->
+      ("SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows, " +
+        "CAST(0 AS BIGINT) AS min_idx, COUNT(*) - 1 AS max_idx, " +
+        "COUNT(*) AS n_distinct FROM documents"),
     "qp_ingest" ->
       ("WITH base AS (SELECT doc_id, text FROM documents), " +
         "inj AS (SELECT b.doc_id, COALESCE(dn.text, b.text) AS text " +

@@ -62,4 +62,28 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("might_contain"),
       "the stored seen-filter must appear as an in-predicate probe")
   }
+
+  test("fileProvenanceStats: per-file contiguous row_index on a multi-file table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-prov").toString
+    (1L to 100L).map(i => (i, s"doc$i")).toDF("id", "t")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val stats = graft.operators.Ingest.fileProvenanceStats(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(stats.length == 3, s"expected 3 files: ${stats.toList}")
+    stats.foreach { case (f, n, lo, hi, dist) =>
+      assert(lo == 0L && hi == n - 1 && dist == n,
+        s"$f: row_index must enumerate 0..${n - 1}: ($n, $lo, $hi, $dist)")
+    }
+    assert(stats.map(_._2).sum == 100L, stats.toList.toString)
+    // row-level: (file, row_idx) is a unique address for every row
+    val addr = spark.read.parquet(dir)
+      .select(col("_metadata.file_name"), col("_metadata.row_index"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+    assert(addr.map(_._1).distinct.length == 100,
+      "(file, row_idx) must be a unique row address")
+    assert(addr.map(_._2).toSet == (1L to 100L).toSet)
+  }
 }
