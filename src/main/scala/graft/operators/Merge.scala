@@ -186,11 +186,38 @@ object Merge {
       .orderBy("o_orderkey")
   }
 
+  /** QW3 — the versioned-table lifecycle ([[graft.sources.TxLog]])
+    * under the oracle gate: three appends partition `documents` by
+    * doc_id mod 3, a compaction rewrites the live set — and the latest
+    * snapshot must read back as EXACTLY the full table (hash-exact
+    * against a plain `SELECT` from the source). The log machinery
+    * (commit files, replay, add/remove semantics, compaction
+    * invisibility) is what the row proves; time travel and reader
+    * isolation are pinned in TxLogSpec. */
+  def qwTxlogRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang")
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txlog-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    TxLog.destroy(spark, table)
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    TxLog.compact(spark, table)
+    TxLog.read(spark, table)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_merge_upsert" -> qwMergeUpsert _,
-    "qw_snapshot_diff" -> qwSnapshotDiff _)
+    "qw_snapshot_diff" -> qwSnapshotDiff _,
+    "qw_txlog_read" -> qwTxlogRead _)
 
   val oracles: Map[String, String] = Map(
+    // appends partition the table, compaction rewrites it — the latest
+    // snapshot must be the identity
+    "qw_txlog_read" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
     // same planted change classes, same full-outer-join derivation with
     // IS NOT DISTINCT FROM mirroring Spark's null-safe <=>
     "qw_snapshot_diff" ->
