@@ -122,17 +122,15 @@ object TxLog {
     spark.read.parquet(files.map(p => new Path(table, p).toString): _*)
   }
 
-  /** Rewrite the current live set as one compacted commit (adds the
-    * new files, removes every old one). Readers pinned to older
-    * versions are untouched — data files are immutable. Returns the
-    * compaction's version. */
-  def compact(spark: SparkSession, table: String,
-              numFiles: Int = 1): Long = {
-    val current = read(spark, table)
+  /** One commit that writes `df` and swaps it in for the entire
+    * current live set. Shared by [[compact]] (df = current snapshot)
+    * and [[overwrite]] (df = a new snapshot, e.g. a MERGE result). */
+  private def replaceCommit(spark: SparkSession, table: String,
+                            df: DataFrame, tag: String): Long = {
     val version = versions(spark, table).last + 1
-    val rel = f"data/v$version%08d-compact"
+    val rel = f"data/v$version%08d-$tag"
     val dataDir = new Path(table, rel)
-    current.repartition(numFiles).write.parquet(dataDir.toString)
+    df.write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     val files = f.listStatus(dataDir).toSeq
       .map(_.getPath.getName)
@@ -143,6 +141,23 @@ object TxLog {
       adds = files, removes = snapshotFiles(spark, table))
     version
   }
+
+  /** Rewrite the current live set as one compacted commit (adds the
+    * new files, removes every old one). Readers pinned to older
+    * versions are untouched — data files are immutable. Returns the
+    * compaction's version. */
+  def compact(spark: SparkSession, table: String,
+              numFiles: Int = 1): Long =
+    replaceCommit(spark, table,
+      read(spark, table).repartition(numFiles), "compact")
+
+  /** Replace the table's contents with `df` in one commit — how a
+    * [[graft.operators.Merge.mergeUpsert]] result (or any recomputed
+    * snapshot) LANDS as a new version while every older version stays
+    * readable: the copy-on-write transaction, with the old snapshot as
+    * free time travel. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long =
+    replaceCommit(spark, table, df, "overwrite")
 
   /** Drop the table directory (test/fixture reset). */
   def destroy(spark: SparkSession, table: String): Unit = {

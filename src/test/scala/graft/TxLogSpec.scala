@@ -52,6 +52,26 @@ class TxLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (1L to 80L).toSet)
   }
 
+  test("overwrite lands a MERGE result as a new version; the old snapshot stays readable") {
+    import graft.operators.Merge
+    val t = freshTable("merge")
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    TxLog.append(spark, t, base)
+    // change batch: update k=2, delete k=3, insert k=4
+    val batch = Seq((2L, 21.0, false), (3L, 30.0, true), (4L, 40.0, false))
+      .toDF("k", "v", "_delete")
+    val merged = Merge.mergeUpsert(TxLog.read(spark, t), batch,
+      Seq("k"), Some("_delete"))
+    val mv = TxLog.overwrite(spark, t, merged)
+    val latest = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(latest == Set((1L, 10.0), (2L, 21.0), (4L, 40.0)), latest.toString)
+    // time travel to the pre-merge version: the original rows, untouched
+    val before = TxLog.read(spark, t, asOf = Some(mv - 1)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(before == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), before.toString)
+  }
+
   test("empty snapshot and double-commit fail loudly") {
     val t = freshTable("err")
     intercept[IllegalArgumentException](TxLog.read(spark, t))
