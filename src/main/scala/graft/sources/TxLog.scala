@@ -159,6 +159,17 @@ object TxLog {
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long =
     replaceCommit(spark, table, df, "overwrite")
 
+  /** `foreachBatch` adapter: every micro-batch lands as one versioned
+    * append — the streaming-ingest sink for a versioned table (each
+    * commit is a replayable offset: "train on everything up to version
+    * V" is reproducible even while the stream keeps writing). Empty
+    * micro-batches are skipped, so versions always carry data.
+    *
+    * Usage: `stream.writeStream.foreachBatch(TxLog.appendSink(table)).start()` */
+  def appendSink(table: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) { append(batch.sparkSession, table, batch); () }
+
   /** Drop the table directory (test/fixture reset). */
   def destroy(spark: SparkSession, table: String): Unit = {
     val p = new Path(table)

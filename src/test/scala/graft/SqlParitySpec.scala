@@ -37,8 +37,9 @@ class SqlParitySpec extends SparkSpec {
     // seeded md5) is plain ANSI — both engines draw the same sample
     "qp_sample",
     // round-9: the BFS unroll (chained CTEs + NOT IN) and the
-    // snapshot-diff (FULL OUTER + IS DISTINCT FROM) are plain ANSI
-    "qg_khop", "qw_snapshot_diff")
+    // snapshot-diff (FULL OUTER + IS DISTINCT FROM) are plain ANSI;
+    // the versioned-table oracle is a bare identity SELECT
+    "qg_khop", "qw_snapshot_diff", "qw_txlog_read")
 
   test("every query has an oracle and every oracle has a query (no_oracle is empty)") {
     val q = SparkEntry.queries.keySet

@@ -83,6 +83,25 @@ class TxLogSpec extends SparkSpec {
     assert(v == 0L)
   }
 
+  test("appendSink: each micro-batch is one versioned commit; the union is the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshTable("sink")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = stream.toDF().toDF("id", "s")
+      .writeStream.foreachBatch(TxLog.appendSink(t)).outputMode("append").start()
+    try {
+      stream.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      stream.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(TxLog.versions(spark, t) == Seq(0L, 1L))
+      assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // the mid-stream version is a stable training snapshot
+      assert(TxLog.read(spark, t, asOf = Some(0L))
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
     val got = graft.operators.Merge.qwTxlogRead(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1)))
