@@ -68,6 +68,21 @@ object TxLog {
     } finally out.close()
   }
 
+  private def watermarkPath(table: String) =
+    new Path(logDir(table), "_vacuum_watermark")
+
+  /** Earliest version still readable (0 until a vacuum raises it). */
+  def earliestReadableVersion(spark: SparkSession, table: String): Long = {
+    val p = watermarkPath(table)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Replay the log up to and including `asOf` (default: latest);
     * returns the live RELATIVE file paths in first-added order. */
   def snapshotFiles(spark: SparkSession, table: String,
@@ -117,6 +132,9 @@ object TxLog {
     * honest for a data table. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Long] = None): DataFrame = {
+    val wm = earliestReadableVersion(spark, table)
+    require(asOf.forall(_ >= wm),
+      s"txlog: version ${asOf.get} was vacuumed (earliest readable: $wm)")
     val files = snapshotFiles(spark, table, asOf)
     require(files.nonEmpty, s"txlog: empty snapshot for $table at $asOf")
     spark.read.parquet(files.map(p => new Path(table, p).toString): _*)
@@ -158,6 +176,50 @@ object TxLog {
     * free time travel. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long =
     replaceCommit(spark, table, df, "overwrite")
+
+  /** Reclaim data files no retained version references — the storage
+    * half of the lifecycle: without it a copy-on-write table only ever
+    * GROWS (every compaction/overwrite leaves the full old snapshot on
+    * disk), which is exactly the cost that matters at 100 TB. Retains
+    * the last `retainLast` versions' file sets; anything referenced
+    * ONLY by older versions is deleted, and the read watermark rises so
+    * a time travel into the vacuumed range fails LOUDLY at the API
+    * (not with a missing-file scan error mid-job). The log files
+    * themselves stay (tiny, and replay needs the full prefix). */
+  def vacuum(spark: SparkSession, table: String,
+             retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "txlog: must retain at least the latest version")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: nothing to vacuum in $table")
+    val retained = vs.takeRight(retainLast)
+    val referenced = retained
+      .flatMap(v => snapshotFiles(spark, table, Some(v))).toSet
+    val dataRoot = new Path(table, "data")
+    val f = fs(spark, dataRoot)
+    // qualify BOTH sides before relativizing: listFiles returns
+    // scheme-qualified paths (file:/…) while `table` is usually bare —
+    // a scheme mismatch would relativize to the absolute path, match
+    // nothing, and delete the retained files too (the spec pins this)
+    val rootPrefix = f.makeQualified(new Path(table)).toString + "/"
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toString
+          require(full.startsWith(rootPrefix),
+            s"txlog: data file $full outside table root $rootPrefix")
+          val rel = full.stripPrefix(rootPrefix)
+          if (!referenced.contains(rel)) { f.delete(st.getPath, false); removed += rel }
+        }
+      }
+    }
+    val wp = watermarkPath(table)
+    val out = f.create(wp, true)
+    try out.write(retained.head.toString.getBytes("UTF-8")) finally out.close()
+    removed.toSeq.sorted
+  }
 
   /** `foreachBatch` adapter: every micro-batch lands as one versioned
     * append — the streaming-ingest sink for a versioned table (each

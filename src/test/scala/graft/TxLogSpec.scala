@@ -102,6 +102,27 @@ class TxLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vacuum reclaims unreferenced files; vacuumed versions fail loudly at the API") {
+    val t = freshTable("vac")
+    TxLog.append(spark, t, (1L to 40L).map(i => (i, s"x$i")).toDF("id", "s"))
+    TxLog.append(spark, t, (41L to 60L).map(i => (i, s"x$i")).toDF("id", "s"))
+    val cv = TxLog.compact(spark, t)
+    val preRefs = TxLog.snapshotFiles(spark, t, asOf = Some(cv - 1))
+    val removed = TxLog.vacuum(spark, t, retainLast = 1)
+    // everything only the pre-compaction versions referenced is gone
+    assert(removed.toSet == preRefs.toSet, s"removed $removed vs pre $preRefs")
+    assert(TxLog.earliestReadableVersion(spark, t) == cv)
+    // the retained snapshot is fully intact
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == (1L to 60L).toSet)
+    // time travel into the vacuumed range is a LOUD API error, not a
+    // missing-file scan failure
+    val e = intercept[IllegalArgumentException](
+      TxLog.read(spark, t, asOf = Some(cv - 1)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // vacuum with everything retained removes nothing
+    assert(TxLog.vacuum(spark, t, retainLast = 10).isEmpty)
+  }
+
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
     val got = graft.operators.Merge.qwTxlogRead(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1)))
