@@ -99,7 +99,7 @@ class FuzzParitySpec extends SparkSpec {
   /** Build one (DataFrame, SQL, orderedCompare) triple from the seed. */
   private def genCase(seed: Int): (DataFrame, String, Boolean) = {
     val rng = new Random(seed)
-    rng.nextInt(15) match {
+    rng.nextInt(17) match {
       case 0 => // scan + filter + projection (maybe DISTINCT)
         val t = tbls(rng.nextInt(tbls.size))
         val pred = genPred(rng, t)
@@ -356,7 +356,7 @@ class FuzzParitySpec extends SparkSpec {
           s"WHERE $c <= (SELECT ${if (useMin) "MIN" else "MAX"}($c2) FROM ${t2.name})"
         (df, sql, false)
 
-      case _ => // unpivot (wide aggregate melted to long): DataFrame
+      case 14 => // unpivot (wide aggregate melted to long): DataFrame
                 // unpivot vs the UNION ALL spelling every engine parses;
                 // both metrics are LongType so no unification cast
         val t = tbls(rng.nextInt(tbls.size))
@@ -372,6 +372,39 @@ class FuzzParitySpec extends SparkSpec {
           s"FROM ${t.name} GROUP BY $key) " +
           s"SELECT $key, 'm1' AS metric, m1 AS value FROM w " +
           s"UNION ALL SELECT $key, 'm2', m2 FROM w"
+        (df, sql, false)
+
+      case 15 => // snapshot-diff shape (round 9): FULL OUTER JOIN on the
+                 // join key, reduced to exact integer fate counts with a
+                 // null-safe match (IS NOT DISTINCT FROM ↔ <=>)
+        val (li, ri, lk, rk) = joinPairs(rng.nextInt(joinPairs.size))
+        val (lt, rt) = (tbls(li), tbls(ri))
+        val df = spark.table(lt.name).select(col(lk))
+          .join(spark.table(rt.name).select(col(rk)),
+            col(lk) === col(rk), "full_outer")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col(lk).isNull, 1L).otherwise(0L)).as("only_r"),
+            sum(when(col(rk).isNull, 1L).otherwise(0L)).as("only_l"),
+            sum(when(col(lk) <=> col(rk), 1L).otherwise(0L)).as("matched"))
+        val sql = "SELECT COUNT(*) AS n, " +
+          s"SUM(CASE WHEN $lk IS NULL THEN 1 ELSE 0 END) AS only_r, " +
+          s"SUM(CASE WHEN $rk IS NULL THEN 1 ELSE 0 END) AS only_l, " +
+          s"SUM(CASE WHEN $lk IS NOT DISTINCT FROM $rk THEN 1 ELSE 0 END) AS matched " +
+          s"FROM (SELECT $lk FROM ${lt.name}) AS a " +
+          s"FULL OUTER JOIN (SELECT $rk FROM ${rt.name}) AS b ON $lk = $rk"
+        (df, sql, false)
+
+      case _ => // ROLLUP hierarchy totals (round 9): subtotal rows join
+                // the regular groups; INT sums only, so every value is
+                // exact and the unordered canon compares cleanly
+        val t = tbls(rng.nextInt(tbls.size))
+        val keys = rng.shuffle((t.strs ++ t.intNums).distinct).take(2).sorted
+        val ic = t.intNums(rng.nextInt(t.intNums.size))
+        val df = spark.table(t.name)
+          .rollup(keys.map(col): _*)
+          .agg(count(lit(1)).as("c"), sum(col(ic)).as("s"))
+        val sql = s"SELECT ${keys.mkString(", ")}, COUNT(*) AS c, SUM($ic) AS s " +
+          s"FROM ${t.name} GROUP BY ROLLUP (${keys.mkString(", ")})"
         (df, sql, false)
     }
   }
