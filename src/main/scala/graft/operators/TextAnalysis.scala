@@ -403,7 +403,6 @@ object TextAnalysis {
     * 1e-6 per-term quantization. Terms absent from the corpus (df = 0)
     * simply contribute no match rows. */
   def bm25QueryTable(docs: DataFrame, queryTerms: DataFrame, topN: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queryTerms
       .select(col("query_id").cast("long"), col("term")).distinct()
     val dl = docs.select(col("doc_id"),
@@ -415,6 +414,24 @@ object TextAnalysis {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dft = hits.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    bm25Score(hits.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
+      dft, stats, q, topN)
+  }
+
+  /** The shared BM25 scoring tail — ONE implementation consumed by both
+    * the corpus-scan path ([[bm25QueryTable]]) and the stored-index serve
+    * path ([[TextIndex.serve]]), so the two are bit-equal by construction:
+    * identical expression text, identical integer micro-unit sums,
+    * identical rank comparisons. Inputs are exact integers however they
+    * were produced (scan-side aggregation or a loaded index artifact).
+    *
+    * `hits`: (token, doc_id, tf, dl) match rows; `dft`: (token, df);
+    * `stats`: one (n_docs, sum_dl) row; `q`: (query_id, term) workload.
+    * All three non-hit sides broadcast — term-count- or 1-row-sized. */
+  private[operators] def bm25Score(hits: DataFrame, dft: DataFrame,
+                                   stats: DataFrame, q: DataFrame,
+                                   topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // identical literals/shape to bm25TopDocs' per-term CASE, then
     // micro-unit quantization for the order-free sum
     val cTerm = expr(
@@ -424,8 +441,7 @@ object TextAnalysis {
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("doc_id"))
     hits
       .join(broadcast(q.withColumnRenamed("term", "token")), "token")
-      .join(dft, "token")
-      .join(dl, "doc_id")
+      .join(broadcast(dft), "token")
       .join(broadcast(stats))
       .withColumn("c_term", cTerm)
       .groupBy("query_id", "doc_id")
