@@ -10,7 +10,17 @@ object Verify {
     val spark = GraftSession.builder("graft-verify", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated subset (dev loop; the driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
+    val pack = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    pack.foreach { case (name, fn) =>
       // coalesce(1) is deliberate and load-bearing here: the driver's
       // compare is ROW-ORDER-sensitive, and coalesce merges the orderBy's
       // range partitions in index order, preserving the global sort.

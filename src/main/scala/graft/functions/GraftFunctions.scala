@@ -36,6 +36,8 @@ object FunctionBuilders {
         intLiteral(c(1), "numTables"), intLiteral(c(2), "numBits"))),
     ("word_shingles", classOf[WordShingles],
       (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))),
+    ("bpe_expand", classOf[BpeExpand],
+      (c: Seq[Expression]) => BpeExpand(c(0))),
     ("minhash_signature", classOf[MinHashSignature],
       (c: Seq[Expression]) => MinHashSignature(c(0),
         intLiteral(c(1), "n"), intLiteral(c(2), "k"))),

@@ -57,7 +57,11 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("r"),
+      // bpe_expand ≡ regexp_replace(w, "(.)", "$1  ") bit-for-bit
+      // (FunctionsSpec pins it) — a byte loop instead of a regex-engine
+      // pass per token; the DuckDB oracle keeps the regexp form, so the
+      // hash gate doubles as the cross-engine equivalence proof
+      .select(concat(lit("  "), call_function("bpe_expand", col("w"))).as("r"),
         col("freq"))
     var cur = words
     var merges = Vector.empty[DataFrame]
@@ -107,7 +111,13 @@ object Bpe {
     * At 100 TB that is the only acceptable shape for a pass that
     * touches every byte. */
   def encode(docs: DataFrame, steps: Int = 3): DataFrame = {
-    val merges = learnMerges(docs, steps)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // materialize the steps-row merge table ONCE before fanning out into
+    // per-step broadcast frames: without the cut, each step's filter
+    // re-executes the whole training chain (incl. its lazy cutLineage
+    // materializations) — measured as the dominant share of the
+    // BENCH_r09 qt_bpe_encode regression (3.4 → 13.5 s in-pack)
+    val merges = Dedup.cutLineage(learnMerges(docs, steps), eager = true)
     // one 1-row frame per step, fields renamed so the cross joins stack
     val bests = (1 to steps).map { i =>
       broadcast(merges.filter(col("step") === i)
@@ -117,7 +127,7 @@ object Bpe {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
     val withMerges = bests.foldLeft(
-      tok.withColumn("r", concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))))(
+      tok.withColumn("r", concat(lit("  "), call_function("bpe_expand", col("w")))))(
       _ crossJoin _)
     val encoded = (1 to steps).foldLeft(withMerges) { (df, i) =>
       df.withColumn("r", expr(

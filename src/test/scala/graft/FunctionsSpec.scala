@@ -174,4 +174,42 @@ class FunctionsSpec extends SparkSpec {
       s"strip_accents not inside a codegen span:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("bpe_expand ≡ regexp_replace(w, '(.)', '$1  ') on the real corpus and edge cases") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    // the regex form bpe_expand replaces — bit-equality is the contract
+    // that keeps the DuckDB oracle (still regexp-based) hash-green
+    val corpus = graft.sources.Tables.documents(spark, sfSmall)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val mismatch = corpus
+      .select(col("w"), call_function("bpe_expand", col("w")).as("fast"),
+        regexp_replace(col("w"), "(.)", "$1  ").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(mismatch.isEmpty, s"bpe_expand diverges: ${mismatch.head(3).mkString(", ")}")
+    // edge cases the corpus may not cover: empty, multibyte codepoints,
+    // line terminators (regex `.` skips them — so must bpe_expand)
+    val edges = Seq("", "a", "héllo", "日本語", "a\nb", "x\ry", " ", "ef",
+      "😀ok") // surrogate pair (U+1F600)
+    import spark.implicits._
+    val edf = edges.toDF("w")
+      .select(col("w"), call_function("bpe_expand", col("w")).as("fast"),
+        regexp_replace(col("w"), "(.)", "$1  ").as("ref"))
+    edf.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"bpe_expand('${r.getString(0)}') = '${r.getString(1)}' != '${r.getString(2)}'")
+    }
+  }
+
+  test("bpe_expand sits inside a whole-stage codegen span") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.documents(spark, sfTiny)
+      .selectExpr("bpe_expand(text) AS r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("bpe_expand")),
+      s"bpe_expand not inside a codegen span:\n$plan")
+    assert(df.filter(col("r") =!= "").count() > 0)
+  }
 }
