@@ -54,18 +54,46 @@ object TxLog {
   }
 
   private def writeCommit(spark: SparkSession, table: String, version: Long,
-                          adds: Seq[String], removes: Seq[String]): Unit = {
+                          adds: Seq[String], removes: Seq[String],
+                          tag: Option[String] = None): Unit = {
     val dir = logDir(table)
     val f = fs(spark, dir)
     val path = new Path(dir, f"$version%08d.json")
+    // Advisory fast-fail only: the real single-writer guard is the
+    // create-exclusive flag below (overwrite = false), which is atomic
+    // on the filesystem; this require just produces a better message in
+    // the non-racing misuse case.
     require(!f.exists(path), s"txlog: version $version already committed")
+    // Paths are engine-generated parquet names, but make the format's
+    // contract explicit: the hand-rolled quote-split parse in
+    // parseAction is only sound when paths carry no quote/backslash.
+    (adds ++ removes).foreach { p =>
+      require(!p.contains('"') && !p.contains('\\'),
+        s"txlog: path contains a character the commit format cannot carry: $p")
+    }
     val out = f.create(path, false)
     try {
+      // the optional kind tag comes FIRST, so change-feed consumers can
+      // classify a commit without scanning its file actions
       val lines =
-        adds.map(p => s"""{"a":"add","p":"$p"}""") ++
+        tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
+          adds.map(p => s"""{"a":"add","p":"$p"}""") ++
           removes.map(p => s"""{"a":"remove","p":"$p"}""")
       out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     } finally out.close()
+  }
+
+  /** Parse one commit/checkpoint line of the fixed two-field format —
+    * validated, so a corrupt or reordered line fails LOUDLY with the
+    * offending content instead of an ArrayIndexOutOfBounds. */
+  private def parseAction(where: Path, line: String): (String, String) = {
+    val t = line.split("\"", -1)
+    require(t.length == 9 && t(1) == "a" && t(5) == "p",
+      s"txlog: malformed commit line in $where: $line")
+    val action = t(3)
+    require(action == "add" || action == "remove" || action == "tag",
+      s"txlog: bad action in $where: $line")
+    (action, t(7))
   }
 
   private def watermarkPath(table: String) =
@@ -83,29 +111,88 @@ object TxLog {
     }
   }
 
+  /** How often a compacted snapshot of the live file set is written
+    * next to the log (`_log/%08d.ckpt`, same line format, adds only):
+    * reads replay last-checkpoint + suffix instead of the full commit
+    * prefix, making driver-side read latency O(checkpointEvery) in
+    * commit count instead of O(commits) — the cost that grows without
+    * bound on a long-lived table fed by streaming micro-batch commits
+    * (each [[appendSink]] batch is one commit). The public lakehouse
+    * answer (Delta's `_last_checkpoint`, Iceberg's snapshot manifests),
+    * reduced to this log's two-field format. */
+  val checkpointEvery: Long = 10L
+
+  private def ckptPath(table: String, version: Long) =
+    new Path(logDir(table), f"$version%08d.ckpt")
+
+  /** Sorted versions that have a checkpoint snapshot. */
+  def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong)
+      .sorted
+  }
+
+  private def readLogFile(spark: SparkSession, path: Path): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val in = f.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map(parseAction(path, _)).toSeq
+  }
+
+  /** Write the live-set snapshot for `version` (called by the commit
+    * paths on the [[checkpointEvery]] cadence; idempotent — a crash
+    * between commit and checkpoint just means the next read replays a
+    * slightly longer suffix, and the NEXT eligible commit writes one). */
+  private def maybeCheckpoint(spark: SparkSession, table: String,
+                              version: Long): Unit = {
+    if (version > 0 && version % checkpointEvery == 0) {
+      val live = snapshotFiles(spark, table, Some(version))
+      val f = fs(spark, logDir(table))
+      val out = f.create(ckptPath(table, version), true)
+      try out.write((live.map(p => s"""{"a":"add","p":"$p"}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** Replay the log up to and including `asOf` (default: latest);
-    * returns the live RELATIVE file paths in first-added order. */
+    * returns the live RELATIVE file paths in first-added order.
+    * Starts from the newest checkpoint at or before the target version
+    * (if one exists) and replays only the commit SUFFIX after it. */
   def snapshotFiles(spark: SparkSession, table: String,
                     asOf: Option[Long] = None): Seq[String] = {
     val vs = versions(spark, table)
-    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
-    require(asOf.isEmpty || upTo.nonEmpty || vs.isEmpty,
-      s"txlog: no commits at or before version ${asOf.get}")
-    val f = fs(spark, logDir(table))
+    asOf.foreach { v =>
+      // both directions fail loudly: a too-early version has no commits
+      // to replay; a too-late one names a snapshot that does not exist
+      // (silently answering with the latest would un-pin a pinned read)
+      require(vs.exists(_ <= v),
+        s"txlog: no commits at or before version $v")
+      require(vs.isEmpty || v <= vs.last,
+        s"txlog: version $v does not exist yet (latest: ${vs.last})")
+    }
+    val target = asOf.getOrElse(if (vs.isEmpty) -1L else vs.last)
+    val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (v <- upTo) {
-      val path = new Path(logDir(table), f"$v%08d.json")
-      val in = f.open(path)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      for (line <- text.linesIterator if line.nonEmpty) {
-        // fixed two-field format written by writeCommit — a tiny
-        // hand-rolled parse keeps the log dependency-free
-        val action = line.split("\"")(3)
-        val p = line.split("\"")(7)
-        if (action == "add") live += p
-        else if (action == "remove") live -= p
-        else throw new IllegalArgumentException(s"txlog: bad action in $path: $line")
+    startCkpt.foreach { cv =>
+      readLogFile(spark, ckptPath(table, cv)).foreach {
+        case ("add", p) => live += p
+        case (a, p) => throw new IllegalArgumentException(
+          s"txlog: checkpoint $cv carries non-add action $a for $p")
+      }
+    }
+    val replay = vs.filter(v => v <= target && startCkpt.forall(v > _))
+    for (v <- replay) {
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).foreach {
+        case ("add", p) => live += p
+        case ("remove", p) => live -= p
+        case ("tag", _) => () // commit-kind marker, not a file action
       }
     }
     live.toSeq
@@ -124,6 +211,7 @@ object TxLog {
       .sorted
       .map(n => s"$rel/$n")
     writeCommit(spark, table, version, adds = files, removes = Seq.empty)
+    maybeCheckpoint(spark, table, version)
     version
   }
 
@@ -145,7 +233,10 @@ object TxLog {
     * and [[overwrite]] (df = a new snapshot, e.g. a MERGE result). */
   private def replaceCommit(spark: SparkSession, table: String,
                             df: DataFrame, tag: String): Long = {
-    val version = versions(spark, table).last + 1
+    val vs = versions(spark, table)
+    require(vs.nonEmpty,
+      s"txlog: cannot $tag an empty table (no commits in $table)")
+    val version = vs.last + 1
     val rel = f"data/v$version%08d-$tag"
     val dataDir = new Path(table, rel)
     df.write.parquet(dataDir.toString)
@@ -156,7 +247,8 @@ object TxLog {
       .sorted
       .map(n => s"$rel/$n")
     writeCommit(spark, table, version,
-      adds = files, removes = snapshotFiles(spark, table))
+      adds = files, removes = snapshotFiles(spark, table), tag = Some(tag))
+    maybeCheckpoint(spark, table, version)
     version
   }
 
@@ -219,6 +311,73 @@ object TxLog {
     val out = f.create(wp, true)
     try out.write(retained.head.toString.getBytes("UTF-8")) finally out.close()
     removed.toSeq.sorted
+  }
+
+  /** The kind tag of commit `version`: None for a plain append,
+    * Some("compact"/"overwrite") for rewrites (untagged pre-r10 rewrite
+    * commits read as None but still carry removes). */
+  def commitKind(spark: SparkSession, table: String, version: Long): Option[String] =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
+      .collectFirst { case ("tag", k) => k }
+
+  /** The files a change-feed consumer should DELIVER for commit
+    * `version`:
+    *  - plain append → its added files;
+    *  - compaction → NOTHING (a compaction rewrites already-delivered
+    *    rows and appends none; skipping it is exact, not lossy);
+    *  - overwrite (or an untagged commit carrying removes) → LOUD
+    *    failure unless `skipChangeCommits` — its rows ARE data changes
+    *    an append-only feed cannot express, and silently re-delivering
+    *    or dropping them would corrupt any downstream consumer. The
+    *    escape hatch mirrors Delta's public `skipChangeCommits` option:
+    *    the consumer explicitly accepts that rewritten data is skipped. */
+  private[sources] def appendedFiles(spark: SparkSession, table: String,
+                                     version: Long,
+                                     skipChangeCommits: Boolean = false): Seq[String] = {
+    val path = new Path(logDir(table), f"$version%08d.json")
+    val actions = readLogFile(spark, path)
+    val kind = actions.collectFirst { case ("tag", k) => k }
+    val isRewrite = actions.exists(_._1 == "remove")
+    if (kind.contains("compact")) Seq.empty
+    else if (isRewrite || kind.exists(_ != "compact")) {
+      if (skipChangeCommits) Seq.empty
+      else throw new IllegalArgumentException(
+        s"txlog: version $version of $table is a rewrite " +
+          s"(${kind.getOrElse("untagged")}), not an append — the change feed " +
+          "delivers append commits only (skipChangeCommits=true skips rewrites)")
+    } else actions.collect { case ("add", p) => p }
+  }
+
+  /** Batch CHANGE FEED: the rows appended by commits in
+    * `(fromExclusive, toInclusive]`, tagged with `_commit_version` — the
+    * incremental-consumption primitive ("process exactly the data that
+    * arrived between training snapshot V1 and V2", reproducibly,
+    * without diffing snapshots). Reads only the delta's files; the
+    * table's accumulated history is never rescanned. Fails loudly if
+    * the range contains a rewrite commit (see [[appendedFiles]]) or
+    * names versions that don't exist. */
+  def readChanges(spark: SparkSession, table: String,
+                  fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    require(toInclusive <= vs.last,
+      s"txlog: version $toInclusive does not exist yet (latest: ${vs.last})")
+    require(fromExclusive <= toInclusive,
+      s"txlog: empty/inverted change range ($fromExclusive, $toInclusive]")
+    val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
+    require(range.nonEmpty,
+      s"txlog: no commits in ($fromExclusive, $toInclusive]")
+    // compactions deliver no rows (appendedFiles → empty) — drop them;
+    // overwrites in range fail loudly inside appendedFiles
+    val delivering = range
+      .map(v => v -> appendedFiles(spark, table, v)).filter(_._2.nonEmpty)
+    require(delivering.nonEmpty,
+      s"txlog: no appended rows in ($fromExclusive, $toInclusive] " +
+        "(only compaction commits)")
+    delivering.map { case (v, files) =>
+      spark.read.parquet(files.map(p => new Path(table, p).toString): _*)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** `foreachBatch` adapter: every micro-batch lands as one versioned

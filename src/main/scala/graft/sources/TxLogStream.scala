@@ -1,0 +1,300 @@
+package graft.sources
+
+import java.util.{Collections => JCollections}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-Streaming SOURCE over a [[TxLog]] table — "read the table
+  * AS a stream": commit versions are the offsets, and admission control
+  * caps each micro-batch at exactly ONE commit, so a batch is a commit
+  * is a replayable unit ("the training run consumed versions 0..17" is
+  * exact lineage). This closes the loop the TxLog docstring promises:
+  * change sets land as versioned commits ([[TxLog.appendSink]],
+  * [[graft.streaming.StreamingCdc]]) and are consumed downstream as a
+  * stream of those same commits.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-txlog")
+  *     .option("startingVersion", "0")   // default 0 (everything)
+  *     .load(tableDir)
+  * }}}
+  *
+  * Contract (all failures are LOUD, at plan time where possible):
+  *  - append-only consumption: a COMPACTION commit delivers nothing
+  *    (it rewrites already-delivered rows and appends none — skipping
+  *    it is exact, not lossy), while an OVERWRITE commit aborts the
+  *    stream: its rows ARE data changes an append feed cannot express,
+  *    and silently re-delivering or dropping them would corrupt any
+  *    downstream consumer. `option("skipChangeCommits", "true")` (the
+  *    public Delta escape hatch by the same name) skips overwrites too.
+  *  - a stream whose offset has fallen behind the vacuum watermark
+  *    fails at planning (unread commits' files may be reclaimed), not
+  *    with a missing-file error mid-scan.
+  *  - flat schemas of primitive/string/binary/date/timestamp columns
+  *    (the change-feed shape); nested/decimal columns are rejected at
+  *    scan construction, not mid-batch.
+  *  - each output row carries `_commit_version` (long) as the last
+  *    column — batches are self-describing without foreachBatch plumbing.
+  *
+  * Scale shape: offsets and file lists are driver-side and
+  * O(files-per-commit); the DATA path is one [[InputPartition]] per
+  * parquet file, decoded ON EXECUTORS by a parquet-hadoop record reader
+  * (no driver collect, no whole-snapshot rescan — a micro-batch reads
+  * exactly its commit's files). Column pruning is deliberately not
+  * implemented: change-feed consumers read whole rows.
+  *
+  * This is the engine's from-scratch DataSource V2 connector: the
+  * MicroBatchStream/Offset/PartitionReader surface is the same public
+  * API Spark's own rate and Kafka sources implement.
+  */
+class TxLogStreamProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txlog"
+
+  private def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-txlog: a table path is required (readStream…load(dir))")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val table = tablePath(options)
+    // schema = latest snapshot's data schema + the version tag; needs at
+    // least one commit — honest for a source whose rows ARE commits
+    val dataSchema = TxLog.read(spark, table).schema
+    TxLogStream.validateSchema(dataSchema)
+    StructType(dataSchema.fields :+
+      StructField(TxLogStream.VersionColumn, LongType, nullable = false))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    // properties arrive in original case — normalize before reading
+    val opts = new CaseInsensitiveStringMap(properties)
+    new TxLogStreamTable(schema, tablePath(opts),
+      Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
+      opts.getBoolean("skipchangecommits", false))
+  }
+}
+
+private[sources] object TxLogStream {
+  val VersionColumn = "_commit_version"
+
+  /** Reject unsupported column types at plan time, not mid-batch. */
+  def validateSchema(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | BinaryType | DateType | TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"graft-txlog: unsupported column type ${other.catalogString} for " +
+          s"'${f.name}' — the stream supports flat primitive/string/binary/" +
+          "date/timestamp schemas (the change-feed shape)")
+    }
+  }
+}
+
+private[sources] class TxLogStreamTable(schema: StructType, table: String,
+                                        startingVersion: Long,
+                                        skipChangeCommits: Boolean)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"txlog:$table"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TxLogMicroBatchStream(table, schema, startingVersion, skipChangeCommits)
+      }
+    }
+}
+
+/** Offset = last fully-delivered commit version (−1 before the first). */
+private[sources] case class TxLogOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
+                                             startingVersion: Long,
+                                             skipChangeCommits: Boolean)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = TxLogOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): Offset = TxLogOffset(json.toLong)
+
+  /** One commit per micro-batch: advance at most one version past the
+    * start regardless of how many commits are pending — each batch is a
+    * single replayable commit (the [[ReadLimit]] is not consulted; the
+    * one-commit cap is stricter than any rate limit). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = TxLog.versions(spark, table).lastOption.getOrElse(-1L)
+    val from = start.asInstanceOf[TxLogOffset].version
+    TxLogOffset(math.min(from + 1, latest).max(from))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    TxLogOffset(TxLog.versions(spark, table).lastOption.getOrElse(-1L))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "graft-txlog implements SupportsAdmissionControl; the engine calls latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[TxLogOffset].version
+    // a stream lagging behind the vacuum watermark may have lost its
+    // unread commits' files — fail at planning, not mid-scan
+    val wm = TxLog.earliestReadableVersion(spark, table)
+    require(from + 1 >= wm,
+      s"txlog: stream offset $from is behind the vacuum watermark $wm of " +
+        s"$table — unread commits may have been reclaimed; restart from a " +
+        "fresh checkpoint")
+    val to = end.asInstanceOf[TxLogOffset].version
+    val vs = TxLog.versions(spark, table).filter(v => v > from && v <= to)
+    vs.flatMap { v =>
+      // compactions deliver nothing (exact skip); overwrites fail LOUDLY
+      // unless skipChangeCommits — see TxLog.appendedFiles
+      TxLog.appendedFiles(spark, table, v, skipChangeCommits)
+        .map(rel => TxLogInputPartition(new Path(table, rel).toString, v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxLogReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class TxLogInputPartition(file: String, commitVersion: Long)
+  extends InputPartition
+
+private[sources] case class TxLogReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxLogInputPartition]
+    new TxLogPartitionReader(p.file, p.commitVersion, schema)
+  }
+}
+
+/** Executor-side parquet decode via parquet-hadoop's example Group API —
+  * dependency-free (the jars ship with Spark) and sufficient for the
+  * validated flat change-feed schemas. Spark's own vectorized reader is
+  * not reachable from a third-party connector without internal APIs;
+  * row-by-row Group decode is the honest public-API path, and the
+  * change-feed batches it serves are commit-sized, not corpus-sized. */
+private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
+                                            schema: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration()).build()
+
+  // resolved per data column on the first record: (parquet field index,
+  // converter). The version column is injected, never read.
+  private var resolved: Array[(Int, Group => Any)] = _
+  private var current: Group = _
+
+  private def julianToMicros(bytes: Array[Byte]): Long = {
+    // INT96 timestamp: 8 bytes little-endian nanos-of-day, then 4 bytes
+    // little-endian julian day (the parquet-mr layout Spark writes)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  private def resolve(gt: GroupType): Array[(Int, Group => Any)] =
+    schema.fields.filter(_.name != TxLogStream.VersionColumn).map { f =>
+      require(gt.containsField(f.name),
+        s"graft-txlog: column '${f.name}' missing from $file (schema drift " +
+          "across commits is not supported by the stream)")
+      val idx = gt.getFieldIndex(f.name)
+      val pt = gt.getType(idx)
+      require(pt.isPrimitive,
+        s"graft-txlog: column '${f.name}' is nested in $file")
+      val prim = pt.asPrimitiveType()
+      val conv: Group => Any = (f.dataType, prim.getPrimitiveTypeName) match {
+        case (LongType, PrimitiveTypeName.INT64) => g => g.getLong(idx, 0)
+        case (IntegerType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
+        case (DoubleType, PrimitiveTypeName.DOUBLE) => g => g.getDouble(idx, 0)
+        case (FloatType, PrimitiveTypeName.FLOAT) => g => g.getFloat(idx, 0)
+        case (BooleanType, PrimitiveTypeName.BOOLEAN) => g => g.getBoolean(idx, 0)
+        case (StringType, PrimitiveTypeName.BINARY) =>
+          g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case (BinaryType, PrimitiveTypeName.BINARY) => g => g.getBinary(idx, 0).getBytes
+        case (DateType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
+        case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT96) =>
+          g => julianToMicros(g.getInt96(idx, 0).getBytes)
+        case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) =>
+          val unit = prim.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation => t.getUnit
+            case other => throw new IllegalArgumentException(
+              s"graft-txlog: column '${f.name}' INT64 without timestamp " +
+                s"annotation in $file (got $other)")
+          }
+          unit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => g => g.getLong(idx, 0)
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => g => g.getLong(idx, 0) * 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS => g => g.getLong(idx, 0) / 1000L
+          }
+        case (dt, pn) => throw new IllegalArgumentException(
+          s"graft-txlog: cannot decode parquet $pn as ${dt.catalogString} " +
+            s"for column '${f.name}' in $file")
+      }
+      (idx, conv)
+    }
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    if (resolved == null) resolved = resolve(current.getType)
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < resolved.length) {
+      val (idx, conv) = resolved(i)
+      out(i) = if (current.getFieldRepetitionCount(idx) == 0) null else conv(current)
+      i += 1
+    }
+    out(schema.length - 1) = commitVersion
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = reader.close()
+}

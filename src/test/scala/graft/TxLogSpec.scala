@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions.col
 import graft.sources.TxLog
 
@@ -121,6 +122,189 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
     // vacuum with everything retained removes nothing
     assert(TxLog.vacuum(spark, t, retainLast = 10).isEmpty)
+  }
+
+  test("checkpoint snapshots: read past the cadence replays ckpt + suffix ≡ full replay") {
+    val t = freshTable("ckpt")
+    // 13 commits crosses the checkpointEvery=10 cadence once
+    (0 until 13).foreach(i => TxLog.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    val ckpts = TxLog.checkpointVersions(spark, t)
+    assert(ckpts == Seq(10L), s"expected one checkpoint at v10: $ckpts")
+    val withCkpt = TxLog.snapshotFiles(spark, t)
+    val atV10 = TxLog.snapshotFiles(spark, t, asOf = Some(10L))
+    val atV9 = TxLog.snapshotFiles(spark, t, asOf = Some(9L)) // pre-ckpt: full replay path
+    // ground truth: remove the checkpoint and force the full-replay path
+    val f = new Path(t, "_log").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(t, f"_log/${10L}%08d.ckpt"), false)
+    assert(TxLog.snapshotFiles(spark, t) == withCkpt,
+      "checkpointed read must equal full replay, incl. file order")
+    assert(TxLog.snapshotFiles(spark, t, asOf = Some(10L)) == atV10)
+    assert(TxLog.snapshotFiles(spark, t, asOf = Some(9L)) == atV9)
+    // rows are intact either way
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == (0L to 12L).toSet)
+  }
+
+  test("checkpoint after compaction carries the rewritten live set") {
+    val t = freshTable("ckpt2")
+    (0 until 10).foreach(i => TxLog.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    // v10 is the compaction AND the checkpoint version
+    val cv = TxLog.compact(spark, t)
+    assert(cv == 10L && TxLog.checkpointVersions(spark, t) == Seq(10L))
+    assert(TxLog.snapshotFiles(spark, t).size == 1)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == (0L to 9L).toSet)
+    // pre-compaction pin still replays the original files (no ckpt ≤ 9)
+    assert(TxLog.read(spark, t, asOf = Some(9L))
+      .collect().map(_.getLong(0)).toSet == (0L to 9L).toSet)
+  }
+
+  test("corrupt commit lines and format-hostile paths fail loudly") {
+    val t = freshTable("corrupt")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // plant a malformed line in a new commit file
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bad = new Path(t, f"_log/${1L}%08d.json")
+    val out = f.create(bad, false)
+    out.write("""{"a":"add","path-field-renamed":"x.parquet"}""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException](TxLog.snapshotFiles(spark, t))
+    assert(e.getMessage.contains("malformed commit line"), e.getMessage)
+    // an unknown action is equally loud
+    val out2 = f.create(bad, true)
+    out2.write("""{"a":"truncate","p":"x.parquet"}""".getBytes("UTF-8"))
+    out2.close()
+    val e2 = intercept[IllegalArgumentException](TxLog.snapshotFiles(spark, t))
+    assert(e2.getMessage.contains("bad action"), e2.getMessage)
+  }
+
+  test("guard rails: rewrite of an empty table and not-yet-existing versions are loud") {
+    val t = freshTable("guards")
+    val e = intercept[IllegalArgumentException](
+      TxLog.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s")))
+    assert(e.getMessage.contains("empty table"), e.getMessage)
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // asOf beyond the latest version must not silently answer with latest
+    val e2 = intercept[IllegalArgumentException](TxLog.read(spark, t, asOf = Some(7L)))
+    assert(e2.getMessage.contains("does not exist yet"), e2.getMessage)
+  }
+
+  test("readChanges: the appended delta, tagged by version; rewrites in range are loud") {
+    val t = freshTable("cdf")
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    TxLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+    val all = TxLog.readChanges(spark, t, -1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("_commit_version")))).toSet
+    assert(all == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)), all.toString)
+    // incremental consumption: exactly the commits after version 0
+    val tail = TxLog.readChanges(spark, t, 0L, 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tail == Set(3L, 4L))
+    // a compaction in range appends nothing — skipped exactly
+    TxLog.compact(spark, t)
+    assert(TxLog.readChanges(spark, t, 0L, 3L)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // an overwrite in range is a loud failure: its rows are changes the
+    // append feed cannot express
+    TxLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException](TxLog.readChanges(spark, t, 0L, 4L))
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    // ranges that avoid the rewrite still work
+    assert(TxLog.readChanges(spark, t, 0L, 2L).count() == 2L)
+  }
+
+  test("streaming read: each commit is one micro-batch; offsets survive restart") {
+    val t = freshTable("stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txlog-ckpt").toString
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    // foreachBatch sink (memory sink cannot recover from a checkpoint):
+    // records (batchId, rows-with-version) so one-commit-per-batch is
+    // directly assertable
+    val batches = collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long)])]
+    def start() = spark.readStream.format("graft-txlog").load(t)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val rows = df.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(r.fieldIndex("_commit_version"))))
+          batches.synchronized { batches += (id -> rows) }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      def delivered = batches.synchronized(batches.flatMap(_._2).toSet)
+      assert(delivered == Set((1L, 0L), (2L, 0L), (3L, 1L)), delivered.toString)
+      // one commit per micro-batch: a batch never mixes versions
+      batches.synchronized(batches.filter(_._2.nonEmpty)).foreach { case (id, rows) =>
+        assert(rows.map(_._2).distinct.size == 1, s"batch $id mixes commits: $rows")
+      }
+      // a commit landing while the stream runs is picked up
+      TxLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(delivered.map(_._1) == Set(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // restart from the engine checkpoint: only NEW commits are delivered
+    TxLog.append(spark, t, Seq((5L, "e")).toDF("id", "s"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = batches.synchronized(batches.flatMap(_._2).toSeq)
+      assert(all.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), all.toString)
+      assert(all.size == all.distinct.size, s"restart re-delivered commits: $all")
+    } finally q2.stop()
+  }
+
+  test("streaming read: a rewrite commit in the unread range aborts; behind the offset it is fine") {
+    val t = freshTable("streamrw")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txlog-ckpt2").toString
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format("graft-txlog").load(t)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = df.collect().toSeq.map(_.getLong(0))
+          seen.synchronized { seen ++= ids }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    // a compaction delivers NOTHING (it appends no rows — exact skip);
+    // the appends around it flow through
+    TxLog.compact(spark, t)
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set(1L, 2L),
+        seen.synchronized(seen.toSeq).toString)
+    } finally q2.stop()
+    // but an OVERWRITE in the unread range is a loud stream failure
+    TxLog.overwrite(spark, t, Seq((9L, "z")).toDF("id", "s"))
+    TxLog.append(spark, t, Seq((10L, "y")).toDF("id", "s"))
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(e.getMessage.contains("not an append"), e.getMessage)
+    q3.stop()
+    // …unless the consumer opts in: skipChangeCommits skips the rewrite
+    // and delivers the appends after it
+    val seen2 = collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-txlog-ckpt3").toString
+    val q4 = spark.readStream.format("graft-txlog")
+      .option("skipChangeCommits", "true").load(t)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = df.collect().toSeq.map(_.getLong(0))
+          seen2.synchronized { seen2 ++= ids }; ()
+      }
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q4.processAllAvailable()
+      // fresh checkpoint: appends 1, 2, (overwrite skipped), 10
+      assert(seen2.synchronized(seen2.toSet) == Set(1L, 2L, 10L),
+        seen2.synchronized(seen2.toSeq).toString)
+    } finally q4.stop()
   }
 
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
