@@ -307,6 +307,45 @@ class TxLogSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("CDC composite: change stream → versioned landings → pinned reads → restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshTable("cdcloop")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcloop-ckpt").toString
+    // change stream: (k, v, seq, delete) full-image changes
+    val stream = MemoryStream[(Long, String, Long, Boolean)](spark)
+    def start() = graft.streaming.StreamingCdc.applyChangesVersioned(
+      stream.toDF().toDF("k", "v", "seq", "_del"),
+      t, Seq("k"), "seq", "_del", checkpoint = Some(ckpt))
+    def content(asOf: Option[Long] = None): Set[(Long, String)] =
+      TxLog.read(spark, t, asOf).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val q = start()
+    try {
+      // batch 1: initial image (incl. two changes for k=2 — last wins)
+      stream.addData((1L, "a", 1L, false), (2L, "b0", 1L, false), (2L, "b1", 2L, false))
+      q.processAllAvailable()
+      assert(TxLog.versions(spark, t) == Seq(0L))
+      assert(content() == Set((1L, "a"), (2L, "b1")))
+      // batch 2: update k=1, delete k=2, insert k=3
+      stream.addData((1L, "a2", 3L, false), (2L, "b1", 4L, true), (3L, "c", 5L, false))
+      q.processAllAvailable()
+      assert(TxLog.versions(spark, t) == Seq(0L, 1L))
+      assert(content() == Set((1L, "a2"), (3L, "c")))
+      // version pinning: the pre-batch-2 training snapshot is intact
+      assert(content(Some(0L)) == Set((1L, "a"), (2L, "b1")))
+    } finally q.stop()
+    // restart: new changes land as the next version; history unchanged
+    val q2 = start()
+    try {
+      stream.addData((3L, "c2", 6L, false), (4L, "d", 7L, false))
+      q2.processAllAvailable()
+      // offsets recovered: ONLY the new batch landed (no replayed versions)
+      assert(TxLog.versions(spark, t) == Seq(0L, 1L, 2L))
+      assert(content() == Set((1L, "a2"), (3L, "c2"), (4L, "d")))
+      assert(content(Some(1L)) == Set((1L, "a2"), (3L, "c")))
+      assert(content(Some(0L)) == Set((1L, "a"), (2L, "b1")))
+    } finally q2.stop()
+  }
+
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
     val got = graft.operators.Merge.qwTxlogRead(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1)))
