@@ -195,6 +195,17 @@ object Sketches {
     df.filter(!call_function("seen_might_contain", lit(filter), xxhash64(col(keyCol))))
   }
 
+  /** The complement of [[filterUnseen]]: rows whose key the filter
+    * MIGHT have seen (true members + the fp-rate sliver). Together the
+    * two predicates split a scan map-side into a definitely-new fast
+    * path and an exact-check sliver — the two-tier probe
+    * ([[graft.operators.Ingest]], [[Graph.kHopDistances]]). */
+  def filterMightSeen(df: DataFrame, keyCol: String, filter: Array[Byte]): DataFrame = {
+    if (filter == null || filter.isEmpty) return df.limit(0) // nothing seen
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.filter(call_function("seen_might_contain", lit(filter), xxhash64(col(keyCol))))
+  }
+
   /** Sharded variant for key universes past one blob's comfortable size
     * (a few GB at billions of keys): build one filter per xxhash shard —
     * a single aggregation pass, `shards` blob rows out. */

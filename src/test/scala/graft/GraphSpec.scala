@@ -148,5 +148,30 @@ class GraphSpec extends SparkSpec {
       edgeSet.toDF("src", "dst"), sources.toDF("node"), maxHops)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, s"BFS vs Floyd–Warshall:\n got $got\n exp $expected")
+    // the bloom-refined path is the SAME function (two-tier split is
+    // lossless: bloom has no false negatives, fps re-dropped exactly)
+    val refined = Graph.kHopDistances(
+      edgeSet.toDF("src", "dst"), sources.toDF("node"), maxHops,
+      bloomRefine = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined == expected, s"bloom-refined BFS diverges:\n got $refined")
+  }
+
+  test("kHopDistances bloomRefine ≡ plain on the real qg_khop graph") {
+    val plainQ = {
+      val edges = graft.sources.Tables.orders(spark, sfTiny)
+        .select(org.apache.spark.sql.functions.col("o_custkey").as("src"),
+          ((org.apache.spark.sql.functions.col("o_orderkey") * 7) % 1500 + 1).as("dst"))
+      val nodes = edges.select(org.apache.spark.sql.functions.col("src").as("node"))
+        .union(edges.select(org.apache.spark.sql.functions.col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(org.apache.spark.sql.functions.col("node") % 100 === 1)
+      (Graph.kHopDistances(edges, seeds, 4, bloomRefine = false),
+        Graph.kHopDistances(edges, seeds, 4, bloomRefine = true))
+    }
+    val plain = plainQ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val refined = plainQ._2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(refined == plain,
+      s"${refined.size} vs ${plain.size} rows; first diff: " +
+        refined.zip(plain).find(p => p._1 != p._2).toString)
   }
 }
