@@ -176,6 +176,12 @@ case class CovAccumAgg(
       val vals = new Array[Double](arr.numElements())
       var i = 0
       while (i < vals.length) {
+        // a null ELEMENT would otherwise read as 0.0 and silently
+        // corrupt every mean/covariance — fail in the aggregate's
+        // strict require() style instead
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"cov_accum_agg: null element at index $i of a ${vals.length}-dim " +
+            "vector — moment accumulation over partial vectors is undefined")
         vals(i) = if (elemDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
         i += 1
       }

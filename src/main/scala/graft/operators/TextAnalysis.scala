@@ -418,16 +418,20 @@ object TextAnalysis {
       dft, stats, q, topN)
   }
 
-  /** The shared BM25 scoring tail — ONE implementation consumed by both
-    * the corpus-scan path ([[bm25QueryTable]]) and the stored-index serve
-    * path ([[TextIndex.serve]]), so the two are bit-equal by construction:
-    * identical expression text, identical integer micro-unit sums,
-    * identical rank comparisons. Inputs are exact integers however they
-    * were produced (scan-side aggregation or a loaded index artifact).
+  /** The shared BM25 scoring tail — ONE implementation so every caller
+    * (today [[bm25QueryTable]]; any future stored-index serve path)
+    * scores bit-equally by construction: identical expression text,
+    * identical integer micro-unit sums, identical rank comparisons.
+    * Inputs are exact integers however they were produced (scan-side
+    * aggregation or a loaded index artifact).
     *
     * `hits`: (token, doc_id, tf, dl) match rows; `dft`: (token, df);
     * `stats`: one (n_docs, sum_dl) row; `q`: (query_id, term) workload.
-    * All three non-hit sides broadcast — term-count- or 1-row-sized. */
+    * `dft` is semi-joined to the query terms BEFORE broadcasting, so a
+    * caller may safely pass the full corpus document-frequency table (a
+    * real vocabulary runs to millions of tokens — broadcasting it
+    * unpruned would risk driver/executor OOM); only the term-count-sized
+    * slice ever ships. */
   private[operators] def bm25Score(hits: DataFrame, dft: DataFrame,
                                    stats: DataFrame, q: DataFrame,
                                    topN: Int): DataFrame = {
@@ -439,9 +443,12 @@ object TextAnalysis {
            ((CAST(tf AS DOUBLE) * 2.2) /
             (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))) * 1000000.0, 0) AS BIGINT)""")
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("doc_id"))
+    val qTok = q.withColumnRenamed("term", "token")
+    val dftQ = dft.join(broadcast(qTok.select("token").distinct()),
+      Seq("token"), "left_semi")
     hits
-      .join(broadcast(q.withColumnRenamed("term", "token")), "token")
-      .join(broadcast(dft), "token")
+      .join(broadcast(qTok), "token")
+      .join(broadcast(dftQ), "token")
       .join(broadcast(stats))
       .withColumn("c_term", cTerm)
       .groupBy("query_id", "doc_id")

@@ -202,6 +202,23 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cov_accum_agg rejects null vector ELEMENTS loudly (no silent 0.0 absorption)") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = intercept[Throwable] {
+      spark.sql("SELECT cov_accum_agg(v, 2) FROM VALUES " +
+        "(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE))), " +
+        "(array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS t(v)").collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("null element"), messages)
+    // whole-row nulls are still skipped (the existing contract)
+    val ok = spark.sql("SELECT cov_accum_agg(v, 2) AS b FROM VALUES " +
+      "(CAST(NULL AS ARRAY<DOUBLE>)), " +
+      "(array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS t(v)").collect()
+    assert(ok.head.getAs[Array[Byte]](0) != null)
+  }
+
   test("bpe_expand sits inside a whole-stage codegen span") {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.functions._
