@@ -98,6 +98,111 @@ object Bpe {
   def qtBpeMerges(spark: SparkSession, d: String): DataFrame =
     learnMerges(T.documents(spark, d))
 
+  /** [[learnMerges]] with Sennrich's incremental pair-delta
+    * optimization — the production trainer (the recount form's own
+    * docstring names this as what a ~30k-merge vocabulary needs, and
+    * its `steps <= 16` cap exists because it re-explodes EVERY word's
+    * pairs every iteration).
+    *
+    * The invariant: after merging pair P, only words CONTAINING P have
+    * different pair multisets — so each iteration (1) splits the
+    * vocabulary by a scan-side `contains` on the doubled-space match
+    * pattern (no shuffle), (2) re-explodes pairs for the AFFECTED
+    * words only, twice (pre-merge weighted −freq, post-merge +freq) —
+    * robust against every overlap/run edge case because it diffs whole
+    * words rather than reasoning about local contexts, (3) folds the
+    * delta into the persistent pair-count table with one
+    * counts-table-sized aggregate (map-side combinable longs, no
+    * string explode), dropping rows that reach zero. Per-iteration
+    * cost is O(affected words + pair table) instead of O(total
+    * vocabulary pairs); as merges get rarer the affected set shrinks,
+    * which is exactly the regime deep trainings live in.
+    *
+    * Best-pair selection, tie rule, and the whole-symbol-safe replace
+    * are IDENTICAL to the recount form — BpeSpec pins
+    * `learnMergesDelta(n) ≡ learnMerges(n)` row-for-row on the real
+    * corpus (counts are exact integers, so equality is exact). Each
+    * round eagerly checkpoints the 1-row best (so the words/counts
+    * updates and the emitted merge row share one evaluation) and
+    * lazily cuts words/counts lineage; plan depth stays O(1) per
+    * round. */
+  def learnMergesDelta(docs: DataFrame, steps: Int,
+                       verbose: Boolean = false): DataFrame = {
+    require(steps >= 1 && steps <= 65536, s"steps out of range: $steps")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val pairsOf = (src: DataFrame, sign: Int) => src
+      .select(expr("trim(replace(r, '  ', ' '))").as("s"), col("freq"))
+      .filter(size(split(col("s"), " ")) >= 2)
+      .select(explode(call_function("word_shingles", col("s"), lit(2))).as("bg"),
+        (col("freq") * sign).as("w"))
+    var words = Dedup.cutLineage(docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("  "), call_function("bpe_expand", col("w"))).as("r"),
+        col("freq")), eager = true)
+    var counts = Dedup.cutLineage(
+      pairsOf(words, 1).groupBy("bg").agg(sum("w").as("cnt")), eager = true)
+    var merges = Vector.empty[DataFrame]
+    for (step <- 1 to steps) {
+      val t0 = System.nanoTime()
+      val best = Dedup.cutLineage(
+        counts.filter(col("cnt") > 0).orderBy(col("cnt").desc, col("bg")).limit(1),
+        eager = true)
+      val tBest = System.nanoTime()
+      merges = merges :+ best.select(lit(step).as("step"),
+        substring_index(col("bg"), " ", 1).as("p1"),
+        substring_index(col("bg"), " ", -1).as("p2"),
+        expr("replace(bg, ' ', '')").as("new_sym"),
+        col("cnt"))
+      // scan-side split on the doubled-space match pattern; the merge
+      // replace below uses the same pattern, so affected is exactly the
+      // set of words the replace changes
+      val withBest = words.crossJoin(broadcast(best))
+      val affected = withBest.filter(expr("contains(r, " +
+        "' ' || substring_index(bg, ' ', 1) || '  ' || substring_index(bg, ' ', -1) || ' ')"))
+        .select(col("r"), col("freq"), col("bg"))
+      val unaffected = withBest.filter(!expr("contains(r, " +
+        "' ' || substring_index(bg, ' ', 1) || '  ' || substring_index(bg, ' ', -1) || ' ')"))
+        .select("r", "freq")
+      val mergedAffected = affected
+        .select(expr(
+          "replace(r, ' ' || substring_index(bg, ' ', 1) || '  ' || " +
+            "substring_index(bg, ' ', -1) || ' ', " +
+            "' ' || replace(bg, ' ', '') || ' ')").as("r"),
+          col("freq"))
+      // whole-word diff: −freq over the pre-merge pairs, +freq over the
+      // post-merge pairs, folded into the running count table
+      val delta = pairsOf(affected.select("r", "freq"), -1)
+        .unionByName(pairsOf(mergedAffected, 1))
+      // Two measured traps live in these cuts (BpeRoundProbe found both):
+      //  - they must be EAGER: with lazy cuts the two consumers of each
+      //    round's words/counts race-recompute through the
+      //    un-materialized chain — exponential wall (766 s at 16 steps);
+      //  - words needs a narrow COALESCE first: union sums its
+      //    children's partition counts and carries no exchange for AQE
+      //    to coalesce, so the checkpointed words table would otherwise
+      //    DOUBLE its partitions every round (the smoking gun was a
+      //    stage scheduling 2^k near-empty tasks by step 16).
+      counts = Dedup.cutLineage(
+        counts.select(col("bg"), col("cnt").as("w"))
+          .unionByName(delta)
+          .groupBy("bg").agg(sum("w").as("cnt"))
+          .filter(col("cnt") =!= 0), eager = true)
+      val tCounts = System.nanoTime()
+      words = Dedup.cutLineage(
+        unaffected.unionByName(mergedAffected)
+          .coalesce(docs.sparkSession.sparkContext.defaultParallelism),
+        eager = true)
+      if (verbose) println(f"[bpe-delta] step=$step " +
+        f"best=${(tBest - t0) / 1e9}%.2fs counts=${(tCounts - tBest) / 1e9}%.2fs " +
+        f"words=${(System.nanoTime() - tCounts) / 1e9}%.2fs " +
+        s"wordsParts=${words.rdd.getNumPartitions} " +
+        s"countsRows=${counts.count()}")
+    }
+    merges.reduce(_ unionByName _).orderBy("step")
+  }
+
   /** The encode half of the tokenizer: apply `steps` learned merges
     * IN TRAINING ORDER to every token of every document (the
     * production tokenization pass) and report per-doc subword counts

@@ -116,13 +116,19 @@ object Graph {
     * exact integers) and the global clustering coefficient
     * 3·triangles / wedges (one division of exact longs, rounded 1e-6).
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b, self-loops dropped,
-    // multi-edges collapsed
-    val und = edges.select(
+  /** Canonical undirected edge set: a < b, self-loops dropped,
+    * multi-edges collapsed. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
       least(col("src"), col("dst")).cast("long").as("a"),
       greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+
+  /** Exact triangle count of a canonical edge set via the degree-ordered
+    * orientation — one (n_triangles) row. Shared by the exact and the
+    * DOULION-sampled paths, so the estimator counts with EXACTLY the
+    * machinery the exact operator uses. */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -136,12 +142,20 @@ object Graph {
       when(aFirst, col("b")).otherwise(col("a")).as("hi"))
     // wedges at the low-rank vertex, pair deduped by id order; the
     // closing edge is then (min id, max id) = a canonical `und` row
-    val tri = dir.as("e1")
+    dir.as("e1")
       .join(dir.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.hi").as("a"), col("e2.hi").as("b"))
       .join(und, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = orientedTriangles(und)
     val nodesEdges = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
@@ -149,6 +163,56 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges").cast("long").as("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
+  }
+
+  /** DOULION approximate triangle count (Tsourakakis, Kang, Miller &
+    * Faloutsos 2009, public): keep each canonical edge independently
+    * with probability p, count triangles on the sparsified graph with
+    * the SAME oriented counter, scale by 1/p³ (each surviving triangle
+    * needed all three edges kept). This is the scale path for the
+    * regime the 64× tier excluded by closed-form law — exact counting
+    * is lawfully O(m^1.5), while DOULION's joins run on a p-fraction of
+    * the edges (wedge work shrinks ~p², the dominant join's both sides
+    * by p) with published unbiasedness and concentration.
+    *
+    * Sampling is DETERMINISTIC (the qp_mixture idiom): keep iff the
+    * first two hex chars of md5("a:b:seed") compare below `cutoffHex`
+    * — reproducible across runs, partitionings, and engines, so the
+    * DuckDB oracle replays the identical sample and the estimate is
+    * hash-exact, not just bound-certified. p = cutoffHex/0x100; the
+    * default "80" gives p = 1/2, making 1/p³ = 8 exact integer math —
+    * the estimate carries zero float risk. */
+  def triangleStatsApprox(edges: DataFrame, cutoffHex: String = "80",
+                          seed: Long = 42L): DataFrame = {
+    require(cutoffHex.length == 2 &&
+      cutoffHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"cutoffHex must be two lowercase hex chars, got: $cutoffHex")
+    val p = Integer.parseInt(cutoffHex, 16) / 256.0
+    val und = canonicalUndirected(edges)
+    val sampled = und.filter(
+      substring(md5(concat_ws(":", col("a"), col("b"), lit(seed))), 1, 2)
+        < cutoffHex)
+    orientedTriangles(sampled)
+      .select(col("n_triangles").as("t_sampled"),
+        round(col("n_triangles") / lit(p * p * p), 0).cast("long").as("t_estimate"))
+  }
+
+  /** QG-TRI-APPROX — [[triangleStatsApprox]] (p = 1/2) next to the
+    * exact count on the same graph, with the relative-error
+    * certificate asserted in-plan (the qs_ann_lsh pattern): the oracle
+    * replays the identical deterministic sample, so t_sampled and
+    * t_estimate are hash-exact AND `within_bound` pins the realized
+    * error under the published concentration. */
+  def qgTrianglesApprox(spark: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(spark, d)
+      .select(col("o_custkey").as("src"),
+        ((col("o_orderkey") * 7) % 1500 + 1).as("dst"))
+    val exact = orientedTriangles(canonicalUndirected(edges))
+      .select(col("n_triangles").as("t_exact"))
+    triangleStatsApprox(edges).crossJoin(broadcast(exact))
+      .select(col("t_sampled"), col("t_estimate"), col("t_exact"),
+        (abs(col("t_estimate") - col("t_exact"))
+          <= round(lit(0.15) * col("t_exact"), 0).cast("long")).as("within_bound"))
   }
 
   /** QG2 — [[triangleStats]] over the same deterministic synthetic
@@ -329,10 +393,27 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg_pagerank" -> qgPageRank _,
     "qg_triangles" -> qgTriangles _,
+    "qg_triangles_approx" -> qgTrianglesApprox _,
     "qg_clustering" -> qgClustering _,
     "qg_khop" -> qgKhop _)
 
   val oracles: Map[String, String] = Map(
+    // the identical deterministic md5 edge sample replayed in DuckDB
+    // (hash-exact estimate) + naive exact count + the same certificate
+    "qg_triangles_approx" ->
+      ("WITH raw AS (SELECT o_custkey AS src, (o_orderkey * 7) % 1500 + 1 AS dst FROM orders), " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM raw WHERE src <> dst), " +
+        "samp AS (SELECT a, b FROM und " +
+        "WHERE substring(md5(concat_ws(':', a, b, 42)), 1, 2) < '80'), " +
+        "ts AS (SELECT COUNT(*) AS t FROM samp e1 " +
+        "JOIN samp e2 ON e2.a = e1.b JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "te AS (SELECT COUNT(*) AS t FROM und e1 " +
+        "JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+        "SELECT ts.t AS t_sampled, CAST(ROUND(ts.t / 0.125, 0) AS BIGINT) AS t_estimate, " +
+        "te.t AS t_exact, " +
+        "ABS(CAST(ROUND(ts.t / 0.125, 0) AS BIGINT) - te.t) <= " +
+        "CAST(ROUND(0.15 * te.t, 0) AS BIGINT) AS within_bound FROM ts, te"),
     // the same four frontier steps unrolled: d_h = new nodes at hop h,
     // r_h = everything reached so far; level-synchronous BFS gives the
     // min distance by construction — all-integer, no float concerns

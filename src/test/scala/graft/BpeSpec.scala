@@ -68,4 +68,45 @@ class BpeSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2), first.getLong(4)) == ("a", "b", 10L),
       first.toString)
   }
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+
+  test("learnMergesDelta ≡ learnMerges on the hand-computed fixtures") {
+    // the run/overlap edge cases are exactly where a local-context delta
+    // would go wrong; the whole-word diff must match the recount form
+    for (text <- Seq("low low lower\nlowest low", "aaaa", "xyxy", "yyy")) {
+      val docs = text.split("\n").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val steps = 3
+      assert(mergeRows(Bpe.learnMergesDelta(docs, steps)) ==
+        mergeRows(Bpe.learnMerges(docs, steps)), s"corpus: $text")
+    }
+  }
+
+  test("learnMergesDelta ≡ learnMerges for 16 steps on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val delta = mergeRows(Bpe.learnMergesDelta(docs, 16))
+    val recount = mergeRows(Bpe.learnMerges(docs, 16))
+    assert(delta == recount,
+      s"first diff: ${delta.zip(recount).find(p => p._1 != p._2)}")
+  }
+
+  test("learnMergesDelta goes past the recount cap (48 merges, counts stay exact)") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val rows = mergeRows(Bpe.learnMergesDelta(docs, 48))
+    assert(rows.size == 48)
+    assert(rows.map(_._1) == (1 to 48), "steps must be contiguous")
+    // merge counts are non-increasing is NOT required by BPE (a merge
+    // can create a pair more frequent than later originals), but every
+    // selected count must be positive and the merged symbol must be the
+    // concatenation of its parts
+    rows.foreach { case (_, p1, p2, sym, cnt) =>
+      assert(cnt > 0 && sym == p1 + p2, rows.toString)
+    }
+    // prefix property: the first 16 of a 48-step run ARE the 16-step run
+    // (training is greedy — deeper runs extend, never revise)
+    assert(rows.take(16) == mergeRows(Bpe.learnMergesDelta(docs, 16)))
+  }
 }
