@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ RelationalExt.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Ingest.queries ++
-      Merge.queries ++ Constraints.queries ++ Bpe.queries ++ Mpeg1.queries
+      Merge.queries ++ Constraints.queries ++ Bpe.queries ++ Mpeg1.queries ++
+      TextIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ RelationalExt.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Temporal.oracles ++ Graph.oracles ++ Sketches.oracles ++ Ingest.oracles ++
-      Merge.oracles ++ Constraints.oracles ++ Bpe.oracles ++ Mpeg1.oracles
+      Merge.oracles ++ Constraints.oracles ++ Bpe.oracles ++ Mpeg1.oracles ++
+      TextIndex.oracles
 }

@@ -22,6 +22,14 @@ object FunctionBuilders {
       s"$what must be a string literal, got $other")
   }
 
+  private def stringArrayLiteral(e: Expression, what: String): Array[String] = e match {
+    case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData, _) if v != null =>
+      v.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<string> literal, got $other")
+  }
+
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("simhash64", classOf[SimHash64],
       (c: Seq[Expression]) => SimHash64(c.head)),
@@ -38,6 +46,10 @@ object FunctionBuilders {
       (c: Seq[Expression]) => WordShingles(c(0), intLiteral(c(1), "n"))),
     ("bpe_expand", classOf[BpeExpand],
       (c: Seq[Expression]) => BpeExpand(c(0))),
+    ("bpe_apply", classOf[BpeApply],
+      (c: Seq[Expression]) => BpeApply(c(0), new BpeVocab(
+        stringArrayLiteral(c(1), "merge left symbols"),
+        stringArrayLiteral(c(2), "merge right symbols")))),
     ("minhash_signature", classOf[MinHashSignature],
       (c: Seq[Expression]) => MinHashSignature(c(0),
         intLiteral(c(1), "n"), intLiteral(c(2), "k"))),

@@ -254,6 +254,45 @@ object Bpe {
   def qtBpeEncode(spark: SparkSession, d: String): DataFrame =
     encode(T.documents(spark, d))
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT (the
+    * stored-ANN-index pattern applied to the lexical tokenizer: train
+    * once per corpus snapshot, encode forever from the artifact). */
+  def saveVocab(merges: DataFrame, dir: String): Unit =
+    merges.orderBy("step").coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def loadVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** PRODUCTION encode: apply a learned merge table of ANY depth via
+    * the native `bpe_apply` expression — the vocabulary ships once as
+    * two plan literals (the PQ-codebook pattern) and each token is
+    * encoded by the rank-map algorithm (O(len²) per token, independent
+    * of merge count), provably equivalent to the nested-replace
+    * in-order form [[encode]] uses for its 3-step oracle row (a merge
+    * can never create a pair of lower rank, so lowest-rank-first ≡
+    * in-training-order; BpeSpec pins the equivalence on the real
+    * corpus). Scan-side only — the corpus streams once, no shuffle
+    * before the per-doc aggregate; same output schema as [[encode]]. */
+  def encodeWith(docs: DataFrame, merges: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // vocab-sized driver pull, in training order — the artifact is
+    // bounded by merge depth, never by the corpus
+    val m = merges.orderBy("step").select("p1", "p2").collect()
+    val p1s = m.map(_.getString(0))
+    val p2s = m.map(_.getString(1))
+    docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+        size(call_function("bpe_apply", col("w"),
+          typedlit(p1s.toSeq), typedlit(p2s.toSeq))).cast("long").as("n_sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("n_chars").as("n_chars"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("chars_per_subword",
+        round(col("n_chars").cast("double") / col("n_subwords"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt_bpe_merges" -> qtBpeMerges _,
     "qt_bpe_encode" -> qtBpeEncode _)

@@ -93,6 +93,44 @@ class BpeSpec extends SparkSpec {
       s"first diff: ${delta.zip(recount).find(p => p._1 != p._2)}")
   }
 
+  test("encodeWith (bpe_apply rank-map) ≡ encode (nested in-order replace), vocab round-tripped") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    for (steps <- Seq(3, 16)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-vocab$steps").toString
+      Bpe.saveVocab(Bpe.learnMerges(docs, steps), dir)
+      val stored = rows(Bpe.encodeWith(docs, Bpe.loadVocab(spark, dir)))
+      val inOrder = rows(Bpe.encode(docs, steps))
+      assert(stored == inOrder,
+        s"steps=$steps first diff: ${stored.zip(inOrder).find(p => p._1 != p._2)}")
+    }
+  }
+
+  test("bpe_apply: hand-computed segmentation and deep-vocab monotonicity") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // vocab lo/low/lowe (the classic fixture): lower → [lowe, r],
+    // lowest → [lowe, s, t], low → [low], unknown chars stay single
+    val segs = Seq("lower", "lowest", "low", "xyz").toDF("w")
+      .select(col("w"), call_function("bpe_apply", col("w"),
+        typedlit(Seq("l", "lo", "low")), typedlit(Seq("o", "w", "e"))).as("subs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(segs("lower") == List("lowe", "r"), segs.toString)
+    assert(segs("lowest") == List("lowe", "s", "t"), segs.toString)
+    assert(segs("low") == List("low"), segs.toString)
+    assert(segs("xyz") == List("x", "y", "z"), segs.toString)
+    // a deeper vocabulary can only compress further (greedy prefix:
+    // the 48-merge run extends the 16-merge run)
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val v48 = Bpe.learnMergesDelta(docs, 48)
+    val sub16 = Bpe.encodeWith(docs, v48.filter(col("step") <= 16))
+      .agg(sum("n_subwords")).collect().head.getLong(0)
+    val sub48 = Bpe.encodeWith(docs, v48)
+      .agg(sum("n_subwords")).collect().head.getLong(0)
+    assert(sub48 <= sub16, s"deeper vocab must not segment worse: $sub48 > $sub16")
+  }
+
   test("learnMergesDelta goes past the recount cap (48 merges, counts stay exact)") {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
     val rows = mergeRows(Bpe.learnMergesDelta(docs, 48))

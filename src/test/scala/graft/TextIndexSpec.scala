@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{TextAnalysis, TextIndex}
+import graft.sources.Tables
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val workload = TextAnalysis.Bm25MultiWorkload.toDF("query_id", "term")
+
+  test("build → save → load → serve ≡ the corpus-scan path, bit-equal") {
+    val docs = Tables.documents(spark, sfSmall)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti").toString
+    TextIndex.save(docs, dir)
+    val served = TextIndex.serve(TextIndex.load(spark, dir), workload, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val scanned = TextAnalysis.bm25QueryTable(docs, workload, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(served == scanned,
+      s"first diff: ${served.zip(scanned).find(p => p._1 != p._2)}")
+  }
+
+  test("serve's postings scan pushes the term filter into parquet") {
+    val docs = Tables.documents(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti2").toString
+    TextIndex.save(docs, dir)
+    val handle = TextIndex.load(spark, dir)
+    val served = TextIndex.serve(handle, workload, topN = 5)
+    // the In(token, ...) predicate must reach the scan — that's what
+    // lets row-group pruning on the token-sorted layout do the seeking
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term filter not pushed to the postings scan:\n${plan.take(2500)}")
+    assert(served.collect().nonEmpty)
+  }
+
+  test("the artifact round-trips content: df and stats match a fresh build") {
+    val docs = Tables.documents(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti3").toString
+    TextIndex.save(docs, dir)
+    val handle = TextIndex.load(spark, dir)
+    val (postings, df, stats) = TextIndex.build(docs)
+    assert(handle.stats.collect().toSeq == stats.collect().toSeq)
+    assert(handle.df.orderBy("token").collect().toSeq ==
+      df.orderBy("token").collect().toSeq)
+    assert(handle.postings.count() == postings.count())
+    // token-clustered layout: each file owns a token range; ranges of
+    // different files may touch at a shared boundary token (range
+    // partitioning splits BETWEEN keys) but never properly interleave
+    val ranges = handle.postings
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("token").as("lo"),
+        org.apache.spark.sql.functions.max("token").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file token ranges interleave: $hi1 > $lo2")
+      case _ => ()
+    }
+  }
+}
