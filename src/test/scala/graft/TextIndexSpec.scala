@@ -37,6 +37,40 @@ class TextIndexSpec extends SparkSpec {
     assert(served.collect().nonEmpty)
   }
 
+  test("incremental maintenance: delta-appended index ≡ full rebuild, versions pin history") {
+    val docs = Tables.documents(spark, sfSmall)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val table = java.nio.file.Files.createTempDirectory("graft-tiv").toString + "/idx"
+    val v0 = TextIndex.saveVersioned(half1, table)
+    val v1 = TextIndex.appendDelta(spark, table, half2)
+    assert(v0 == 0L && v1 == 1L)
+    def serve(h: TextIndex.Handle) =
+      TextIndex.serve(h, workload, topN = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+    // the incrementally-maintained index serves EXACTLY what a from-
+    // scratch rebuild over the full corpus serves (integer stats merge
+    // exactly; scoring is the shared bit-equal tail)
+    val incremental = serve(TextIndex.loadVersioned(spark, table))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiv2").toString
+    TextIndex.save(docs, dir)
+    assert(incremental == serve(TextIndex.load(spark, dir)),
+      "incrementally-maintained index diverged from the full rebuild")
+    // pinned version 0 = the half-corpus index, untouched by the delta
+    val pinned = serve(TextIndex.loadVersioned(spark, table, asOf = Some(0L)))
+    val dir0 = java.nio.file.Files.createTempDirectory("graft-tiv3").toString
+    TextIndex.save(half1, dir0)
+    assert(pinned == serve(TextIndex.load(spark, dir0)),
+      "pinned v0 must serve the pre-delta index exactly")
+    // re-appending an already-indexed doc id is loud, BEFORE any commit
+    val e = intercept[IllegalArgumentException](
+      TextIndex.appendDelta(spark, table, half2.limit(1)))
+    assert(e.getMessage.contains("already"), e.getMessage)
+    assert(graft.sources.TxLog.versions(spark, s"$table/postings") == Seq(0L, 1L),
+      "the failed append must not have committed")
+  }
+
   test("the artifact round-trips content: df and stats match a fresh build") {
     val docs = Tables.documents(spark, sfTiny)
     val dir = java.nio.file.Files.createTempDirectory("graft-ti3").toString
