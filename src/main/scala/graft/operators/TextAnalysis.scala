@@ -419,9 +419,11 @@ object TextAnalysis {
   }
 
   /** The shared BM25 scoring tail — ONE implementation so every caller
-    * (today [[bm25QueryTable]]; any future stored-index serve path)
-    * scores bit-equally by construction: identical expression text,
-    * identical integer micro-unit sums, identical rank comparisons.
+    * (the corpus-scan path [[bm25QueryTable]] and the stored-index
+    * serve path [[TextIndex.serve]]) scores bit-equally by
+    * construction: identical expression text, identical integer
+    * micro-unit sums, identical rank comparisons (TextIndexSpec pins
+    * the equality).
     * Inputs are exact integers however they were produced (scan-side
     * aggregation or a loaded index artifact).
     *

@@ -149,16 +149,22 @@ object TextIndex {
     * commit (double-counting df/stats would silently corrupt every
     * score; at 100 TB the exact distinct-id anti check below is the
     * maintenance-time cost — the stored-bloom two-tier split is the
-    * documented refinement if it ever dominates). Returns the new
-    * lockstep version. */
-  def appendDelta(spark: SparkSession, table: String, newDocs: DataFrame): Long = {
+    * documented refinement if it ever dominates). A caller that has
+    * ALREADY verified disjointness (e.g.
+    * [[graft.streaming.StreamingIndex]], which needs the overlap itself
+    * for replay detection) passes `idsPrechecked = true` to skip the
+    * second index-wide scan. Returns the new lockstep version. */
+  def appendDelta(spark: SparkSession, table: String, newDocs: DataFrame,
+                  idsPrechecked: Boolean = false): Long = {
     val (dp, dd, ds) = build(newDocs)
-    val existing = TxLog.read(spark, pPath(table)).select("doc_id").distinct()
-    val dup = dp.select("doc_id").distinct()
-      .join(existing, Seq("doc_id"), "left_semi").limit(1).collect()
-    require(dup.isEmpty,
-      s"textindex: doc_id ${dup.headOption.map(_.getLong(0))} is already " +
-        "indexed — appendDelta is append-only (revised docs need a new id)")
+    if (!idsPrechecked) {
+      val existing = TxLog.read(spark, pPath(table)).select("doc_id").distinct()
+      val dup = dp.select("doc_id").distinct()
+        .join(existing, Seq("doc_id"), "left_semi").limit(1).collect()
+      require(dup.isEmpty,
+        s"textindex: doc_id ${dup.headOption.map(_.getLong(0))} is already " +
+          "indexed — appendDelta is append-only (revised docs need a new id)")
+    }
     val oldDf = TxLog.read(spark, dPath(table))
     val mergedDf = oldDf.unionByName(dd)
       .groupBy("token").agg(sum("df").as("df"))

@@ -174,7 +174,7 @@ object TxLog {
       // (silently answering with the latest would un-pin a pinned read)
       require(vs.exists(_ <= v),
         s"txlog: no commits at or before version $v")
-      require(vs.isEmpty || v <= vs.last,
+      require(v <= vs.last, // vs nonEmpty here: the require above threw otherwise
         s"txlog: version $v does not exist yet (latest: ${vs.last})")
     }
     val target = asOf.getOrElse(if (vs.isEmpty) -1L else vs.last)
@@ -339,7 +339,9 @@ object TxLog {
     val kind = actions.collectFirst { case ("tag", k) => k }
     val isRewrite = actions.exists(_._1 == "remove")
     if (kind.contains("compact")) Seq.empty
-    else if (isRewrite || kind.exists(_ != "compact")) {
+    // any removes, or any non-compact tag (compact returned above),
+    // means this commit rewrites delivered data
+    else if (isRewrite || kind.nonEmpty) {
       if (skipChangeCommits) Seq.empty
       else throw new IllegalArgumentException(
         s"txlog: version $version of $table is a rewrite " +

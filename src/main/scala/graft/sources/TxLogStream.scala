@@ -192,7 +192,11 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxLogReaderFactory(schema)
+    // capture the SESSION's Hadoop configuration driver-side: a fresh
+    // Configuration() on the executor would drop spark.hadoop.* (fs
+    // credentials, endpoints, defaultFS) and break any non-local table
+    TxLogReaderFactory(schema,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -201,11 +205,28 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
 private[sources] case class TxLogInputPartition(file: String, commitVersion: Long)
   extends InputPartition
 
-private[sources] case class TxLogReaderFactory(schema: StructType)
+/** Java-serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]; this is the same
+  * write/readFields round trip). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] case class TxLogReaderFactory(schema: StructType,
+                                               conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
-    new TxLogPartitionReader(p.file, p.commitVersion, schema)
+    new TxLogPartitionReader(p.file, p.commitVersion, schema, conf.value)
   }
 }
 
@@ -216,12 +237,12 @@ private[sources] case class TxLogReaderFactory(schema: StructType)
   * row-by-row Group decode is the honest public-API path, and the
   * change-feed batches it serves are commit-sized, not corpus-sized. */
 private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
-                                            schema: StructType)
+                                            schema: StructType, conf: Configuration)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
 
   // resolved per data column on the first record: (parquet field index,
   // converter). The version column is injected, never read.

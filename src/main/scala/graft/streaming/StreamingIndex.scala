@@ -18,11 +18,16 @@ import graft.sources.TxLog
   * never rescanned).
   *
   * Replay safety (`foreachBatch` is at-least-once): a batch whose doc
-  * ids are ALL already indexed is a replay of a fully-applied batch —
-  * skipped exactly (append-only ids make this sound). A PARTIAL
-  * overlap means an interrupted maintenance op (or id reuse) and fails
-  * LOUDLY through [[TextIndex.appendDelta]]'s guard — silent
-  * double-counting would corrupt every BM25 score. */
+  * ids are ALL already indexed is a replay — but "postings contain the
+  * ids" alone does NOT prove the batch fully applied
+  * ([[TextIndex.appendDelta]] commits postings before df/stats, so a
+  * crash in that window leaves postings ahead), so the skip first
+  * asserts the three index tables are in LOCKSTEP and fails loudly if
+  * a prior maintenance op died mid-commit (the alternative is a stream
+  * that advances past the wedge and silently serves scores missing a
+  * batch's term counts forever). A PARTIAL id overlap (id reuse) is
+  * equally loud. The overlap check is computed ONCE here and
+  * `idsPrechecked` skips appendDelta's own index-wide duplicate scan. */
 object StreamingIndex {
 
   def maintain(spark: SparkSession, corpusTable: String, indexTable: String,
@@ -38,11 +43,29 @@ object StreamingIndex {
             TextIndex.saveVersioned(docs, indexTable); ()
           } else {
             val ids = docs.select("doc_id").distinct()
-            val newIds = ids.join(
+            val overlap = ids.join(
               TxLog.read(spark, postings).select("doc_id").distinct(),
-              Seq("doc_id"), "left_anti")
-            if (newIds.isEmpty) () // full replay of an applied batch: skip
-            else { TextIndex.appendDelta(spark, indexTable, docs); () }
+              Seq("doc_id"), "left_semi").count()
+            val total = ids.count()
+            if (overlap == total) {
+              // replay of an applied batch — but only if the previous
+              // application COMPLETED: postings-ahead-of-df/stats means
+              // a maintenance op died between commits
+              val vs = Seq("postings", "df", "stats")
+                .map(c => TxLog.versions(spark, s"$indexTable/$c").lastOption.getOrElse(-1L))
+              require(vs.distinct.size == 1,
+                s"textindex: component tables out of lockstep (versions $vs) " +
+                  "— a maintenance operation was interrupted mid-commit; " +
+                  "rebuild the index before resuming the stream")
+              ()
+            } else {
+              require(overlap == 0L,
+                s"textindex: $overlap of $total batch doc ids are already " +
+                  "indexed (partial overlap) — id reuse or an interrupted " +
+                  "append; rebuild the index")
+              TextIndex.appendDelta(spark, indexTable, docs, idsPrechecked = true)
+              ()
+            }
           }
         }
       }
