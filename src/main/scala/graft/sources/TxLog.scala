@@ -232,14 +232,16 @@ object TxLog {
     * current live set. Shared by [[compact]] (df = current snapshot)
     * and [[overwrite]] (df = a new snapshot, e.g. a MERGE result). */
   private def replaceCommit(spark: SparkSession, table: String,
-                            df: DataFrame, tag: String): Long = {
+                            df: DataFrame, tag: String,
+                            write: (DataFrame, String) => Unit =
+                              (d, p) => d.write.parquet(p)): Long = {
     val vs = versions(spark, table)
     require(vs.nonEmpty,
       s"txlog: cannot $tag an empty table (no commits in $table)")
     val version = vs.last + 1
     val rel = f"data/v$version%08d-$tag"
     val dataDir = new Path(table, rel)
-    df.write.parquet(dataDir.toString)
+    write(df, dataDir.toString)
     val f = fs(spark, dataDir)
     val files = f.listStatus(dataDir).toSeq
       .map(_.getPath.getName)
@@ -260,6 +262,29 @@ object TxLog {
               numFiles: Int = 1): Long =
     replaceCommit(spark, table,
       read(spark, table).repartition(numFiles), "compact")
+
+  /** Compaction with LAYOUT: rewrite the live set range-clustered on
+    * `keys` (the OPTIMIZE … ZORDER/CLUSTER BY analog of public lakehouse
+    * formats). Same transaction shape as [[compact]] — one commit adding
+    * the clustered files and removing every old one, pinned readers
+    * untouched — but the new live set is the PRUNABLE layout of
+    * [[FileFormats.writeRangeClustered]]: `files` output files with
+    * pairwise-disjoint key ranges, rows sorted within each, so
+    * subsequent point/range reads on `keys` skip whole files via
+    * footer stats instead of scanning the accumulated append soup.
+    * This is the maintenance step that makes a long-lived append table
+    * SERVABLE at 100 TB: appends land in arrival order (no layout),
+    * and a periodic clustered rewrite restores seek locality without
+    * blocking readers at any version. */
+  def compactClustered(spark: SparkSession, table: String,
+                       files: Int, keys: String*): Long = {
+    require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
+    replaceCommit(spark, table, read(spark, table), "compact",
+      // writeRangeClustered's overwrite mode is irrelevant here (fresh
+      // per-version dir) but harmless; reusing it keeps the layout
+      // contract (disjoint file ranges, ClusteredWriteSpec) in one place.
+      write = (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*))
+  }
 
   /** Replace the table's contents with `df` in one commit — how a
     * [[graft.operators.Merge.mergeUpsert]] result (or any recomputed

@@ -53,6 +53,36 @@ class TxLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (1L to 80L).toSet)
   }
 
+  test("compactClustered: clustered rewrite with disjoint file ranges; pinned readers untouched") {
+    val t = freshTable("optz")
+    // two shuffled appends so arrival order has NO key layout
+    val r = new scala.util.Random(7)
+    TxLog.append(spark, t, r.shuffle((1L to 60L).toList).map(i => (i, s"x$i")).toDF("id", "s"))
+    TxLog.append(spark, t, r.shuffle((61L to 120L).toList).map(i => (i, s"x$i")).toDF("id", "s"))
+    val preFiles = TxLog.snapshotFiles(spark, t)
+    val cv = TxLog.compactClustered(spark, t, files = 4, "id")
+    // transaction shape: one commit, N clustered files, rows preserved
+    val postFiles = TxLog.snapshotFiles(spark, t)
+    assert(postFiles.size == 4 && postFiles.forall(_.contains("-compact")), postFiles.toString)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == (1L to 120L).toSet)
+    // LAYOUT: per-file [min,max] on the cluster key are pairwise disjoint —
+    // the property footer-stat pruning needs (same proof as ClusteredWriteSpec)
+    val ranges = postFiles.map { rel =>
+      val one = spark.read.parquet(s"$t/$rel")
+        .agg(org.apache.spark.sql.functions.min("id"),
+             org.apache.spark.sql.functions.max("id")).head
+      (one.getLong(0), one.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // pinned reader still replays the pre-rewrite file set
+    assert(TxLog.snapshotFiles(spark, t, asOf = Some(cv - 1)) == preFiles)
+    assert(TxLog.read(spark, t, asOf = Some(cv - 1))
+      .collect().map(_.getLong(0)).toSet == (1L to 120L).toSet)
+  }
+
   test("overwrite lands a MERGE result as a new version; the old snapshot stays readable") {
     import graft.operators.Merge
     val t = freshTable("merge")
