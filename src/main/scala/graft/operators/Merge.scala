@@ -208,16 +208,45 @@ object Merge {
       .orderBy("doc_id")
   }
 
+  /** QW4 — the OPTIMIZE lifecycle under the hash gate: orders lands in
+    * three interleaved appends (mod-split, so every file spans the whole
+    * key range — the worst pre-clustering layout), a clustered rewrite
+    * ([[graft.sources.TxLog.compactClustered]]) restores key locality,
+    * and a RANGE read off the rewritten table must equal a plain SQL
+    * range scan — proving the layout rewrite loses and duplicates
+    * nothing. The range predicate is the point: after clustering it
+    * prunes to ~1 of the 6 live files by footer stats (TxLogSpec proves
+    * the disjoint ranges; this row proves the rows). */
+  def qwOptimizeRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txopt-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    TxLog.destroy(spark, table)
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      orders.filter(col("o_orderkey") % 3 === r)))
+    TxLog.compactClustered(spark, table, files = 6, "o_orderkey")
+    TxLog.read(spark, table)
+      .filter(col("o_orderkey").between(10000, 20000))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_merge_upsert" -> qwMergeUpsert _,
     "qw_snapshot_diff" -> qwSnapshotDiff _,
-    "qw_txlog_read" -> qwTxlogRead _)
+    "qw_txlog_read" -> qwTxlogRead _,
+    "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
     // appends partition the table, compaction rewrites it — the latest
     // snapshot must be the identity
     "qw_txlog_read" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    // interleaved appends + clustered rewrite + range read must be a
+    // plain range scan — the layout rewrite is row-invisible
+    "qw_optimize_read" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN 10000 AND 20000 ORDER BY o_orderkey"),
     // same planted change classes, same full-outer-join derivation with
     // IS NOT DISTINCT FROM mirroring Spark's null-safe <=>
     "qw_snapshot_diff" ->

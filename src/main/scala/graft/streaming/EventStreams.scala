@@ -128,9 +128,22 @@ object EventStreams {
     * Applied to a BATCH DataFrame the same code degrades gracefully
     * (withWatermark is a no-op) to a plain interval join — StreamingSpec
     * uses that as the equivalence oracle.
+    *
+    * `joinType = "leftOuter"`: a click with NO view in its horizon still
+    * emits once, with null view columns — but only after the watermark
+    * passes the click's state-eviction bound (the engine must be SURE no
+    * matching view is still in flight; that certainty is exactly what
+    * the watermark encodes). Since the GLOBAL watermark is the MIN
+    * across both sides' watermark operators, the null row needs BOTH
+    * sides' event time to advance — continuing production traffic
+    * provides that for free; StreamingJoinSpec drives it with two-sided
+    * sentinels and pins the min-watermark semantics.
     */
   def clickViewAttribution(events: DataFrame, watermark: String = "10 minutes",
-                           horizonMinutes: Int = 60): DataFrame = {
+                           horizonMinutes: Int = 60,
+                           joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"unsupported stream-stream join type $joinType")
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("view_ts"))
@@ -143,7 +156,7 @@ object EventStreams {
       col("c_user") === col("v_user") &&
         col("click_ts") >= col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
