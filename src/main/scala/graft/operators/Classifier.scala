@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Supervised quality/label classification for corpus curation — the
+  * missing half of the pipeline's scoring story: [[TextAnalysis]] scores
+  * documents with FIXED heuristics (stopword ratio, entropy, langid);
+  * this module LEARNS a linear scorer from labeled examples, the way
+  * production pipelines train quality/toxicity/language probes and then
+  * sweep them across the corpus.
+  *
+  * The trainer is the classic batch perceptron (Rosenblatt 1958;
+  * full-batch variant): per round, every misclassified training row
+  * contributes `y·x` to the weight update, so one round is ONE
+  * distributed aggregate — a map-side-combinable sum of 5 longs — and
+  * the model update is a driver-side add of 5 numbers. That is the
+  * parameter-server shape at its smallest: the 100-TB cost per round is
+  * exactly one scan + one tiny shuffle, weights broadcast back as plan
+  * literals, no per-row state, no driver-side data. (A production probe
+  * with d=768 features is the same plan with a longer sum vector.)
+  *
+  * Everything is INTEGER arithmetic end to end — features are token and
+  * substring counts, labels are ±1, margins are products of longs — so
+  * the learned trajectory is bit-identical in any engine, and the DuckDB
+  * oracle replays all four rounds exactly (unrolled CTE chain). That is
+  * the determinism contract floating-point gradient descent cannot make,
+  * and the reason the perceptron (not logistic regression) is the
+  * oracle-gated distributed-training representative here.
+  *
+  * Train/heldout split by doc-id parity keeps the query self-contained
+  * and deterministic; the output is the per-round learning trajectory —
+  * update count, weight vector, heldout confusion — which is also the
+  * convergence report a real training job emits.
+  */
+object Classifier {
+  private val T = Tables
+
+  private val dims = 5
+
+  /** Integer feature extraction shared by every round: bias, token
+    * count, stopword count, 'th' occurrences (English signal), 'de '
+    * occurrences (romance/German signal). Occurrence counting uses the
+    * replace-difference idiom (integer-exact, same as [[TextAnalysis]]'s
+    * langid). */
+  private def features(spark: SparkSession, d: String): DataFrame = {
+    def occurrences(g: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length)
+        .cast("long")
+    T.documents(spark, d).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(split(col("text"), " ")).cast("long").as("x1"),
+      expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'to', 'and')))")
+        .cast("long").as("x2"),
+      occurrences("th").as("x3"),
+      occurrences("de ").as("x4"),
+      (col("doc_id") % 2 === 0).as("is_train"))
+  }
+
+  private def margin(w: Array[Long]): Column =
+    col("y") * (0 until dims).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+
+  /** QC1 — four rounds of batch perceptron training (en vs rest) with a
+    * per-round heldout confusion. Per round: one aggregate over the
+    * checkpointed feature table computes the misclassified-row update
+    * sums (margin with the PREVIOUS round's weights ≤ 0), the driver
+    * adds 5 longs, and a second aggregate evaluates the NEW weights on
+    * the heldout split. Two passes per round is the didactic form; a
+    * pipelined variant folds round t's eval into round t+1's update
+    * pass — same asymptotics, one scan per round.
+    *
+    * Output: (round, updates, w0..w4, held_correct, held_total) — the
+    * exact learning trajectory, oracle-replayed in DuckDB as an unrolled
+    * CTE chain over the same integer features. */
+  def qcPerceptron(spark: SparkSession, d: String): DataFrame = {
+    // one materialization; 8 subsequent tiny scans read this, not the
+    // parquet + feature pipeline
+    val f = features(spark, d).localCheckpoint()
+    var w = Array.fill(dims)(0L)
+    val rows = (1 to 4).map { t =>
+      val m = margin(w)
+      val upd = f.agg(
+        count(when(col("is_train") && m <= 0, 1)).as("upd"),
+        (0 until dims).map(i =>
+          sum(when(col("is_train") && m <= 0, col("y") * col(s"x$i"))).as(s"d$i")): _*).head
+      w = Array.tabulate(dims)(i =>
+        w(i) + (if (upd.isNullAt(i + 1)) 0L else upd.getLong(i + 1)))
+      val m2 = margin(w)
+      val ev = f.filter(!col("is_train"))
+        .agg(count(when(m2 > 0, 1)).as("c"), count(lit(1)).as("n")).head
+      Row(t.toLong, upd.getLong(0), w(0), w(1), w(2), w(3), w(4),
+        ev.getLong(0), ev.getLong(1))
+    }
+    val schema = StructType(
+      Seq("round", "updates", "w0", "w1", "w2", "w3", "w4",
+        "held_correct", "held_total").map(StructField(_, LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy("round")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_perceptron" -> qcPerceptron _)
+
+  // the oracle unrolls the same four rounds as a CTE chain: w{t} holds
+  // the post-round weights + update count, s{t} the per-row margins
+  // under w{t}, e{t} the heldout confusion under w{t}. Every CTE is
+  // MATERIALIZED: DuckDB's default inlining would re-expand the chain at
+  // every reference — s4 inlines w4 inlines six copies of s3, and so on
+  // — turning a 4-round replay into an exponential plan (measured: >100 s
+  // at sf0.001 inlined vs 0.45 s at sf0.01 materialized).
+  private val oracleF =
+    "f AS MATERIALIZED (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+      "CAST(1 AS BIGINT) AS x0, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS x1, " +
+      "CAST(len(list_filter(string_split(text, ' '), " +
+      "w -> w IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS x2, " +
+      "CAST((length(text) - length(replace(text, 'th', ''))) / 2 AS BIGINT) AS x3, " +
+      "CAST((length(text) - length(replace(text, 'de ', ''))) / 3 AS BIGINT) AS x4, " +
+      "doc_id % 2 = 0 AS is_train FROM documents)"
+
+  private def oracleScore(t: Int): String =
+    s"s$t AS MATERIALIZED (SELECT y, x0, x1, x2, x3, x4, is_train, " +
+      s"y * ((SELECT s0 FROM w$t) * x0 + (SELECT s1 FROM w$t) * x1 + " +
+      s"(SELECT s2 FROM w$t) * x2 + (SELECT s3 FROM w$t) * x3 + " +
+      s"(SELECT s4 FROM w$t) * x4) AS m FROM f), " +
+      s"e$t AS MATERIALIZED (SELECT CAST(COUNT(CASE WHEN m > 0 THEN 1 END) AS BIGINT) AS c, " +
+      s"CAST(COUNT(*) AS BIGINT) AS n FROM s$t WHERE NOT is_train)"
+
+  private def oracleStep(t: Int): String = {
+    val p = t - 1
+    s"w$t AS MATERIALIZED (SELECT " +
+      (0 until dims).map(i =>
+        s"(SELECT s$i FROM w$p) + CAST(COALESCE(SUM(CASE WHEN m <= 0 " +
+          s"THEN y * x$i END), 0) AS BIGINT) AS s$i").mkString(", ") +
+      s", CAST(COUNT(CASE WHEN m <= 0 THEN 1 END) AS BIGINT) AS upd " +
+      s"FROM s$p WHERE is_train)"
+  }
+
+  private def oracleRow(t: Int): String =
+    s"SELECT CAST($t AS BIGINT) AS round, (SELECT upd FROM w$t) AS updates, " +
+      (0 until dims).map(i => s"(SELECT s$i FROM w$t) AS w$i").mkString(", ") +
+      s", (SELECT c FROM e$t) AS held_correct, (SELECT n FROM e$t) AS held_total"
+
+  val oracles: Map[String, String] = Map(
+    "qc_perceptron" -> ("WITH " + oracleF + ", " +
+      // round 1: zero weights mean every training row is misclassified
+      "w1 AS MATERIALIZED (SELECT " +
+      (0 until dims).map(i =>
+        s"CAST(SUM(y * x$i) AS BIGINT) AS s$i").mkString(", ") +
+      ", CAST(COUNT(*) AS BIGINT) AS upd FROM f WHERE is_train), " +
+      Seq(oracleScore(1), oracleStep(2), oracleScore(2), oracleStep(3),
+        oracleScore(3), oracleStep(4), oracleScore(4)).mkString(", ") + " " +
+      (1 to 4).map(oracleRow).mkString(" UNION ALL ") +
+      " ORDER BY round"))
+}
