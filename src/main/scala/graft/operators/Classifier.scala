@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -50,6 +51,7 @@ object Classifier {
       ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length)
         .cast("long")
     T.documents(spark, d).select(
+      col("doc_id"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       size(split(col("text"), " ")).cast("long").as("x1"),
@@ -101,8 +103,75 @@ object Classifier {
       .orderBy("round")
   }
 
+  /** Runs the training loop (same aggregates as [[qcPerceptron]], minus
+    * the per-round eval leg) and returns the post-round-4 weights. */
+  private def trainedWeights(f: DataFrame): Array[Long] = {
+    var w = Array.fill(dims)(0L)
+    (1 to 4).foreach { _ =>
+      val m = margin(w)
+      val upd = f.agg(
+        count(when(col("is_train") && m <= 0, 1)).as("upd"),
+        (0 until dims).map(i =>
+          sum(when(col("is_train") && m <= 0, col("y") * col(s"x$i"))).as(s"d$i")): _*).head
+      w = Array.tabulate(dims)(i =>
+        w(i) + (if (upd.isNullAt(i + 1)) 0L else upd.getLong(i + 1)))
+    }
+    w
+  }
+
+  /** QC2 — the INFERENCE half of the probe story: sweep the trained
+    * scorer across the whole corpus (train + heldout) and report the
+    * score distribution as an exact decile table — per decile: doc
+    * count, how many are actually English, and the score range. This is
+    * the report a curation pipeline emits before picking a filter
+    * threshold ("decile 10 is 95% English — cut below decile 7").
+    *
+    * The model applies as five literal multiplications per row (weights
+    * are plan constants — the broadcast-back leg of the parameter-server
+    * shape), so the sweep is one codegen'd scan. Deciles use the q44
+    * device — value-range buckets + local windows + closed-form ntile —
+    * because a literal `ntile(10) OVER (ORDER BY s)` funnels 100 TB
+    * through one task. Integer scores keep every decile boundary
+    * bit-identical to the oracle's native NTILE replay. */
+  def qcScoreSweep(spark: SparkSession, d: String): DataFrame = {
+    val f = features(spark, d).localCheckpoint()
+    val w = trainedWeights(f)
+    val score = (0 until dims).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+    val scored = f.select(col("doc_id"), col("y"), score.as("s"))
+    val nb = 32  // range buckets carrying the distributed rank
+    val n = 10   // deciles
+    val stats = scored.agg(
+      min("s").as("mn"), max("s").as("mx"), count(lit(1)).as("total"))
+    val base = scored.join(broadcast(stats))
+      .withColumn("pid",
+        (((col("s") - col("mn")) * nb) / (col("mx") - col("mn") + 1L)).cast("int"))
+    val wLocal = Window.partitionBy("pid").orderBy("s", "doc_id")
+    val offsets = base.groupBy("pid").agg(count(lit(1)).as("pcnt"))
+      .filter(col("pid") < nb - 1)
+      .select(explode(sequence(col("pid") + 1, lit(nb - 1))).as("pid"), col("pcnt"))
+      .groupBy("pid").agg(sum("pcnt").as("off"))
+    // SQL NTILE closed-form in (rank, N): first N mod n buckets take
+    // ⌈N/n⌉ rows, the rest ⌊N/n⌋ (the q44-verified formulation)
+    val big = floor(col("total").cast("double") / n).cast("long") + 1L
+    val rem = col("total") % n
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    base
+      .join(broadcast(offsets), Seq("pid"), "left")
+      .withColumn("r", row_number().over(wLocal).cast("long") + coalesce(col("off"), lit(0L)))
+      .withColumn("decile",
+        when(col("r") <= rem * big, idiv(col("r") - 1, big) + 1)
+          .otherwise(rem + idiv(col("r") - rem * big - 1, big - 1) + 1))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("y") === 1, 1)).as("n_en"),
+        min("s").as("min_score"), max("s").as("max_score"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qc_perceptron" -> qcPerceptron _)
+    "qc_perceptron" -> qcPerceptron _,
+    "qc_score_sweep" -> qcScoreSweep _)
 
   // the oracle unrolls the same four rounds as a CTE chain: w{t} holds
   // the post-round weights + update count, s{t} the per-row margins
@@ -112,7 +181,7 @@ object Classifier {
   // — turning a 4-round replay into an exponential plan (measured: >100 s
   // at sf0.001 inlined vs 0.45 s at sf0.01 materialized).
   private val oracleF =
-    "f AS MATERIALIZED (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
+    "f AS MATERIALIZED (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, " +
       "CAST(1 AS BIGINT) AS x0, " +
       "CAST(len(string_split(text, ' ')) AS BIGINT) AS x1, " +
       "CAST(len(list_filter(string_split(text, ' '), " +
@@ -144,15 +213,33 @@ object Classifier {
       (0 until dims).map(i => s"(SELECT s$i FROM w$t) AS w$i").mkString(", ") +
       s", (SELECT c FROM e$t) AS held_correct, (SELECT n FROM e$t) AS held_total"
 
-  val oracles: Map[String, String] = Map(
-    "qc_perceptron" -> ("WITH " + oracleF + ", " +
-      // round 1: zero weights mean every training row is misclassified
-      "w1 AS MATERIALIZED (SELECT " +
+  // round 1: zero weights mean every training row is misclassified
+  private val oracleW1 =
+    "w1 AS MATERIALIZED (SELECT " +
       (0 until dims).map(i =>
         s"CAST(SUM(y * x$i) AS BIGINT) AS s$i").mkString(", ") +
-      ", CAST(COUNT(*) AS BIGINT) AS upd FROM f WHERE is_train), " +
+      ", CAST(COUNT(*) AS BIGINT) AS upd FROM f WHERE is_train)"
+
+  private val oracleChain =
+    "WITH " + oracleF + ", " + oracleW1 + ", " +
       Seq(oracleScore(1), oracleStep(2), oracleScore(2), oracleStep(3),
-        oracleScore(3), oracleStep(4), oracleScore(4)).mkString(", ") + " " +
+        oracleScore(3), oracleStep(4), oracleScore(4)).mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "qc_perceptron" -> (oracleChain + " " +
       (1 to 4).map(oracleRow).mkString(" UNION ALL ") +
-      " ORDER BY round"))
+      " ORDER BY round"),
+    // the sweep oracle scores f under w4 and replays the decile table
+    // with DuckDB's native NTILE (the single-task form the Spark side
+    // deliberately avoids), tie-broken identically by (s, doc_id)
+    "qc_score_sweep" -> (oracleChain + ", " +
+      "sc AS MATERIALIZED (SELECT doc_id, y, " +
+      (0 until dims).map(i => s"(SELECT s$i FROM w4) * x$i").mkString(" + ") +
+      " AS s FROM f), " +
+      "dec AS (SELECT y, s, NTILE(10) OVER (ORDER BY s, doc_id) AS decile FROM sc) " +
+      "SELECT CAST(decile AS BIGINT) AS decile, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_en, " +
+      "MIN(s) AS min_score, MAX(s) AS max_score " +
+      "FROM dec GROUP BY decile ORDER BY decile"))
 }

@@ -46,6 +46,51 @@ class ClassifierSpec extends SparkSpec {
     assert(want.last._3.exists(_ != 0L))
   }
 
+  /** In-memory sweep oracle: replay training to final weights, score
+    * every doc, sort by (score, doc_id), assign SQL-spec ntile buckets
+    * (first N mod 10 buckets get the extra row), aggregate. Pins both
+    * the distributed-rank device and the closed-form bucket math. */
+  test("score sweep == in-memory ntile(10) over the trained scorer") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang").collect()
+    def occ(s: String, g: String): Long =
+      ((s.length - s.replace(g, "").length) / g.length).toLong
+    val stop = Set("the", "a", "of", "to", "and")
+    val feats = docs.map { r =>
+      val text = r.getString(1)
+      (r.getLong(0),
+        if (r.getString(2) == "en") 1L else -1L,
+        Array(1L, text.split(" ", -1).length.toLong,
+          text.split(" ", -1).count(stop).toLong,
+          occ(text, "th"), occ(text, "de ")),
+        r.getLong(0) % 2 == 0)
+    }
+    var w = Array.fill(5)(0L)
+    (1 to 4).foreach { _ =>
+      val mis = feats.filter(f => f._4 &&
+        f._2 * f._3.zip(w).map { case (a, b) => a * b }.sum <= 0)
+      w = Array.tabulate(5)(i => w(i) + mis.map(f => f._2 * f._3(i)).sum)
+    }
+    val scored = feats.map(f =>
+      (f._1, f._2, f._3.zip(w).map { case (a, b) => a * b }.sum))
+      .sortBy(t => (t._3, t._1))
+    val n = scored.length
+    val (big, rem) = (n / 10 + 1, n % 10)
+    val deciled = scored.zipWithIndex.map { case ((_, y, s), i) =>
+      val r = i + 1L
+      val d = if (r <= rem.toLong * big) (r - 1) / big + 1
+              else rem + (r - rem.toLong * big - 1) / (big - 1) + 1
+      (d, y, s)
+    }
+    val want = deciled.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.length.toLong, g.count(_._2 == 1L).toLong, g.map(_._3).min, g.map(_._3).max)
+    }
+    val got = Classifier.qcScoreSweep(spark, sfTiny).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"sweep drift:\n got=$got\nwant=$want")
+    assert(got.map(_._2).sum == n.toLong)
+  }
+
   test("feature extraction is integer-exact and split is by doc-id parity") {
     val f = graft.sources.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), (col("doc_id") % 2 === 0).as("expect_train"))
