@@ -169,9 +169,60 @@ object Classifier {
       .orderBy("decile")
   }
 
+  /** QC3 — the EVALUATION leg: exact ROC-AUC of the trained scorer on
+    * the heldout split, via the Mann–Whitney rank identity with full
+    * tie correction. AUC = [Σ_pos avgrank − P(P+1)/2] / (P·N); with
+    * ties taking the average rank, twice the numerator is the integer
+    * Σ over distinct scores of cp·(2·rmin + c − 1) − P(P+1), where
+    * rmin is the competition rank (1 + count of strictly-smaller rows).
+    * Everything up to the final division is BIGINT, so the oracle
+    * replays it exactly, and the one double division runs on identical
+    * inputs in identical order on both engines.
+    *
+    * Scale shape: rows collapse to the distinct-score table FIRST
+    * (groupBy — partial-aggregable), and the prefix count of smaller
+    * scores uses the q44 range-bucket device over that table — local
+    * windows per bucket + tiny offset join — never a global window.
+    * The result is three longs; the driver finishes with arithmetic. */
+  def qcAuc(spark: SparkSession, d: String): DataFrame = {
+    val f = features(spark, d).localCheckpoint()
+    val w = trainedWeights(f)
+    val score = (0 until dims).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+    val g = f.filter(!col("is_train")).select(col("y"), score.as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"),
+        count(when(col("y") === 1, 1)).as("cp"))
+    val nb = 32
+    val stats = g.agg(min("s").as("mn"), max("s").as("mx"))
+    val b = g.join(broadcast(stats))
+      .withColumn("pid",
+        (((col("s") - col("mn")) * nb) / (col("mx") - col("mn") + 1L)).cast("int"))
+    val offsets = b.groupBy("pid").agg(sum("c").as("pcnt"))
+      .filter(col("pid") < nb - 1)
+      .select(explode(sequence(col("pid") + 1, lit(nb - 1))).as("pid"), col("pcnt"))
+      .groupBy("pid").agg(sum("pcnt").as("off"))
+    val wLocal = Window.partitionBy("pid").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = b.join(broadcast(offsets), Seq("pid"), "left")
+      .withColumn("rmin",
+        lit(1L) + coalesce(sum("c").over(wLocal), lit(0L)) + coalesce(col("off"), lit(0L)))
+      .agg(sum("cp").as("p"), sum(col("c") - col("cp")).as("nn"),
+        sum(col("cp") * (lit(2L) * col("rmin") + col("c") - 1L)).as("m")).head
+    val (p, nn, m) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val num2 = m - p * (p + 1)
+    val auc = num2.toDouble / (2.0 * p.toDouble * nn.toDouble)
+    val schema = StructType(Seq(
+      StructField("p", LongType, nullable = false),
+      StructField("n_neg", LongType, nullable = false),
+      StructField("auc_num2", LongType, nullable = false),
+      StructField("auc", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(p, nn, num2, auc)), 1), schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_perceptron" -> qcPerceptron _,
-    "qc_score_sweep" -> qcScoreSweep _)
+    "qc_score_sweep" -> qcScoreSweep _,
+    "qc_auc" -> qcAuc _)
 
   // the oracle unrolls the same four rounds as a CTE chain: w{t} holds
   // the post-round weights + update count, s{t} the per-row margins
@@ -241,5 +292,21 @@ object Classifier {
       "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
       "CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_en, " +
       "MIN(s) AS min_score, MAX(s) AS max_score " +
-      "FROM dec GROUP BY decile ORDER BY decile"))
+      "FROM dec GROUP BY decile ORDER BY decile"),
+    // Mann–Whitney with tie correction over the heldout scores; the
+    // prefix sum runs over the DISTINCT-score table, so a plain window
+    // is fine here in the oracle while the Spark side stays bucketed
+    "qc_auc" -> (oracleChain + ", " +
+      "sh AS MATERIALIZED (SELECT y, " +
+      (0 until dims).map(i => s"(SELECT s$i FROM w4) * x$i").mkString(" + ") +
+      " AS s FROM f WHERE NOT is_train), " +
+      "g AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS c, " +
+      "CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS cp FROM sh GROUP BY s), " +
+      "r AS MATERIALIZED (SELECT cp, c, 1 + CAST(COALESCE(SUM(c) OVER " +
+      "(ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rmin FROM g), " +
+      "t AS (SELECT CAST(SUM(cp) AS BIGINT) AS p, CAST(SUM(c - cp) AS BIGINT) AS nn, " +
+      "CAST(SUM(cp * (2 * rmin + c - 1)) AS BIGINT) AS m FROM r) " +
+      "SELECT p, nn AS n_neg, m - p * (p + 1) AS auc_num2, " +
+      "CAST(m - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc " +
+      "FROM t"))
 }

@@ -91,6 +91,43 @@ class ClassifierSpec extends SparkSpec {
     assert(got.map(_._2).sum == n.toLong)
   }
 
+  /** The definitional check: AUC is the probability a random positive
+    * outscores a random negative (ties count half). Brute-force every
+    * (pos, neg) heldout pair and demand the rank-formula operator
+    * reproduce 2·U exactly, plus the same final double. */
+  test("auc == brute-force pairwise comparisons on the heldout split") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang").collect()
+    def occ(s: String, g: String): Long =
+      ((s.length - s.replace(g, "").length) / g.length).toLong
+    val stop = Set("the", "a", "of", "to", "and")
+    val feats = docs.map { r =>
+      val text = r.getString(1)
+      (if (r.getString(2) == "en") 1L else -1L,
+        Array(1L, text.split(" ", -1).length.toLong,
+          text.split(" ", -1).count(stop).toLong,
+          occ(text, "th"), occ(text, "de ")),
+        r.getLong(0) % 2 == 0)
+    }
+    var w = Array.fill(5)(0L)
+    (1 to 4).foreach { _ =>
+      val mis = feats.filter(f => f._3 &&
+        f._1 * f._2.zip(w).map { case (a, b) => a * b }.sum <= 0)
+      w = Array.tabulate(5)(i => w(i) + mis.map(f => f._1 * f._2(i)).sum)
+    }
+    val held = feats.filterNot(_._3)
+      .map(f => (f._1, f._2.zip(w).map { case (a, b) => a * b }.sum))
+    val p = held.count(_._1 == 1L).toLong
+    val nn = held.length - p
+    var u2 = 0L
+    for ((yi, si) <- held if yi == 1L; (yj, sj) <- held if yj == -1L)
+      u2 += (if (si > sj) 2L else if (si == sj) 1L else 0L)
+    val row = Classifier.qcAuc(spark, sfTiny).head
+    assert((row.getLong(0), row.getLong(1)) == ((p, nn)))
+    assert(row.getLong(2) == u2, s"auc_num2 ${row.getLong(2)} != 2U $u2")
+    assert(row.getDouble(3) == u2.toDouble / (2.0 * p.toDouble * nn.toDouble))
+  }
+
   test("feature extraction is integer-exact and split is by doc-id parity") {
     val f = graft.sources.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), (col("doc_id") % 2 === 0).as("expect_train"))
