@@ -41,26 +41,38 @@ object Classifier {
 
   private val dims = 5
 
-  /** Integer feature extraction shared by every round: bias, token
-    * count, stopword count, 'th' occurrences (English signal), 'de '
-    * occurrences (romance/German signal). Occurrence counting uses the
-    * replace-difference idiom (integer-exact, same as [[TextAnalysis]]'s
-    * langid). */
-  private def features(spark: SparkSession, d: String): DataFrame = {
+  /** The five integer feature expressions over a `text` column: bias,
+    * token count, stopword count, 'th' occurrences (English signal),
+    * 'de ' occurrences (romance/German signal). Occurrence counting uses
+    * the replace-difference idiom (integer-exact, same as
+    * [[TextAnalysis]]'s langid). Pure per-row expressions — the same
+    * columns score a batch scan or a stream. */
+  private def xCols: Seq[Column] = {
     def occurrences(g: String) =
       ((length(col("text")) - length(regexp_replace(col("text"), g, ""))) / g.length)
         .cast("long")
-    T.documents(spark, d).select(
-      col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-      lit(1L).as("x0"),
-      size(split(col("text"), " ")).cast("long").as("x1"),
+    Seq(
+      lit(1L),
+      size(split(col("text"), " ")).cast("long"),
       expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'to', 'and')))")
-        .cast("long").as("x2"),
-      occurrences("th").as("x3"),
-      occurrences("de ").as("x4"),
-      (col("doc_id") % 2 === 0).as("is_train"))
+        .cast("long"),
+      occurrences("th"),
+      occurrences("de "))
   }
+
+  /** The trained scorer as ONE column over `text`: weights are plan
+    * literals (the broadcast-back leg of the parameter-server shape), so
+    * applying the model anywhere — batch sweep, stream gate — is a
+    * stateless codegen'd expression. */
+  def scoreExpr(w: Array[Long]): Column =
+    xCols.zip(w).map { case (x, wi) => lit(wi) * x }.reduce(_ + _)
+
+  private def features(spark: SparkSession, d: String): DataFrame =
+    T.documents(spark, d).select(
+      col("doc_id") +:
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y") +:
+      xCols.zipWithIndex.map { case (c, i) => c.as(s"x$i") } :+
+      (col("doc_id") % 2 === 0).as("is_train"): _*)
 
   private def margin(w: Array[Long]): Column =
     col("y") * (0 until dims).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
@@ -102,6 +114,12 @@ object Classifier {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .orderBy("round")
   }
+
+  /** Train on a scale dir and hand back the weights — the artifact a
+    * serving path (e.g. [[graft.streaming.StreamingClassifier]]) ships
+    * into [[scoreExpr]]. */
+  def train(spark: SparkSession, d: String): Array[Long] =
+    trainedWeights(features(spark, d).localCheckpoint())
 
   /** Runs the training loop (same aggregates as [[qcPerceptron]], minus
     * the per-round eval leg) and returns the post-round-4 weights. */
