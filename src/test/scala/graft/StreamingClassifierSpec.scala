@@ -49,6 +49,49 @@ class StreamingClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The curation loop end-to-end: docs stream through the trained
+    * gate, accepted rows land as versioned TxLog commits — so "the
+    * gated corpus as of version V" is pinned forever while the stream
+    * keeps appending. The composite the pieces individually promise. */
+  test("gate -> TxLog landing: versioned gated corpus, pinned reads stable") {
+    import graft.sources.TxLog
+    val w = Classifier.train(spark, sfTiny)
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").orderBy("doc_id").limit(40).collect()
+      .zipWithIndex.map { case (r, i) => ClfDoc(r.getLong(0), r.getString(1), ts(i)) }
+    val scores = StreamingClassifier.gate(docs.toSeq.toDF(), w, Long.MinValue)
+      .collect().map(_.getLong(1)).sorted
+    val threshold = scores(scores.length / 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("clf_land").toString
+    val table = s"$dir/gated"
+    val stream = MemoryStream[ClfDoc](spark)
+    val gated = StreamingClassifier.gate(
+      stream.toDF().withWatermark("ts", "10 seconds"), w, threshold)
+    val q = gated.writeStream.foreachBatch(TxLog.appendSink(table))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      stream.addData(docs.take(25).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val v0 = TxLog.versions(spark, table).last
+      val atV0 = TxLog.read(spark, table, asOf = Some(v0))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      stream.addData(docs.drop(25).toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val twin = StreamingClassifier.gate(docs.toSeq.toDF(), w, threshold)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val latest = TxLog.read(spark, table)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(latest == twin, s"landed gated corpus drift: ${latest.size} vs ${twin.size}")
+      // the pinned version still reads exactly the first batch's accepts
+      val atV0Again = TxLog.read(spark, table, asOf = Some(v0))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(atV0Again == atV0 && atV0.subsetOf(latest) && atV0.size < latest.size,
+        s"pinned version must be stable and strictly precede the latest")
+    } finally q.stop()
+  }
+
   test("windowed monitor == batch windowed aggregate (complete mode)") {
     val w = Classifier.train(spark, sfTiny)
     val docs = graft.sources.Tables.documents(spark, sfTiny)
