@@ -237,10 +237,42 @@ object Classifier {
       spark.sparkContext.parallelize(Seq(Row(p, nn, num2, auc)), 1), schema)
   }
 
+  /** QC4 — heldout confusion matrix at the perceptron's natural
+    * decision boundary (predict positive iff s > 0), with
+    * precision/recall/F1. The counts are ONE map-side-combinable
+    * aggregate; the three ratios are derived driver-side from the four
+    * longs in a fixed expression order, so the doubles are bit-equal to
+    * the oracle's replay of the same divisions. */
+  def qcConfusion(spark: SparkSession, d: String): DataFrame = {
+    val f = features(spark, d).localCheckpoint()
+    val w = trainedWeights(f)
+    val s = (0 until dims).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+    val r = f.filter(!col("is_train")).agg(
+      count(when(col("y") === 1 && s > 0, 1)).as("tp"),
+      count(when(col("y") === -1 && s > 0, 1)).as("fp"),
+      count(when(col("y") === 1 && s <= 0, 1)).as("fn"),
+      count(when(col("y") === -1 && s <= 0, 1)).as("tn")).head
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // tp = 0 collapses every ratio to the 0/0 family; the standard
+    // convention (precision = recall = F1 = 0) keeps the row NaN-free
+    // and hash-stable in both engines
+    val precision = if (tp == 0L) 0.0 else tp.toDouble / (tp + fp).toDouble
+    val recall = if (tp == 0L) 0.0 else tp.toDouble / (tp + fn).toDouble
+    val f1 = if (tp == 0L) 0.0 else 2.0 * precision * recall / (precision + recall)
+    val schema = StructType(
+      Seq("tp", "fp", "fn", "tn").map(StructField(_, LongType, nullable = false)) ++
+      Seq("precision", "recall", "f1").map(StructField(_, DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(tp, fp, fn, tn, precision, recall, f1)), 1), schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_perceptron" -> qcPerceptron _,
     "qc_score_sweep" -> qcScoreSweep _,
-    "qc_auc" -> qcAuc _)
+    "qc_auc" -> qcAuc _,
+    "qc_confusion" -> qcConfusion _)
 
   // the oracle unrolls the same four rounds as a CTE chain: w{t} holds
   // the post-round weights + update count, s{t} the per-row margins
@@ -326,5 +358,19 @@ object Classifier {
       "CAST(SUM(cp * (2 * rmin + c - 1)) AS BIGINT) AS m FROM r) " +
       "SELECT p, nn AS n_neg, m - p * (p + 1) AS auc_num2, " +
       "CAST(m - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc " +
-      "FROM t"))
+      "FROM t"),
+    "qc_confusion" -> (oracleChain + ", " +
+      "sh AS MATERIALIZED (SELECT y, " +
+      (0 until dims).map(i => s"(SELECT s$i FROM w4) * x$i").mkString(" + ") +
+      " AS s FROM f WHERE NOT is_train), " +
+      "cm AS (SELECT " +
+      "CAST(COUNT(CASE WHEN y = 1 AND s > 0 THEN 1 END) AS BIGINT) AS tp, " +
+      "CAST(COUNT(CASE WHEN y = -1 AND s > 0 THEN 1 END) AS BIGINT) AS fp, " +
+      "CAST(COUNT(CASE WHEN y = 1 AND s <= 0 THEN 1 END) AS BIGINT) AS fn, " +
+      "CAST(COUNT(CASE WHEN y = -1 AND s <= 0 THEN 1 END) AS BIGINT) AS tn FROM sh), " +
+      "pr AS (SELECT tp, fp, fn, tn, " +
+      "CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision, " +
+      "CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall FROM cm) " +
+      "SELECT tp, fp, fn, tn, precision, recall, " +
+      "CASE WHEN tp = 0 THEN 0.0 ELSE 2.0 * precision * recall / (precision + recall) END AS f1 FROM pr"))
 }

@@ -128,6 +128,26 @@ class ClassifierSpec extends SparkSpec {
     assert(row.getDouble(3) == u2.toDouble / (2.0 * p.toDouble * nn.toDouble))
   }
 
+  test("confusion matrix == trajectory's round-4 heldout confusion") {
+    // cross-operator consistency: qcPerceptron already reports heldout
+    // correct/total under the final weights; the confusion matrix must
+    // decompose the same numbers (correct = tp + tn, total = all four)
+    val r4 = Classifier.qcPerceptron(spark, sfTiny)
+      .filter(col("round") === 4).head
+    val cm = Classifier.qcConfusion(spark, sfTiny).head
+    val (tp, fp, fn, tn) =
+      (cm.getLong(0), cm.getLong(1), cm.getLong(2), cm.getLong(3))
+    assert(tp + tn == r4.getLong(7), "tp+tn must equal round-4 held_correct")
+    assert(tp + fp + fn + tn == r4.getLong(8), "cells must sum to held_total")
+    val precision = if (tp == 0L) 0.0 else tp.toDouble / (tp + fp).toDouble
+    val recall = if (tp == 0L) 0.0 else tp.toDouble / (tp + fn).toDouble
+    val f1 = if (tp == 0L) 0.0
+             else 2.0 * precision * recall / (precision + recall)
+    assert(cm.getDouble(4) == precision)
+    assert(cm.getDouble(5) == recall)
+    assert(cm.getDouble(6) == f1)
+  }
+
   test("feature extraction is integer-exact and split is by doc-id parity") {
     val f = graft.sources.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), (col("doc_id") % 2 === 0).as("expect_train"))
