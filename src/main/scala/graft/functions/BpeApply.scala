@@ -14,6 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
 final class BpeVocab(val pairsL: Array[String], val pairsR: Array[String])
   extends Serializable {
   require(pairsL.length == pairsR.length, "merge table halves differ")
+  // the rank map joins pair halves with NUL; a symbol carrying NUL could
+  // alias across the separator (("aNULb","c") vs ("a","bNULc")),
+  // so reject it at construction — the writeCommit idiom. Corpus TEXT
+  // with NUL is still fine: every vocab key then has exactly one NUL,
+  // never at position 0, so a corpus-pair lookup can only miss, not alias.
+  locally {
+    var i = 0
+    while (i < pairsL.length) {
+      require(pairsL(i).indexOf('\u0000') < 0 && pairsR(i).indexOf('\u0000') < 0,
+        s"bpe vocab: merge symbol at rank $i contains NUL, which the rank-map " +
+          "key format cannot carry")
+      i += 1
+    }
+  }
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](pairsL.length * 2)
     var i = 0

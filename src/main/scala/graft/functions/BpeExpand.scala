@@ -14,11 +14,10 @@ object BpeExpandUtil {
   private def isLineTerminator(cp: Int): Boolean =
     cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
 
-  /** Codepoint of the UTF-8 char at `i` (valid lead byte assumed;
-    * malformed tails read as whatever bytes are there — the terminator
-    * check only needs exactness on well-formed input, and a malformed
-    * byte can never equal a terminator's codepoint by accident because
-    * we bound the read by `len`). */
+  /** Codepoint of the UTF-8 char at `i` (valid lead byte assumed; only
+    * called on un-clamped sequences — a truncated multi-byte lead is
+    * handled by the caller without decoding, because decoding clamped
+    * bytes could accidentally produce a terminator codepoint). */
   private def codePointAt(in: Array[Byte], i: Int, len: Int): Int = len match {
     case 1 => in(i) & 0xFF
     case 2 => ((in(i) & 0x1F) << 6) | (in(i + 1) & 0x3F)
@@ -39,10 +38,16 @@ object BpeExpandUtil {
     var o = 0
     while (i < in.length) {
       var len = UTF8String.numBytesForFirstByte(in(i))
-      if (i + len > in.length) len = in.length - i // malformed tail: copy as-is
+      val clamped = i + len > in.length
+      if (clamped) len = in.length - i // malformed tail: copy as-is
       System.arraycopy(in, i, out, o, len)
       o += len
-      if (!isLineTerminator(codePointAt(in, i, len))) {
+      // a clamped (malformed) sequence is NEVER a terminator: the String
+      // conversion the regex form sees turns it into U+FFFD, which `.`
+      // matches — decoding the truncated bytes here could alias a
+      // terminator codepoint (e.g. 0xE0 with one tail byte of ..0x0A)
+      // and silently diverge from the regexp_replace oracle
+      if (clamped || !isLineTerminator(codePointAt(in, i, len))) {
         out(o) = ' '; out(o + 1) = ' '
         o += 2
       }

@@ -179,6 +179,11 @@ object Classifier {
       .withColumn("r", row_number().over(wLocal).cast("long") + coalesce(col("off"), lit(0L)))
       .withColumn("decile",
         when(col("r") <= rem * big, idiv(col("r") - 1, big) + 1)
+          // total < n ⇒ big = 1 and the first branch already covers every
+          // row (r ≤ rem·big = total); this arm makes the big−1 division
+          // below unreachable-by-construction instead of merely
+          // unreached (CaseWhen is lazy, but don't lean on it)
+          .when(big === 1L, col("r"))
           .otherwise(rem + idiv(col("r") - rem * big - 1, big - 1) + 1))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
@@ -227,7 +232,11 @@ object Classifier {
         sum(col("cp") * (lit(2L) * col("rmin") + col("c") - 1L)).as("m")).head
     val (p, nn, m) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     val num2 = m - p * (p + 1)
-    val auc = num2.toDouble / (2.0 * p.toDouble * nn.toDouble)
+    // a single-class heldout split makes AUC undefined (0/0); pin the
+    // conventional 0.5 instead of letting NaN/Inf leak into the hash —
+    // the oracle mirrors the same CASE
+    val auc = if (p == 0L || nn == 0L) 0.5
+      else num2.toDouble / (2.0 * p.toDouble * nn.toDouble)
     val schema = StructType(Seq(
       StructField("p", LongType, nullable = false),
       StructField("n_neg", LongType, nullable = false),
@@ -357,7 +366,8 @@ object Classifier {
       "t AS (SELECT CAST(SUM(cp) AS BIGINT) AS p, CAST(SUM(c - cp) AS BIGINT) AS nn, " +
       "CAST(SUM(cp * (2 * rmin + c - 1)) AS BIGINT) AS m FROM r) " +
       "SELECT p, nn AS n_neg, m - p * (p + 1) AS auc_num2, " +
-      "CAST(m - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc " +
+      "CASE WHEN p = 0 OR nn = 0 THEN 0.5 ELSE " +
+      "CAST(m - p * (p + 1) AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE)) END AS auc " +
       "FROM t"),
     "qc_confusion" -> (oracleChain + ", " +
       "sh AS MATERIALIZED (SELECT y, " +

@@ -124,14 +124,21 @@ object Graph {
       greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
 
+  /** Per-node degree of a canonical edge set — |V|-sized. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
   /** Exact triangle count of a canonical edge set via the degree-ordered
     * orientation — one (n_triangles) row. Shared by the exact and the
     * DOULION-sampled paths, so the estimator counts with EXACTLY the
-    * machinery the exact operator uses. */
-  private def orientedTriangles(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    * machinery the exact operator uses. Takes the degree frame
+    * precomputed so a caller that needs degrees for its own aggregates
+    * ([[triangleStats]]' n_nodes/n_wedges) can hand in ONE materialized
+    * copy instead of Spark re-running the edge-scan + groupBy per
+    * consumer (no cross-join subtree reuse in Catalyst). */
+  private def orientedTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -152,10 +159,10 @@ object Graph {
 
   def triangleStats(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = orientedTriangles(und)
+    // materialized once (|V|-sized), read three times below: the da/db
+    // orientation joins and the n_nodes/n_wedges aggregate
+    val deg = degrees(und).localCheckpoint()
+    val tri = orientedTriangles(und, deg)
     val nodesEdges = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))))
@@ -192,7 +199,7 @@ object Graph {
     val sampled = und.filter(
       substring(md5(concat_ws(":", col("a"), col("b"), lit(seed))), 1, 2)
         < cutoffHex)
-    orientedTriangles(sampled)
+    orientedTriangles(sampled, degrees(sampled))
       .select(col("n_triangles").as("t_sampled"),
         round(col("n_triangles") / lit(p * p * p), 0).cast("long").as("t_estimate"))
   }
@@ -207,7 +214,8 @@ object Graph {
     val edges = Tables.orders(spark, d)
       .select(col("o_custkey").as("src"),
         ((col("o_orderkey") * 7) % 1500 + 1).as("dst"))
-    val exact = orientedTriangles(canonicalUndirected(edges))
+    val undExact = canonicalUndirected(edges)
+    val exact = orientedTriangles(undExact, degrees(undExact))
       .select(col("n_triangles").as("t_exact"))
     triangleStatsApprox(edges).crossJoin(broadcast(exact))
       .select(col("t_sampled"), col("t_estimate"), col("t_exact"),

@@ -102,7 +102,12 @@ object TextIndex {
     * artifact round-trip loses nothing. */
   def qtBm25Served(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-textindex").toString
+    // deterministic per-scale-dir artifact path (save() overwrites each
+    // component) — repeated verify/bench runs REUSE the slot instead of
+    // leaking a fresh postings/df/stats tree to /tmp per invocation
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-textindex-" + Integer.toHexString(
+        java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode)).toString
     save(graft.sources.Tables.documents(spark, d), dir)
     serve(load(spark, dir),
       TextAnalysis.Bm25MultiWorkload.toDF("query_id", "term"), topN = 10)

@@ -202,6 +202,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_expand: a truncated multi-byte tail is never a line terminator") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xE0 with ONE tail byte whose low 6 bits are 0x0A: decoding the
+    // clamped pair as a codepoint would yield '\n' and skip the doubled
+    // spaces; the regex form sees U+FFFD (not a terminator) — so the
+    // byte loop must append the spaces too
+    val malformed = Array(0xE0.toByte, 0x8A.toByte)
+    val out = graft.functions.BpeExpandUtil.expand(UTF8String.fromBytes(malformed))
+    val bytes = out.getBytes
+    assert(bytes.length == 4 &&
+      bytes(0) == malformed(0) && bytes(1) == malformed(1) &&
+      bytes(2) == ' '.toByte && bytes(3) == ' '.toByte,
+      s"clamped tail mishandled: ${bytes.map(b => f"${b & 0xFF}%02x").mkString(" ")}")
+    // lone truncated 4-byte lead at end of an otherwise-normal string
+    val mixed = "ab".getBytes("UTF-8") :+ 0xF0.toByte
+    val out2 = graft.functions.BpeExpandUtil.expand(UTF8String.fromBytes(mixed))
+    assert(out2.toString.startsWith("a  b  "), out2.toString)
+    assert(out2.getBytes.takeRight(2).forall(_ == ' '.toByte), "lead byte must gain spaces")
+  }
+
+  test("BpeVocab rejects NUL-bearing merge symbols at construction (rank-map aliasing)") {
+    val ex = intercept[IllegalArgumentException] {
+      new graft.functions.BpeVocab(Array("a\u0000b"), Array("c"))
+    }
+    assert(ex.getMessage.contains("NUL"), ex.getMessage)
+    // NUL-free symbols construct fine and encode is unaffected
+    val v = new graft.functions.BpeVocab(Array("a"), Array("b"))
+    val r = v.encode(org.apache.spark.unsafe.types.UTF8String.fromString("aab"))
+    assert(r.array.map(_.toString).toSeq == Seq("a", "ab"), r.array.mkString(","))
+  }
+
   test("cov_accum_agg rejects null vector ELEMENTS loudly (no silent 0.0 absorption)") {
     GraftFunctions.ensureRegistered(spark)
     val e = intercept[Throwable] {
