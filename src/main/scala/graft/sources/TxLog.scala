@@ -4,6 +4,14 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A writer lost an optimistic-concurrency race it cannot retry
+  * through: another commit landed that invalidates this writer's read
+  * snapshot (its remove-set or replace-base). The operation made no
+  * commit; re-running it against the table's NEW state is the caller's
+  * decision, exactly as in the public Delta/Iceberg protocols. */
+class TxLogConcurrentModificationException(msg: String)
+  extends RuntimeException(msg)
+
 /** Minimal log-structured versioned table — the storage idea under
   * Delta/Iceberg/Hudi (public protocol concept: an ordered commit log
   * of add/remove-FILE actions over immutable parquet data files),
@@ -27,9 +35,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same contract real lakehouse clients have), while the DATA path
   * never leaves executors: reads are a plain multi-file parquet scan of
   * the live set (pushdown/pruning intact), writes are normal
-  * distributed parquet writes. Single-writer by contract — no
-  * optimistic-concurrency loop; real deployments use a full lakehouse
-  * format.
+  * distributed parquet writes.
+  *
+  * CONCURRENCY (multi-writer, optimistic): the commit file itself is
+  * the lock — version N commits by ATOMICALLY creating `_log/N.json`
+  * (create-exclusive), so exactly one writer owns each version, the
+  * public Delta-protocol idea. On losing the race a writer examines the
+  * commits that beat it and applies the standard conflict rules:
+  *  - APPEND never conflicts (its adds are fresh files, its commit
+  *    depends on no prior state) — it re-commits at the next version;
+  *  - COMPACT conflicts only with commits that REMOVE files (another
+  *    rewrite won and its own remove-set is stale); concurrent pure
+  *    appends are fine — the compacted base live set plus the new
+  *    appends is exactly the right next snapshot, so it retries on top;
+  *  - OVERWRITE is serializable: ANY intervening commit invalidates
+  *    "replace the table as I read it" and aborts loudly
+  *    ([[TxLogConcurrentModificationException]]).
+  * Data files are written to per-attempt unique directories, so racing
+  * writers never collide on the data path; an aborted rewrite deletes
+  * its orphaned files. [[vacuum]] recomputes the referenced set from
+  * the freshest log immediately before deleting and takes a
+  * file-age horizon for in-flight protection (see there).
   *
   * Commit format: `_log/%08d.json`, one action per line:
   * `{"a":"add","p":"<relative path>"}` / `{"a":"remove","p":"..."}`.
@@ -53,17 +79,41 @@ object TxLog {
       .sorted
   }
 
-  private def writeCommit(spark: SparkSession, table: String, version: Long,
-                          adds: Seq[String], removes: Seq[String],
-                          tag: Option[String] = None): Unit = {
-    val dir = logDir(table)
-    val f = fs(spark, dir)
-    val path = new Path(dir, f"$version%08d.json")
-    // Advisory fast-fail only: the real single-writer guard is the
-    // create-exclusive flag below (overwrite = false), which is atomic
-    // on the filesystem; this require just produces a better message in
-    // the non-racing misuse case.
-    require(!f.exists(path), s"txlog: version $version already committed")
+  /** Atomically create `path` holding `content` — the per-version
+    * commit claim. Returns false iff the file already exists (another
+    * writer owns that version). On a local filesystem Hadoop's
+    * `create(overwrite = false)` is check-then-create (two syscalls,
+    * not atomic under a race), so the claim goes through NIO's
+    * `Files.createFile` = O_CREAT|O_EXCL, which IS; on HDFS-like
+    * stores create-exclusive is atomic at the namenode. */
+  private def tryCreateExclusive(spark: SparkSession, path: Path,
+                                 content: String): Boolean = {
+    val f = fs(spark, path)
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files.createFile(local)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      java.nio.file.Files.write(local, content.getBytes("UTF-8"))
+      true
+    } else {
+      val out =
+        try f.create(path, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exists") => return false
+        }
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    }
+  }
+
+  /** Attempt to commit `version`; false = version already taken (the
+    * caller's OCC loop decides whether to retry or abort). */
+  private def tryCommit(spark: SparkSession, table: String, version: Long,
+                        adds: Seq[String], removes: Seq[String],
+                        tag: Option[String] = None): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
@@ -71,17 +121,21 @@ object TxLog {
       require(!p.contains('"') && !p.contains('\\'),
         s"txlog: path contains a character the commit format cannot carry: $p")
     }
-    val out = f.create(path, false)
-    try {
-      // the optional kind tag comes FIRST, so change-feed consumers can
-      // classify a commit without scanning its file actions
-      val lines =
-        tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
-          adds.map(p => s"""{"a":"add","p":"$p"}""") ++
-          removes.map(p => s"""{"a":"remove","p":"$p"}""")
-      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    } finally out.close()
+    // the optional kind tag comes FIRST, so change-feed consumers can
+    // classify a commit without scanning its file actions
+    val lines =
+      tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
+        adds.map(p => s"""{"a":"add","p":"$p"}""") ++
+        removes.map(p => s"""{"a":"remove","p":"$p"}""")
+    tryCreateExclusive(spark, new Path(logDir(table), f"$version%08d.json"),
+      lines.mkString("\n") + "\n")
   }
+
+  /** Short unique suffix for per-attempt data directories, so racing
+    * writers that pick the same intended version never collide on the
+    * data PATH (the log claim, not the path, decides who wins). */
+  private def uniq(): String =
+    java.util.UUID.randomUUID.toString.substring(0, 8)
 
   /** Parse one commit/checkpoint line of the fixed two-field format —
     * validated, so a corrupt or reordered line fails LOUDLY with the
@@ -198,21 +252,44 @@ object TxLog {
     live.toSeq
   }
 
-  /** Append `df` as a new commit; returns the committed version. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val version = versions(spark, table).lastOption.fold(0L)(_ + 1)
-    val rel = f"data/v$version%08d"
+  /** List the parquet files a data write produced, as table-relative
+    * paths. */
+  private[graft] def writtenFiles(spark: SparkSession, table: String,
+                                  rel: String): Seq[String] = {
     val dataDir = new Path(table, rel)
-    df.write.parquet(dataDir.toString)
-    val f = fs(spark, dataDir)
-    val files = f.listStatus(dataDir).toSeq
+    fs(spark, dataDir).listStatus(dataDir).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .sorted
       .map(n => s"$rel/$n")
-    writeCommit(spark, table, version, adds = files, removes = Seq.empty)
-    maybeCheckpoint(spark, table, version)
-    version
+  }
+
+  /** Backstop against a livelocked commit loop — far above any real
+    * contention (every failed attempt means some OTHER writer made
+    * progress, so the system as a whole never stalls). */
+  private val maxCommitAttempts = 1000
+
+  /** Append `df` as a new commit; returns the committed version.
+    * Concurrency-safe: the data files are written once to a unique
+    * directory, then the commit claim retries at the next free version
+    * until it lands — an append's adds depend on no prior table state,
+    * so it can NEVER truly conflict (the no-conflict row of the public
+    * lakehouse conflict matrix). */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    val rel = f"data/v$intended%08d-${uniq()}"
+    df.write.parquet(new Path(table, rel).toString)
+    val files = writtenFiles(spark, table, rel)
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, adds = files, removes = Seq.empty)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: append to $table still contended after $attempts attempts")
+      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+    }
+    maybeCheckpoint(spark, table, v)
+    v
   }
 
   /** Read the table at `asOf` (default: latest snapshot). An empty
@@ -231,27 +308,82 @@ object TxLog {
   /** One commit that writes `df` and swaps it in for the entire
     * current live set. Shared by [[compact]] (df = current snapshot)
     * and [[overwrite]] (df = a new snapshot, e.g. a MERGE result). */
+  /** Latest committed version (loud on an empty table). */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    vs.last
+  }
+
+  private def requireNonEmpty(spark: SparkSession, table: String,
+                              tag: String): Unit =
+    require(versions(spark, table).nonEmpty,
+      s"txlog: cannot $tag an empty table (no commits in $table)")
+
+  /** One rewrite commit: lands `df` and removes version `baseVersion`'s
+    * ENTIRE live set, through the OCC loop. The caller must derive `df`
+    * from the same pinned base when the rewrite's content is a function
+    * of the table (compaction!) — pinning data and remove-set to one
+    * version is what makes a concurrent append safe: either it lands
+    * before (and our base includes it) or after (and the OCC loop keeps
+    * its files live alongside ours). */
+  private def replaceCommitAt(spark: SparkSession, table: String,
+                              baseVersion: Long, df: DataFrame, tag: String,
+                              write: (DataFrame, String) => Unit): Long = {
+    val removes = snapshotFiles(spark, table, Some(baseVersion))
+    val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
+    val dataDir = new Path(table, rel)
+    write(df, dataDir.toString)
+    val files = writtenFiles(spark, table, rel)
+    commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir)
+  }
+
   private def replaceCommit(spark: SparkSession, table: String,
                             df: DataFrame, tag: String,
                             write: (DataFrame, String) => Unit =
                               (d, p) => d.write.parquet(p)): Long = {
-    val vs = versions(spark, table)
-    require(vs.nonEmpty,
-      s"txlog: cannot $tag an empty table (no commits in $table)")
-    val version = vs.last + 1
-    val rel = f"data/v$version%08d-$tag"
-    val dataDir = new Path(table, rel)
-    write(df, dataDir.toString)
-    val f = fs(spark, dataDir)
-    val files = f.listStatus(dataDir).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .sorted
-      .map(n => s"$rel/$n")
-    writeCommit(spark, table, version,
-      adds = files, removes = snapshotFiles(spark, table), tag = Some(tag))
-    maybeCheckpoint(spark, table, version)
-    version
+    requireNonEmpty(spark, table, tag)
+    replaceCommitAt(spark, table, latestVersion(spark, table), df, tag, write)
+  }
+
+  /** The rewrite-side OCC loop (public Delta-protocol conflict rules):
+    * claim base+1; on losing, classify the intervening commits —
+    * pure appends are compatible with a COMPACT (its compacted base
+    * plus the new appends is the correct next snapshot, retry on top),
+    * while any remove-carrying commit stales our remove-set, and ANY
+    * commit at all invalidates an OVERWRITE (serializable "replace the
+    * table as I read it"). On abort the orphaned data files are
+    * deleted and [[TxLogConcurrentModificationException]] is thrown —
+    * no commit was made. */
+  private[graft] def commitRewrite(spark: SparkSession, table: String,
+                                   baseVersion: Long, adds: Seq[String],
+                                   removes: Seq[String], tag: String,
+                                   dataDir: Path): Long = {
+    var v = baseVersion + 1
+    var attempts = 0
+    while (!tryCommit(spark, table, v, adds, removes, Some(tag))) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: $tag of $table still contended after $attempts attempts")
+      val latest = versions(spark, table).last
+      val intervening = versions(spark, table)
+        .filter(x => x > baseVersion && x <= latest)
+      val conflicting = intervening.find { cv =>
+        tag == "overwrite" ||
+          readLogFile(spark, new Path(logDir(table), f"$cv%08d.json"))
+            .exists(_._1 == "remove")
+      }
+      conflicting.foreach { cv =>
+        fs(spark, dataDir).delete(dataDir, true) // orphans never land
+        throw new TxLogConcurrentModificationException(
+          s"txlog: $tag of $table based on version $baseVersion lost to " +
+            s"concurrent commit $cv (${commitKind(spark, table, cv)
+              .getOrElse("append")}) — re-read and retry the operation")
+      }
+      v = math.max(v + 1, latest + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
   }
 
   /** Rewrite the current live set as one compacted commit (adds the
@@ -259,9 +391,16 @@ object TxLog {
     * versions are untouched — data files are immutable. Returns the
     * compaction's version. */
   def compact(spark: SparkSession, table: String,
-              numFiles: Int = 1): Long =
-    replaceCommit(spark, table,
-      read(spark, table).repartition(numFiles), "compact")
+              numFiles: Int = 1): Long = {
+    // pin base and data to ONE version: compacting "the latest" while
+    // an append races in would otherwise remove the append's files
+    // without carrying its rows (the lost-update the OCC spec plants)
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    replaceCommitAt(spark, table, base,
+      read(spark, table, Some(base)).repartition(numFiles), "compact",
+      (d, p) => d.write.parquet(p))
+  }
 
   /** Compaction with LAYOUT: rewrite the live set range-clustered on
     * `keys` (the OPTIMIZE … ZORDER/CLUSTER BY analog of public lakehouse
@@ -279,7 +418,9 @@ object TxLog {
   def compactClustered(spark: SparkSession, table: String,
                        files: Int, keys: String*): Long = {
     require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
-    replaceCommit(spark, table, read(spark, table), "compact",
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table) // pinned with the data (see compact)
+    replaceCommitAt(spark, table, base, read(spark, table, Some(base)), "compact",
       // writeRangeClustered's overwrite mode is irrelevant here (fresh
       // per-version dir) but harmless; reusing it keeps the layout
       // contract (disjoint file ranges, ClusteredWriteSpec) in one place.
@@ -303,14 +444,31 @@ object TxLog {
     * a time travel into the vacuumed range fails LOUDLY at the API
     * (not with a missing-file scan error mid-job). The log files
     * themselves stay (tiny, and replay needs the full prefix). */
+  /** `minFileAgeMs`: concurrency horizon — a data file younger than
+    * this is never deleted even if unreferenced, because it may belong
+    * to an IN-FLIGHT writer that has written data but not yet claimed
+    * its commit (the public lakehouse retention-period idea; Delta
+    * defaults to 7 days). 0 keeps the single-writer behavior: delete
+    * every unreferenced file immediately. */
   def vacuum(spark: SparkSession, table: String,
-             retainLast: Int = 1): Seq[String] = {
+             retainLast: Int = 1, minFileAgeMs: Long = 0L): Seq[String] = {
     require(retainLast >= 1, "txlog: must retain at least the latest version")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"txlog: nothing to vacuum in $table")
     val retained = vs.takeRight(retainLast)
-    val referenced = retained
+    // the retention CUTOFF is fixed from the log as first read (it
+    // becomes the watermark); the referenced set is computed from the
+    // FRESHEST log so commits that landed while we were deciding —
+    // concurrent appends, a compaction that won an OCC race — keep
+    // their files: everything at or after the cutoff stays readable
+    val cutoff = retained.head
+    val referenced = versions(spark, table).filter(_ >= cutoff)
       .flatMap(v => snapshotFiles(spark, table, Some(v))).toSet
+    // 0 = no horizon at all (exact single-writer behavior, immune to
+    // same-millisecond modification-time ties)
+    val deleteBefore =
+      if (minFileAgeMs == 0L) Long.MaxValue
+      else System.currentTimeMillis() - minFileAgeMs
     val dataRoot = new Path(table, "data")
     val f = fs(spark, dataRoot)
     // qualify BOTH sides before relativizing: listFiles returns
@@ -328,7 +486,9 @@ object TxLog {
           require(full.startsWith(rootPrefix),
             s"txlog: data file $full outside table root $rootPrefix")
           val rel = full.stripPrefix(rootPrefix)
-          if (!referenced.contains(rel)) { f.delete(st.getPath, false); removed += rel }
+          if (!referenced.contains(rel) && st.getModificationTime < deleteBefore) {
+            f.delete(st.getPath, false); removed += rel
+          }
         }
       }
     }

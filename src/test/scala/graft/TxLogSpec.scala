@@ -376,6 +376,163 @@ class TxLogSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  // -------------------------------------------------------------------
+  // Optimistic multi-writer concurrency (the public Delta-protocol
+  // conflict rules: append never conflicts, compact tolerates
+  // concurrent appends, overwrite is serializable)
+  // -------------------------------------------------------------------
+
+  test("OCC: two genuinely concurrent appenders, no lost commits, union read") {
+    val t = freshTable("occ-aa")
+    val perThread = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def appender(base: Int) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        (0 until perThread).foreach { i =>
+          TxLog.append(spark, t, Seq((base + i).toLong -> s"w$base-$i").toDF("id", "s"))
+        }
+      }
+    })
+    val a = appender(0); val b = appender(1000)
+    start.countDown()
+    a.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    b.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // every commit landed at a distinct contiguous version
+    assert(TxLog.versions(spark, t) == (0L until 2L * perThread),
+      TxLog.versions(spark, t).toString)
+    val got = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    val want = ((0 until perThread) ++ (1000 until 1000 + perThread)).map(_.toLong).toSet
+    assert(got == want, s"lost commits: missing ${want -- got}")
+  }
+
+  test("OCC: compaction retries past genuinely concurrent appends; nothing lost") {
+    val t = freshTable("occ-ac")
+    TxLog.append(spark, t, Seq(0L -> "seed").toDF("id", "s"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val appends = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        (1 to 6).foreach { i =>
+          TxLog.append(spark, t, Seq(i.toLong -> s"a$i").toDF("id", "s"))
+        }
+      }
+    })
+    val compactions = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        var done = 0
+        while (done < 2) {
+          try { TxLog.compactClustered(spark, t, files = 2, "id"); done += 1 }
+          catch {
+            // a compact can lose to ANOTHER compact's commit from this
+            // same loop only if interleaved with appends oddly; there is
+            // a single compactor here, so a conflict abort would be a bug
+            case e: graft.sources.TxLogConcurrentModificationException =>
+              fail(s"single compactor must never conflict: ${e.getMessage}")
+          }
+        }
+      }
+    })
+    start.countDown()
+    appends.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    compactions.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    val got = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == (0L to 6L).toSet, s"rows lost across concurrent compaction: $got")
+    // every version in the final log is still time-travel readable
+    TxLog.versions(spark, t).foreach { v =>
+      assert(TxLog.read(spark, t, Some(v)).count() > 0)
+    }
+  }
+
+  test("OCC: compact retries over an intervening pure append (deterministic interleaving)") {
+    val t = freshTable("occ-det-c")
+    TxLog.append(spark, t, Seq(1L -> "a", 2L -> "b").toDF("id", "s"))
+    TxLog.append(spark, t, Seq(3L -> "c").toDF("id", "s")) // base = 1
+    val base = 1L
+    val removes = TxLog.snapshotFiles(spark, t, Some(base))
+    // prepare the compacted data exactly as replaceCommit would
+    val rel = "data/v00000002-compact-detspec"
+    TxLog.read(spark, t).repartition(1)
+      .write.parquet(new Path(t, rel).toString)
+    val adds = TxLog.writtenFiles(spark, t, rel)
+    // an append lands BETWEEN the compactor's snapshot read and commit
+    TxLog.append(spark, t, Seq(4L -> "d").toDF("id", "s")) // v2
+    val v = TxLog.commitRewrite(spark, t, base, adds, removes, "compact",
+      new Path(t, rel))
+    assert(v == 3L, s"compact must land after the intervening append, got $v")
+    val got = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L),
+      s"compacted base + concurrent append must both survive: $got")
+  }
+
+  test("OCC: compact aborts when an intervening commit removed its files; orphans deleted") {
+    val t = freshTable("occ-det-x")
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "s"))
+    TxLog.append(spark, t, Seq(2L -> "b").toDF("id", "s")) // base = 1
+    val base = 1L
+    val removes = TxLog.snapshotFiles(spark, t, Some(base))
+    val rel = "data/v00000002-compact-loser"
+    TxLog.read(spark, t).repartition(1)
+      .write.parquet(new Path(t, rel).toString)
+    val adds = TxLog.writtenFiles(spark, t, rel)
+    // a competing compaction wins the race (its commit carries removes)
+    TxLog.compact(spark, t) // v2, removes the files in `removes`
+    val ex = intercept[graft.sources.TxLogConcurrentModificationException] {
+      TxLog.commitRewrite(spark, t, base, adds, removes, "compact",
+        new Path(t, rel))
+    }
+    assert(ex.getMessage.contains("compact"), ex.getMessage)
+    // the loser's data files were cleaned up, and the table is intact
+    val fs = new Path(t, rel)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(t, rel)), "aborted rewrite must delete its orphans")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("OCC: overwrite is serializable — ANY intervening commit aborts it") {
+    val t = freshTable("occ-det-o")
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "s")) // base = 0
+    val base = 0L
+    val removes = TxLog.snapshotFiles(spark, t, Some(base))
+    val rel = "data/v00000001-overwrite-loser"
+    Seq(9L -> "z").toDF("id", "s").write.parquet(new Path(t, rel).toString)
+    val adds = TxLog.writtenFiles(spark, t, rel)
+    // even a PURE APPEND invalidates "replace the table as I read it"
+    TxLog.append(spark, t, Seq(2L -> "b").toDF("id", "s")) // v1
+    intercept[graft.sources.TxLogConcurrentModificationException] {
+      TxLog.commitRewrite(spark, t, base, adds, removes, "overwrite",
+        new Path(t, rel))
+    }
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "aborted overwrite must leave the table exactly as the winners built it")
+  }
+
+  test("OCC: vacuum age horizon protects young unreferenced files; fresh log recheck keeps race winners") {
+    val t = freshTable("occ-vac")
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "s"))
+    TxLog.compact(spark, t) // v1; v0's files now unreferenced by latest
+    // an in-flight writer's data files: written, NOT yet committed
+    val inflight = "data/v00000002-inflight"
+    Seq(7L -> "g").toDF("id", "s").write.parquet(new Path(t, inflight).toString)
+    // a generous horizon refuses to delete ANY young file
+    assert(TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 3600000L).isEmpty,
+      "hour-old horizon must protect freshly written files")
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(t, inflight)))
+    // horizon 0 = the single-writer contract: everything unreferenced goes
+    val removed = TxLog.vacuum(spark, t, retainLast = 1)
+    assert(removed.exists(_.startsWith("data/v00000000")),
+      s"v0 files must be vacuumed: $removed")
+    assert(removed.exists(_.startsWith(inflight)),
+      "with no horizon, uncommitted orphans are reclaimed too")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
     val got = graft.operators.Merge.qwTxlogRead(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1)))
