@@ -110,10 +110,15 @@ object TxLog {
   }
 
   /** Attempt to commit `version`; false = version already taken (the
-    * caller's OCC loop decides whether to retry or abort). */
+    * caller's OCC loop decides whether to retry or abort).
+    * `schemaB64` rides INSIDE the commit (base64 of the StructType
+    * JSON, so it fits the quote-split two-field format), which makes a
+    * schema change atomic with the data that introduced it and gives
+    * time travel the correct schema at every pinned version for free. */
   private def tryCommit(spark: SparkSession, table: String, version: Long,
                         adds: Seq[String], removes: Seq[String],
-                        tag: Option[String] = None): Boolean = {
+                        tag: Option[String] = None,
+                        schemaB64: Option[String] = None): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
@@ -125,6 +130,7 @@ object TxLog {
     // classify a commit without scanning its file actions
     val lines =
       tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
+        schemaB64.map(s => s"""{"a":"schema","p":"$s"}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":"$p"}""") ++
         removes.map(p => s"""{"a":"remove","p":"$p"}""")
     tryCreateExclusive(spark, new Path(logDir(table), f"$version%08d.json"),
@@ -145,7 +151,8 @@ object TxLog {
     require(t.length == 9 && t(1) == "a" && t(5) == "p",
       s"txlog: malformed commit line in $where: $line")
     val action = t(3)
-    require(action == "add" || action == "remove" || action == "tag",
+    require(action == "add" || action == "remove" || action == "tag" ||
+      action == "schema",
       s"txlog: bad action in $where: $line")
     (action, t(7))
   }
@@ -207,9 +214,13 @@ object TxLog {
                               version: Long): Unit = {
     if (version > 0 && version % checkpointEvery == 0) {
       val live = snapshotFiles(spark, table, Some(version))
+      // the checkpoint carries the schema effective at its version, so
+      // schemaAt's checkpoint-plus-suffix replay stays O(checkpointEvery)
+      val schemaLine = schemaAt(spark, table, Some(version))
+        .map(s => s"""{"a":"schema","p":"${encodeSchema(s)}"}""").toSeq
       val f = fs(spark, logDir(table))
       val out = f.create(ckptPath(table, version), true)
-      try out.write((live.map(p => s"""{"a":"add","p":"$p"}""")
+      try out.write(((schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}"""))
         .mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
@@ -237,6 +248,7 @@ object TxLog {
     startCkpt.foreach { cv =>
       readLogFile(spark, ckptPath(table, cv)).foreach {
         case ("add", p) => live += p
+        case ("schema", _) => () // carried for schemaAt's suffix replay
         case (a, p) => throw new IllegalArgumentException(
           s"txlog: checkpoint $cv carries non-add action $a for $p")
       }
@@ -247,9 +259,45 @@ object TxLog {
         case ("add", p) => live += p
         case ("remove", p) => live -= p
         case ("tag", _) => () // commit-kind marker, not a file action
+        case ("schema", _) => () // schema marker, handled by schemaAt
       }
     }
     live.toSeq
+  }
+
+  private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+
+  /** The table's DECLARED schema as of `asOf` (None until a schema
+    * evolution commits one — legacy tables read with the inferred
+    * parquet schema, exactly as before). Replays checkpoint + suffix
+    * like [[snapshotFiles]]; the LAST schema action at or before the
+    * target wins. */
+  def schemaAt(spark: SparkSession, table: String,
+               asOf: Option[Long] = None
+              ): Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return None
+    val target = asOf.getOrElse(vs.last)
+    val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    startCkpt.foreach { cv =>
+      readLogFile(spark, ckptPath(table, cv)).foreach {
+        case ("schema", b) => schema = Some(decodeSchema(b))
+        case _ => ()
+      }
+    }
+    for (v <- vs.filter(v => v <= target && startCkpt.forall(v > _)))
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).foreach {
+        case ("schema", b) => schema = Some(decodeSchema(b))
+        case _ => ()
+      }
+    schema
   }
 
   /** List the parquet files a data write produced, as table-relative
@@ -292,6 +340,114 @@ object TxLog {
     v
   }
 
+  // ---------------------------------------------------------------------
+  // Schema evolution (add-column with null backfill, numeric widening)
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+    IntegerType, LongType, ShortType, StructType}
+
+  private val numericWidenRank: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+
+  /** True iff a parquet file written with `from` reads losslessly under
+    * a declared schema of `to`: equality, the integer ladder
+    * byte→short→int→long, float→double, and byte/short/int→double —
+    * exactly the promotions Spark 4's vectorized parquet reader
+    * performs natively (pinned by the evolution spec). long→double is
+    * deliberately excluded (precision loss above 2⁵³). */
+  private[graft] def widens(from: DataType, to: DataType): Boolean =
+    from == to || ((from, to) match {
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) =>
+        numericWidenRank.get(f).exists(_ <= numericWidenRank(IntegerType))
+      case (f, t) => (numericWidenRank.get(f), numericWidenRank.get(t)) match {
+        case (Some(rf), Some(rt)) => rf <= rt
+        case _ => false
+      }
+    })
+
+  /** Merge `incoming` into the current schema under the evolution
+    * contract: existing columns may WIDEN (never narrow — a narrower
+    * incoming column is fine as-is, its files read promoted), columns
+    * absent from the incoming data stay (new files read them as null),
+    * brand-new columns append (old files read them as null). Anything
+    * else — type change outside the widening ladder, complex-type
+    * mutation — fails LOUDLY. All fields come out nullable: both
+    * directions of backfill produce nulls by construction. */
+  private[graft] def evolveSchema(cur: StructType,
+                                    incoming: StructType): StructType = {
+    val incByName = incoming.fields.map(f => f.name -> f).toMap
+    val evolvedExisting = cur.fields.map { cf =>
+      incByName.get(cf.name) match {
+        case None => cf.copy(nullable = true)
+        case Some(nf) if widens(nf.dataType, cf.dataType) => cf.copy(nullable = true)
+        case Some(nf) if widens(cf.dataType, nf.dataType) =>
+          cf.copy(dataType = nf.dataType, nullable = true)
+        case Some(nf) => throw new IllegalArgumentException(
+          s"txlog: incompatible schema change for column '${cf.name}': " +
+            s"${cf.dataType.catalogString} -> ${nf.dataType.catalogString} " +
+            "(only add-column and numeric widening are supported)")
+      }
+    }
+    val added = incoming.fields
+      .filter(f => !cur.fieldNames.contains(f.name)).map(_.copy(nullable = true))
+    StructType(evolvedExisting ++ added)
+  }
+
+  /** Append `df`, EVOLVING the table's declared schema if needed — the
+    * no-rewrite story for a corpus whose shape drifts: a new metadata
+    * column or a counter outgrowing int never forces rewriting 100 TB
+    * of old files; old files read the new column as null / the widened
+    * type promoted, and time travel to either side of the evolution
+    * sees that version's own schema (the schema action rides the
+    * commit). Plain [[append]] stays schema-agnostic for tables that
+    * never evolve. Incompatible changes fail loudly before any commit;
+    * a CONCURRENT schema change aborts with
+    * [[TxLogConcurrentModificationException]] (two merges cannot be
+    * assumed to compose). */
+  def appendEvolve(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return append(spark, table, df)
+    val declared = schemaAt(spark, table)
+    val cur = declared.getOrElse(read(spark, table).schema)
+    val evolved = evolveSchema(cur, df.schema)
+    val needsDeclare = declared match {
+      case Some(d) => evolved != d
+      case None => evolved != StructType(cur.fields.map(_.copy(nullable = true)))
+    }
+    // no schema change (or the change is already declared): the commit
+    // carries no schema action — a plain append
+    if (!needsDeclare) return append(spark, table, df)
+    val intended = vs.last + 1
+    val rel = f"data/v$intended%08d-${uniq()}"
+    val dataDir = new Path(table, rel)
+    df.write.parquet(dataDir.toString)
+    val files = writtenFiles(spark, table, rel)
+    val schemaB64 = Some(encodeSchema(evolved))
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, schemaB64)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: evolving append to $table still contended after $attempts attempts")
+      val latest = versions(spark, table).last
+      val schemaConflict = versions(spark, table)
+        .filter(x => x >= intended && x <= latest)
+        .find(cv => readLogFile(spark, new Path(logDir(table), f"$cv%08d.json"))
+          .exists(_._1 == "schema"))
+      schemaConflict.foreach { cv =>
+        fs(spark, dataDir).delete(dataDir, true)
+        throw new TxLogConcurrentModificationException(
+          s"txlog: schema evolution of $table lost to a concurrent schema " +
+            s"change at version $cv — re-read the table and retry")
+      }
+      v = math.max(v + 1, latest + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
   /** Read the table at `asOf` (default: latest snapshot). An empty
     * snapshot needs a schema to produce an empty frame, so it throws —
     * honest for a data table. */
@@ -302,7 +458,14 @@ object TxLog {
       s"txlog: version ${asOf.get} was vacuumed (earliest readable: $wm)")
     val files = snapshotFiles(spark, table, asOf)
     require(files.nonEmpty, s"txlog: empty snapshot for $table at $asOf")
-    spark.read.parquet(files.map(p => new Path(table, p).toString): _*)
+    val paths = files.map(p => new Path(table, p).toString)
+    schemaAt(spark, table, asOf) match {
+      // declared schema: files written before an add-column read the new
+      // column as null; files written before a widening read promoted
+      // (int32→long etc. — native in Spark 4's vectorized parquet reader)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** One commit that writes `df` and swaps it in for the entire
@@ -343,6 +506,24 @@ object TxLog {
                             write: (DataFrame, String) => Unit =
                               (d, p) => d.write.parquet(p)): Long = {
     requireNonEmpty(spark, table, tag)
+    // a declared schema constrains what a rewrite may land: every landed
+    // column must exist in it at a widenable-into type, else the
+    // declared read would silently null it out (new column) or fail at
+    // scan time (narrowing). Schema changes go through appendEvolve.
+    schemaAt(spark, table).foreach { d =>
+      val byName = d.fields.map(f => f.name -> f).toMap
+      df.schema.fields.foreach { f =>
+        byName.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"txlog: $tag introduces column '${f.name}' absent from the " +
+              "declared schema — evolve the schema first (appendEvolve)")
+          case Some(df2) => require(widens(f.dataType, df2.dataType),
+            s"txlog: $tag lands column '${f.name}' as " +
+              s"${f.dataType.catalogString}, which the declared " +
+              s"${df2.dataType.catalogString} cannot read")
+        }
+      }
+    }
     replaceCommitAt(spark, table, latestVersion(spark, table), df, tag, write)
   }
 
@@ -561,9 +742,17 @@ object TxLog {
     require(delivering.nonEmpty,
       s"txlog: no appended rows in ($fromExclusive, $toInclusive] " +
         "(only compaction commits)")
+    // under a declared schema every slice reads with the schema as of
+    // the RANGE END, so slices from both sides of an evolution align
+    // (pre-evolution files read the new column as null, promoted types)
+    val declared = schemaAt(spark, table, Some(toInclusive))
     delivering.map { case (v, files) =>
-      spark.read.parquet(files.map(p => new Path(table, p).toString): _*)
-        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+      val paths = files.map(p => new Path(table, p).toString)
+      val slice = declared match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      slice.withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
     }.reduce(_ unionByName _)
   }
 

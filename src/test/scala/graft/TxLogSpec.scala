@@ -533,6 +533,137 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  // -------------------------------------------------------------------
+  // Schema evolution (add-column null backfill, numeric widening; the
+  // schema action rides the commit, so time travel gets each version's
+  // own schema)
+  // -------------------------------------------------------------------
+
+  test("evolution: add-column with null backfill; time travel sees each side's schema") {
+    val t = freshTable("evo-add")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+    val v1 = TxLog.appendEvolve(spark, t,
+      Seq((2L, "b", 10)).toDF("id", "s", "score")) // v1 declares the evolved schema
+    assert(v1 == 1L)
+    val latest = TxLog.read(spark, t)
+    assert(latest.columns.toSeq == Seq("id", "s", "score"), latest.columns.mkString(","))
+    val rows = latest.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(rows == Set((1L, "a", -1), (2L, "b", 10)),
+      s"old files must read the new column as null: $rows")
+    // pinned read BEFORE the evolution: that version's own (old) schema
+    assert(TxLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
+    assert(TxLog.schemaAt(spark, t, Some(0L)).isEmpty)
+    assert(TxLog.schemaAt(spark, t).exists(_.fieldNames.contains("score")))
+  }
+
+  test("evolution: numeric widening promotes old files; narrower appends need no new declaration") {
+    val t = freshTable("evo-widen")
+    TxLog.append(spark, t, Seq((1L, 5)).toDF("id", "n")) // n: int
+    TxLog.appendEvolve(spark, t, Seq((2L, 6000000000L)).toDF("id", "n")) // n -> long
+    val got = TxLog.read(spark, t)
+    assert(got.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 5L), (2L, 6000000000L)),
+      "pre-widening int32 files must read promoted to long")
+    // a NARROWER frame afterwards is a plain append (int file reads up)
+    TxLog.appendEvolve(spark, t, Seq((3, 7)).toDF("id", "n"))
+    assert(TxLog.read(spark, t).collect().map(_.getLong(1)).toSet ==
+      Set(5L, 6000000000L, 7L))
+    // float->double and int->double are in the ladder; string->int is not
+    assert(TxLog.widens(org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType))
+    assert(TxLog.widens(org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.DoubleType))
+    assert(!TxLog.widens(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.DoubleType), "long->double is lossy")
+    assert(!TxLog.widens(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType), "narrowing must be rejected")
+  }
+
+  test("evolution: incompatible changes and schema-violating rewrites are loud") {
+    val t = freshTable("evo-bad")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.appendEvolve(spark, t, Seq((2L, "b", 1.5)).toDF("id", "s", "q"))
+    // type change outside the ladder
+    val e1 = intercept[IllegalArgumentException](
+      TxLog.appendEvolve(spark, t, Seq(("x", "y")).toDF("id", "s")))
+    assert(e1.getMessage.contains("incompatible schema change"), e1.getMessage)
+    // a rewrite may not smuggle in an undeclared column
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.overwrite(spark, t, Seq((9L, "z", 0.1, true)).toDF("id", "s", "q", "extra")))
+    assert(e2.getMessage.contains("absent from the declared schema"), e2.getMessage)
+    // nothing committed by the failures
+    assert(TxLog.versions(spark, t) == Seq(0L, 1L))
+  }
+
+  test("evolution: compaction under a declared schema; checkpoints carry it") {
+    val t = freshTable("evo-compact")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.appendEvolve(spark, t, Seq((2L, "b", 10)).toDF("id", "s", "score"))
+    TxLog.compact(spark, t) // reads under the declared schema, lands wide files
+    val afterCompact = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(afterCompact == Set((1L, -1), (2L, 10)))
+    // push past the checkpoint cadence: the ckpt must carry the schema
+    (3L to 13L).foreach(i =>
+      TxLog.append(spark, t, Seq((i, s"x$i", i.toInt)).toDF("id", "s", "score")))
+    assert(TxLog.versions(spark, t).last >= TxLog.checkpointEvery)
+    val late = TxLog.read(spark, t)
+    assert(late.columns.toSeq == Seq("id", "s", "score"))
+    assert(late.count() == 13)
+    assert(TxLog.schemaAt(spark, t).exists(_.fieldNames.contains("score")),
+      "schemaAt must survive the checkpoint-plus-suffix replay")
+  }
+
+  test("evolution: readChanges across the evolution boundary aligns slices") {
+    val t = freshTable("evo-cdf")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.appendEvolve(spark, t, Seq((2L, "b", 10)).toDF("id", "s", "score"))
+    val changes = TxLog.readChanges(spark, t, fromExclusive = -1L, toInclusive = 1L)
+    assert(changes.columns.toSeq == Seq("id", "s", "score", "_commit_version"))
+    val got = changes.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) -1 else r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set((1L, -1, 0L), (2L, 10, 1L)),
+      s"pre-evolution slice must read the new column as null: $got")
+  }
+
+  test("evolution: two concurrent evolvers — one wins, or the loser aborts; never silent loss") {
+    val t = freshTable("evo-race")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def evolver(colName: String, id: Long) = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try TxLog.appendEvolve(spark, t,
+          Seq((id, "x", 1)).toDF("id", "s", colName))
+        catch {
+          case _: graft.sources.TxLogConcurrentModificationException =>
+            conflicts.incrementAndGet()
+        }
+      }
+    })
+    val a = evolver("colA", 10L); val b = evolver("colB", 11L)
+    start.countDown()
+    a.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    b.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    val schema = TxLog.schemaAt(spark, t)
+    val cols = schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    if (conflicts.get == 0) {
+      // serialized cleanly: the second merged on top of the first
+      assert(cols.contains("colA") && cols.contains("colB"), cols.toString)
+      assert(TxLog.read(spark, t).count() == 3)
+    } else {
+      // the loser aborted loudly and committed nothing
+      assert(conflicts.get == 1, "at most one of two evolvers can lose")
+      assert(cols.contains("colA") ^ cols.contains("colB"), cols.toString)
+      assert(TxLog.read(spark, t).count() == 2)
+    }
+  }
+
   test("qwTxlogRead: the full lifecycle reads back as exactly the source table") {
     val got = graft.operators.Merge.qwTxlogRead(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1)))
