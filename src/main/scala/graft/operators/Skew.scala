@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew mitigation primitives (SURVEY.md §7.4 "100 TB design
   * discipline").
@@ -61,4 +63,44 @@ object Skew {
         saltedFact("_fsalt") === repDim("_dsalt"))
       .drop("_fsalt", "_dsalt")
   }
+
+  /** QA-SKEW-JOIN — the salted replicated join end-to-end under the
+    * oracle gate, on a PLANTED Zipf key: three quarters of lineitem
+    * collapses onto key 1 (the one-reducer flood that stalls an
+    * unsalted shuffle join at 100 TB), the dimension is the full orders
+    * key space (too many rows to broadcast in spirit). The salted plan
+    * spreads the hot key over 8 reducers while the DuckDB oracle runs
+    * the PLAIN join — the hash match IS the salted ≡ plain proof,
+    * cross-engine. Quantities sum as BIGINTs (order-free exactness);
+    * SkewSpec pins the plan shape (salt condition present, hot rows
+    * really spread over >1 salt bucket). */
+  def qaSkewJoin(spark: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(spark, d).select(
+      when(pmod(col("l_orderkey"), lit(4)) < 3, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+    val dim = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("dk"), col("o_custkey"))
+    saltedJoin(fact, dim, "k", "dk", salts = 8)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        max("o_custkey").as("max_cust"))
+      .orderBy("k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_skew_join" -> qaSkewJoin _)
+
+  /** The oracle replays the UNSALTED join — matching it is the whole
+    * point (salt never changes the result, only the distribution). */
+  val oracles: Map[String, String] = Map(
+    "qa_skew_join" ->
+      ("WITH f AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 1 " +
+        "ELSE l_orderkey END AS k, CAST(l_quantity AS BIGINT) AS q " +
+        "FROM lineitem), " +
+        "d AS (SELECT o_orderkey AS dk, o_custkey FROM orders) " +
+        "SELECT k, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS qty, " +
+        "MAX(o_custkey) AS max_cust " +
+        "FROM f JOIN d ON f.k = d.dk GROUP BY k ORDER BY k"))
 }

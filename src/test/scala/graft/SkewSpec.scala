@@ -52,4 +52,36 @@ class SkewSpec extends SparkSpec {
     assert(salted.columns.toSeq ==
       Seq("o_orderkey", "o_custkey", "c_custkey", "c_nationkey"))
   }
+
+  test("qa_skew_join: salted plan shape, hot key really spread, result == plain join") {
+    val df = Skew.queries("qa_skew_join")(spark, sfTiny)
+    // the salt condition is IN the executed join (not optimized away)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_fsalt") && plan.contains("_dsalt"),
+      s"salt columns missing from the executed plan:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      "dimension replication (explode over salts) missing from the plan")
+    // the planted hot key's rows occupy >1 salt bucket — the whole point
+    val fact = Tables.lineitem(spark, sfTiny).select(
+      when(pmod(col("l_orderkey"), lit(4)) < 3, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+    val hotBuckets = fact.withColumn("s", Skew.factSalt(fact, 8))
+      .filter(col("k") === 1L).select("s").distinct().count()
+    assert(hotBuckets > 4,
+      s"hot key spread over only $hotBuckets/8 salt buckets")
+    // salted ≡ plain on the same shape (the oracle proves this
+    // cross-engine at sf0.01; this is the in-plan pin at sfTiny)
+    val dim = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey").as("dk"), col("o_custkey"))
+    val plainAgg = fact.join(dim, col("k") === col("dk"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        max("o_custkey").as("max_cust"))
+      .orderBy("k")
+      .collect().toSeq
+    assert(df.collect().toSeq == plainAgg,
+      "salted aggregate must equal the plain-join aggregate row for row")
+  }
 }
