@@ -43,16 +43,24 @@ object TextIndex {
   /** One corpus pass → the three artifact frames (postings, df, stats).
     * Tokenization matches [[TextAnalysis.bm25QueryTable]] exactly:
     * whitespace split, empty tokens dropped from matches, `dl` = raw
-    * whitespace token count. */
+    * whitespace token count. Postings are POSITIONAL: each (token, doc)
+    * row carries the sorted array of 0-based token positions — the
+    * standard inverted-index extension that makes phrase/proximity
+    * queries servable from the index alone (one int per occurrence,
+    * the textbook positional-postings cost; tf = positions length by
+    * construction, kept denormalized for the scoring path). */
   def build(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
     val postings = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .join(dl, "doc_id")
-      .select("token", "doc_id", "tf", "dl")
+      .select("token", "doc_id", "tf", "dl", "positions")
     val df = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     (postings, df, stats)
@@ -100,18 +108,71 @@ object TextIndex {
     * session-scoped temp dir. The oracle recomputes from the corpus
     * (same SQL as qt_bm25_multi), so the hash match proves the stored
     * artifact round-trip loses nothing. */
-  def qtBm25Served(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    // deterministic per-scale-dir artifact path (save() overwrites each
-    // component) — repeated verify/bench runs REUSE the slot instead of
-    // leaking a fresh postings/df/stats tree to /tmp per invocation
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+  /** Deterministic per-scale-dir artifact path (save() overwrites each
+    * component) — repeated verify/bench runs REUSE the slot instead of
+    * leaking a fresh postings/df/stats tree to /tmp per invocation. */
+  private def artifactDir(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
       "graft-textindex-" + Integer.toHexString(
         java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode)).toString
+
+  def qtBm25Served(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = artifactDir(d)
     save(graft.sources.Tables.documents(spark, d), dir)
     serve(load(spark, dir),
       TextAnalysis.Bm25MultiWorkload.toDF("query_id", "term"), topN = 10)
   }
+
+  /** PHRASE query from the stored index — no corpus access: the pruned
+    * positional postings alone decide where `phrase` occurs as
+    * CONSECUTIVE tokens. Each (term, offset-in-phrase) pair maps a
+    * stored position p to a candidate phrase START p − offset; a start
+    * covered by ALL |phrase| offsets is a match (overlapping matches
+    * and repeated phrase terms fall out of the same arithmetic — a
+    * repeated term simply contributes several offsets). Scale shape:
+    * the postings scan carries the same pushed `In(token)` filter as
+    * BM25 serving (row-group pruning on the token-clustered layout);
+    * the offsets frame is |phrase|-sized and broadcast; everything
+    * after the explode is a hash aggregate on (doc, start). Returns
+    * one row per matching doc: (doc_id, n_matches, first_pos),
+    * doc-ordered. */
+  def servePhrase(handle: Handle, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "textindex: empty phrase")
+    val n = phrase.length
+    val spark = handle.postings.sparkSession
+    import spark.implicits._
+    val offs = phrase.zipWithIndex.toDF("token", "off")
+    handle.postings
+      .filter(col("token").isin(phrase.distinct: _*))
+      .select(col("token"), col("doc_id"), col("positions"))
+      .join(broadcast(offs), "token")
+      .select(col("doc_id"), col("off"),
+        explode(col("positions")).as("pos"))
+      .select(col("doc_id"),
+        (col("pos").cast("long") - col("off")).as("start"), col("off"))
+      .groupBy("doc_id", "start")
+      .agg(countDistinct("off").as("cov"))
+      .filter(col("cov") === n && col("start") >= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** QT-PHRASE-SERVED — the positional lifecycle under the oracle gate:
+    * build → save → load → phrase-serve, against a DuckDB mirror that
+    * re-derives every occurrence from the raw text by position
+    * self-joins. The hash match proves the stored position arrays
+    * round-trip exactly and the adjacency arithmetic finds precisely
+    * the consecutive occurrences. */
+  def qtPhraseServed(spark: SparkSession, d: String): DataFrame = {
+    val dir = artifactDir(d)
+    save(graft.sources.Tables.documents(spark, d), dir)
+    servePhrase(load(spark, dir), PhraseWorkload)
+  }
+
+  /** The declared phrase (3 terms, present at every test SF). */
+  val PhraseWorkload: Seq[String] = Seq("value", "table", "part")
 
   // ---------------------------------------------------------------------
   // Versioned index + incremental maintenance (the production shape: you
@@ -202,10 +263,30 @@ object TextIndex {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qt_bm25_served" -> qtBm25Served _)
+    "qt_bm25_served" -> qtBm25Served _,
+    "qt_phrase_served" -> qtPhraseServed _)
 
-  /** Same oracle as qt_bm25_multi — the serve path must reproduce the
-    * corpus-scan ranking exactly. */
+  /** qt_bm25_served: same oracle as qt_bm25_multi — the serve path must
+    * reproduce the corpus-scan ranking exactly. qt_phrase_served: the
+    * mirror re-finds every occurrence from raw text via position
+    * self-joins (0-based positions = generate_subscripts − 1, matching
+    * posexplode). */
   val oracles: Map[String, String] = Map(
-    "qt_bm25_served" -> TextAnalysis.oracles("qt_bm25_multi"))
+    "qt_bm25_served" -> TextAnalysis.oracles("qt_bm25_multi"),
+    "qt_phrase_served" -> {
+      val ws = PhraseWorkload
+      val joins = (1 until ws.length).map { j =>
+        s"JOIN toks t$j ON t$j.doc_id = t0.doc_id AND " +
+          s"t$j.pos = t0.pos + $j AND t$j.tok = '${ws(j)}' "
+      }.mkString
+      "WITH toks AS MATERIALIZED (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos " +
+        "FROM documents), " +
+        s"m AS (SELECT t0.doc_id, t0.pos AS start FROM toks t0 $joins" +
+        s"WHERE t0.tok = '${ws.head}') " +
+        "SELECT doc_id, COUNT(*) AS n_matches, " +
+        "CAST(MIN(start) AS BIGINT) AS first_pos " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"
+    })
 }

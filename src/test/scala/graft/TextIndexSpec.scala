@@ -95,4 +95,85 @@ class TextIndexSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  // -------------------------------------------------------------------
+  // Positional postings + phrase serving
+  // -------------------------------------------------------------------
+
+  private def phraseHits(handle: TextIndex.Handle, ws: String*) =
+    TextIndex.servePhrase(handle, ws)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("servePhrase: adjacency, overlap, repeated terms, and misses on a planted corpus") {
+    val docs = Seq(
+      (0L, "a b c a b c"),         // "a b" at 0 and 3; "b c a" at 1
+      (1L, "table table table x"), // "table table" overlaps: starts 0 AND 1
+      (2L, "b a c"),               // all terms present, never adjacent
+      (3L, "a b")                  // exact doc-length match at 0
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    TextIndex.save(docs, dir)
+    val h = TextIndex.load(spark, dir)
+    assert(phraseHits(h, "a", "b") == Seq((0L, 2L, 0L), (3L, 1L, 0L)))
+    assert(phraseHits(h, "b", "c", "a") == Seq((0L, 1L, 1L)))
+    // repeated phrase term: overlapping occurrences each count
+    assert(phraseHits(h, "table", "table") == Seq((1L, 2L, 0L)))
+    // present-but-not-adjacent and absent terms both yield nothing
+    assert(phraseHits(h, "c", "b").isEmpty)
+    assert(phraseHits(h, "a", "zzz").isEmpty)
+  }
+
+  test("servePhrase from the stored index ≡ a direct corpus recompute (real corpus)") {
+    val docs = Tables.documents(spark, sfSmall)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase2").toString
+    TextIndex.save(docs, dir)
+    val served = phraseHits(TextIndex.load(spark, dir),
+      TextIndex.PhraseWorkload: _*)
+    // direct recompute from raw text: position-join, no index
+    import org.apache.spark.sql.functions._
+    val ws = TextIndex.PhraseWorkload
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val t0 = toks.filter(col("tok") === ws.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matches = ws.zipWithIndex.drop(1).foldLeft(t0) { case (acc, (w, j)) =>
+      acc.join(toks.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - j).as("start")),
+        Seq("doc_id", "start"))
+    }
+    val direct = matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start").cast("long")).as("first_pos"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served.nonEmpty, "phrase must occur in the sfSmall corpus")
+    assert(served == direct,
+      s"index-served phrase hits diverge from the corpus recompute: " +
+        s"${served.diff(direct)} vs ${direct.diff(served)}")
+  }
+
+  test("servePhrase: incremental appendDelta parity and pushed term filter") {
+    val docs = Tables.documents(spark, sfTiny).localCheckpoint()
+    val (oldDocs, newDocs) =
+      (docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
+    val base = java.nio.file.Files.createTempDirectory("graft-phrase3").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-phrase4").toString
+    TextIndex.saveVersioned(oldDocs, base)
+    TextIndex.appendDelta(spark, base, newDocs)
+    TextIndex.saveVersioned(docs, full)
+    val ws = Seq("table", "value")
+    val delta = phraseHits(TextIndex.loadVersioned(spark, base), ws: _*)
+    val rebuilt = phraseHits(TextIndex.loadVersioned(spark, full), ws: _*)
+    assert(delta == rebuilt,
+      "delta-appended positional index must serve phrases identically " +
+        "to a full rebuild")
+    // the phrase path keeps the serve-side pushdown contract
+    val h = TextIndex.load(spark,
+      java.nio.file.Files.createTempDirectory("graft-phrase5").toString match {
+        case d => TextIndex.save(docs, d); d
+      })
+    val plan = TextIndex.servePhrase(h, ws).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"phrase term filter not pushed to the postings scan:\n${plan.take(2000)}")
+  }
 }
