@@ -118,7 +118,8 @@ object TxLog {
   private def tryCommit(spark: SparkSession, table: String, version: Long,
                         adds: Seq[String], removes: Seq[String],
                         tag: Option[String] = None,
-                        schemaB64: Option[String] = None): Boolean = {
+                        schemaB64: Option[String] = None,
+                        txn: Option[(String, Long)] = None): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
@@ -127,9 +128,13 @@ object TxLog {
         s"txlog: path contains a character the commit format cannot carry: $p")
     }
     // the optional kind tag comes FIRST, so change-feed consumers can
-    // classify a commit without scanning its file actions
+    // classify a commit without scanning its file actions; the txn
+    // marker (appId:batchId) rides INSIDE the commit so idempotence
+    // survives a crash at any point — there is no separate side file
+    // to get out of sync with the log
     val lines =
       tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
+        txn.map { case (app, b) => s"""{"a":"txn","p":"$app:$b"}""" }.toSeq ++
         schemaB64.map(s => s"""{"a":"schema","p":"$s"}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":"$p"}""") ++
         removes.map(p => s"""{"a":"remove","p":"$p"}""")
@@ -152,7 +157,7 @@ object TxLog {
       s"txlog: malformed commit line in $where: $line")
     val action = t(3)
     require(action == "add" || action == "remove" || action == "tag" ||
-      action == "schema",
+      action == "schema" || action == "txn",
       s"txlog: bad action in $where: $line")
     (action, t(7))
   }
@@ -260,6 +265,7 @@ object TxLog {
         case ("remove", p) => live -= p
         case ("tag", _) => () // commit-kind marker, not a file action
         case ("schema", _) => () // schema marker, handled by schemaAt
+        case ("txn", _) => () // idempotence marker, see lastCommittedBatch
       }
     }
     live.toSeq
@@ -492,13 +498,14 @@ object TxLog {
     * its files live alongside ours). */
   private def replaceCommitAt(spark: SparkSession, table: String,
                               baseVersion: Long, df: DataFrame, tag: String,
-                              write: (DataFrame, String) => Unit): Long = {
+                              write: (DataFrame, String) => Unit,
+                              txn: Option[(String, Long)] = None): Long = {
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
     write(df, dataDir.toString)
     val files = writtenFiles(spark, table, rel)
-    commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir)
+    commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn)
   }
 
   private def replaceCommit(spark: SparkSession, table: String,
@@ -539,10 +546,11 @@ object TxLog {
   private[graft] def commitRewrite(spark: SparkSession, table: String,
                                    baseVersion: Long, adds: Seq[String],
                                    removes: Seq[String], tag: String,
-                                   dataDir: Path): Long = {
+                                   dataDir: Path,
+                                   txn: Option[(String, Long)] = None): Long = {
     var v = baseVersion + 1
     var attempts = 0
-    while (!tryCommit(spark, table, v, adds, removes, Some(tag))) {
+    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None, txn)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $tag of $table still contended after $attempts attempts")
@@ -756,16 +764,102 @@ object TxLog {
     }.reduce(_ unionByName _)
   }
 
+  // ---------------------------------------------------------------------
+  // Transactional idempotence (the public Delta `txn` idea): a commit
+  // carries an (appId, batchId) marker, so a replayed streaming batch —
+  // the crash-between-table-commit-and-checkpoint-write window of
+  // foreachBatch's at-least-once contract — is DETECTED and skipped
+  // instead of landing twice.
+  // ---------------------------------------------------------------------
+
+  private def requireAppId(appId: String): Unit =
+    require(appId.nonEmpty && !appId.contains('"') && !appId.contains('\\') &&
+      !appId.contains(':'),
+      s"txlog: appId must be nonempty without quote/backslash/colon: $appId")
+
+  /** Highest batchId `appId` has committed to `table` (None if never).
+    * Driver-side scan of the commit log's txn markers — bounded by
+    * commit count, the same contract as version listing. */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+                         appId: String): Option[Long] = {
+    requireAppId(appId)
+    val pre = appId + ":"
+    val ids = versions(spark, table).flatMap { v =>
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).collect {
+        case ("txn", t) if t.startsWith(pre) => t.stripPrefix(pre).toLong
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Append `df` as batch `batchId` of writer `appId` — EXACTLY-ONCE
+    * across replays: if this (appId, batchId) already committed, the
+    * call is a no-op returning None (the replay case); otherwise the
+    * commit lands with the txn marker inside it, so a crash anywhere
+    * leaves either no commit (batch re-runs and lands) or a marked
+    * commit (batch re-runs and is skipped). batchIds must be
+    * monotonically increasing per appId — Structured Streaming's
+    * foreachBatch contract. */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+                       appId: String, batchId: Long): Option[Long] = {
+    requireAppId(appId)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
+    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    val rel = f"data/v$intended%08d-${uniq()}"
+    df.write.parquet(new Path(table, rel).toString)
+    val files = writtenFiles(spark, table, rel)
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, None,
+      Some((appId, batchId)))) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: idempotent append to $table still contended after $attempts attempts")
+      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+    }
+    maybeCheckpoint(spark, table, v)
+    Some(v)
+  }
+
+  /** [[overwrite]] with the txn marker — the exactly-once landing for a
+    * versioned CDC sink whose batch output REPLACES the table
+    * ([[graft.streaming.StreamingCdc.applyChangesVersioned]]). Returns
+    * None when (appId, batchId) already landed (replay). */
+  def overwriteIdempotent(spark: SparkSession, table: String, df: DataFrame,
+                          appId: String, batchId: Long): Option[Long] = {
+    requireAppId(appId)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
+    requireNonEmpty(spark, table, "overwrite")
+    Some(replaceCommitAt(spark, table, latestVersion(spark, table), df,
+      "overwrite", (d, p) => d.write.parquet(p), Some((appId, batchId))))
+  }
+
   /** `foreachBatch` adapter: every micro-batch lands as one versioned
     * append — the streaming-ingest sink for a versioned table (each
     * commit is a replayable offset: "train on everything up to version
     * V" is reproducible even while the stream keeps writing). Empty
     * micro-batches are skipped, so versions always carry data.
     *
+    * AT-LEAST-ONCE: a batch replayed after a crash between this append
+    * and the streaming checkpoint's commit write lands TWICE — use
+    * [[appendSinkExactlyOnce]] when duplicates matter (they almost
+    * always do; this adapter survives for sinks that dedup downstream).
+    *
     * Usage: `stream.writeStream.foreachBatch(TxLog.appendSink(table)).start()` */
   def appendSink(table: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, table, batch); () }
+
+  /** [[appendSink]] with the txn guard: a replayed micro-batch is
+    * detected by its (appId, batchId) marker and skipped — exactly-once
+    * landing under foreachBatch's at-least-once replay contract
+    * (StreamingFailureSpec injects the exact crash window and proves
+    * it). */
+  def appendSinkExactlyOnce(table: String, appId: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        appendIdempotent(batch.sparkSession, table, batch, appId, batchId); ()
+      }
 
   /** Drop the table directory (test/fixture reset). */
   def destroy(spark: SparkSession, table: String): Unit = {
