@@ -23,13 +23,24 @@ import graft.operators.Multimodal.VideoRecord
   *    so every stream we write is spec-conformant), inverse zigzag,
   *    intra dequantization with the spec's oddification + saturation
   *    (§2.4.4.2), and a separable double-precision 8×8 IDCT.
-  *  - The matching I-frame-only encoder (4:2:0, one slice per
-  *    macroblock row, default intra quant matrix).
-  *  - NOT implemented: P/B pictures (motion compensation). A stream
-  *    containing them quarantines loudly (`decode` → None) — the same
-  *    strict posture as every other codec here; an AC code outside the
-  *    implemented table subset likewise answers None rather than
-  *    misparse.
+  *  - The matching encoder (4:2:0, one slice per macroblock row,
+  *    default quant matrices), I-frame and planted-motion P-frame.
+  *  - P-pictures (forward prediction, §2.4.3.4 / §2.4.4.3): motion_code
+  *    VLC (table B.4 — magnitude prefixes shared with B.1, sign bit
+  *    appended), differential motion reconstruction with the f_code
+  *    modulo wrap, full-pel and half-pel prediction (the spec's
+  *    round-away "//" interpolation), chroma vectors halved toward
+  *    zero, P macroblock types (table B.2b: pred-m/-c/-mc, their quant
+  *    variants, intra), coded_block_pattern (table B.3 subset — our
+  *    encoder emits only cbp 63; unknown codes quarantine), skipped
+  *    macroblocks (co-located copy + predictor resets), non-intra
+  *    dequantization with oddification + saturation, and a signed
+  *    residual IDCT clamped to the spec's [-256, 255].
+  *  - NOT implemented: B pictures (bidirectional MC) and D pictures. A
+  *    stream containing them quarantines loudly (`decode` → None) — the
+  *    same strict posture as every other codec here; an AC or CBP code
+  *    outside the implemented table subset likewise answers None rather
+  *    than misparse.
   *
   * Correctness anchors (the reason the corpus is built the way it is):
   * intra DC is quantized with a FIXED step of 8 (spec §2.4.4.1), so a
@@ -213,6 +224,56 @@ object Mpeg1 {
     AcCodes.map { case (r, l, c) => (c, AcRunLevel(r, l): AcSym) } :+
       (Eob, AcEob: AcSym) :+ (AcEscape, AcEsc: AcSym))
 
+  /** motion_code magnitude prefixes (table B.4). B.4 shares its prefix
+    * family with B.1: the code for magnitude m is the common prefix of
+    * the B.1 codes for increments 2m and 2m+1, followed by one sign bit
+    * (0 = positive); motion_code 0 is '1'. Derived rather than
+    * transcribed so the two tables cannot drift apart. */
+  private[graft] val MotionPrefix: Array[String] = {
+    val t = new Array[String](17)
+    var m = 1
+    while (m <= 16) {
+      val a = AddrInc(2 * m); val b = AddrInc(2 * m + 1)
+      var i = 0
+      while (i < a.length && i < b.length && a.charAt(i) == b.charAt(i)) i += 1
+      t(m) = a.substring(0, i)
+      m += 1
+    }
+    t
+  }
+  private[graft] def motionCodes: Seq[String] =
+    "1" +: (1 to 16).flatMap(m => Seq(MotionPrefix(m) + "0", MotionPrefix(m) + "1"))
+  private val MotionDec = new VlcDecoder[Int](
+    ("1" -> 0) +: (1 to 16).flatMap(m =>
+      Seq((MotionPrefix(m) + "0") -> m, (MotionPrefix(m) + "1") -> -m)))
+
+  /** macroblock_type for P-pictures (table B.2b):
+    * (quant, motion_forward, pattern, intra). */
+  private[graft] val PMbTypes: Seq[(String, (Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "1"      -> ((false, true, true, false)),  // pred-mc
+    "01"     -> ((false, false, true, false)), // pred-c
+    "001"    -> ((false, true, false, false)), // pred-m
+    "00011"  -> ((false, false, false, true)), // intra
+    "00010"  -> ((true, true, true, false)),   // pred-mcq
+    "00001"  -> ((true, false, true, false)),  // pred-cq
+    "000001" -> ((true, false, false, true)))  // intra-q
+  private val PMbTypeDec = new VlcDecoder[(Boolean, Boolean, Boolean, Boolean)](PMbTypes)
+
+  /** coded_block_pattern (table B.3), the ≤6-bit rows — the complete
+    * subset our encoder can emit (it only ever writes cbp 63) plus the
+    * common single/dual-block patterns for hand-built test streams. A
+    * cbp code outside this subset quarantines, the same posture as the
+    * AC-table subset. Bit 5-i of the value flags block i coded, block
+    * order Y0 Y1 Y2 Y3 Cb Cr (§2.4.3.6). */
+  private[graft] val CbpCodes: Seq[(Int, String)] = Seq(
+    60 -> "111", 4 -> "1101", 8 -> "1100", 16 -> "1011", 32 -> "1010",
+    12 -> "10011", 48 -> "10010", 20 -> "10001", 40 -> "10000",
+    28 -> "01111", 44 -> "01110", 52 -> "01101", 56 -> "01100",
+    1 -> "01011", 61 -> "01010", 2 -> "01001", 62 -> "01000",
+    24 -> "001111", 36 -> "001110", 3 -> "001101", 63 -> "001100")
+  private val CbpDec = new VlcDecoder[Int](CbpCodes.map { case (v, c) => (c, v) })
+  private val CbpEncode: Map[Int, String] = CbpCodes.toMap
+
   // ── DCT ─────────────────────────────────────────────────────────────
 
   private val CosTab: Array[Double] = {
@@ -288,6 +349,38 @@ object Mpeg1 {
     out
   }
 
+  /** Inverse 8×8 DCT for non-intra residual blocks: signed output,
+    * clamped to the spec's [-256, 255] (§2.4.4.3) — the final 0..255
+    * clamp happens after the prediction is added. */
+  def idctSigned(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += (if (u == 0) C0 else 1.0) * coef(v * 8 + u) * CosTab(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += (if (vv == 0) C0 else 1.0) * tmp(vv * 8 + x) * CosTab(y * 8 + vv); vv += 1 }
+        val p = math.round(0.25 * s).toInt
+        out(y * 8 + x) = if (p < -256) -256 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ── codec ───────────────────────────────────────────────────────────
 
   /** One decoded/source frame: planar 4:2:0, values 0..255.
@@ -295,15 +388,45 @@ object Mpeg1 {
   final case class Frame(y: Array[Int], cb: Array[Int], cr: Array[Int])
   final case class Decoded(width: Int, height: Int, frames: Seq[Frame])
 
+  /** One picture to encode. [[IPic]] carries full pixel content;
+    * [[PPic]] carries per-macroblock coding decisions (the planted
+    * motion the closed-form oracle rides). */
+  sealed trait Pic { def qscale: Int }
+  final case class IPic(qscale: Int, frame: Frame) extends Pic
+
+  /** P-picture: `mvx`/`mvy` are in vector units (full pels when the
+    * picture's `fullPel` flag is set, half pels otherwise); `fCode`
+    * bounds the differential range the spec way ([-16f, 16f-1],
+    * f = 2^(fCode-1)). */
+  final case class PPic(qscale: Int, fullPel: Boolean, fCode: Int, mbs: Seq[MbCode]) extends Pic
+
+  sealed trait MbCode
+  /** Skipped macroblock: co-located copy from the reference. Illegal as
+    * the first or last macroblock of a slice (§2.4.3.4). */
+  case object MbSkip extends MbCode
+  /** Forward-predicted macroblock. `deltas` = flat per-plane residuals
+    * (each nonzero) → pred-mc with cbp 63; None → pred-m (motion only). */
+  final case class MbPred(mvx: Int, mvy: Int, deltas: Option[(Int, Int, Int)]) extends MbCode
+  /** Intra macroblock inside a P-picture: 16×16 luma + 8×8 chroma,
+    * raster order. */
+  final case class MbIntra(y: Array[Int], cb: Array[Int], cr: Array[Int]) extends MbCode
+
   object Mpeg1Codec {
 
     /** Encode an I-frame-only MPEG-1 video elementary stream. Dims must
       * be multiples of 16 (the spec pads arbitrary dims up to the
       * macroblock grid; our synthetic corpora generate aligned dims so
       * the closed-form oracle needs no crop arithmetic). */
-    def encode(w: Int, h: Int, qscale: Int, frames: Seq[Frame]): Array[Byte] = {
+    def encode(w: Int, h: Int, qscale: Int, frames: Seq[Frame]): Array[Byte] =
+      encodeSeq(w, h, frames.map(IPic(qscale, _)))
+
+    /** Encode a mixed I/P sequence. The bitstream for an all-I sequence
+      * is byte-identical to the historical I-only encoder (the golden
+      * rows `qm_mpeg1_stats` / `qm_mpeg1_roundtrip` ride that). */
+    def encodeSeq(w: Int, h: Int, pics: Seq[Pic]): Array[Byte] = {
       require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0, s"dims must be multiples of 16: ${w}x$h")
-      require(qscale >= 1 && qscale <= 31, s"quantizer_scale in [1,31]: $qscale")
+      pics.foreach(p => require(p.qscale >= 1 && p.qscale <= 31, s"quantizer_scale in [1,31]: ${p.qscale}"))
+      require(pics.nonEmpty && pics.head.isInstanceOf[IPic], "sequence must open with an I-picture")
       val mbw = w / 16; val mbh = h / 16
       val bw = new BitWriter
 
@@ -325,52 +448,170 @@ object Mpeg1 {
       bw.writeBits(0, 6); bw.writeBits(0, 6)                     // seconds, pictures
       bw.writeBits(1, 1); bw.writeBits(0, 1)                     // closed_gop, broken_link
 
-      frames.zipWithIndex.foreach { case (fr, f) =>
-        require(fr.y.length == w * h && fr.cb.length == w * h / 4 && fr.cr.length == w * h / 4,
-          "planar 4:2:0 payload sizes must match the declared dims")
-        bw.startCode(0x00) // picture_start_code
-        bw.writeBits(f & 0x3FF, 10) // temporal_reference
-        bw.writeBits(1, 3)          // picture_coding_type: I
-        bw.writeBits(0xFFFF, 16)    // vbv_delay: variable
-        bw.writeBits(0, 1)          // extra_bit_picture
+      pics.zipWithIndex.foreach {
+        case (IPic(qscale, fr), f) =>
+          require(fr.y.length == w * h && fr.cb.length == w * h / 4 && fr.cr.length == w * h / 4,
+            "planar 4:2:0 payload sizes must match the declared dims")
+          bw.startCode(0x00) // picture_start_code
+          bw.writeBits(f & 0x3FF, 10) // temporal_reference
+          bw.writeBits(1, 3)          // picture_coding_type: I
+          bw.writeBits(0xFFFF, 16)    // vbv_delay: variable
+          bw.writeBits(0, 1)          // extra_bit_picture
 
-        var row = 0
-        while (row < mbh) {
-          bw.startCode(row + 1) // slice_start_code: vertical position, 1-based
-          bw.writeBits(qscale, 5)
-          bw.writeBits(0, 1) // extra_bit_slice
-          var predY = 128; var predCb = 128; var predCr = 128
-          var mx = 0
-          while (mx < mbw) {
-            bw.writeCode(AddrInc(1)) // consecutive macroblocks
-            bw.writeCode("1")        // macroblock_type: intra
-            // 4 luma blocks (2×2 raster inside the MB), then Cb, Cr
-            var b = 0
-            while (b < 4) {
-              val ox = mx * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
-              val blk = new Array[Int](64)
+          var row = 0
+          while (row < mbh) {
+            bw.startCode(row + 1) // slice_start_code: vertical position, 1-based
+            bw.writeBits(qscale, 5)
+            bw.writeBits(0, 1) // extra_bit_slice
+            var predY = 128; var predCb = 128; var predCr = 128
+            var mx = 0
+            while (mx < mbw) {
+              bw.writeCode(AddrInc(1)) // consecutive macroblocks
+              bw.writeCode("1")        // macroblock_type: intra
+              // 4 luma blocks (2×2 raster inside the MB), then Cb, Cr
+              var b = 0
+              while (b < 4) {
+                val ox = mx * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+                val blk = new Array[Int](64)
+                var i = 0
+                while (i < 64) { blk(i) = fr.y((oy + i / 8) * w + ox + i % 8); i += 1 }
+                predY = encodeBlock(bw, blk, qscale, predY, luma = true)
+                b += 1
+              }
+              val cw = w / 2
+              val cblk = new Array[Int](64); val rblk = new Array[Int](64)
               var i = 0
-              while (i < 64) { blk(i) = fr.y((oy + i / 8) * w + ox + i % 8); i += 1 }
-              predY = encodeBlock(bw, blk, qscale, predY, luma = true)
-              b += 1
+              while (i < 64) {
+                val cy = row * 8 + i / 8; val cx = mx * 8 + i % 8
+                cblk(i) = fr.cb(cy * cw + cx); rblk(i) = fr.cr(cy * cw + cx)
+                i += 1
+              }
+              predCb = encodeBlock(bw, cblk, qscale, predCb, luma = false)
+              predCr = encodeBlock(bw, rblk, qscale, predCr, luma = false)
+              mx += 1
             }
-            val cw = w / 2
-            val cblk = new Array[Int](64); val rblk = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              val cy = row * 8 + i / 8; val cx = mx * 8 + i % 8
-              cblk(i) = fr.cb(cy * cw + cx); rblk(i) = fr.cr(cy * cw + cx)
-              i += 1
-            }
-            predCb = encodeBlock(bw, cblk, qscale, predCb, luma = false)
-            predCr = encodeBlock(bw, rblk, qscale, predCr, luma = false)
-            mx += 1
+            row += 1
           }
-          row += 1
-        }
+
+        case (PPic(qscale, fullPel, fCode, mbs), f) =>
+          require(fCode >= 1 && fCode <= 7, s"forward_f_code in [1,7]: $fCode")
+          require(mbs.length == mbw * mbh, s"need ${mbw * mbh} macroblock codes, got ${mbs.length}")
+          val fSize = 1 << (fCode - 1); val rSize = fCode - 1
+          bw.startCode(0x00)
+          bw.writeBits(f & 0x3FF, 10)
+          bw.writeBits(2, 3)          // picture_coding_type: P
+          bw.writeBits(0xFFFF, 16)    // vbv_delay
+          bw.writeBits(if (fullPel) 1 else 0, 1) // full_pel_forward_vector
+          bw.writeBits(fCode, 3)      // forward_f_code
+          bw.writeBits(0, 1)          // extra_bit_picture
+
+          var row = 0
+          while (row < mbh) {
+            bw.startCode(row + 1)
+            bw.writeBits(qscale, 5)
+            bw.writeBits(0, 1)
+            var predY = 128; var predCb = 128; var predCr = 128
+            var mvPx = 0; var mvPy = 0
+            var pendInc = 1
+            var mx = 0
+            while (mx < mbw) {
+              mbs(row * mbw + mx) match {
+                case MbSkip =>
+                  require(mx != 0 && mx != mbw - 1,
+                    "the first/last macroblock of a slice shall not be skipped (§2.4.3.4)")
+                  pendInc += 1
+                  // skipped MB: decoder resets both predictor chains
+                  mvPx = 0; mvPy = 0; predY = 128; predCb = 128; predCr = 128
+
+                case MbPred(mvx, mvy, deltas) =>
+                  writeAddrInc(bw, pendInc); pendInc = 1
+                  bw.writeCode(if (deltas.isDefined) "1" else "001") // B.2b: pred-mc / pred-m
+                  mvPx = writeMv(bw, mvPx, mvx, fSize, rSize)
+                  mvPy = writeMv(bw, mvPy, mvy, fSize, rSize)
+                  deltas.foreach { case (dy, dcb, dcr) =>
+                    bw.writeCode(CbpEncode(63)) // all six blocks coded
+                    var b = 0
+                    while (b < 4) { writeFlatResidual(bw, dy, qscale); b += 1 }
+                    writeFlatResidual(bw, dcb, qscale)
+                    writeFlatResidual(bw, dcr, qscale)
+                  }
+                  predY = 128; predCb = 128; predCr = 128 // DC preds reset at non-intra MBs
+
+                case MbIntra(yb, cbb, crb) =>
+                  require(yb.length == 256 && cbb.length == 64 && crb.length == 64,
+                    "intra MB payload must be 16×16 luma + 8×8 chroma")
+                  writeAddrInc(bw, pendInc); pendInc = 1
+                  bw.writeCode("00011") // B.2b: intra
+                  var b = 0
+                  while (b < 4) {
+                    val ox = (b % 2) * 8; val oy = (b / 2) * 8
+                    val blk = new Array[Int](64)
+                    var i = 0
+                    while (i < 64) { blk(i) = yb((oy + i / 8) * 16 + ox + i % 8); i += 1 }
+                    predY = encodeBlock(bw, blk, qscale, predY, luma = true)
+                    b += 1
+                  }
+                  predCb = encodeBlock(bw, cbb, qscale, predCb, luma = false)
+                  predCr = encodeBlock(bw, crb, qscale, predCr, luma = false)
+                  mvPx = 0; mvPy = 0 // intra MB resets the MV predictor
+              }
+              mx += 1
+            }
+            row += 1
+          }
       }
       bw.startCode(0xB7) // sequence_end_code
       bw.toBytes
+    }
+
+    private def writeAddrInc(bw: BitWriter, inc0: Int): Unit = {
+      var inc = inc0
+      while (inc > 33) { bw.writeCode(AddrEscape); inc -= 33 }
+      bw.writeCode(AddrInc(inc))
+    }
+
+    /** Differential motion write (§2.4.3.4 inverted): wrap the delta
+      * into [-16f, 16f-1], emit motion_code + residual. Returns the
+      * reconstructed vector (= target; the decoder's wrap restores it). */
+    private def writeMv(bw: BitWriter, pred: Int, target: Int, fSize: Int, rSize: Int): Int = {
+      require(target >= -16 * fSize && target <= 16 * fSize - 1,
+        s"motion vector $target outside the f_code range [-${16 * fSize}, ${16 * fSize - 1}]")
+      var d = target - pred
+      if (d > 16 * fSize - 1) d -= 32 * fSize
+      if (d < -16 * fSize) d += 32 * fSize
+      if (d == 0) bw.writeCode("1")
+      else {
+        val a = math.abs(d)
+        val mc = (a - 1) / fSize + 1
+        val res = (a - 1) % fSize
+        require(mc <= 16, s"motion delta $d exceeds the codable range at f_code ${rSize + 1}")
+        bw.writeCode(MotionPrefix(mc)); bw.writeBits(if (d < 0) 1 else 0, 1)
+        if (rSize > 0) bw.writeBits(res, rSize)
+      }
+      target
+    }
+
+    /** Emit one coded non-intra block whose residual is flat `d` over
+      * all 64 samples: DC-only, level = round(4d/q) (the inverse of the
+      * non-intra dequant (2·level±1)·q with W=16), then EOB. At q=2 the
+      * reconstruction is exact for any integer d — the property the
+      * closed-form P-frame oracle rides. */
+    private def writeFlatResidual(bw: BitWriter, d: Int, qscale: Int): Unit = {
+      val l0 = math.round(4.0 * d / qscale).toInt
+      val level = if (l0 < -255) -255 else if (l0 > 255) 255 else l0
+      require(level != 0, s"flat residual $d vanishes at qscale $qscale — a coded block needs a coefficient")
+      // dct_coeff_first: (0, ±1) is '1'+s; other pairs share B.5 with next
+      if (math.abs(level) == 1) { bw.writeCode("1"); bw.writeBits(if (level < 0) 1 else 0, 1) }
+      else AcEncode.get((0, math.abs(level))) match {
+        case Some(code) =>
+          bw.writeCode(code); bw.writeBits(if (level < 0) 1 else 0, 1)
+        case None =>
+          bw.writeCode(AcEscape); bw.writeBits(0, 6)
+          if (level >= -127 && level <= 127) bw.writeBits(level & 0xFF, 8)
+          else if (level > 0) { bw.writeBits(0, 8); bw.writeBits(level, 8) }
+          else { bw.writeBits(0x80, 8); bw.writeBits(level + 256, 8) }
+      }
+      bw.writeCode(Eob)
     }
 
     /** DCT → quantize → DC-diff + AC run-level emit. Returns the new DC
@@ -433,6 +674,7 @@ object Mpeg1 {
       val mbw = w / 16; val mbh = h / 16
 
       val frames = Seq.newBuilder[Frame]
+      var prevF: Frame = null // forward reference (decode order = display order without B)
       var code = r.nextStartCode()
       while (code != 0xB7) {
         code match {
@@ -441,11 +683,20 @@ object Mpeg1 {
             code = r.nextStartCode()
           case 0x00 => // picture
             r.read(10)
-            if (r.read(3) != 1) bail() // intra-only subset: P/B quarantine
-            r.read(16)
+            val ptype = r.read(3)
+            if (ptype != 1 && ptype != 2) bail() // I/P subset: B and D quarantine
+            r.read(16) // vbv_delay
+            var fullPel = false; var fSize = 1; var rSize = 0
+            if (ptype == 2) {
+              fullPel = r.read(1) == 1
+              val fCode = r.read(3); if (fCode == 0) bail()
+              rSize = fCode - 1; fSize = 1 << rSize
+            }
             while (r.read(1) == 1) r.read(8) // extra_information_picture
+            if (ptype == 2 && prevF == null) bail() // P needs a reference
             val y = new Array[Int](w * h)
             val cb = new Array[Int](w * h / 4); val cr = new Array[Int](w * h / 4)
+            val cw = w / 2
             var sc = r.nextStartCode()
             var nextRow = 0 // subset contract: one full slice per MB row, in order
             // slices of this picture
@@ -458,6 +709,7 @@ object Mpeg1 {
               while (r.read(1) == 1) r.read(8) // extra_information_slice
               var q = qscale
               var predY = 128; var predCb = 128; var predCr = 128
+              var mvPx = 0; var mvPy = 0 // forward MV predictor, vector units
               var mbAddr = -1 // within the row
               while (!r.atStartCode) {
                 var inc = 0
@@ -469,38 +721,124 @@ object Mpeg1 {
                     case n  => inc += n; cont = false
                   }
                 }
-                if (inc != 1) bail() // skipped MBs are illegal in I-pictures (§2.4.3.4)
+                if (ptype == 1) {
+                  if (inc != 1) bail() // skipped MBs are illegal in I-pictures (§2.4.3.4)
+                } else if (inc != 1) {
+                  if (mbAddr == -1) bail() // the first MB of a slice shall not be skipped
+                  if (mbAddr + inc >= mbw) bail()
+                  // skipped MBs: co-located copy, both predictor chains reset
+                  var s = 1
+                  while (s < inc) {
+                    val a = mbAddr + s
+                    copyBlock(prevF.y, y, w, a * 16, row * 16, 16, 16)
+                    copyBlock(prevF.cb, cb, cw, a * 8, row * 8, 8, 8)
+                    copyBlock(prevF.cr, cr, cw, a * 8, row * 8, 8, 8)
+                    s += 1
+                  }
+                  mvPx = 0; mvPy = 0; predY = 128; predCb = 128; predCr = 128
+                }
                 mbAddr += inc
                 if (mbAddr >= mbw) bail()
-                // macroblock_type (I-picture): 1 = intra, 01 = intra+quant
-                if (r.read(1) == 0) {
-                  if (r.read(1) != 1) bail()
-                  q = r.read(5); if (q == 0) bail()
+
+                // macroblock_type
+                var mQuant = false; var mMotion = false; var mPattern = false; var mIntra = false
+                if (ptype == 1) {
+                  // I-picture: 1 = intra, 01 = intra+quant
+                  mIntra = true
+                  if (r.read(1) == 0) {
+                    if (r.read(1) != 1) bail()
+                    mQuant = true
+                  }
+                } else {
+                  val t = PMbTypeDec.decode(r)
+                  mQuant = t._1; mMotion = t._2; mPattern = t._3; mIntra = t._4
                 }
-                var b = 0
-                while (b < 4) {
-                  val (blk, np) = decodeBlock(r, q, predY, luma = true)
-                  predY = np
-                  val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+                if (mQuant) { q = r.read(5); if (q == 0) bail() }
+                var dhx = 0; var dhy = 0 // half-pel displacement
+                if (mMotion) {
+                  val mcx = MotionDec.decode(r)
+                  val rx = if (rSize > 0 && mcx != 0) r.read(rSize) else 0
+                  mvPx = reconMv(mvPx, mcx, rx, fSize)
+                  val mcy = MotionDec.decode(r)
+                  val ry = if (rSize > 0 && mcy != 0) r.read(rSize) else 0
+                  mvPy = reconMv(mvPy, mcy, ry, fSize)
+                  dhx = if (fullPel) mvPx * 2 else mvPx
+                  dhy = if (fullPel) mvPy * 2 else mvPy
+                } else if (ptype == 2) {
+                  mvPx = 0; mvPy = 0 // pred-c and intra MBs reset the predictor; MV = 0
+                }
+
+                if (mIntra) {
+                  if (ptype == 2 && mPattern) bail() // B.2b has no intra+pattern row
+                  var b = 0
+                  while (b < 4) {
+                    val (blk, np) = decodeBlock(r, q, predY, luma = true)
+                    predY = np
+                    val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+                    var i = 0
+                    while (i < 64) { y((oy + i / 8) * w + ox + i % 8) = blk(i); i += 1 }
+                    b += 1
+                  }
+                  val (cbBlk, ncb) = decodeBlock(r, q, predCb, luma = false); predCb = ncb
+                  val (crBlk, ncr) = decodeBlock(r, q, predCr, luma = false); predCr = ncr
                   var i = 0
-                  while (i < 64) { y((oy + i / 8) * w + ox + i % 8) = blk(i); i += 1 }
-                  b += 1
-                }
-                val cw = w / 2
-                val (cbBlk, ncb) = decodeBlock(r, q, predCb, luma = false); predCb = ncb
-                val (crBlk, ncr) = decodeBlock(r, q, predCr, luma = false); predCr = ncr
-                var i = 0
-                while (i < 64) {
-                  val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
-                  cb(cy * cw + cx) = cbBlk(i); cr(cy * cw + cx) = crBlk(i)
-                  i += 1
+                  while (i < 64) {
+                    val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
+                    cb(cy * cw + cx) = cbBlk(i); cr(cy * cw + cx) = crBlk(i)
+                    i += 1
+                  }
+                } else {
+                  predY = 128; predCb = 128; predCr = 128 // DC preds reset at non-intra MBs
+                  // forward prediction (chroma vectors halved toward zero, §2.4.4.3)
+                  val py16 = predictInto(prevF.y, w, h, mbAddr * 16, row * 16, dhx, dhy, 16, 16)
+                  val pcb8 = predictInto(prevF.cb, cw, h / 2, mbAddr * 8, row * 8, dhx / 2, dhy / 2, 8, 8)
+                  val pcr8 = predictInto(prevF.cr, cw, h / 2, mbAddr * 8, row * 8, dhx / 2, dhy / 2, 8, 8)
+                  val cbp = if (mPattern) CbpDec.decode(r) else 0
+                  if (mPattern && cbp == 0) bail()
+                  var b = 0
+                  while (b < 4) {
+                    val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+                    val res: Array[Int] =
+                      if (((cbp >> (5 - b)) & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
+                    var i = 0
+                    while (i < 64) {
+                      val p0 = py16(((b / 2) * 8 + i / 8) * 16 + (b % 2) * 8 + i % 8)
+                      val v = if (res == null) p0 else {
+                        val s0 = p0 + res(i)
+                        if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+                      }
+                      y((oy + i / 8) * w + ox + i % 8) = v
+                      i += 1
+                    }
+                    b += 1
+                  }
+                  val cbRes: Array[Int] =
+                    if (((cbp >> 1) & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
+                  val crRes: Array[Int] =
+                    if ((cbp & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
+                  var i = 0
+                  while (i < 64) {
+                    val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
+                    val vb = if (cbRes == null) pcb8(i) else {
+                      val s0 = pcb8(i) + cbRes(i)
+                      if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+                    }
+                    val vr = if (crRes == null) pcr8(i) else {
+                      val s0 = pcr8(i) + crRes(i)
+                      if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+                    }
+                    cb(cy * cw + cx) = vb; cr(cy * cw + cx) = vr
+                    i += 1
+                  }
                 }
               }
               if (mbAddr != mbw - 1) bail() // every row slice covers its full row
               sc = r.nextStartCode()
             }
             if (nextRow != mbh) bail() // no row may be left undecoded (silent zeros)
-            frames += Frame(y, cb, cr)
+            val fr = Frame(y, cb, cr)
+            frames += fr
+            prevF = fr
             code = sc
           case _ => bail()
         }
@@ -558,6 +896,112 @@ object Mpeg1 {
         }
       }
       (idct(coef), qdc)
+    }
+
+    /** Co-located copy (skipped macroblocks): bw×bh at (x0, y0). */
+    private def copyBlock(src: Array[Int], dst: Array[Int], stride: Int,
+                          x0: Int, y0: Int, bw: Int, bh: Int): Unit = {
+      var yy = 0
+      while (yy < bh) {
+        System.arraycopy(src, (y0 + yy) * stride + x0, dst, (y0 + yy) * stride + x0, bw)
+        yy += 1
+      }
+    }
+
+    /** Forward prediction of a bw×bh block anchored at (x0, y0), with a
+      * half-pel displacement (dhx, dhy). Half-sample positions use the
+      * spec's "//" (round to nearest, halves away from zero — for the
+      * non-negative sums here, +half >> 1 / +2 >> 2). Out-of-frame
+      * references quarantine. */
+    private def predictInto(ref: Array[Int], stride: Int, nrows: Int,
+                            x0: Int, y0: Int, dhx: Int, dhy: Int,
+                            bw: Int, bh: Int): Array[Int] = {
+      val ix = x0 + Math.floorDiv(dhx, 2); val iy = y0 + Math.floorDiv(dhy, 2)
+      val hx = dhx - 2 * Math.floorDiv(dhx, 2); val hy = dhy - 2 * Math.floorDiv(dhy, 2)
+      if (ix < 0 || iy < 0 || ix + bw + hx > stride || iy + bh + hy > nrows) bail()
+      val out = new Array[Int](bw * bh)
+      var yy = 0
+      while (yy < bh) {
+        val r0 = (iy + yy) * stride
+        val r1 = (iy + yy + 1) * stride
+        var xx = 0
+        while (xx < bw) {
+          val a = ref(r0 + ix + xx)
+          val v =
+            if (hx == 0 && hy == 0) a
+            else if (hy == 0) (a + ref(r0 + ix + xx + 1) + 1) >> 1
+            else if (hx == 0) (a + ref(r1 + ix + xx) + 1) >> 1
+            else (a + ref(r0 + ix + xx + 1) + ref(r1 + ix + xx) + ref(r1 + ix + xx + 1) + 2) >> 2
+          out(yy * bw + xx) = v
+          xx += 1
+        }
+        yy += 1
+      }
+      out
+    }
+
+    /** Differential motion reconstruction (§2.4.3.4): recon = pred +
+      * delta, wrapped modulo 32f into [-16f, 16f-1]. */
+    private def reconMv(pred: Int, mc: Int, res: Int, fSize: Int): Int = {
+      val delta =
+        if (mc == 0) 0
+        else {
+          val a = 1 + fSize * (math.abs(mc) - 1) + res
+          if (mc < 0) -a else a
+        }
+      var v = pred + delta
+      val max = 16 * fSize - 1; val min = -16 * fSize
+      if (v > max) v -= 32 * fSize
+      if (v < min) v += 32 * fSize
+      if (v > max || v < min) bail()
+      v
+    }
+
+    /** One coded non-intra block → dequantized coefficients.
+      * dct_coeff_first ('1'+s is (0, ±1); EOB cannot appear first — a
+      * leading '0' falls through to the shared B.5 walk), then
+      * dct_coeff_next until EOB. Non-intra dequant (§2.4.4.3):
+      * rec = ((2·level + sign)·q·W)/16 truncated toward zero, oddified,
+      * saturated; W is the default (flat 16) non-intra matrix. */
+    private def decodeNonIntraCoefs(r: BitReader, qscale: Int): Array[Int] = {
+      val coef = new Array[Int](64)
+      var zz = -1
+      var first = true
+      var done = false
+      while (!done) {
+        val sym: AcSym =
+          if (first && r.peek(1) == 1) { r.read(1); AcRunLevel(0, 1) }
+          else AcDec.decode(r)
+        first = false
+        sym match {
+          case AcEob => done = true
+          case s0 =>
+            val (run, level) = s0 match {
+              case AcRunLevel(rn, lv) =>
+                (rn, if (r.read(1) == 1) -lv else lv)
+              case AcEsc =>
+                val rn = r.read(6)
+                val b = r.read(8)
+                val lv =
+                  if (b == 0) { val x = r.read(8); if (x < 128) bail(); x }
+                  else if (b == 0x80) { val x = r.read(8); if (x == 0 || x > 128) bail(); x - 256 }
+                  else if (b < 128) b
+                  else b - 256
+                if (lv == 0) bail()
+                (rn, lv)
+              case AcEob => bail() // unreachable
+            }
+            zz += run + 1
+            if (zz > 63) bail()
+            var rec = (2 * level + Integer.signum(level)) * qscale * 16 / 16
+            if (rec != 0 && (rec & 1) == 0) rec -= Integer.signum(rec)
+            if (rec > 2047) rec = 2047
+            if (rec < -2048) rec = -2048
+            coef(Zigzag(zz)) = rec
+        }
+      }
+      if (zz < 0) bail() // a coded block must carry at least one coefficient
+      coef
     }
   }
 
@@ -695,9 +1139,104 @@ object Mpeg1 {
       .orderBy("media_id")
   }
 
+  // ── P-frame corpus (planted motion + planted residual) ──────────────
+
+  /** Closed-form P-frame motion model, shared by the corpus builder and
+    * (re-derived) the DuckDB oracle. Frame 0 is an I-picture of flat
+    * 16×16 macroblocks; each later frame is a P-picture where MB `mb`
+    * is either skipped (co-located copy) or forward-predicted from MB
+    * `(mb+1) % mbs` of the previous DECODED frame (a 16-pel-aligned
+    * full-pel motion vector) plus a flat nonzero residual delta. At
+    * P-qscale 2 a flat delta d reconstructs exactly (level 2d → rec
+    * 8d±1 → round → d), so every decoded plane sum is a pure integer
+    * recurrence the oracle can unroll without seeing a byte. */
+  private def pGeom(id: Long): (Int, Int, Int) =
+    (16 * (1 + (id % 3)).toInt, 16 * (1 + (id % 2)).toInt, (1 + id % 3).toInt)
+  private def pBaseY(id: Long, mb: Int): Int = ((id * 7 + mb * 5) % 130 + 60).toInt
+  private def pBaseCb(id: Long, mb: Int): Int = ((id * 3 + mb * 2) % 130 + 62).toInt
+  private def pBaseCr(id: Long, mb: Int): Int = ((id * 5 + mb * 7) % 130 + 64).toInt
+  /** Never-zero delta in [-9, 10]: m ∈ [0,19) → m-9, with the zero at
+    * m=9 remapped to +10. */
+  private def pDelta(m: Long): Int = { val r = (m % 19).toInt; if (r == 9) 10 else r - 9 }
+  private def pDeltaY(id: Long, f: Int, mb: Int): Int = pDelta(id * 11 + f * 7 + mb * 3)
+  private def pDeltaCb(id: Long, f: Int, mb: Int): Int = pDelta(id * 13 + f * 5 + mb * 7)
+  private def pDeltaCr(id: Long, f: Int, mb: Int): Int = pDelta(id * 17 + f * 3 + mb * 11)
+  /** Skip only interior MBs of a slice row (the spec forbids skipping
+    * the first/last): with mbw up to 3 that is column 1 of 3-wide rows. */
+  private def pSkip(id: Long, f: Int, mb: Int, mbw: Int): Boolean =
+    mbw == 3 && mb % 3 == 1 && (id + f + mb) % 2 == 0
+
+  /** Real MPEG-1 clips exercising the full P-picture path: motion VLCs,
+    * differential reconstruction, prediction copy, skipped macroblocks,
+    * non-intra residual decode. qscale: I slices 4 (flat-DC exact), P
+    * slices 2 (flat-residual exact). */
+  def syntheticMpeg1P(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h, nf) = pGeom(id)
+        val mbw = w / 16; val mbh = h / 16; val mbs = mbw * mbh; val cw = w / 2
+        val y0 = new Array[Int](w * h)
+        val cb0 = new Array[Int](w * h / 4); val cr0 = new Array[Int](w * h / 4)
+        var py = 0
+        while (py < h) {
+          var px = 0
+          while (px < w) { y0(py * w + px) = pBaseY(id, (py / 16) * mbw + px / 16); px += 1 }
+          py += 1
+        }
+        var cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) {
+            val mb = (cy / 8) * mbw + cx / 8
+            cb0(cy * cw + cx) = pBaseCb(id, mb); cr0(cy * cw + cx) = pBaseCr(id, mb)
+            cx += 1
+          }
+          cy += 1
+        }
+        val pPics = (1 until nf).map { f =>
+          val mbsCodes = (0 until mbs).map { mb =>
+            if (pSkip(id, f, mb, mbw)) MbSkip
+            else {
+              val s = (mb + 1) % mbs
+              val mvx = (s % mbw - mb % mbw) * 16
+              val mvy = (s / mbw - mb / mbw) * 16
+              MbPred(mvx, mvy, Some((pDeltaY(id, f, mb), pDeltaCb(id, f, mb), pDeltaCr(id, f, mb))))
+            }
+          }
+          PPic(qscale = 2, fullPel = true, fCode = 3, mbsCodes)
+        }
+        VideoRecord(id, Mpeg1Codec.encodeSeq(w, h, IPic(4, Frame(y0, cb0, cr0)) +: pPics))
+      }
+  }
+
+  /** QM15 — P-picture decode, verified bit-exact per record: genuine
+    * I+P streams with planted permutation motion and planted residuals
+    * decode through the full inter path (motion VLC table B.4,
+    * differential MV wrap, prediction copy, skip, non-intra dequant),
+    * and the oracle recomputes every decoded plane sum as a two-level
+    * unrolled integer recurrence without seeing a byte. */
+  def qmMpeg1PStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    syntheticMpeg1P(spark, d)
+      .mapPartitions(_.flatMap { r =>
+        Mpeg1Codec.decode(r.payload).map { dec =>
+          var ys = 0L; var cbs = 0L; var crs = 0L
+          dec.frames.foreach { fr =>
+            fr.y.foreach(ys += _); fr.cb.foreach(cbs += _); fr.cr.foreach(crs += _)
+          }
+          (r.media_id, dec.width.toLong, dec.height.toLong, dec.frames.size.toLong, ys, cbs, crs)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_frames", "y_sum", "cb_sum", "cr_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_mpeg1_stats" -> qmMpeg1Stats _,
-    "qm_mpeg1_roundtrip" -> qmMpeg1Roundtrip _)
+    "qm_mpeg1_roundtrip" -> qmMpeg1Roundtrip _,
+    "qm_mpeg1_p_stats" -> qmMpeg1PStats _)
 
   val oracles: Map[String, String] = Map(
     // every decoded plane sum recomputed closed-form: flat 16×16 MBs ⇒
@@ -716,6 +1255,49 @@ object Mpeg1 {
         "CAST(64 * list_sum(list_transform(range(n_frames*mbs), " +
         "i -> (media_id*5 + (i//mbs)*3 + (i%mbs)*7) % 200 + 25)) AS BIGINT) AS cr_sum " +
         "FROM g ORDER BY media_id"),
+    // P-frame recurrence unrolled closed-form (≤ 2 P-frames per clip):
+    // v0 = flat-MB base values; v_f[mb] = skipped ? v_{f-1}[mb]
+    // : v_{f-1}[(mb+1) % mbs] + planted delta. MATERIALIZED CTEs keep
+    // DuckDB from inlining the chain exponentially.
+    "qm_mpeg1_p_stats" ->
+      ("WITH g AS MATERIALIZED (SELECT doc_id AS media_id, " +
+        "16*(1 + doc_id % 3) AS width, 16*(1 + doc_id % 2) AS height, " +
+        "1 + doc_id % 3 AS n_frames, 1 + doc_id % 3 AS mbw, " +
+        "(1 + doc_id % 3)*(1 + doc_id % 2) AS mbs FROM documents), " +
+        "b AS MATERIALIZED (SELECT media_id, width, height, n_frames, mbw, mbs, " +
+        "list_transform(range(mbs), mb -> (media_id*7 + mb*5) % 130 + 60) AS y0, " +
+        "list_transform(range(mbs), mb -> (media_id*3 + mb*2) % 130 + 62) AS cb0, " +
+        "list_transform(range(mbs), mb -> (media_id*5 + mb*7) % 130 + 64) AS cr0 FROM g), " +
+        "v1 AS MATERIALIZED (SELECT *, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 1 + mb) % 2 = 0 " +
+        "THEN y0[mb+1] ELSE y0[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*11 + 7 + mb*3) % 19 = 9 THEN 10 ELSE (media_id*11 + 7 + mb*3) % 19 - 9 END) END) AS y1, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 1 + mb) % 2 = 0 " +
+        "THEN cb0[mb+1] ELSE cb0[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*13 + 5 + mb*7) % 19 = 9 THEN 10 ELSE (media_id*13 + 5 + mb*7) % 19 - 9 END) END) AS cb1, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 1 + mb) % 2 = 0 " +
+        "THEN cr0[mb+1] ELSE cr0[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*17 + 3 + mb*11) % 19 = 9 THEN 10 ELSE (media_id*17 + 3 + mb*11) % 19 - 9 END) END) AS cr1 " +
+        "FROM b), " +
+        "v2 AS MATERIALIZED (SELECT *, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 2 + mb) % 2 = 0 " +
+        "THEN y1[mb+1] ELSE y1[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*11 + 14 + mb*3) % 19 = 9 THEN 10 ELSE (media_id*11 + 14 + mb*3) % 19 - 9 END) END) AS y2, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 2 + mb) % 2 = 0 " +
+        "THEN cb1[mb+1] ELSE cb1[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*13 + 10 + mb*7) % 19 = 9 THEN 10 ELSE (media_id*13 + 10 + mb*7) % 19 - 9 END) END) AS cb2, " +
+        "list_transform(range(mbs), mb -> CASE WHEN mbw = 3 AND mb % 3 = 1 AND (media_id + 2 + mb) % 2 = 0 " +
+        "THEN cr1[mb+1] ELSE cr1[((mb+1) % mbs)+1] + " +
+        "(CASE WHEN (media_id*17 + 6 + mb*11) % 19 = 9 THEN 10 ELSE (media_id*17 + 6 + mb*11) % 19 - 9 END) END) AS cr2 " +
+        "FROM v1) " +
+        "SELECT media_id, width, height, n_frames, " +
+        "CAST(256*(list_sum(y0) + CASE WHEN n_frames > 1 THEN list_sum(y1) ELSE 0 END + " +
+        "CASE WHEN n_frames > 2 THEN list_sum(y2) ELSE 0 END) AS BIGINT) AS y_sum, " +
+        "CAST(64*(list_sum(cb0) + CASE WHEN n_frames > 1 THEN list_sum(cb1) ELSE 0 END + " +
+        "CASE WHEN n_frames > 2 THEN list_sum(cb2) ELSE 0 END) AS BIGINT) AS cb_sum, " +
+        "CAST(64*(list_sum(cr0) + CASE WHEN n_frames > 1 THEN list_sum(cr1) ELSE 0 END + " +
+        "CASE WHEN n_frames > 2 THEN list_sum(cr2) ELSE 0 END) AS BIGINT) AS cr_sum " +
+        "FROM v2 ORDER BY media_id"),
     // geometry closed-form; the lossy-path certifications are computed
     // in-plan and pinned TRUE here (qm_avi_stats pattern)
     "qm_mpeg1_roundtrip" ->

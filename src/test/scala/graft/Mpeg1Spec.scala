@@ -42,6 +42,16 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
     assertPrefixFree(Mpeg1.AcCodes.map(_._3) ++ Seq("10", "000001"), "dct_coeff_next")
     // no duplicate (run, level) rows either
     assert(Mpeg1.AcCodes.map(t => (t._1, t._2)).distinct.size == Mpeg1.AcCodes.size)
+    // motion_code space (B.4): zero + 16 signed magnitudes
+    assertPrefixFree(Mpeg1.motionCodes, "motion_code")
+    assert(Mpeg1.motionCodes.size == 33 && Mpeg1.motionCodes.distinct.size == 33)
+    // B.4's +1 is '010' — the anchor row that pins the derived prefixes
+    assert(Mpeg1.MotionPrefix(1) == "01")
+    // P macroblock types (B.2b) and coded_block_pattern (B.3 subset)
+    assertPrefixFree(Mpeg1.PMbTypes.map(_._1), "macroblock_type (P)")
+    assertPrefixFree(Mpeg1.CbpCodes.map(_._2), "coded_block_pattern")
+    assert(Mpeg1.CbpCodes.map(_._1).distinct.size == Mpeg1.CbpCodes.size)
+    assert(Mpeg1.CbpCodes.forall { case (v, _) => v >= 1 && v <= 63 })
   }
 
   test("textured frames reconstruct within the pinned quantization bound (AC path: VLCs, escapes, oddification)") {
@@ -99,7 +109,146 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
     // byte layout: [tr9..tr2][tr1 tr0 t2 t1 t0 vbv...]: second byte's
     // bits 5..3 hold the type; I=001 → P=010
     asP(picAt + 5) = ((asP(picAt + 5) & ~(7 << 3)) | (2 << 3)).toByte
-    assert(Mpeg1Codec.decode(asP).isEmpty, "P-pictures are outside the intra subset and must quarantine")
+    assert(Mpeg1Codec.decode(asP).isEmpty,
+      "a P-picture with no preceding reference frame must quarantine")
+    val asB = good.clone()
+    asB(picAt + 5) = ((asB(picAt + 5) & ~(7 << 3)) | (3 << 3)).toByte
+    assert(Mpeg1Codec.decode(asB).isEmpty, "B-pictures are outside the I/P subset and must quarantine")
+  }
+
+  test("zero-motion pred-m P-picture reproduces the intra reference exactly (differential vs the intra path)") {
+    val w = 48; val h = 32
+    val mbs = (w / 16) * (h / 16)
+    val fr = flatFrame(w, h, mb => 40 + mb * 7, mb => 70 + mb * 5, mb => 100 + mb * 3)
+    // [I(F), P(all pred-m, MV 0, no residual)] must decode to [F, F] —
+    // and byte-for-byte equal what decoding [I(F), I(F)] yields
+    val inter = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(2, fullPel = true, fCode = 1, Seq.fill(mbs)(Mpeg1.MbPred(0, 0, None)))))).get
+    val intra = Mpeg1Codec.decode(Mpeg1Codec.encode(w, h, 4, Seq(fr, fr))).get
+    assert(inter.frames.size == 2 && intra.frames.size == 2)
+    inter.frames.zip(intra.frames).foreach { case (a, b) =>
+      assert(a.y.sameElements(b.y) && a.cb.sameElements(b.cb) && a.cr.sameElements(b.cr),
+        "P-predicted frame must match the intra-coded frame bit-for-bit")
+    }
+  }
+
+  test("planted motion + flat residuals + skips decode bit-exact (the qm_mpeg1_p_stats recurrence)") {
+    // mirrors the corpus generator + the oracle recurrence; ids cover
+    // every geometry, skip phase, VLC-range and escape-range delta
+    def delta(m: Long): Int = { val r = (m % 19).toInt; if (r == 9) 10 else r - 9 }
+    (0L until 48L).foreach { id =>
+      val w = 16 * (1 + (id % 3)).toInt; val h = 16 * (1 + (id % 2)).toInt
+      val nf = (1 + id % 3).toInt
+      val mbw = w / 16; val mbh = h / 16; val nmb = mbw * mbh
+      def skip(f: Int, mb: Int) = mbw == 3 && mb % 3 == 1 && (id + f + mb) % 2 == 0
+      // expected per-MB values by the recurrence
+      val vy = Array.ofDim[Int](nf, nmb); val vcb = Array.ofDim[Int](nf, nmb); val vcr = Array.ofDim[Int](nf, nmb)
+      for (mb <- 0 until nmb) {
+        vy(0)(mb) = ((id * 7 + mb * 5) % 130 + 60).toInt
+        vcb(0)(mb) = ((id * 3 + mb * 2) % 130 + 62).toInt
+        vcr(0)(mb) = ((id * 5 + mb * 7) % 130 + 64).toInt
+      }
+      for (f <- 1 until nf; mb <- 0 until nmb) {
+        if (skip(f, mb)) {
+          vy(f)(mb) = vy(f - 1)(mb); vcb(f)(mb) = vcb(f - 1)(mb); vcr(f)(mb) = vcr(f - 1)(mb)
+        } else {
+          val s = (mb + 1) % nmb
+          vy(f)(mb) = vy(f - 1)(s) + delta(id * 11 + f * 7 + mb * 3)
+          vcb(f)(mb) = vcb(f - 1)(s) + delta(id * 13 + f * 5 + mb * 7)
+          vcr(f)(mb) = vcr(f - 1)(s) + delta(id * 17 + f * 3 + mb * 11)
+        }
+      }
+      // encode the same stream the Spark corpus builds
+      val frame0 = flatFrame(w, h, vy(0)(_), vcb(0)(_), vcr(0)(_))
+      val pPics = (1 until nf).map { f =>
+        Mpeg1.PPic(2, fullPel = true, fCode = 3, (0 until nmb).map { mb =>
+          if (skip(f, mb)) Mpeg1.MbSkip
+          else {
+            val s = (mb + 1) % nmb
+            Mpeg1.MbPred((s % mbw - mb % mbw) * 16, (s / mbw - mb / mbw) * 16,
+              Some((delta(id * 11 + f * 7 + mb * 3), delta(id * 13 + f * 5 + mb * 7),
+                delta(id * 17 + f * 3 + mb * 11))))
+          }
+        })
+      }
+      val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Mpeg1.IPic(4, frame0) +: pPics))
+      assert(dec.isDefined, s"id=$id must decode")
+      assert(dec.get.frames.size == nf)
+      dec.get.frames.zipWithIndex.foreach { case (got, f) =>
+        for (i <- 0 until w * h) {
+          val mb = (i / w / 16) * mbw + (i % w) / 16
+          assert(got.y(i) == vy(f)(mb), s"id=$id f=$f luma pixel $i: ${got.y(i)} != ${vy(f)(mb)}")
+        }
+        for (i <- 0 until w * h / 4) {
+          val mb = (i / (w / 2) / 8) * mbw + (i % (w / 2)) / 8
+          assert(got.cb(i) == vcb(f)(mb), s"id=$id f=$f Cb pixel $i")
+          assert(got.cr(i) == vcr(f)(mb), s"id=$id f=$f Cr pixel $i")
+        }
+      }
+      // at least some ids must actually exercise the skip path
+      if (id == 2 || id == 5) assert((1 until nf).exists(f => (0 until nmb).exists(skip(f, _))),
+        s"id=$id was chosen to carry a skipped macroblock")
+    }
+  }
+
+  test("half-pel prediction interpolates with the spec's round-away '//' (luma h/v/diagonal + chroma)") {
+    val w = 32; val h = 32; val cw = w / 2
+    // gradients so interpolation actually averages distinct neighbours
+    val ref = Frame(
+      Array.tabulate(w * h)(i => 20 + (i % w) * 3 + (i / w) * 5),
+      Array.tabulate(w * h / 4)(i => 10 + (i % cw) * 4 + (i / cw) * 2),
+      Array.tabulate(w * h / 4)(i => 30 + (i % cw) * 2 + (i / cw) * 4))
+    // MB0: (+1,0) right half-pel; MB1: (0,+1) down half-pel;
+    // MB2: (+1,-1) diagonal half-pel; MB3: (-2,-2) full-pel (-1,-1)
+    val mvs = Seq((1, 0), (0, 1), (1, -1), (-2, -2))
+    val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Seq(
+      Mpeg1.IPic(4, ref), // gradient I-frame is lossy — predict from the DECODED reference
+      Mpeg1.PPic(2, fullPel = false, fCode = 1, mvs.map { case (x, y) => Mpeg1.MbPred(x, y, None) }))))
+    assert(dec.isDefined)
+    val r = dec.get.frames.head // decoded reference (qscale-4 lossy)
+    val got = dec.get.frames(1)
+    def interp(p: Array[Int], stride: Int, x: Int, y: Int, dhx: Int, dhy: Int): Int = {
+      val ix = x + Math.floorDiv(dhx, 2); val iy = y + Math.floorDiv(dhy, 2)
+      val hx = dhx - 2 * Math.floorDiv(dhx, 2); val hy = dhy - 2 * Math.floorDiv(dhy, 2)
+      val a = p(iy * stride + ix)
+      if (hx == 0 && hy == 0) a
+      else if (hy == 0) (a + p(iy * stride + ix + 1) + 1) >> 1
+      else if (hx == 0) (a + p((iy + 1) * stride + ix) + 1) >> 1
+      else (a + p(iy * stride + ix + 1) + p((iy + 1) * stride + ix) + p((iy + 1) * stride + ix + 1) + 2) >> 2
+    }
+    for (mb <- 0 to 3; py <- 0 until 16; px <- 0 until 16) {
+      val (dhx, dhy) = mvs(mb)
+      val x = (mb % 2) * 16 + px; val y = (mb / 2) * 16 + py
+      assert(got.y(y * w + x) == interp(r.y, w, x, y, dhx, dhy),
+        s"luma MB$mb ($px,$py): half-pel interpolation mismatch")
+    }
+    for (mb <- 0 to 3; py <- 0 until 8; px <- 0 until 8) {
+      val (dhx, dhy) = mvs(mb)
+      val x = (mb % 2) * 8 + px; val y = (mb / 2) * 8 + py
+      assert(got.cb(y * cw + x) == interp(r.cb, cw, x, y, dhx / 2, dhy / 2),
+        s"Cb MB$mb: chroma vector must be the luma vector halved toward zero")
+      assert(got.cr(y * cw + x) == interp(r.cr, cw, x, y, dhx / 2, dhy / 2), s"Cr MB$mb")
+    }
+  }
+
+  test("intra macroblocks inside a P-picture decode with the spec's predictor resets") {
+    val w = 32; val h = 16
+    val fr = flatFrame(w, h, mb => 50 + mb * 9, mb => 80 + mb * 4, mb => 110 + mb * 6)
+    val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(4, fullPel = true, fCode = 1, Seq(
+        Mpeg1.MbPred(0, 0, None),
+        Mpeg1.MbIntra(Array.fill(256)(77), Array.fill(64)(88), Array.fill(64)(99)))))))
+    assert(dec.isDefined, "intra-in-P stream must decode")
+    val got = dec.get.frames(1)
+    for (py <- 0 until 16; px <- 0 until 16) {
+      assert(got.y(py * w + px) == fr.y(py * w + px), "MB0 is a zero-motion copy")
+      assert(got.y(py * w + 16 + px) == 77, "MB1 is intra-coded flat 77")
+    }
+    for (py <- 0 until 8; px <- 0 until 8) {
+      assert(got.cb(py * (w / 2) + 8 + px) == 88 && got.cr(py * (w / 2) + 8 + px) == 99)
+    }
   }
 
   test("escape coding round-trips the full level range (±255) — large-coefficient path") {
