@@ -36,11 +36,19 @@ import graft.operators.Multimodal.VideoRecord
   *    macroblocks (co-located copy + predictor resets), non-intra
   *    dequantization with oddification + saturation, and a signed
   *    residual IDCT clamped to the spec's [-256, 255].
-  *  - NOT implemented: B pictures (bidirectional MC) and D pictures. A
-  *    stream containing them quarantines loudly (`decode` → None) — the
-  *    same strict posture as every other codec here; an AC or CBP code
-  *    outside the implemented table subset likewise answers None rather
-  *    than misparse.
+  *  - B-pictures (bidirectional MC, §2.4.4.4): dual forward/backward
+  *    f_codes, macroblock types (table B.2c, all eleven rows on decode),
+  *    independent forward/backward MV predictor chains (reset at slice
+  *    start and intra MBs, UNCHANGED across skips — the B/P semantic
+  *    split of §2.4.3.4), interpolated prediction with the spec's "//"
+  *    averaging, B-skip = repeat the previous MB's prediction direction
+  *    and vectors (previous MB shall not be intra), and display
+  *    reordering by temporal_reference (anchors are decoded before the
+  *    B-pictures that display before them; frames re-sort per GOP).
+  *  - NOT implemented: D pictures. A stream containing them quarantines
+  *    loudly (`decode` → None) — the same strict posture as every other
+  *    codec here; an AC or CBP code outside the implemented table subset
+  *    likewise answers None rather than misparse.
   *
   * Correctness anchors (the reason the corpus is built the way it is):
   * intra DC is quantized with a FIXED step of 8 (spec §2.4.4.1), so a
@@ -259,6 +267,23 @@ object Mpeg1 {
     "000001" -> ((true, false, false, true)))  // intra-q
   private val PMbTypeDec = new VlcDecoder[(Boolean, Boolean, Boolean, Boolean)](PMbTypes)
 
+  /** macroblock_type for B-pictures (table B.2c):
+    * (quant, motion_forward, motion_backward, pattern, intra). */
+  private[graft] val BMbTypes: Seq[(String, (Boolean, Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "10"     -> ((false, true, true, false, false)),  // interp
+    "11"     -> ((false, true, true, true, false)),   // interp-c
+    "010"    -> ((false, false, true, false, false)), // bwd
+    "011"    -> ((false, false, true, true, false)),  // bwd-c
+    "0010"   -> ((false, true, false, false, false)), // fwd
+    "0011"   -> ((false, true, false, true, false)),  // fwd-c
+    "00011"  -> ((false, false, false, false, true)), // intra
+    "00010"  -> ((true, true, true, true, false)),    // interp-cq
+    "000011" -> ((true, true, false, true, false)),   // fwd-cq
+    "000010" -> ((true, false, true, true, false)),   // bwd-cq
+    "000001" -> ((true, false, false, false, true)))  // intra-q
+  private val BMbTypeDec =
+    new VlcDecoder[(Boolean, Boolean, Boolean, Boolean, Boolean)](BMbTypes)
+
   /** coded_block_pattern (table B.3), the ≤6-bit rows — the complete
     * subset our encoder can emit (it only ever writes cbp 63) plus the
     * common single/dual-block patterns for hand-built test streams. A
@@ -400,6 +425,26 @@ object Mpeg1 {
     * f = 2^(fCode-1)). */
   final case class PPic(qscale: Int, fullPel: Boolean, fCode: Int, mbs: Seq[MbCode]) extends Pic
 
+  /** B-picture: bidirectional prediction from the two surrounding
+    * anchors (decode order puts both anchors first; the encoder assigns
+    * temporal references so the stream displays I B… P, not I P B…).
+    * Each direction carries its own full_pel flag and f_code. */
+  final case class BPic(qscale: Int, fullPelFwd: Boolean, fCodeFwd: Int,
+                        fullPelBwd: Boolean, fCodeBwd: Int, mbs: Seq[BMb]) extends Pic
+
+  sealed trait BMb
+  /** Skipped B macroblock: repeats the previous macroblock's prediction
+    * direction and motion vectors (§2.4.3.4 — NOT a co-located copy and
+    * NOT a predictor reset, the two ways B-skip differs from P-skip).
+    * Illegal first/last in a slice or after an intra macroblock. */
+  case object BSkip extends BMb
+  /** Predicted B macroblock: at least one direction must be present;
+    * both → interpolated. `deltas` = flat per-plane residuals → cbp 63. */
+  final case class BPred(fwd: Option[(Int, Int)], bwd: Option[(Int, Int)],
+                         deltas: Option[(Int, Int, Int)]) extends BMb
+  /** Intra macroblock inside a B-picture (resets both MV predictors). */
+  final case class BIntra(y: Array[Int], cb: Array[Int], cr: Array[Int]) extends BMb
+
   sealed trait MbCode
   /** Skipped macroblock: co-located copy from the reference. Illegal as
     * the first or last macroblock of a slice (§2.4.3.4). */
@@ -427,6 +472,32 @@ object Mpeg1 {
       require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0, s"dims must be multiples of 16: ${w}x$h")
       pics.foreach(p => require(p.qscale >= 1 && p.qscale <= 31, s"quantizer_scale in [1,31]: ${p.qscale}"))
       require(pics.nonEmpty && pics.head.isInstanceOf[IPic], "sequence must open with an I-picture")
+      locally { // a B-picture needs both its anchors already coded
+        var anchors = 0
+        pics.foreach {
+          case _: BPic => require(anchors >= 2, "a B-picture must follow at least two anchor pictures (its forward and backward references)")
+          case _       => anchors += 1
+        }
+      }
+      // temporal_reference = DISPLAY index: pics arrive in decode order
+      // (each anchor precedes the B-pictures that display before it), so
+      // an anchor followed by n B-pictures takes display slot disp+n and
+      // the B-run takes disp .. disp+n-1
+      val tref: Array[Int] = {
+        val t = new Array[Int](pics.length)
+        var disp = 0; var i = 0
+        while (i < pics.length) {
+          var j = i + 1
+          while (j < pics.length && pics(j).isInstanceOf[BPic]) j += 1
+          val nB = j - i - 1
+          t(i) = disp + nB
+          var k = 0
+          while (k < nB) { t(i + 1 + k) = disp + k; k += 1 }
+          disp += nB + 1
+          i = j
+        }
+        t
+      }
       val mbw = w / 16; val mbh = h / 16
       val bw = new BitWriter
 
@@ -453,7 +524,7 @@ object Mpeg1 {
           require(fr.y.length == w * h && fr.cb.length == w * h / 4 && fr.cr.length == w * h / 4,
             "planar 4:2:0 payload sizes must match the declared dims")
           bw.startCode(0x00) // picture_start_code
-          bw.writeBits(f & 0x3FF, 10) // temporal_reference
+          bw.writeBits(tref(f) & 0x3FF, 10) // temporal_reference (display order)
           bw.writeBits(1, 3)          // picture_coding_type: I
           bw.writeBits(0xFFFF, 16)    // vbv_delay: variable
           bw.writeBits(0, 1)          // extra_bit_picture
@@ -498,7 +569,7 @@ object Mpeg1 {
           require(mbs.length == mbw * mbh, s"need ${mbw * mbh} macroblock codes, got ${mbs.length}")
           val fSize = 1 << (fCode - 1); val rSize = fCode - 1
           bw.startCode(0x00)
-          bw.writeBits(f & 0x3FF, 10)
+          bw.writeBits(tref(f) & 0x3FF, 10)
           bw.writeBits(2, 3)          // picture_coding_type: P
           bw.writeBits(0xFFFF, 16)    // vbv_delay
           bw.writeBits(if (fullPel) 1 else 0, 1) // full_pel_forward_vector
@@ -554,6 +625,95 @@ object Mpeg1 {
                   predCb = encodeBlock(bw, cbb, qscale, predCb, luma = false)
                   predCr = encodeBlock(bw, crb, qscale, predCr, luma = false)
                   mvPx = 0; mvPy = 0 // intra MB resets the MV predictor
+              }
+              mx += 1
+            }
+            row += 1
+          }
+
+        case (BPic(qscale, fpF, fcF, fpB, fcB, mbs), f) =>
+          require(fcF >= 1 && fcF <= 7 && fcB >= 1 && fcB <= 7,
+            s"f_codes in [1,7]: fwd $fcF bwd $fcB")
+          require(mbs.length == mbw * mbh, s"need ${mbw * mbh} macroblock codes, got ${mbs.length}")
+          val fsF = 1 << (fcF - 1); val rsF = fcF - 1
+          val fsB = 1 << (fcB - 1); val rsB = fcB - 1
+          bw.startCode(0x00)
+          bw.writeBits(tref(f) & 0x3FF, 10)
+          bw.writeBits(3, 3)          // picture_coding_type: B
+          bw.writeBits(0xFFFF, 16)    // vbv_delay
+          bw.writeBits(if (fpF) 1 else 0, 1); bw.writeBits(fcF, 3)
+          bw.writeBits(if (fpB) 1 else 0, 1); bw.writeBits(fcB, 3)
+          bw.writeBits(0, 1)          // extra_bit_picture
+
+          var row = 0
+          while (row < mbh) {
+            bw.startCode(row + 1)
+            bw.writeBits(qscale, 5)
+            bw.writeBits(0, 1)
+            var predY = 128; var predCb = 128; var predCr = 128
+            var fmx = 0; var fmy = 0; var bmx = 0; var bmy = 0
+            var lastIntra = false
+            var pendInc = 1
+            var mx = 0
+            while (mx < mbw) {
+              mbs(row * mbw + mx) match {
+                case BSkip =>
+                  require(mx != 0 && mx != mbw - 1,
+                    "the first/last macroblock of a slice shall not be skipped (§2.4.3.4)")
+                  require(!lastIntra,
+                    "a skipped B macroblock shall not follow an intra macroblock (§2.4.3.4)")
+                  pendInc += 1
+                  // B-skip: MV predictors UNCHANGED; DC preds reset
+                  predY = 128; predCb = 128; predCr = 128
+
+                case BPred(fwd, bwd, deltas) =>
+                  require(fwd.isDefined || bwd.isDefined,
+                    "a predicted B macroblock needs at least one direction")
+                  writeAddrInc(bw, pendInc); pendInc = 1
+                  bw.writeCode((fwd.isDefined, bwd.isDefined, deltas.isDefined) match {
+                    case (true, true, false)  => "10"   // interp
+                    case (true, true, true)   => "11"   // interp-c
+                    case (false, true, false) => "010"  // bwd
+                    case (false, true, true)  => "011"  // bwd-c
+                    case (true, false, false) => "0010" // fwd
+                    case (true, false, true)  => "0011" // fwd-c
+                    case _                    => throw new IllegalStateException("unreachable")
+                  })
+                  fwd.foreach { case (x, y0) =>
+                    fmx = writeMv(bw, fmx, x, fsF, rsF); fmy = writeMv(bw, fmy, y0, fsF, rsF)
+                  }
+                  bwd.foreach { case (x, y0) =>
+                    bmx = writeMv(bw, bmx, x, fsB, rsB); bmy = writeMv(bw, bmy, y0, fsB, rsB)
+                  }
+                  deltas.foreach { case (dy, dcb, dcr) =>
+                    bw.writeCode(CbpEncode(63))
+                    var b = 0
+                    while (b < 4) { writeFlatResidual(bw, dy, qscale); b += 1 }
+                    writeFlatResidual(bw, dcb, qscale)
+                    writeFlatResidual(bw, dcr, qscale)
+                  }
+                  predY = 128; predCb = 128; predCr = 128
+                  lastIntra = false
+                  // an uncoded direction's predictor is UNCHANGED in B
+
+                case BIntra(yb, cbb, crb) =>
+                  require(yb.length == 256 && cbb.length == 64 && crb.length == 64,
+                    "intra MB payload must be 16×16 luma + 8×8 chroma")
+                  writeAddrInc(bw, pendInc); pendInc = 1
+                  bw.writeCode("00011") // B.2c: intra
+                  var b = 0
+                  while (b < 4) {
+                    val ox = (b % 2) * 8; val oy = (b / 2) * 8
+                    val blk = new Array[Int](64)
+                    var i = 0
+                    while (i < 64) { blk(i) = yb((oy + i / 8) * 16 + ox + i % 8); i += 1 }
+                    predY = encodeBlock(bw, blk, qscale, predY, luma = true)
+                    b += 1
+                  }
+                  predCb = encodeBlock(bw, cbb, qscale, predCb, luma = false)
+                  predCr = encodeBlock(bw, crb, qscale, predCr, luma = false)
+                  fmx = 0; fmy = 0; bmx = 0; bmy = 0 // intra resets BOTH MV predictors
+                  lastIntra = true
               }
               mx += 1
             }
@@ -674,26 +834,46 @@ object Mpeg1 {
       val mbw = w / 16; val mbh = h / 16
 
       val frames = Seq.newBuilder[Frame]
-      var prevF: Frame = null // forward reference (decode order = display order without B)
+      // Display reorder: pictures arrive in decode order (anchors before
+      // the B-pictures that display before them); temporal_reference is
+      // the display index within the GOP. Buffer a GOP, flush sorted.
+      val gop = scala.collection.mutable.ArrayBuffer.empty[(Int, Frame)]
+      def flushGop(): Unit = if (gop.nonEmpty) {
+        val sorted = gop.sortBy(_._1)
+        var i = 0
+        while (i < sorted.length) { if (sorted(i)._1 != i) bail(); i += 1 } // must be a permutation of 0..n-1
+        sorted.foreach(frames += _._2)
+        gop.clear()
+      }
+      var anchorOld: Frame = null // a B-picture's forward (past) reference
+      var anchorNew: Frame = null // a P-picture's reference; a B's backward
       var code = r.nextStartCode()
       while (code != 0xB7) {
         code match {
           case 0xB8 => // GOP header: parse + discard
+            flushGop()
             r.read(25); r.read(1); r.read(1)
             code = r.nextStartCode()
           case 0x00 => // picture
-            r.read(10)
+            val tref = r.read(10)
             val ptype = r.read(3)
-            if (ptype != 1 && ptype != 2) bail() // I/P subset: B and D quarantine
+            if (ptype < 1 || ptype > 3) bail() // D pictures quarantine
             r.read(16) // vbv_delay
-            var fullPel = false; var fSize = 1; var rSize = 0
-            if (ptype == 2) {
-              fullPel = r.read(1) == 1
+            var fullPelF = false; var fSizeF = 1; var rSizeF = 0
+            var fullPelB = false; var fSizeB = 1; var rSizeB = 0
+            if (ptype >= 2) {
+              fullPelF = r.read(1) == 1
               val fCode = r.read(3); if (fCode == 0) bail()
-              rSize = fCode - 1; fSize = 1 << rSize
+              rSizeF = fCode - 1; fSizeF = 1 << rSizeF
+            }
+            if (ptype == 3) {
+              fullPelB = r.read(1) == 1
+              val fCode = r.read(3); if (fCode == 0) bail()
+              rSizeB = fCode - 1; fSizeB = 1 << rSizeB
             }
             while (r.read(1) == 1) r.read(8) // extra_information_picture
-            if (ptype == 2 && prevF == null) bail() // P needs a reference
+            if (ptype == 2 && anchorNew == null) bail() // P needs a reference
+            if (ptype == 3 && anchorOld == null) bail() // B needs both anchors
             val y = new Array[Int](w * h)
             val cb = new Array[Int](w * h / 4); val cr = new Array[Int](w * h / 4)
             val cw = w / 2
@@ -710,6 +890,9 @@ object Mpeg1 {
               var q = qscale
               var predY = 128; var predCb = 128; var predCr = 128
               var mvPx = 0; var mvPy = 0 // forward MV predictor, vector units
+              var bmvPx = 0; var bmvPy = 0 // backward MV predictor (B only)
+              var lastIntra = false // B-skip legality + direction repeat
+              var lastFwd = false; var lastBwd = false
               var mbAddr = -1 // within the row
               while (!r.atStartCode) {
                 var inc = 0
@@ -726,22 +909,44 @@ object Mpeg1 {
                 } else if (inc != 1) {
                   if (mbAddr == -1) bail() // the first MB of a slice shall not be skipped
                   if (mbAddr + inc >= mbw) bail()
-                  // skipped MBs: co-located copy, both predictor chains reset
-                  var s = 1
-                  while (s < inc) {
-                    val a = mbAddr + s
-                    copyBlock(prevF.y, y, w, a * 16, row * 16, 16, 16)
-                    copyBlock(prevF.cb, cb, cw, a * 8, row * 8, 8, 8)
-                    copyBlock(prevF.cr, cr, cw, a * 8, row * 8, 8, 8)
-                    s += 1
+                  if (ptype == 2) {
+                    // P-skip: co-located copy, both predictor chains reset
+                    var s = 1
+                    while (s < inc) {
+                      val a = mbAddr + s
+                      copyBlock(anchorNew.y, y, w, a * 16, row * 16, 16, 16)
+                      copyBlock(anchorNew.cb, cb, cw, a * 8, row * 8, 8, 8)
+                      copyBlock(anchorNew.cr, cr, cw, a * 8, row * 8, 8, 8)
+                      s += 1
+                    }
+                    mvPx = 0; mvPy = 0; predY = 128; predCb = 128; predCr = 128
+                  } else {
+                    // B-skip: repeat the previous MB's prediction direction
+                    // with the UNCHANGED MV predictors (§2.4.3.4); the
+                    // previous MB shall not be intra
+                    if (lastIntra) bail()
+                    val dfx = if (fullPelF) mvPx * 2 else mvPx
+                    val dfy = if (fullPelF) mvPy * 2 else mvPy
+                    val dbx = if (fullPelB) bmvPx * 2 else bmvPx
+                    val dby = if (fullPelB) bmvPy * 2 else bmvPy
+                    var s = 1
+                    while (s < inc) {
+                      val a = mbAddr + s
+                      val (py16, pcb8, pcr8) = bPredict(anchorOld, anchorNew,
+                        lastFwd, lastBwd, w, h, a, row, dfx, dfy, dbx, dby)
+                      storeMb(y, cb, cr, w, a, row, py16, pcb8, pcr8,
+                        NoResY, null, null)
+                      s += 1
+                    }
+                    predY = 128; predCb = 128; predCr = 128
                   }
-                  mvPx = 0; mvPy = 0; predY = 128; predCb = 128; predCr = 128
                 }
                 mbAddr += inc
                 if (mbAddr >= mbw) bail()
 
                 // macroblock_type
-                var mQuant = false; var mMotion = false; var mPattern = false; var mIntra = false
+                var mQuant = false; var mMotionF = false; var mMotionB = false
+                var mPattern = false; var mIntra = false
                 if (ptype == 1) {
                   // I-picture: 1 = intra, 01 = intra+quant
                   mIntra = true
@@ -749,27 +954,45 @@ object Mpeg1 {
                     if (r.read(1) != 1) bail()
                     mQuant = true
                   }
-                } else {
+                } else if (ptype == 2) {
                   val t = PMbTypeDec.decode(r)
-                  mQuant = t._1; mMotion = t._2; mPattern = t._3; mIntra = t._4
+                  mQuant = t._1; mMotionF = t._2; mPattern = t._3; mIntra = t._4
+                } else {
+                  val t = BMbTypeDec.decode(r)
+                  mQuant = t._1; mMotionF = t._2; mMotionB = t._3; mPattern = t._4; mIntra = t._5
                 }
                 if (mQuant) { q = r.read(5); if (q == 0) bail() }
-                var dhx = 0; var dhy = 0 // half-pel displacement
-                if (mMotion) {
+                if (mMotionF) {
                   val mcx = MotionDec.decode(r)
-                  val rx = if (rSize > 0 && mcx != 0) r.read(rSize) else 0
-                  mvPx = reconMv(mvPx, mcx, rx, fSize)
+                  val rx = if (rSizeF > 0 && mcx != 0) r.read(rSizeF) else 0
+                  mvPx = reconMv(mvPx, mcx, rx, fSizeF)
                   val mcy = MotionDec.decode(r)
-                  val ry = if (rSize > 0 && mcy != 0) r.read(rSize) else 0
-                  mvPy = reconMv(mvPy, mcy, ry, fSize)
-                  dhx = if (fullPel) mvPx * 2 else mvPx
-                  dhy = if (fullPel) mvPy * 2 else mvPy
+                  val ry = if (rSizeF > 0 && mcy != 0) r.read(rSizeF) else 0
+                  mvPy = reconMv(mvPy, mcy, ry, fSizeF)
                 } else if (ptype == 2) {
                   mvPx = 0; mvPy = 0 // pred-c and intra MBs reset the predictor; MV = 0
                 }
+                if (mMotionB) {
+                  val mcx = MotionDec.decode(r)
+                  val rx = if (rSizeB > 0 && mcx != 0) r.read(rSizeB) else 0
+                  bmvPx = reconMv(bmvPx, mcx, rx, fSizeB)
+                  val mcy = MotionDec.decode(r)
+                  val ry = if (rSizeB > 0 && mcy != 0) r.read(rSizeB) else 0
+                  bmvPy = reconMv(bmvPy, mcy, ry, fSizeB)
+                }
+                if (ptype == 3 && mIntra) {
+                  mvPx = 0; mvPy = 0; bmvPx = 0; bmvPy = 0 // intra resets BOTH B predictors
+                }
+                // an uncoded direction of a non-intra B MB leaves its
+                // predictor unchanged and contributes no prediction
+                val dhx = if (fullPelF) mvPx * 2 else mvPx
+                val dhy = if (fullPelF) mvPy * 2 else mvPy
+                val dbx = if (fullPelB) bmvPx * 2 else bmvPx
+                val dby = if (fullPelB) bmvPy * 2 else bmvPy
 
                 if (mIntra) {
-                  if (ptype == 2 && mPattern) bail() // B.2b has no intra+pattern row
+                  if (ptype >= 2 && mPattern) bail() // B.2b/B.2c have no intra+pattern row
+                  lastIntra = true
                   var b = 0
                   while (b < 4) {
                     val (blk, np) = decodeBlock(r, q, predY, luma = true)
@@ -789,47 +1012,29 @@ object Mpeg1 {
                   }
                 } else {
                   predY = 128; predCb = 128; predCr = 128 // DC preds reset at non-intra MBs
-                  // forward prediction (chroma vectors halved toward zero, §2.4.4.3)
-                  val py16 = predictInto(prevF.y, w, h, mbAddr * 16, row * 16, dhx, dhy, 16, 16)
-                  val pcb8 = predictInto(prevF.cb, cw, h / 2, mbAddr * 8, row * 8, dhx / 2, dhy / 2, 8, 8)
-                  val pcr8 = predictInto(prevF.cr, cw, h / 2, mbAddr * 8, row * 8, dhx / 2, dhy / 2, 8, 8)
+                  // prediction (chroma vectors halved toward zero, §2.4.4.3):
+                  // P predicts forward from the last anchor; B from either
+                  // or both anchors (interpolation = the spec's "//" average)
+                  val (py16, pcb8, pcr8) =
+                    if (ptype == 2)
+                      bPredict(anchorNew, null, useF = true, useB = false,
+                        w, h, mbAddr, row, dhx, dhy, 0, 0)
+                    else
+                      bPredict(anchorOld, anchorNew, mMotionF, mMotionB,
+                        w, h, mbAddr, row, dhx, dhy, dbx, dby)
                   val cbp = if (mPattern) CbpDec.decode(r) else 0
                   if (mPattern && cbp == 0) bail()
+                  // residual blocks in stream order Y0..Y3, Cb, Cr
+                  val resY = new Array[Array[Int]](4)
                   var b = 0
                   while (b < 4) {
-                    val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
-                    val res: Array[Int] =
-                      if (((cbp >> (5 - b)) & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
-                    var i = 0
-                    while (i < 64) {
-                      val p0 = py16(((b / 2) * 8 + i / 8) * 16 + (b % 2) * 8 + i % 8)
-                      val v = if (res == null) p0 else {
-                        val s0 = p0 + res(i)
-                        if (s0 < 0) 0 else if (s0 > 255) 255 else s0
-                      }
-                      y((oy + i / 8) * w + ox + i % 8) = v
-                      i += 1
-                    }
+                    if (((cbp >> (5 - b)) & 1) == 1) resY(b) = idctSigned(decodeNonIntraCoefs(r, q))
                     b += 1
                   }
-                  val cbRes: Array[Int] =
-                    if (((cbp >> 1) & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
-                  val crRes: Array[Int] =
-                    if ((cbp & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
-                  var i = 0
-                  while (i < 64) {
-                    val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
-                    val vb = if (cbRes == null) pcb8(i) else {
-                      val s0 = pcb8(i) + cbRes(i)
-                      if (s0 < 0) 0 else if (s0 > 255) 255 else s0
-                    }
-                    val vr = if (crRes == null) pcr8(i) else {
-                      val s0 = pcr8(i) + crRes(i)
-                      if (s0 < 0) 0 else if (s0 > 255) 255 else s0
-                    }
-                    cb(cy * cw + cx) = vb; cr(cy * cw + cx) = vr
-                    i += 1
-                  }
+                  val resCb = if (((cbp >> 1) & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
+                  val resCr = if ((cbp & 1) == 1) idctSigned(decodeNonIntraCoefs(r, q)) else null
+                  storeMb(y, cb, cr, w, mbAddr, row, py16, pcb8, pcr8, resY, resCb, resCr)
+                  lastIntra = false; lastFwd = mMotionF; lastBwd = mMotionB
                 }
               }
               if (mbAddr != mbw - 1) bail() // every row slice covers its full row
@@ -837,13 +1042,14 @@ object Mpeg1 {
             }
             if (nextRow != mbh) bail() // no row may be left undecoded (silent zeros)
             val fr = Frame(y, cb, cr)
-            frames += fr
-            prevF = fr
+            gop += ((tref, fr))
+            if (ptype != 3) { anchorOld = anchorNew; anchorNew = fr } // B never becomes a reference
             code = sc
           case _ => bail()
         }
       }
       if (!r.atEnd) bail()
+      flushGop()
       val fs = frames.result()
       if (fs.isEmpty) bail()
       Decoded(w, h, fs)
@@ -896,6 +1102,79 @@ object Mpeg1 {
         }
       }
       (idct(coef), qdc)
+    }
+
+    /** Shared "no residual" marker for [[storeMb]] (skipped MBs). */
+    private val NoResY: Array[Array[Int]] = new Array[Array[Int]](4)
+
+    /** Macroblock prediction for P and B pictures: forward from `fwdRef`
+      * and/or backward from `bwdRef` (each with its own half-pel luma
+      * displacement; chroma = luma halved toward zero, §2.4.4.3).
+      * Both directions → the spec's interpolation, (fwd + bwd) // 2 with
+      * halves rounded away from zero (§2.4.4.4). Returns (16×16 luma,
+      * 8×8 Cb, 8×8 Cr). */
+    private def bPredict(fwdRef: Frame, bwdRef: Frame, useF: Boolean, useB: Boolean,
+                         w: Int, h: Int, mbAddr: Int, row: Int,
+                         dfx: Int, dfy: Int, dbx: Int, dby: Int): (Array[Int], Array[Int], Array[Int]) = {
+      if (!useF && !useB) bail() // no motionless non-intra row exists in B.2b/B.2c
+      val cw = w / 2
+      def one(ref: Frame, dx: Int, dy: Int) = (
+        predictInto(ref.y, w, h, mbAddr * 16, row * 16, dx, dy, 16, 16),
+        predictInto(ref.cb, cw, h / 2, mbAddr * 8, row * 8, dx / 2, dy / 2, 8, 8),
+        predictInto(ref.cr, cw, h / 2, mbAddr * 8, row * 8, dx / 2, dy / 2, 8, 8))
+      if (useF && !useB) one(fwdRef, dfx, dfy)
+      else if (useB && !useF) one(bwdRef, dbx, dby)
+      else {
+        val (fy, fcb, fcr) = one(fwdRef, dfx, dfy)
+        val (by, bcb, bcr) = one(bwdRef, dbx, dby)
+        def avg(a: Array[Int], b: Array[Int]): Array[Int] = {
+          val o = new Array[Int](a.length)
+          var i = 0
+          while (i < a.length) { o(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+          o
+        }
+        (avg(fy, by), avg(fcb, bcb), avg(fcr, bcr))
+      }
+    }
+
+    /** Store a predicted macroblock into the output planes, adding the
+      * clamped residuals where present (`resY(b)`/`resCb`/`resCr` null =
+      * block not coded). */
+    private def storeMb(y: Array[Int], cb: Array[Int], cr: Array[Int], w: Int,
+                        mbAddr: Int, row: Int,
+                        py16: Array[Int], pcb8: Array[Int], pcr8: Array[Int],
+                        resY: Array[Array[Int]], resCb: Array[Int], resCr: Array[Int]): Unit = {
+      val cw = w / 2
+      var b = 0
+      while (b < 4) {
+        val ox = mbAddr * 16 + (b % 2) * 8; val oy = row * 16 + (b / 2) * 8
+        val res = resY(b)
+        var i = 0
+        while (i < 64) {
+          val p0 = py16(((b / 2) * 8 + i / 8) * 16 + (b % 2) * 8 + i % 8)
+          val v = if (res == null) p0 else {
+            val s0 = p0 + res(i)
+            if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+          }
+          y((oy + i / 8) * w + ox + i % 8) = v
+          i += 1
+        }
+        b += 1
+      }
+      var i = 0
+      while (i < 64) {
+        val cy = row * 8 + i / 8; val cx = mbAddr * 8 + i % 8
+        val vb = if (resCb == null) pcb8(i) else {
+          val s0 = pcb8(i) + resCb(i)
+          if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+        }
+        val vr = if (resCr == null) pcr8(i) else {
+          val s0 = pcr8(i) + resCr(i)
+          if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+        }
+        cb(cy * cw + cx) = vb; cr(cy * cw + cx) = vr
+        i += 1
+      }
     }
 
     /** Co-located copy (skipped macroblocks): bw×bh at (x0, y0). */
@@ -1233,12 +1512,159 @@ object Mpeg1 {
       .orderBy("media_id")
   }
 
+  // ── B-frame corpus (planted bidirectional motion) ───────────────────
+
+  /** Closed-form B-frame model, shared by the corpus builder and
+    * (re-derived) the DuckDB oracle. Decode order I, P, B… (display
+    * I, B…, P — the reorder the stream's temporal references encode).
+    * Anchors: the I-picture is flat macroblocks; the P-picture is the
+    * I plus a flat per-MB delta (zero motion). Each B macroblock picks
+    * one of three modes from a hash — forward (horizontal-mirror MV
+    * into the I), backward (vertical-mirror MV into the P), or
+    * interpolated (both, averaged with the spec's "//") — optionally
+    * plus a flat coded residual. All quantizer choices keep every leg
+    * bit-exact (intra DC step 8; flat residual at qscale 2), so every
+    * decoded plane sum — and a display-order-WEIGHTED sum that pins the
+    * temporal reordering — is closed-form. */
+  private def bGeom(id: Long): (Int, Int, Int) =
+    (16 * (1 + (id % 3)).toInt, 16 * (1 + (id % 2)).toInt, (3 + id % 2).toInt)
+  private def bBaseY(id: Long, mb: Int): Int = ((id * 9 + mb * 5) % 130 + 60).toInt
+  private def bBaseCb(id: Long, mb: Int): Int = ((id * 3 + mb * 4) % 130 + 62).toInt
+  private def bBaseCr(id: Long, mb: Int): Int = ((id * 7 + mb * 6) % 130 + 64).toInt
+  private def bMode(id: Long, f: Int, mb: Int): Int = ((id + f * 5 + mb * 7) % 3).toInt
+  private def bCoded(id: Long, f: Int, mb: Int): Boolean = (id * 3 + f + mb) % 3 != 0
+
+  /** Real MPEG-1 clips exercising the full B-picture path: table B.2c
+    * types (all six non-quant prediction rows), dual f_codes, dual MV
+    * predictor chains, interpolation, and temporal reordering. */
+  def syntheticMpeg1B(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (w, h, nf) = bGeom(id)
+        val mbw = w / 16; val mbh = h / 16; val mbs = mbw * mbh; val cw = w / 2
+        val y0 = new Array[Int](w * h)
+        val cb0 = new Array[Int](w * h / 4); val cr0 = new Array[Int](w * h / 4)
+        var py = 0
+        while (py < h) {
+          var px = 0
+          while (px < w) { y0(py * w + px) = bBaseY(id, (py / 16) * mbw + px / 16); px += 1 }
+          py += 1
+        }
+        var cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) {
+            val mb = (cy / 8) * mbw + cx / 8
+            cb0(cy * cw + cx) = bBaseCb(id, mb); cr0(cy * cw + cx) = bBaseCr(id, mb)
+            cx += 1
+          }
+          cy += 1
+        }
+        // P anchor: co-located + flat delta per MB
+        val pPic = PPic(qscale = 2, fullPel = true, fCode = 1, (0 until mbs).map { mb =>
+          MbPred(0, 0, Some((pDelta(id * 11 + mb * 3 + 1),
+            pDelta(id * 13 + mb * 7 + 2), pDelta(id * 17 + mb * 11 + 3))))
+        })
+        // B pictures: display indices 1 .. nf-2
+        val bPics = (1 to nf - 2).map { f =>
+          BPic(qscale = 2, fullPelFwd = true, fCodeFwd = 3, fullPelBwd = true, fCodeBwd = 2,
+            (0 until mbs).map { mb =>
+              val row = mb / mbw; val colM = mb % mbw
+              val fwd = ((mbw - 1 - 2 * colM) * 16, 0) // horizontal mirror into the I
+              val bwd = (0, (mbh - 1 - 2 * row) * 16)  // vertical mirror into the P
+              val deltas =
+                if (!bCoded(id, f, mb)) None
+                else Some((pDelta(id * 13 + f * 7 + mb * 5),
+                  pDelta(id * 7 + f * 11 + mb * 3), pDelta(id * 19 + f * 5 + mb * 13)))
+              bMode(id, f, mb) match {
+                case 0 => BPred(Some(fwd), None, deltas)
+                case 1 => BPred(None, Some(bwd), deltas)
+                case _ => BPred(Some(fwd), Some(bwd), deltas)
+              }
+            })
+        }
+        VideoRecord(id, Mpeg1Codec.encodeSeq(w, h, IPic(4, Frame(y0, cb0, cr0)) +: pPic +: bPics))
+      }
+  }
+
+  /** QM16 — B-picture decode, verified bit-exact per record INCLUDING
+    * the display reorder: genuine I/P/B streams with planted
+    * bidirectional motion decode through the full B path (table B.2c,
+    * dual predictor chains, "//" interpolation, temporal-reference
+    * re-sort), and the oracle recomputes every plane sum — plus a
+    * display-order-weighted luma sum that a wrong frame order cannot
+    * reproduce — closed-form without seeing a byte. */
+  def qmMpeg1BStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    syntheticMpeg1B(spark, d)
+      .mapPartitions(_.flatMap { r =>
+        Mpeg1Codec.decode(r.payload).map { dec =>
+          var ys = 0L; var cbs = 0L; var crs = 0L; var wys = 0L
+          dec.frames.zipWithIndex.foreach { case (fr, f) =>
+            var fy = 0L
+            fr.y.foreach(fy += _); fr.cb.foreach(cbs += _); fr.cr.foreach(crs += _)
+            ys += fy; wys += (f + 1) * fy
+          }
+          (r.media_id, dec.width.toLong, dec.height.toLong, dec.frames.size.toLong, ys, wys, cbs, crs)
+        }
+      })
+      .toDF("media_id", "width", "height", "n_frames", "y_sum", "wy_sum", "cb_sum", "cr_sum")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_mpeg1_stats" -> qmMpeg1Stats _,
     "qm_mpeg1_roundtrip" -> qmMpeg1Roundtrip _,
-    "qm_mpeg1_p_stats" -> qmMpeg1PStats _)
+    "qm_mpeg1_p_stats" -> qmMpeg1PStats _,
+    "qm_mpeg1_b_stats" -> qmMpeg1BStats _)
+
+  /** B-frame recurrence closed-form (built programmatically — the same
+    * per-MB expression appears for two B frames × three planes).
+    * MATERIALIZED CTEs keep DuckDB from inlining the chain
+    * exponentially. Display order is I, B1[, B2], P; wy_sum weights the
+    * luma sums by display position, so a decoder that failed to re-sort
+    * by temporal_reference could not hash-match. */
+  private val bStatsOracle: String = {
+    def d(m: String) = s"CASE WHEN ($m) % 19 = 9 THEN 10 ELSE ($m) % 19 - 9 END"
+    val sF = "(mb//mbw)*mbw + (mbw-1 - (mb%mbw)) + 1" // horizontal mirror, 1-based
+    val sB = "(mbh-1 - (mb//mbw))*mbw + (mb%mbw) + 1" // vertical mirror, 1-based
+    def bl(f: Int, a0: String, ap: String, dm: String) =
+      s"list_transform(range(mbs), mb -> (CASE (media_id + $f*5 + mb*7) % 3 " +
+        s"WHEN 0 THEN $a0[$sF] WHEN 1 THEN $ap[$sB] " +
+        s"ELSE ($a0[$sF] + $ap[$sB] + 1) // 2 END) + " +
+        s"(CASE WHEN (media_id*3 + $f + mb) % 3 != 0 THEN ${d(dm)} ELSE 0 END))"
+    "WITH g AS MATERIALIZED (SELECT doc_id AS media_id, " +
+      "16*(1 + doc_id % 3) AS width, 16*(1 + doc_id % 2) AS height, " +
+      "3 + doc_id % 2 AS n_frames, 1 + doc_id % 3 AS mbw, 1 + doc_id % 2 AS mbh, " +
+      "(1 + doc_id % 3)*(1 + doc_id % 2) AS mbs FROM documents), " +
+      "b AS MATERIALIZED (SELECT *, " +
+      "list_transform(range(mbs), mb -> (media_id*9 + mb*5) % 130 + 60) AS y0, " +
+      "list_transform(range(mbs), mb -> (media_id*3 + mb*4) % 130 + 62) AS cb0, " +
+      "list_transform(range(mbs), mb -> (media_id*7 + mb*6) % 130 + 64) AS cr0 FROM g), " +
+      "p AS MATERIALIZED (SELECT *, " +
+      s"list_transform(range(mbs), mb -> y0[mb+1] + (${d("media_id*11 + mb*3 + 1")})) AS yp, " +
+      s"list_transform(range(mbs), mb -> cb0[mb+1] + (${d("media_id*13 + mb*7 + 2")})) AS cbp, " +
+      s"list_transform(range(mbs), mb -> cr0[mb+1] + (${d("media_id*17 + mb*11 + 3")})) AS crp FROM b), " +
+      "f1 AS MATERIALIZED (SELECT *, " +
+      s"${bl(1, "y0", "yp", "media_id*13 + 1*7 + mb*5")} AS yb1, " +
+      s"${bl(1, "cb0", "cbp", "media_id*7 + 1*11 + mb*3")} AS cbb1, " +
+      s"${bl(1, "cr0", "crp", "media_id*19 + 1*5 + mb*13")} AS crb1 FROM p), " +
+      "f2 AS MATERIALIZED (SELECT *, " +
+      s"${bl(2, "y0", "yp", "media_id*13 + 2*7 + mb*5")} AS yb2, " +
+      s"${bl(2, "cb0", "cbp", "media_id*7 + 2*11 + mb*3")} AS cbb2, " +
+      s"${bl(2, "cr0", "crp", "media_id*19 + 2*5 + mb*13")} AS crb2 FROM f1) " +
+      "SELECT media_id, width, height, n_frames, " +
+      "CAST(256*(list_sum(y0) + list_sum(yb1) + (CASE WHEN n_frames = 4 THEN list_sum(yb2) ELSE 0 END) + list_sum(yp)) AS BIGINT) AS y_sum, " +
+      "CAST(256*(list_sum(y0) + 2*list_sum(yb1) + (CASE WHEN n_frames = 4 THEN 3*list_sum(yb2) + 4*list_sum(yp) ELSE 3*list_sum(yp) END)) AS BIGINT) AS wy_sum, " +
+      "CAST(64*(list_sum(cb0) + list_sum(cbb1) + (CASE WHEN n_frames = 4 THEN list_sum(cbb2) ELSE 0 END) + list_sum(cbp)) AS BIGINT) AS cb_sum, " +
+      "CAST(64*(list_sum(cr0) + list_sum(crb1) + (CASE WHEN n_frames = 4 THEN list_sum(crb2) ELSE 0 END) + list_sum(crp)) AS BIGINT) AS cr_sum " +
+      "FROM f2 ORDER BY media_id"
+  }
 
   val oracles: Map[String, String] = Map(
+    "qm_mpeg1_b_stats" -> bStatsOracle,
     // every decoded plane sum recomputed closed-form: flat 16×16 MBs ⇒
     // luma contributes 256·v per MB, each chroma plane 64·v per MB
     // (4:2:0); i enumerates (frame, mb) pairs

@@ -16,12 +16,14 @@ import graft.sources.Tables
   * parses the public RIFF/AVI container and decodes MJPEG ('00dc'
   * JPEG-per-frame) clips with the JDK's own ImageIO reader
   * (qm_avi_stats), and [[graft.operators.Mpeg1]] implements a pure-JVM
-  * MPEG-1 video elementary-stream codec (ISO/IEC 11172-2, I-frame
-  * subset: full bitstream parse, VLC tables, dequant, IDCT —
-  * qm_mpeg1_stats is bit-exact against a closed-form oracle). Motion-
-  * compensated P/B pictures are the one thing not implemented; streams
-  * containing them quarantine loudly (Mpeg1Codec.decode → None) rather
-  * than decode wrong. [[StubCodec]]'s "GRFT" envelope is no longer a
+  * MPEG-1 video elementary-stream codec (ISO/IEC 11172-2): the full
+  * intra path (bitstream parse, VLC tables, dequant, IDCT —
+  * qm_mpeg1_stats is bit-exact against a closed-form oracle) plus
+  * motion-compensated P-pictures (qm_mpeg1_p_stats) and bidirectional
+  * B-pictures with temporal reordering (qm_mpeg1_b_stats). Only D
+  * pictures remain outside the subset; streams containing them
+  * quarantine loudly (Mpeg1Codec.decode → None) rather than decode
+  * wrong. [[StubCodec]]'s "GRFT" envelope is no longer a
   * codec stand-in — it survives only as the opaque-byte fixture of
   * qm_binary_stats (whose point is byte-plumbing, not decoding) and of
   * the generic media-pipeline shape tests.

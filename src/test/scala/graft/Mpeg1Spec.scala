@@ -113,7 +113,11 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
       "a P-picture with no preceding reference frame must quarantine")
     val asB = good.clone()
     asB(picAt + 5) = ((asB(picAt + 5) & ~(7 << 3)) | (3 << 3)).toByte
-    assert(Mpeg1Codec.decode(asB).isEmpty, "B-pictures are outside the I/P subset and must quarantine")
+    assert(Mpeg1Codec.decode(asB).isEmpty,
+      "a B-picture without both reference anchors must quarantine")
+    val asD = good.clone()
+    asD(picAt + 5) = ((asD(picAt + 5) & ~(7 << 3)) | (4 << 3)).toByte
+    assert(Mpeg1Codec.decode(asD).isEmpty, "D-pictures are outside the subset and must quarantine")
   }
 
   test("zero-motion pred-m P-picture reproduces the intra reference exactly (differential vs the intra path)") {
@@ -248,6 +252,182 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
     }
     for (py <- 0 until 8; px <- 0 until 8) {
       assert(got.cb(py * (w / 2) + 8 + px) == 88 && got.cr(py * (w / 2) + 8 + px) == 99)
+    }
+  }
+
+  test("interpolated B-picture between identical anchors reproduces the anchor bit-exactly") {
+    val w = 32; val h = 32
+    val mbs = (w / 16) * (h / 16)
+    val fr = flatFrame(w, h, mb => 60 + mb * 9, mb => 70 + mb * 5, mb => 80 + mb * 3)
+    // decode order [I(F), P(=F, zero-motion), B(interp, MV 0, no residual)];
+    // interp of two identical planes is (a+a+1)>>1 = a — bit-exact
+    val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(2, fullPel = true, fCode = 1, Seq.fill(mbs)(Mpeg1.MbPred(0, 0, None))),
+      Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 1, fullPelBwd = true, fCodeBwd = 1,
+        Seq.fill(mbs)(Mpeg1.BPred(Some((0, 0)), Some((0, 0)), None)))))).get
+    assert(dec.frames.size == 3)
+    dec.frames.foreach { got =>
+      assert(got.y.sameElements(fr.y) && got.cb.sameElements(fr.cb) && got.cr.sameElements(fr.cr),
+        "all three frames must equal the flat anchor bit-for-bit")
+    }
+  }
+
+  test("decoded frames re-sort into display order by temporal_reference (I B P, not I P B)") {
+    val w = 16; val h = 16
+    val fr = flatFrame(w, h, _ => 100, _ => 110, _ => 120)
+    // decode order [I(A), P(A+5), B(fwd MV 0, no residual → exactly A)];
+    // display order must be [A, A, A+5] — an unsorted decoder would
+    // emit [A, A+5, A]
+    val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(2, fullPel = true, fCode = 1, Seq(Mpeg1.MbPred(0, 0, Some((5, 5, 5))))),
+      Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 1, fullPelBwd = true, fCodeBwd = 1,
+        Seq(Mpeg1.BPred(Some((0, 0)), None, None)))))).get
+    assert(dec.frames.size == 3)
+    assert(dec.frames(0).y.forall(_ == 100) && dec.frames(1).y.forall(_ == 100),
+      "display slots 0 and 1 are the I-picture and the forward-only B copy of it")
+    assert(dec.frames(2).y.forall(_ == 105),
+      "display slot 2 is the P-picture (anchor decoded before the B, displayed after it)")
+  }
+
+  test("B-skip repeats the previous MB's direction and vectors — identical to the explicit macroblock") {
+    val w = 48; val h = 16 // mbw 3: skip legal only at the interior column
+    val fr = flatFrame(w, h, mb => 60 + mb * 9, mb => 70 + mb * 5, mb => 80 + mb * 3)
+    val anchors = Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(2, fullPel = true, fCode = 1,
+        (0 until 3).map(mb => Mpeg1.MbPred(0, 0, Some((mb + 1, mb + 2, mb + 3))))))
+    // MB0: interpolated, fwd MV (+16,0), bwd MV (0,0) — skip at MB1 must
+    // repeat BOTH directions with BOTH predictors unchanged
+    val mb0 = Mpeg1.BPred(Some((16, 0)), Some((0, 0)), None)
+    val mb2 = Mpeg1.BPred(Some((-32, 0)), None, Some((4, 5, 6)))
+    val skipped = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h,
+      anchors :+ Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 3, fullPelBwd = true, fCodeBwd = 1,
+        Seq(mb0, Mpeg1.BSkip, mb2)))).get
+    val explicit = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h,
+      anchors :+ Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 3, fullPelBwd = true, fCodeBwd = 1,
+        Seq(mb0, Mpeg1.BPred(Some((16, 0)), Some((0, 0)), None), mb2)))).get
+    assert(skipped.frames.size == 3 && explicit.frames.size == 3)
+    skipped.frames.zip(explicit.frames).foreach { case (a, b) =>
+      assert(a.y.sameElements(b.y) && a.cb.sameElements(b.cb) && a.cr.sameElements(b.cr),
+        "skip and its explicit twin must decode identically")
+    }
+  }
+
+  test("B-picture encode guards: needs two anchors; no first/last-slice or after-intra skips; tref permutation enforced") {
+    val w = 48; val h = 16
+    val fr = flatFrame(w, h, mb => 60 + mb, mb => 70 + mb, mb => 80 + mb)
+    def bpic(mbs: Seq[Mpeg1.BMb]) =
+      Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 1, fullPelBwd = true, fCodeBwd = 1, mbs)
+    val anchors = Seq(
+      Mpeg1.IPic(4, fr),
+      Mpeg1.PPic(2, fullPel = true, fCode = 1, Seq.fill(3)(Mpeg1.MbPred(0, 0, None))))
+    val okMb = Mpeg1.BPred(Some((0, 0)), None, None)
+    // B before its second anchor
+    intercept[IllegalArgumentException] {
+      Mpeg1Codec.encodeSeq(w, h, Seq(anchors.head, bpic(Seq.fill(3)(okMb))))
+    }
+    // first / last MB of a slice skipped
+    intercept[IllegalArgumentException] {
+      Mpeg1Codec.encodeSeq(w, h, anchors :+ bpic(Seq(Mpeg1.BSkip, okMb, okMb)))
+    }
+    intercept[IllegalArgumentException] {
+      Mpeg1Codec.encodeSeq(w, h, anchors :+ bpic(Seq(okMb, okMb, Mpeg1.BSkip)))
+    }
+    // skip directly after an intra macroblock
+    intercept[IllegalArgumentException] {
+      Mpeg1Codec.encodeSeq(w, h, anchors :+ bpic(Seq(
+        Mpeg1.BIntra(Array.fill(256)(77), Array.fill(64)(88), Array.fill(64)(99)),
+        Mpeg1.BSkip, okMb)))
+    }
+    // decoder-side: duplicate temporal references must quarantine — zero
+    // out the SECOND picture's 10 tref bits (two pictures then claim
+    // display slot 0, so the per-GOP permutation check fails)
+    val good = Mpeg1Codec.encodeSeq(w, h, anchors :+ bpic(Seq.fill(3)(okMb)))
+    assert(Mpeg1Codec.decode(good).isDefined)
+    val picAt = good.indices.filter(i => i + 3 < good.length &&
+      good(i) == 0 && good(i + 1) == 0 && good(i + 2) == 1 && good(i + 3) == 0)
+    assert(picAt.size == 3, "stream must carry three pictures")
+    val dup = good.clone()
+    dup(picAt(1) + 4) = 0
+    dup(picAt(1) + 5) = (dup(picAt(1) + 5) & 0x3F).toByte
+    assert(Mpeg1Codec.decode(dup).isEmpty, "duplicate temporal_reference must quarantine")
+  }
+
+  test("planted bidirectional motion decodes bit-exact in display order (the qm_mpeg1_b_stats recurrence)") {
+    // mirrors the corpus generator and the oracle's closed form over
+    // every geometry × mode × coded/uncoded combination
+    def d(m: Long): Int = { val r = (m % 19).toInt; if (r == 9) 10 else r - 9 }
+    (0L until 48L).foreach { id =>
+      val w = 16 * (1 + (id % 3)).toInt; val h = 16 * (1 + (id % 2)).toInt
+      val nf = (3 + id % 2).toInt
+      val mbw = w / 16; val mbh = h / 16; val nmb = mbw * mbh
+      val vI = Array.tabulate(3, nmb)((p, mb) => p match {
+        case 0 => ((id * 9 + mb * 5) % 130 + 60).toInt
+        case 1 => ((id * 3 + mb * 4) % 130 + 62).toInt
+        case 2 => ((id * 7 + mb * 6) % 130 + 64).toInt
+      })
+      val vP = Array.tabulate(3, nmb)((p, mb) => p match {
+        case 0 => vI(0)(mb) + d(id * 11 + mb * 3 + 1)
+        case 1 => vI(1)(mb) + d(id * 13 + mb * 7 + 2)
+        case 2 => vI(2)(mb) + d(id * 17 + mb * 11 + 3)
+      })
+      def vB(f: Int, p: Int, mb: Int): Int = {
+        val row = mb / mbw; val colM = mb % mbw
+        val sF = row * mbw + (mbw - 1 - colM)
+        val sB = (mbh - 1 - row) * mbw + colM
+        val base = ((id + f * 5 + mb * 7) % 3).toInt match {
+          case 0 => vI(p)(sF)
+          case 1 => vP(p)(sB)
+          case _ => (vI(p)(sF) + vP(p)(sB) + 1) >> 1
+        }
+        val coded = (id * 3 + f + mb) % 3 != 0
+        if (!coded) base
+        else base + (p match {
+          case 0 => d(id * 13 + f * 7 + mb * 5)
+          case 1 => d(id * 7 + f * 11 + mb * 3)
+          case 2 => d(id * 19 + f * 5 + mb * 13)
+        })
+      }
+      // the same stream the Spark corpus builds
+      val frame0 = flatFrame(w, h, vI(0)(_), vI(1)(_), vI(2)(_))
+      val pPic = Mpeg1.PPic(2, fullPel = true, fCode = 1, (0 until nmb).map { mb =>
+        Mpeg1.MbPred(0, 0, Some((d(id * 11 + mb * 3 + 1), d(id * 13 + mb * 7 + 2), d(id * 17 + mb * 11 + 3))))
+      })
+      val bPics = (1 to nf - 2).map { f =>
+        Mpeg1.BPic(2, fullPelFwd = true, fCodeFwd = 3, fullPelBwd = true, fCodeBwd = 2,
+          (0 until nmb).map { mb =>
+            val row = mb / mbw; val colM = mb % mbw
+            val fwd = ((mbw - 1 - 2 * colM) * 16, 0)
+            val bwd = (0, (mbh - 1 - 2 * row) * 16)
+            val deltas =
+              if ((id * 3 + f + mb) % 3 == 0) None
+              else Some((d(id * 13 + f * 7 + mb * 5), d(id * 7 + f * 11 + mb * 3), d(id * 19 + f * 5 + mb * 13)))
+            ((id + f * 5 + mb * 7) % 3).toInt match {
+              case 0 => Mpeg1.BPred(Some(fwd), None, deltas)
+              case 1 => Mpeg1.BPred(None, Some(bwd), deltas)
+              case _ => Mpeg1.BPred(Some(fwd), Some(bwd), deltas)
+            }
+          })
+      }
+      val dec = Mpeg1Codec.decode(Mpeg1Codec.encodeSeq(w, h, Mpeg1.IPic(4, frame0) +: pPic +: bPics))
+      assert(dec.isDefined, s"id=$id must decode")
+      assert(dec.get.frames.size == nf)
+      // display order: I, B(1..nf-2), P
+      def wantMb(f: Int, p: Int, mb: Int): Int =
+        if (f == 0) vI(p)(mb) else if (f == nf - 1) vP(p)(mb) else vB(f, p, mb)
+      dec.get.frames.zipWithIndex.foreach { case (got, f) =>
+        for (i <- 0 until w * h) {
+          val mb = (i / w / 16) * mbw + (i % w) / 16
+          assert(got.y(i) == wantMb(f, 0, mb), s"id=$id f=$f luma pixel $i: ${got.y(i)} != ${wantMb(f, 0, mb)}")
+        }
+        for (i <- 0 until w * h / 4) {
+          val mb = (i / (w / 2) / 8) * mbw + (i % (w / 2)) / 8
+          assert(got.cb(i) == wantMb(f, 1, mb), s"id=$id f=$f Cb pixel $i")
+          assert(got.cr(i) == wantMb(f, 2, mb), s"id=$id f=$f Cr pixel $i")
+        }
+      }
     }
   }
 
