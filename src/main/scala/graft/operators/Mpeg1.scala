@@ -345,39 +345,16 @@ object Mpeg1 {
   }
 
   /** Inverse 8×8 DCT → clamped 0..255 samples (intra: no predictor). */
-  def idct(coef: Array[Int]): Array[Int] = {
-    val tmp = new Array[Double](64)
-    var v = 0
-    while (v < 8) {
-      var x = 0
-      while (x < 8) {
-        var s = 0.0; var u = 0
-        while (u < 8) { s += (if (u == 0) C0 else 1.0) * coef(v * 8 + u) * CosTab(x * 8 + u); u += 1 }
-        tmp(v * 8 + x) = s
-        x += 1
-      }
-      v += 1
-    }
-    val out = new Array[Int](64)
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        var s = 0.0; var vv = 0
-        while (vv < 8) { s += (if (vv == 0) C0 else 1.0) * tmp(vv * 8 + x) * CosTab(y * 8 + vv); vv += 1 }
-        val p = math.round(0.25 * s).toInt
-        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
-        x += 1
-      }
-      y += 1
-    }
-    out
-  }
+  def idct(coef: Array[Int]): Array[Int] = idctClamped(coef, 0, 255)
 
   /** Inverse 8×8 DCT for non-intra residual blocks: signed output,
     * clamped to the spec's [-256, 255] (§2.4.4.3) — the final 0..255
     * clamp happens after the prediction is added. */
-  def idctSigned(coef: Array[Int]): Array[Int] = {
+  def idctSigned(coef: Array[Int]): Array[Int] = idctClamped(coef, -256, 255)
+
+  /** One copy of the separable IDCT butterfly — the intra and
+    * non-intra paths differ only in their output clamp. */
+  private def idctClamped(coef: Array[Int], lo: Int, hi: Int): Array[Int] = {
     val tmp = new Array[Double](64)
     var v = 0
     while (v < 8) {
@@ -398,7 +375,7 @@ object Mpeg1 {
         var s = 0.0; var vv = 0
         while (vv < 8) { s += (if (vv == 0) C0 else 1.0) * tmp(vv * 8 + x) * CosTab(y * 8 + vv); vv += 1 }
         val p = math.round(0.25 * s).toInt
-        out(y * 8 + x) = if (p < -256) -256 else if (p > 255) 255 else p
+        out(y * 8 + x) = if (p < lo) lo else if (p > hi) hi else p
         x += 1
       }
       y += 1

@@ -111,10 +111,29 @@ object TextIndex {
   /** Deterministic per-scale-dir artifact path (save() overwrites each
     * component) — repeated verify/bench runs REUSE the slot instead of
     * leaking a fresh postings/df/stats tree to /tmp per invocation. */
-  private def artifactDir(d: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-textindex-" + Integer.toHexString(
-        java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode)).toString
+  /** One stored-index artifact slot per (JVM, scale dir): a real temp
+    * dir (unique per process — concurrent verify/bench runs on one
+    * machine can never overwrite each other's live index, and distinct
+    * scale dirs can never collide the way a String.hashCode slot
+    * could), reused across invocations within the process (repeated
+    * runs exercise overwrite, and /tmp doesn't grow per run), removed
+    * by a shutdown hook (no leak at exit). */
+  private val artifactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def artifactDir(d: String): String = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.toString
+    artifactDirs.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-textindex-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }))
+      tmp.toString
+    })
+  }
 
   def qtBm25Served(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -83,19 +83,31 @@ object TxLog {
     * commit claim. Returns false iff the file already exists (another
     * writer owns that version). On a local filesystem Hadoop's
     * `create(overwrite = false)` is check-then-create (two syscalls,
-    * not atomic under a race), so the claim goes through NIO's
-    * `Files.createFile` = O_CREAT|O_EXCL, which IS; on HDFS-like
-    * stores create-exclusive is atomic at the namenode. */
+    * not atomic under a race). A bare O_CREAT|O_EXCL claim followed by
+    * a write is not enough either: between the two calls a concurrent
+    * OCC reader would observe an EMPTY commit file and misclassify the
+    * commit (e.g. a compact with its remove-set still unwritten looks
+    * like a pure append). So the local path publishes via hard link:
+    * write the full content to a unique temp file, then `link(target,
+    * tmp)` — POSIX link() fails with EEXIST if the version is taken
+    * (the CAS) and otherwise materializes the target WITH its complete
+    * content in one atomic step, so no reader can ever see a partial
+    * commit. On HDFS-like stores create-exclusive is atomic at the
+    * namenode and the file only becomes visible at close. */
   private def tryCreateExclusive(spark: SparkSession, path: Path,
                                  content: String): Boolean = {
     val f = fs(spark, path)
     if (f.getUri.getScheme == "file") {
       val local = java.nio.file.Paths.get(path.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      try java.nio.file.Files.createFile(local)
-      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-      java.nio.file.Files.write(local, content.getBytes("UTF-8"))
-      true
+      val tmp = local.resolveSibling(s".${local.getFileName}.${uniq()}.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out =
         try f.create(path, false)
@@ -330,6 +342,7 @@ object TxLog {
     * so it can NEVER truly conflict (the no-conflict row of the public
     * lakehouse conflict matrix). */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    requireFitsDeclared(spark, table, df, "append")
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-${uniq()}"
     df.write.parquet(new Path(table, rel).toString)
@@ -496,10 +509,35 @@ object TxLog {
     * version is what makes a concurrent append safe: either it lands
     * before (and our base includes it) or after (and the OCC loop keeps
     * its files live alongside ours). */
+  /** A declared schema constrains what ANY write may land: every landed
+    * column must exist in it at a widenable-into type, else the
+    * declared read would silently drop it (new column) or fail at scan
+    * time inside the vectorized reader (narrowing). Schema changes go
+    * through appendEvolve; every commit path (append, idempotent
+    * append, rewrite) funnels through this guard so the loud-early
+    * contract holds for all of them. */
+  private def requireFitsDeclared(spark: SparkSession, table: String,
+                                  df: DataFrame, what: String): Unit =
+    schemaAt(spark, table).foreach { d =>
+      val byName = d.fields.map(f => f.name -> f).toMap
+      df.schema.fields.foreach { f =>
+        byName.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"txlog: $what introduces column '${f.name}' absent from the " +
+              "declared schema — evolve the schema first (appendEvolve)")
+          case Some(df2) => require(widens(f.dataType, df2.dataType),
+            s"txlog: $what lands column '${f.name}' as " +
+              s"${f.dataType.catalogString}, which the declared " +
+              s"${df2.dataType.catalogString} cannot read")
+        }
+      }
+    }
+
   private def replaceCommitAt(spark: SparkSession, table: String,
                               baseVersion: Long, df: DataFrame, tag: String,
                               write: (DataFrame, String) => Unit,
                               txn: Option[(String, Long)] = None): Long = {
+    requireFitsDeclared(spark, table, df, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
@@ -513,24 +551,8 @@ object TxLog {
                             write: (DataFrame, String) => Unit =
                               (d, p) => d.write.parquet(p)): Long = {
     requireNonEmpty(spark, table, tag)
-    // a declared schema constrains what a rewrite may land: every landed
-    // column must exist in it at a widenable-into type, else the
-    // declared read would silently null it out (new column) or fail at
-    // scan time (narrowing). Schema changes go through appendEvolve.
-    schemaAt(spark, table).foreach { d =>
-      val byName = d.fields.map(f => f.name -> f).toMap
-      df.schema.fields.foreach { f =>
-        byName.get(f.name) match {
-          case None => throw new IllegalArgumentException(
-            s"txlog: $tag introduces column '${f.name}' absent from the " +
-              "declared schema — evolve the schema first (appendEvolve)")
-          case Some(df2) => require(widens(f.dataType, df2.dataType),
-            s"txlog: $tag lands column '${f.name}' as " +
-              s"${f.dataType.catalogString}, which the declared " +
-              s"${df2.dataType.catalogString} cannot read")
-        }
-      }
-    }
+    // declared-schema guard is applied in replaceCommitAt (shared with
+    // the idempotent overwrite path)
     replaceCommitAt(spark, table, latestVersion(spark, table), df, tag, write)
   }
 
@@ -640,21 +662,23 @@ object TxLog {
     * defaults to 7 days). 0 keeps the single-writer behavior: delete
     * every unreferenced file immediately. */
   def vacuum(spark: SparkSession, table: String,
-             retainLast: Int = 1, minFileAgeMs: Long = 0L): Seq[String] = {
+             retainLast: Int = 1, minFileAgeMs: Long = 1200000L): Seq[String] = {
     require(retainLast >= 1, "txlog: must retain at least the latest version")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"txlog: nothing to vacuum in $table")
     val retained = vs.takeRight(retainLast)
     // the retention CUTOFF is fixed from the log as first read (it
-    // becomes the watermark); the referenced set is computed from the
-    // FRESHEST log so commits that landed while we were deciding —
-    // concurrent appends, a compaction that won an OCC race — keep
-    // their files: everything at or after the cutoff stays readable
+    // becomes the watermark). Candidate files are enumerated first and
+    // the referenced set is computed from a log re-read AFTER the
+    // listing, so any commit that lands while we walk the data tree —
+    // a concurrent append, a compaction that won an OCC race — keeps
+    // its files. What the re-read CANNOT see is a writer whose data
+    // files exist but whose commit hasn't landed yet; that window is
+    // covered by the age horizon, which is why minFileAgeMs defaults
+    // to 20 minutes (Delta's equivalent default is 7 days). Pass 0
+    // only in single-writer contexts: it disables the horizon entirely
+    // (exact, immune to same-millisecond modification-time ties).
     val cutoff = retained.head
-    val referenced = versions(spark, table).filter(_ >= cutoff)
-      .flatMap(v => snapshotFiles(spark, table, Some(v))).toSet
-    // 0 = no horizon at all (exact single-writer behavior, immune to
-    // same-millisecond modification-time ties)
     val deleteBefore =
       if (minFileAgeMs == 0L) Long.MaxValue
       else System.currentTimeMillis() - minFileAgeMs
@@ -665,7 +689,7 @@ object TxLog {
     // a scheme mismatch would relativize to the absolute path, match
     // nothing, and delete the retained files too (the spec pins this)
     val rootPrefix = f.makeQualified(new Path(table)).toString + "/"
-    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
     if (f.exists(dataRoot)) {
       val it = f.listFiles(dataRoot, true)
       while (it.hasNext) {
@@ -674,12 +698,18 @@ object TxLog {
           val full = st.getPath.toString
           require(full.startsWith(rootPrefix),
             s"txlog: data file $full outside table root $rootPrefix")
-          val rel = full.stripPrefix(rootPrefix)
-          if (!referenced.contains(rel) && st.getModificationTime < deleteBefore) {
-            f.delete(st.getPath, false); removed += rel
-          }
+          if (st.getModificationTime < deleteBefore)
+            candidates += ((st.getPath, full.stripPrefix(rootPrefix)))
         }
       }
+    }
+    // fresh referenced set AFTER the listing: everything at or after
+    // the cutoff — including commits that landed mid-walk — stays
+    val referenced = versions(spark, table).filter(_ >= cutoff)
+      .flatMap(v => snapshotFiles(spark, table, Some(v))).toSet
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    candidates.foreach { case (p, rel) =>
+      if (!referenced.contains(rel)) { f.delete(p, false); removed += rel }
     }
     val wp = watermarkPath(table)
     val out = f.create(wp, true)
@@ -693,6 +723,14 @@ object TxLog {
   def commitKind(spark: SparkSession, table: String, version: Long): Option[String] =
     readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
       .collectFirst { case ("tag", k) => k }
+
+  /** True iff commit `version` removes files — i.e. it rewrites prior
+    * table state (compact/overwrite/merge) rather than purely appending.
+    * Change-feed-style consumers ([[graft.operators.MatView]]) branch on
+    * this to decide whether a delta fold is still exact. */
+  def commitRemoves(spark: SparkSession, table: String, version: Long): Boolean =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
+      .exists(_._1 == "remove")
 
   /** The files a change-feed consumer should DELIVER for commit
     * `version`:
@@ -804,6 +842,7 @@ object TxLog {
                        appId: String, batchId: Long): Option[Long] = {
     requireAppId(appId)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
+    requireFitsDeclared(spark, table, df, "idempotent append")
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-${uniq()}"
     df.write.parquet(new Path(table, rel).toString)

@@ -95,31 +95,30 @@ object StreamingCdc {
           import graft.sources.TxLog
           // the txn guard closes the at-least-once window (crash between
           // the TxLog commit and the checkpoint's commit write): a
-          // replayed batchId is detected inside the log and skipped, so
-          // the landing is exactly-once — no redundant version, and the
+          // replayed batchId is detected INSIDE appendIdempotent /
+          // overwriteIdempotent (one log scan — no redundant pre-check
+          // here; the merge DataFrame below is lazy, so a replayed
+          // batch returns None before any plan executes), so the
+          // landing is exactly-once — no redundant version, and the
           // snapshot a pinned reader saw never silently reshuffles.
           // Without txnAppId the replay is still CONTENT-idempotent
           // (re-merging the same full images yields the same table) but
           // may add a redundant version.
-          val replayed = txnAppId.exists(app =>
-            TxLog.lastCommittedBatch(spark, table, app).exists(_ >= batchId))
-          if (!replayed) {
-            val latest = lastPerKey(batch, keys, seqCol)
-            if (TxLog.versions(spark, table).isEmpty) {
-              val first = latest.filter(!col(deleteCol)).drop(deleteCol)
-              txnAppId match {
-                case Some(app) =>
-                  TxLog.appendIdempotent(spark, table, first, app, batchId)
-                case None => TxLog.append(spark, table, first)
-              }
-            } else {
-              val merged = graft.operators.Merge.mergeUpsert(
-                TxLog.read(spark, table), latest, keys, Some(deleteCol))
-              txnAppId match {
-                case Some(app) =>
-                  TxLog.overwriteIdempotent(spark, table, merged, app, batchId)
-                case None => TxLog.overwrite(spark, table, merged)
-              }
+          val latest = lastPerKey(batch, keys, seqCol)
+          if (TxLog.versions(spark, table).isEmpty) {
+            val first = latest.filter(!col(deleteCol)).drop(deleteCol)
+            txnAppId match {
+              case Some(app) =>
+                TxLog.appendIdempotent(spark, table, first, app, batchId)
+              case None => TxLog.append(spark, table, first)
+            }
+          } else {
+            val merged = graft.operators.Merge.mergeUpsert(
+              TxLog.read(spark, table), latest, keys, Some(deleteCol))
+            txnAppId match {
+              case Some(app) =>
+                TxLog.overwriteIdempotent(spark, table, merged, app, batchId)
+              case None => TxLog.overwrite(spark, table, merged)
             }
           }
           ()

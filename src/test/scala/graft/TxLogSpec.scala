@@ -139,7 +139,7 @@ class TxLogSpec extends SparkSpec {
     TxLog.append(spark, t, (41L to 60L).map(i => (i, s"x$i")).toDF("id", "s"))
     val cv = TxLog.compact(spark, t)
     val preRefs = TxLog.snapshotFiles(spark, t, asOf = Some(cv - 1))
-    val removed = TxLog.vacuum(spark, t, retainLast = 1)
+    val removed = TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L)
     // everything only the pre-compaction versions referenced is gone
     assert(removed.toSet == preRefs.toSet, s"removed $removed vs pre $preRefs")
     assert(TxLog.earliestReadableVersion(spark, t) == cv)
@@ -151,7 +151,7 @@ class TxLogSpec extends SparkSpec {
       TxLog.read(spark, t, asOf = Some(cv - 1)))
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
     // vacuum with everything retained removes nothing
-    assert(TxLog.vacuum(spark, t, retainLast = 10).isEmpty)
+    assert(TxLog.vacuum(spark, t, retainLast = 10, minFileAgeMs = 0L).isEmpty)
   }
 
   test("checkpoint snapshots: read past the cadence replays ckpt + suffix ≡ full replay") {
@@ -525,7 +525,7 @@ class TxLogSpec extends SparkSpec {
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new Path(t, inflight)))
     // horizon 0 = the single-writer contract: everything unreferenced goes
-    val removed = TxLog.vacuum(spark, t, retainLast = 1)
+    val removed = TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L)
     assert(removed.exists(_.startsWith("data/v00000000")),
       s"v0 files must be vacuumed: $removed")
     assert(removed.exists(_.startsWith(inflight)),
@@ -593,6 +593,20 @@ class TxLogSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       TxLog.overwrite(spark, t, Seq((9L, "z", 0.1, true)).toDF("id", "s", "q", "extra")))
     assert(e2.getMessage.contains("absent from the declared schema"), e2.getMessage)
+    // ...and neither may a PLAIN append (the common write path: a read
+    // under the declared schema would silently drop the column forever)
+    val e3 = intercept[IllegalArgumentException](
+      TxLog.append(spark, t, Seq((9L, "z", 0.1, true)).toDF("id", "s", "q", "extra")))
+    assert(e3.getMessage.contains("absent from the declared schema"), e3.getMessage)
+    // a narrowing append fails loudly at commit time, not at scan time
+    val e4 = intercept[IllegalArgumentException](
+      TxLog.append(spark, t, Seq(("x", "y", 0.5)).toDF("id", "s", "q")))
+    assert(e4.getMessage.contains("cannot read"), e4.getMessage)
+    // the idempotent (streaming) append enforces the same guard
+    val e5 = intercept[IllegalArgumentException](
+      TxLog.appendIdempotent(spark, t,
+        Seq((9L, "z", 0.1, true)).toDF("id", "s", "q", "extra"), "app-evo", 0L))
+    assert(e5.getMessage.contains("absent from the declared schema"), e5.getMessage)
     // nothing committed by the failures
     assert(TxLog.versions(spark, t) == Seq(0L, 1L))
   }
