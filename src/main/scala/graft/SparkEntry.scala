@@ -24,7 +24,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Ingest.queries ++
       Merge.queries ++ Constraints.queries ++ Bpe.queries ++ Mpeg1.queries ++
-      TextIndex.queries ++ Classifier.queries ++ Skew.queries ++ Pii.queries
+      TextIndex.queries ++ Classifier.queries ++ Skew.queries ++ Pii.queries ++
+      MatView.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Temporal.oracles ++ Graph.oracles ++ Sketches.oracles ++ Ingest.oracles ++
       Merge.oracles ++ Constraints.oracles ++ Bpe.oracles ++ Mpeg1.oracles ++
-      TextIndex.oracles ++ Classifier.oracles ++ Skew.oracles ++ Pii.oracles
+      TextIndex.oracles ++ Classifier.oracles ++ Skew.oracles ++ Pii.oracles ++
+      MatView.oracles
 }
