@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+import graft.streaming.StreamingMatView
+
+/** Continuous MV maintenance: the view must trail the source's commits
+  * exactly (fold-in ≡ recompute after every wave), and idle restarts
+  * across the checkpoint must not create view versions. */
+class StreamingMatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("source stream → TxLog commits → continuously-maintained view ≡ recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft-smv").toString
+    val src = s"$base/src"; val mv = s"$base/view"
+    def expected: Map[String, (Long, Long)] =
+      TxLog.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("total")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def got: Map[String, (Long, Long)] =
+      TxLog.read(spark, mv).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val ingest = MemoryStream[(String, Long)](spark)
+    val qIngest = ingest.toDF().toDF("k", "v")
+      .writeStream.option("checkpointLocation", s"$base/ckpt-ingest")
+      .foreachBatch(TxLog.appendSink(src)).outputMode("append").start()
+    def startMaintain() =
+      StreamingMatView.maintain(spark, src, mv, Seq("k"), "v", s"$base/ckpt-mv")
+    try {
+      ingest.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      qIngest.processAllAvailable()
+      val qMv = startMaintain()
+      try {
+        qMv.processAllAvailable()
+        assert(got == expected, "view must equal a recompute after the first wave")
+        // a second wave: the view advances incrementally
+        ingest.addData(("a", 10L), ("c", 5L))
+        qIngest.processAllAvailable()
+        qMv.processAllAvailable()
+        assert(got == expected, "view must trail the second wave exactly")
+        assert(got == Map("a" -> ((3L, 13L)), "b" -> ((1L, 3L)), "c" -> ((1L, 5L))))
+      } finally qMv.stop()
+      // idle restart across the checkpoint: no new view versions
+      val before = TxLog.versions(spark, mv)
+      val qMv2 = startMaintain()
+      try qMv2.processAllAvailable() finally qMv2.stop()
+      assert(TxLog.versions(spark, mv) == before,
+        "an idle restart must not create view versions")
+      // a third wave against the RESTARTED stream keeps maintaining
+      val qMv3 = startMaintain()
+      try {
+        ingest.addData(("b", 100L))
+        qIngest.processAllAvailable()
+        qMv3.processAllAvailable()
+        assert(got == expected, "view must keep trailing after a restart")
+        assert(got("b") == ((2L, 103L)))
+      } finally qMv3.stop()
+    } finally qIngest.stop()
+  }
+}
