@@ -231,7 +231,41 @@ object Merge {
       .orderBy("o_orderkey")
   }
 
+  /** QW5 — log-native DATA SKIPPING under the hash gate: orders lands
+    * in three range-disjoint [[graft.sources.TxLog.appendWithStats]]
+    * commits (per-file min/max of `o_orderkey` recorded from the
+    * parquet footers INTO the commit lines), and a range read
+    * ([[graft.sources.TxLog.readWhere]]) prunes its file list from the
+    * log alone — the row REQUIRES that at least one live file was
+    * skipped (so a silently stats-less build cannot pass), then must
+    * hash-match a plain SQL range scan. At 100 TB this is the lever
+    * that turns "open 100k footers" into "read one small log". */
+  def qwPrunedRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txstats-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    TxLog.destroy(spark, table)
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") < b1).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2)
+        .repartitionByRange(2, col("o_orderkey")), "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b2).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    val (lo, hi) = (maxKey / 6, maxKey / 3)
+    val (kept, live) = TxLog.pruneFiles(spark, table, "o_orderkey", lo, hi)
+    require(kept.size < live,
+      s"txlog: data skipping pruned nothing (${kept.size} of $live files kept)")
+    TxLog.readWhere(spark, table, "o_orderkey", lo, hi).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_pruned_read" -> qwPrunedRead _,
     "qw_merge_upsert" -> qwMergeUpsert _,
     "qw_snapshot_diff" -> qwSnapshotDiff _,
     "qw_txlog_read" -> qwTxlogRead _,
@@ -242,6 +276,13 @@ object Merge {
     // snapshot must be the identity
     "qw_txlog_read" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    // range-disjoint stats-bearing appends + log-pruned range read must
+    // be a plain range scan (the skip decides files, never rows);
+    // boundaries mirror the builder's integer arithmetic
+    "qw_pruned_read" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//6 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//3 FROM orders) ORDER BY o_orderkey"),
     // interleaved appends + clustered rewrite + range read must be a
     // plain range scan — the layout rewrite is row-invisible
     "qw_optimize_read" ->

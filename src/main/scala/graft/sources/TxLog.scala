@@ -131,11 +131,12 @@ object TxLog {
                         adds: Seq[String], removes: Seq[String],
                         tag: Option[String] = None,
                         schemaB64: Option[String] = None,
-                        txn: Option[(String, Long)] = None): Boolean = {
+                        txn: Option[(String, Long)] = None,
+                        stats: Seq[String] = Seq.empty): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
-    (adds ++ removes).foreach { p =>
+    (adds ++ removes ++ stats).foreach { p =>
       require(!p.contains('"') && !p.contains('\\'),
         s"txlog: path contains a character the commit format cannot carry: $p")
     }
@@ -149,7 +150,8 @@ object TxLog {
         txn.map { case (app, b) => s"""{"a":"txn","p":"$app:$b"}""" }.toSeq ++
         schemaB64.map(s => s"""{"a":"schema","p":"$s"}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":"$p"}""") ++
-        removes.map(p => s"""{"a":"remove","p":"$p"}""")
+        removes.map(p => s"""{"a":"remove","p":"$p"}""") ++
+        stats.map(s => s"""{"a":"stats","p":"$s"}""")
     tryCreateExclusive(spark, new Path(logDir(table), f"$version%08d.json"),
       lines.mkString("\n") + "\n")
   }
@@ -169,7 +171,7 @@ object TxLog {
       s"txlog: malformed commit line in $where: $line")
     val action = t(3)
     require(action == "add" || action == "remove" || action == "tag" ||
-      action == "schema" || action == "txn",
+      action == "schema" || action == "txn" || action == "stats",
       s"txlog: bad action in $where: $line")
     (action, t(7))
   }
@@ -227,6 +229,35 @@ object TxLog {
     * paths on the [[checkpointEvery]] cadence; idempotent — a crash
     * between commit and checkpoint just means the next read replays a
     * slightly longer suffix, and the NEXT eligible commit writes one). */
+  /** All recorded stats payloads as of `asOf`, keyed (path, col) with
+    * the LAST recording winning — checkpoint + suffix replay. */
+  private def statsPayloadsAt(spark: SparkSession, table: String,
+                              asOf: Option[Long]): Seq[String] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return Seq.empty
+    val target = asOf.getOrElse(vs.last)
+    val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
+    val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+    def fold(payload: String): Unit = {
+      val t = payload.split('|')
+      require(t.length == 4, s"txlog: malformed stats payload in $table: $payload")
+      acc((t(0), t(1))) = payload
+    }
+    startCkpt.foreach { cv =>
+      readLogFile(spark, ckptPath(table, cv)).foreach {
+        case ("stats", s) => fold(s)
+        case _ => ()
+      }
+    }
+    vs.filter(v => v <= target && startCkpt.forall(v > _)).foreach { v =>
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).foreach {
+        case ("stats", s) => fold(s)
+        case _ => ()
+      }
+    }
+    acc.values.toSeq
+  }
+
   private def maybeCheckpoint(spark: SparkSession, table: String,
                               version: Long): Unit = {
     if (version > 0 && version % checkpointEvery == 0) {
@@ -235,10 +266,15 @@ object TxLog {
       // schemaAt's checkpoint-plus-suffix replay stays O(checkpointEvery)
       val schemaLine = schemaAt(spark, table, Some(version))
         .map(s => s"""{"a":"schema","p":"${encodeSchema(s)}"}""").toSeq
+      // ...and the live files' recorded stats, so statsAt's replay does too
+      val liveSet = live.toSet
+      val statsLines = statsPayloadsAt(spark, table, Some(version))
+        .filter(s => liveSet.contains(s.split('|')(0)))
+        .map(s => s"""{"a":"stats","p":"$s"}""")
       val f = fs(spark, logDir(table))
       val out = f.create(ckptPath(table, version), true)
-      try out.write(((schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}"""))
-        .mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(((schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}""") ++
+        statsLines).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
     }
   }
@@ -266,6 +302,7 @@ object TxLog {
       readLogFile(spark, ckptPath(table, cv)).foreach {
         case ("add", p) => live += p
         case ("schema", _) => () // carried for schemaAt's suffix replay
+        case ("stats", _) => () // file stats, handled by statsPayloadsAt
         case (a, p) => throw new IllegalArgumentException(
           s"txlog: checkpoint $cv carries non-add action $a for $p")
       }
@@ -278,6 +315,7 @@ object TxLog {
         case ("tag", _) => () // commit-kind marker, not a file action
         case ("schema", _) => () // schema marker, handled by schemaAt
         case ("txn", _) => () // idempotence marker, see lastCommittedBatch
+        case ("stats", _) => () // file stats, handled by statsPayloadsAt
       }
     }
     live.toSeq
@@ -569,10 +607,11 @@ object TxLog {
                                    baseVersion: Long, adds: Seq[String],
                                    removes: Seq[String], tag: String,
                                    dataDir: Path,
-                                   txn: Option[(String, Long)] = None): Long = {
+                                   txn: Option[(String, Long)] = None,
+                                   stats: Seq[String] = Seq.empty): Long = {
     var v = baseVersion + 1
     var attempts = 0
-    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None, txn)) {
+    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None, txn, stats)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $tag of $table still contended after $attempts attempts")
@@ -636,6 +675,140 @@ object TxLog {
       // per-version dir) but harmless; reusing it keeps the layout
       // contract (disjoint file ranges, ClusteredWriteSpec) in one place.
       write = (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // Log-native DATA SKIPPING (the public Delta/Iceberg file-stats idea):
+  // per-file min/max of a chosen column ride INSIDE the commit as
+  // `stats` actions, so a range read prunes its file list from the LOG
+  // ALONE — no parquet footer is ever opened for a skipped file. At
+  // 100 TB this is the difference between "list 100k files and open
+  // every footer" and "read one small log and scan 2 files".
+  // ---------------------------------------------------------------------
+
+  /** Per-file min/max of integral column `statsCol` for the given
+    * relative paths, read from the parquet footers ONCE at write time
+    * (each payload: `path|col|min|max` — the stats-line format). */
+  private def footerStats(spark: SparkSession, table: String,
+                          rels: Seq[String], statsCol: String): Seq[String] = {
+    require(!statsCol.contains('|') && !statsCol.contains('"') && !statsCol.contains('\\'),
+      s"txlog: stats column name unsupported by the line format: $statsCol")
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    rels.flatMap { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(table, rel), conf))
+      try {
+        val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == statsCol).map { c =>
+            val st = c.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue,
+              st.genericGetMax.asInstanceOf[Number].longValue)
+          }
+        }
+        if (ranges.isEmpty) None
+        else Some(s"$rel|$statsCol|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
+      } finally r.close()
+    }
+  }
+
+  /** [[append]] that also records per-file min/max of `statsCol` in the
+    * commit. The caller controls file layout (e.g.
+    * `df.repartitionByRange(n, col)` makes the recorded ranges disjoint
+    * and the skipping maximally selective). */
+  def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: String): Long = {
+    requireFitsDeclared(spark, table, df, "append")
+    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    val rel = f"data/v$intended%08d-${uniq()}"
+    df.write.parquet(new Path(table, rel).toString)
+    val files = writtenFiles(spark, table, rel)
+    val stats = footerStats(spark, table, files, statsCol)
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, files, Seq.empty, stats = stats)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: append to $table still contended after $attempts attempts")
+      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** [[compactClustered]] that re-records stats for the FIRST key —
+    * after the rewrite the new files' ranges are pairwise disjoint
+    * ([[FileFormats.writeRangeClustered]]), the layout where log-native
+    * skipping prunes to ~1 file per point lookup. */
+  def compactClusteredWithStats(spark: SparkSession, table: String,
+                                files: Int, keys: String*): Long = {
+    require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    val df = read(spark, table, Some(base))
+    requireFitsDeclared(spark, table, df, "compact")
+    val removes = snapshotFiles(spark, table, Some(base))
+    val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
+    val dataDir = new Path(table, rel)
+    FileFormats.writeRangeClustered(df, dataDir.toString, files, keys: _*)
+    val written = writtenFiles(spark, table, rel)
+    commitRewrite(spark, table, base, written, removes, "compact", dataDir,
+      stats = footerStats(spark, table, written, keys.head))
+  }
+
+  /** Live files' recorded (min, max) for `statsCol` as of `asOf` —
+    * checkpoint + suffix replay (last payload per file wins), then
+    * intersected with the live set. Files with no recorded stats are
+    * simply absent (readers must treat absence as "cannot skip"). */
+  def statsAt(spark: SparkSession, table: String, statsCol: String,
+              asOf: Option[Long] = None): Map[String, (Long, Long)] = {
+    val live = snapshotFiles(spark, table, asOf).toSet
+    statsPayloadsAt(spark, table, asOf).flatMap { payload =>
+      payload.split('|') match {
+        case Array(p, c, mn, mx) if c == statsCol && live.contains(p) =>
+          Some(p -> ((mn.toLong, mx.toLong)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The live files a `[lo, hi]` range read on `statsCol` must scan:
+    * (kept, total live) — kept = recorded range intersects, or no
+    * stats recorded (absence can never skip). Exposed for the spec's
+    * pruning assertions. */
+  private[graft] def pruneFiles(spark: SparkSession, table: String,
+                                statsCol: String, lo: Long, hi: Long,
+                                asOf: Option[Long] = None): (Seq[String], Int) = {
+    val live = snapshotFiles(spark, table, asOf)
+    val stats = statsAt(spark, table, statsCol, asOf)
+    val kept = live.filter(p => stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, live.size)
+  }
+
+  /** Range read with log-native file skipping: scans ONLY the live
+    * files whose recorded `statsCol` range intersects `[lo, hi]` (plus
+    * any file without stats), then applies the exact residual filter.
+    * Equal to `read(...).filter(col between lo hi)` by construction —
+    * the stats decide file SKIPPING, never row membership. */
+  def readWhere(spark: SparkSession, table: String, statsCol: String,
+                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneFiles(spark, table, statsCol, lo, hi, asOf)
+    val declared = schemaAt(spark, table, asOf)
+    val base =
+      if (kept.isEmpty) {
+        // empty frame with the right schema: read the full (possibly
+        // empty-filtered) table rather than inventing a schema
+        read(spark, table, asOf).limit(0)
+      } else {
+        val paths = kept.map(p => new Path(table, p).toString)
+        declared match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+      }
+    base.filter(col(statsCol).between(lo, hi))
   }
 
   /** Replace the table's contents with `df` in one commit — how a

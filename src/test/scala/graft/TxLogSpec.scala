@@ -688,4 +688,57 @@ class TxLogSpec extends SparkSpec {
       s"${got.length} vs ${want.length} rows; first diff: " +
         got.zip(want).find(p => p._1 != p._2).toString)
   }
+
+  test("data skipping: stats ride the commit, prune files, and never change rows") {
+    val t = freshTable("stats")
+    // three range-disjoint appends, 2 files each (repartitionByRange)
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      TxLog.appendWithStats(spark, t,
+        (lo until hi).map(i => (i, s"r$i")).toDF("id", "s")
+          .repartitionByRange(2, $"id"), "id")
+    }
+    val stats = TxLog.statsAt(spark, t, "id")
+    assert(stats.size == 6, s"all six files must carry stats: $stats")
+    // a window inside the first third prunes to ≤ 2 of 6 files
+    val (kept, live) = TxLog.pruneFiles(spark, t, "id", 10, 60)
+    assert(live == 6 && kept.size <= 2, s"kept ${kept.size} of $live")
+    // pruned read ≡ full-scan filter, rows exact
+    val got = TxLog.readWhere(spark, t, "id", 10, 60)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (10L to 60L), "skip decides files, never rows")
+    // a file WITHOUT stats can never be skipped: plain append is opaque
+    TxLog.append(spark, t, Seq((999L, "x")).toDF("id", "s"))
+    val (kept2, live2) = TxLog.pruneFiles(spark, t, "id", 10, 60)
+    assert(live2 == 7 && kept2.size == kept.size + 1,
+      "the stats-less file must be conservatively kept")
+    assert(TxLog.readWhere(spark, t, "id", 900, 1000)
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+  }
+
+  test("data skipping: stats survive checkpoints and clustered re-compaction re-records them") {
+    val t = freshTable("stats-ckpt")
+    // 12 commits → past the checkpoint cadence (10)
+    (0 until 12).foreach { i =>
+      TxLog.appendWithStats(spark, t,
+        Seq(((i * 10).toLong, s"a$i"), ((i * 10 + 9).toLong, s"b$i"))
+          .toDF("id", "s").coalesce(1), "id")
+    }
+    assert(TxLog.checkpointVersions(spark, t).nonEmpty, "cadence must have checkpointed")
+    // replay goes ckpt+suffix; every live file still has its stats
+    assert(TxLog.statsAt(spark, t, "id").size ==
+      TxLog.snapshotFiles(spark, t).size)
+    val (kept, live) = TxLog.pruneFiles(spark, t, "id", 0, 9)
+    assert(kept.size == 1 && live == 12, s"kept ${kept.size} of $live")
+    // clustered rewrite re-records stats for the new disjoint layout
+    TxLog.compactClusteredWithStats(spark, t, files = 3, "id")
+    val (kept2, live2) = TxLog.pruneFiles(spark, t, "id", 0, 9)
+    assert(live2 == 3 && kept2.size == 1,
+      s"after clustered compact: kept ${kept2.size} of $live2")
+    assert(TxLog.readWhere(spark, t, "id", 0, 9)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 9L))
+    // time travel: stats as of the pre-compact version still prune there
+    val preCompact = TxLog.versions(spark, t).takeRight(2).head
+    val (kept3, live3) = TxLog.pruneFiles(spark, t, "id", 0, 9, Some(preCompact))
+    assert(live3 == 12 && kept3.size == 1, "pinned-version pruning must use that version's stats")
+  }
 }
