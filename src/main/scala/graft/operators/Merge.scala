@@ -264,8 +264,45 @@ object Merge {
     TxLog.readWhere(spark, table, "o_orderkey", lo, hi).orderBy("o_orderkey")
   }
 
+  /** QW6 — stats-targeted DELETE under the hash gate: the same
+    * range-disjoint stats-bearing layout as [[qwPrunedRead]], then
+    * [[graft.sources.TxLog.deleteWhere]] erases a key range — the row
+    * REQUIRES that the files outside the range survived on disk
+    * byte-identical (same live paths: the PARTIAL-rewrite proof), and
+    * the post-delete table must hash-match a plain SQL anti-range scan. */
+  def qwDeleteWhere(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txdel-" +
+      java.lang.Integer.toHexString(d.hashCode)
+    TxLog.destroy(spark, table)
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") < b1).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2)
+        .repartitionByRange(2, col("o_orderkey")), "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b2).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    val (lo, hi) = (maxKey / 6, maxKey / 3)
+    val (wouldTouch, _) = TxLog.pruneFiles(spark, table, "o_orderkey", lo, hi)
+    TxLog.deleteWhere(spark, table, "o_orderkey", lo, hi)
+    val after = TxLog.snapshotFiles(spark, table).toSet
+    val untouched = before -- wouldTouch.toSet
+    require(untouched.subsetOf(after),
+      "txlog: delete rewrote files its stats said could not contain a match")
+    require((before -- after) == wouldTouch.toSet,
+      "txlog: delete must remove exactly the stats-touched files")
+    TxLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_pruned_read" -> qwPrunedRead _,
+    "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
     "qw_snapshot_diff" -> qwSnapshotDiff _,
     "qw_txlog_read" -> qwTxlogRead _,
@@ -282,6 +319,11 @@ object Merge {
     "qw_pruned_read" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//6 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//3 FROM orders) ORDER BY o_orderkey"),
+    // the delete's complement: everything OUTSIDE the erased range
+    "qw_delete_where" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT BETWEEN (SELECT MAX(o_orderkey)//6 FROM orders) " +
         "AND (SELECT MAX(o_orderkey)//3 FROM orders) ORDER BY o_orderkey"),
     // interleaved appends + clustered rewrite + range read must be a
     // plain range scan — the layout rewrite is row-invisible

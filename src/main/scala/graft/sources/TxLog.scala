@@ -701,10 +701,13 @@ object TxLog {
           .fromPath(new Path(table, rel), conf))
       try {
         val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == statsCol).map { c =>
+          b.getColumns.asScala.find(_.getPath.toDotString == statsCol).flatMap { c =>
             val st = c.getStatistics
-            (st.genericGetMin.asInstanceOf[Number].longValue,
-              st.genericGetMax.asInstanceOf[Number].longValue)
+            // an empty row group (e.g. the part file of an all-rows-deleted
+            // rewrite) carries no values: record nothing for it
+            if (st == null || st.genericGetMin == null || st.genericGetMax == null) None
+            else Some((st.genericGetMin.asInstanceOf[Number].longValue,
+              st.genericGetMax.asInstanceOf[Number].longValue))
           }
         }
         if (ranges.isEmpty) None
@@ -809,6 +812,43 @@ object TxLog {
         }
       }
     base.filter(col(statsCol).between(lo, hi))
+  }
+
+  /** DELETE FROM … WHERE `statsCol` BETWEEN lo AND hi, as a PARTIAL
+    * copy-on-write rewrite: the recorded file stats decide which live
+    * files can contain matching rows, ONLY those are rewritten (minus
+    * the deleted rows; files without stats are conservatively
+    * touched), and every other file stays byte-identical on disk —
+    * at 100 TB a targeted erasure (the GDPR case) rewrites the handful
+    * of files holding the subject, not the table. One commit adds the
+    * rewritten files (with fresh stats) and removes exactly the
+    * touched ones; pinned readers keep the pre-delete snapshot, the
+    * change feed classifies the commit as a rewrite (loud unless
+    * `skipChangeCommits`), and [[graft.operators.MatView]] falls back
+    * to recompute across it. Returns the committed version, or the
+    * current version unchanged when no file can contain a match. */
+  def deleteWhere(spark: SparkSession, table: String, statsCol: String,
+                  lo: Long, hi: Long): Long = {
+    requireNonEmpty(spark, table, "delete")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val stats = statsAt(spark, table, statsCol, Some(base))
+    val touched = live.filter(p =>
+      stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (touched.isEmpty) return base // no file can contain a match
+    import org.apache.spark.sql.functions.col
+    val declared = schemaAt(spark, table, Some(base))
+    val paths = touched.map(p => new Path(table, p).toString)
+    val keptRows = (declared match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }).filter(!col(statsCol).between(lo, hi))
+    val rel = f"data/v${base + 1}%08d-delete-${uniq()}"
+    val dataDir = new Path(table, rel)
+    keptRows.write.parquet(dataDir.toString)
+    val written = writtenFiles(spark, table, rel)
+    commitRewrite(spark, table, base, written, touched, "delete", dataDir,
+      stats = footerStats(spark, table, written, statsCol))
   }
 
   /** Replace the table's contents with `df` in one commit — how a

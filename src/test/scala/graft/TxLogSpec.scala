@@ -741,4 +741,44 @@ class TxLogSpec extends SparkSpec {
     val (kept3, live3) = TxLog.pruneFiles(spark, t, "id", 0, 9, Some(preCompact))
     assert(live3 == 12 && kept3.size == 1, "pinned-version pruning must use that version's stats")
   }
+
+  test("deleteWhere: a partial rewrite — untouched files survive byte-identical, pinned reads keep the past") {
+    val t = freshTable("delete")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      TxLog.appendWithStats(spark, t,
+        (lo until hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    }
+    val before = TxLog.snapshotFiles(spark, t)
+    assert(before.size == 3)
+    val preVersion = TxLog.latestVersion(spark, t)
+    // erase [120, 150] — only the middle file's range intersects
+    val v = TxLog.deleteWhere(spark, t, "id", 120, 150)
+    assert(v == preVersion + 1)
+    val after = TxLog.snapshotFiles(spark, t)
+    assert(after.toSet.intersect(before.toSet) == (before.toSet - before(1)),
+      "files whose stats exclude the range must survive as the SAME paths")
+    assert(TxLog.read(spark, t).count() == 300L - 31L)
+    assert(TxLog.read(spark, t).filter($"id".between(120, 150)).count() == 0L)
+    // boundary rows survive; the rest of the touched file was rewritten intact
+    assert(TxLog.read(spark, t).filter($"id".isin(119L, 151L)).count() == 2L)
+    // pinned pre-delete read still sees everything (copy-on-write)
+    assert(TxLog.read(spark, t, Some(preVersion)).count() == 300L)
+    // rewritten file carries fresh stats spanning the hole (min/max can't
+    // express a gap — inherent to range stats): a read inside the erased
+    // range keeps ONLY that file and still returns zero rows exactly
+    val (keptGap, liveGap) = TxLog.pruneFiles(spark, t, "id", 125, 145)
+    assert(keptGap.size == 1 && liveGap == 3,
+      s"only the rewritten file may survive the prune: $keptGap")
+    assert(TxLog.readWhere(spark, t, "id", 125, 145).count() == 0L)
+    // a delete whose range no live stats intersect is a no-op (no commit)
+    val v2 = TxLog.deleteWhere(spark, t, "id", 5000, 6000)
+    assert(v2 == v && TxLog.latestVersion(spark, t) == v, "no-op delete must not commit")
+    // MatView across a delete: recompute fallback keeps the view exact
+    val mv = freshTable("delete-mv")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "build")
+    TxLog.deleteWhere(spark, t, "id", 0, 50)
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "recompute")
+    assert(TxLog.read(spark, mv).count() == TxLog.read(spark, t).count(),
+      "per-unique-key view must match the post-delete table")
+  }
 }
