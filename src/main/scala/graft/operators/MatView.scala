@@ -41,55 +41,84 @@ object MatView {
   /** appId for the applied-source-version marker inside the view log. */
   private val MvAppId = "graft-matview"
 
-  /** Aggregate `src`'s live rows into a fresh view frame (the full
-    * recompute — also the refresh's correctness reference). */
-  private def fullAggregate(spark: SparkSession, src: String,
+  /** Aggregate `src`'s live rows AS OF `srcVersion` into a fresh view
+    * frame (the full recompute — also the refresh's correctness
+    * reference). Pinned: a source commit racing in after the caller
+    * captured `srcVersion` must NOT leak into a view stamped with that
+    * watermark, or the next incremental refresh would fold it twice. */
+  private def fullAggregate(spark: SparkSession, src: String, srcVersion: Long,
                             keyCols: Seq[String], valCol: String): DataFrame =
-    TxLog.read(spark, src)
+    TxLog.read(spark, src, Some(srcVersion))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
 
   /** Refresh `mv` to cover `src`'s latest version. Returns the refresh
     * mode actually taken: "noop" (already current), "build" (first
     * materialization), "incremental" (delta fold), or "recompute"
-    * (rewrite commit in range forced the fallback). */
+    * (rewrite commit in range forced the fallback).
+    *
+    * Race-exact: every read is PINNED (source at the captured
+    * srcLatest; the view at the version whose marker was consulted)
+    * and every commit is a CAS — the build goes through
+    * [[TxLog.appendIfEmpty]] (exactly one of two concurrent builders
+    * lands) and the folds through [[TxLog.overwriteIdempotentAt]]
+    * (a commit that raced in between aborts the pinned rewrite). A
+    * lost race re-enters refresh on the winner's state, so no source
+    * commit can ever be folded twice. */
   def refresh(spark: SparkSession, src: String, mv: String,
-              keyCols: Seq[String], valCol: String): String = {
+              keyCols: Seq[String], valCol: String): String =
+    refreshOnce(spark, src, mv, keyCols, valCol, attemptsLeft = 5)
+
+  private def refreshOnce(spark: SparkSession, src: String, mv: String,
+                          keyCols: Seq[String], valCol: String,
+                          attemptsLeft: Int): String = {
+    require(attemptsLeft > 0,
+      s"txlog: matview refresh of $mv kept losing commit races — giving up")
+    def retry() = refreshOnce(spark, src, mv, keyCols, valCol, attemptsLeft - 1)
     val srcLatest = TxLog.latestVersion(spark, src)
     if (TxLog.versions(spark, mv).isEmpty) {
-      TxLog.appendIdempotent(spark, mv,
-        fullAggregate(spark, src, keyCols, valCol), MvAppId, srcLatest)
-      return "build"
-    }
-    val applied = TxLog.lastCommittedBatch(spark, mv, MvAppId).getOrElse(
-      throw new IllegalStateException(
-        s"txlog: $mv carries no $MvAppId marker — not a MatView table"))
-    if (applied >= srcLatest) return "noop"
-    val range = TxLog.versions(spark, src).filter(v => v > applied && v <= srcLatest)
-    // a rewrite commit (removes + non-compact tag, or untagged removes)
-    // changes already-folded rows: the delta algebra cannot express it
-    val hasRewrite = range.exists { v =>
-      val kind = TxLog.commitKind(spark, src, v)
-      !kind.contains("compact") && TxLog.commitRemoves(spark, src, v)
-    }
-    if (hasRewrite) {
-      TxLog.overwriteIdempotent(spark, mv,
-        fullAggregate(spark, src, keyCols, valCol), MvAppId, srcLatest)
-      "recompute"
-    } else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact"))) {
-      // compaction-only range: nothing to fold; the watermark stays and
-      // the next delta-bearing refresh covers the wider range exactly
-      "noop"
+      if (TxLog.appendIfEmpty(spark, mv,
+        fullAggregate(spark, src, srcLatest, keyCols, valCol), MvAppId, srcLatest))
+        "build"
+      else retry() // another builder won: fold on top of ITS state
     } else {
-      val delta = TxLog.readChanges(spark, src, applied, srcLatest)
-        .drop("_commit_version")
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
-      val folded = TxLog.read(spark, mv).unionByName(delta)
-        .groupBy(keyCols.map(col): _*)
-        .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
-      TxLog.overwriteIdempotent(spark, mv, folded, MvAppId, srcLatest)
-      "incremental"
+      val mvBase = TxLog.latestVersion(spark, mv)
+      // the marker AS OF the pinned view version — a racer's newer
+      // commit must not pair its watermark with our older snapshot
+      val applied = TxLog.lastCommittedBatch(spark, mv, MvAppId, Some(mvBase))
+        .getOrElse(throw new IllegalStateException(
+          s"txlog: $mv carries no $MvAppId marker — not a MatView table"))
+      if (applied >= srcLatest) return "noop"
+      val range = TxLog.versions(spark, src).filter(v => v > applied && v <= srcLatest)
+      // a rewrite commit (removes + non-compact tag, or untagged removes)
+      // changes already-folded rows: the delta algebra cannot express it
+      val hasRewrite = range.exists { v =>
+        val kind = TxLog.commitKind(spark, src, v)
+        !kind.contains("compact") && TxLog.commitRemoves(spark, src, v)
+      }
+      def commitPinned(view: DataFrame, mode: String): String =
+        try {
+          TxLog.overwriteIdempotentAt(spark, mv, mvBase, view, MvAppId, srcLatest)
+          mode
+        } catch {
+          case _: graft.sources.TxLogConcurrentModificationException => retry()
+        }
+      if (hasRewrite)
+        commitPinned(fullAggregate(spark, src, srcLatest, keyCols, valCol), "recompute")
+      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact")))
+        // compaction-only range: nothing to fold; the watermark stays and
+        // the next delta-bearing refresh covers the wider range exactly
+        "noop"
+      else {
+        val delta = TxLog.readChanges(spark, src, applied, srcLatest)
+          .drop("_commit_version")
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+        val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+        commitPinned(folded, "incremental")
+      }
     }
   }
 

@@ -379,18 +379,37 @@ object TxLog {
     * until it lands — an append's adds depend on no prior table state,
     * so it can NEVER truly conflict (the no-conflict row of the public
     * lakehouse conflict matrix). */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    requireFitsDeclared(spark, table, df, "append")
+  def append(spark: SparkSession, table: String, df: DataFrame): Long =
+    appendCommit(spark, table, df, "append", None, None)
+
+  /** The one append OCC loop every append flavor funnels through:
+    * data written once to a unique dir, the commit claim retried at
+    * the next free version until it lands (an append's adds depend on
+    * no prior state, so it can never truly conflict). Optional txn
+    * marker (idempotent flavors) and optional per-file stats column. */
+  private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+                           what: String, txn: Option[(String, Long)],
+                           statsCol: Option[String]): Long = {
+    requireFitsDeclared(spark, table, df, what)
+    statsCol.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"txlog: stats column '$c' is not in the appended schema " +
+        s"(${df.schema.fieldNames.mkString(", ")})"))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-${uniq()}"
     df.write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
+    val stats = statsCol.fold(Seq.empty[String])(footerStats(spark, table, files, _))
+    // a stats request that records nothing would silently void the
+    // skipping contract forever — fail at write time instead
+    statsCol.foreach(c => require(files.isEmpty || stats.nonEmpty,
+      s"txlog: no parquet footer carried statistics for '$c' — " +
+        "the files would be permanently unprunable"))
     var v = intended
     var attempts = 0
-    while (!tryCommit(spark, table, v, adds = files, removes = Seq.empty)) {
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn, stats)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
-        s"txlog: append to $table still contended after $attempts attempts")
+        s"txlog: $what to $table still contended after $attempts attempts")
       v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
     }
     maybeCheckpoint(spark, table, v)
@@ -574,14 +593,16 @@ object TxLog {
   private def replaceCommitAt(spark: SparkSession, table: String,
                               baseVersion: Long, df: DataFrame, tag: String,
                               write: (DataFrame, String) => Unit,
-                              txn: Option[(String, Long)] = None): Long = {
+                              txn: Option[(String, Long)] = None,
+                              statsCol: Option[String] = None): Long = {
     requireFitsDeclared(spark, table, df, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
     write(df, dataDir.toString)
     val files = writtenFiles(spark, table, rel)
-    commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn)
+    commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn,
+      statsCol.fold(Seq.empty[String])(footerStats(spark, table, files, _)))
   }
 
   private def replaceCommit(spark: SparkSession, table: String,
@@ -721,24 +742,8 @@ object TxLog {
     * `df.repartitionByRange(n, col)` makes the recorded ranges disjoint
     * and the skipping maximally selective). */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: String): Long = {
-    requireFitsDeclared(spark, table, df, "append")
-    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
-    val rel = f"data/v$intended%08d-${uniq()}"
-    df.write.parquet(new Path(table, rel).toString)
-    val files = writtenFiles(spark, table, rel)
-    val stats = footerStats(spark, table, files, statsCol)
-    var v = intended
-    var attempts = 0
-    while (!tryCommit(spark, table, v, files, Seq.empty, stats = stats)) {
-      attempts += 1
-      require(attempts < maxCommitAttempts,
-        s"txlog: append to $table still contended after $attempts attempts")
-      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
-    }
-    maybeCheckpoint(spark, table, v)
-    v
-  }
+                      statsCol: String): Long =
+    appendCommit(spark, table, df, "append", None, Some(statsCol))
 
   /** [[compactClustered]] that re-records stats for the FIRST key —
     * after the rewrite the new files' ranges are pairwise disjoint
@@ -749,15 +754,9 @@ object TxLog {
     require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
     requireNonEmpty(spark, table, "compact")
     val base = latestVersion(spark, table)
-    val df = read(spark, table, Some(base))
-    requireFitsDeclared(spark, table, df, "compact")
-    val removes = snapshotFiles(spark, table, Some(base))
-    val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
-    val dataDir = new Path(table, rel)
-    FileFormats.writeRangeClustered(df, dataDir.toString, files, keys: _*)
-    val written = writtenFiles(spark, table, rel)
-    commitRewrite(spark, table, base, written, removes, "compact", dataDir,
-      stats = footerStats(spark, table, written, keys.head))
+    replaceCommitAt(spark, table, base, read(spark, table, Some(base)), "compact",
+      (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*),
+      statsCol = Some(keys.head))
   }
 
   /** Live files' recorded (min, max) for `statsCol` as of `asOf` —
@@ -765,8 +764,16 @@ object TxLog {
     * intersected with the live set. Files with no recorded stats are
     * simply absent (readers must treat absence as "cannot skip"). */
   def statsAt(spark: SparkSession, table: String, statsCol: String,
-              asOf: Option[Long] = None): Map[String, (Long, Long)] = {
-    val live = snapshotFiles(spark, table, asOf).toSet
+              asOf: Option[Long] = None): Map[String, (Long, Long)] =
+    statsForLive(spark, table, statsCol,
+      snapshotFiles(spark, table, asOf).toSet, asOf)
+
+  /** [[statsAt]] with the live set already in hand — callers that have
+    * just replayed the snapshot (pruneFiles, readWhere, deleteWhere)
+    * avoid a second identical log replay. */
+  private def statsForLive(spark: SparkSession, table: String, statsCol: String,
+                           live: Set[String],
+                           asOf: Option[Long]): Map[String, (Long, Long)] =
     statsPayloadsAt(spark, table, asOf).flatMap { payload =>
       payload.split('|') match {
         case Array(p, c, mn, mx) if c == statsCol && live.contains(p) =>
@@ -774,7 +781,6 @@ object TxLog {
         case _ => None
       }
     }.toMap
-  }
 
   /** The live files a `[lo, hi]` range read on `statsCol` must scan:
     * (kept, total live) — kept = recorded range intersects, or no
@@ -784,7 +790,7 @@ object TxLog {
                                 statsCol: String, lo: Long, hi: Long,
                                 asOf: Option[Long] = None): (Seq[String], Int) = {
     val live = snapshotFiles(spark, table, asOf)
-    val stats = statsAt(spark, table, statsCol, asOf)
+    val stats = statsForLive(spark, table, statsCol, live.toSet, asOf)
     val kept = live.filter(p => stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
     (kept, live.size)
   }
@@ -832,7 +838,7 @@ object TxLog {
     requireNonEmpty(spark, table, "delete")
     val base = latestVersion(spark, table)
     val live = snapshotFiles(spark, table, Some(base))
-    val stats = statsAt(spark, table, statsCol, Some(base))
+    val stats = statsForLive(spark, table, statsCol, live.toSet, Some(base))
     val touched = live.filter(p =>
       stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (touched.isEmpty) return base // no file can contain a match
@@ -998,6 +1004,17 @@ object TxLog {
     // overwrites in range fail loudly inside appendedFiles
     val delivering = range
       .map(v => v -> appendedFiles(spark, table, v)).filter(_._2.nonEmpty)
+    // a delivering version below the vacuum watermark may reference
+    // reclaimed files — fail at the API, not with a missing-file scan
+    // error mid-job (the same loud contract as read/asOf)
+    locally {
+      val wm = earliestReadableVersion(spark, table)
+      delivering.map(_._1).find(_ < wm).foreach { v =>
+        throw new IllegalArgumentException(
+          s"txlog: change-feed version $v of $table was vacuumed " +
+            s"(earliest readable: $wm) — its appended files may be reclaimed")
+      }
+    }
     require(delivering.nonEmpty,
       s"txlog: no appended rows in ($fromExclusive, $toInclusive] " +
         "(only compaction commits)")
@@ -1032,14 +1049,16 @@ object TxLog {
     * Driver-side scan of the commit log's txn markers — bounded by
     * commit count, the same contract as version listing. */
   def lastCommittedBatch(spark: SparkSession, table: String,
-                         appId: String): Option[Long] = {
+                         appId: String, asOf: Option[Long] = None): Option[Long] = {
     requireAppId(appId)
     val pre = appId + ":"
-    val ids = versions(spark, table).flatMap { v =>
-      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).collect {
-        case ("txn", t) if t.startsWith(pre) => t.stripPrefix(pre).toLong
+    val ids = versions(spark, table)
+      .filter(v => asOf.forall(v <= _))
+      .flatMap { v =>
+        readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).collect {
+          case ("txn", t) if t.startsWith(pre) => t.stripPrefix(pre).toLong
+        }
       }
-    }
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -1055,22 +1074,46 @@ object TxLog {
                        appId: String, batchId: Long): Option[Long] = {
     requireAppId(appId)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
-    requireFitsDeclared(spark, table, df, "idempotent append")
-    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
-    val rel = f"data/v$intended%08d-${uniq()}"
+    Some(appendCommit(spark, table, df, "idempotent append",
+      Some((appId, batchId)), None))
+  }
+
+  /** CAS-style first materialization: append `df` as version 0 with a
+    * txn marker, succeeding ONLY if the table is still empty — a lost
+    * race cleans up its data and returns false so the caller can
+    * re-enter on the winner's state. The create-exclusive commit claim
+    * is what makes two concurrent builders land exactly one build
+    * ([[graft.operators.MatView]]'s build path). */
+  def appendIfEmpty(spark: SparkSession, table: String, df: DataFrame,
+                    appId: String, batchId: Long): Boolean = {
+    requireAppId(appId)
+    requireFitsDeclared(spark, table, df, "append")
+    val rel = f"data/v00000000-${uniq()}"
     df.write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
-    var v = intended
-    var attempts = 0
-    while (!tryCommit(spark, table, v, files, Seq.empty, None, None,
-      Some((appId, batchId)))) {
-      attempts += 1
-      require(attempts < maxCommitAttempts,
-        s"txlog: idempotent append to $table still contended after $attempts attempts")
-      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+    if (tryCommit(spark, table, 0L, files, Seq.empty, None, None,
+      Some((appId, batchId)))) true
+    else {
+      val dir = new Path(table, rel)
+      fs(spark, dir).delete(dir, true) // lost the build race: no orphans
+      false
     }
-    maybeCheckpoint(spark, table, v)
-    Some(v)
+  }
+
+  /** [[overwriteIdempotent]] PINNED at `baseVersion`: the rewrite lands
+    * only on top of the exact version the caller derived `df` from — a
+    * concurrent commit in between aborts with
+    * [[TxLogConcurrentModificationException]] instead of silently
+    * basing the rewrite on state the caller never read (the
+    * read-fold-commit CAS [[graft.operators.MatView]] leans on). */
+  def overwriteIdempotentAt(spark: SparkSession, table: String,
+                            baseVersion: Long, df: DataFrame,
+                            appId: String, batchId: Long): Option[Long] = {
+    requireAppId(appId)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
+    requireNonEmpty(spark, table, "overwrite")
+    Some(replaceCommitAt(spark, table, baseVersion, df,
+      "overwrite", (d, p) => d.write.parquet(p), Some((appId, batchId))))
   }
 
   /** [[overwrite]] with the txn marker — the exactly-once landing for a

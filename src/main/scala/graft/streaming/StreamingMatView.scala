@@ -19,20 +19,28 @@ import graft.operators.MatView
   * SEVERAL commits landed folds them all in one exact delta; and a
   * crash between the view commit and the checkpoint write is the
   * replayed-trigger case, not a corruption ([[MatView.refresh]]'s
-  * watermark rides inside the view's own commit log). */
+  * watermark rides inside the view's own commit log).
+  *
+  * Rewrite commits (overwrite / merge / deleteWhere) must not kill the
+  * stream OR go stale: the source reads with `skipChangeCommits` so a
+  * rewrite plans as an EMPTY batch rather than a loud abort, and the
+  * trigger fires on EVERY batch — empty included — so that very batch's
+  * refresh performs the recompute fallback the rewrite demands. */
 object StreamingMatView {
 
   def maintain(spark: SparkSession, srcTable: String, mvTable: String,
                keyCols: Seq[String], valCol: String,
                checkpoint: String): StreamingQuery =
-    spark.readStream.format("graft-txlog").load(srcTable)
+    spark.readStream.format("graft-txlog")
+      .option("skipChangeCommits", "true")
+      .load(srcTable)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          MatView.refresh(batch.sparkSession, srcTable, mvTable, keyCols, valCol)
-          ()
-        }
+        // trigger-only: refresh even on an empty batch (a rewrite commit
+        // delivers no rows but obligates the recompute fallback)
+        MatView.refresh(batch.sparkSession, srcTable, mvTable, keyCols, valCol)
+        ()
       }
       .start()
 }

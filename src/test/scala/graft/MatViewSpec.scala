@@ -67,6 +67,25 @@ class MatViewSpec extends SparkSpec {
     assert(mvMap(mv) == Map("a" -> ((1L, 100L)), "b" -> ((1L, 7L))))
   }
 
+  test("concurrent refreshes: every commit race is CAS-resolved, the view never double-folds") {
+    val (src, mv) = fresh("race")
+    TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    // two genuinely concurrent FIRST refreshes: exactly one build lands,
+    // the loser re-enters on the winner's state
+    val t1 = new Thread(() => { MatView.refresh(spark, src, mv, Seq("k"), "v"); () })
+    val t2 = new Thread(() => { MatView.refresh(spark, src, mv, Seq("k"), "v"); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(mvMap(mv) == Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L))),
+      "two racing builders must land exactly one build")
+    // two concurrent INCREMENTAL refreshes over the same new commit
+    TxLog.append(spark, src, Seq(("a", 10L)).toDF("k", "v"))
+    val t3 = new Thread(() => { MatView.refresh(spark, src, mv, Seq("k"), "v"); () })
+    val t4 = new Thread(() => { MatView.refresh(spark, src, mv, Seq("k"), "v"); () })
+    t3.start(); t4.start(); t3.join(); t4.join()
+    assert(mvMap(mv) == Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L))),
+      "racing incremental refreshes must fold the commit exactly once")
+  }
+
   test("the incremental fold reads ONLY the delta's files (folded history is never rescanned)") {
     val (src, mv) = fresh("delta-only")
     TxLog.append(spark, src, (1L to 100L).map(i => (s"k${i % 4}", i)).toDF("k", "v"))

@@ -56,6 +56,15 @@ class StreamingMatViewSpec extends SparkSpec {
         qMv3.processAllAvailable()
         assert(got == expected, "view must keep trailing after a restart")
         assert(got("b") == ((2L, 103L)))
+        // a REWRITE commit (stats-free delete via overwrite) must not
+        // kill the stream, and its own (empty) trigger batch must
+        // refresh the view through the recompute fallback
+        TxLog.overwrite(spark, src,
+          TxLog.read(spark, src).filter($"k" =!= "a"))
+        qMv3.processAllAvailable()
+        assert(qMv3.isActive, "a rewrite commit must not kill the maintenance stream")
+        assert(got == expected, "the rewrite's own trigger must recompute the view")
+        assert(!got.contains("a"), "deleted keys must leave the view")
       } finally qMv3.stop()
     } finally qIngest.stop()
   }
