@@ -380,7 +380,7 @@ object TxLog {
     * so it can NEVER truly conflict (the no-conflict row of the public
     * lakehouse conflict matrix). */
   def append(spark: SparkSession, table: String, df: DataFrame): Long =
-    appendCommit(spark, table, df, "append", None, None)
+    appendCommit(spark, table, df, "append", None, Seq.empty)
 
   /** The one append OCC loop every append flavor funnels through:
     * data written once to a unique dir, the commit claim retried at
@@ -389,21 +389,24 @@ object TxLog {
     * marker (idempotent flavors) and optional per-file stats column. */
   private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
                            what: String, txn: Option[(String, Long)],
-                           statsCol: Option[String]): Long = {
+                           statsCols: Seq[String]): Long = {
     requireFitsDeclared(spark, table, df, what)
-    statsCol.foreach(c => require(df.schema.fieldNames.contains(c),
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-${uniq()}"
     df.write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
-    val stats = statsCol.fold(Seq.empty[String])(footerStats(spark, table, files, _))
-    // a stats request that records nothing would silently void the
-    // skipping contract forever — fail at write time instead
-    statsCol.foreach(c => require(files.isEmpty || stats.nonEmpty,
-      s"txlog: no parquet footer carried statistics for '$c' — " +
-        "the files would be permanently unprunable"))
+    val stats = statsCols.flatMap { c =>
+      val forCol = footerStats(spark, table, files, c)
+      // a stats request that records nothing would silently void the
+      // skipping contract forever — fail at write time instead
+      require(files.isEmpty || forCol.nonEmpty,
+        s"txlog: no parquet footer carried statistics for '$c' — " +
+          "the files would be permanently unprunable")
+      forCol
+    }
     var v = intended
     var attempts = 0
     while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn, stats)) {
@@ -594,7 +597,7 @@ object TxLog {
                               baseVersion: Long, df: DataFrame, tag: String,
                               write: (DataFrame, String) => Unit,
                               txn: Option[(String, Long)] = None,
-                              statsCol: Option[String] = None): Long = {
+                              statsCols: Seq[String] = Seq.empty): Long = {
     requireFitsDeclared(spark, table, df, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
@@ -602,7 +605,7 @@ object TxLog {
     write(df, dataDir.toString)
     val files = writtenFiles(spark, table, rel)
     commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn,
-      statsCol.fold(Seq.empty[String])(footerStats(spark, table, files, _)))
+      statsCols.flatMap(footerStats(spark, table, files, _)))
   }
 
   private def replaceCommit(spark: SparkSession, table: String,
@@ -742,8 +745,10 @@ object TxLog {
     * `df.repartitionByRange(n, col)` makes the recorded ranges disjoint
     * and the skipping maximally selective). */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: String): Long =
-    appendCommit(spark, table, df, "append", None, Some(statsCol))
+                      statsCols: String*): Long = {
+    require(statsCols.nonEmpty, "txlog: appendWithStats needs at least one column")
+    appendCommit(spark, table, df, "append", None, statsCols)
+  }
 
   /** [[compactClustered]] that re-records stats for the FIRST key —
     * after the rewrite the new files' ranges are pairwise disjoint
@@ -756,7 +761,7 @@ object TxLog {
     val base = latestVersion(spark, table)
     replaceCommitAt(spark, table, base, read(spark, table, Some(base)), "compact",
       (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*),
-      statsCol = Some(keys.head))
+      statsCols = keys)
   }
 
   /** Live files' recorded (min, max) for `statsCol` as of `asOf` —
@@ -1075,7 +1080,7 @@ object TxLog {
     requireAppId(appId)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
     Some(appendCommit(spark, table, df, "idempotent append",
-      Some((appId, batchId)), None))
+      Some((appId, batchId)), Seq.empty))
   }
 
   /** CAS-style first materialization: append `df` as version 0 with a
