@@ -130,9 +130,10 @@ object MatView {
     * is exactly the fold-in ≡ recompute claim. */
   def qwMvRefresh(spark: SparkSession, d: String): DataFrame = {
     val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-mv-" +
-      java.lang.Integer.toHexString(d.hashCode)
-    val src = s"$base-src"; val mv = s"$base-view"
+    // per-process slot (Fixtures): a concurrent harness process must
+    // never share this live TxLog lifecycle — see Fixtures' scaladoc
+    val src = Fixtures.table("mv", d, "src")
+    val mv = Fixtures.table("mv", d, "view")
     TxLog.destroy(spark, src); TxLog.destroy(spark, mv)
     TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 0))
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "build")

@@ -197,8 +197,7 @@ object Merge {
   def qwTxlogRead(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     val docs = T.documents(spark, d).select("doc_id", "lang")
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txlog-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val table = Fixtures.table("txlog", d, "t")
     TxLog.destroy(spark, table)
     (0 to 2).foreach(r => TxLog.append(spark, table,
       docs.filter(col("doc_id") % 3 === r)))
@@ -220,8 +219,7 @@ object Merge {
   def qwOptimizeRead(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txopt-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val table = Fixtures.table("txopt", d, "t")
     TxLog.destroy(spark, table)
     (0 to 2).foreach(r => TxLog.append(spark, table,
       orders.filter(col("o_orderkey") % 3 === r)))
@@ -243,8 +241,7 @@ object Merge {
   def qwPrunedRead(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txstats-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val table = Fixtures.table("txstats", d, "t")
     TxLog.destroy(spark, table)
     val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
     val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
@@ -273,8 +270,7 @@ object Merge {
   def qwDeleteWhere(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft-txdel-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val table = Fixtures.table("txdel", d, "t")
     TxLog.destroy(spark, table)
     val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
     val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)

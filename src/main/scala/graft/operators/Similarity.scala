@@ -885,8 +885,7 @@ object Similarity {
     // load → serve. Queries run against the loaded artifact (codebook
     // rows + parquet codes), not the in-memory model, so a store/load
     // regression — not just a train/encode one — flips the row.
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val idxDir = Fixtures.dir("pq-index", d)
     savePqIndex(buildPqIndex(e, m = 16, nbits = 6, maxIter = 8), idxDir)
     val idx = loadPqIndex(spark, idxDir)
     val selfW = Window.partitionBy("qid").orderBy("rn")
@@ -972,8 +971,7 @@ object Similarity {
     // stored-index lifecycle under the gate, like [[qsPqRecall]]:
     // build → persist (centroids + codebook + codes) → load → serve
     val coarse = trainQuantizer(e, nlist = 16, maxIter = 8)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-index-" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val idxDir = Fixtures.dir("ivfpq-index", d)
     saveIvfPqIndex(
       buildIvfPqIndex(e, nlist = 16, m = 16, nbits = 6, quantizer = Some(coarse)),
       idxDir)
