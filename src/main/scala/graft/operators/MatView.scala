@@ -45,12 +45,22 @@ object MatView {
     * frame (the full recompute — also the refresh's correctness
     * reference). Pinned: a source commit racing in after the caller
     * captured `srcVersion` must NOT leak into a view stamped with that
-    * watermark, or the next incremental refresh would fold it twice. */
+    * watermark, or the next incremental refresh would fold it twice.
+    *
+    * The maintained shape is (cnt, total, vmin, vmax) — count and sum
+    * are invertible-free commutative monoids; MIN and MAX are monoids
+    * too UNDER APPEND-ONLY deltas (`min(old, delta)` /
+    * `max(old, delta)`), and the one case where they stop being
+    * foldable — a delete might have removed the current extremum — is
+    * exactly the rewrite-commit case that already forces the
+    * full-recompute fallback, so the fold is exact everywhere it runs.
+    * AVG needs no slot at all: it is total/cnt, derived at read time. */
   private def fullAggregate(spark: SparkSession, src: String, srcVersion: Long,
                             keyCols: Seq[String], valCol: String): DataFrame =
     TxLog.read(spark, src, Some(srcVersion))
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
+        min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
 
   /** Refresh `mv` to cover `src`'s latest version. Returns the refresh
     * mode actually taken: "noop" (already current), "build" (first
@@ -94,7 +104,10 @@ object MatView {
       // changes already-folded rows: the delta algebra cannot express it
       val hasRewrite = range.exists { v =>
         val kind = TxLog.commitKind(spark, src, v)
-        !kind.contains("compact") && TxLog.commitRemoves(spark, src, v)
+        // commitChangesData, not commitRemoves: a MOR delete binds
+        // deletion vectors without removing a file, yet still changes
+        // already-folded rows
+        !kind.contains("compact") && TxLog.commitChangesData(spark, src, v)
       }
       def commitPinned(view: DataFrame, mode: String): String =
         try {
@@ -113,21 +126,138 @@ object MatView {
         val delta = TxLog.readChanges(spark, src, applied, srcLatest)
           .drop("_commit_version")
           .groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+          .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
+            min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
         val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
           .groupBy(keyCols.map(col): _*)
-          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
+            min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
         commitPinned(folded, "incremental")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // MV over a FILTERED JOIN of two versioned tables: the star-schema
+  // view ("revenue by nation") maintained by folding only the FACT
+  // delta against the broadcast dim. A dim change cannot fold — a new
+  // dim row can retroactively match old fact rows the view never kept —
+  // so it honestly forces the recompute path; the overwhelmingly more
+  // frequent fact appends stay incremental, which is the 100 TB claim.
+  // ---------------------------------------------------------------------
+
+  private val MvjAppId = "graft-mvjoin"
+  private val MvjFactId = "graft-mvjoin-fact"
+  private val MvjDimId = "graft-mvjoin-dim"
+
+  /** `factDf FILTER factFilter INNER JOIN broadcast(dimDf) ON joinKeys
+    * GROUP BY keyCols → (cnt, sum(valCol))` — the maintained shape. */
+  private def joinAggregate(factDf: DataFrame, dimDf: DataFrame,
+                            joinKeys: Seq[String], keyCols: Seq[String],
+                            valCol: String,
+                            factFilter: Option[String]): DataFrame = {
+    val filtered = factFilter.fold(factDf)(factDf.filter)
+    filtered.join(broadcast(dimDf), joinKeys)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+  }
+
+  /** Refresh the join MV `mv` over fact table `fact` ⋈ dim table `dim`
+    * (both TxLog), returning the mode taken ("noop" / "build" /
+    * "incremental" / "recompute"). Watermarks: the view's commits carry
+    * THREE txn markers — the applied fact version, the applied dim
+    * version, and a primary idempotence marker whose batchId is their
+    * SUM (strictly monotone: each watermark only grows, so any state
+    * change advances it — a plain factVersion primary would wrongly
+    * skip the commit when ONLY the dim advanced). Race-exactness is
+    * [[refresh]]'s: pinned reads, CAS commits, lost races re-enter. */
+  def refreshJoin(spark: SparkSession, fact: String, dim: String, mv: String,
+                  joinKeys: Seq[String], keyCols: Seq[String], valCol: String,
+                  factFilter: Option[String] = None): String =
+    refreshJoinOnce(spark, fact, dim, mv, joinKeys, keyCols, valCol,
+      factFilter, attemptsLeft = 5)
+
+  private def refreshJoinOnce(spark: SparkSession, fact: String, dim: String,
+                              mv: String, joinKeys: Seq[String],
+                              keyCols: Seq[String], valCol: String,
+                              factFilter: Option[String],
+                              attemptsLeft: Int): String = {
+    require(attemptsLeft > 0,
+      s"txlog: join-matview refresh of $mv kept losing commit races — giving up")
+    def retry() = refreshJoinOnce(spark, fact, dim, mv, joinKeys, keyCols,
+      valCol, factFilter, attemptsLeft - 1)
+    val factLatest = TxLog.latestVersion(spark, fact)
+    val dimLatest = TxLog.latestVersion(spark, dim)
+    def fullView: DataFrame = joinAggregate(
+      TxLog.read(spark, fact, Some(factLatest)),
+      TxLog.read(spark, dim, Some(dimLatest)),
+      joinKeys, keyCols, valCol, factFilter)
+    val marks = Seq((MvjFactId, factLatest), (MvjDimId, dimLatest))
+    if (TxLog.versions(spark, mv).isEmpty) {
+      if (TxLog.appendIfEmpty(spark, mv, fullView, MvjAppId,
+        factLatest + dimLatest, extraTxns = marks)) "build"
+      else retry()
+    } else {
+      val mvBase = TxLog.latestVersion(spark, mv)
+      val appliedFact = TxLog.lastCommittedBatch(spark, mv, MvjFactId, Some(mvBase))
+        .getOrElse(throw new IllegalStateException(
+          s"txlog: $mv carries no $MvjFactId marker — not a join-MV table"))
+      val appliedDim = TxLog.lastCommittedBatch(spark, mv, MvjDimId, Some(mvBase))
+        .getOrElse(throw new IllegalStateException(
+          s"txlog: $mv carries no $MvjDimId marker — not a join-MV table"))
+      if (appliedFact >= factLatest && appliedDim >= dimLatest) return "noop"
+      def commitPinned(view: DataFrame, mode: String): String =
+        try {
+          TxLog.overwriteIdempotentAt(spark, mv, mvBase, view, MvjAppId,
+            factLatest + dimLatest, extraTxns = marks)
+          mode
+        } catch {
+          case _: graft.sources.TxLogConcurrentModificationException => retry()
+        }
+      def deliversRows(table: String, lo: Long, hi: Long): Boolean =
+        TxLog.versions(spark, table)
+          .filter(v => v > lo && v <= hi)
+          .exists(v => !TxLog.commitKind(spark, table, v).contains("compact"))
+      // any dim change beyond compaction invalidates the fold (a fresh
+      // dim row may match fact rows an inner join already dropped)
+      if (deliversRows(dim, appliedDim, dimLatest))
+        commitPinned(fullView, "recompute")
+      else {
+        val factRange = TxLog.versions(spark, fact)
+          .filter(v => v > appliedFact && v <= factLatest)
+        val factRewrite = factRange.exists { v =>
+          !TxLog.commitKind(spark, fact, v).contains("compact") &&
+            TxLog.commitChangesData(spark, fact, v)
+        }
+        if (factRewrite) commitPinned(fullView, "recompute")
+        else if (!deliversRows(fact, appliedFact, factLatest))
+          // compaction-only movement on both sides: the data is unchanged,
+          // but the watermarks must still advance or every later refresh
+          // re-walks this range — land a no-data marker-only overwrite?
+          // No: keep the watermark where it is; the next delta-bearing
+          // refresh covers the wider range exactly (same rule as refresh).
+          "noop"
+        else {
+          val delta = joinAggregate(
+            TxLog.readChanges(spark, fact, appliedFact, factLatest)
+              .drop("_commit_version"),
+            TxLog.read(spark, dim, Some(dimLatest)),
+            joinKeys, keyCols, valCol, factFilter)
+          val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
+            .groupBy(keyCols.map(col): _*)
+            .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+          commitPinned(folded, "incremental")
+        }
       }
     }
   }
 
   /** QW — the maintenance lifecycle under the oracle gate: documents
     * lands in three appends with a compaction in the middle; the view
-    * (per-lang doc count + char total) is BUILT after the first append
-    * and INCREMENTALLY refreshed after each later commit — the final
-    * view must hash-match a plain GROUP BY over the whole table, which
-    * is exactly the fold-in ≡ recompute claim. */
+    * (per-lang doc count + char total + min/max) is BUILT after the
+    * first append and INCREMENTALLY refreshed after each later commit —
+    * the final view must hash-match a plain GROUP BY over the whole
+    * table, which is exactly the fold-in ≡ recompute claim. */
   def qwMvRefresh(spark: SparkSession, d: String): DataFrame = {
     val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
     // per-process slot (Fixtures): a concurrent harness process must
@@ -144,14 +274,62 @@ object MatView {
     TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 2))
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "incremental")
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "noop") // idempotent
-    TxLog.read(spark, mv).select("lang", "cnt", "total").orderBy("lang")
+    TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
+      .orderBy("lang")
+  }
+
+  /** QW — the JOIN-MV lifecycle under the oracle gate: orders (fact)
+    * and customer (dim) land as TxLog tables; the view (per-nation
+    * order count + floor-price total over orders above a price floor)
+    * is BUILT while the dim is only HALF loaded (inner join silently
+    * drops the other half's orders — the honest intermediate state),
+    * folded incrementally across fact appends, RECOMPUTED when the
+    * dim's second half lands (a dim change can never fold), and folded
+    * incrementally again after — the final view must hash-match a plain
+    * SQL join-group-by over the complete tables. Integer math
+    * (`floor(price)` summed as BIGINT) keeps the hash compare exact. */
+  def qwMvJoinRefresh(spark: SparkSession, d: String): DataFrame = {
+    val factRows = T.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("o_val"))
+    val dimRows = T.customer(spark, d).select("c_custkey", "c_nationkey")
+    val fact = Fixtures.table("mvj", d, "fact")
+    val dim = Fixtures.table("mvj", d, "dim")
+    val mv = Fixtures.table("mvj", d, "view")
+    Seq(fact, dim, mv).foreach(TxLog.destroy(spark, _))
+    def go() = refreshJoin(spark, fact, dim, mv,
+      joinKeys = Seq("c_custkey"), keyCols = Seq("c_nationkey"),
+      valCol = "o_val", factFilter = Some("o_val > 1000"))
+    TxLog.append(spark, dim, dimRows.filter(col("c_custkey") % 2 === 0))
+    TxLog.append(spark, fact,
+      factRows.filter(col("o_orderkey") % 3 === 0).withColumnRenamed("o_custkey", "c_custkey"))
+    require(go() == "build")
+    TxLog.append(spark, fact,
+      factRows.filter(col("o_orderkey") % 3 === 1).withColumnRenamed("o_custkey", "c_custkey"))
+    require(go() == "incremental")
+    TxLog.append(spark, dim, dimRows.filter(col("c_custkey") % 2 === 1))
+    require(go() == "recompute")
+    TxLog.append(spark, fact,
+      factRows.filter(col("o_orderkey") % 3 === 2).withColumnRenamed("o_custkey", "c_custkey"))
+    require(go() == "incremental")
+    require(go() == "noop") // watermark idempotence
+    TxLog.read(spark, mv).select("c_nationkey", "cnt", "total")
+      .orderBy("c_nationkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qw_mv_refresh" -> qwMvRefresh _)
+    "qw_mv_refresh" -> qwMvRefresh _,
+    "qw_mv_join_refresh" -> qwMvJoinRefresh _)
 
   val oracles: Map[String, String] = Map(
     "qw_mv_refresh" ->
-      ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total " +
-        "FROM documents GROUP BY lang ORDER BY lang"))
+      ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+        "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "qw_mv_join_refresh" ->
+      ("SELECT c_nationkey, COUNT(*) AS cnt, " +
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"))
 }

@@ -296,7 +296,159 @@ object Merge {
     TxLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** QW7 — MULTI-COLUMN data skipping under the hash gate: orders lands
+    * in three `o_orderkey`-range-disjoint appends, each internally split
+    * into `o_custkey`-range-disjoint files, with per-file stats recorded
+    * for BOTH columns. An AND-of-ranges read must then prune on both
+    * axes — the row REQUIRES that the two-predicate prune keeps strictly
+    * FEWER files than the `o_orderkey` predicate alone (so a file the
+    * first column keeps is provably skipped by the second), and the
+    * result must hash-match a plain two-range SQL scan. */
+  def qwPrunedReadMulti(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = Fixtures.table("txstats2", d, "t")
+    TxLog.destroy(spark, table)
+    val mx = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+    val (maxKey, maxCust) = (mx.getLong(0), mx.getLong(1))
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    Seq(
+      orders.filter(col("o_orderkey") < b1),
+      orders.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2),
+      orders.filter(col("o_orderkey") >= b2)
+    ).foreach { wave =>
+      TxLog.appendWithStats(spark, table,
+        wave.repartitionByRange(2, col("o_custkey")),
+        "o_orderkey", "o_custkey")
+    }
+    val (loK, hiK) = (maxKey / 6, maxKey / 3)    // inside wave 1 + wave 2
+    val (loC, hiC) = (0L, maxCust / 4)           // lower custkey quartile
+    val preds = Seq(("o_orderkey", loK, hiK), ("o_custkey", loC, hiC))
+    val (keptBoth, live) = TxLog.pruneFilesMulti(spark, table, preds)
+    val (keptKeyOnly, _) = TxLog.pruneFiles(spark, table, "o_orderkey", loK, hiK)
+    require(keptKeyOnly.size < live,
+      s"txlog: o_orderkey stats pruned nothing (${keptKeyOnly.size} of $live)")
+    require(keptBoth.size < keptKeyOnly.size,
+      s"txlog: o_custkey stats added no pruning (${keptBoth.size} vs " +
+        s"${keptKeyOnly.size} by o_orderkey alone)")
+    TxLog.readWhereAll(spark, table, preds).orderBy("o_orderkey", "o_custkey")
+  }
+
+  /** QW8 — MERGE-ON-READ delete (deletion vectors) under the hash gate:
+    * the same range-disjoint stats-bearing layout as [[qwDeleteWhere]],
+    * then TWO overlapping [[graft.sources.TxLog.deleteWhereMor]] calls —
+    * the row REQUIRES that the live DATA file set is byte-identical
+    * before and after (nothing rewritten, moved, or removed: the whole
+    * point of merge-on-read), that deletion vectors are actually bound,
+    * and the post-delete read must hash-match a plain SQL anti-range
+    * scan of the UNION of both ranges (the second delete's vector must
+    * carry the first's positions forward). */
+  def qwDeleteMor(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = Fixtures.table("txdelmor", d, "t")
+    TxLog.destroy(spark, table)
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") < b1).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2)
+        .repartitionByRange(2, col("o_orderkey")), "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b2).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    // two OVERLAPPING erasures: [max/6, max/3] then [max/4, max/2] — the
+    // second re-masks files the first already masked (position union)
+    TxLog.deleteWhereMor(spark, table, "o_orderkey", maxKey / 6, maxKey / 3)
+    TxLog.deleteWhereMor(spark, table, "o_orderkey", maxKey / 4, maxKey / 2)
+    val after = TxLog.snapshotFiles(spark, table).toSet
+    require(after == before,
+      "txlog: merge-on-read delete must leave the data file set untouched")
+    require(TxLog.dvAt(spark, table).nonEmpty,
+      "txlog: merge-on-read delete bound no deletion vectors")
+    TxLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** QW9 — OPTIMIZE … ZORDER under the hash gate: orders lands in three
+    * interleaved appends, then TWO clustered rewrites are compared —
+    * [[graft.sources.TxLog.compactClusteredWithStats]] (lexicographic on
+    * (o_orderkey, o_custkey)) on one table and
+    * [[graft.sources.TxLog.optimizeZOrder]] (Morton-interleaved) on its
+    * twin. The row REQUIRES that a two-axis box read prunes STRICTLY
+    * more files under the Z-order layout than under the lexicographic
+    * one (the Z-order thesis, measured from the log's own stats), then
+    * returns the Z-ordered read, which must hash-match a plain SQL
+    * two-range scan. */
+  def qwZorderRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lex = Fixtures.table("txzorder", d, "lex")
+    val zed = Fixtures.table("txzorder", d, "zed")
+    val mx = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+    val (maxKey, maxCust) = (mx.getLong(0), mx.getLong(1))
+    Seq(lex, zed).foreach { t =>
+      TxLog.destroy(spark, t)
+      (0 to 2).foreach(r => TxLog.append(spark, t,
+        orders.filter(col("o_orderkey") % 3 === r)))
+    }
+    TxLog.compactClusteredWithStats(spark, lex, 64, "o_orderkey", "o_custkey")
+    TxLog.optimizeZOrder(spark, zed, 64, "o_orderkey", "o_custkey")
+    // a quarter-by-quarter box: the lexicographic layout must keep
+    // ~16 of its 64 orderkey slices (custkey prunes nothing for it),
+    // the z-order grid ~2x2 cells plus boundary
+    val preds = Seq(
+      ("o_orderkey", maxKey / 4, maxKey / 2),
+      ("o_custkey", maxCust / 4, maxCust / 2))
+    val (keptLex, liveLex) = TxLog.pruneFilesMulti(spark, lex, preds)
+    val (keptZ, liveZ) = TxLog.pruneFilesMulti(spark, zed, preds)
+    require(keptZ.size < keptLex.size,
+      s"txlog: z-order pruned no better than lexicographic " +
+        s"($keptZ.size of $liveZ vs ${keptLex.size} of $liveLex)")
+    TxLog.readWhereAll(spark, zed, preds).orderBy("o_orderkey", "o_custkey")
+  }
+
+  /** QW10 — column RENAME + DROP lifecycle (column mapping) under the
+    * hash gate: documents lands, `n_chars` is renamed to `chars`
+    * (metadata-only — the row REQUIRES the data file set is untouched),
+    * a second wave appends under the new name, `lang` is DROPPED, and a
+    * third wave re-ADDS `lang` through appendEvolve. The final read
+    * must hash-match an oracle where `lang` is NULL for every pre-re-add
+    * row — i.e. the drop is real and the re-added column NEVER
+    * resurrects the dropped bytes still sitting in old files (the fresh
+    * UUID physical). Time travel REQUIREs each side of the rename reads
+    * under its own name. */
+  def qwRenameLifecycle(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txrename", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.append(spark, table, docs.filter(col("doc_id") % 3 === 0))
+    val v0 = TxLog.latestVersion(spark, table)
+    val filesBefore = TxLog.snapshotFiles(spark, table).toSet
+    TxLog.renameColumn(spark, table, "n_chars", "chars")
+    require(TxLog.snapshotFiles(spark, table).toSet == filesBefore,
+      "txlog: rename must move zero data files")
+    TxLog.append(spark, table, docs.filter(col("doc_id") % 3 === 1)
+      .withColumnRenamed("n_chars", "chars"))
+    require(TxLog.read(spark, table, Some(v0)).columns.contains("n_chars"),
+      "txlog: time travel below the rename must read the old name")
+    require(TxLog.read(spark, table).columns.contains("chars"))
+    TxLog.dropColumn(spark, table, "lang")
+    require(!TxLog.read(spark, table).columns.contains("lang"),
+      "txlog: dropped column still visible")
+    TxLog.appendEvolve(spark, table, docs.filter(col("doc_id") % 3 === 2)
+      .withColumnRenamed("n_chars", "chars"))
+    TxLog.read(spark, table).select("doc_id", "chars", "lang").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_rename_lifecycle" -> qwRenameLifecycle _,
+    "qw_pruned_read_multi" -> qwPrunedReadMulti _,
+    "qw_delete_mor" -> qwDeleteMor _,
+    "qw_zorder_read" -> qwZorderRead _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -309,6 +461,37 @@ object Merge {
     // snapshot must be the identity
     "qw_txlog_read" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    // rename is logical-only (chars ≡ n_chars), the drop+re-add leaves
+    // lang NULL everywhere except the post-re-add wave (doc_id % 3 = 2)
+    "qw_rename_lifecycle" ->
+      ("SELECT doc_id, n_chars AS chars, " +
+        "CASE WHEN doc_id % 3 = 2 THEN lang ELSE NULL END AS lang " +
+        "FROM documents ORDER BY doc_id"),
+    // AND of two ranges; the skipping (proved by the in-row REQUIREs)
+    // decides files, never rows
+    "qw_pruned_read_multi" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//6 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//3 FROM orders) " +
+        "AND o_custkey BETWEEN 0 AND (SELECT MAX(o_custkey)//4 FROM orders) " +
+        "ORDER BY o_orderkey, o_custkey"),
+    // two overlapping MOR erasures ≡ the union of both ranges deleted
+    "qw_delete_mor" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT BETWEEN (SELECT MAX(o_orderkey)//6 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//3 FROM orders) " +
+        "AND o_orderkey NOT BETWEEN (SELECT MAX(o_orderkey)//4 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//2 FROM orders) " +
+        "ORDER BY o_orderkey"),
+    // the z-order rewrite is row-invisible: a two-axis box read off the
+    // rewritten table is a plain AND-of-ranges scan
+    "qw_zorder_read" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//4 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//2 FROM orders) " +
+        "AND o_custkey BETWEEN (SELECT MAX(o_custkey)//4 FROM orders) " +
+        "AND (SELECT MAX(o_custkey)//2 FROM orders) " +
+        "ORDER BY o_orderkey, o_custkey"),
     // range-disjoint stats-bearing appends + log-pruned range read must
     // be a plain range scan (the skip decides files, never rows);
     // boundaries mirror the builder's integer arithmetic

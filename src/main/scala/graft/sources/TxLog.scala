@@ -12,6 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class TxLogConcurrentModificationException(msg: String)
   extends RuntimeException(msg)
 
+/** Internal signal: while retrying a commit, a commit carrying the SAME
+  * (appId, batchId) transaction marker was found among the commits that
+  * beat this writer — the zombie-twin case (two drivers replaying one
+  * micro-batch). The idempotent entry points catch it and return None
+  * ("already committed") instead of landing the batch twice. */
+private[sources] class TxLogDuplicateBatchException(msg: String)
+  extends RuntimeException(msg)
+
 /** Minimal log-structured versioned table — the storage idea under
   * Delta/Iceberg/Hudi (public protocol concept: an ordered commit log
   * of add/remove-FILE actions over immutable parquet data files),
@@ -61,6 +69,9 @@ class TxLogConcurrentModificationException(msg: String)
   * `{"a":"add","p":"<relative path>"}` / `{"a":"remove","p":"..."}`.
   */
 object TxLog {
+
+  import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+    IntegerType, LongType, ShortType, StructType}
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,27 +142,29 @@ object TxLog {
                         adds: Seq[String], removes: Seq[String],
                         tag: Option[String] = None,
                         schemaB64: Option[String] = None,
-                        txn: Option[(String, Long)] = None,
-                        stats: Seq[String] = Seq.empty): Boolean = {
+                        txns: Seq[(String, Long)] = Seq.empty,
+                        stats: Seq[String] = Seq.empty,
+                        dvs: Seq[String] = Seq.empty): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
-    (adds ++ removes ++ stats).foreach { p =>
+    (adds ++ removes ++ stats ++ dvs).foreach { p =>
       require(!p.contains('"') && !p.contains('\\'),
         s"txlog: path contains a character the commit format cannot carry: $p")
     }
     // the optional kind tag comes FIRST, so change-feed consumers can
     // classify a commit without scanning its file actions; the txn
-    // marker (appId:batchId) rides INSIDE the commit so idempotence
+    // markers (appId:batchId) ride INSIDE the commit so idempotence
     // survives a crash at any point — there is no separate side file
     // to get out of sync with the log
     val lines =
       tag.map(k => s"""{"a":"tag","p":"$k"}""").toSeq ++
-        txn.map { case (app, b) => s"""{"a":"txn","p":"$app:$b"}""" }.toSeq ++
+        txns.map { case (app, b) => s"""{"a":"txn","p":"$app:$b"}""" } ++
         schemaB64.map(s => s"""{"a":"schema","p":"$s"}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":"$p"}""") ++
         removes.map(p => s"""{"a":"remove","p":"$p"}""") ++
-        stats.map(s => s"""{"a":"stats","p":"$s"}""")
+        stats.map(s => s"""{"a":"stats","p":"$s"}""") ++
+        dvs.map(s => s"""{"a":"dv","p":"$s"}""")
     tryCreateExclusive(spark, new Path(logDir(table), f"$version%08d.json"),
       lines.mkString("\n") + "\n")
   }
@@ -171,7 +184,8 @@ object TxLog {
       s"txlog: malformed commit line in $where: $line")
     val action = t(3)
     require(action == "add" || action == "remove" || action == "tag" ||
-      action == "schema" || action == "txn" || action == "stats",
+      action == "schema" || action == "txn" || action == "stats" ||
+      action == "dv",
       s"txlog: bad action in $where: $line")
     (action, t(7))
   }
@@ -258,6 +272,47 @@ object TxLog {
     acc.values.toSeq
   }
 
+  /** Deletion-vector bindings as of `asOf`, keyed by data-file relative
+    * path with the LAST binding winning (a later MOR delete on the same
+    * file re-points it at a dv set that CONTAINS the earlier positions —
+    * positions only ever accumulate) — checkpoint + suffix replay, same
+    * shape as [[statsPayloadsAt]]. Payload format: `fileRel|dvDirRel`. */
+  private def dvPayloadsAt(spark: SparkSession, table: String,
+                           asOf: Option[Long]): Seq[(String, String)] = {
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return Seq.empty
+    val target = asOf.getOrElse(vs.last)
+    val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(payload: String): Unit = {
+      val t = payload.split('|')
+      require(t.length == 2, s"txlog: malformed dv payload in $table: $payload")
+      acc(t(0)) = t(1)
+    }
+    startCkpt.foreach { cv =>
+      readLogFile(spark, ckptPath(table, cv)).foreach {
+        case ("dv", s) => fold(s)
+        case _ => ()
+      }
+    }
+    vs.filter(v => v <= target && startCkpt.forall(v > _)).foreach { v =>
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).foreach {
+        case ("dv", s) => fold(s)
+        case _ => ()
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Live files' deletion-vector dirs as of `asOf` (empty for a table
+    * that never saw a MOR delete — the common case pays one log replay
+    * it was already doing). */
+  def dvAt(spark: SparkSession, table: String,
+           asOf: Option[Long] = None): Map[String, String] = {
+    val live = snapshotFiles(spark, table, asOf).toSet
+    dvPayloadsAt(spark, table, asOf).filter(p => live.contains(p._1)).toMap
+  }
+
   private def maybeCheckpoint(spark: SparkSession, table: String,
                               version: Long): Unit = {
     if (version > 0 && version % checkpointEvery == 0) {
@@ -271,11 +326,20 @@ object TxLog {
       val statsLines = statsPayloadsAt(spark, table, Some(version))
         .filter(s => liveSet.contains(s.split('|')(0)))
         .map(s => s"""{"a":"stats","p":"$s"}""")
-      val f = fs(spark, logDir(table))
-      val out = f.create(ckptPath(table, version), true)
-      try out.write(((schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}""") ++
-        statsLines).mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+      // ...and the live files' deletion-vector bindings, for dvAt's replay
+      val dvLines = dvPayloadsAt(spark, table, Some(version))
+        .filter { case (file, _) => liveSet.contains(file) }
+        .map { case (file, dv) => s"""{"a":"dv","p":"$file|$dv"}""" }
+      // ATOMIC publication (same hazard as commits): a plain
+      // create+write+close lets a racing reader replay a truncated
+      // prefix of the .ckpt and silently drop live files from its
+      // snapshot. Checkpoint content at a version is deterministic
+      // (pure function of the log prefix), so losing the claim to a
+      // concurrent twin is fine — the file that exists is identical.
+      tryCreateExclusive(spark, ckptPath(table, version),
+        (schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}""") ++
+          statsLines ++ dvLines).mkString("\n") + "\n")
+      ()
     }
   }
 
@@ -303,6 +367,7 @@ object TxLog {
         case ("add", p) => live += p
         case ("schema", _) => () // carried for schemaAt's suffix replay
         case ("stats", _) => () // file stats, handled by statsPayloadsAt
+        case ("dv", _) => () // deletion-vector binding, handled by dvPayloadsAt
         case (a, p) => throw new IllegalArgumentException(
           s"txlog: checkpoint $cv carries non-add action $a for $p")
       }
@@ -316,10 +381,87 @@ object TxLog {
         case ("schema", _) => () // schema marker, handled by schemaAt
         case ("txn", _) => () // idempotence marker, see lastCommittedBatch
         case ("stats", _) => () // file stats, handled by statsPayloadsAt
+        case ("dv", _) => () // deletion-vector binding, see dvPayloadsAt
       }
     }
     live.toSeq
   }
+
+  // ---------------------------------------------------------------------
+  // COLUMN MAPPING (the public Delta column-mapping 'name' mode): each
+  // declared field may carry a PHYSICAL name in its metadata
+  // ("graft.physical") — the name actually written in parquet files.
+  // RENAME then changes only the logical name (a metadata-only commit;
+  // zero data rewritten, old files keep reading through the unchanged
+  // physical), DROP removes the field from the declared schema (old
+  // files' column is simply never selected), and a column re-ADDED
+  // after a drop gets a fresh UUID physical so the dropped data can
+  // never be silently resurrected. Tables that never rename/drop carry
+  // no mapping and read/write exactly as before.
+  // ---------------------------------------------------------------------
+
+  private val PhysicalKey = "graft.physical"
+
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def mappingEnabled(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** Stamp every field with its physical name (= its current logical
+    * name where absent) — the one-time upgrade a first rename/drop
+    * performs, pinning the names existing files were written with. */
+  private def withPhysicals(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(PhysicalKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysicalKey, f.name).build())
+    })
+
+  /** The schema as written in parquet: physical names, mapping metadata
+    * stripped (the files know nothing of logical names). */
+  private def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f),
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Rename a physically-read frame's columns back to their logical
+    * names, in declared order. Identity when no mapping is declared. */
+  private def logicalize(df: DataFrame, declared: Option[StructType]): DataFrame =
+    declared.filter(mappingEnabled) match {
+      case None => df
+      case Some(s) =>
+        import org.apache.spark.sql.functions.col
+        df.select(s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq: _*)
+    }
+
+  /** Rename an incoming LOGICAL frame's columns to their physical names
+    * for writing. Identity when no mapping is declared. */
+  private def physicalize(df: DataFrame, declared: Option[StructType]): DataFrame =
+    declared.filter(mappingEnabled) match {
+      case None => df
+      case Some(s) =>
+        import org.apache.spark.sql.functions.col
+        val byLogical = s.fields.map(f => f.name -> physicalName(f)).toMap
+        df.select(df.columns.map(c =>
+          col(c).as(byLogical.getOrElse(c, c))).toSeq: _*)
+    }
+
+  /** The physical name of logical column `c` as of `asOf` (itself when
+    * the table declares no mapping — the legacy identity). */
+  private def resolvePhysical(spark: SparkSession, table: String, c: String,
+                              asOf: Option[Long] = None): String =
+    schemaAt(spark, table, asOf)
+      .flatMap(_.fields.find(_.name == c)).map(physicalName).getOrElse(c)
+
+  /** logical → physical name map of the table's current declared schema
+    * (empty when no mapping is declared) — for readers that resolve
+    * parquet columns by name themselves ([[TxLogStream]]). */
+  private[sources] def physicalLookup(spark: SparkSession,
+                                      table: String): Map[String, String] =
+    schemaAt(spark, table).filter(mappingEnabled)
+      .map(_.fields.map(f => f.name -> physicalName(f)).toMap)
+      .getOrElse(Map.empty)
 
   private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(
@@ -380,23 +522,33 @@ object TxLog {
     * so it can NEVER truly conflict (the no-conflict row of the public
     * lakehouse conflict matrix). */
   def append(spark: SparkSession, table: String, df: DataFrame): Long =
-    appendCommit(spark, table, df, "append", None, Seq.empty)
+    appendCommit(spark, table, df, "append", None, Seq.empty).get
 
   /** The one append OCC loop every append flavor funnels through:
     * data written once to a unique dir, the commit claim retried at
     * the next free version until it lands (an append's adds depend on
     * no prior state, so it can never truly conflict). Optional txn
-    * marker (idempotent flavors) and optional per-file stats column. */
+    * marker (idempotent flavors) and optional per-file stats columns.
+    *
+    * Returns None ONLY in the txn-marked duplicate race: while retrying
+    * the claim, a commit that beat this writer carries the same appId at
+    * batchId >= ours — the zombie-twin replaying the same micro-batch.
+    * The initial check in [[appendIdempotent]] is check-then-act; two
+    * twins can both pass it, so the loop re-examines the commits that
+    * beat it (Delta raises ConcurrentTransactionException here; we
+    * resolve it as "already committed", which is strictly safer than
+    * landing twice). The orphaned data dir is deleted. */
   private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
                            what: String, txn: Option[(String, Long)],
-                           statsCols: Seq[String]): Long = {
+                           statsCols: Seq[String]): Option[Long] = {
     requireFitsDeclared(spark, table, df, what)
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-${uniq()}"
-    df.write.parquet(new Path(table, rel).toString)
+    physicalize(df, schemaAt(spark, table))
+      .write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
     val stats = statsCols.flatMap { c =>
       val forCol = footerStats(spark, table, files, c)
@@ -409,22 +561,26 @@ object TxLog {
     }
     var v = intended
     var attempts = 0
-    while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn, stats)) {
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn.toSeq, stats)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $what to $table still contended after $attempts attempts")
+      txn.foreach { case (app, b) =>
+        if (lastCommittedBatch(spark, table, app).exists(_ >= b)) {
+          val dir = new Path(table, rel)
+          fs(spark, dir).delete(dir, true) // the twin landed it: no orphans
+          return None
+        }
+      }
       v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
     }
     maybeCheckpoint(spark, table, v)
-    v
+    Some(v)
   }
 
   // ---------------------------------------------------------------------
   // Schema evolution (add-column with null backfill, numeric widening)
   // ---------------------------------------------------------------------
-
-  import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
-    IntegerType, LongType, ShortType, StructType}
 
   private val numericWidenRank: Map[DataType, Int] =
     Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
@@ -470,7 +626,18 @@ object TxLog {
       }
     }
     val added = incoming.fields
-      .filter(f => !cur.fieldNames.contains(f.name)).map(_.copy(nullable = true))
+      .filter(f => !cur.fieldNames.contains(f.name)).map { f =>
+        val nf = f.copy(nullable = true)
+        // under column mapping a NEW column gets a fresh UUID physical:
+        // re-adding a dropped column's name must never resurrect the
+        // dropped data still sitting in old files under its physical
+        if (!mappingEnabled(cur)) nf
+        else nf.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(nf.metadata)
+          .putString(PhysicalKey,
+            s"col_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+          .build())
+      }
     StructType(evolvedExisting ++ added)
   }
 
@@ -501,7 +668,7 @@ object TxLog {
     val intended = vs.last + 1
     val rel = f"data/v$intended%08d-${uniq()}"
     val dataDir = new Path(table, rel)
-    df.write.parquet(dataDir.toString)
+    physicalize(df, Some(evolved)).write.parquet(dataDir.toString)
     val files = writtenFiles(spark, table, rel)
     val schemaB64 = Some(encodeSchema(evolved))
     var v = intended
@@ -527,6 +694,130 @@ object TxLog {
     v
   }
 
+  /** Scan `files` (relative paths) under the optional declared schema,
+    * ANTI-APPLYING each file's deletion vector: files bound to a dv dir
+    * are read WITH the parquet metadata columns (`_metadata.file_name`,
+    * `_metadata.row_index` — stable physical row positions, the public
+    * Delta deletion-vector addressing idea) and left-anti joined against
+    * the dv rows (file_name, pos); unbound files scan plain. The dv
+    * frame is a handful of rows per targeted file and is broadcast, so
+    * the read-side cost of merge-on-read is one map-side hash probe —
+    * never a shuffle of the 100 TB side. */
+  private def scanLive(spark: SparkSession, table: String, files: Seq[String],
+                       declared: Option[StructType],
+                       dvs: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // files are read under the PHYSICAL schema (identical to the
+    // declared one unless a rename/drop enabled column mapping); logical
+    // names come back via logicalize at the END, after the dv anti-join
+    // — the hidden _metadata struct is only reachable on the raw scan
+    def plainRead(rels: Seq[String]): DataFrame = {
+      val paths = rels.map(p => new Path(table, p).toString)
+      declared match {
+        // declared schema: files written before an add-column read the new
+        // column as null; files written before a widening read promoted
+        // (int32→long etc. — native in Spark 4's vectorized parquet reader)
+        case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
+    val (masked, clean) = files.partition(dvs.contains)
+    if (masked.isEmpty) return logicalize(plainRead(files), declared)
+    val dvDirs = masked.map(dvs).distinct
+      .map(p => new Path(table, p).toString)
+    val dvRows = spark.read.parquet(dvDirs: _*) // (file, pos): deleted positions
+    val scanned = plainRead(masked)
+    val cols = scanned.columns
+    require(!cols.contains("_g_dv_file") && !cols.contains("_g_dv_pos"),
+      "txlog: table schema collides with the dv scan's internal columns")
+    val alive = scanned
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dvRows),
+        col("_g_dv_file") === dvRows("file") && col("_g_dv_pos") === dvRows("pos"),
+        "left_anti")
+      .drop("_g_dv_file", "_g_dv_pos")
+    logicalize(
+      if (clean.isEmpty) alive else plainRead(clean).unionByName(alive),
+      declared)
+  }
+
+  /** Schema-only commit (rename/drop): no data files move, the new
+    * declared schema rides a commit with zero adds/removes. OCC: on a
+    * lost claim, ANY intervening schema change aborts (two metadata
+    * merges cannot be assumed to compose — same rule as appendEvolve);
+    * plain data commits are compatible and the claim retries past them. */
+  private def commitSchemaOnly(spark: SparkSession, table: String,
+                               newSchema: StructType, what: String): Long = {
+    val intended = latestVersion(spark, table) + 1
+    val schemaB64 = Some(encodeSchema(newSchema))
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, Seq.empty, Seq.empty, None, schemaB64)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: $what of $table still contended after $attempts attempts")
+      val latest = versions(spark, table).last
+      val schemaConflict = versions(spark, table)
+        .filter(x => x >= intended && x <= latest)
+        .find(cv => readLogFile(spark, new Path(logDir(table), f"$cv%08d.json"))
+          .exists(_._1 == "schema"))
+      schemaConflict.foreach { cv =>
+        throw new TxLogConcurrentModificationException(
+          s"txlog: $what of $table lost to a concurrent schema change at " +
+            s"version $cv — re-read the table and retry")
+      }
+      v = math.max(v + 1, latest + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** The declared schema rename/drop operate on: the committed one, or
+    * the inferred current schema for a never-evolved table — stamped
+    * with physical names either way (the mapping upgrade). */
+  private def mappedCurrentSchema(spark: SparkSession, table: String): StructType =
+    withPhysicals(schemaAt(spark, table)
+      .getOrElse(StructType(read(spark, table).schema.fields.map(_.copy(nullable = true)))))
+
+  /** RENAME COLUMN — metadata-only, zero data rewritten: the declared
+    * field keeps its PHYSICAL name (what the parquet files carry) and
+    * changes only its logical one, so every existing file — at 100 TB,
+    * every byte of the table — stays untouched, recorded per-file stats
+    * stay addressable, and time travel to a pre-rename version reads
+    * under that version's own names. First use upgrades the table to
+    * column mapping (pins physical = current name for every field). */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    requireNonEmpty(spark, table, "rename")
+    require(from != to, s"txlog: rename to the same name: $from")
+    val cur = mappedCurrentSchema(spark, table)
+    require(cur.fieldNames.contains(from),
+      s"txlog: no column '$from' to rename (have: ${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.contains(to),
+      s"txlog: rename target '$to' already exists")
+    val renamed = StructType(cur.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitSchemaOnly(spark, table, renamed, s"rename $from->$to")
+  }
+
+  /** DROP COLUMN — metadata-only: the field leaves the declared schema,
+    * so no reader selects its physical column again; the bytes stay in
+    * old files (reclaimed as files rotate through compaction) and a
+    * later re-ADD of the same name gets a fresh physical, never the
+    * dropped data ([[evolveSchema]]). Time travel to a pre-drop version
+    * still reads the column. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    requireNonEmpty(spark, table, "drop")
+    val cur = mappedCurrentSchema(spark, table)
+    require(cur.fieldNames.contains(name),
+      s"txlog: no column '$name' to drop (have: ${cur.fieldNames.mkString(", ")})")
+    require(cur.fields.length > 1,
+      s"txlog: cannot drop the only column of $table")
+    val dropped = StructType(cur.fields.filterNot(_.name == name))
+    commitSchemaOnly(spark, table, dropped, s"drop $name")
+  }
+
   /** Read the table at `asOf` (default: latest snapshot). An empty
     * snapshot needs a schema to produce an empty frame, so it throws —
     * honest for a data table. */
@@ -537,14 +828,8 @@ object TxLog {
       s"txlog: version ${asOf.get} was vacuumed (earliest readable: $wm)")
     val files = snapshotFiles(spark, table, asOf)
     require(files.nonEmpty, s"txlog: empty snapshot for $table at $asOf")
-    val paths = files.map(p => new Path(table, p).toString)
-    schemaAt(spark, table, asOf) match {
-      // declared schema: files written before an add-column read the new
-      // column as null; files written before a widening read promoted
-      // (int32→long etc. — native in Spark 4's vectorized parquet reader)
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    scanLive(spark, table, files, schemaAt(spark, table, asOf),
+      dvAt(spark, table, asOf))
   }
 
   /** One commit that writes `df` and swaps it in for the entire
@@ -597,15 +882,19 @@ object TxLog {
                               baseVersion: Long, df: DataFrame, tag: String,
                               write: (DataFrame, String) => Unit,
                               txn: Option[(String, Long)] = None,
-                              statsCols: Seq[String] = Seq.empty): Long = {
+                              statsCols: Seq[String] = Seq.empty,
+                              extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
     requireFitsDeclared(spark, table, df, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
-    write(df, dataDir.toString)
+    // write callbacks that key on columns (clustered/z-order rewrites)
+    // receive the PHYSICAL frame and must use physical key names
+    write(physicalize(df, schemaAt(spark, table)), dataDir.toString)
     val files = writtenFiles(spark, table, rel)
     commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn,
-      statsCols.flatMap(footerStats(spark, table, files, _)))
+      statsCols.flatMap(footerStats(spark, table, files, _)),
+      extraTxns = extraTxns)
   }
 
   private def replaceCommit(spark: SparkSession, table: String,
@@ -632,20 +921,38 @@ object TxLog {
                                    removes: Seq[String], tag: String,
                                    dataDir: Path,
                                    txn: Option[(String, Long)] = None,
-                                   stats: Seq[String] = Seq.empty): Long = {
+                                   stats: Seq[String] = Seq.empty,
+                                   dvs: Seq[String] = Seq.empty,
+                                   extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
     var v = baseVersion + 1
     var attempts = 0
-    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None, txn, stats)) {
+    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None,
+      txn.toSeq ++ extraTxns, stats, dvs)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $tag of $table still contended after $attempts attempts")
       val latest = versions(spark, table).last
       val intervening = versions(spark, table)
         .filter(x => x > baseVersion && x <= latest)
+      // the zombie-twin case first (same appId committed this batchId
+      // already — e.g. two drivers replaying one micro-batch): resolve
+      // as "already committed" rather than as a retryable conflict, so
+      // the idempotent entry points return None instead of landing twice
+      txn.foreach { case (app, b) =>
+        if (lastCommittedBatch(spark, table, app).exists(_ >= b)) {
+          fs(spark, dataDir).delete(dataDir, true)
+          throw new TxLogDuplicateBatchException(
+            s"txlog: batch $b of $app already committed to $table")
+        }
+      }
       val conflicting = intervening.find { cv =>
-        tag == "overwrite" ||
-          readLogFile(spark, new Path(logDir(table), f"$cv%08d.json"))
-            .exists(_._1 == "remove")
+        tag == "overwrite" || {
+          // a remove stales our remove-set; a dv binding stales any
+          // rewrite too (our data was derived without it — landing would
+          // silently resurrect the rows it deleted)
+          val actions = readLogFile(spark, new Path(logDir(table), f"$cv%08d.json"))
+          actions.exists(a => a._1 == "remove" || a._1 == "dv")
+        }
       }
       conflicting.foreach { cv =>
         fs(spark, dataDir).delete(dataDir, true) // orphans never land
@@ -694,11 +1001,13 @@ object TxLog {
     require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
     requireNonEmpty(spark, table, "compact")
     val base = latestVersion(spark, table) // pinned with the data (see compact)
+    // the write callback sees the PHYSICAL frame: resolve key names
+    val pKeys = keys.map(resolvePhysical(spark, table, _, Some(base)))
     replaceCommitAt(spark, table, base, read(spark, table, Some(base)), "compact",
       // writeRangeClustered's overwrite mode is irrelevant here (fresh
       // per-version dir) but harmless; reusing it keeps the layout
       // contract (disjoint file ranges, ClusteredWriteSpec) in one place.
-      write = (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*))
+      write = (d, p) => FileFormats.writeRangeClustered(d, p, files, pKeys: _*))
   }
 
   // ---------------------------------------------------------------------
@@ -712,11 +1021,15 @@ object TxLog {
 
   /** Per-file min/max of integral column `statsCol` for the given
     * relative paths, read from the parquet footers ONCE at write time
-    * (each payload: `path|col|min|max` — the stats-line format). */
+    * (each payload: `path|col|min|max` — the stats-line format).
+    * Payloads are keyed by the PHYSICAL column name: a later rename
+    * changes only the logical name, so every previously recorded stat
+    * stays valid and addressable (readers resolve logical → physical). */
   private def footerStats(spark: SparkSession, table: String,
                           rels: Seq[String], statsCol: String): Seq[String] = {
-    require(!statsCol.contains('|') && !statsCol.contains('"') && !statsCol.contains('\\'),
-      s"txlog: stats column name unsupported by the line format: $statsCol")
+    val phys = resolvePhysical(spark, table, statsCol)
+    require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
+      s"txlog: stats column name unsupported by the line format: $phys")
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     rels.flatMap { rel =>
@@ -725,7 +1038,7 @@ object TxLog {
           .fromPath(new Path(table, rel), conf))
       try {
         val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == statsCol).flatMap { c =>
+          b.getColumns.asScala.find(_.getPath.toDotString == phys).flatMap { c =>
             val st = c.getStatistics
             // an empty row group (e.g. the part file of an all-rows-deleted
             // rewrite) carries no values: record nothing for it
@@ -735,7 +1048,7 @@ object TxLog {
           }
         }
         if (ranges.isEmpty) None
-        else Some(s"$rel|$statsCol|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
+        else Some(s"$rel|$phys|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
       } finally r.close()
     }
   }
@@ -747,7 +1060,7 @@ object TxLog {
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
                       statsCols: String*): Long = {
     require(statsCols.nonEmpty, "txlog: appendWithStats needs at least one column")
-    appendCommit(spark, table, df, "append", None, statsCols)
+    appendCommit(spark, table, df, "append", None, statsCols).get
   }
 
   /** [[compactClustered]] that re-records stats for the FIRST key —
@@ -759,9 +1072,54 @@ object TxLog {
     require(keys.nonEmpty, "txlog: compactClustered needs at least one key")
     requireNonEmpty(spark, table, "compact")
     val base = latestVersion(spark, table)
+    val pKeys = keys.map(resolvePhysical(spark, table, _, Some(base)))
     replaceCommitAt(spark, table, base, read(spark, table, Some(base)), "compact",
-      (d, p) => FileFormats.writeRangeClustered(d, p, files, keys: _*),
+      (d, p) => FileFormats.writeRangeClustered(d, p, files, pKeys: _*),
       statsCols = keys)
+  }
+
+  /** OPTIMIZE … ZORDER BY (colA, colB): rewrite the live set clustered
+    * on the Morton interleaving of TWO dimensions
+    * ([[FileFormats.writeZOrdered]]) and record per-file min/max stats
+    * for BOTH in the commit. The lexicographic layout of
+    * [[compactClusteredWithStats]] prunes perfectly on the leading key
+    * and not at all on the second alone; after a Z-order rewrite each
+    * file covers ~√files of EACH axis, so an AND-of-ranges point read
+    * ([[readWhereAll]]) prunes on both — the two-axis lookup a
+    * (tenant, time) or (doc, shard) access pattern needs at 100 TB.
+    * Same transaction shape as [[compact]]; both columns must be
+    * bigint-valued and pre-normalized into [0, 2^31). */
+  def optimizeZOrder(spark: SparkSession, table: String, files: Int,
+                     colA: String, colB: String): Long = {
+    import org.apache.spark.sql.functions.{max, min}
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    val snap = read(spark, table, Some(base))
+    // NORMALIZE both axes into the same 20-bit domain before
+    // interleaving: raw values of very different magnitudes (a 14-bit
+    // key against an 11-bit one) would make every significant
+    // interleaved bit come from the wider axis, silently degenerating
+    // the curve to lexicographic order. Rescaling by each axis's own
+    // min/max makes the Morton cells square in RANK space regardless of
+    // units — the same reason public z-order implementations interleave
+    // range-partition IDs, not raw values. One tiny agg job computes
+    // the bounds; (v - min) * 2^20 stays far inside int64.
+    val r = snap.agg(min(colA), max(colA), min(colB), max(colB)).head()
+    require(!r.anyNull, s"txlog: z-order columns carry nulls ($colA, $colB)")
+    def asLong(i: Int) = r.getAs[Number](i).longValue
+    val (aMin, aMax) = (asLong(0), asLong(1))
+    val (bMin, bMax) = (asLong(2), asLong(3))
+    val bits = 1L << 20
+    def norm(c: String, lo: Long, hi: Long): String =
+      s"(((`$c`) - ${lo}L) * ${bits}L) div ${math.max(hi - lo, 0L) + 1}L"
+    // the write callback sees the PHYSICAL frame: z-expressions must
+    // reference physical names
+    val (pA, pB) = (resolvePhysical(spark, table, colA, Some(base)),
+      resolvePhysical(spark, table, colB, Some(base)))
+    replaceCommitAt(spark, table, base, snap, "compact",
+      (d, p) => FileFormats.writeZOrdered(d, p, files,
+        norm(pA, aMin, aMax), norm(pB, bMin, bMax)),
+      statsCols = Seq(colA, colB))
   }
 
   /** Live files' recorded (min, max) for `statsCol` as of `asOf` —
@@ -778,52 +1136,72 @@ object TxLog {
     * avoid a second identical log replay. */
   private def statsForLive(spark: SparkSession, table: String, statsCol: String,
                            live: Set[String],
-                           asOf: Option[Long]): Map[String, (Long, Long)] =
+                           asOf: Option[Long]): Map[String, (Long, Long)] = {
+    // payloads are keyed by PHYSICAL name (rename-stable) — resolve
+    val phys = resolvePhysical(spark, table, statsCol, asOf)
     statsPayloadsAt(spark, table, asOf).flatMap { payload =>
       payload.split('|') match {
-        case Array(p, c, mn, mx) if c == statsCol && live.contains(p) =>
+        case Array(p, c, mn, mx) if c == phys && live.contains(p) =>
           Some(p -> ((mn.toLong, mx.toLong)))
         case _ => None
       }
     }.toMap
+  }
 
-  /** The live files a `[lo, hi]` range read on `statsCol` must scan:
-    * (kept, total live) — kept = recorded range intersects, or no
-    * stats recorded (absence can never skip). Exposed for the spec's
-    * pruning assertions. */
-  private[graft] def pruneFiles(spark: SparkSession, table: String,
-                                statsCol: String, lo: Long, hi: Long,
-                                asOf: Option[Long] = None): (Seq[String], Int) = {
+  /** The live files a conjunction of `[lo, hi]` range predicates must
+    * scan: (kept, total live) — kept = EVERY predicate's recorded range
+    * intersects, or no stats recorded for that column (absence can
+    * never skip). A file is skipped as soon as ONE predicate's recorded
+    * range misses — the AND-of-ranges pruning a Z-ordered layout is
+    * built for. Exposed for the spec's pruning assertions. */
+  private[graft] def pruneFilesMulti(spark: SparkSession, table: String,
+                                     preds: Seq[(String, Long, Long)],
+                                     asOf: Option[Long] = None): (Seq[String], Int) = {
+    require(preds.nonEmpty, "txlog: no pruning predicates")
     val live = snapshotFiles(spark, table, asOf)
-    val stats = statsForLive(spark, table, statsCol, live.toSet, asOf)
-    val kept = live.filter(p => stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val statsByCol = preds.map(_._1).distinct
+      .map(c => c -> statsForLive(spark, table, c, live.toSet, asOf)).toMap
+    val kept = live.filter { p =>
+      preds.forall { case (c, lo, hi) =>
+        statsByCol(c).get(p).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
     (kept, live.size)
   }
 
-  /** Range read with log-native file skipping: scans ONLY the live
-    * files whose recorded `statsCol` range intersects `[lo, hi]` (plus
-    * any file without stats), then applies the exact residual filter.
-    * Equal to `read(...).filter(col between lo hi)` by construction —
-    * the stats decide file SKIPPING, never row membership. */
-  def readWhere(spark: SparkSession, table: String, statsCol: String,
-                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+  private[graft] def pruneFiles(spark: SparkSession, table: String,
+                                statsCol: String, lo: Long, hi: Long,
+                                asOf: Option[Long] = None): (Seq[String], Int) =
+    pruneFilesMulti(spark, table, Seq((statsCol, lo, hi)), asOf)
+
+  /** Range read with log-native file skipping over a CONJUNCTION of
+    * range predicates: scans ONLY the live files every recorded range
+    * intersects (plus any file without stats for a column), then
+    * applies the exact residual filter. Equal to
+    * `read(...).filter(AND of betweens)` by construction — the stats
+    * decide file SKIPPING, never row membership. Deletion vectors are
+    * anti-applied on the kept files exactly as in [[read]]. */
+  def readWhereAll(spark: SparkSession, table: String,
+                   preds: Seq[(String, Long, Long)],
+                   asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (kept, _) = pruneFiles(spark, table, statsCol, lo, hi, asOf)
-    val declared = schemaAt(spark, table, asOf)
+    val (kept, _) = pruneFilesMulti(spark, table, preds, asOf)
     val base =
       if (kept.isEmpty) {
         // empty frame with the right schema: read the full (possibly
         // empty-filtered) table rather than inventing a schema
         read(spark, table, asOf).limit(0)
-      } else {
-        val paths = kept.map(p => new Path(table, p).toString)
-        declared match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-      }
-    base.filter(col(statsCol).between(lo, hi))
+      } else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+        dvAt(spark, table, asOf))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lo, hi))
+    }
   }
+
+  /** Single-predicate [[readWhereAll]]. */
+  def readWhere(spark: SparkSession, table: String, statsCol: String,
+                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
+    readWhereAll(spark, table, Seq((statsCol, lo, hi)), asOf)
 
   /** DELETE FROM … WHERE `statsCol` BETWEEN lo AND hi, as a PARTIAL
     * copy-on-write rewrite: the recorded file stats decide which live
@@ -848,18 +1226,94 @@ object TxLog {
       stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (touched.isEmpty) return base // no file can contain a match
     import org.apache.spark.sql.functions.col
-    val declared = schemaAt(spark, table, Some(base))
-    val paths = touched.map(p => new Path(table, p).toString)
-    val keptRows = (declared match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }).filter(!col(statsCol).between(lo, hi))
+    // the rewrite must anti-apply any existing deletion vectors on the
+    // touched files — a plain re-scan would resurrect MOR-deleted rows
+    val keptRows = scanLive(spark, table, touched,
+      schemaAt(spark, table, Some(base)), dvAt(spark, table, Some(base)))
+      .filter(!col(statsCol).between(lo, hi))
     val rel = f"data/v${base + 1}%08d-delete-${uniq()}"
     val dataDir = new Path(table, rel)
     keptRows.write.parquet(dataDir.toString)
     val written = writtenFiles(spark, table, rel)
     commitRewrite(spark, table, base, written, touched, "delete", dataDir,
       stats = footerStats(spark, table, written, statsCol))
+  }
+
+  /** DELETE FROM … WHERE `statsCol` BETWEEN lo AND hi, MERGE-ON-READ:
+    * instead of rewriting the touched data files ([[deleteWhere]]'s
+    * copy-on-write), the commit binds each touched file to a DELETION
+    * VECTOR — a tiny parquet sidecar of (file_name, row position) pairs
+    * that [[read]] anti-applies (the public Delta/Iceberg deletion-
+    * vector idea, addressed by the parquet reader's stable
+    * `_metadata.row_index`). No data file is written, moved, or
+    * removed, which is what makes a one-row GDPR erasure on a 100 TB
+    * table cost kilobytes instead of re-writing gigabyte files; a later
+    * [[compact]] (whose input is the DV-applied [[read]]) materializes
+    * the deletes and drops the vectors with the files they masked.
+    *
+    * A repeat delete on an already-masked file re-binds it to a NEW
+    * vector containing the UNION of old and new positions ("last
+    * binding wins, positions only accumulate" — [[dvPayloadsAt]]'s
+    * replay contract). Stats recorded for the touched files stay valid:
+    * deletion only shrinks a file's value range, so min/max remain
+    * sound (possibly loose) pruning bounds. The change feed classifies
+    * the commit as a rewrite (its row changes cannot be expressed as
+    * appends), and [[graft.operators.MatView]] recomputes across it.
+    * Returns the committed version, or the current version unchanged
+    * when no row matches. */
+  def deleteWhereMor(spark: SparkSession, table: String, statsCol: String,
+                     lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    requireNonEmpty(spark, table, "delete")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val stats = statsForLive(spark, table, statsCol, live.toSet, Some(base))
+    val touched = live.filter(p =>
+      stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (touched.isEmpty) return base // no file can contain a match
+    val declared = schemaAt(spark, table, Some(base))
+    val paths = touched.map(p => new Path(table, p).toString)
+    // positions of the rows to delete, addressed physically: the raw
+    // per-file row index (NOT dv-filtered — positions of already-deleted
+    // rows may re-match; the union dedups them). Raw = physical schema
+    // and physical predicate name (the _metadata struct needs the
+    // un-projected scan)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val newPos = raw
+      .filter(col(resolvePhysical(spark, table, statsCol, Some(base)))
+        .between(lo, hi))
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"))
+      .localCheckpoint(true) // two consumers below; compute the scan once
+    if (newPos.isEmpty) return base // stats kept the file, no row matched
+    val oldDvs = dvAt(spark, table, Some(base))
+    val touchedNames = touched.map(p => p.split('/').last)
+    // prior vectors for the re-masked files ride into the new vector,
+    // so "last binding wins" stays exact
+    val oldPos = oldDvs.filter { case (f, _) => touched.contains(f) }
+      .values.toSeq.distinct match {
+      case Nil => None
+      case dirs => Some(spark.read
+        .parquet(dirs.map(p => new Path(table, p).toString): _*)
+        .filter(col("file").isin(touchedNames: _*)))
+    }
+    val allPos = oldPos.fold(newPos)(newPos.unionByName(_)).distinct()
+      .localCheckpoint(true) // consumed twice: the match map and the write
+    // the per-file match map decides which files get (re)bound; one tiny
+    // collect — bounded by the touched-file count times positions
+    val matchedFiles = allPos.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rel = f"data/v${base + 1}%08d-dv-${uniq()}"
+    val dvDir = new Path(table, rel)
+    allPos.repartition(1).write.parquet(dvDir.toString)
+    val bindings = touched
+      .filter(p => matchedFiles.contains(p.split('/').last))
+      .map(p => s"$p|$rel")
+    commitRewrite(spark, table, base, Seq.empty, Seq.empty, "delete", dvDir,
+      dvs = bindings)
   }
 
   /** Replace the table's contents with `df` in one commit — how a
@@ -883,10 +1337,15 @@ object TxLog {
     * this is never deleted even if unreferenced, because it may belong
     * to an IN-FLIGHT writer that has written data but not yet claimed
     * its commit (the public lakehouse retention-period idea; Delta
-    * defaults to 7 days). 0 keeps the single-writer behavior: delete
+    * defaults to 7 days). The default is 24 HOURS: the horizon exists
+    * to backstop crashed writers, not to bound legitimate write
+    * duration — a 100 TB compaction's data-write phase can easily run
+    * for hours, and reclaiming its not-yet-committed files would let
+    * the subsequent commit reference deleted files (silent corruption
+    * until scan time). 0 keeps the single-writer behavior: delete
     * every unreferenced file immediately. */
   def vacuum(spark: SparkSession, table: String,
-             retainLast: Int = 1, minFileAgeMs: Long = 1200000L): Seq[String] = {
+             retainLast: Int = 1, minFileAgeMs: Long = 86400000L): Seq[String] = {
     require(retainLast >= 1, "txlog: must retain at least the latest version")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"txlog: nothing to vacuum in $table")
@@ -929,15 +1388,37 @@ object TxLog {
     }
     // fresh referenced set AFTER the listing: everything at or after
     // the cutoff — including commits that landed mid-walk — stays
-    val referenced = versions(spark, table).filter(_ >= cutoff)
+    val retainedVersions = versions(spark, table).filter(_ >= cutoff)
+    val referenced = retainedVersions
       .flatMap(v => snapshotFiles(spark, table, Some(v))).toSet
+    // deletion-vector sidecars referenced by any retained version's live
+    // bindings must survive too — they are part of those snapshots'
+    // read path even though snapshotFiles doesn't list them
+    val referencedDvDirs = retainedVersions
+      .flatMap(v => dvAt(spark, table, Some(v)).values).toSet
+    def underReferencedDv(rel: String): Boolean =
+      referencedDvDirs.exists(d => rel.startsWith(d + "/"))
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     candidates.foreach { case (p, rel) =>
-      if (!referenced.contains(rel)) { f.delete(p, false); removed += rel }
+      if (!referenced.contains(rel) && !underReferencedDv(rel)) {
+        f.delete(p, false); removed += rel
+      }
     }
+    // the watermark is REPLACED atomically (write-temp + rename): a
+    // racing reader of a half-written watermark would otherwise parse a
+    // truncated number and mis-gate its time travel
     val wp = watermarkPath(table)
-    val out = f.create(wp, true)
-    try out.write(retained.head.toString.getBytes("UTF-8")) finally out.close()
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(wp.toUri.getPath)
+      val tmp = local.resolveSibling(s".${local.getFileName}.${uniq()}.tmp")
+      java.nio.file.Files.write(tmp, retained.head.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, local,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = f.create(wp, true)
+      try out.write(retained.head.toString.getBytes("UTF-8")) finally out.close()
+    }
     removed.toSeq.sorted
   }
 
@@ -956,6 +1437,14 @@ object TxLog {
     readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
       .exists(_._1 == "remove")
 
+  /** True iff commit `version` changes already-delivered DATA — it
+    * removes files OR binds deletion vectors (a MOR delete removes no
+    * file yet still deletes rows). This, not [[commitRemoves]], is the
+    * predicate change-feed-style consumers must branch on. */
+  def commitChangesData(spark: SparkSession, table: String, version: Long): Boolean =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
+      .exists(a => a._1 == "remove" || a._1 == "dv")
+
   /** The files a change-feed consumer should DELIVER for commit
     * `version`:
     *  - plain append → its added files;
@@ -973,7 +1462,8 @@ object TxLog {
     val path = new Path(logDir(table), f"$version%08d.json")
     val actions = readLogFile(spark, path)
     val kind = actions.collectFirst { case ("tag", k) => k }
-    val isRewrite = actions.exists(_._1 == "remove")
+    // a dv binding is a data change even with zero removes (MOR delete)
+    val isRewrite = actions.exists(a => a._1 == "remove" || a._1 == "dv")
     if (kind.contains("compact")) Seq.empty
     // any removes, or any non-compact tag (compact returned above),
     // means this commit rewrites delivered data
@@ -1030,7 +1520,10 @@ object TxLog {
     delivering.map { case (v, files) =>
       val paths = files.map(p => new Path(table, p).toString)
       val slice = declared match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        // physical read + logical rename: slices from both sides of a
+        // RENAME align under the range-end logical names
+        case Some(s) => logicalize(
+          spark.read.schema(physicalSchema(s)).parquet(paths: _*), declared)
         case None => spark.read.parquet(paths: _*)
       }
       slice.withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
@@ -1078,9 +1571,12 @@ object TxLog {
   def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
                        appId: String, batchId: Long): Option[Long] = {
     requireAppId(appId)
+    // fast path; the race between this check and the commit claim (two
+    // zombie twins both passing it) is re-checked INSIDE appendCommit's
+    // OCC loop, which returns None when the twin's marker is found
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
-    Some(appendCommit(spark, table, df, "idempotent append",
-      Some((appId, batchId)), Seq.empty))
+    appendCommit(spark, table, df, "idempotent append",
+      Some((appId, batchId)), Seq.empty)
   }
 
   /** CAS-style first materialization: append `df` as version 0 with a
@@ -1090,14 +1586,17 @@ object TxLog {
     * is what makes two concurrent builders land exactly one build
     * ([[graft.operators.MatView]]'s build path). */
   def appendIfEmpty(spark: SparkSession, table: String, df: DataFrame,
-                    appId: String, batchId: Long): Boolean = {
+                    appId: String, batchId: Long,
+                    extraTxns: Seq[(String, Long)] = Seq.empty): Boolean = {
     requireAppId(appId)
+    extraTxns.foreach(t => requireAppId(t._1))
     requireFitsDeclared(spark, table, df, "append")
     val rel = f"data/v00000000-${uniq()}"
-    df.write.parquet(new Path(table, rel).toString)
+    physicalize(df, schemaAt(spark, table))
+      .write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
     if (tryCommit(spark, table, 0L, files, Seq.empty, None, None,
-      Some((appId, batchId)))) true
+      (appId, batchId) +: extraTxns)) true
     else {
       val dir = new Path(table, rel)
       fs(spark, dir).delete(dir, true) // lost the build race: no orphans
@@ -1113,12 +1612,16 @@ object TxLog {
     * read-fold-commit CAS [[graft.operators.MatView]] leans on). */
   def overwriteIdempotentAt(spark: SparkSession, table: String,
                             baseVersion: Long, df: DataFrame,
-                            appId: String, batchId: Long): Option[Long] = {
+                            appId: String, batchId: Long,
+                            extraTxns: Seq[(String, Long)] = Seq.empty): Option[Long] = {
     requireAppId(appId)
+    extraTxns.foreach(t => requireAppId(t._1))
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
     requireNonEmpty(spark, table, "overwrite")
-    Some(replaceCommitAt(spark, table, baseVersion, df,
-      "overwrite", (d, p) => d.write.parquet(p), Some((appId, batchId))))
+    try Some(replaceCommitAt(spark, table, baseVersion, df,
+      "overwrite", (d, p) => d.write.parquet(p), Some((appId, batchId)),
+      extraTxns = extraTxns))
+    catch { case _: TxLogDuplicateBatchException => None }
   }
 
   /** [[overwrite]] with the txn marker — the exactly-once landing for a
@@ -1130,8 +1633,9 @@ object TxLog {
     requireAppId(appId)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) return None
     requireNonEmpty(spark, table, "overwrite")
-    Some(replaceCommitAt(spark, table, latestVersion(spark, table), df,
+    try Some(replaceCommitAt(spark, table, latestVersion(spark, table), df,
       "overwrite", (d, p) => d.write.parquet(p), Some((appId, batchId))))
+    catch { case _: TxLogDuplicateBatchException => None }
   }
 
   /** `foreachBatch` adapter: every micro-batch lands as one versioned

@@ -194,8 +194,11 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     // capture the SESSION's Hadoop configuration driver-side: a fresh
     // Configuration() on the executor would drop spark.hadoop.* (fs
-    // credentials, endpoints, defaultFS) and break any non-local table
-    TxLogReaderFactory(schema,
+    // credentials, endpoints, defaultFS) and break any non-local table.
+    // The logical->physical lookup (empty unless a rename/drop enabled
+    // column mapping) lets the reader find renamed columns under the
+    // names the files actually carry.
+    TxLogReaderFactory(schema, TxLog.physicalLookup(spark, table),
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
@@ -222,11 +225,12 @@ private[sources] class SerializableHadoopConf(@transient var value: Configuratio
 }
 
 private[sources] case class TxLogReaderFactory(schema: StructType,
+                                               lookup: Map[String, String],
                                                conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
-    new TxLogPartitionReader(p.file, p.commitVersion, schema, conf.value)
+    new TxLogPartitionReader(p.file, p.commitVersion, schema, lookup, conf.value)
   }
 }
 
@@ -237,7 +241,9 @@ private[sources] case class TxLogReaderFactory(schema: StructType,
   * row-by-row Group decode is the honest public-API path, and the
   * change-feed batches it serves are commit-sized, not corpus-sized. */
 private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
-                                            schema: StructType, conf: Configuration)
+                                            schema: StructType,
+                                            lookup: Map[String, String],
+                                            conf: Configuration)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -260,10 +266,12 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
 
   private def resolve(gt: GroupType): Array[(Int, Group => Any)] =
     schema.fields.filter(_.name != TxLogStream.VersionColumn).map { f =>
-      require(gt.containsField(f.name),
-        s"graft-txlog: column '${f.name}' missing from $file (schema drift " +
+      // under column mapping the file carries the PHYSICAL name
+      val fileName = lookup.getOrElse(f.name, f.name)
+      require(gt.containsField(fileName),
+        s"graft-txlog: column '$fileName' missing from $file (schema drift " +
           "across commits is not supported by the stream)")
-      val idx = gt.getFieldIndex(f.name)
+      val idx = gt.getFieldIndex(fileName)
       val pt = gt.getType(idx)
       require(pt.isPrimitive,
         s"graft-txlog: column '${f.name}' is nested in $file")

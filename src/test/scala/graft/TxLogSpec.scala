@@ -781,4 +781,248 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, mv).count() == TxLog.read(spark, t).count(),
       "per-unique-key view must match the post-delete table")
   }
+
+  test("deleteWhereMor: deletion vectors mask rows without touching data files; compact materializes") {
+    val t = freshTable("mor")
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      TxLog.appendWithStats(spark, t,
+        (lo until hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    }
+    val before = TxLog.snapshotFiles(spark, t)
+    val preVersion = TxLog.latestVersion(spark, t)
+    // erase [120, 150] merge-on-read — only the middle file can match
+    val v = TxLog.deleteWhereMor(spark, t, "id", 120, 150)
+    assert(v == preVersion + 1)
+    assert(TxLog.snapshotFiles(spark, t) == before,
+      "MOR delete must not add, remove, or rewrite any data file")
+    val dv1 = TxLog.dvAt(spark, t)
+    assert(dv1.keySet == Set(before(1)),
+      s"exactly the middle file must be masked: $dv1")
+    assert(TxLog.read(spark, t).count() == 300L - 31L)
+    assert(TxLog.read(spark, t).filter($"id".between(120, 150)).count() == 0L)
+    assert(TxLog.read(spark, t).filter($"id".isin(119L, 151L)).count() == 2L)
+    // pinned pre-delete read: no vector applies at that version
+    assert(TxLog.read(spark, t, Some(preVersion)).count() == 300L)
+    // readWhere honors the vectors on its kept files too
+    assert(TxLog.readWhere(spark, t, "id", 110, 160).count() == (110L to 160L).size - 31L)
+    // second OVERLAPPING delete re-masks the same file: positions union
+    TxLog.deleteWhereMor(spark, t, "id", 140, 180)
+    assert(TxLog.snapshotFiles(spark, t) == before)
+    assert(TxLog.read(spark, t).filter($"id".between(120, 180)).count() == 0L,
+      "the re-bound vector must carry the first delete's positions forward")
+    assert(TxLog.read(spark, t).count() == 300L - 61L)
+    // a MOR delete is a data change: the change feed refuses the range
+    intercept[IllegalArgumentException] {
+      TxLog.readChanges(spark, t, preVersion, TxLog.latestVersion(spark, t)).count()
+    }
+    // MatView recomputes across it (commitChangesData, not commitRemoves)
+    val mv = freshTable("mor-mv")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "build")
+    TxLog.deleteWhereMor(spark, t, "id", 200, 220)
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "recompute")
+    assert(TxLog.read(spark, mv).count() == TxLog.read(spark, t).count())
+    // compact MATERIALIZES the vectors: clean files, no bindings, same rows
+    val preCompactCount = TxLog.read(spark, t).count()
+    TxLog.compact(spark, t)
+    assert(TxLog.dvAt(spark, t).isEmpty, "compaction must drop the masks with the files")
+    assert(TxLog.read(spark, t).count() == preCompactCount)
+    assert(TxLog.read(spark, t).filter($"id".between(120, 180)).count() == 0L)
+    // a MOR delete that matches nothing commits nothing
+    val tail = TxLog.latestVersion(spark, t)
+    assert(TxLog.deleteWhereMor(spark, t, "id", 5000, 6000) == tail)
+    assert(TxLog.latestVersion(spark, t) == tail)
+  }
+
+  test("deleteWhereMor: vectors survive checkpoints and vacuum keeps referenced sidecars") {
+    val t = freshTable("mor-ckpt")
+    TxLog.appendWithStats(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    TxLog.deleteWhereMor(spark, t, "id", 10, 19)
+    // cross the checkpoint cadence with plain appends: the ckpt must
+    // carry the dv binding, or the suffix replay would resurrect rows
+    (0 until TxLog.checkpointEvery.toInt).foreach { i =>
+      TxLog.append(spark, t, Seq((1000L + i, "x")).toDF("id", "s"))
+    }
+    assert(TxLog.checkpointVersions(spark, t).nonEmpty)
+    assert(TxLog.read(spark, t).filter($"id".between(10, 19)).count() == 0L,
+      "checkpoint replay lost the deletion-vector binding")
+    // vacuum with an aggressive horizon: the sidecar is REFERENCED by the
+    // latest snapshot's binding and must survive
+    TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    assert(TxLog.read(spark, t).filter($"id".between(10, 19)).count() == 0L,
+      "vacuum reclaimed a live deletion-vector sidecar")
+    assert(TxLog.read(spark, t).count() == 90L + TxLog.checkpointEvery)
+    // after a compact (vectors materialized), a further vacuum may drop
+    // the now-unreferenced sidecar — and reads stay exact
+    TxLog.compact(spark, t)
+    TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    assert(TxLog.read(spark, t).count() == 90L + TxLog.checkpointEvery)
+  }
+
+  test("multi-column pruning: AND of ranges skips on every recorded column; absence cannot skip") {
+    val t = freshTable("multistats")
+    // 2x2 grid: two a-ranges x two b-ranges, one file each
+    Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).foreach { case (ai, bi) =>
+      val rows = (0L until 50L).map { k =>
+        (ai * 1000L + k, bi * 1000L + k, s"$ai-$bi-$k")
+      }
+      TxLog.appendWithStats(spark, t, rows.toDF("a", "b", "s").coalesce(1), "a", "b")
+    }
+    // box over a-range 0, b-range 1: exactly one of four files survives
+    val (kept, live) = TxLog.pruneFilesMulti(spark, t,
+      Seq(("a", 0L, 100L), ("b", 1000L, 1100L)))
+    assert(live == 4 && kept.size == 1, s"$kept of $live")
+    val got = TxLog.readWhereAll(spark, t, Seq(("a", 0L, 100L), ("b", 1000L, 1100L)))
+    assert(got.count() == 50L)
+    // a predicate on a column with NO recorded stats keeps every file
+    val (keptNoStats, _) = TxLog.pruneFilesMulti(spark, t, Seq(("nope", 0L, 1L)))
+    assert(keptNoStats.size == 4, "absence of stats must never skip")
+  }
+
+  test("column mapping: rename is metadata-only; stats, pruning, and appends follow the new name") {
+    val t = freshTable("rename")
+    TxLog.appendWithStats(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    TxLog.appendWithStats(spark, t,
+      (100L until 200L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    val preFiles = TxLog.snapshotFiles(spark, t)
+    val preRename = TxLog.latestVersion(spark, t)
+    TxLog.renameColumn(spark, t, "id", "key")
+    assert(TxLog.snapshotFiles(spark, t) == preFiles,
+      "rename must move zero data files")
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("key", "s"))
+    // stats recorded under the OLD name still prune via the new one
+    val (kept, live) = TxLog.pruneFiles(spark, t, "key", 0, 50)
+    assert(live == 2 && kept.size == 1, s"$kept of $live")
+    assert(TxLog.readWhere(spark, t, "key", 0, 50).count() == 51L)
+    // appends under the new name carry stats that compose with the old
+    TxLog.appendWithStats(spark, t,
+      (200L until 300L).map(i => (i, s"r$i")).toDF("key", "s").coalesce(1), "key")
+    assert(TxLog.readWhere(spark, t, "key", 150, 250).count() == 101L)
+    val (kept3, live3) = TxLog.pruneFiles(spark, t, "key", 250, 260)
+    assert(live3 == 3 && kept3.size == 1)
+    // the old name is gone: appending under it fails loudly
+    intercept[IllegalArgumentException](
+      TxLog.append(spark, t, Seq((1L, "x")).toDF("id", "s")))
+    // time travel below the rename reads the old name
+    assert(TxLog.read(spark, t, Some(preRename)).columns.toSeq == Seq("id", "s"))
+    // the change feed ACROSS the boundary aligns slices under range-end names
+    val feed = TxLog.readChanges(spark, t, -1L, TxLog.latestVersion(spark, t))
+    assert(feed.columns.contains("key") && !feed.columns.contains("id"))
+    assert(feed.count() == 300L)
+    // compaction under mapping: physical layout rewritten, reads stable
+    TxLog.compactClusteredWithStats(spark, t, 3, "key")
+    assert(TxLog.read(spark, t).count() == 300L)
+    assert(TxLog.readWhere(spark, t, "key", 0, 50).count() == 51L)
+  }
+
+  test("column mapping: drop hides the column; re-add never resurrects dropped data") {
+    val t = freshTable("drop")
+    TxLog.append(spark, t,
+      Seq((1L, "secret1"), (2L, "secret2")).toDF("id", "s"))
+    TxLog.dropColumn(spark, t, "s")
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id"))
+    // time travel below the drop still reads it
+    assert(TxLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
+    // re-ADD the same name: fresh physical — old rows are NULL, not
+    // the dropped secrets still sitting in version 0's file
+    TxLog.appendEvolve(spark, t, Seq((3L, "fresh")).toDF("id", "s"))
+    val rows = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, None), (2L, None), (3L, Some("fresh"))),
+      s"dropped data resurrected: $rows")
+    // the only column cannot be dropped
+    val t1 = freshTable("droponly")
+    TxLog.append(spark, t1, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException](TxLog.dropColumn(spark, t1, "id"))
+    // deletes keyed on a renamed column work end to end (physical filter)
+    TxLog.renameColumn(spark, t, "id", "key")
+    TxLog.deleteWhereMor(spark, t, "key", 2, 2)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("column mapping: the stream resolves renamed columns via the physical lookup") {
+    val t = freshTable("renstream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txlog-ckpt3").toString
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.renameColumn(spark, t, "id", "key")
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("key", "s"))
+    val got = collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-txlog").load(t)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = df.collect().toSeq.map(_.getLong(0))
+          got.synchronized { got ++= rows }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set(1L, 2L),
+        s"stream must deliver both sides of the rename: $got")
+    } finally q.stop()
+  }
+
+  test("OCC: two concurrent idempotent appends of the SAME batch land exactly once") {
+    (1 to 3).foreach { round =>
+      val t = freshTable(s"dup$round")
+      TxLog.append(spark, t, Seq((0L, "seed")).toDF("id", "s")) // non-empty table
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+      def writer(tag: String) = pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          // both writers REPLAY batch 7 of the same app — the zombie-twin
+          // window the initial check-then-act cannot close alone
+          val v = TxLog.appendIdempotent(spark, t,
+            Seq((100L, tag)).toDF("id", "s"), "zombie", 7L)
+          if (v.isDefined) landed.incrementAndGet()
+          ()
+        }
+      })
+      val (w1, w2) = (writer("a"), writer("b"))
+      start.countDown()
+      w1.get(); w2.get(); pool.shutdown()
+      assert(landed.get() == 1,
+        s"round $round: batch must land exactly once, landed ${landed.get()}")
+      assert(TxLog.read(spark, t).filter($"id" === 100L).count() == 1L,
+        s"round $round: duplicate batch visible in the table")
+      assert(TxLog.lastCommittedBatch(spark, t, "zombie").contains(7L))
+    }
+  }
+
+  test("OCC: two forked JVM processes appending to one table — exactly-once version assignment") {
+    val t = freshTable("xproc")
+    // seed so both children race on a real log
+    TxLog.append(spark, t, Seq(-1L).toDF("id"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def launch(base: Long, count: Int): Process = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx1g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.TxLogForkChild", t, base.toString, count.toString))
+      new ProcessBuilder(cmd: _*).inheritIO().start()
+    }
+    val (p1, p2) = (launch(1000L, 4), launch(2000L, 4))
+    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) && p1.exitValue() == 0,
+      "child 1 failed")
+    assert(p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) && p2.exitValue() == 0,
+      "child 2 failed")
+    // exactly-once version assignment across PROCESSES: 1 seed + 8 appends,
+    // gap-free version sequence, every row present exactly once
+    val vs = TxLog.versions(spark, t)
+    assert(vs == (0L to 8L), s"versions must be gap-free and distinct: $vs")
+    val ids = TxLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (Seq(-1L) ++ (1000L to 1003L) ++ (2000L to 2003L)),
+      s"every child's every commit exactly once: $ids")
+  }
 }
