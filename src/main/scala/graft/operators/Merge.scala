@@ -444,7 +444,108 @@ object Merge {
     TxLog.read(spark, table).select("doc_id", "chars", "lang").orderBy("doc_id")
   }
 
+  /** QW11 — STRING-column data skipping under the hash gate: documents
+    * lands in three lang-range-disjoint stats-bearing appends (the
+    * recorded bounds are raw UTF-8 bytes — parquet's BINARY stats order
+    * ≡ Spark's UTF8String order, so the skip can never disagree with
+    * the residual filter), and a `lang BETWEEN 'd' AND 'ez'` read must
+    * prune from the log alone — the row REQUIRES at least one live file
+    * was skipped, then hash-matches a plain SQL string-range scan. */
+  def qwPrunedReadStr(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txstatstr", d, "t")
+    TxLog.destroy(spark, table)
+    Seq(
+      docs.filter(col("lang") < "es"),                          // de, en
+      docs.filter(col("lang") >= "es" && col("lang") < "g"),    // es, fr
+      docs.filter(col("lang") >= "g")                           // zh
+    ).foreach(wave =>
+      TxLog.appendWithStats(spark, table, wave.coalesce(1), "lang"))
+    val (kept, live) = TxLog.pruneFilesString(spark, table, "lang", "d", "ez")
+    require(kept.size < live,
+      s"txlog: string stats pruned nothing (${kept.size} of $live files kept)")
+    TxLog.readWhereString(spark, table, "lang", "d", "ez")
+      .orderBy("doc_id")
+  }
+
+  /** QW12 — BIN-PACKING incremental OPTIMIZE under the hash gate: 90%
+    * of orders lands as ONE large file, the remaining 10% dribbles in
+    * as eight tiny streaming-shaped commits, and
+    * [[graft.sources.TxLog.optimizeBinPack]] rewrites ONLY the small
+    * tail — the row REQUIRES the large file survives byte-identical
+    * (same live path), the small files are gone, the live file count
+    * shrank, and the post-pack read hash-matches the identity scan. */
+  def qwBinpackRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = Fixtures.table("txbinpack", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.append(spark, table,
+      orders.filter(col("o_orderkey") % 10 =!= 0).coalesce(1)) // the big file
+    (0 to 7).foreach(r => TxLog.append(spark, table,
+      orders.filter(col("o_orderkey") % 10 === 0 &&
+        (col("o_orderkey") / 10) % 8 === r).coalesce(1)))      // the small tail
+    val before = TxLog.snapshotFiles(spark, table)
+    val big = before.head // first-added = the large file
+    val fsys = new java.io.File(table, big)
+    val bigLen = fsys.length()
+    TxLog.optimizeBinPack(spark, table, targetBytes = bigLen, "o_orderkey")
+    val after = TxLog.snapshotFiles(spark, table)
+    require(after.contains(big),
+      "txlog: bin-packing rewrote the already-large file")
+    require(before.tail.forall(p => !after.contains(p)),
+      "txlog: a small file survived the pack")
+    require(after.size < before.size,
+      s"txlog: pack did not shrink the file count (${before.size} -> ${after.size})")
+    TxLog.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** QW13 — RESTORE under the hash gate: orders lands in three
+    * stats-bearing appends, a copy-on-write DELETE then a merge-on-read
+    * DELETE damage it, and [[graft.sources.TxLog.restore]] rolls the
+    * table back to the pre-damage version — the row REQUIRES the
+    * restored live set is EXACTLY the target version's file paths (the
+    * rollback moved zero data bytes no matter the table size) with no
+    * deletion vector bound, and the read hash-matches the identity
+    * scan. The damaged versions stay time-travelable (history is
+    * preserved, REQUIREd in-row). */
+  def qwRestoreRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_totalprice")
+    val table = Fixtures.table("txrestore", d, "t")
+    TxLog.destroy(spark, table)
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") < b1).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b1 && col("o_orderkey") < b2)
+        .repartitionByRange(2, col("o_orderkey")), "o_orderkey")
+    TxLog.appendWithStats(spark, table,
+      orders.filter(col("o_orderkey") >= b2).repartitionByRange(2, col("o_orderkey")),
+      "o_orderkey")
+    val goodVersion = TxLog.latestVersion(spark, table)
+    val goodFiles = TxLog.snapshotFiles(spark, table)
+    TxLog.deleteWhere(spark, table, "o_orderkey", maxKey / 6, maxKey / 3) // CoW damage
+    TxLog.deleteWhereMor(spark, table, "o_orderkey", maxKey / 2, maxKey)  // MOR damage
+    val damagedCount = TxLog.read(spark, table).count()
+    val rv = TxLog.restore(spark, table, goodVersion)
+    require(TxLog.snapshotFiles(spark, table).toSet == goodFiles.toSet,
+      "txlog: restore must re-add exactly the target version's files")
+    require(TxLog.dvAt(spark, table).isEmpty,
+      "txlog: restore must unbind the rolled-back deletion vectors")
+    // the damaged state stays time-travelable behind the restore
+    require(TxLog.read(spark, table, Some(rv - 1)).count() == damagedCount,
+      "txlog: restore must preserve history, not erase it")
+    TxLog.read(spark, table).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_restore_read" -> qwRestoreRead _,
+    "qw_pruned_read_str" -> qwPrunedReadStr _,
+    "qw_binpack_read" -> qwBinpackRead _,
     "qw_rename_lifecycle" -> qwRenameLifecycle _,
     "qw_pruned_read_multi" -> qwPrunedReadMulti _,
     "qw_delete_mor" -> qwDeleteMor _,
@@ -461,6 +562,17 @@ object Merge {
     // snapshot must be the identity
     "qw_txlog_read" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    // restore rolls back both delete flavors: identity scan
+    "qw_restore_read" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    // string-range scan: the skip (proved by the in-row REQUIRE) decides
+    // files, never rows; byte-order BETWEEN is identical in both engines
+    "qw_pruned_read_str" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE lang BETWEEN 'd' AND 'ez' ORDER BY doc_id"),
+    // bin-packing is row-invisible: identity scan
+    "qw_binpack_read" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
     // rename is logical-only (chars ≡ n_chars), the drop+re-add leaves
     // lang NULL everywhere except the post-re-add wave (doc_id % 3 = 2)
     "qw_rename_lifecycle" ->

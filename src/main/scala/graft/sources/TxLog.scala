@@ -254,7 +254,9 @@ object TxLog {
     val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
     def fold(payload: String): Unit = {
       val t = payload.split('|')
-      require(t.length == 4, s"txlog: malformed stats payload in $table: $payload")
+      // 4 fields = integral min/max; 5 (trailing "s") = base64 string bounds
+      require(t.length == 4 || (t.length == 5 && t(4) == "s"),
+        s"txlog: malformed stats payload in $table: $payload")
       acc((t(0), t(1))) = payload
     }
     startCkpt.foreach { cv =>
@@ -274,9 +276,14 @@ object TxLog {
 
   /** Deletion-vector bindings as of `asOf`, keyed by data-file relative
     * path with the LAST binding winning (a later MOR delete on the same
-    * file re-points it at a dv set that CONTAINS the earlier positions —
-    * positions only ever accumulate) — checkpoint + suffix replay, same
-    * shape as [[statsPayloadsAt]]. Payload format: `fileRel|dvDirRel`. */
+    * file re-points it at a dv set that CONTAINS the earlier positions;
+    * a [[restore]] may legitimately re-point BACK to an earlier — or no
+    * — vector, which the same last-wins fold handles) — checkpoint +
+    * suffix replay, same shape as [[statsPayloadsAt]]. Payload format:
+    * `fileRel|dvDirRel`, with dvDirRel `-` meaning UNBOUND (the restore
+    * sentinel; [[dvAt]] filters it out). */
+  private[sources] val DvUnbound = "-"
+
   private def dvPayloadsAt(spark: SparkSession, table: String,
                            asOf: Option[Long]): Seq[(String, String)] = {
     val vs = versions(spark, table)
@@ -310,7 +317,8 @@ object TxLog {
   def dvAt(spark: SparkSession, table: String,
            asOf: Option[Long] = None): Map[String, String] = {
     val live = snapshotFiles(spark, table, asOf).toSet
-    dvPayloadsAt(spark, table, asOf).filter(p => live.contains(p._1)).toMap
+    dvPayloadsAt(spark, table, asOf)
+      .filter(p => live.contains(p._1) && p._2 != DvUnbound).toMap
   }
 
   private def maybeCheckpoint(spark: SparkSession, table: String,
@@ -327,8 +335,9 @@ object TxLog {
         .filter(s => liveSet.contains(s.split('|')(0)))
         .map(s => s"""{"a":"stats","p":"$s"}""")
       // ...and the live files' deletion-vector bindings, for dvAt's replay
+      // (unbound sentinels are dead weight in a from-scratch snapshot)
       val dvLines = dvPayloadsAt(spark, table, Some(version))
-        .filter { case (file, _) => liveSet.contains(file) }
+        .filter { case (file, dv) => liveSet.contains(file) && dv != DvUnbound }
         .map { case (file, dv) => s"""{"a":"dv","p":"$file|$dv"}""" }
       // ATOMIC publication (same hazard as commits): a plain
       // create+write+close lets a racing reader replay a truncated
@@ -1037,19 +1046,56 @@ object TxLog {
         org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(table, rel), conf))
       try {
-        val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+        val raw = r.getFooter.getBlocks.asScala.flatMap { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == phys).flatMap { c =>
             val st = c.getStatistics
             // an empty row group (e.g. the part file of an all-rows-deleted
             // rewrite) carries no values: record nothing for it
             if (st == null || st.genericGetMin == null || st.genericGetMax == null) None
-            else Some((st.genericGetMin.asInstanceOf[Number].longValue,
-              st.genericGetMax.asInstanceOf[Number].longValue))
+            else Some((st.genericGetMin, st.genericGetMax))
           }
         }
-        if (ranges.isEmpty) None
-        else Some(s"$rel|$phys|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
+        if (raw.isEmpty) None
+        else raw.head._1 match {
+          case _: Number =>
+            val rr = raw.map { case (mn, mx) =>
+              (mn.asInstanceOf[Number].longValue, mx.asInstanceOf[Number].longValue)
+            }
+            Some(s"$rel|$phys|${rr.map(_._1).min}|${rr.map(_._2).max}")
+          case _: org.apache.parquet.io.api.Binary =>
+            // STRING bounds: kept as raw UTF-8 byte arrays compared
+            // unsigned-lexicographically — exactly parquet's binary sort
+            // order AND Spark's UTF8String comparison, so the skip can
+            // never disagree with the residual filter. Base64 in the
+            // payload (pipes/quotes in data must not break the format).
+            val ord = UnsignedBytes
+            val rr = raw.map { case (mn, mx) =>
+              (mn.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                mx.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            }
+            val lo = rr.map(_._1).min(ord)
+            val hi = rr.map(_._2).max(ord)
+            val enc = java.util.Base64.getEncoder
+            Some(s"$rel|$phys|${enc.encodeToString(lo)}|${enc.encodeToString(hi)}|s")
+          case other => throw new IllegalArgumentException(
+            s"txlog: unsupported stats type ${other.getClass.getName} for '$phys'")
+        }
       } finally r.close()
+    }
+  }
+
+  /** Unsigned-lexicographic byte-array order — parquet's BINARY stats
+    * order and Spark's UTF8String order, used for string skipping. */
+  private object UnsignedBytes extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
     }
   }
 
@@ -1122,6 +1168,46 @@ object TxLog {
       statsCols = Seq(colA, colB))
   }
 
+  /** INCREMENTAL small-file compaction (the public Delta OPTIMIZE
+    * bin-packing idea): rewrite ONLY the live files smaller than
+    * `targetBytes` into ~target-sized packed files, leaving every
+    * already-large file untouched on disk. This is the maintenance op a
+    * streaming-ingested 100 TB table actually needs — micro-batch
+    * commits leave thousands of KB-sized files per day, and a FULL
+    * compact ([[compact]]) re-writes the accumulated terabytes just to
+    * fix them; bin-packing touches only the small tail, so its cost
+    * tracks the ingest rate, not the table size. Tagged "compact": the
+    * live ROWS are unchanged (small files' deletion vectors are
+    * materialized into the packed output and die with their files), so
+    * the change feed skips it and MatView folds stay incremental across
+    * it. Optional `statsCols` re-record per-file stats for the packed
+    * output. Returns the committed version, or the current version
+    * unchanged when fewer than two files are small. */
+  def optimizeBinPack(spark: SparkSession, table: String, targetBytes: Long,
+                      statsCols: String*): Long = {
+    require(targetBytes > 0, "txlog: targetBytes must be positive")
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val f = fs(spark, new Path(table))
+    val sizes = live.map(p =>
+      p -> f.getFileStatus(new Path(table, p)).getLen).toMap
+    val small = live.filter(sizes(_) < targetBytes)
+    if (small.size < 2) return base // nothing worth packing
+    val dvs = dvAt(spark, table, Some(base))
+    val packed = scanLive(spark, table, small,
+      schemaAt(spark, table, Some(base)), dvs.filter(kv => small.contains(kv._1)))
+    val numOut = math.max(1L,
+      (small.map(sizes).sum + targetBytes - 1) / targetBytes).toInt
+    val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
+    val dataDir = new Path(table, rel)
+    physicalize(packed, schemaAt(spark, table, Some(base)))
+      .repartition(numOut).write.parquet(dataDir.toString)
+    val written = writtenFiles(spark, table, rel)
+    commitRewrite(spark, table, base, written, small, "compact", dataDir,
+      stats = statsCols.flatMap(footerStats(spark, table, written, _)))
+  }
+
   /** Live files' recorded (min, max) for `statsCol` as of `asOf` —
     * checkpoint + suffix replay (last payload per file wins), then
     * intersected with the live set. Files with no recorded stats are
@@ -1146,6 +1232,58 @@ object TxLog {
         case _ => None
       }
     }.toMap
+  }
+
+  /** [[statsForLive]] for STRING-bounded columns: recorded UTF-8 byte
+    * bounds per live file. */
+  private def stringStatsForLive(spark: SparkSession, table: String,
+                                 statsCol: String, live: Set[String],
+                                 asOf: Option[Long]
+                                ): Map[String, (Array[Byte], Array[Byte])] = {
+    val phys = resolvePhysical(spark, table, statsCol, asOf)
+    val dec = java.util.Base64.getDecoder
+    statsPayloadsAt(spark, table, asOf).flatMap { payload =>
+      payload.split('|') match {
+        case Array(p, c, mn, mx, "s") if c == phys && live.contains(p) =>
+          Some(p -> ((dec.decode(mn), dec.decode(mx))))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The live files a string `[lo, hi]` range read must scan — the
+    * string twin of [[pruneFiles]]; bounds compare in UTF-8 byte order
+    * (= parquet's BINARY stats order = Spark's UTF8String order, so the
+    * skip can never disagree with the residual filter). */
+  private[graft] def pruneFilesString(spark: SparkSession, table: String,
+                                      statsCol: String, lo: String, hi: String,
+                                      asOf: Option[Long] = None
+                                     ): (Seq[String], Int) = {
+    val live = snapshotFiles(spark, table, asOf)
+    val stats = stringStatsForLive(spark, table, statsCol, live.toSet, asOf)
+    val (lb, hb) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+    val kept = live.filter { p =>
+      stats.get(p).forall { case (mn, mx) =>
+        UnsignedBytes.compare(mx, lb) >= 0 && UnsignedBytes.compare(mn, hb) <= 0
+      }
+    }
+    (kept, live.size)
+  }
+
+  /** String-range read with log-native file skipping — [[readWhere]]
+    * for a string column (the `WHERE lang BETWEEN 'de' AND 'fr'` shape
+    * a language- or tenant-partitioned 100 TB corpus serves daily).
+    * Deletion vectors anti-apply on the kept files as in [[read]]. */
+  def readWhereString(spark: SparkSession, table: String, statsCol: String,
+                      lo: String, hi: String,
+                      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneFilesString(spark, table, statsCol, lo, hi, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, table, asOf).limit(0)
+      else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+        dvAt(spark, table, asOf))
+    base.filter(col(statsCol).between(lo, hi))
   }
 
   /** The live files a conjunction of `[lo, hi]` range predicates must
@@ -1287,18 +1425,30 @@ object TxLog {
         .between(lo, hi))
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"))
-      .localCheckpoint(true) // two consumers below; compute the scan once
-    if (newPos.isEmpty) return base // stats kept the file, no row matched
+    bindDeletionVectors(spark, table, base, newPos, touched)
+  }
+
+  /** The MOR-delete commit tail shared by the range and free-predicate
+    * flavors: union the new (file, pos) matches with the prior vectors
+    * of every re-masked file in `scope`, write ONE sidecar, and commit
+    * dv bindings for exactly the files that have matches. Returns the
+    * committed version, or `base` unchanged when nothing matched. */
+  private def bindDeletionVectors(spark: SparkSession, table: String,
+                                  base: Long, newPosRaw: DataFrame,
+                                  scope: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val newPos = newPosRaw.localCheckpoint(true) // two consumers below
+    if (newPos.isEmpty) return base // no row matched
     val oldDvs = dvAt(spark, table, Some(base))
-    val touchedNames = touched.map(p => p.split('/').last)
+    val scopeNames = scope.map(p => p.split('/').last)
     // prior vectors for the re-masked files ride into the new vector,
     // so "last binding wins" stays exact
-    val oldPos = oldDvs.filter { case (f, _) => touched.contains(f) }
+    val oldPos = oldDvs.filter { case (f, _) => scope.contains(f) }
       .values.toSeq.distinct match {
       case Nil => None
       case dirs => Some(spark.read
         .parquet(dirs.map(p => new Path(table, p).toString): _*)
-        .filter(col("file").isin(touchedNames: _*)))
+        .filter(col("file").isin(scopeNames: _*)))
     }
     val allPos = oldPos.fold(newPos)(newPos.unionByName(_)).distinct()
       .localCheckpoint(true) // consumed twice: the match map and the write
@@ -1309,12 +1459,149 @@ object TxLog {
     val rel = f"data/v${base + 1}%08d-dv-${uniq()}"
     val dvDir = new Path(table, rel)
     allPos.repartition(1).write.parquet(dvDir.toString)
-    val bindings = touched
+    val bindings = scope
       .filter(p => matchedFiles.contains(p.split('/').last))
       .map(p => s"$p|$rel")
     commitRewrite(spark, table, base, Seq.empty, Seq.empty, "delete", dvDir,
       dvs = bindings)
   }
+
+  /** MOR DELETE with a FREE predicate over the table's logical columns
+    * (`deleteWhereMor` prunes candidate files by stats; this flavor
+    * scans every live file for positions — the honest cost when the
+    * predicate isn't a range on a stats column, e.g. "erase everything
+    * this customer id touches" over a non-clustered 100 TB table: one
+    * read-only scan, kilobytes written, zero files rewritten). The
+    * predicate sees LOGICAL column names (post-rename). */
+  def deleteWhereMorExpr(spark: SparkSession, table: String,
+                         predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    requireNonEmpty(spark, table, "delete")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    val paths = live.map(p => new Path(table, p).toString)
+    // physical scan (the _metadata struct needs the un-projected scan),
+    // then project logical names ALONGSIDE the address columns so the
+    // caller's predicate binds to what read() would show
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val addressed = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+    val logical = declared.filter(mappingEnabled) match {
+      case None => addressed
+      case Some(s) => addressed.select(
+        s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq ++
+          Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
+    }
+    val newPos = logical.filter(expr(predicateSql))
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    bindDeletionVectors(spark, table, base, newPos, live)
+  }
+
+  /** RESTORE the table to the state of `toVersion` as a NEW commit —
+    * the public Delta RESTORE idea, and like it METADATA-ONLY: the
+    * commit re-ADDS the target snapshot's files (they still exist —
+    * immutability is the point), REMOVES the current head's extras, and
+    * re-binds (or unbinds) every restored file's deletion vector to its
+    * state at the target, so zero data bytes move no matter how many
+    * terabytes the rollback "rewrites". History is preserved (the bad
+    * versions stay time-travelable until vacuumed); the restore is
+    * serializable like an overwrite (ANY intervening commit aborts);
+    * the change feed classifies it as a rewrite; MatView recomputes
+    * across it. If the declared schema changed since the target, the
+    * target's effective schema is re-declared in the same commit.
+    * Restoring to the current head is a commit-free no-op. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    requireNonEmpty(spark, table, "restore")
+    val base = latestVersion(spark, table)
+    val wm = earliestReadableVersion(spark, table)
+    require(toVersion >= wm,
+      s"txlog: version $toVersion was vacuumed (earliest readable: $wm)")
+    require(toVersion <= base,
+      s"txlog: cannot restore $table to future version $toVersion (latest: $base)")
+    if (toVersion == base) return base
+    val target = snapshotFiles(spark, table, Some(toVersion))
+    val cur = snapshotFiles(spark, table, Some(base)).toSet
+    val adds = target.filterNot(cur)
+    val removes = (cur -- target.toSet).toSeq
+    val targetDvs = dvAt(spark, table, Some(toVersion))
+    // self-contained mask state: bind-or-unbind EVERY restored file, so
+    // no later binding from the rolled-back range can leak through
+    val dvLines = target.map(fl => s"$fl|${targetDvs.getOrElse(fl, DvUnbound)}")
+    val schemaB64 = {
+      val tgtDecl = schemaAt(spark, table, Some(toVersion))
+      val headDecl = schemaAt(spark, table, Some(base))
+      if (tgtDecl == headDecl) None
+      else Some(encodeSchema(tgtDecl.getOrElse(StructType(
+        read(spark, table, Some(toVersion)).schema.fields.map(_.copy(nullable = true))))))
+    }
+    val v = base + 1
+    // serializable: "roll back to the state I read" is invalidated by
+    // ANY commit that landed after the base (same rule as overwrite) —
+    // a lost claim IS that commit; metadata-only, so nothing to clean
+    if (!tryCommit(spark, table, v, adds, removes, Some("restore"),
+      schemaB64, Seq.empty, Seq.empty, dvLines))
+      throw new TxLogConcurrentModificationException(
+        s"txlog: restore of $table to $toVersion lost to a concurrent " +
+          "commit — re-read the table and retry")
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — version, kind, action
+    * counts, txn markers, and the commit file's (monotonized)
+    * timestamp. Driver-side log scan, bounded by commit count. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    val f = fs(spark, logDir(table))
+    var maxTs = 0L
+    val rows = vs.map { v =>
+      val path = new Path(logDir(table), f"$v%08d.json")
+      val actions = readLogFile(spark, path)
+      val counts = actions.groupBy(_._1).view.mapValues(_.size).toMap
+      val kind = actions.collectFirst { case ("tag", k) => k }.getOrElse(
+        if (counts.contains("schema") && !counts.contains("add") &&
+          !counts.contains("remove")) "schema-change"
+        else "append")
+      val txns = actions.collect { case ("txn", t) => t }.mkString(",")
+      // monotonized mtimes (a copied/restored log dir can have ties or
+      // inversions; time travel by timestamp needs a monotone mapping)
+      maxTs = math.max(maxTs, f.getFileStatus(path).getModificationTime)
+      (v, kind, counts.getOrElse("add", 0), counts.getOrElse("remove", 0),
+        counts.getOrElse("dv", 0), counts.contains("schema"), txns, maxTs)
+    }
+    spark.createDataFrame(rows).toDF("version", "kind", "n_adds",
+      "n_removes", "n_dvs", "declares_schema", "txn_markers", "timestamp_ms")
+  }
+
+  /** The latest version whose (monotonized) commit timestamp is at or
+    * before `tsMillis` — timestamp-based time travel ("train on the
+    * corpus as of last midnight"), resolved from the log files' own
+    * modification times exactly as the public Delta protocol does. */
+  def versionAtTime(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    val f = fs(spark, logDir(table))
+    var maxTs = 0L
+    val stamped = vs.map { v =>
+      maxTs = math.max(maxTs,
+        f.getFileStatus(new Path(logDir(table), f"$v%08d.json")).getModificationTime)
+      (v, maxTs)
+    }
+    stamped.takeWhile(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog: no commit in $table at or before timestamp $tsMillis " +
+          s"(first commit: ${stamped.head._2})"))
+  }
+
+  /** [[read]] pinned by wall-clock timestamp instead of version. */
+  def readAsOfTime(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAtTime(spark, table, tsMillis)))
 
   /** Replace the table's contents with `df` in one commit — how a
     * [[graft.operators.Merge.mergeUpsert]] result (or any recomputed

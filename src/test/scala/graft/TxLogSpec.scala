@@ -962,6 +962,120 @@ class TxLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("string data skipping: UTF-8 byte bounds prune files and never change rows") {
+    val t = freshTable("strstats")
+    Seq(("a", "f"), ("g", "m"), ("n", "z")).zipWithIndex.foreach { case ((lo, hi), i) =>
+      val rows = (0 until 40).map(k => (i * 100L + k, s"$lo-word-$k"))
+      TxLog.appendWithStats(spark, t, rows.toDF("id", "s").coalesce(1), "s")
+    }
+    val (kept, live) = TxLog.pruneFilesString(spark, t, "s", "a", "f")
+    assert(live == 3 && kept.size == 1, s"$kept of $live")
+    assert(TxLog.readWhereString(spark, t, "s", "a", "f").count() == 40L)
+    // a range spanning two files' bounds keeps exactly those two
+    val (kept2, _) = TxLog.pruneFilesString(spark, t, "s", "a", "h")
+    assert(kept2.size == 2)
+    // stats-less files are conservatively kept: a plain append joins in
+    TxLog.append(spark, t, Seq((999L, "zz")).toDF("id", "s"))
+    val (kept3, live3) = TxLog.pruneFilesString(spark, t, "s", "a", "f")
+    assert(live3 == 4 && kept3.size == 2, "absence of stats must never skip")
+    assert(TxLog.readWhereString(spark, t, "s", "a", "f").count() == 40L)
+    // skip decides files, never rows: equals the plain filtered read
+    assert(TxLog.readWhereString(spark, t, "s", "e", "h").count() ==
+      TxLog.read(spark, t).filter($"s".between("e", "h")).count())
+  }
+
+  test("optimizeBinPack: rewrites only the small tail; large files, rows, and MV folds untouched") {
+    val t = freshTable("binpack")
+    // one big file + 6 small ones
+    TxLog.append(spark, t, (0L until 5000L).map(i => (i, s"row$i")).toDF("id", "s").coalesce(1))
+    (0 until 6).foreach(r => TxLog.append(spark, t,
+      Seq((5000L + r, s"tiny$r")).toDF("id", "s").coalesce(1)))
+    // a MOR delete masks one small file's row: the pack must materialize it
+    TxLog.appendWithStats(spark, t,
+      Seq((9000L, "victim"), (9001L, "keeper")).toDF("id", "s").coalesce(1), "id")
+    TxLog.deleteWhereMor(spark, t, "id", 9000L, 9000L)
+    // and a MatView watching the table must stay incremental across the pack
+    val mv = freshTable("binpack-mv")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "build")
+    val before = TxLog.snapshotFiles(spark, t)
+    val big = before.head
+    val bigLen = new java.io.File(t, big).length()
+    val preRows = TxLog.read(spark, t).count()
+    val v = TxLog.optimizeBinPack(spark, t, targetBytes = bigLen)
+    val after = TxLog.snapshotFiles(spark, t)
+    assert(after.contains(big), "large file must survive the pack untouched")
+    assert(after.size < before.size)
+    assert(TxLog.read(spark, t).count() == preRows, "pack changed rows")
+    assert(TxLog.read(spark, t).filter($"id" === 9000L).count() == 0L,
+      "pack resurrected a MOR-deleted row")
+    assert(TxLog.dvAt(spark, t).isEmpty,
+      "packed small files must shed their deletion vectors")
+    assert(TxLog.commitKind(spark, t, v).contains("compact"))
+    // change feed and MV treat the pack as a compaction (row-invisible)
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "noop",
+      "bin-packing must not force an MV recompute")
+    // nothing to pack → commit-free no-op
+    assert(TxLog.optimizeBinPack(spark, t, targetBytes = 1L) == v)
+    // pinned pre-pack read replays the original files (with the mask)
+    assert(TxLog.read(spark, t, Some(v - 1)).count() == preRows)
+  }
+
+  test("restore: metadata-only rollback across deletes, masks, and a rename; history preserved") {
+    val t = freshTable("restore")
+    TxLog.appendWithStats(spark, t,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    TxLog.appendWithStats(spark, t,
+      (100L until 200L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    val good = TxLog.latestVersion(spark, t)
+    val goodFiles = TxLog.snapshotFiles(spark, t)
+    // damage: CoW delete + MOR mask + a RENAME
+    TxLog.deleteWhere(spark, t, "id", 0, 10)
+    TxLog.deleteWhereMor(spark, t, "id", 150, 160)
+    TxLog.renameColumn(spark, t, "s", "txt")
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "txt"))
+    val rv = TxLog.restore(spark, t, good)
+    assert(TxLog.snapshotFiles(spark, t).toSet == goodFiles.toSet,
+      "restore must re-add exactly the target's paths (zero data movement)")
+    assert(TxLog.dvAt(spark, t).isEmpty, "restore must unbind rolled-back masks")
+    assert(TxLog.read(spark, t).count() == 200L)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "s"),
+      "restore must re-declare the target's schema (the rename rolls back)")
+    // history preserved: the damaged versions still time travel
+    assert(TxLog.read(spark, t, Some(rv - 1)).columns.toSeq == Seq("id", "txt"))
+    assert(TxLog.read(spark, t, Some(rv - 1)).count() == 200L - 11L - 11L)
+    // restoring to the head is a commit-free no-op
+    assert(TxLog.restore(spark, t, rv) == rv &&
+      TxLog.latestVersion(spark, t) == rv)
+    // writes keep working after the restore (schema + stats composing)
+    TxLog.appendWithStats(spark, t,
+      Seq((500L, "post")).toDF("id", "s").coalesce(1), "id")
+    assert(TxLog.readWhere(spark, t, "id", 500, 500).count() == 1L)
+  }
+
+  test("history + timestamp time travel: per-commit kinds and a monotone clock mapping") {
+    val t = freshTable("history")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(30)
+    val midTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    TxLog.compact(spark, t)
+    TxLog.deleteWhereMor(spark, t, "id", 2, 2)
+    TxLog.renameColumn(spark, t, "s", "txt")
+    val h = TxLog.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h == Map(0L -> "append", 1L -> "append", 2L -> "compact",
+      3L -> "delete", 4L -> "schema-change"), h.toString)
+    // timestamps are monotone non-decreasing
+    val ts = TxLog.history(spark, t).collect().map(_.getLong(7)).toSeq
+    assert(ts == ts.sorted, s"history timestamps must be monotone: $ts")
+    // timestamp travel: midTs falls after commit 0, before commit 1
+    assert(TxLog.versionAtTime(spark, t, midTs) == 0L)
+    assert(TxLog.readAsOfTime(spark, t, midTs).count() == 1L)
+    assert(TxLog.versionAtTime(spark, t, System.currentTimeMillis()) == 4L)
+    intercept[IllegalArgumentException](TxLog.versionAtTime(spark, t, 1000L))
+  }
+
   test("OCC: two concurrent idempotent appends of the SAME batch land exactly once") {
     (1 to 3).foreach { round =>
       val t = freshTable(s"dup$round")
