@@ -43,4 +43,33 @@ object StreamingMatView {
         ()
       }
       .start()
+
+  /** Continuous JOIN-MV maintenance: TWO trigger streams — one on the
+    * fact table, one on the dim — each firing the same
+    * [[MatView.refreshJoin]]. No coordination is needed between them:
+    * every refresh is a pinned-read CAS ([[MatView.refreshJoin]]'s
+    * race-exactness), so two triggers firing together fold the state
+    * exactly once and the loser re-enters on the winner's watermarks.
+    * Fact commits fold incrementally; a dim commit's trigger performs
+    * the honest recompute the join algebra demands. Returns both
+    * queries — stop both to stop maintenance. */
+  def maintainJoin(spark: SparkSession, factTable: String, dimTable: String,
+                   mvTable: String, joinKeys: Seq[String], keyCols: Seq[String],
+                   valCol: String, factFilter: Option[String],
+                   checkpointFact: String,
+                   checkpointDim: String): (StreamingQuery, StreamingQuery) = {
+    def trigger(src: String, checkpoint: String): StreamingQuery =
+      spark.readStream.format("graft-txlog")
+        .option("skipChangeCommits", "true")
+        .load(src)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          MatView.refreshJoin(batch.sparkSession, factTable, dimTable,
+            mvTable, joinKeys, keyCols, valCol, factFilter)
+          ()
+        }
+        .start()
+    (trigger(factTable, checkpointFact), trigger(dimTable, checkpointDim))
+  }
 }

@@ -68,4 +68,41 @@ class StreamingMatViewSpec extends SparkSpec {
       } finally qMv3.stop()
     } finally qIngest.stop()
   }
+
+  test("join-MV maintenance: fact commits fold, a dim commit's trigger recomputes; uncoordinated twins stay exact") {
+    import graft.operators.MatView
+    val base = java.nio.file.Files.createTempDirectory("graft-smvj").toString
+    val (fact, dim, mv) = (s"$base/fact", s"$base/dim", s"$base/view")
+    def ck() = java.nio.file.Files.createTempDirectory("graft-smvj-ck").toString
+    def viewMap: Map[Long, (Long, Long)] =
+      TxLog.read(spark, mv).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def expected: Map[Long, (Long, Long)] =
+      TxLog.read(spark, fact).join(TxLog.read(spark, dim), "k")
+        .groupBy("g").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("v").as("total"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // dim: key → group; fact: key → value
+    TxLog.append(spark, dim, Seq((1L, 10L), (2L, 20L)).toDF("k", "g"))
+    TxLog.append(spark, fact, Seq((1L, 5L), (2L, 7L), (3L, 9L)).toDF("k", "v"))
+    val (qf, qd) = graft.streaming.StreamingMatView.maintainJoin(
+      spark, fact, dim, mv, Seq("k"), Seq("g"), "v", None, ck(), ck())
+    try {
+      qf.processAllAvailable(); qd.processAllAvailable()
+      assert(viewMap == expected, "initial build must land")
+      assert(!viewMap.keySet.exists(_ == 30L), "unmatched fact keys stay out")
+      // fact commit: the fact-side trigger folds it
+      TxLog.append(spark, fact, Seq((1L, 100L)).toDF("k", "v"))
+      qf.processAllAvailable(); qd.processAllAvailable()
+      assert(viewMap == expected, "fact fold went stale")
+      // dim commit completing key 3: only a RECOMPUTE can pick up the
+      // fact rows the inner join previously dropped
+      TxLog.append(spark, dim, Seq((3L, 30L)).toDF("k", "g"))
+      qd.processAllAvailable(); qf.processAllAvailable()
+      assert(viewMap == expected, "dim-side trigger must recompute")
+      assert(viewMap.contains(30L), "previously-dropped fact rows must appear")
+    } finally { qf.stop(); qd.stop() }
+  }
 }

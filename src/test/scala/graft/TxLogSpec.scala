@@ -1020,6 +1020,18 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t, Some(v - 1)).count() == preRows)
   }
 
+  test("plan pin: the deletion-vector anti-join is a BROADCAST probe, never a shuffle of the data side") {
+    val t = freshTable("dvplan")
+    TxLog.appendWithStats(spark, t,
+      (0L until 500L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), "id")
+    TxLog.deleteWhereMor(spark, t, "id", 10, 20)
+    val p = TxLog.read(spark, t).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dv anti-apply must be a broadcast left-anti probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dv anti-apply shuffled the data side:\n$p")
+  }
+
   test("restore: metadata-only rollback across deletes, masks, and a rename; history preserved") {
     val t = freshTable("restore")
     TxLog.appendWithStats(spark, t,
