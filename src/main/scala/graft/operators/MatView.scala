@@ -151,7 +151,11 @@ object MatView {
   private val MvjDimId = "graft-mvjoin-dim"
 
   /** `factDf FILTER factFilter INNER JOIN broadcast(dimDf) ON joinKeys
-    * GROUP BY keyCols → (cnt, sum(valCol))` — the maintained shape. */
+    * GROUP BY keyCols → (cnt, sum, min, max of valCol)` — the
+    * maintained shape (same monoid argument as [[fullAggregate]]:
+    * min/max fold exactly under append-only fact deltas, and every
+    * delta-breaking case — fact rewrites, ANY dim change — already
+    * takes the recompute path). */
   private def joinAggregate(factDf: DataFrame, dimDf: DataFrame,
                             joinKeys: Seq[String], keyCols: Seq[String],
                             valCol: String,
@@ -159,7 +163,8 @@ object MatView {
     val filtered = factFilter.fold(factDf)(factDf.filter)
     filtered.join(broadcast(dimDf), joinKeys)
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
+        min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
   }
 
   /** Refresh the join MV `mv` over fact table `fact` ⋈ dim table `dim`
@@ -245,7 +250,8 @@ object MatView {
             joinKeys, keyCols, valCol, factFilter)
           val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
             .groupBy(keyCols.map(col): _*)
-            .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+            .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
+              min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
           commitPinned(folded, "incremental")
         }
       }
@@ -313,7 +319,7 @@ object MatView {
       factRows.filter(col("o_orderkey") % 3 === 2).withColumnRenamed("o_custkey", "c_custkey"))
     require(go() == "incremental")
     require(go() == "noop") // watermark idempotence
-    TxLog.read(spark, mv).select("c_nationkey", "cnt", "total")
+    TxLog.read(spark, mv).select("c_nationkey", "cnt", "total", "vmin", "vmax")
       .orderBy("c_nationkey")
   }
 
@@ -328,7 +334,9 @@ object MatView {
         "FROM documents GROUP BY lang ORDER BY lang"),
     "qw_mv_join_refresh" ->
       ("SELECT c_nationkey, COUNT(*) AS cnt, " +
-        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total " +
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total, " +
+        "MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmin, " +
+        "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"))
