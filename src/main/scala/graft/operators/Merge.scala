@@ -542,7 +542,30 @@ object Merge {
     TxLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** QW14 — FREE-PREDICATE merge-on-read delete under the hash gate:
+    * documents lands in three appends, then a GDPR-shaped erasure by a
+    * predicate no stats column can prune (`lang = 'de' AND n_chars`
+    * odd — a subject spread across every file) binds deletion vectors
+    * from ONE read-only scan; the row REQUIRES the data file set is
+    * byte-identical, then hash-matches the SQL anti-predicate scan. */
+  def qwDeleteExpr(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txdelexpr", d, "t")
+    TxLog.destroy(spark, table)
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    TxLog.deleteWhereMorExpr(spark, table, "lang = 'de' AND n_chars % 2 = 1")
+    require(TxLog.snapshotFiles(spark, table).toSet == before,
+      "txlog: free-predicate MOR delete must leave the data file set untouched")
+    require(TxLog.dvAt(spark, table).nonEmpty,
+      "txlog: free-predicate MOR delete bound no deletion vectors")
+    TxLog.read(spark, table).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_delete_expr" -> qwDeleteExpr _,
     "qw_restore_read" -> qwRestoreRead _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
     "qw_binpack_read" -> qwBinpackRead _,
@@ -562,6 +585,10 @@ object Merge {
     // snapshot must be the identity
     "qw_txlog_read" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    // the erased subject's complement, row-for-row
+    "qw_delete_expr" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE NOT (lang = 'de' AND n_chars % 2 = 1) ORDER BY doc_id"),
     // restore rolls back both delete flavors: identity scan
     "qw_restore_read" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
