@@ -214,8 +214,20 @@ object MatView {
       def commitPinned(view: DataFrame, mode: String): String =
         try {
           TxLog.overwriteIdempotentAt(spark, mv, mvBase, view, MvjAppId,
-            factLatest + dimLatest, extraTxns = marks)
-          mode
+            factLatest + dimLatest, extraTxns = marks) match {
+            case Some(_) => mode
+            case None =>
+              // the SUM primary is monotone per observer but NOT
+              // collision-free across racers: incomparable watermark
+              // pairs — (fact=5,dim=3) vs (fact=6,dim=2) — share a
+              // batchId, so a fast-path skip here may mean a DIFFERENT
+              // state landed, not ours. Compare the per-component
+              // markers directly; retry while either is still behind,
+              // so the skipped-but-newer watermark always gets folded.
+              val af = TxLog.lastCommittedBatch(spark, mv, MvjFactId).getOrElse(-1L)
+              val ad = TxLog.lastCommittedBatch(spark, mv, MvjDimId).getOrElse(-1L)
+              if (af >= factLatest && ad >= dimLatest) mode else retry()
+          }
         } catch {
           case _: graft.sources.TxLogConcurrentModificationException => retry()
         }
@@ -266,11 +278,10 @@ object MatView {
     * table, which is exactly the fold-in ≡ recompute claim. */
   def qwMvRefresh(spark: SparkSession, d: String): DataFrame = {
     val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
-    // per-process slot (Fixtures): a concurrent harness process must
-    // never share this live TxLog lifecycle — see Fixtures' scaladoc
+    // per-INVOCATION slots (Fixtures): no other invocation — same JVM
+    // or not — can ever share this live TxLog lifecycle
     val src = Fixtures.table("mv", d, "src")
     val mv = Fixtures.table("mv", d, "view")
-    TxLog.destroy(spark, src); TxLog.destroy(spark, mv)
     TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 0))
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "build")
     TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 1))
@@ -280,8 +291,34 @@ object MatView {
     TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 2))
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "incremental")
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "noop") // idempotent
-    TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
-      .orderBy("lang")
+    val folded = TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
+    // fold ≡ recompute, asserted IN-ROW: any environmental corruption
+    // (a raced lifecycle, a stale table) becomes a loud err, never a
+    // silent wrong hash reaching the driver's compare
+    requireFoldEqualsRecompute(spark, mv, folded,
+      fullAggregate(spark, src, TxLog.latestVersion(spark, src), Seq("lang"), "n_chars")
+        .select("lang", "cnt", "total", "vmin", "vmax"))
+    folded.orderBy("lang")
+  }
+
+  /** Loud in-row certification that the incrementally-folded view equals
+    * a from-scratch recompute; dumps the view's commit history to stderr
+    * on divergence so a corrupted lifecycle is diagnosable post-hoc. */
+  private def requireFoldEqualsRecompute(spark: SparkSession, mv: String,
+                                         folded: DataFrame,
+                                         recomputed: DataFrame): Unit = {
+    val extra = folded.exceptAll(recomputed).count()
+    val missing = recomputed.exceptAll(folded).count()
+    if (extra != 0 || missing != 0) {
+      System.err.println(s"txlog matview DIVERGENCE at $mv: " +
+        s"$extra folded-only rows, $missing recompute-only rows; history:")
+      TxLog.versions(spark, mv).foreach { v =>
+        System.err.println(s"  v$v kind=${TxLog.commitKind(spark, mv, v)}")
+      }
+      throw new IllegalStateException(
+        s"txlog: matview $mv fold != recompute ($extra/$missing) — " +
+          "fixture lifecycle corrupted (see stderr history)")
+    }
   }
 
   /** QW — the JOIN-MV lifecycle under the oracle gate: orders (fact)
@@ -302,7 +339,6 @@ object MatView {
     val fact = Fixtures.table("mvj", d, "fact")
     val dim = Fixtures.table("mvj", d, "dim")
     val mv = Fixtures.table("mvj", d, "view")
-    Seq(fact, dim, mv).foreach(TxLog.destroy(spark, _))
     def go() = refreshJoin(spark, fact, dim, mv,
       joinKeys = Seq("c_custkey"), keyCols = Seq("c_nationkey"),
       valCol = "o_val", factFilter = Some("o_val > 1000"))
@@ -319,8 +355,16 @@ object MatView {
       factRows.filter(col("o_orderkey") % 3 === 2).withColumnRenamed("o_custkey", "c_custkey"))
     require(go() == "incremental")
     require(go() == "noop") // watermark idempotence
-    TxLog.read(spark, mv).select("c_nationkey", "cnt", "total", "vmin", "vmax")
-      .orderBy("c_nationkey")
+    val folded = TxLog.read(spark, mv)
+      .select("c_nationkey", "cnt", "total", "vmin", "vmax")
+    // fold ≡ recompute, asserted IN-ROW (see [[requireFoldEqualsRecompute]])
+    requireFoldEqualsRecompute(spark, mv, folded,
+      joinAggregate(
+        TxLog.read(spark, fact, Some(TxLog.latestVersion(spark, fact))),
+        TxLog.read(spark, dim, Some(TxLog.latestVersion(spark, dim))),
+        Seq("c_custkey"), Seq("c_nationkey"), "o_val", Some("o_val > 1000"))
+        .select("c_nationkey", "cnt", "total", "vmin", "vmax"))
+    folded.orderBy("c_nationkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -406,7 +406,7 @@ object Merge {
     val (keptZ, liveZ) = TxLog.pruneFilesMulti(spark, zed, preds)
     require(keptZ.size < keptLex.size,
       s"txlog: z-order pruned no better than lexicographic " +
-        s"($keptZ.size of $liveZ vs ${keptLex.size} of $liveLex)")
+        s"(${keptZ.size} of $liveZ vs ${keptLex.size} of $liveLex)")
     TxLog.readWhereAll(spark, zed, preds).orderBy("o_orderkey", "o_custkey")
   }
 

@@ -555,6 +555,15 @@ object TxLog {
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    // close the zombie-twin window: a twin's commit landing between the
+    // caller's fast-path marker scan and the `versions` read above would
+    // make the first tryCommit succeed at twin.version+1 WITHOUT ever
+    // entering the in-loop re-check — so re-check here. A twin landing
+    // after THIS scan occupies a version >= intended, fails our first
+    // tryCommit, and is caught by the in-loop re-check: window closed.
+    txn.foreach { case (app, b) =>
+      if (lastCommittedBatch(spark, table, app).exists(_ >= b)) return None
+    }
     val rel = f"data/v$intended%08d-${uniq()}"
     physicalize(df, schemaAt(spark, table))
       .write.parquet(new Path(table, rel).toString)
@@ -1194,11 +1203,16 @@ object TxLog {
       p -> f.getFileStatus(new Path(table, p)).getLen).toMap
     val small = live.filter(sizes(_) < targetBytes)
     if (small.size < 2) return base // nothing worth packing
+    val numOut = math.max(1L,
+      (small.map(sizes).sum + targetBytes - 1) / targetBytes).toInt
+    // packing N small files into >= N outputs consolidates nothing —
+    // committing it anyway would rewrite the same bytes forever (and
+    // under StreamingOptimize.maintain each pointless commit retriggers
+    // the next, an infinite rewrite loop). Only rewrite when files merge.
+    if (small.size <= numOut) return base
     val dvs = dvAt(spark, table, Some(base))
     val packed = scanLive(spark, table, small,
       schemaAt(spark, table, Some(base)), dvs.filter(kv => small.contains(kv._1)))
-    val numOut = math.max(1L,
-      (small.map(sizes).sum + targetBytes - 1) / targetBytes).toInt
     val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
     val dataDir = new Path(table, rel)
     physicalize(packed, schemaAt(spark, table, Some(base)))
