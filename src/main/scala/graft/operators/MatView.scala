@@ -64,8 +64,10 @@ object MatView {
 
   /** Refresh `mv` to cover `src`'s latest version. Returns the refresh
     * mode actually taken: "noop" (already current), "build" (first
-    * materialization), "incremental" (delta fold), or "recompute"
-    * (rewrite commit in range forced the fallback).
+    * materialization), "incremental" (append-only delta fold),
+    * "incremental-delete" (signed CDF fold — delete/merge commits in
+    * range folded invertibly, see [[foldSigned]]), or "recompute"
+    * (an unfoldable rewrite — overwrite/restore — forced the fallback).
     *
     * Race-exact: every read is PINNED (source at the captured
     * srcLatest; the view at the version whose marker was consulted)
@@ -100,14 +102,19 @@ object MatView {
           s"txlog: $mv carries no $MvAppId marker — not a MatView table"))
       if (applied >= srcLatest) return "noop"
       val range = TxLog.versions(spark, src).filter(v => v > applied && v <= srcLatest)
-      // a rewrite commit (removes + non-compact tag, or untagged removes)
-      // changes already-folded rows: the delta algebra cannot express it
-      val hasRewrite = range.exists { v =>
+      // classify the unapplied commits: compactions fold to nothing;
+      // appends fold positively; DELETE and MERGE commits fold as SIGNED
+      // deltas through the row-level change feed (count and sum are
+      // invertible monoids; min/max get a targeted per-group repair);
+      // only the genuinely unfoldable rewrites (overwrite/restore —
+      // anything that replaces rows wholesale) force the full recompute
+      val changing = range.filter { v =>
+        !TxLog.commitKind(spark, src, v).contains("compact") &&
+          TxLog.commitChangesData(spark, src, v)
+      }
+      val unfoldable = changing.exists { v =>
         val kind = TxLog.commitKind(spark, src, v)
-        // commitChangesData, not commitRemoves: a MOR delete binds
-        // deletion vectors without removing a file, yet still changes
-        // already-folded rows
-        !kind.contains("compact") && TxLog.commitChangesData(spark, src, v)
+        !(kind.contains("delete") || kind.contains("merge"))
       }
       def commitPinned(view: DataFrame, mode: String): String =
         try {
@@ -116,12 +123,15 @@ object MatView {
         } catch {
           case _: graft.sources.TxLogConcurrentModificationException => retry()
         }
-      if (hasRewrite)
+      if (unfoldable)
         commitPinned(fullAggregate(spark, src, srcLatest, keyCols, valCol), "recompute")
       else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact")))
         // compaction-only range: nothing to fold; the watermark stays and
         // the next delta-bearing refresh covers the wider range exactly
         "noop"
+      else if (changing.nonEmpty)
+        commitPinned(foldSigned(spark, src, mv, mvBase, applied, srcLatest,
+          keyCols, valCol), "incremental-delete")
       else {
         val delta = TxLog.readChanges(spark, src, applied, srcLatest)
           .drop("_commit_version")
@@ -135,6 +145,55 @@ object MatView {
         commitPinned(folded, "incremental")
       }
     }
+  }
+
+  /** SIGNED delta fold over the row-level change feed
+    * ([[TxLog.readChangesCdf]]): inserts fold +1, deletes fold −1 into
+    * cnt/total (invertible commutative monoids — exact by algebra).
+    * MIN/MAX are NOT invertible, so they get a TARGETED repair: a group
+    * needs one iff a deleted value ties its candidate extremum
+    * (`delmin <= least(vmin, insmin)` — all live values are ≥ the true
+    * min, so only a tie can dislodge it); those groups alone re-derive
+    * min/max from a source scan semi-join-filtered to them. At 100 TB a
+    * GDPR-style delete touches few groups, so the repair scan prunes to
+    * nearly nothing and the view never pays a full recompute. Groups
+    * whose count reaches zero leave the view. */
+  private def foldSigned(spark: SparkSession, src: String, mv: String,
+                         mvBase: Long, applied: Long, srcLatest: Long,
+                         keyCols: Seq[String], valCol: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    val cdf = TxLog.readChangesCdf(spark, src, applied, srcLatest)
+      .withColumn("_w",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+    val delta = cdf.groupBy(keyC: _*)
+      .agg(sum(col("_w")).as("dcnt"),
+        sum(col("_w") * col(valCol)).as("dtotal"),
+        min(when(col("_w") === 1, col(valCol))).as("insmin"),
+        max(when(col("_w") === 1, col(valCol))).as("insmax"),
+        min(when(col("_w") === -1, col(valCol))).as("delmin"),
+        max(when(col("_w") === -1, col(valCol))).as("delmax"))
+    val joined = TxLog.read(spark, mv, Some(mvBase))
+      .join(delta, keyCols, "full_outer")
+      .withColumn("ncnt",
+        coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+      .withColumn("ntotal",
+        coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L)))
+      .withColumn("candmin", least(col("vmin"), col("insmin")))
+      .withColumn("candmax", greatest(col("vmax"), col("insmax")))
+      .withColumn("needrepair", col("delmin").isNotNull &&
+        (col("delmin") <= col("candmin") || col("delmax") >= col("candmax")))
+      .filter(col("ncnt") > 0)
+      .localCheckpoint(true) // view-sized; consumed by the repair AND the fold
+    val affected = joined.filter(col("needrepair")).select(keyC: _*)
+    val repaired = TxLog.read(spark, src, Some(srcLatest))
+      .join(broadcast(affected), keyCols, "left_semi")
+      .groupBy(keyC: _*)
+      .agg(min(col(valCol)).as("rmin"), max(col(valCol)).as("rmax"))
+    joined.join(repaired, keyCols, "left")
+      .select(keyC ++ Seq(
+        col("ncnt").as("cnt"), col("ntotal").as("total"),
+        when(col("needrepair"), col("rmin")).otherwise(col("candmin")).as("vmin"),
+        when(col("needrepair"), col("rmax")).otherwise(col("candmax")).as("vmax")): _*)
   }
 
   // ---------------------------------------------------------------------
@@ -301,6 +360,45 @@ object MatView {
     folded.orderBy("lang")
   }
 
+  /** QW — DELETE/MERGE fold under the oracle gate: the view is built and
+    * folded across two appends, then a MOR DELETE (GDPR-style free
+    * predicate) and a MOR MERGE (update + resurrect-as-insert) land on
+    * the source — and BOTH must refresh as "incremental-delete" (the
+    * signed CDF fold), never "recompute"; the REQUIREs pin the modes, so
+    * a regression that silently falls back to recompute fails the row
+    * even though the values would match. The final view must hash-match
+    * a closed-form GROUP BY over the surviving/updated rows. */
+  def qwMvDeleteFold(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvd", d, "src")
+    val mv = Fixtures.table("mvd", d, "view")
+    def go() = refresh(spark, src, mv, Seq("lang"), "n_chars")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 0))
+    require(go() == "build")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 1))
+    require(go() == "incremental")
+    // MOR delete: rows of the first two waves with doc_id ≡ 3 (mod 7)
+    TxLog.deleteWhereMorExpr(spark, src, "doc_id % 7 = 3")
+    require(go() == "incremental-delete",
+      "a delete commit must fold signed, not recompute")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 2))
+    require(go() == "incremental")
+    // MOR merge: every doc_id ≡ 0 (mod 5) gets n_chars+1000 — matched
+    // keys superseded, previously-deleted keys resurrected as inserts
+    TxLog.mergeMor(spark, src,
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      Seq("doc_id"))
+    require(go() == "incremental-delete",
+      "a merge commit must fold signed, not recompute")
+    require(go() == "noop")
+    val folded = TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
+    requireFoldEqualsRecompute(spark, mv, folded,
+      fullAggregate(spark, src, TxLog.latestVersion(spark, src), Seq("lang"), "n_chars")
+        .select("lang", "cnt", "total", "vmin", "vmax"))
+    folded.orderBy("lang")
+  }
+
   /** Loud in-row certification that the incrementally-folded view equals
     * a from-scratch recompute; dumps the view's commit history to stderr
     * on divergence so a corrupted lifecycle is diagnosable post-hoc. */
@@ -369,7 +467,8 @@ object MatView {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_mv_refresh" -> qwMvRefresh _,
-    "qw_mv_join_refresh" -> qwMvJoinRefresh _)
+    "qw_mv_join_refresh" -> qwMvJoinRefresh _,
+    "qw_mv_delete_fold" -> qwMvDeleteFold _)
 
   val oracles: Map[String, String] = Map(
     "qw_mv_refresh" ->
@@ -383,5 +482,13 @@ object MatView {
         "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
-        "GROUP BY c_nationkey ORDER BY c_nationkey"))
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "qw_mv_delete_fold" ->
+      ("SELECT lang, COUNT(*) AS cnt, SUM(v) AS total, " +
+        "MIN(v) AS vmin, MAX(v) AS vmax FROM (" +
+        "SELECT lang, n_chars AS v FROM documents " +
+        "WHERE NOT (doc_id % 7 = 3 AND doc_id % 3 <> 2) AND doc_id % 5 <> 0 " +
+        "UNION ALL " +
+        "SELECT lang, n_chars + 1000 AS v FROM documents WHERE doc_id % 5 = 0" +
+        ") GROUP BY lang ORDER BY lang"))
 }

@@ -564,7 +564,69 @@ object Merge {
     TxLog.read(spark, table).orderBy("doc_id")
   }
 
+  /** QW15 — the ROW-LEVEL CHANGE FEED ([[graft.sources.TxLog
+    * .readChangesCdf]]) under the hash gate: documents lands whole, a
+    * free-predicate MOR delete erases `lang = 'de'`, a compaction
+    * rewrites the layout, and a copy-on-write range delete erases a
+    * doc_id band — the full-range feed must deliver exactly (every row
+    * as an insert at v0) + (the de rows as deletes at v1) + (the band's
+    * surviving rows as deletes at v3), each stamped with its commit
+    * version, and NOTHING for the compaction (REQUIREd in-row: a
+    * layout rewrite is row-invisible to the feed). This is the
+    * insert/delete image contract that lets invertible consumers fold
+    * deletes instead of recomputing. */
+  def qwCdfRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txcdf", d, "t")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    TxLog.append(spark, table, docs)                           // v0: inserts
+    TxLog.deleteWhereMorExpr(spark, table, "lang = 'de'")      // v1: MOR deletes
+    TxLog.compact(spark, table)                                // v2: invisible
+    TxLog.deleteWhere(spark, table, "doc_id", maxId / 4, maxId / 2) // v3: CoW
+    val cdf = TxLog.readChangesCdf(spark, table, -1L, TxLog.latestVersion(spark, table))
+    require(cdf.filter(col("_commit_version") === 2).isEmpty,
+      "txlog: the change feed must deliver nothing for a compaction")
+    cdf.select("doc_id", "lang", "n_chars", "_commit_version", "_change_type")
+      .orderBy("_commit_version", "doc_id")
+  }
+
+  /** QW16 — MERGE-ON-READ MERGE INTO ([[graft.sources.TxLog.mergeMor]])
+    * under the hash gate: documents lands in three appends, then ONE
+    * merge commit re-prices every doc_id ≡ 0 (mod 5) and inserts a
+    * cloned wave of fresh keys — the row REQUIREs that the merge
+    * rewrote, moved, and removed ZERO data files (the prior live set
+    * survives byte-identical; only the new-image files and a deletion
+    * vector were added — the upsert shape a 100 TB table can afford),
+    * and the post-merge read must hash-match the closed-form upsert. */
+  def qwMergeMor(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmergemor", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    val updates = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .unionByName(docs.filter(col("doc_id") % 5 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+      .select("doc_id", "lang", "n_chars")
+    val v = TxLog.mergeMor(spark, table, updates, Seq("doc_id"))
+    val after = TxLog.snapshotFiles(spark, table).toSet
+    require(before.subsetOf(after),
+      "txlog: merge-on-read merge rewrote or removed a prior data file")
+    require(!TxLog.commitRemoves(spark, table, v),
+      "txlog: the merge commit must carry zero removes")
+    require(TxLog.commitKind(spark, table, v).contains("merge"),
+      "txlog: the merge commit must be tagged for the change feed")
+    require(TxLog.dvAt(spark, table).nonEmpty,
+      "txlog: the merge bound no deletion vectors for the superseded rows")
+    TxLog.read(spark, table).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_cdf_read" -> qwCdfRead _,
+    "qw_merge_mor" -> qwMergeMor _,
     "qw_delete_expr" -> qwDeleteExpr _,
     "qw_restore_read" -> qwRestoreRead _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
@@ -581,6 +643,26 @@ object Merge {
     "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
+    // the change feed's closed form: every row inserts at v0, the de
+    // rows delete at v1, the band's de-surviving rows delete at v3; the
+    // compaction at v2 contributes nothing (REQUIREd in-row)
+    "qw_cdf_read" ->
+      ("SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS _commit_version, " +
+        "'insert' AS _change_type FROM documents " +
+        "UNION ALL SELECT doc_id, lang, n_chars, 1, 'delete' " +
+        "FROM documents WHERE lang = 'de' " +
+        "UNION ALL SELECT doc_id, lang, n_chars, 3, 'delete' " +
+        "FROM documents WHERE doc_id BETWEEN " +
+        "(SELECT MAX(doc_id)//4 FROM documents) " +
+        "AND (SELECT MAX(doc_id)//2 FROM documents) AND lang <> 'de' " +
+        "ORDER BY _commit_version, doc_id"),
+    // the merge's closed form: matched keys re-priced, cloned keys
+    // inserted, everything else untouched
+    "qw_merge_mor" ->
+      ("SELECT doc_id, lang, CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 " +
+        "ELSE n_chars END AS n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000 AS doc_id, lang, n_chars " +
+        "FROM documents WHERE doc_id % 5 = 1 ORDER BY doc_id"),
     // appends partition the table, compaction rewrites it — the latest
     // snapshot must be the identity
     "qw_txlog_read" ->

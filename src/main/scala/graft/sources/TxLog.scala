@@ -964,7 +964,10 @@ object TxLog {
         }
       }
       val conflicting = intervening.find { cv =>
-        tag == "overwrite" || {
+        // merge is serializable like overwrite: an intervening APPEND may
+        // land rows with a matched key that the merge's mask was not
+        // derived against — retrying on top would silently duplicate keys
+        tag == "overwrite" || tag == "merge" || {
           // a remove stales our remove-set; a dv binding stales any
           // rewrite too (our data was derived without it — landing would
           // silently resurrect the rows it deleted)
@@ -1449,10 +1452,19 @@ object TxLog {
     * committed version, or `base` unchanged when nothing matched. */
   private def bindDeletionVectors(spark: SparkSession, table: String,
                                   base: Long, newPosRaw: DataFrame,
-                                  scope: Seq[String]): Long = {
+                                  scope: Seq[String],
+                                  adds: Seq[String] = Seq.empty,
+                                  tag: String = "delete",
+                                  commitOnNoMatch: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val newPos = newPosRaw.localCheckpoint(true) // two consumers below
-    if (newPos.isEmpty) return base // no row matched
+    if (newPos.isEmpty) {
+      // no superseded row: a delete no-ops; a merge still lands its
+      // appended images (pure-insert batch) as one tagged commit
+      if (!commitOnNoMatch || adds.isEmpty) return base
+      return commitRewrite(spark, table, base, adds, Seq.empty, tag,
+        new Path(table, adds.head).getParent)
+    }
     val oldDvs = dvAt(spark, table, Some(base))
     val scopeNames = scope.map(p => p.split('/').last)
     // prior vectors for the re-masked files ride into the new vector,
@@ -1476,7 +1488,7 @@ object TxLog {
     val bindings = scope
       .filter(p => matchedFiles.contains(p.split('/').last))
       .map(p => s"$p|$rel")
-    commitRewrite(spark, table, base, Seq.empty, Seq.empty, "delete", dvDir,
+    commitRewrite(spark, table, base, adds, Seq.empty, tag, dvDir,
       dvs = bindings)
   }
 
@@ -1829,6 +1841,199 @@ object TxLog {
       }
       slice.withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------------
+  // ROW-LEVEL CHANGE FEED (the public Delta CDF `_change_type` idea):
+  // deliver every commit in a range as insert/delete ROW IMAGES, so
+  // consumers that can invert their aggregates (count/sum) fold deletes
+  // instead of recomputing, and CDC pipelines replicate MOR deletes
+  // incrementally. Images are RECONSTRUCTED from the log + immutable
+  // data files (no extra write-side artifacts):
+  //  - append        → its files' rows as inserts (delta-file scan);
+  //  - compact       → nothing (rows unchanged by definition);
+  //  - MOR delete /
+  //    MOR merge     → deletes = rows at the positions NEWLY masked by
+  //                    this commit's dv bindings (new vector ∖ prior
+  //                    vector, per file — positional, bounded by the
+  //                    touched files); merge adds its new images as
+  //                    inserts;
+  //  - CoW delete    → deletes = touched files' live rows ∖ the kept
+  //                    rows it wrote (bounded by the touched files);
+  //  - overwrite /
+  //    restore (and untagged legacy rewrites) → full snapshot multiset
+  //                    diff v-1 ↔ v — the honest general fallback, the
+  //                    one shape where reconstruction costs two
+  //                    snapshot scans (callers that need these cheap
+  //                    should route through delete/merge commits).
+  // ---------------------------------------------------------------------
+
+  /** Row-level change feed for `(fromExclusive, toInclusive]`: the
+    * table's columns (under the range-end schema, like [[readChanges]])
+    * plus `_change_type` ("insert"/"delete") and `_commit_version`.
+    * Unlike [[readChanges]], REWRITE commits are delivered as
+    * insert/delete row images instead of failing. Multiset-exact: a
+    * row appearing k times delivers k images. */
+  def readChangesCdf(spark: SparkSession, table: String,
+                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    require(toInclusive <= vs.last,
+      s"txlog: version $toInclusive does not exist yet (latest: ${vs.last})")
+    require(fromExclusive <= toInclusive,
+      s"txlog: empty/inverted change range ($fromExclusive, $toInclusive]")
+    val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
+    require(range.nonEmpty,
+      s"txlog: no commits in ($fromExclusive, $toInclusive]")
+    val declared = schemaAt(spark, table, Some(toInclusive))
+    val wm = earliestReadableVersion(spark, table)
+    // one slice reader: files scanned under the RANGE-END schema so
+    // slices from both sides of an evolution/rename align (readChanges'
+    // contract), with the given dv state anti-applied
+    def slice(files: Seq[String], dvs: Map[String, String]): DataFrame =
+      scanLive(spark, table, files, declared, dvs)
+    def stamp(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    // positional delete images: the rows of `bindings`' files sitting at
+    // positions present in the NEW vectors but not the prior ones
+    def morDeletes(v: Long, bindings: Seq[(String, String)]): Option[DataFrame] = {
+      val bound = bindings.filter(_._2 != DvUnbound)
+      if (bound.isEmpty) return None
+      val names = bound.map(_._1.split('/').last)
+      val newPos = spark.read
+        .parquet(bound.map(_._2).distinct.map(p => new Path(table, p).toString): _*)
+        .filter(col("file").isin(names: _*))
+      val prior = dvPayloadsAt(spark, table, Some(v - 1)).toMap
+      val priorDirs = bound.flatMap(b => prior.get(b._1))
+        .filter(_ != DvUnbound).distinct
+      val fresh = (if (priorDirs.isEmpty) newPos
+        else {
+          val priorNames = bound
+            .filter(b => prior.get(b._1).exists(_ != DvUnbound))
+            .map(_._1.split('/').last)
+          newPos.exceptAll(spark.read
+            .parquet(priorDirs.map(p => new Path(table, p).toString): _*)
+            .filter(col("file").isin(priorNames: _*)))
+        }).localCheckpoint(true) // tiny (file, pos) set, consumed by the join
+      if (fresh.isEmpty) return None
+      val paths = bound.map(b => new Path(table, b._1).toString)
+      val raw = declared match {
+        case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      val imaged = raw
+        .withColumn("_g_dv_file", col("_metadata.file_name"))
+        .withColumn("_g_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(fresh),
+          col("_g_dv_file") === fresh("file") && col("_g_dv_pos") === fresh("pos"))
+        .drop("_g_dv_file", "_g_dv_pos", "file", "pos")
+      Some(logicalize(imaged, declared))
+    }
+    val slices: Seq[DataFrame] = range.flatMap { v =>
+      val actions = readLogFile(spark, new Path(logDir(table), f"$v%08d.json"))
+      val kind = actions.collectFirst { case ("tag", k) => k }
+      val adds = actions.collect { case ("add", p) => p }
+      val removes = actions.collect { case ("remove", p) => p }
+      val dvLines = actions.collect { case ("dv", p) =>
+        val t = p.split('|'); (t(0), t(1))
+      }
+      def requireReadable(need: Long): Unit = require(need >= wm,
+        s"txlog: change-feed reconstruction for version $v of $table needs " +
+          s"vacuumed version $need (earliest readable: $wm)")
+      kind match {
+        case Some("compact") => Seq.empty // rows unchanged by contract
+        case None if removes.isEmpty && dvLines.isEmpty =>
+          if (adds.isEmpty) Seq.empty // schema-only / marker-only commit
+          else { requireReadable(v); Seq(stamp(slice(adds, Map.empty), "insert", v)) }
+        case Some("delete") if removes.isEmpty =>
+          requireReadable(v - 1)
+          morDeletes(v, dvLines).map(stamp(_, "delete", v)).toSeq
+        case Some("merge") =>
+          requireReadable(v - 1)
+          val ins = if (adds.isEmpty) Seq.empty
+            else Seq(stamp(slice(adds, Map.empty), "insert", v))
+          ins ++ morDeletes(v, dvLines).map(stamp(_, "delete", v)).toSeq
+        case Some("delete") => // copy-on-write: touched-file-bounded diff
+          requireReadable(v - 1)
+          val priorDvs = dvAt(spark, table, Some(v - 1))
+            .filter(kv => removes.contains(kv._1))
+          val gone = slice(removes, priorDvs)
+            .exceptAll(if (adds.isEmpty) slice(removes, priorDvs).limit(0)
+              else slice(adds, Map.empty))
+          Seq(stamp(gone, "delete", v))
+        case _ => // overwrite / restore / legacy rewrite: full snapshot diff
+          requireReadable(v - 1)
+          val pre = slice(snapshotFiles(spark, table, Some(v - 1)),
+            dvAt(spark, table, Some(v - 1)))
+          val post = slice(snapshotFiles(spark, table, Some(v)),
+            dvAt(spark, table, Some(v)))
+          Seq(stamp(post.exceptAll(pre), "insert", v),
+            stamp(pre.exceptAll(post), "delete", v))
+      }
+    }
+    require(slices.nonEmpty,
+      s"txlog: no row changes in ($fromExclusive, $toInclusive]")
+    slices.reduce(_ unionByName _)
+  }
+
+  /** MERGE INTO, MERGE-ON-READ: apply `updates` (full new images, one
+    * row per key) to the table in ONE commit that binds the superseded
+    * rows' positions to deletion vectors and APPENDS the new images —
+    * zero data files rewritten, moved, or removed, which is what an
+    * upsert/GDPR-update against a 100 TB table should cost (the
+    * copy-on-write [[graft.operators.Merge.mergeUpsert]] rewrites every
+    * touched file). Matched keys are superseded (masked + re-inserted);
+    * unmatched keys are plain inserts. The commit is tagged "merge": the
+    * change feed ([[readChangesCdf]]) delivers its delete images
+    * positionally and its inserts from the appended files, and
+    * invertible consumers ([[graft.operators.MatView]]) fold it.
+    * Duplicate keys in `updates` fail loudly (nondeterministic merge).
+    * Returns the committed version. */
+  def mergeMor(spark: SparkSession, table: String, updates: DataFrame,
+               keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    require(keys.nonEmpty, "txlog: mergeMor needs at least one key column")
+    requireNonEmpty(spark, table, "merge")
+    requireFitsDeclared(spark, table, updates, "merge")
+    val base = latestVersion(spark, table)
+    val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"txlog: merge batch names key (${dup.headOption.map(_.mkString(", "))
+        .getOrElse("")}) more than once — a merge must name each key once")
+    val live = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    // positions of the superseded rows: physical scan (the _metadata
+    // struct needs the un-projected scan) + broadcast semi-join on the
+    // batch's keys — the 100 TB side never shuffles
+    val paths = live.map(p => new Path(table, p).toString)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val pKeys = keys.map(k => resolvePhysical(spark, table, k, Some(base)))
+    val batchKeys = physicalize(updates.select(keys.map(col): _*).distinct(),
+      declared)
+    // the hidden _metadata struct resolves only on the scan itself —
+    // materialize the address columns BEFORE the semi-join
+    val newPos = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(batchKeys), pKeys, "left_semi")
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    // new images land as appended files regardless of match state
+    val rel = f"data/v${base + 1}%08d-merge-${uniq()}"
+    val dataDir = new Path(table, rel)
+    physicalize(updates, declared).write.parquet(dataDir.toString)
+    val adds = writtenFiles(spark, table, rel)
+    try bindDeletionVectors(spark, table, base, newPos, live,
+      adds = adds, tag = "merge", commitOnNoMatch = true)
+    catch { case e: Throwable =>
+      fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
+      throw e
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MatView
+import graft.sources.TxLog
+
+/** Row-level change feed ([[TxLog.readChangesCdf]]) and MOR MERGE
+  * ([[TxLog.mergeMor]]), pinned: insert/delete image reconstruction per
+  * commit kind, compaction invisibility, multiset exactness, and the
+  * MatView signed fold (including the min/max repair leg). */
+class CdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(n: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-cdf-$n").toString + "/t"
+
+  private def changes(t: String): Set[(String, Long, Long, String)] =
+    TxLog.readChangesCdf(spark, t, -1L, TxLog.latestVersion(spark, t))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+
+  test("append → MOR delete → compact → CoW delete: exact images, compaction invisible") {
+    val t = fresh("kinds")
+    TxLog.append(spark, t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v")) // v0
+    TxLog.deleteWhereMorExpr(spark, t, "k = 'b'")                     // v1
+    TxLog.compact(spark, t)                                           // v2
+    TxLog.deleteWhere(spark, t, "v", 3L, 3L)                          // v3 (CoW)
+    assert(changes(t) == Set(
+      ("a", 1L, 0L, "insert"), ("b", 2L, 0L, "insert"),
+      ("c", 3L, 0L, "insert"), ("d", 4L, 0L, "insert"),
+      ("b", 2L, 1L, "delete"), ("c", 3L, 3L, "delete")))
+  }
+
+  test("repeat MOR deletes deliver only the NEWLY masked positions each time") {
+    val t = fresh("redelete")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    TxLog.deleteWhereMorExpr(spark, t, "v >= 2")        // masks b, c
+    TxLog.deleteWhereMorExpr(spark, t, "v >= 1")        // re-masks; only a is new
+    assert(changes(t).filter(_._4 == "delete") ==
+      Set(("b", 2L, 1L, "delete"), ("c", 3L, 1L, "delete"), ("a", 1L, 2L, "delete")))
+  }
+
+  test("overwrite delivers a full multiset diff (duplicates counted)") {
+    val t = fresh("ow")
+    TxLog.append(spark, t, Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "v"))
+    TxLog.overwrite(spark, t, Seq(("a", 1L), ("c", 9L)).toDF("k", "v"))
+    val rows = TxLog.readChangesCdf(spark, t, 0L, 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("_change_type")))).toSeq
+    // one of the two (a,1) copies died, (b,2) died, (c,9) arrived
+    assert(rows.sorted == Seq(("a", 1L, "delete"), ("b", 2L, "delete"),
+      ("c", 9L, "insert")).sorted)
+  }
+
+  test("mergeMor: one commit, zero rewrites, matched keys superseded, new keys inserted") {
+    val t = fresh("merge")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    val v = TxLog.mergeMor(spark, t,
+      Seq(("b", 20L), ("c", 30L)).toDF("k", "v"), Seq("k"))
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet))
+    assert(!TxLog.commitRemoves(spark, t, v))
+    assert(TxLog.commitKind(spark, t, v).contains("merge"))
+    assert(TxLog.read(spark, t).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 1L), ("b", 20L), ("c", 30L)))
+    // the feed delivers the merge as delete(old image) + insert(new images)
+    assert(changes(t).filter(_._3 == 1L) == Set(
+      ("b", 2L, 1L, "delete"), ("b", 20L, 1L, "insert"), ("c", 30L, 1L, "insert")))
+  }
+
+  test("mergeMor: a pure-insert batch still lands tagged, and duplicate keys fail loudly") {
+    val t = fresh("mergeins")
+    TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
+    val v = TxLog.mergeMor(spark, t, Seq(("z", 9L)).toDF("k", "v"), Seq("k"))
+    assert(TxLog.commitKind(spark, t, v).contains("merge"))
+    assert(TxLog.read(spark, t).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeMor(spark, t, Seq(("x", 1L), ("x", 2L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
+
+  test("MatView folds a delete signed; a delete that ties the min triggers the targeted repair") {
+    val src = fresh("mvdel"); val mv = fresh("mvdelv")
+    TxLog.append(spark, src,
+      Seq(("g", 1L), ("g", 5L), ("g", 9L), ("h", 2L)).toDF("k", "v"))
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "build")
+    // delete g's MINIMUM (v=1): cnt/total fold, min must be REPAIRED to 5
+    TxLog.deleteWhereMorExpr(spark, src, "v = 1")
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "incremental-delete")
+    val g = TxLog.read(spark, mv).filter(col("k") === "g").head()
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) == ((2L, 14L, 5L, 9L)))
+    // delete ALL of h: the group must leave the view
+    TxLog.deleteWhereMorExpr(spark, src, "k = 'h'")
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "incremental-delete")
+    assert(TxLog.read(spark, mv).filter(col("k") === "h").isEmpty)
+    // and an overwrite still honestly recomputes
+    TxLog.overwrite(spark, src, Seq(("z", 7L)).toDF("k", "v"))
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "recompute")
+    assert(TxLog.read(spark, mv).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("z", 1L)))
+  }
+}
