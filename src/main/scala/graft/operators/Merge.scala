@@ -624,7 +624,48 @@ object Merge {
     TxLog.read(spark, table).orderBy("doc_id")
   }
 
+  /** QW17 — PARTITION PRUNING ([[graft.sources.TxLog.appendPartitioned]])
+    * under the hash gate: documents lands in three doc_id-range waves,
+    * each laid out Hive-style by `lang` with the per-file partition
+    * value recorded in the commit and per-file doc_id stats alongside —
+    * the row REQUIREs that a `lang = 'de'` read prunes files by the
+    * RECORDED PARTITION VALUE ALONE (lang carries no min/max stats
+    * anywhere), that stacking a doc_id range prunes STRICTLY more (the
+    * partition rung composes with data skipping), and that every kept
+    * file's recorded value is 'de'. Result must hash-match the plain
+    * SQL equality+range scan. */
+  def qwPartitionPrune(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txpart", d, "t")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    Seq(
+      docs.filter(col("doc_id") < b1),
+      docs.filter(col("doc_id") >= b1 && col("doc_id") < b2),
+      docs.filter(col("doc_id") >= b2)
+    ).foreach(wave =>
+      TxLog.appendPartitioned(spark, table, wave.coalesce(1), "lang", "doc_id"))
+    val (keptPart, live) = TxLog.pruneFilesPartition(spark, table, "lang", "de")
+    require(keptPart.size < live,
+      s"txlog: partition value pruned nothing (${keptPart.size} of $live)")
+    val values = TxLog.partitionValuesAt(spark, table, "lang")
+    require(keptPart.forall(values.get(_).contains("de")),
+      "txlog: a kept file lacks the matching recorded partition value")
+    // a doc_id range inside the first wave: stats must stack on top of
+    // the partition rung and prune strictly further
+    val preds = Seq(("doc_id", 0L, maxId / 6))
+    val keptBoth = keptPart.filter(
+      TxLog.pruneFilesMulti(spark, table, preds)._1.toSet)
+    require(keptBoth.size < keptPart.size,
+      s"txlog: stats added no pruning over the partition rung " +
+        s"(${keptBoth.size} vs ${keptPart.size})")
+    TxLog.readWherePartition(spark, table, "lang", "de", preds)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_partition_prune" -> qwPartitionPrune _,
     "qw_cdf_read" -> qwCdfRead _,
     "qw_merge_mor" -> qwMergeMor _,
     "qw_delete_expr" -> qwDeleteExpr _,
@@ -643,6 +684,12 @@ object Merge {
     "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
+    // partition equality + range scan: the pruning (REQUIREd in-row)
+    // decides files, never rows
+    "qw_partition_prune" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de' " +
+        "AND doc_id BETWEEN 0 AND (SELECT MAX(doc_id)//6 FROM documents) " +
+        "ORDER BY doc_id"),
     // the change feed's closed form: every row inserts at v0, the de
     // rows delete at v1, the band's de-surviving rows delete at v3; the
     // compaction at v2 contributes nothing (REQUIREd in-row)

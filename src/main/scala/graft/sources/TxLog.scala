@@ -254,8 +254,9 @@ object TxLog {
     val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
     def fold(payload: String): Unit = {
       val t = payload.split('|')
-      // 4 fields = integral min/max; 5 (trailing "s") = base64 string bounds
-      require(t.length == 4 || (t.length == 5 && t(4) == "s"),
+      // 4 fields = integral min/max; 5 with trailing "s" = base64 string
+      // bounds; 5 with trailing "p" = base64 partition value
+      require(t.length == 4 || (t.length == 5 && (t(4) == "s" || t(4) == "p")),
         s"txlog: malformed stats payload in $table: $payload")
       acc((t(0), t(1))) = payload
     }
@@ -1357,6 +1358,166 @@ object TxLog {
   def readWhere(spark: SparkSession, table: String, statsCol: String,
                 lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
     readWhereAll(spark, table, Seq((statsCol, lo, hi)), asOf)
+
+  // ---------------------------------------------------------------------
+  // PARTITION COLUMNS (Hive-style): each add action of a partitioned
+  // append records the file's partition VALUE in the log (payload
+  // `file|physCol|b64(value)|-|p`, riding the stats channel and its
+  // checkpoint replay), so an equality read prunes whole partitions
+  // from the log ALONE — the coarsest and most-used pruning rung in
+  // every public lakehouse, one level above min/max stats. The data
+  // files keep the partition column PHYSICALLY (the layout writer
+  // partitions on a duplicate), so every existing read path — time
+  // travel, dv anti-apply, schema evolution — works unchanged.
+  // ---------------------------------------------------------------------
+
+  /** Undo the Hive path-escaping (%XX) the partitioned writer applies
+    * to directory-name-hostile characters in partition values. */
+  private def unescapePathSegment(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** List the files of a partitioned write as (relative path, decoded
+    * partition value) pairs. */
+  private def writtenPartitionedFiles(spark: SparkSession, table: String,
+                                      rel: String): Seq[(String, String)] = {
+    val dataDir = new Path(table, rel)
+    val f = fs(spark, dataDir)
+    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        val seg = dir.getPath.getName
+        require(seg.startsWith("_g_pv="),
+          s"txlog: unexpected non-partition directory $seg under $rel")
+        val value = unescapePathSegment(seg.stripPrefix("_g_pv="))
+        f.listStatus(dir.getPath).toSeq.map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .sorted
+          .map(n => (s"$rel/$seg/$n", value))
+      }
+  }
+
+  /** Append `df` laid out and RECORDED by `partCol`: rows land in
+    * per-value directories, each file's partition value rides the
+    * commit, and [[readWherePartition]] prunes by value from the log
+    * alone — no stats, no footers. Optional `statsCols` additionally
+    * record min/max per file (composable pruning: partition equality
+    * AND ranges). The partition column must be non-null (Hive's
+    * default-partition sentinel would make the recorded value lie). */
+  def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
+                        partCol: String, statsCols: String*): Long = {
+    import org.apache.spark.sql.functions.col
+    require(df.schema.fieldNames.contains(partCol),
+      s"txlog: partition column '$partCol' is not in the appended schema")
+    require(!statsCols.contains(partCol),
+      "txlog: the partition value subsumes stats for the partition column")
+    require(!df.schema.fieldNames.contains("_g_pv"),
+      "txlog: table schema collides with the partitioned writer's internal column")
+    requireFitsDeclared(spark, table, df, "append")
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"txlog: stats column '$c' is not in the appended schema"))
+    val phys = physicalize(df, schemaAt(spark, table))
+    val pPart = resolvePhysical(spark, table, partCol)
+    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    val rel = f"data/v$intended%08d-part-${uniq()}"
+    // partition on a DUPLICATE of the column: partitionBy drops its
+    // driver column from the files, and readers here scan explicit file
+    // lists (never directory inference), so the real column must stay
+    // physically present in every file
+    phys.withColumn("_g_pv", col(pPart))
+      .write.partitionBy("_g_pv").parquet(new Path(table, rel).toString)
+    val files = writtenPartitionedFiles(spark, table, rel)
+    files.foreach { case (_, v) =>
+      require(v != "__HIVE_DEFAULT_PARTITION__",
+        s"txlog: null partition value in '$partCol' — partitioned appends " +
+          "require a non-null partition column")
+    }
+    val enc = java.util.Base64.getEncoder
+    val partLines = files.map { case (p, v) =>
+      s"$p|$pPart|${enc.encodeToString(v.getBytes("UTF-8"))}|-|p"
+    }
+    val stats = statsCols.flatMap { c =>
+      val forCol = footerStats(spark, table, files.map(_._1), c)
+      require(files.isEmpty || forCol.nonEmpty,
+        s"txlog: no parquet footer carried statistics for '$c'")
+      forCol
+    }
+    var v = intended
+    var attempts = 0
+    while (!tryCommit(spark, table, v, files.map(_._1), Seq.empty, None, None,
+      Seq.empty, partLines ++ stats)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: partitioned append to $table still contended after $attempts attempts")
+      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** Live files' recorded partition value for `partCol` as of `asOf`
+    * (files appended without partitioning are simply absent — readers
+    * must treat absence as "cannot skip", like stats). */
+  def partitionValuesAt(spark: SparkSession, table: String, partCol: String,
+                        asOf: Option[Long] = None): Map[String, String] = {
+    val phys = resolvePhysical(spark, table, partCol, asOf)
+    val live = snapshotFiles(spark, table, asOf).toSet
+    val dec = java.util.Base64.getDecoder
+    statsPayloadsAt(spark, table, asOf).flatMap { payload =>
+      payload.split('|') match {
+        case Array(p, c, v, _, "p") if c == phys && live.contains(p) =>
+          Some(p -> new String(dec.decode(v), "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The live files a `partCol = value` read must scan: (kept, total
+    * live) — kept by recorded partition value ALONE (no stats, no
+    * footers); files without a recorded value can never be skipped. */
+  private[graft] def pruneFilesPartition(spark: SparkSession, table: String,
+                                         partCol: String, value: String,
+                                         asOf: Option[Long] = None
+                                        ): (Seq[String], Int) = {
+    val live = snapshotFiles(spark, table, asOf)
+    val pv = partitionValuesAt(spark, table, partCol, asOf)
+    (live.filter(p => pv.get(p).forall(_ == value)), live.size)
+  }
+
+  /** Equality read on the partition column, COMPOSED with optional
+    * range predicates: files are kept only if the recorded partition
+    * value matches AND every range predicate's recorded min/max
+    * intersects — partition pruning and data skipping stack, exactly
+    * as in the public lakehouses. Residual filters keep the result
+    * exact; deletion vectors anti-apply as in [[read]]. */
+  def readWherePartition(spark: SparkSession, table: String, partCol: String,
+                         value: String,
+                         preds: Seq[(String, Long, Long)] = Seq.empty,
+                         asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (keptP, _) = pruneFilesPartition(spark, table, partCol, value, asOf)
+    val kept = if (preds.isEmpty) keptP
+      else {
+        val keptS = pruneFilesMulti(spark, table, preds, asOf)._1.toSet
+        keptP.filter(keptS)
+      }
+    val base =
+      if (kept.isEmpty) read(spark, table, asOf).limit(0)
+      else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+        dvAt(spark, table, asOf))
+    preds.foldLeft(base.filter(col(partCol).cast("string") === value)) {
+      case (df, (c, lo, hi)) => df.filter(col(c).between(lo, hi))
+    }
+  }
 
   /** DELETE FROM … WHERE `statsCol` BETWEEN lo AND hi, as a PARTIAL
     * copy-on-write rewrite: the recorded file stats decide which live

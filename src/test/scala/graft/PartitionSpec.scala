@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** Hive-style partition recording ([[TxLog.appendPartitioned]]), pinned:
+  * value-only pruning, mixed partitioned/plain appends (absence never
+  * skips), special-character values, null rejection, and checkpoint
+  * replay survival of the recorded values. */
+class PartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(n: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-part-$n").toString + "/t"
+
+  test("partition values prune files by the log alone; a plain append can never be skipped") {
+    val t = fresh("prune")
+    TxLog.appendPartitioned(spark, t,
+      Seq(("de", 1L), ("en", 2L), ("fr", 3L)).toDF("lang", "v"), "lang")
+    TxLog.append(spark, t, Seq(("de", 4L)).toDF("lang", "v")) // unrecorded
+    val (kept, live) = TxLog.pruneFilesPartition(spark, t, "lang", "de")
+    assert(live == 4 && kept.size == 2,
+      "the de partition file AND the value-less plain file must be kept")
+    assert(TxLog.readWherePartition(spark, t, "lang", "de")
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 4L))
+    // a value nobody wrote keeps only the unprunable plain file, and the
+    // residual filter still returns zero rows
+    assert(TxLog.readWherePartition(spark, t, "lang", "zz").isEmpty)
+  }
+
+  test("partition values survive Hive path escaping and checkpoint replay") {
+    val t = fresh("esc")
+    // ':' and ' ' are path-escaped by the partitioned writer
+    TxLog.appendPartitioned(spark, t,
+      Seq(("a:b c", 1L), ("plain", 2L)).toDF("k", "v"), "k")
+    assert(TxLog.partitionValuesAt(spark, t, "k").values.toSet
+      == Set("a:b c", "plain"))
+    // push past the checkpoint cadence; the values must replay from it
+    (1L to TxLog.checkpointEvery).foreach(i =>
+      TxLog.appendPartitioned(spark, t, Seq(("plain", i)).toDF("k", "v"), "k"))
+    assert(TxLog.checkpointVersions(spark, t).nonEmpty)
+    val pv = TxLog.partitionValuesAt(spark, t, "k")
+    assert(pv.values.toSet == Set("a:b c", "plain"))
+    assert(TxLog.readWherePartition(spark, t, "k", "a:b c")
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("null partition values are rejected loudly; dv deletes anti-apply on partition reads") {
+    val t = fresh("nulldv")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, t,
+        Seq((Some("x"), 1L), (None, 2L)).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("non-null partition column"))
+    val t2 = fresh("dv")
+    TxLog.appendPartitioned(spark, t2,
+      Seq(("de", 1L), ("de", 2L), ("en", 3L)).toDF("k", "v"), "k")
+    TxLog.deleteWhereMorExpr(spark, t2, "v = 1")
+    assert(TxLog.readWherePartition(spark, t2, "k", "de")
+      .collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+}
