@@ -54,6 +54,9 @@ object GraftSession {
       // which was measured and rejected (264 full GCs cost more than the
       // backlog they retire).
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // SQL surface for TxLog tables: SELECT ... FROM graft.`/path`
+      // [VERSION AS OF v | TIMESTAMP AS OF ts] (see TxLogCatalog)
+      .config("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
       .config("spark.ui.enabled", "false")
     if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
       b

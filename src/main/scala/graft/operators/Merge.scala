@@ -664,7 +664,38 @@ object Merge {
       .orderBy("doc_id")
   }
 
+  /** QW18 — the SQL SURFACE ([[graft.sources.TxLogCatalog]]) under the
+    * hash gate: documents lands in three appends, and the row is served
+    * ENTIRELY through `spark.sql` — a `VERSION AS OF 1` time travel
+    * (first two waves only) — with in-row REQUIREs that the pure-SQL
+    * latest read and the library read agree row-for-row, and that
+    * `TIMESTAMP AS OF` now resolves to the head. A user's first-touch
+    * query (`SELECT ... FROM graft.`path``) is what this row keeps
+    * honest. */
+  def qwSqlRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txsql", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    // pure-SQL parity with the library read, latest snapshot
+    val sqlLatest = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$table`")
+      .head().getLong(0)
+    require(sqlLatest == TxLog.read(spark, table).count(),
+      "txlog: SQL catalog latest read diverges from the library read")
+    // TIMESTAMP AS OF now = the head version
+    val nowTs = java.time.Instant.now().toString
+    val sqlAsOfNow = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$table` TIMESTAMP AS OF '$nowTs'")
+      .head().getLong(0)
+    require(sqlAsOfNow == sqlLatest,
+      "txlog: TIMESTAMP AS OF now must resolve to the head")
+    spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+      "VERSION AS OF 1 ORDER BY doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
     "qw_cdf_read" -> qwCdfRead _,
     "qw_merge_mor" -> qwMergeMor _,
@@ -684,6 +715,10 @@ object Merge {
     "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
+    // VERSION AS OF 1 pins the first two mod-3 waves
+    "qw_sql_read" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id % 3 <= 1 ORDER BY doc_id"),
     // partition equality + range scan: the pruning (REQUIREd in-row)
     // decides files, never rows
     "qw_partition_prune" ->

@@ -19,6 +19,8 @@ object SharedSpark {
       // mirror GraftSession: keep a TIMESTAMP(NANOS) events regen readable
       // so Tables.events' LongType branch stays live (see GraftSession)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror GraftSession: the TxLog SQL catalog must be testable
+      .config("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
