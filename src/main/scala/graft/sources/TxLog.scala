@@ -219,16 +219,96 @@ object TxLog {
   private def ckptPath(table: String, version: Long) =
     new Path(logDir(table), f"$version%08d.ckpt")
 
-  /** Sorted versions that have a checkpoint snapshot. */
+  private def ckptPqPath(table: String, version: Long) =
+    new Path(logDir(table), f"$version%08d.ckptpq")
+
+  /** Sorted versions that have a checkpoint snapshot (either format). */
   def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = logDir(table)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong)
-      .sorted
+      .collect {
+        case n if n.endsWith(".ckpt") => n.stripSuffix(".ckpt").toLong
+        case n if n.endsWith(".ckptpq") => n.stripSuffix(".ckptpq").toLong
+      }
+      .distinct.sorted
+  }
+
+  /** The session toggle for the checkpoint WRITE format: "text" (the
+    * line format — human-greppable, O(1) to open) or "parquet" (the
+    * public Delta design: columnar + compressed, the right shape once
+    * the live-file count makes the driver-side replay parse the
+    * bottleneck — measured in PERF.md). Readers auto-detect per
+    * checkpoint, so a table may carry a mix across its history. */
+  val CheckpointFormatKey = "spark.graft.txlog.checkpointFormat"
+
+  /** Read checkpoint `version`'s actions, whichever format it was
+    * written in. Parquet checkpoints are read DRIVER-SIDE through
+    * parquet-hadoop directly (no Spark job — replay latency must stay
+    * in the metadata path's microsecond-to-millisecond budget). */
+  private def readCheckpoint(spark: SparkSession, table: String,
+                             version: Long): Seq[(String, String)] = {
+    val txt = ckptPath(table, version)
+    if (fs(spark, txt).exists(txt)) return readLogFile(spark, txt)
+    val pq = ckptPqPath(table, version)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), pq)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .build()
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getString("a", 0), g.getString("p", 0)))
+        g = reader.read()
+      }
+      buf.toSeq
+    } finally reader.close()
+  }
+
+  private val ckptParquetSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message graft_ckpt { required binary a (UTF8); required binary p (UTF8); }")
+
+  /** Write checkpoint `version` as ONE parquet file, driver-side,
+    * behind the same atomic-publish contract as commits: full content
+    * to a temp file, then hard-link (local) / rename (HDFS-like) into
+    * place — a racing reader can never see a partial checkpoint, and
+    * losing the claim to a twin is fine (content is a deterministic
+    * function of the log prefix). */
+  private def writeCheckpointParquet(spark: SparkSession, table: String,
+                                     version: Long,
+                                     lines: Seq[(String, String)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val target = ckptPqPath(table, version)
+    val tmp = new Path(logDir(table), f".$version%08d.ckptpq.${uniq()}.tmp")
+    val writer = ExampleParquetWriter.builder(tmp)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(ckptParquetSchema)
+      .build()
+    try {
+      val factory = new SimpleGroupFactory(ckptParquetSchema)
+      lines.foreach { case (a, p) =>
+        val g = factory.newGroup()
+        g.append("a", a); g.append("p", p)
+        writer.write(g)
+      }
+    } finally writer.close()
+    val f = fs(spark, target)
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmpLocal = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try { java.nio.file.Files.createLink(local, tmpLocal); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      f.delete(tmp, false) // hadoop-side delete clears the .crc sidecar too
+      ()
+    } else {
+      if (!f.rename(tmp, target)) f.delete(tmp, false)
+      ()
+    }
   }
 
   private def readLogFile(spark: SparkSession, path: Path): Seq[(String, String)] = {
@@ -261,7 +341,7 @@ object TxLog {
       acc((t(0), t(1))) = payload
     }
     startCkpt.foreach { cv =>
-      readLogFile(spark, ckptPath(table, cv)).foreach {
+      readCheckpoint(spark, table, cv).foreach {
         case ("stats", s) => fold(s)
         case _ => ()
       }
@@ -298,7 +378,7 @@ object TxLog {
       acc(t(0)) = t(1)
     }
     startCkpt.foreach { cv =>
-      readLogFile(spark, ckptPath(table, cv)).foreach {
+      readCheckpoint(spark, table, cv).foreach {
         case ("dv", s) => fold(s)
         case _ => ()
       }
@@ -329,26 +409,30 @@ object TxLog {
       // the checkpoint carries the schema effective at its version, so
       // schemaAt's checkpoint-plus-suffix replay stays O(checkpointEvery)
       val schemaLine = schemaAt(spark, table, Some(version))
-        .map(s => s"""{"a":"schema","p":"${encodeSchema(s)}"}""").toSeq
+        .map(s => ("schema", encodeSchema(s))).toSeq
       // ...and the live files' recorded stats, so statsAt's replay does too
       val liveSet = live.toSet
       val statsLines = statsPayloadsAt(spark, table, Some(version))
         .filter(s => liveSet.contains(s.split('|')(0)))
-        .map(s => s"""{"a":"stats","p":"$s"}""")
+        .map(("stats", _))
       // ...and the live files' deletion-vector bindings, for dvAt's replay
       // (unbound sentinels are dead weight in a from-scratch snapshot)
       val dvLines = dvPayloadsAt(spark, table, Some(version))
         .filter { case (file, dv) => liveSet.contains(file) && dv != DvUnbound }
-        .map { case (file, dv) => s"""{"a":"dv","p":"$file|$dv"}""" }
+        .map { case (file, dv) => ("dv", s"$file|$dv") }
+      val lines = schemaLine ++ live.map(("add", _)) ++ statsLines ++ dvLines
       // ATOMIC publication (same hazard as commits): a plain
       // create+write+close lets a racing reader replay a truncated
       // prefix of the .ckpt and silently drop live files from its
       // snapshot. Checkpoint content at a version is deterministic
       // (pure function of the log prefix), so losing the claim to a
       // concurrent twin is fine — the file that exists is identical.
-      tryCreateExclusive(spark, ckptPath(table, version),
-        (schemaLine ++ live.map(p => s"""{"a":"add","p":"$p"}""") ++
-          statsLines ++ dvLines).mkString("\n") + "\n")
+      spark.conf.get(CheckpointFormatKey, "text") match {
+        case "parquet" => writeCheckpointParquet(spark, table, version, lines)
+        case _ => tryCreateExclusive(spark, ckptPath(table, version),
+          lines.map { case (a, p) => s"""{"a":"$a","p":"$p"}""" }
+            .mkString("\n") + "\n")
+      }
       ()
     }
   }
@@ -373,7 +457,7 @@ object TxLog {
     val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     startCkpt.foreach { cv =>
-      readLogFile(spark, ckptPath(table, cv)).foreach {
+      readCheckpoint(spark, table, cv).foreach {
         case ("add", p) => live += p
         case ("schema", _) => () // carried for schemaAt's suffix replay
         case ("stats", _) => () // file stats, handled by statsPayloadsAt
@@ -495,7 +579,7 @@ object TxLog {
     val startCkpt = checkpointVersions(spark, table).filter(_ <= target).lastOption
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     startCkpt.foreach { cv =>
-      readLogFile(spark, ckptPath(table, cv)).foreach {
+      readCheckpoint(spark, table, cv).foreach {
         case ("schema", b) => schema = Some(decodeSchema(b))
         case _ => ()
       }

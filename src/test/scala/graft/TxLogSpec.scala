@@ -187,6 +187,44 @@ class TxLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (0L to 9L).toSet)
   }
 
+  test("PARQUET checkpoints: same replay semantics, all payload kinds survive, formats mix") {
+    val t = freshTable("ckptpq")
+    spark.conf.set(TxLog.CheckpointFormatKey, "parquet")
+    try {
+      // stats + dv + schema all cross the cadence inside the checkpoint
+      (0 until 9).foreach(i => TxLog.appendWithStats(spark, t,
+        Seq((i.toLong, s"v$i")).toDF("id", "s"), "id"))
+      TxLog.deleteWhereMorExpr(spark, t, "id = 3") // v9: dv binding
+      TxLog.append(spark, t, Seq((100L, "x")).toDF("id", "s")) // v10 → ckpt
+      assert(TxLog.checkpointVersions(spark, t) == Seq(10L))
+      val f = new Path(t, "_log").getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.exists(new Path(t, f"_log/${10L}%08d.ckptpq")) &&
+        !f.exists(new Path(t, f"_log/${10L}%08d.ckpt")),
+        "the checkpoint must be the parquet file, not text")
+      val viaCkpt = TxLog.snapshotFiles(spark, t)
+      val statsViaCkpt = TxLog.statsAt(spark, t, "id")
+      val dvViaCkpt = TxLog.dvAt(spark, t)
+      val rowsViaCkpt = TxLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+      f.delete(new Path(t, f"_log/${10L}%08d.ckptpq"), false)
+      assert(TxLog.snapshotFiles(spark, t) == viaCkpt,
+        "parquet-checkpointed replay must equal full replay, incl. order")
+      assert(TxLog.statsAt(spark, t, "id") == statsViaCkpt,
+        "stats must survive the parquet checkpoint")
+      assert(TxLog.dvAt(spark, t) == dvViaCkpt,
+        "dv bindings must survive the parquet checkpoint")
+      assert(TxLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+        == rowsViaCkpt)
+      assert(!rowsViaCkpt.contains(3L), "the MOR delete must hold either way")
+      // formats MIX across history: flip back to text, cross the cadence
+      // again — readers auto-detect per checkpoint
+      spark.conf.set(TxLog.CheckpointFormatKey, "text")
+      (0 until 10).foreach(i => TxLog.append(spark, t,
+        Seq((200L + i, "y")).toDF("id", "s")))
+      assert(TxLog.checkpointVersions(spark, t) == Seq(20L))
+      assert(TxLog.read(spark, t).count() == 19L)
+    } finally spark.conf.unset(TxLog.CheckpointFormatKey)
+  }
+
   test("corrupt commit lines and format-hostile paths fail loudly") {
     val t = freshTable("corrupt")
     TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
@@ -773,11 +811,12 @@ class TxLogSpec extends SparkSpec {
     // a delete whose range no live stats intersect is a no-op (no commit)
     val v2 = TxLog.deleteWhere(spark, t, "id", 5000, 6000)
     assert(v2 == v && TxLog.latestVersion(spark, t) == v, "no-op delete must not commit")
-    // MatView across a delete: recompute fallback keeps the view exact
+    // MatView across a delete: the signed CDF fold keeps the view exact
+    // (r13: delete commits fold invertibly instead of recomputing)
     val mv = freshTable("delete-mv")
     assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "build")
     TxLog.deleteWhere(spark, t, "id", 0, 50)
-    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "recompute")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "incremental-delete")
     assert(TxLog.read(spark, mv).count() == TxLog.read(spark, t).count(),
       "per-unique-key view must match the post-delete table")
   }
@@ -815,11 +854,11 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.readChanges(spark, t, preVersion, TxLog.latestVersion(spark, t)).count()
     }
-    // MatView recomputes across it (commitChangesData, not commitRemoves)
+    // MatView folds the MOR delete signed (r13: no recompute for deletes)
     val mv = freshTable("mor-mv")
     assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "build")
     TxLog.deleteWhereMor(spark, t, "id", 200, 220)
-    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "recompute")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("s"), "id") == "incremental-delete")
     assert(TxLog.read(spark, mv).count() == TxLog.read(spark, t).count())
     // compact MATERIALIZES the vectors: clean files, no bindings, same rows
     val preCompactCount = TxLog.read(spark, t).count()
