@@ -365,8 +365,8 @@ object TxLog {
     * sentinel; [[dvAt]] filters it out). */
   private[sources] val DvUnbound = "-"
 
-  private def dvPayloadsAt(spark: SparkSession, table: String,
-                           asOf: Option[Long]): Seq[(String, String)] = {
+  private[sources] def dvPayloadsAt(spark: SparkSession, table: String,
+                                    asOf: Option[Long]): Seq[(String, String)] = {
     val vs = versions(spark, table)
     if (vs.isEmpty) return Seq.empty
     val target = asOf.getOrElse(vs.last)
@@ -1979,6 +1979,13 @@ object TxLog {
     }
     removed.toSeq.sorted
   }
+
+  /** All (action, payload) lines of commit `version` — for consumers
+    * that classify a commit themselves ([[TxLogStreamProvider]]'s CDF
+    * mode plans delete-image partitions from the dv lines). */
+  private[sources] def commitActions(spark: SparkSession, table: String,
+                                     version: Long): Seq[(String, String)] =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
 
   /** The kind tag of commit `version`: None for a plain append,
     * Some("compact"/"overwrite") for rewrites (untagged pre-r10 rewrite

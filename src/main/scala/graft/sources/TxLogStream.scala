@@ -39,8 +39,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   spark.readStream.format("graft-txlog")
   *     .option("startingVersion", "0")   // default 0 (everything)
+  *     .option("readChangeFeed", "true") // CDF mode (optional, below)
   *     .load(tableDir)
   * }}}
+  *
+  * CHANGE-FEED mode (`readChangeFeed=true`, the public Delta streaming
+  * CDF option): every row additionally carries `_change_type`
+  * ("insert"/"delete"), and MERGE-ON-READ deletes/merges are consumed
+  * INCREMENTALLY — each newly-masked file becomes one delete-image
+  * partition whose reader resolves (new vector ∖ prior vector)
+  * positions executor-side and emits exactly those rows. Appends
+  * deliver inserts, compactions deliver nothing; rewrite-SHAPED
+  * commits (CoW delete / overwrite / restore) abort loudly (or skip
+  * under `skipChangeCommits`) — positional reconstruction cannot
+  * express them, and at 100 TB the MOR flavors are the ones a table
+  * runs anyway. Downstream, invertible consumers fold deletes with
+  * sign −1 ([[graft.operators.MatView.foldSigned]]'s algebra) instead
+  * of recomputing.
   *
   * Contract (all failures are LOUD, at plan time where possible):
   *  - append-only consumption: a COMPACTION commit delivers nothing
@@ -88,8 +103,12 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister {
     // least one commit — honest for a source whose rows ARE commits
     val dataSchema = TxLog.read(spark, table).schema
     TxLogStream.validateSchema(dataSchema)
-    StructType(dataSchema.fields :+
-      StructField(TxLogStream.VersionColumn, LongType, nullable = false))
+    val meta =
+      if (options.getBoolean("readchangefeed", false))
+        Seq(StructField(TxLogStream.ChangeTypeColumn, StringType, nullable = false),
+          StructField(TxLogStream.VersionColumn, LongType, nullable = false))
+      else Seq(StructField(TxLogStream.VersionColumn, LongType, nullable = false))
+    StructType(dataSchema.fields ++ meta)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -98,12 +117,14 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new TxLogStreamTable(schema, tablePath(opts),
       Option(opts.get("startingversion")).map(_.toLong).getOrElse(0L),
-      opts.getBoolean("skipchangecommits", false))
+      opts.getBoolean("skipchangecommits", false),
+      opts.getBoolean("readchangefeed", false))
   }
 }
 
 private[sources] object TxLogStream {
   val VersionColumn = "_commit_version"
+  val ChangeTypeColumn = "_change_type"
 
   /** Reject unsupported column types at plan time, not mid-batch. */
   def validateSchema(schema: StructType): Unit = schema.fields.foreach { f =>
@@ -120,7 +141,8 @@ private[sources] object TxLogStream {
 
 private[sources] class TxLogStreamTable(schema: StructType, table: String,
                                         startingVersion: Long,
-                                        skipChangeCommits: Boolean)
+                                        skipChangeCommits: Boolean,
+                                        readChangeFeed: Boolean)
   extends Table with SupportsRead {
 
   override def name(): String = s"txlog:$table"
@@ -133,7 +155,8 @@ private[sources] class TxLogStreamTable(schema: StructType, table: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TxLogMicroBatchStream(table, schema, startingVersion, skipChangeCommits)
+          new TxLogMicroBatchStream(table, schema, startingVersion,
+            skipChangeCommits, readChangeFeed)
       }
     }
 }
@@ -145,7 +168,8 @@ private[sources] case class TxLogOffset(version: Long) extends Offset {
 
 private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
                                              startingVersion: Long,
-                                             skipChangeCommits: Boolean)
+                                             skipChangeCommits: Boolean,
+                                             readChangeFeed: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -183,12 +207,63 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
         "fresh checkpoint")
     val to = end.asInstanceOf[TxLogOffset].version
     val vs = TxLog.versions(spark, table).filter(v => v > from && v <= to)
+    if (readChangeFeed) return vs.flatMap(cdfPartitions).toArray
     vs.flatMap { v =>
       // compactions deliver nothing (exact skip); overwrites fail LOUDLY
       // unless skipChangeCommits — see TxLog.appendedFiles
       TxLog.appendedFiles(spark, table, v, skipChangeCommits)
         .map(rel => TxLogInputPartition(new Path(table, rel).toString, v))
     }.toArray
+  }
+
+  /** CHANGE-FEED partitions for commit `v` (the public Delta streaming
+    * CDF contract, reconstruction-based like [[TxLog.readChangesCdf]]):
+    * appends deliver their files as inserts; a MOR delete delivers one
+    * DELETE-IMAGE partition per newly-masked file (the reader resolves
+    * new-vector ∖ prior-vector positions executor-side); a MOR merge
+    * delivers both legs; compactions deliver nothing. Rewrite-SHAPED
+    * commits (CoW delete, overwrite, restore) cannot be expressed
+    * positionally by a single-file reader — they fail LOUDLY (or skip
+    * under `skipChangeCommits`) with a pointer at the batch
+    * [[TxLog.readChangesCdf]]; at scale the MOR flavors are the ones a
+    * 100 TB table runs anyway. */
+  private def cdfPartitions(v: Long): Seq[InputPartition] = {
+    val actions = TxLog.commitActions(spark, table, v)
+    val kind = actions.collectFirst { case ("tag", k) => k }
+    val adds = actions.collect { case ("add", p) => p }
+    val removes = actions.collect { case ("remove", p) => p }
+    val dvLines = actions.collect { case ("dv", p) =>
+      val t = p.split('|'); (t(0), t(1))
+    }.filter(_._2 != TxLog.DvUnbound)
+    def inserts: Seq[InputPartition] = adds.map(rel =>
+      TxLogInputPartition(new Path(table, rel).toString, v))
+    def deletes: Seq[InputPartition] = {
+      if (dvLines.isEmpty) return Seq.empty
+      val prior = TxLog.dvPayloadsAt(spark, table, Some(v - 1)).toMap
+      dvLines.map { case (fileRel, dvRel) =>
+        TxLogCdfDeletePartition(
+          file = new Path(table, fileRel).toString,
+          fileName = fileRel.split('/').last,
+          dvDir = new Path(table, dvRel).toString,
+          priorDvDir = prior.get(fileRel).filter(_ != TxLog.DvUnbound)
+            .map(p => new Path(table, p).toString),
+          commitVersion = v)
+      }
+    }
+    kind match {
+      case Some("compact") => Seq.empty // rows unchanged by contract
+      case None if removes.isEmpty && dvLines.isEmpty => inserts
+      case Some("delete") if removes.isEmpty => deletes
+      case Some("merge") => inserts ++ deletes
+      case other =>
+        if (skipChangeCommits) Seq.empty
+        else throw new IllegalArgumentException(
+          s"graft-txlog: version $v of $table is a rewrite-shaped commit " +
+            s"(${other.getOrElse("untagged-remove")}) the streaming change " +
+            "feed cannot express positionally — use merge-on-read deletes/" +
+            "merges upstream, consume via the batch readChangesCdf, or set " +
+            "skipChangeCommits=true to skip it")
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -206,6 +281,16 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
 }
 
 private[sources] case class TxLogInputPartition(file: String, commitVersion: Long)
+  extends InputPartition
+
+/** A DELETE-IMAGE partition of the streaming change feed: the rows of
+  * `file` at the positions present in `dvDir`'s vector but not in
+  * `priorDvDir`'s (the positions THIS commit newly masked). */
+private[sources] case class TxLogCdfDeletePartition(file: String,
+                                                    fileName: String,
+                                                    dvDir: String,
+                                                    priorDvDir: Option[String],
+                                                    commitVersion: Long)
   extends InputPartition
 
 /** Java-serializable Hadoop Configuration carrier (Spark's own
@@ -228,9 +313,51 @@ private[sources] case class TxLogReaderFactory(schema: StructType,
                                                lookup: Map[String, String],
                                                conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[TxLogInputPartition]
-    new TxLogPartitionReader(p.file, p.commitVersion, schema, lookup, conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: TxLogInputPartition =>
+        new TxLogPartitionReader(p.file, p.commitVersion, schema, lookup,
+          conf.value, changeType = "insert", positions = None)
+      case p: TxLogCdfDeletePartition =>
+        new TxLogPartitionReader(p.file, p.commitVersion, schema, lookup,
+          conf.value, changeType = "delete",
+          positions = Some(TxLogPartitionReader.newlyMaskedPositions(
+            p.fileName, p.dvDir, p.priorDvDir, conf.value)))
+    }
+}
+
+private[sources] object TxLogPartitionReader {
+  /** Executor-side resolution of the positions commit-NEWLY masked in
+    * `fileName`: the sidecar rows of `dvDir` minus those of
+    * `priorDvDir` (both are tiny (file, pos) parquet sidecars — a
+    * delete's footprint in ONE file, kilobytes-to-megabytes). */
+  def newlyMaskedPositions(fileName: String, dvDir: String,
+                           priorDvDir: Option[String],
+                           conf: Configuration): java.util.HashSet[Long] = {
+    def positions(dir: String): Iterator[Long] = {
+      val dirPath = new Path(dir)
+      val fsys = dirPath.getFileSystem(conf)
+      fsys.listStatus(dirPath).iterator
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .flatMap { p =>
+          val r = ParquetReader.builder(new GroupReadSupport(), p)
+            .withConf(conf).build()
+          Iterator.continually(r.read()).takeWhile { g =>
+            if (g == null) r.close(); g != null
+          }.flatMap { g =>
+            val idxF = g.getType.getFieldIndex("file")
+            val idxP = g.getType.getFieldIndex("pos")
+            if (new String(g.getBinary(idxF, 0).getBytes, "UTF-8") == fileName)
+              Some(g.getLong(idxP, 0))
+            else None
+          }
+        }
+    }
+    val set = new java.util.HashSet[Long]()
+    positions(dvDir).foreach(p => { set.add(p); () })
+    priorDvDir.foreach(d => positions(d).foreach(p => { set.remove(p); () }))
+    set
   }
 }
 
@@ -239,19 +366,31 @@ private[sources] case class TxLogReaderFactory(schema: StructType,
   * validated flat change-feed schemas. Spark's own vectorized reader is
   * not reachable from a third-party connector without internal APIs;
   * row-by-row Group decode is the honest public-API path, and the
-  * change-feed batches it serves are commit-sized, not corpus-sized. */
+  * change-feed batches it serves are commit-sized, not corpus-sized.
+  *
+  * With `positions` set (the CDF delete-image leg) the reader walks the
+  * file counting row position and emits ONLY the rows at those
+  * positions — stable because parquet-hadoop's record reader delivers
+  * rows in file order, the same `_metadata.row_index` order the write
+  * side recorded. */
 private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
                                             schema: StructType,
                                             lookup: Map[String, String],
-                                            conf: Configuration)
+                                            conf: Configuration,
+                                            changeType: String = "insert",
+                                            positions: Option[java.util.HashSet[Long]] = None)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf).build()
 
+  private val emitsChangeType =
+    schema.fieldNames.contains(TxLogStream.ChangeTypeColumn)
+  private var rowPos = -1L
+
   // resolved per data column on the first record: (parquet field index,
-  // converter). The version column is injected, never read.
+  // converter). The version/change-type columns are injected, never read.
   private var resolved: Array[(Int, Group => Any)] = _
   private var current: Group = _
 
@@ -265,7 +404,8 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
   }
 
   private def resolve(gt: GroupType): Array[(Int, Group => Any)] =
-    schema.fields.filter(_.name != TxLogStream.VersionColumn).map { f =>
+    schema.fields.filter(f => f.name != TxLogStream.VersionColumn &&
+      f.name != TxLogStream.ChangeTypeColumn).map { f =>
       // under column mapping the file carries the PHYSICAL name
       val fileName = lookup.getOrElse(f.name, f.name)
       require(gt.containsField(fileName),
@@ -309,7 +449,16 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
 
   override def next(): Boolean = {
     current = reader.read()
-    current != null
+    rowPos += 1
+    positions match {
+      case None => current != null
+      case Some(set) => // skip to the next masked position
+        while (current != null && !set.contains(rowPos)) {
+          current = reader.read()
+          rowPos += 1
+        }
+        current != null
+    }
   }
 
   override def get(): InternalRow = {
@@ -321,6 +470,8 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
       out(i) = if (current.getFieldRepetitionCount(idx) == 0) null else conv(current)
       i += 1
     }
+    if (emitsChangeType)
+      out(schema.length - 2) = UTF8String.fromString(changeType)
     out(schema.length - 1) = commitVersion
     new GenericInternalRow(out)
   }
