@@ -161,11 +161,22 @@ object MatView {
   private def foldSigned(spark: SparkSession, src: String, mv: String,
                          mvBase: Long, applied: Long, srcLatest: Long,
                          keyCols: Seq[String], valCol: String): DataFrame = {
-    val keyC = keyCols.map(col)
     val cdf = TxLog.readChangesCdf(spark, src, applied, srcLatest)
       .withColumn("_w",
         when(col("_change_type") === "insert", 1L).otherwise(-1L))
-    val delta = cdf.groupBy(keyC: _*)
+    foldSignedDelta(spark, mv, mvBase, cdf,
+      TxLog.read(spark, src, Some(srcLatest)), keyCols, valCol)
+  }
+
+  /** The shared signed-fold tail: `signedRows` carries the key columns,
+    * `valCol`, and `_w` (+1 insert / −1 delete); `repairSource` is the
+    * frame a tied group's min/max re-derives from (the source itself for
+    * single-table MVs, the filtered fact ⋈ dim for join MVs). */
+  private def foldSignedDelta(spark: SparkSession, mv: String, mvBase: Long,
+                              signedRows: DataFrame, repairSource: DataFrame,
+                              keyCols: Seq[String], valCol: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    val delta = signedRows.groupBy(keyC: _*)
       .agg(sum(col("_w")).as("dcnt"),
         sum(col("_w") * col(valCol)).as("dtotal"),
         min(when(col("_w") === 1, col(valCol))).as("insmin"),
@@ -185,7 +196,7 @@ object MatView {
       .filter(col("ncnt") > 0)
       .localCheckpoint(true) // view-sized; consumed by the repair AND the fold
     val affected = joined.filter(col("needrepair")).select(keyC: _*)
-    val repaired = TxLog.read(spark, src, Some(srcLatest))
+    val repaired = repairSource
       .join(broadcast(affected), keyCols, "left_semi")
       .groupBy(keyC: _*)
       .agg(min(col(valCol)).as("rmin"), max(col(valCol)).as("rmax"))
@@ -228,7 +239,8 @@ object MatView {
 
   /** Refresh the join MV `mv` over fact table `fact` ⋈ dim table `dim`
     * (both TxLog), returning the mode taken ("noop" / "build" /
-    * "incremental" / "recompute"). Watermarks: the view's commits carry
+    * "incremental" / "incremental-delete" — fact delete/merge commits
+    * fold signed like [[refresh]]'s / "recompute"). Watermarks: the view's commits carry
     * THREE txn markers — the applied fact version, the applied dim
     * version, and a primary idempotence marker whose batchId is their
     * SUM (strictly monotone: each watermark only grows, so any state
@@ -301,11 +313,20 @@ object MatView {
       else {
         val factRange = TxLog.versions(spark, fact)
           .filter(v => v > appliedFact && v <= factLatest)
-        val factRewrite = factRange.exists { v =>
+        // same classification as [[refresh]]: fact DELETE/MERGE commits
+        // fold as SIGNED CDF deltas (each delete image joins the — by
+        // precondition unchanged — dim exactly as its insert once did,
+        // so the signed join delta is exact); only overwrite/restore
+        // fact rewrites still force the recompute
+        val factChanging = factRange.filter { v =>
           !TxLog.commitKind(spark, fact, v).contains("compact") &&
             TxLog.commitChangesData(spark, fact, v)
         }
-        if (factRewrite) commitPinned(fullView, "recompute")
+        val factUnfoldable = factChanging.exists { v =>
+          val kind = TxLog.commitKind(spark, fact, v)
+          !(kind.contains("delete") || kind.contains("merge"))
+        }
+        if (factUnfoldable) commitPinned(fullView, "recompute")
         else if (!deliversRows(fact, appliedFact, factLatest))
           // compaction-only movement on both sides: the data is unchanged,
           // but the watermarks must still advance or every later refresh
@@ -313,7 +334,21 @@ object MatView {
           // No: keep the watermark where it is; the next delta-bearing
           // refresh covers the wider range exactly (same rule as refresh).
           "noop"
-        else {
+        else if (factChanging.nonEmpty) {
+          val dimNow = TxLog.read(spark, dim, Some(dimLatest))
+          val signed = factFilter.fold(
+            TxLog.readChangesCdf(spark, fact, appliedFact, factLatest))(f =>
+            TxLog.readChangesCdf(spark, fact, appliedFact, factLatest).filter(f))
+            .withColumn("_w",
+              when(col("_change_type") === "insert", 1L).otherwise(-1L))
+            .join(broadcast(dimNow), joinKeys)
+          val repairSource = factFilter.fold(
+            TxLog.read(spark, fact, Some(factLatest)))(f =>
+            TxLog.read(spark, fact, Some(factLatest)).filter(f))
+            .join(broadcast(dimNow), joinKeys)
+          commitPinned(foldSignedDelta(spark, mv, mvBase, signed, repairSource,
+            keyCols, valCol), "incremental-delete")
+        } else {
           val delta = joinAggregate(
             TxLog.readChanges(spark, fact, appliedFact, factLatest)
               .drop("_commit_version"),

@@ -82,6 +82,36 @@ class CdfSpec extends SparkSpec {
     assert(e.getMessage.contains("more than once"))
   }
 
+  test("join MV folds a FACT MOR delete signed (dim unchanged); dim changes still recompute") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf-mvj").toString
+    val (fact, dim, mv) = (s"$base/fact", s"$base/dim", s"$base/mvj")
+    TxLog.append(spark, dim, Seq((1L, 10L), (2L, 20L)).toDF("ck", "nk"))
+    TxLog.append(spark, fact,
+      Seq((1L, 100L), (1L, 300L), (2L, 200L)).toDF("ck", "v"))
+    def go() = MatView.refreshJoin(spark, fact, dim, mv,
+      joinKeys = Seq("ck"), keyCols = Seq("nk"), valCol = "v")
+    def view: Map[Long, (Long, Long, Long, Long)] =
+      TxLog.read(spark, mv).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+    assert(go() == "build")
+    // fact MOR delete removes nk=10's MAX (v=300): fold + targeted repair
+    TxLog.deleteWhereMorExpr(spark, fact, "v = 300")
+    assert(go() == "incremental-delete",
+      "a fact delete must fold signed, not recompute")
+    assert(view == Map(10L -> ((1L, 100L, 100L, 100L)),
+      20L -> ((1L, 200L, 200L, 200L))))
+    // fact MOR merge folds too
+    TxLog.mergeMor(spark, fact, Seq((2L, 250L)).toDF("ck", "v"), Seq("ck"))
+    assert(go() == "incremental-delete")
+    assert(view(20L) == ((1L, 250L, 250L, 250L)))
+    // a dim change still honestly recomputes
+    TxLog.append(spark, dim, Seq((3L, 30L)).toDF("ck", "nk"))
+    TxLog.append(spark, fact, Seq((3L, 50L)).toDF("ck", "v"))
+    assert(go() == "recompute")
+    assert(view(30L) == ((1L, 50L, 50L, 50L)))
+  }
+
   test("MatView folds a delete signed; a delete that ties the min triggers the targeted repair") {
     val src = fresh("mvdel"); val mv = fresh("mvdelv")
     TxLog.append(spark, src,
