@@ -460,10 +460,12 @@ object MatView {
     * is BUILT while the dim is only HALF loaded (inner join silently
     * drops the other half's orders — the honest intermediate state),
     * folded incrementally across fact appends, RECOMPUTED when the
-    * dim's second half lands (a dim change can never fold), and folded
-    * incrementally again after — the final view must hash-match a plain
-    * SQL join-group-by over the complete tables. Integer math
-    * (`floor(price)` summed as BIGINT) keeps the hash compare exact. */
+    * dim's second half lands (a dim change can never fold), folded
+    * incrementally again after, and finally a fact MOR DELETE folds
+    * SIGNED ("incremental-delete", r13) — the final view must
+    * hash-match a plain SQL join-group-by over the complete tables
+    * minus the erased keys. Integer math (`floor(price)` summed as
+    * BIGINT) keeps the hash compare exact. */
   def qwMvJoinRefresh(spark: SparkSession, d: String): DataFrame = {
     val factRows = T.orders(spark, d)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -487,6 +489,11 @@ object MatView {
     TxLog.append(spark, fact,
       factRows.filter(col("o_orderkey") % 3 === 2).withColumnRenamed("o_custkey", "c_custkey"))
     require(go() == "incremental")
+    // a fact MOR delete folds SIGNED (r13) — the REQUIRE pins the mode,
+    // so a silent fall-back to recompute fails the row
+    TxLog.deleteWhereMorExpr(spark, fact, "o_orderkey % 11 = 5")
+    require(go() == "incremental-delete",
+      "a fact delete must fold signed, not recompute")
     require(go() == "noop") // watermark idempotence
     val folded = TxLog.read(spark, mv)
       .select("c_nationkey", "cnt", "total", "vmin", "vmax")
@@ -517,6 +524,7 @@ object MatView {
         "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
+        "AND o_orderkey % 11 <> 5 " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "qw_mv_delete_fold" ->
       ("SELECT lang, COUNT(*) AS cnt, SUM(v) AS total, " +
