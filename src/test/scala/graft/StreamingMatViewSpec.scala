@@ -65,6 +65,16 @@ class StreamingMatViewSpec extends SparkSpec {
         assert(qMv3.isActive, "a rewrite commit must not kill the maintenance stream")
         assert(got == expected, "the rewrite's own trigger must recompute the view")
         assert(!got.contains("a"), "deleted keys must leave the view")
+        // a MOR delete's (empty under skipChangeCommits) trigger batch
+        // must fold the delete SIGNED through the r13 CDF path — the
+        // view trails it exactly without a recompute-sized scan
+        val viewVersionsBefore = TxLog.versions(spark, mv).size
+        TxLog.deleteWhereMorExpr(spark, src, "k = 'c'")
+        qMv3.processAllAvailable()
+        assert(got == expected, "the MOR delete's trigger must fold the view")
+        assert(!got.contains("c"), "MOR-deleted keys must leave the view")
+        assert(TxLog.versions(spark, mv).size == viewVersionsBefore + 1,
+          "exactly one view commit per folded delete")
       } finally qMv3.stop()
     } finally qIngest.stop()
   }
