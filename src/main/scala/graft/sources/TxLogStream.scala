@@ -239,6 +239,13 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
       TxLogInputPartition(new Path(table, rel).toString, v))
     def deletes: Seq[InputPartition] = {
       if (dvLines.isEmpty) return Seq.empty
+      // the delete images reconstruct against v-1's vectors: a vacuum
+      // that reclaimed them must fail at planning, not mid-scan (the
+      // same loud contract as the batch readChangesCdf)
+      val wm = TxLog.earliestReadableVersion(spark, table)
+      require(v - 1 >= wm,
+        s"txlog: change-feed reconstruction for version $v of $table needs " +
+          s"vacuumed version ${v - 1} (earliest readable: $wm)")
       val prior = TxLog.dvPayloadsAt(spark, table, Some(v - 1)).toMap
       dvLines.map { case (fileRel, dvRel) =>
         TxLogCdfDeletePartition(
