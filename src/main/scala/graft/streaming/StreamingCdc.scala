@@ -62,6 +62,44 @@ object StreamingCdc {
       .drop("_graft_cdc_rn", seqCol)
   }
 
+  /** Continuous KEYED REPLICATION of one TxLog table into another — the
+    * DR-mirror / cross-region primitive, closed over the engine's own
+    * pieces: the source's STREAMING CHANGE FEED (`readChangeFeed=true`:
+    * appends as inserts, MOR deletes/merges as positional delete
+    * images) drives [[applyChangesVersioned]], so every source commit
+    * becomes exactly one replica commit (the stream's one-commit
+    * admission control) and the replica is exactly-once under replays
+    * (txn-marked landings). Within one source MERGE commit a key sees
+    * delete(old image) + insert(new image): the sequence ranks inserts
+    * above deletes at the same version, so the new image wins — replay
+    * order ≡ final state.
+    *
+    * Requires key-unique sources (the standard CDC assumption — two
+    * live rows per key have no well-defined replica image); rewrite
+    * commits on the source (CoW delete / overwrite / restore) abort the
+    * stream loudly, as [[graft.sources.TxLogStreamProvider]] documents.
+    *
+    * Scale shape: change delivery is delta-sized (the CDF's contract);
+    * the landing is the snapshot-cadence sink's (write cost O(replica)
+    * per commit — the price of exact per-commit lineage; see
+    * [[applyChangesVersioned]]'s scale note). */
+  def replicate(spark: org.apache.spark.sql.SparkSession, src: String,
+                dst: String, keys: Seq[String],
+                checkpoint: String): StreamingQuery = {
+    val cdf = spark.readStream.format("graft-txlog")
+      .option("readChangeFeed", "true")
+      .load(src)
+    require(!cdf.columns.contains("_g_seq") && !cdf.columns.contains("_g_del"),
+      "replicate: source schema collides with the replication sequence columns")
+    val changes = cdf
+      .withColumn("_g_seq", col("_commit_version") * 2 +
+        when(col("_change_type") === "insert", 1L).otherwise(0L))
+      .withColumn("_g_del", col("_change_type") === "delete")
+      .drop("_change_type", "_commit_version")
+    applyChangesVersioned(changes, dst, keys, "_g_seq", "_g_del",
+      Some(checkpoint), Some("graft-replicate"))
+  }
+
   /** The VERSIONED landing: each micro-batch's MERGE result becomes one
     * [[graft.sources.TxLog]] commit — the full corpus-maintenance loop
     * in one call (change stream → merge → versioned table), with every

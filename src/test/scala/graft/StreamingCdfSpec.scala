@@ -75,6 +75,36 @@ class StreamingCdfSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("replicate: a TxLog table mirrors into another through its own change feed, exactly") {
+    import graft.streaming.StreamingCdc
+    val base = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    def srcRows = TxLog.read(spark, src).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def dstRows = TxLog.read(spark, dst).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    val q = StreamingCdc.replicate(spark, src, dst, Seq("k"), s"$base/ck")
+    try {
+      q.processAllAvailable()
+      assert(dstRows == srcRows, "replica must mirror the initial append")
+      // a lifecycle of MOR delete, merge, compaction, and a late append
+      TxLog.deleteWhereMorExpr(spark, src, "k = 'b'")
+      TxLog.mergeMor(spark, src, Seq(("a", 10L), ("d", 4L)).toDF("k", "v"), Seq("k"))
+      TxLog.compact(spark, src)
+      TxLog.append(spark, src, Seq(("e", 5L)).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(dstRows == srcRows, "replica must trail deletes, merges, and appends")
+      assert(dstRows == Seq(("a", 10L), ("c", 3L), ("d", 4L), ("e", 5L)))
+    } finally q.stop()
+    // restart: offsets are source commits — nothing replays, no new versions
+    val before = TxLog.versions(spark, dst)
+    val q2 = StreamingCdc.replicate(spark, src, dst, Seq("k"), s"$base/ck")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.versions(spark, dst) == before,
+      "an idle replication restart must not create replica versions")
+  }
+
   test("streaming CDF: a rewrite-shaped commit is loud; skipChangeCommits skips it") {
     val base = java.nio.file.Files.createTempDirectory("graft-scdf-ow").toString
     val t = s"$base/t"
