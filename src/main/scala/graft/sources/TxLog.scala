@@ -1455,6 +1455,13 @@ object TxLog {
   // travel, dv anti-apply, schema evolution — works unchanged.
   // ---------------------------------------------------------------------
 
+  /** The partitioned writer's internal layout-driver columns for up to
+    * `n` partition levels: `_g_pv`, `_g_pv1`, `_g_pv2`, … (the first
+    * keeps its legacy name so existing single-level tables read
+    * unchanged). */
+  private def pvCols(n: Int): Seq[String] =
+    (0 until n).map(i => if (i == 0) "_g_pv" else s"_g_pv$i")
+
   /** Undo the Hive path-escaping (%XX) the partitioned writer applies
     * to directory-name-hostile characters in partition values. */
   private def unescapePathSegment(s: String): String = {
@@ -1470,24 +1477,84 @@ object TxLog {
     sb.toString
   }
 
-  /** List the files of a partitioned write as (relative path, decoded
-    * partition value) pairs. */
+  /** List the files of a (possibly multi-level) partitioned write as
+    * (relative path, decoded partition values in level order) pairs. */
   private def writtenPartitionedFiles(spark: SparkSession, table: String,
-                                      rel: String): Seq[(String, String)] = {
-    val dataDir = new Path(table, rel)
-    val f = fs(spark, dataDir)
-    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
-      .sortBy(_.getPath.getName)
-      .flatMap { dir =>
-        val seg = dir.getPath.getName
-        require(seg.startsWith("_g_pv="),
-          s"txlog: unexpected non-partition directory $seg under $rel")
-        val value = unescapePathSegment(seg.stripPrefix("_g_pv="))
-        f.listStatus(dir.getPath).toSeq.map(_.getPath.getName)
+                                      rel: String, levels: Int
+                                     ): Seq[(String, Seq[String])] = {
+    val f = fs(spark, new Path(table, rel))
+    val drivers = pvCols(levels)
+    def walk(dir: Path, depth: Int, vals: List[String],
+             relSoFar: String): Seq[(String, Seq[String])] =
+      if (depth == levels)
+        f.listStatus(dir).toSeq.map(_.getPath.getName)
           .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
           .sorted
-          .map(n => (s"$rel/$seg/$n", value))
+          .map(n => (s"$relSoFar/$n", vals.reverse))
+      else {
+        val want = drivers(depth) + "="
+        f.listStatus(dir).toSeq.filter(_.isDirectory)
+          .sortBy(_.getPath.getName)
+          .flatMap { d =>
+            val seg = d.getPath.getName
+            require(seg.startsWith(want),
+              s"txlog: unexpected non-partition directory $seg under $relSoFar")
+            walk(d.getPath, depth + 1,
+              unescapePathSegment(seg.stripPrefix(want)) :: vals,
+              s"$relSoFar/$seg")
+          }
       }
+    walk(new Path(table, rel), 0, Nil, rel)
+  }
+
+  /** The shared partitioned-write tail: lay `physFrame` out by the
+    * physical partition columns (each duplicated into a layout-driver
+    * column — partitionBy drops its driver from the files, and readers
+    * here scan explicit file lists, so the real columns must stay
+    * physically present), list the written files with their decoded
+    * values, and render the per-file partition payload lines. */
+  private def writePartitioned(spark: SparkSession, table: String,
+                               physFrame: DataFrame, pParts: Seq[String],
+                               rel: String, onePerLeaf: Boolean
+                              ): (Seq[(String, Seq[String])], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val drivers = pvCols(pParts.length)
+    val driven = pParts.zip(drivers).foldLeft(physFrame) {
+      case (df, (p, d)) => df.withColumn(d, col(p))
+    }
+    // compaction wants one file per leaf: co-locate each value tuple
+    val laid = if (onePerLeaf) driven.repartition(drivers.map(col): _*) else driven
+    laid.write.partitionBy(drivers: _*).parquet(new Path(table, rel).toString)
+    val files = writtenPartitionedFiles(spark, table, rel, pParts.length)
+    files.foreach { case (_, vs) =>
+      require(!vs.contains("__HIVE_DEFAULT_PARTITION__"),
+        "txlog: null partition value — partitioned writes require " +
+          "non-null partition columns")
+    }
+    val enc = java.util.Base64.getEncoder
+    val partLines = files.flatMap { case (p, vs) =>
+      pParts.zip(vs).map { case (c, v) =>
+        s"$p|$c|${enc.encodeToString(v.getBytes("UTF-8"))}|-|p"
+      }
+    }
+    (files, partLines)
+  }
+
+  private def requirePartitionArgs(df: DataFrame, partCols: Seq[String],
+                                   statsCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "txlog: at least one partition column")
+    require(partCols.distinct == partCols, "txlog: duplicate partition columns")
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"txlog: partition column '$c' is not in the schema"))
+    statsCols.foreach { c =>
+      require(!partCols.contains(c),
+        "txlog: the partition value subsumes stats for a partition column")
+      require(df.schema.fieldNames.contains(c),
+        s"txlog: stats column '$c' is not in the schema")
+    }
+    pvCols(partCols.length).foreach(d =>
+      require(!df.schema.fieldNames.contains(d),
+        s"txlog: table schema collides with the partitioned writer's '$d'"))
   }
 
   /** Append `df` laid out and RECORDED by `partCol`: rows land in
@@ -1495,40 +1562,26 @@ object TxLog {
     * commit, and [[readWherePartition]] prunes by value from the log
     * alone — no stats, no footers. Optional `statsCols` additionally
     * record min/max per file (composable pruning: partition equality
-    * AND ranges). The partition column must be non-null (Hive's
+    * AND ranges). Partition columns must be non-null (Hive's
     * default-partition sentinel would make the recorded value lie). */
   def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
-                        partCol: String, statsCols: String*): Long = {
-    import org.apache.spark.sql.functions.col
-    require(df.schema.fieldNames.contains(partCol),
-      s"txlog: partition column '$partCol' is not in the appended schema")
-    require(!statsCols.contains(partCol),
-      "txlog: the partition value subsumes stats for the partition column")
-    require(!df.schema.fieldNames.contains("_g_pv"),
-      "txlog: table schema collides with the partitioned writer's internal column")
+                        partCol: String, statsCols: String*): Long =
+    appendPartitionedBy(spark, table, df, Seq(partCol), statsCols)
+
+  /** [[appendPartitioned]] with MULTI-LEVEL partitioning (Hive's
+    * `a=…/b=…` nesting): every level's value is recorded per file, and
+    * equality pruning composes across levels (and with range stats). */
+  def appendPartitionedBy(spark: SparkSession, table: String, df: DataFrame,
+                          partCols: Seq[String],
+                          statsCols: Seq[String] = Seq.empty): Long = {
+    requirePartitionArgs(df, partCols, statsCols)
     requireFitsDeclared(spark, table, df, "append")
-    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"txlog: stats column '$c' is not in the appended schema"))
     val phys = physicalize(df, schemaAt(spark, table))
-    val pPart = resolvePhysical(spark, table, partCol)
+    val pParts = partCols.map(resolvePhysical(spark, table, _))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-part-${uniq()}"
-    // partition on a DUPLICATE of the column: partitionBy drops its
-    // driver column from the files, and readers here scan explicit file
-    // lists (never directory inference), so the real column must stay
-    // physically present in every file
-    phys.withColumn("_g_pv", col(pPart))
-      .write.partitionBy("_g_pv").parquet(new Path(table, rel).toString)
-    val files = writtenPartitionedFiles(spark, table, rel)
-    files.foreach { case (_, v) =>
-      require(v != "__HIVE_DEFAULT_PARTITION__",
-        s"txlog: null partition value in '$partCol' — partitioned appends " +
-          "require a non-null partition column")
-    }
-    val enc = java.util.Base64.getEncoder
-    val partLines = files.map { case (p, v) =>
-      s"$p|$pPart|${enc.encodeToString(v.getBytes("UTF-8"))}|-|p"
-    }
+    val (files, partLines) =
+      writePartitioned(spark, table, phys, pParts, rel, onePerLeaf = false)
     val stats = statsCols.flatMap { c =>
       val forCol = footerStats(spark, table, files.map(_._1), c)
       require(files.isEmpty || forCol.nonEmpty,
@@ -1546,6 +1599,32 @@ object TxLog {
     }
     maybeCheckpoint(spark, table, v)
     v
+  }
+
+  /** COMPACTION that PRESERVES the partition layout and its recorded
+    * values: a plain [[compact]] on a partitioned table rewrites the
+    * live set into value-less files, silently degrading every later
+    * partition-pruned read to a conservative full keep. This flavor
+    * rewrites the snapshot into ONE file per partition-value tuple,
+    * re-records every value (and optional stats), and commits with the
+    * same "compact" tag — row-invisible to the change feed, MatView
+    * folds stay incremental across it, and pruning keeps working. */
+  def compactPartitioned(spark: SparkSession, table: String,
+                         partCols: Seq[String],
+                         statsCols: Seq[String] = Seq.empty): Long = {
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    val snap = read(spark, table, Some(base))
+    requirePartitionArgs(snap, partCols, statsCols)
+    val removes = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    val pParts = partCols.map(resolvePhysical(spark, table, _, Some(base)))
+    val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
+    val (files, partLines) = writePartitioned(spark, table,
+      physicalize(snap, declared), pParts, rel, onePerLeaf = true)
+    val stats = statsCols.flatMap(c => footerStats(spark, table, files.map(_._1), c))
+    commitRewrite(spark, table, base, files.map(_._1), removes, "compact",
+      new Path(table, rel), stats = partLines ++ stats)
   }
 
   /** Live files' recorded partition value for `partCol` as of `asOf`
@@ -1586,19 +1665,33 @@ object TxLog {
   def readWherePartition(spark: SparkSession, table: String, partCol: String,
                          value: String,
                          preds: Seq[(String, Long, Long)] = Seq.empty,
-                         asOf: Option[Long] = None): DataFrame = {
+                         asOf: Option[Long] = None): DataFrame =
+    readWherePartitionAll(spark, table, Seq((partCol, value)), preds, asOf)
+
+  /** [[readWherePartition]] over a CONJUNCTION of partition equalities
+    * (the multi-level layout's natural read: `lang = 'de' AND source =
+    * 'web'`), still composable with range stats. */
+  def readWherePartitionAll(spark: SparkSession, table: String,
+                            eqs: Seq[(String, String)],
+                            preds: Seq[(String, Long, Long)] = Seq.empty,
+                            asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (keptP, _) = pruneFilesPartition(spark, table, partCol, value, asOf)
+    require(eqs.nonEmpty, "txlog: at least one partition equality")
+    val keptP = eqs.map { case (c, v) =>
+      pruneFilesPartition(spark, table, c, v, asOf)._1.toSet
+    }.reduce(_ intersect _)
     val kept = if (preds.isEmpty) keptP
-      else {
-        val keptS = pruneFilesMulti(spark, table, preds, asOf)._1.toSet
-        keptP.filter(keptS)
-      }
+      else keptP intersect pruneFilesMulti(spark, table, preds, asOf)._1.toSet
+    // preserve first-added order for deterministic multi-file scans
+    val keptOrdered = snapshotFiles(spark, table, asOf).filter(kept)
     val base =
-      if (kept.isEmpty) read(spark, table, asOf).limit(0)
-      else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+      if (keptOrdered.isEmpty) read(spark, table, asOf).limit(0)
+      else scanLive(spark, table, keptOrdered, schemaAt(spark, table, asOf),
         dvAt(spark, table, asOf))
-    preds.foldLeft(base.filter(col(partCol).cast("string") === value)) {
+    val eqFiltered = eqs.foldLeft(base) { case (df, (c, v)) =>
+      df.filter(col(c).cast("string") === v)
+    }
+    preds.foldLeft(eqFiltered) {
       case (df, (c, lo, hi)) => df.filter(col(c).between(lo, hi))
     }
   }

@@ -45,6 +45,43 @@ class PartitionSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(1L))
   }
 
+  test("multi-level partitioning: per-level values recorded, equalities compose, nesting on disk") {
+    val t = fresh("multi")
+    TxLog.appendPartitionedBy(spark, t,
+      Seq(("de", "web", 1L), ("de", "book", 2L), ("en", "web", 3L),
+        ("en", "book", 4L)).toDF("lang", "src", "v"),
+      Seq("lang", "src"))
+    val (keptLang, live) = TxLog.pruneFilesPartition(spark, t, "lang", "de")
+    assert(live == 4 && keptLang.size == 2)
+    val rows = TxLog.readWherePartitionAll(spark, t,
+      Seq(("lang", "de"), ("src", "web")))
+      .collect().map(_.getLong(2)).toSeq
+    assert(rows == Seq(1L), "both equality rungs must compose")
+    // the layout really nests on disk
+    assert(TxLog.snapshotFiles(spark, t)
+      .forall(p => p.contains("_g_pv=") && p.contains("_g_pv1=")))
+  }
+
+  test("compactPartitioned preserves pruning where plain compact degrades it") {
+    val t = fresh("compactp")
+    (0 to 2).foreach(i => TxLog.appendPartitioned(spark, t,
+      Seq(("de", i * 10L), ("en", i * 10L + 1L), ("fr", i * 10L + 2L))
+        .toDF("lang", "v"), "lang"))
+    assert(TxLog.pruneFilesPartition(spark, t, "lang", "de")._1.size == 3)
+    val rowsBefore = TxLog.read(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val cv = TxLog.compactPartitioned(spark, t, Seq("lang"))
+    assert(TxLog.commitKind(spark, t, cv).contains("compact"))
+    val (kept, liveAfter) = TxLog.pruneFilesPartition(spark, t, "lang", "de")
+    assert(liveAfter == 3, "one file per partition value after compaction")
+    assert(kept.size == 1, "pruning must keep working on the compacted layout")
+    assert(TxLog.read(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq == rowsBefore,
+      "partitioned compaction must be row-invisible")
+    assert(TxLog.readWherePartition(spark, t, "lang", "de")
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 10L, 20L))
+  }
+
   test("null partition values are rejected loudly; dv deletes anti-apply on partition reads") {
     val t = fresh("nulldv")
     val e = intercept[IllegalArgumentException] {
