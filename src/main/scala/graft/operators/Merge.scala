@@ -694,7 +694,49 @@ object Merge {
       "VERSION AS OF 1 ORDER BY doc_id")
   }
 
+  /** QW19 — DROP PARTITION ([[graft.sources.TxLog.deletePartition]])
+    * under the hash gate: documents lands in three lang-partitioned
+    * range waves plus ONE plain (value-less) append, then the 'de'
+    * partition is dropped — the row REQUIREs that every RECORDED 'de'
+    * file left the live set as pure metadata (never read, never
+    * rewritten: the retention-sweep cost shape), that all recorded
+    * non-'de' files survive byte-identical, and that only the plain
+    * file was copy-on-write rewritten. The post-drop table must
+    * hash-match the SQL anti-equality scan. */
+  def qwDropPartition(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txdrop", d, "t")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    val part = docs.filter(col("doc_id") % 11 =!= 3)
+    Seq(
+      part.filter(col("doc_id") < b1),
+      part.filter(col("doc_id") >= b1 && col("doc_id") < b2),
+      part.filter(col("doc_id") >= b2)
+    ).foreach(wave =>
+      TxLog.appendPartitioned(spark, table, wave.coalesce(1), "lang"))
+    TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 11 === 3).coalesce(1)) // value-less
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    val values = TxLog.partitionValuesAt(spark, table, "lang")
+    val deFiles = values.collect { case (p, "de") => p }.toSet
+    val keepFiles = values.collect { case (p, v) if v != "de" => p }.toSet
+    require(deFiles.nonEmpty, "txlog: fixture grew no de partition files")
+    TxLog.deletePartition(spark, table, "lang", "de")
+    val after = TxLog.snapshotFiles(spark, table).toSet
+    require(deFiles.forall(!after.contains(_)),
+      "txlog: a recorded de file survived the drop")
+    require(keepFiles.subsetOf(after),
+      "txlog: the drop rewrote a recorded non-de file")
+    require((after -- before).forall(_ => (before -- after) == deFiles ++
+      (before -- keepFiles -- deFiles)),
+      "txlog: only the value-less file may be rewritten")
+    TxLog.read(spark, table).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
     "qw_cdf_read" -> qwCdfRead _,
@@ -715,6 +757,11 @@ object Merge {
     "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
+    // the dropped partition's complement (recorded files removed as
+    // metadata, the value-less file's de rows CoW'd out — REQUIREd)
+    "qw_drop_partition" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE lang <> 'de' ORDER BY doc_id"),
     // VERSION AS OF 1 pins the first two mod-3 waves
     "qw_sql_read" ->
       ("SELECT doc_id, lang, n_chars FROM documents " +

@@ -1696,6 +1696,55 @@ object TxLog {
     }
   }
 
+  /** DROP PARTITION — `DELETE FROM t WHERE partCol = value` against a
+    * partition-recorded layout, at the cheapest shape a delete can
+    * take: every file whose RECORDED value matches holds ONLY that
+    * partition's rows (the writer's per-leaf layout guarantees it), so
+    * those files are simply REMOVED — zero bytes read, zero bytes
+    * written, the retention-sweep cost model (`DROP PARTITION
+    * date='2024-01-01'` on a 100 TB table is one metadata commit).
+    * Files WITHOUT a recorded value (plain appends) are conservatively
+    * copy-on-write rewritten minus their matching rows, deletion
+    * vectors anti-applied. Tagged "delete" with removes: the change
+    * feed reconstructs its images as a touched-file-bounded CoW diff
+    * and MatView folds it signed. Returns the committed version, or
+    * `base` unchanged when nothing matches. */
+  def deletePartition(spark: SparkSession, table: String, partCol: String,
+                      value: String): Long = {
+    import org.apache.spark.sql.functions.col
+    requireNonEmpty(spark, table, "delete")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val recorded = partitionValuesAt(spark, table, partCol, Some(base))
+    val dropped = live.filter(p => recorded.get(p).contains(value))
+    val unrecorded = live.filterNot(recorded.contains)
+    if (dropped.isEmpty && unrecorded.isEmpty) return base
+    if (unrecorded.isEmpty)
+      // the pure metadata case: one commit of removes, nothing written
+      return commitRewrite(spark, table, base, Seq.empty, dropped, "delete",
+        new Path(table, f"data/v${base + 1}%08d-delete-${uniq()}"))
+    val declared = schemaAt(spark, table, Some(base))
+    // a value-less file might hold no matching row at all: probe before
+    // paying a rewrite (and stay commit-free when nothing matches)
+    val anyUnrecordedMatch = !scanLive(spark, table, unrecorded, declared,
+      dvAt(spark, table, Some(base)).filter(kv => unrecorded.contains(kv._1)))
+      .filter(col(partCol).cast("string") <=> value).isEmpty
+    if (!anyUnrecordedMatch) {
+      if (dropped.isEmpty) return base
+      return commitRewrite(spark, table, base, Seq.empty, dropped, "delete",
+        new Path(table, f"data/v${base + 1}%08d-delete-${uniq()}"))
+    }
+    val keptRows = scanLive(spark, table, unrecorded, declared,
+      dvAt(spark, table, Some(base)).filter(kv => unrecorded.contains(kv._1)))
+      .filter(!(col(partCol).cast("string") <=> value))
+    val rel = f"data/v${base + 1}%08d-delete-${uniq()}"
+    val dataDir = new Path(table, rel)
+    physicalize(keptRows, declared).write.parquet(dataDir.toString)
+    val written = writtenFiles(spark, table, rel)
+    commitRewrite(spark, table, base, written, dropped ++ unrecorded,
+      "delete", dataDir)
+  }
+
   /** DELETE FROM … WHERE `statsCol` BETWEEN lo AND hi, as a PARTIAL
     * copy-on-write rewrite: the recorded file stats decide which live
     * files can contain matching rows, ONLY those are rewritten (minus

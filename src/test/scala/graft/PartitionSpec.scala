@@ -82,6 +82,45 @@ class PartitionSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted.toSeq == Seq(0L, 10L, 20L))
   }
 
+  test("deletePartition: recorded files drop as pure metadata; unrecorded files CoW; no-ops are commit-free") {
+    val t = fresh("drop")
+    TxLog.appendPartitioned(spark, t,
+      Seq(("de", 1L), ("de", 2L), ("en", 3L)).toDF("k", "v"), "k")
+    TxLog.append(spark, t, Seq(("de", 4L), ("en", 5L)).toDF("k", "v")) // unrecorded
+    val before = TxLog.snapshotFiles(spark, t)
+    val deFiles = TxLog.partitionValuesAt(spark, t, "k")
+      .collect { case (p, "de") => p }.toSet
+    val v = TxLog.deletePartition(spark, t, "k", "de")
+    val after = TxLog.snapshotFiles(spark, t).toSet
+    assert(deFiles.forall(!after.contains(_)), "recorded de files must be removed")
+    assert(TxLog.read(spark, t).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("en", 3L), ("en", 5L)))
+    assert(TxLog.commitKind(spark, t, v).contains("delete"))
+    // time travel keeps the dropped partition
+    assert(TxLog.read(spark, t, Some(v - 1)).count() == 5L)
+    // MatView folds the drop signed (a CoW delete through the CDF)
+    val mv = fresh("drop-mv")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("k"), "v") == "build")
+    TxLog.appendPartitioned(spark, t, Seq(("fr", 9L)).toDF("k", "v"), "k")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("k"), "v") == "incremental")
+    TxLog.deletePartition(spark, t, "k", "fr")
+    assert(graft.operators.MatView.refresh(spark, t, mv, Seq("k"), "v") == "incremental-delete")
+    assert(TxLog.read(spark, mv).collect().map(_.getString(0)).toSet == Set("en"))
+    // a value nobody holds is a commit-free no-op... except the honest
+    // CoW probe of value-less files finds nothing and stays commit-free
+    val head = TxLog.latestVersion(spark, t)
+    assert(TxLog.deletePartition(spark, t, "k", "zz") == head)
+    // PURE-metadata case: drop when every live file carries a value
+    val t2 = fresh("drop-meta")
+    TxLog.appendPartitioned(spark, t2,
+      Seq(("de", 1L), ("en", 2L)).toDF("k", "v"), "k")
+    val dv = TxLog.deletePartition(spark, t2, "k", "de")
+    val h = TxLog.history(spark, t2).filter(col("version") === dv).head()
+    assert(h.getAs[Int]("n_adds") == 0,
+      "a fully-recorded drop must write nothing")
+    assert(TxLog.read(spark, t2).collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("null partition values are rejected loudly; dv deletes anti-apply on partition reads") {
     val t = fresh("nulldv")
     val e = intercept[IllegalArgumentException] {
