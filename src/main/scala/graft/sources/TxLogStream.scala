@@ -49,11 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * INCREMENTALLY — each newly-masked file becomes one delete-image
   * partition whose reader resolves (new vector ∖ prior vector)
   * positions executor-side and emits exactly those rows. Appends
-  * deliver inserts, compactions deliver nothing; rewrite-SHAPED
+  * deliver inserts, compactions deliver nothing, and a pure-metadata
+  * DROP PARTITION (removes-only delete) streams each removed file's
+  * still-live rows as whole-file delete images; rewrite-SHAPED
   * commits (CoW delete / overwrite / restore) abort loudly (or skip
   * under `skipChangeCommits`) — positional reconstruction cannot
-  * express them, and at 100 TB the MOR flavors are the ones a table
-  * runs anyway. Downstream, invertible consumers fold deletes with
+  * express them, and at 100 TB the MOR flavors and partition drops
+  * are the ones a table runs anyway. Downstream, invertible consumers fold deletes with
   * sign −1 ([[graft.operators.MatView.foldSigned]]'s algebra) instead
   * of recomputing.
   *
@@ -257,10 +259,29 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
           commitVersion = v)
       }
     }
+    // the pure-metadata DROP PARTITION (removes-only, nothing written):
+    // every removed file's LIVE rows (prior vectors anti-applied) ARE
+    // the delete images — one whole-file delete partition each
+    def droppedFiles: Seq[InputPartition] = {
+      val wm = TxLog.earliestReadableVersion(spark, table)
+      require(v - 1 >= wm,
+        s"txlog: change-feed reconstruction for version $v of $table needs " +
+          s"vacuumed version ${v - 1} (earliest readable: $wm)")
+      val prior = TxLog.dvPayloadsAt(spark, table, Some(v - 1)).toMap
+      removes.map { fileRel =>
+        TxLogCdfDroppedFilePartition(
+          file = new Path(table, fileRel).toString,
+          fileName = fileRel.split('/').last,
+          priorDvDir = prior.get(fileRel).filter(_ != TxLog.DvUnbound)
+            .map(p => new Path(table, p).toString),
+          commitVersion = v)
+      }
+    }
     kind match {
       case Some("compact") => Seq.empty // rows unchanged by contract
       case None if removes.isEmpty && dvLines.isEmpty => inserts
       case Some("delete") if removes.isEmpty => deletes
+      case Some("delete") if adds.isEmpty => droppedFiles
       case Some("merge") => inserts ++ deletes
       case other =>
         if (skipChangeCommits) Seq.empty
@@ -268,8 +289,8 @@ private[sources] class TxLogMicroBatchStream(table: String, schema: StructType,
           s"graft-txlog: version $v of $table is a rewrite-shaped commit " +
             s"(${other.getOrElse("untagged-remove")}) the streaming change " +
             "feed cannot express positionally — use merge-on-read deletes/" +
-            "merges upstream, consume via the batch readChangesCdf, or set " +
-            "skipChangeCommits=true to skip it")
+            "merges or partition drops upstream, consume via the batch " +
+            "readChangesCdf, or set skipChangeCommits=true to skip it")
     }
   }
 
@@ -298,6 +319,15 @@ private[sources] case class TxLogCdfDeletePartition(file: String,
                                                     dvDir: String,
                                                     priorDvDir: Option[String],
                                                     commitVersion: Long)
+  extends InputPartition
+
+/** A WHOLE-FILE delete partition (the pure-metadata DROP PARTITION):
+  * every row of `file` still live at the prior version — i.e. all rows
+  * EXCEPT `priorDvDir`'s masked positions — streams as a delete image. */
+private[sources] case class TxLogCdfDroppedFilePartition(file: String,
+                                                         fileName: String,
+                                                         priorDvDir: Option[String],
+                                                         commitVersion: Long)
   extends InputPartition
 
 /** Java-serializable Hadoop Configuration carrier (Spark's own
@@ -330,6 +360,12 @@ private[sources] case class TxLogReaderFactory(schema: StructType,
           conf.value, changeType = "delete",
           positions = Some(TxLogPartitionReader.newlyMaskedPositions(
             p.fileName, p.dvDir, p.priorDvDir, conf.value)))
+      case p: TxLogCdfDroppedFilePartition =>
+        new TxLogPartitionReader(p.file, p.commitVersion, schema, lookup,
+          conf.value, changeType = "delete",
+          positions = p.priorDvDir.map(d =>
+            TxLogPartitionReader.newlyMaskedPositions(p.fileName, d, None, conf.value)),
+          excludePositions = true)
     }
 }
 
@@ -385,7 +421,8 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
                                             lookup: Map[String, String],
                                             conf: Configuration,
                                             changeType: String = "insert",
-                                            positions: Option[java.util.HashSet[Long]] = None)
+                                            positions: Option[java.util.HashSet[Long]] = None,
+                                            excludePositions: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -458,9 +495,13 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
     current = reader.read()
     rowPos += 1
     positions match {
-      case None => current != null
-      case Some(set) => // skip to the next masked position
-        while (current != null && !set.contains(rowPos)) {
+      case None if !excludePositions => current != null
+      case None => current != null // exclude mode with no prior mask: all rows
+      case Some(set) =>
+        // include mode: skip to the next masked position; exclude mode
+        // (whole-file delete images): skip the previously-masked ones
+        def wanted = set.contains(rowPos) != excludePositions
+        while (current != null && !wanted) {
           current = reader.read()
           rowPos += 1
         }

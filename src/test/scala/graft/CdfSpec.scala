@@ -54,6 +54,25 @@ class CdfSpec extends SparkSpec {
       ("c", 9L, "insert")).sorted)
   }
 
+  test("the feed aligns slices across a RENAME: every image reads under the range-end names") {
+    val t = fresh("rename")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v")) // v0
+    TxLog.renameColumn(spark, t, "v", "val")                          // v1 (schema-only)
+    TxLog.append(spark, t, Seq(("c", 3L)).toDF("k", "val"))           // v2
+    TxLog.deleteWhereMorExpr(spark, t, "val = 1")                     // v3: pre-rename file
+    val cdf = TxLog.readChangesCdf(spark, t, -1L, TxLog.latestVersion(spark, t))
+    assert(cdf.columns.take(2).toSeq == Seq("k", "val"),
+      "all slices must surface under the range-end logical names")
+    val rows = cdf.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(r.fieldIndex("_commit_version")),
+      r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(rows == Set(
+      ("a", 1L, 0L, "insert"), ("b", 2L, 0L, "insert"),
+      ("c", 3L, 2L, "insert"),
+      ("a", 1L, 3L, "delete")), // the delete image decodes the OLD file's physical
+      s"unexpected feed: $rows")
+  }
+
   test("mergeMor: one commit, zero rewrites, matched keys superseded, new keys inserted") {
     val t = fresh("merge")
     TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))

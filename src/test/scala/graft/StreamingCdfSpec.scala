@@ -105,6 +105,27 @@ class StreamingCdfSpec extends SparkSpec {
       "an idle replication restart must not create replica versions")
   }
 
+  test("a pure-metadata DROP PARTITION streams whole-file delete images; replication mirrors it") {
+    import graft.streaming.StreamingCdc
+    val base = java.nio.file.Files.createTempDirectory("graft-scdf-drop").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    TxLog.appendPartitioned(spark, src,
+      Seq(("de", 1L), ("en", 2L), ("fr", 3L)).toDF("k", "v"), "k")
+    // mask one row first: the dropped file's images must EXCLUDE it
+    TxLog.deleteWhereMorExpr(spark, src, "k = 'de' AND v = 1")
+    val q = StreamingCdc.replicate(spark, src, dst, Seq("k"), s"$base/ck")
+    try {
+      q.processAllAvailable()
+      // the fully-recorded drop: removes only, nothing written
+      TxLog.deletePartition(spark, src, "k", "en")
+      q.processAllAvailable()
+      assert(TxLog.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+        == Seq(("fr", 3L)),
+        "the replica must mirror the drop (and never resurrect the masked row)")
+    } finally q.stop()
+  }
+
   test("streaming CDF: a rewrite-shaped commit is loud; skipChangeCommits skips it") {
     val base = java.nio.file.Files.createTempDirectory("graft-scdf-ow").toString
     val t = s"$base/t"
