@@ -694,6 +694,49 @@ object Merge {
       "VERSION AS OF 1 ORDER BY doc_id")
   }
 
+  /** QW20 — SQL DML ([[graft.sources.TxLogCatalog]]'s write surface)
+    * under the hash gate: the WHOLE lifecycle runs through `spark.sql`
+    * — `CREATE TABLE` declares the empty table (readable at zero rows),
+    * two `INSERT INTO ... SELECT` waves land as OCC appends, and a
+    * `DELETE FROM ... WHERE` lands as ONE merge-on-read deletion-vector
+    * commit — with in-row REQUIREs that the create/insert commits are
+    * exactly v0..v2, that the DELETE rewrote/added/removed ZERO data
+    * files (the V1-filter→predicate translation feeding
+    * [[graft.sources.TxLog.deleteWhereMorExpr]]), and that the final
+    * pure-SQL read agrees with the library read row-for-row. */
+  def qwSqlDml(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txdml", d, "t")
+    val view = "graft_dml_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.createOrReplaceTempView(view)
+    try {
+      spark.sql(s"CREATE TABLE graft.`$table` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      require(spark.sql(s"SELECT * FROM graft.`$table`").isEmpty,
+        "txlog: a created table must read empty through SQL")
+      spark.sql(s"INSERT INTO graft.`$table` " +
+        s"SELECT doc_id, lang, n_chars FROM $view WHERE doc_id % 2 = 0")
+      spark.sql(s"INSERT INTO graft.`$table` " +
+        s"SELECT doc_id, lang, n_chars FROM $view WHERE doc_id % 2 = 1")
+      require(TxLog.versions(spark, table) == Seq(0L, 1L, 2L),
+        "txlog: CREATE + two INSERTs must land as exactly v0..v2")
+      val files = TxLog.snapshotFiles(spark, table).toSet
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 3
+      spark.sql(s"DELETE FROM graft.`$table` " +
+        s"WHERE lang = 'de' AND doc_id <= $cut")
+      require(TxLog.snapshotFiles(spark, table).toSet == files,
+        "txlog: the SQL DELETE must stay merge-on-read — zero data " +
+          "files rewritten, added, or removed")
+      val out = spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+        "ORDER BY doc_id")
+      require(out.count() == TxLog.read(spark, table).count(),
+        "txlog: SQL and library disagree after the DML lifecycle")
+      out
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** QW19 — DROP PARTITION ([[graft.sources.TxLog.deletePartition]])
     * under the hash gate: documents lands in three lang-partitioned
     * range waves plus ONE plain (value-less) append, then the 'de'
@@ -736,6 +779,7 @@ object Merge {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_sql_dml" -> qwSqlDml _,
     "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
@@ -757,6 +801,12 @@ object Merge {
     "qw_optimize_read" -> qwOptimizeRead _)
 
   val oracles: Map[String, String] = Map(
+    // the SQL DML lifecycle's closed form: everything inserted, the
+    // early-de band deleted (MOR, zero files rewritten — REQUIREd)
+    "qw_sql_dml" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE NOT (lang = 'de' AND doc_id <= " +
+        "(SELECT MAX(doc_id)//3 FROM documents)) ORDER BY doc_id"),
     // the dropped partition's complement (recorded files removed as
     // metadata, the value-less file's de rows CoW'd out — REQUIREd)
     "qw_drop_partition" ->

@@ -797,6 +797,31 @@ object TxLog {
     v
   }
 
+  /** CREATE an empty table with a DECLARED schema, as commit 0 carrying
+    * the schema action and no files — SQL `CREATE TABLE`'s shape
+    * (surfaced through [[TxLogCatalog]]). The declaration makes every
+    * later write schema-checked from the first row ([[requireFitsDeclared]])
+    * and makes the EMPTY table readable (a declared scan over zero files
+    * is an empty frame with the right columns; an undeclared one cannot
+    * infer). Fields are declared nullable — same promotion
+    * [[appendEvolve]] applies — so parquet's optional encoding never
+    * fights the declaration. Not idempotent: racing creators get ONE
+    * winner, the loser fails loudly (CREATE TABLE IF NOT EXISTS is the
+    * caller's check). */
+  def createTable(spark: SparkSession, table: String,
+                  schema: org.apache.spark.sql.types.StructType): Long = {
+    require(schema.nonEmpty, "txlog: cannot create a table with no columns")
+    require(versions(spark, table).isEmpty,
+      s"txlog: $table already exists — use append/overwrite to write it")
+    val declared = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    if (!tryCommit(spark, table, 0L, Seq.empty, Seq.empty, None,
+        Some(encodeSchema(declared))))
+      throw new TxLogConcurrentModificationException(
+        s"txlog: $table was created concurrently — one creator wins")
+    0L
+  }
+
   /** Scan `files` (relative paths) under the optional declared schema,
     * ANTI-APPLYING each file's deletion vector: files bound to a dv dir
     * are read WITH the parquet metadata columns (`_metadata.file_name`,
@@ -922,17 +947,20 @@ object TxLog {
   }
 
   /** Read the table at `asOf` (default: latest snapshot). An empty
-    * snapshot needs a schema to produce an empty frame, so it throws —
-    * honest for a data table. */
+    * snapshot with a DECLARED schema ([[createTable]], or evolution on
+    * an emptied table) reads as an empty frame with the right columns;
+    * an empty snapshot with no declaration has no schema to produce one
+    * and throws — honest for a data table. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Long] = None): DataFrame = {
     val wm = earliestReadableVersion(spark, table)
     require(asOf.forall(_ >= wm),
       s"txlog: version ${asOf.get} was vacuumed (earliest readable: $wm)")
     val files = snapshotFiles(spark, table, asOf)
-    require(files.nonEmpty, s"txlog: empty snapshot for $table at $asOf")
-    scanLive(spark, table, files, schemaAt(spark, table, asOf),
-      dvAt(spark, table, asOf))
+    val declared = schemaAt(spark, table, asOf)
+    require(files.nonEmpty || declared.nonEmpty,
+      s"txlog: empty snapshot for $table at $asOf")
+    scanLive(spark, table, files, declared, dvAt(spark, table, asOf))
   }
 
   /** One commit that writes `df` and swaps it in for the entire

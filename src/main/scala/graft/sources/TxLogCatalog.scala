@@ -3,12 +3,14 @@ package graft.sources
 import java.util
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table,
-  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
+  V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -19,6 +21,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.`/data/corpus`                  -- latest
   *   SELECT * FROM graft.`/data/corpus` VERSION AS OF 3  -- time travel
   *   SELECT * FROM graft.`/data/corpus` TIMESTAMP AS OF '2026-01-01'
+  *   CREATE TABLE graft.`/data/t` (doc_id BIGINT, body STRING)
+  *   INSERT INTO graft.`/data/t` SELECT ...              -- OCC append
+  *   INSERT OVERWRITE graft.`/data/t` SELECT ...         -- one commit
+  *   DELETE FROM graft.`/data/t` WHERE doc_id < 100      -- MOR delete
+  *   DROP TABLE graft.`/data/t`
   * }}}
   *
   * Registered via `spark.sql.catalog.graft = graft.sources.TxLogCatalog`
@@ -32,9 +39,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * vectors, column mapping, and declared-schema promotion all ride the
   * one implementation. Filters/pruning still apply above the scan;
   * the file-skipping entry points ([[TxLog.readWhere]] family) remain
-  * the surgical path for stats-pruned scans. Writes stay library-side
-  * (append/merge/delete are operations with OCC semantics, not blind
-  * INSERTs), so the catalog is read-only and says so loudly. */
+  * the surgical path for stats-pruned scans.
+  *
+  * Write path: every SQL write funnels into the SAME OCC commits the
+  * library uses — `INSERT INTO` = [[TxLog.append]] (the no-conflict
+  * row of the conflict matrix), `INSERT OVERWRITE` = [[TxLog.overwrite]]
+  * (one serializable replace commit), `DELETE ... WHERE` =
+  * [[TxLog.deleteWhereMorExpr]] (deletion-vector MOR: kilobytes written,
+  * zero files rewritten — V1 filters re-rendered as one SQL predicate by
+  * [[FilterSql]]; untranslatable predicates fail loudly at analysis, no
+  * silent full-table fallback). `ALTER`/`RENAME` stay library-side
+  * (schema evolution and column mapping carry engine-specific commit
+  * payloads SQL DDL cannot express here). */
 class TxLogCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -82,29 +98,71 @@ class TxLogCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no enumerable namespace
 
-  private def readOnly(what: String): Nothing =
+  private def librarySide(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"txlog: the graft catalog is read-only — $what goes through the " +
-        "TxLog library API (append/mergeMor/deleteWhere*/restore), whose " +
-        "commits carry OCC semantics SQL DML cannot express here")
+      s"txlog: $what goes through the TxLog library API (appendEvolve/" +
+        "renameColumn/dropColumn), whose commits carry schema-evolution " +
+        "payloads SQL DDL cannot express here")
 
+  /** `CREATE TABLE graft.`/path`` (cols...)` — an empty declared-schema
+    * table as commit 0 ([[TxLog.createTable]]); CTAS follows with the
+    * insert through [[TxLogV2Table.newWriteBuilder]]. Partition
+    * transforms are rejected loudly: TxLog's Hive-style layout records
+    * per-file partition VALUES at append time
+    * ([[TxLog.appendPartitionedBy]]), a contract a blind SQL INSERT
+    * cannot keep. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "txlog: PARTITIONED BY is library-side (TxLog.appendPartitionedBy " +
+        "records per-file partition values the INSERT path cannot)")
+    val props = new util.HashMap[String, String](properties)
+    // engine-injected bookkeeping; parquet is what TxLog stores anyway
+    props.remove(TableCatalog.PROP_OWNER)
+    props.remove(TableCatalog.PROP_TABLE_TYPE)
+    Option(props.get(TableCatalog.PROP_PROVIDER)).foreach { pr =>
+      require(pr.equalsIgnoreCase("parquet") || pr.equalsIgnoreCase("txlog") ||
+        pr.equalsIgnoreCase("graft"),
+        s"txlog: tables store parquet — USING $pr is not supported")
+      props.remove(TableCatalog.PROP_PROVIDER)
+    }
+    require(props.isEmpty,
+      s"txlog: table properties are not supported (got: $props)")
+    val spark = SparkSession.active
+    val p = path(ident)
+    if (TxLog.versions(spark, p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, p))
+    TxLog.createTable(spark, p, schema)
+    new TxLogV2Table(p, None)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+    librarySide("ALTER TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+    librarySide("RENAME TABLE")
+
+  /** `DROP TABLE` removes the table's whole directory — log, data,
+    * vectors, checkpoints. Destructive and NOT versioned (there is no
+    * log left to time-travel); the recoverable path is
+    * [[TxLog.deleteWhereMorExpr]]/[[TxLog.restore]]. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val p = path(ident)
+    if (TxLog.versions(spark, p).isEmpty) return false
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+  }
 }
 
-/** A pinned TxLog snapshot as a DSv2 read-only table: schema and rows
-  * come from the SAME [[TxLog.read]] the library serves, via a V1 scan
-  * relation (declarative enough for Catalyst to push filters/pruning
-  * above it; the stats-pruned entry points remain the surgical path). */
+/** A pinned TxLog snapshot as a DSv2 table: schema and rows come from
+  * the SAME [[TxLog.read]] the library serves, via a V1 scan relation
+  * (declarative enough for Catalyst to push filters/pruning above it;
+  * the stats-pruned entry points remain the surgical path). Writes and
+  * deletes funnel into the library's OCC commits — see [[TxLogCatalog]]. */
 private[sources] class TxLogV2Table(tablePath: String, asOf: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def snapshot = TxLog.read(SparkSession.active, tablePath, asOf)
 
@@ -114,7 +172,8 @@ private[sources] class TxLogV2Table(tablePath: String, asOf: Option[Long])
   override def schema(): StructType = snapshot.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -129,4 +188,106 @@ private[sources] class TxLogV2Table(tablePath: String, asOf: Option[Long])
           }.asInstanceOf[T]
       }
     }
+
+  /** INSERT INTO → [[TxLog.append]]; INSERT OVERWRITE (the builder's
+    * `truncate()`) → [[TxLog.overwrite]] — ONE serializable replace
+    * commit, never a truncate-then-insert pair with a visible empty
+    * window. Time-travel snapshots refuse writes (a pinned version is
+    * immutable by construction — write the live table). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"txlog: cannot write to $tablePath VERSION AS OF ${asOf.get} — " +
+        "a pinned snapshot is immutable; write the live table")
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              if (overwriteAll) TxLog.overwrite(spark, tablePath, data)
+              else TxLog.append(spark, tablePath, data)
+              ()
+            }
+          }
+      }
+    }
+  }
+
+  /** DELETE FROM ... WHERE — every filter re-rendered as SQL by
+    * [[FilterSql]] and handed to the library's free-predicate MOR
+    * delete: positions mask into a deletion vector, zero data files
+    * rewritten. `canDeleteWhere` rejects untranslatable predicates so
+    * Spark fails the statement at analysis instead of this method
+    * guessing. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => FilterSql.render(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val preds = filters.toSeq.map(f => FilterSql.render(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"txlog: DELETE predicate not translatable: $f")))
+    // a created-but-never-written table has no files: nothing to delete
+    // (the MOR scan needs >= 1 file to resolve its _metadata addresses)
+    if (TxLog.snapshotFiles(spark, tablePath).isEmpty) return
+    val sql = if (preds.isEmpty) "true"
+      else preds.map(p => s"($p)").mkString(" AND ")
+    TxLog.deleteWhereMorExpr(spark, tablePath, sql)
+    ()
+  }
+}
+
+/** V1 `Filter` → Spark SQL predicate text, for [[TxLogV2Table.deleteWhere]].
+  * Total over the comparison/null/boolean core; anything else (LIKE
+  * family, exotic literal types, NaN/Inf) renders None and the DELETE
+  * fails loudly at analysis — never a silently-wrong predicate. */
+private[sources] object FilterSql {
+
+  private def col(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None // comparisons with NULL never match; only IS NULL does
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case b: Boolean => Some(b.toString)
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(n.toString + "L")
+    case f: Float if !f.isNaN && !f.isInfinite => Some(s"CAST($f AS FLOAT)")
+    case d: Double if !d.isNaN && !d.isInfinite => Some(s"CAST($d AS DOUBLE)")
+    case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+    case d: java.time.LocalDate => Some(s"DATE'$d'")
+    case i: java.time.Instant => Some(s"TIMESTAMP'$i'")
+    case _ => None
+  }
+
+  def render(f: Filter): Option[String] = f match {
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case EqualTo(c, v) => lit(v).map(l => s"${col(c)} = $l")
+    case EqualNullSafe(c, null) => Some(s"${col(c)} IS NULL")
+    case EqualNullSafe(c, v) => lit(v).map(l => s"${col(c)} <=> $l")
+    case GreaterThan(c, v) => lit(v).map(l => s"${col(c)} > $l")
+    case GreaterThanOrEqual(c, v) => lit(v).map(l => s"${col(c)} >= $l")
+    case LessThan(c, v) => lit(v).map(l => s"${col(c)} < $l")
+    case LessThanOrEqual(c, v) => lit(v).map(l => s"${col(c)} <= $l")
+    case In(c, vs) if vs.isEmpty => Some("false")
+    case In(c, vs) =>
+      val ls = vs.toSeq.map(lit)
+      if (ls.forall(_.isDefined)) Some(s"${col(c)} IN (${ls.flatten.mkString(", ")})")
+      else None
+    case IsNull(c) => Some(s"${col(c)} IS NULL")
+    case IsNotNull(c) => Some(s"${col(c)} IS NOT NULL")
+    case And(l, r) =>
+      for { a <- render(l); b <- render(r) } yield s"($a AND $b)"
+    case Or(l, r) =>
+      for { a <- render(l); b <- render(r) } yield s"($a OR $b)"
+    case Not(x) => render(x).map(s => s"(NOT $s)")
+    case _ => None
+  }
 }

@@ -47,20 +47,112 @@ class TxLogCatalogSpec extends SparkSpec {
     assert((joined.getString(0), joined.getLong(1)) == (("a", 6L)))
   }
 
-  test("the catalog is read-only and loud; a missing table errors at analysis") {
-    val t = fresh("ro")
-    TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO graft.`$t` VALUES ('z', 9)")
-    }
-    assert(e.getMessage.contains("read-only") ||
-      e.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected write error: ${e.getMessage}")
+  test("a missing table errors at analysis; ALTER/RENAME stay library-side") {
     val missing = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft.`/definitely/not/a/table`").collect()
     }
     assert(missing.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       missing.getMessage.toLowerCase.contains("not found"),
       s"unexpected missing-table error: ${missing.getMessage}")
+    val t = fresh("ro")
+    TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN k TO kk")
+    }
+    assert(e.getMessage.contains("library API") ||
+      e.getMessage.toLowerCase.contains("does not support"),
+      s"unexpected ALTER error: ${e.getMessage}")
+  }
+
+  test("CREATE TABLE declares an empty readable table; INSERT INTO lands OCC appends") {
+    val t = fresh("dml")
+    spark.sql(s"CREATE TABLE graft.`$t` (k STRING, v BIGINT)")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").collect().isEmpty,
+      "a created table must read as zero rows with the declared columns")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq == Seq("k", "v"))
+    spark.sql(s"INSERT INTO graft.`$t` VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 'c', 3")
+    assert(spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // each INSERT is one commit on top of the CREATE's schema commit
+    assert(TxLog.versions(spark, t) == Seq(0L, 1L, 2L))
+    // and the library API sees exactly what SQL wrote
+    assert(TxLog.read(spark, t).count() == 3L)
+    val dup = intercept[Exception] { spark.sql(s"CREATE TABLE graft.`$t` (x INT)") }
+    assert(dup.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+      dup.getMessage.toLowerCase.contains("already exists"))
+  }
+
+  test("INSERT OVERWRITE is one replace commit; old snapshot stays time-travelable") {
+    val t = fresh("ovw")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    spark.sql(s"INSERT OVERWRITE graft.`$t` VALUES ('z', 9)")
+    assert(spark.sql(s"SELECT k FROM graft.`$t`").collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 0 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"),
+      "the overwritten snapshot must remain readable")
+    assert(TxLog.versions(spark, t).size == 2,
+      "INSERT OVERWRITE must land as exactly one commit")
+  }
+
+  test("CTAS creates and fills in one statement") {
+    val t = fresh("ctas")
+    spark.sql(s"CREATE TABLE graft.`$t` AS SELECT id AS n, id * 2 AS d " +
+      "FROM range(5)")
+    assert(spark.sql(s"SELECT SUM(n) AS s, SUM(d) AS sd FROM graft.`$t`")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 20L)))
+  }
+
+  test("DELETE FROM WHERE is a MOR deletion-vector commit, zero files rewritten") {
+    val t = fresh("del")
+    TxLog.append(spark, t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), (null, 4L)).toDF("k", "v"))
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"DELETE FROM graft.`$t` WHERE v >= 2 AND (k = 'b' OR k = 'c')")
+    assert(TxLog.snapshotFiles(spark, t).toSet == before,
+      "a SQL DELETE must not rewrite, add, or remove data files")
+    assert(spark.sql(s"SELECT v FROM graft.`$t` ORDER BY v").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // null-semantics rung: IS NULL translates; = NULL never matches
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k IS NULL")
+    assert(spark.sql(s"SELECT v FROM graft.`$t`").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // DELETE with no WHERE empties the table without touching files
+    spark.sql(s"DELETE FROM graft.`$t`")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").collect().isEmpty)
+    assert(TxLog.snapshotFiles(spark, t).toSet == before,
+      "even delete-all stays merge-on-read")
+  }
+
+  test("DELETE on an untranslatable predicate fails loudly; pinned snapshots refuse writes") {
+    val t = fresh("loud")
+    TxLog.append(spark, t, Seq(("abc", 1L)).toDF("k", "v"))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$t` WHERE k LIKE 'a%'")
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot delete") ||
+      e.getMessage.toLowerCase.contains("not translatable") ||
+      e.getMessage.contains("UNSUPPORTED"),
+      s"unexpected untranslatable-delete error: ${e.getMessage}")
+    assert(TxLog.read(spark, t).count() == 1L, "the failed DELETE must not land")
+  }
+
+  test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
+    val t = fresh("drop")
+    spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES ('a')")
+    spark.sql(s"DROP TABLE graft.`$t`")
+    assert(TxLog.versions(spark, t).isEmpty, "DROP must remove the log")
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t`").collect()
+    }
+    assert(missing.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      missing.getMessage.toLowerCase.contains("not found"))
+    spark.sql(s"CREATE TABLE graft.`$t` (n BIGINT)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (7)")
+    assert(spark.sql(s"SELECT n FROM graft.`$t`").head().getLong(0) == 7L)
   }
 }
