@@ -1,0 +1,729 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.Tables
+
+/** REAL MP4 (ISO base media file format, ISO/IEC 14496-12) demuxing +
+  * H.264/AVC parameter-set parsing — the CONTAINER half of the last
+  * compressed-video leg, pure JVM.
+  *
+  * What is real here:
+  *  - a conformant ISOBMFF writer (ftyp/mdat/moov with the full sample
+  *    table: stsd+avcC, stts, stss, stsc, stsz, stco) — any MP4 tool
+  *    can open the output;
+  *  - a quarantine-strict box parser (64-bit largesize, child-overrun
+  *    checks, unknown boxes skipped by size — never by guesswork);
+  *  - the sample-table resolution every training pipeline needs at the
+  *    container level: per-sample offset/size/keyframe via
+  *    stsc×stsz×stco(+co64) walk, sync samples from stss (absent =
+  *    every sample is sync, per §8.6.2);
+  *  - a complete H.264 SPS reader/writer (ITU-T H.264 §7.3.2.1.1):
+  *    exp-Golomb bit I/O, emulation-prevention insertion/removal,
+  *    Baseline through High profile (chroma_format_idc, bit depths,
+  *    scaling-list skip), all three pic_order_cnt types, and frame
+  *    cropping — the TRUE display dimensions come from the SPS, not
+  *    from the container's tkhd hint;
+  *  - keyframe-payload extraction: sync samples sliced out of mdat by
+  *    the resolved table, their AVCC length-prefixed NAL units split
+  *    and classified (IDR=5) — the "sample every clip's keyframes"
+  *    shape, executor-side, zero shuffle.
+  *
+  * What is NOT here, deliberately: H.264 SLICE decode (CABAC/CAVLC
+  * entropy, intra prediction, deblocking). No JDK codec or ffmpeg jar
+  * exists in this sandbox, and a wrong decoder is worse than none —
+  * payload pixels stay opaque and [[Multimodal.StubCodec]]'s exclusion
+  * note shrinks to exactly that. The MPEG-1 path ([[Mpeg1]]) remains
+  * the real inter-frame pixel decoder.
+  *
+  * Scale shape: demux is a per-record byte walk inside `mapPartitions`
+  * — no shuffle, no driver data path; a 100 TB video corpus demuxes at
+  * scan speed and only the (tiny) per-sample metadata ever leaves the
+  * executor. */
+object Mp4 {
+
+  // ─────────────────────────────────────────────────────────────────
+  // Exp-Golomb bit I/O (H.264 §9.1) with NAL emulation prevention
+  // ─────────────────────────────────────────────────────────────────
+
+  private[graft] final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+
+    def u(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+
+    def ue(v: Int): Unit = {
+      require(v >= 0, "ue(v) is unsigned")
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1) // leading zeros
+      u(code, len)
+    }
+
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+
+    /** rbsp_stop_one_bit + zero-pad to a byte boundary. */
+    def stopAndAlign(): Unit = { u(1, 1); if (nBits != 0) u(0, 8 - nBits) }
+
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Insert emulation-prevention bytes: any 00 00 followed by a byte
+    * <= 03 gets 03 stuffed between (H.264 §7.4.1.1). */
+  private[graft] def emulationPrevent(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xFF) <= 3) { out.write(3); zeros = 0 }
+      out.write(b & 0xFF)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Strip emulation-prevention bytes (00 00 03 → 00 00). */
+  private[graft] def emulationStrip(ebsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(ebsp.length)
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val b = ebsp(i) & 0xFF
+      if (zeros >= 2 && b == 3 && i + 1 < ebsp.length && (ebsp(i + 1) & 0xFF) <= 3) {
+        zeros = 0 // skip the stuffing byte
+      } else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private[graft] final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0 // bit position
+
+    def more: Boolean = pos < bytes.length * 8
+
+    def u(bits: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < bits) {
+        if (pos >= bytes.length * 8) throw new Mp4Malformed("bitstream underrun")
+        val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+        v = (v << 1) | b
+        pos += 1
+        i += 1
+      }
+      v
+    }
+
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new Mp4Malformed("exp-Golomb code too long")
+      }
+      if (zeros == 0) 0 else ((1 << zeros) | u(zeros)) - 1
+    }
+
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  private[graft] final class Mp4Malformed(msg: String)
+    extends RuntimeException(msg)
+
+  // ─────────────────────────────────────────────────────────────────
+  // H.264 sequence parameter set (§7.3.2.1.1)
+  // ─────────────────────────────────────────────────────────────────
+
+  case class Sps(profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+
+  /** Write a conformant Baseline SPS NAL (header byte included,
+    * emulation-prevented) for even `w`×`h`, 4:2:0, frame-coded.
+    * Cropping carries non-multiple-of-16 dimensions exactly. */
+  def writeSps(w: Int, h: Int, levelIdc: Int = 30): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"mp4: SPS dimensions must be positive and even (got ${w}x$h — " +
+        "4:2:0 crop units are 2 luma samples)")
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    val bw = new BitWriter
+    bw.u(66, 8) // profile_idc: Baseline
+    bw.u(0, 8) // constraint flags + reserved
+    bw.u(levelIdc, 8)
+    bw.ue(0) // seq_parameter_set_id
+    bw.ue(0) // log2_max_frame_num_minus4
+    bw.ue(2) // pic_order_cnt_type: 2 (no further POC syntax)
+    bw.ue(1) // max_num_ref_frames
+    bw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    bw.ue(mbW - 1) // pic_width_in_mbs_minus1
+    bw.ue(mbH - 1) // pic_height_in_map_units_minus1
+    bw.u(1, 1) // frame_mbs_only_flag
+    bw.u(1, 1) // direct_8x8_inference_flag
+    val cropR = (mbW * 16 - w) / 2 // CropUnitX = 2 for 4:2:0
+    val cropB = (mbH * 16 - h) / 2 // CropUnitY = 2 (frame-coded)
+    if (cropR > 0 || cropB > 0) {
+      bw.u(1, 1) // frame_cropping_flag
+      bw.ue(0); bw.ue(cropR); bw.ue(0); bw.ue(cropB)
+    } else bw.u(0, 1)
+    bw.u(0, 1) // vui_parameters_present_flag
+    bw.stopAndAlign()
+    (Array(0x67.toByte) // nal_ref_idc=3, nal_unit_type=7 (SPS)
+      ++ emulationPrevent(bw.toBytes))
+  }
+
+  /** Minimal PPS NAL (entropy_coding_mode=0): carried in avcC because
+    * the box demands one; its fields are not needed for demux. */
+  def writePps(): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0) // pic_parameter_set_id
+    bw.ue(0) // seq_parameter_set_id
+    bw.u(0, 1) // entropy_coding_mode_flag (CAVLC)
+    bw.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
+    bw.ue(0) // num_slice_groups_minus1
+    bw.ue(0) // num_ref_idx_l0_default_active_minus1
+    bw.ue(0) // num_ref_idx_l1_default_active_minus1
+    bw.u(0, 1) // weighted_pred_flag
+    bw.u(0, 2) // weighted_bipred_idc
+    bw.se(0) // pic_init_qp_minus26
+    bw.se(0) // pic_init_qs_minus26
+    bw.se(0) // chroma_qp_index_offset
+    bw.u(0, 1) // deblocking_filter_control_present_flag
+    bw.u(0, 1) // constrained_intra_pred_flag
+    bw.u(0, 1) // redundant_pic_cnt_present_flag
+    bw.stopAndAlign()
+    Array(0x68.toByte) ++ emulationPrevent(bw.toBytes)
+  }
+
+  /** Parse an SPS NAL (header byte + EBSP) into coded display
+    * dimensions — Baseline through High (scaling lists skipped by
+    * structure, all three POC types), §7.3.2.1.1. Throws
+    * [[Mp4Malformed]] on anything outside the spec. */
+  def parseSps(nal: Array[Byte]): Sps = {
+    if (nal.length < 4) throw new Mp4Malformed("SPS NAL too short")
+    if ((nal(0) & 0x1F) != 7) throw new Mp4Malformed(
+      s"not an SPS NAL (type ${nal(0) & 0x1F})")
+    val r = new BitReader(emulationStrip(nal.drop(1)))
+    val profileIdc = r.u(8)
+    r.u(8) // constraint flags
+    val levelIdc = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaFormatIdc = 1
+    var separateColourPlane = 0
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profileIdc)) {
+      chromaFormatIdc = r.ue()
+      if (chromaFormatIdc == 3) separateColourPlane = r.u(1)
+      r.ue() // bit_depth_luma_minus8
+      r.ue() // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+        val lists = if (chromaFormatIdc == 3) 12 else 8
+        var i = 0
+        while (i < lists) {
+          if (r.u(1) == 1) { // seq_scaling_list_present_flag[i]
+            val size = if (i < 6) 16 else 64
+            var lastScale = 8; var nextScale = 8; var j = 0
+            while (j < size) {
+              if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+              lastScale = if (nextScale == 0) lastScale else nextScale
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    r.ue() // log2_max_frame_num_minus4
+    r.ue() match { // pic_order_cnt_type
+      case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      case 1 =>
+        r.u(1) // delta_pic_order_always_zero_flag
+        r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      case 2 => ()
+      case t => throw new Mp4Malformed(s"pic_order_cnt_type $t")
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val mbW = r.ue() + 1
+    val mapUnitsH = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    val mbH = mapUnitsH * (2 - frameMbsOnly)
+    var w = mbW * 16
+    var h = mbH * 16
+    if (r.u(1) == 1) { // frame_cropping_flag
+      val (cl, cr, ct, cb) = (r.ue(), r.ue(), r.ue(), r.ue())
+      // §7.4.2.1.1: crop units by chroma format (mono crops by 1)
+      val (cux, cuy0) = chromaFormatIdc match {
+        case 0 => (1, 1)
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case 3 => (if (separateColourPlane == 1) 1 else 1, 1)
+        case c => throw new Mp4Malformed(s"chroma_format_idc $c")
+      }
+      val cuy = cuy0 * (2 - frameMbsOnly)
+      w -= (cl + cr) * cux
+      h -= (ct + cb) * cuy
+    }
+    if (w <= 0 || h <= 0) throw new Mp4Malformed("cropping exceeds coded size")
+    Sps(profileIdc, levelIdc, w, h)
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // ISOBMFF writer (ftyp + mdat + moov), one video track, one chunk
+  // ─────────────────────────────────────────────────────────────────
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+  }
+
+  /** One AVCC sample: 4-byte length-prefixed NAL units concatenated. */
+  def avccSample(nals: Seq[Array[Byte]]): Array[Byte] =
+    nals.flatMap(n => be32(n.length.toLong) ++ n).toArray
+
+  /** Write a one-video-track MP4: AVCC samples (each already
+    * length-prefixed), 1-based sync sample numbers, SPS/PPS in avcC.
+    * Layout ftyp|mdat|moov; samples spread over `chunks` chunks (the
+    * mdat bytes stay contiguous — chunking is a TABLE fact: stsc runs
+    * + one stco offset per chunk, what real muxers interleave). */
+  def writeMp4(w: Int, h: Int, samples: Seq[Array[Byte]],
+               syncSamples: Seq[Int], sps: Array[Byte], pps: Array[Byte],
+               sampleDelta: Int = 3000, timescale: Int = 90000,
+               chunks: Int = 1): Array[Byte] = {
+    require(samples.nonEmpty, "mp4: at least one sample")
+    require(syncSamples.forall(s => s >= 1 && s <= samples.size),
+      "mp4: sync sample numbers are 1-based sample indices")
+    require(chunks >= 1 && chunks <= samples.size,
+      s"mp4: $chunks chunks for ${samples.size} samples")
+    val ftyp = box("ftyp", "isom".getBytes, be32(512L),
+      "isom".getBytes, "avc1".getBytes)
+    val mdatBody = samples.flatten.toArray
+    val mdat = box("mdat", mdatBody)
+    val firstSampleOff = ftyp.length + 8L // into mdat's body
+    val duration = samples.size.toLong * sampleDelta
+    // ceil-then-floor split: first (n mod chunks) chunks get the extra
+    val perChunkN: Seq[Int] = {
+      val base = samples.size / chunks
+      val extra = samples.size % chunks
+      (0 until chunks).map(c => base + (if (c < extra) 1 else 0))
+    }
+    val chunkStarts: Seq[Long] = {
+      val sampleOffs = samples.scanLeft(firstSampleOff)(_ + _.length)
+      val firstIdx = perChunkN.scanLeft(0)(_ + _)
+      (0 until chunks).map(c => sampleOffs(firstIdx(c)))
+    }
+
+    val avcC = box("avcC",
+      Array[Byte](1, sps(1), sps(2), sps(3), // version, profile, compat, level
+        0xFF.toByte, // lengthSizeMinusOne = 3 (+ reserved bits)
+        0xE1.toByte), // 1 SPS (+ reserved bits)
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val avc1 = box("avc1",
+      new Array[Byte](6), be16(1), // reserved, data_reference_index
+      new Array[Byte](16), // pre_defined/reserved
+      be16(w), be16(h),
+      be32(0x00480000L), be32(0x00480000L), // 72 dpi
+      be32(0L), be16(1), // reserved, frame_count
+      new Array[Byte](32), // compressorname
+      be16(0x18), be16(0xFFFF), // depth, pre_defined = -1
+      avcC)
+    val stsd = box("stsd", be32(0L), be32(1L), avc1)
+    val stts = box("stts", be32(0L), be32(1L),
+      be32(samples.size.toLong), be32(sampleDelta.toLong))
+    val stss =
+      if (syncSamples.isEmpty) Array.empty[Byte]
+      else box("stss", be32(0L), be32(syncSamples.size.toLong),
+        syncSamples.sorted.flatMap(s => be32(s.toLong)).toArray)
+    // stsc runs: consecutive chunks with equal samples_per_chunk merge
+    val runs: Seq[(Int, Int)] = perChunkN.zipWithIndex.foldLeft(
+      List.empty[(Int, Int)]) { case (acc, (n, c)) =>
+      acc match {
+        case (_, pn) :: _ if pn == n => acc
+        case _ => (c + 1, n) :: acc
+      }
+    }.reverse
+    val stsc = box("stsc", be32(0L), be32(runs.size.toLong),
+      runs.flatMap { case (first, n) =>
+        be32(first.toLong) ++ be32(n.toLong) ++ be32(1L)
+      }.toArray)
+    val stsz = box("stsz", be32(0L), be32(0L), be32(samples.size.toLong),
+      samples.flatMap(s => be32(s.length.toLong)).toArray)
+    val stco = box("stco", be32(0L), be32(chunkStarts.size.toLong),
+      chunkStarts.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val dinf = box("dinf", box("dref", be32(0L), be32(1L),
+      box("url ", be32(1L)))) // flags=1: data in this file
+    val vmhd = box("vmhd", be32(1L), new Array[Byte](8))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val hdlr = box("hdlr", be32(0L), be32(0L), "vide".getBytes,
+      new Array[Byte](12), "graft video ".getBytes("US-ASCII"))
+    val mdhd = box("mdhd", be32(0L), be32(0L), be32(0L),
+      be32(timescale.toLong), be32(duration),
+      be16(0x55C4), be16(0)) // language "und"
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", be32(7L), // version 0, flags: enabled|in-movie|in-preview
+      be32(0L), be32(0L), be32(1L), be32(0L), be32(duration),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      // identity matrix (16.16 / 2.30 fixed point)
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val trak = box("trak", tkhd, mdia)
+    val mvhd = box("mvhd", be32(0L), be32(0L), be32(0L),
+      be32(timescale.toLong), be32(duration),
+      be32(0x00010000L), be16(0x0100), be16(0), new Array[Byte](8),
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      new Array[Byte](24), be32(2L)) // next_track_ID
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // ISOBMFF demuxer (quarantine-strict)
+  // ─────────────────────────────────────────────────────────────────
+
+  private final case class RawBox(tpe: String, start: Long, end: Long)
+
+  /** Children of [from, to) — each box checked against its parent's
+    * bounds; size 0 = to-end-of-parent, size 1 = 64-bit largesize. */
+  private def boxes(b: Array[Byte], from: Long, to: Long): Seq[RawBox] = {
+    val out = Seq.newBuilder[RawBox]
+    var p = from
+    while (p < to) {
+      if (p + 8 > to) throw new Mp4Malformed("box header overruns parent")
+      val size32 = ((b(p.toInt) & 0xFFL) << 24) | ((b(p.toInt + 1) & 0xFFL) << 16) |
+        ((b(p.toInt + 2) & 0xFFL) << 8) | (b(p.toInt + 3) & 0xFFL)
+      val tpe = new String(b.slice(p.toInt + 4, p.toInt + 8), "US-ASCII")
+      var hdr = 8L
+      val size =
+        if (size32 == 0) to - p
+        else if (size32 == 1) {
+          if (p + 16 > to) throw new Mp4Malformed("largesize overruns parent")
+          hdr = 16L
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (b(p.toInt + 8 + i) & 0xFFL); i += 1 }
+          v
+        } else size32
+      if (size < hdr || p + size > to)
+        throw new Mp4Malformed(s"box '$tpe' overruns its parent")
+      out += RawBox(tpe, p + hdr, p + size)
+      p += size
+    }
+    out.result()
+  }
+
+  private def child(b: Array[Byte], parent: RawBox, tpe: String): RawBox =
+    boxes(b, parent.start, parent.end).find(_.tpe == tpe)
+      .getOrElse(throw new Mp4Malformed(s"missing '$tpe' in '${parent.tpe}'"))
+
+  private def u32(b: Array[Byte], p: Long): Long =
+    ((b(p.toInt) & 0xFFL) << 24) | ((b(p.toInt + 1) & 0xFFL) << 16) |
+      ((b(p.toInt + 2) & 0xFFL) << 8) | (b(p.toInt + 3) & 0xFFL)
+  private def u16(b: Array[Byte], p: Long): Int =
+    ((b(p.toInt) & 0xFF) << 8) | (b(p.toInt + 1) & 0xFF)
+
+  case class Mp4Sample(offset: Long, size: Long, sync: Boolean)
+  case class Mp4Track(codec: String, width: Int, height: Int,
+                      timescale: Long, duration: Long,
+                      sps: Option[Sps], samples: Seq[Mp4Sample],
+                      lengthSize: Int)
+
+  /** Demux the first video track; None quarantines anything malformed
+    * (same contract as every other codec in [[Multimodal]]). */
+  def demux(bytes: Array[Byte]): Option[Mp4Track] =
+    try Some(demuxStrict(bytes)) catch {
+      case _: Mp4Malformed | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException | _: NumberFormatException => None
+    }
+
+  def demuxStrict(b: Array[Byte]): Mp4Track = {
+    val top = boxes(b, 0L, b.length.toLong)
+    if (!top.exists(_.tpe == "ftyp")) throw new Mp4Malformed("no ftyp")
+    val moov = top.find(_.tpe == "moov")
+      .getOrElse(throw new Mp4Malformed("no moov"))
+    val vide = boxes(b, moov.start, moov.end).filter(_.tpe == "trak")
+      .find { t =>
+        val hdlr = child(b, child(b, t, "mdia"), "hdlr")
+        new String(b.slice(hdlr.start.toInt + 8, hdlr.start.toInt + 12),
+          "US-ASCII") == "vide"
+      }.getOrElse(throw new Mp4Malformed("no video track"))
+    val mdia = child(b, vide, "mdia")
+    val mdhd = child(b, mdia, "mdhd")
+    val mdhdVer = b(mdhd.start.toInt) & 0xFF
+    val (timescale, duration) =
+      if (mdhdVer == 1) (u32(b, mdhd.start + 20),
+        (u32(b, mdhd.start + 24) << 32) | u32(b, mdhd.start + 28))
+      else (u32(b, mdhd.start + 12), u32(b, mdhd.start + 16))
+    val stbl = child(b, child(b, mdia, "minf"), "stbl")
+
+    // stsd: first entry's fourcc + (for AVC) the avcC record
+    val stsd = child(b, stbl, "stsd")
+    if (u32(b, stsd.start + 4) < 1) throw new Mp4Malformed("empty stsd")
+    val entry = boxes(b, stsd.start + 8, stsd.end).headOption
+      .getOrElse(throw new Mp4Malformed("empty stsd"))
+    val codec = entry.tpe
+    val entryW = u16(b, entry.start + 24)
+    val entryH = u16(b, entry.start + 26)
+    var lengthSize = 4
+    val sps: Option[Sps] =
+      if (codec == "avc1" || codec == "avc3") {
+        val avcC = boxes(b, entry.start + 78, entry.end)
+          .find(_.tpe == "avcC")
+          .getOrElse(throw new Mp4Malformed("avc1 without avcC"))
+        if ((b(avcC.start.toInt) & 0xFF) != 1)
+          throw new Mp4Malformed("avcC configurationVersion != 1")
+        lengthSize = (b(avcC.start.toInt + 4) & 0x3) + 1
+        val nSps = b(avcC.start.toInt + 5) & 0x1F
+        if (nSps < 1) throw new Mp4Malformed("avcC carries no SPS")
+        val spsLen = u16(b, avcC.start + 6)
+        if (avcC.start + 8 + spsLen > avcC.end)
+          throw new Mp4Malformed("SPS overruns avcC")
+        Some(parseSps(b.slice(avcC.start.toInt + 8,
+          avcC.start.toInt + 8 + spsLen)))
+      } else None
+
+    // sample sizes
+    val stsz = child(b, stbl, "stsz")
+    val fixedSize = u32(b, stsz.start + 4)
+    val nSamples = u32(b, stsz.start + 8)
+    if (nSamples < 1 || nSamples > Int.MaxValue)
+      throw new Mp4Malformed(s"stsz sample count $nSamples")
+    val sizes: IndexedSeq[Long] =
+      if (fixedSize != 0) IndexedSeq.fill(nSamples.toInt)(fixedSize)
+      else {
+        if (stsz.start + 12 + 4L * nSamples > stsz.end)
+          throw new Mp4Malformed("stsz table overruns box")
+        (0 until nSamples.toInt).map(i => u32(b, stsz.start + 12 + 4L * i))
+      }
+
+    // chunk offsets (stco or co64)
+    val chunkOffs: IndexedSeq[Long] =
+      boxes(b, stbl.start, stbl.end).find(_.tpe == "stco") match {
+        case Some(stco) =>
+          val n = u32(b, stco.start + 4).toInt
+          (0 until n).map(i => u32(b, stco.start + 8 + 4L * i))
+        case None =>
+          val co64 = child(b, stbl, "co64")
+          val n = u32(b, co64.start + 4).toInt
+          (0 until n).map(i => (u32(b, co64.start + 8 + 8L * i) << 32) |
+            u32(b, co64.start + 12 + 8L * i))
+      }
+    if (chunkOffs.isEmpty) throw new Mp4Malformed("no chunk offsets")
+
+    // stsc: (first_chunk, samples_per_chunk) runs → per-sample offsets
+    val stsc = child(b, stbl, "stsc")
+    val nRuns = u32(b, stsc.start + 4).toInt
+    val runs = (0 until nRuns).map { i =>
+      (u32(b, stsc.start + 8 + 12L * i), u32(b, stsc.start + 12 + 12L * i))
+    }
+    if (runs.isEmpty || runs.head._1 != 1)
+      throw new Mp4Malformed("stsc must start at chunk 1")
+    val perChunk: IndexedSeq[Long] = {
+      val out = IndexedSeq.newBuilder[Long]
+      var r = 0
+      var chunk = 1L
+      var total = 0L
+      while (total < nSamples && chunk <= chunkOffs.size) {
+        while (r + 1 < runs.size && runs(r + 1)._1 <= chunk) r += 1
+        out += runs(r)._2
+        total += runs(r)._2
+        chunk += 1
+      }
+      out.result()
+    }
+    if (perChunk.map(_.toLong).sum < nSamples)
+      throw new Mp4Malformed("sample table covers fewer samples than stsz")
+
+    // sync samples: absent stss = all sync (§8.6.2)
+    val sync: Int => Boolean =
+      boxes(b, stbl.start, stbl.end).find(_.tpe == "stss") match {
+        case None => _ => true
+        case Some(stss) =>
+          val n = u32(b, stss.start + 4).toInt
+          val set = (0 until n).map(i => u32(b, stss.start + 8 + 4L * i)).toSet
+          s => set.contains(s.toLong)
+      }
+
+    // walk chunks → absolute per-sample offsets, bounds-checked
+    val samples = IndexedSeq.newBuilder[Mp4Sample]
+    var sIdx = 0
+    var c = 0
+    while (sIdx < nSamples && c < perChunk.size) {
+      var off = chunkOffs(c)
+      var k = 0L
+      while (k < perChunk(c) && sIdx < nSamples) {
+        val sz = sizes(sIdx)
+        if (off + sz > b.length)
+          throw new Mp4Malformed(s"sample ${sIdx + 1} overruns the file")
+        samples += Mp4Sample(off, sz, sync(sIdx + 1))
+        off += sz
+        k += 1
+        sIdx += 1
+      }
+      c += 1
+    }
+    if (sIdx < nSamples) throw new Mp4Malformed("chunk map exhausted early")
+    Mp4Track(codec, entryW, entryH, timescale, duration, sps,
+      samples.result(), lengthSize)
+  }
+
+  /** Split one AVCC sample into its NAL units (type, payload-after-
+    * header) using the avcC length size. */
+  def nalUnits(bytes: Array[Byte], sample: Mp4Sample,
+               lengthSize: Int): Seq[(Int, Array[Byte])] = {
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var p = sample.offset
+    val end = sample.offset + sample.size
+    while (p < end) {
+      if (p + lengthSize > end) throw new Mp4Malformed("NAL length overrun")
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) { len = (len << 8) | (bytes(p.toInt + i) & 0xFFL); i += 1 }
+      p += lengthSize
+      if (len < 1 || p + len > end) throw new Mp4Malformed("NAL overruns sample")
+      out += (((bytes(p.toInt) & 0x1F),
+        bytes.slice(p.toInt + 1, (p + len).toInt)))
+      p += len
+    }
+    out.result()
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // Spark surface: synthetic corpus, demux stats, keyframe extraction
+  // ─────────────────────────────────────────────────────────────────
+
+  import Multimodal.VideoRecord
+
+  /** Deterministic per-document MP4 clips — real containers (ftyp/
+    * mdat/moov, playable structure), real Baseline SPS/PPS, AVCC
+    * samples whose single NAL is IDR (type 5) on every stride-th
+    * sample and non-IDR (type 1) otherwise, payload bytes from the
+    * same closed-form family as the other qm fixtures. */
+  def syntheticMp4(spark: SparkSession, d: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (18 + 2 * (id % 15)).toInt
+        val h = (16 + 2 * (id % 11)).toInt
+        val n = (2 + id % 5).toInt
+        val stride = (1 + id % 3).toInt
+        val sps = writeSps(w, h)
+        val pps = writePps()
+        val samples = (0 until n).map { s =>
+          val sync = s % stride == 0
+          val len = (20 + (id + s) % 40).toInt
+          val body = Array.tabulate(len)(i =>
+            ((id * 31 + s * 101 + i * 7) % 251).toByte)
+          avccSample(Seq(Array((if (sync) 0x65 else 0x41).toByte) ++ body))
+        }
+        val syncs = (0 until n).filter(_ % stride == 0).map(_ + 1)
+        // alternate clips use a 2-chunk layout: the demux result is
+        // chunk-invariant, so the oracle row also gates the stsc walk
+        VideoRecord(id, writeMp4(w, h, samples, syncs, sps, pps,
+          chunks = (1 + id % 2).toInt))
+      }
+  }
+
+  /** Per-clip demux metadata: SPS-derived true dimensions, sample and
+    * keyframe counts, total sample bytes, and the byte sum over every
+    * keyframe NAL payload — each a pure container/bitstream fact, so a
+    * hash match proves box walk, avcC, SPS exp-Golomb (incl. cropping),
+    * stss/stsz/stco resolution, and AVCC NAL framing byte-exact.
+    * Corrupt clips quarantine (dropped), like every codec here. */
+  def mp4Demux(videos: Dataset[VideoRecord]): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { r =>
+      demux(r.payload).flatMap { t =>
+        t.sps.map { sps =>
+          val keyNals = t.samples.filter(_.sync)
+            .flatMap(s => nalUnits(r.payload, s, t.lengthSize))
+          val keySum = keyNals.iterator
+            .map(_._2.iterator.map(b => (b & 0xFF).toLong).sum).sum
+          (r.media_id, t.codec, sps.width, sps.height,
+            t.samples.size.toLong, t.samples.count(_.sync).toLong,
+            t.samples.iterator.map(_.size).sum, keySum)
+        }
+      }
+    }).toDF("media_id", "codec", "width", "height", "n_samples",
+      "n_keyframes", "sample_bytes", "key_payload_sum")
+  }
+
+  /** Extract every sync sample's NAL payloads — the container-level
+    * "sample the keyframes of every clip" primitive (payloads stay
+    * opaque: H.264 slice decode is the documented exclusion). */
+  def sampleMp4Keyframes(videos: Dataset[VideoRecord]): Dataset[(Long, Long, Array[Byte])] = {
+    import videos.sparkSession.implicits._
+    videos.flatMap { r =>
+      demux(r.payload).toSeq.flatMap { t =>
+        t.samples.zipWithIndex.filter(_._1.sync).flatMap { case (s, i) =>
+          nalUnits(r.payload, s, t.lengthSize)
+            .filter(n => n._1 == 5 || n._1 == 1)
+            .map(n => (r.media_id, (i + 1).toLong, n._2))
+        }
+      }
+    }
+  }
+
+  /** QM — MP4/AVC demux under the hash gate (see [[mp4Demux]]). */
+  def qmMp4Demux(spark: SparkSession, d: String): DataFrame =
+    mp4Demux(syntheticMp4(spark, d)).orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm_mp4_demux" -> qmMp4Demux _)
+
+  val oracles: Map[String, String] = Map(
+    // every demuxed field recomputed closed-form from doc_id: the
+    // dimensions survive an SPS exp-Golomb round trip WITH cropping
+    // (w,h are even but not multiples of 16), counts come from the
+    // stss/stsz walk, and the byte sums re-derive the NAL payload
+    // formula — 4-byte AVCC length prefix and 1-byte NAL header
+    // excluded, keyframes only for key_payload_sum
+    "qm_mp4_demux" ->
+      ("WITH p AS (SELECT doc_id AS media_id, " +
+        "18 + 2*(doc_id % 15) AS width, 16 + 2*(doc_id % 11) AS height, " +
+        "2 + doc_id % 5 AS n, 1 + doc_id % 3 AS stride FROM documents) " +
+        "SELECT media_id, 'avc1' AS codec, " +
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, " +
+        "CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)), s -> " +
+        "CASE WHEN s % stride = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_keyframes, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)), s -> " +
+        "25 + (media_id + s) % 40)) AS BIGINT) AS sample_bytes, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)), s -> " +
+        "CASE WHEN s % stride = 0 THEN list_sum(list_transform(" +
+        "range(0, 20 + (media_id + s) % 40), " +
+        "i -> (media_id*31 + s*101 + i*7) % 251)) ELSE 0 END)) AS BIGINT) " +
+        "AS key_payload_sum " +
+        "FROM p ORDER BY media_id"))
+}

@@ -505,9 +505,11 @@ object Multimodal {
     * [[Y4mCodec]] — and every '00dc' chunk in the 'movi' list is a
     * complete baseline JPEG, decoded by the JDK's own ImageIO reader
     * ([[ImageIoCodec]]). That closes the compressed-video leg for the
-    * one compressed format a stock JVM can decode end to end; INTER-
-    * frame codecs (MP4/H.264) remain the documented [[StubCodec]]
-    * exclusion (no JDK codec, no ffmpeg/javacv jars on the box).
+    * one compressed format a stock JVM can decode end to end; MP4/H.264
+    * is now demuxed for real at the container + parameter-set level by
+    * [[Mp4]] (box walk, sample tables, SPS, keyframe extraction) — only
+    * H.264 SLICE pixel decode remains excluded (no JDK codec, no
+    * ffmpeg/javacv jars on the box).
     *
     * Decode is quarantine-strict like the other codecs: any malformed
     * or truncated structure — bad magic, a chunk overrunning its
