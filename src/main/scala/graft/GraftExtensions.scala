@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => builder(children)))
     }
     ext.injectOptimizerRule(_ => graft.plans.BroadcastBoundedDims)
+    // SQL UPDATE / MERGE INTO on TxLog tables → merge-on-read commits
+    // (post-hoc: runs after the target/source resolve, before the
+    // analyzer's row-level-operation support check would reject them)
+    ext.injectPostHocResolutionRule(_ => graft.plans.TxLogDml)
   }
 }

@@ -737,6 +737,45 @@ object Merge {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** QW21 — SQL UPDATE + MERGE-DELETE ([[graft.plans.TxLogDml]]) under
+    * the hash gate: `UPDATE ... SET n_chars = n_chars + 1000000 WHERE
+    * lang = 'de'` lands as ONE merge-on-read commit (superseded
+    * positions masked, reassigned images appended), then a
+    * `MERGE INTO ... WHEN MATCHED THEN DELETE` erases an id list by
+    * broadcast semi-join — with in-row REQUIREs that NEITHER statement
+    * rewrote, added (beyond the update's image files), or removed a
+    * data file, and that both commits carry their change-feed tags.
+    * The final read runs through pure SQL. */
+  def qwSqlUpdate(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txupd", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    spark.sql(s"UPDATE graft.`$table` " +
+      "SET n_chars = n_chars + 1000000 WHERE lang = 'de'")
+    val afterUpdate = TxLog.snapshotFiles(spark, table).toSet
+    require(before.subsetOf(afterUpdate),
+      "txlog: the SQL UPDATE rewrote or removed a data file")
+    require(TxLog.commitKind(spark, table, TxLog.latestVersion(spark, table))
+      .contains("merge"), "txlog: UPDATE must land tagged merge")
+    val view = "graft_upd_del_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      .createOrReplaceTempView(view)
+    try {
+      spark.sql(s"MERGE INTO graft.`$table` t USING $view s " +
+        "ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+      require(TxLog.snapshotFiles(spark, table).toSet == afterUpdate,
+        "txlog: the MERGE DELETE must be pure merge-on-read")
+      require(TxLog.commitKind(spark, table, TxLog.latestVersion(spark, table))
+        .contains("delete"), "txlog: MERGE DELETE must land tagged delete")
+      spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+        "ORDER BY doc_id")
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** QW19 — DROP PARTITION ([[graft.sources.TxLog.deletePartition]])
     * under the hash gate: documents lands in three lang-partitioned
     * range waves plus ONE plain (value-less) append, then the 'de'
@@ -780,6 +819,7 @@ object Merge {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_sql_dml" -> qwSqlDml _,
+    "qw_sql_update" -> qwSqlUpdate _,
     "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
@@ -807,6 +847,12 @@ object Merge {
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE NOT (lang = 'de' AND doc_id <= " +
         "(SELECT MAX(doc_id)//3 FROM documents)) ORDER BY doc_id"),
+    // the UPDATE's reassignment composed with the merge-delete's
+    // complement — both statements REQUIREd merge-on-read in-row
+    "qw_sql_update" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN lang = 'de' THEN n_chars + 1000000 ELSE n_chars END " +
+        "AS n_chars FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"),
     // the dropped partition's complement (recorded files removed as
     // metadata, the value-less file's de rows CoW'd out — REQUIREd)
     "qw_drop_partition" ->

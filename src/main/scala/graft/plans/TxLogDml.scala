@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSqlShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
+  InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias,
+  UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.{TxLog, TxLogV2Table}
+
+/** SQL `UPDATE` and `MERGE INTO` for TxLog tables — a post-hoc
+  * resolution rule (the public Delta wiring) that intercepts the
+  * analyzed [[UpdateTable]]/[[MergeIntoTable]] plans targeting a
+  * [[TxLogV2Table]] and replaces them with runnable commands that land
+  * the SAME merge-on-read commits the library API produces:
+  *
+  *  - `UPDATE graft.`/t` SET c = expr [WHERE p]` →
+  *    [[TxLog.updateMorExpr]] — superseded positions into a deletion
+  *    vector + post-assignment images appended, ONE "merge" commit,
+  *    zero files rewritten;
+  *  - `MERGE INTO graft.`/t` t USING src s ON t.k = s.k
+  *    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+  *    [[TxLog.mergeMor]] — the canonical upsert;
+  *  - `... WHEN MATCHED THEN DELETE` (sole action) →
+  *    [[TxLog.deleteKeysMor]] — erase-by-id-list, broadcast semi-join.
+  *
+  * Anything outside those shapes (clause conditions, partial-column
+  * upserts where the two actions disagree, non-equi ON, BY SOURCE
+  * clauses) fails LOUDLY with a pointer at the library API — never a
+  * silently different semantic. Resolved expressions are re-rendered
+  * as SQL (qualifiers stripped) so the library entry points bind them
+  * against the scan exactly as a user-written predicate. */
+object TxLogDml extends Rule[LogicalPlan] {
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"txlog: $what — use the TxLog library API " +
+        "(updateMorExpr/mergeMor/deleteKeysMor) for shapes SQL cannot " +
+        "express through this rule")
+
+  /** The TxLog table under the target relation, if any. */
+  private def txTable(plan: LogicalPlan): Option[TxLogV2Table] = plan match {
+    case SubqueryAlias(_, child) => txTable(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: TxLogV2Table => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def requireLive(t: TxLogV2Table): String = {
+    t.asOf.foreach(v => unsupported(
+      s"cannot write to ${t.tablePath} VERSION AS OF $v (snapshots are immutable)"))
+    t.tablePath
+  }
+
+  /** Resolved expression → SQL text binding by bare column name. */
+  private def sqlOf(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(target, assignments, condition)
+          if u.resolved && txTable(target).isDefined =>
+        val table = requireLive(txTable(target).get)
+        val sets = assignments.map { a =>
+          a.key match {
+            case k: AttributeReference => k.name -> sqlOf(a.value)
+            case k => unsupported(s"UPDATE of a non-column target ${k.sql}")
+          }
+        }
+        TxLogUpdateCommand(table, sets,
+          condition.map(sqlOf).getOrElse("true"))
+
+      case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+          bySource, withSchemaEvolution) if m.resolved &&
+          txTable(target).isDefined =>
+        val table = requireLive(txTable(target).get)
+        if (withSchemaEvolution) unsupported(
+          "MERGE WITH SCHEMA EVOLUTION (evolve via TxLog.appendEvolve first)")
+        if (bySource.nonEmpty) unsupported(
+          "MERGE ... WHEN NOT MATCHED BY SOURCE")
+        val sourceOut = source.outputSet
+        val targetOut = target.outputSet
+        // ON must be a conjunction of same-name target=source equalities
+        val keys: Seq[(String, Expression)] = splitConjuncts(cond).map {
+          case EqualTo(l: AttributeReference, r: AttributeReference)
+              if targetOut.contains(l) && sourceOut.contains(r) =>
+            if (!l.name.equalsIgnoreCase(r.name)) unsupported(
+              s"MERGE ON equates differently-named columns (${l.name} vs " +
+                s"${r.name}); alias the source to the target's names")
+            l.name -> (r: Expression)
+          case EqualTo(l: AttributeReference, r: AttributeReference)
+              if targetOut.contains(r) && sourceOut.contains(l) =>
+            if (!l.name.equalsIgnoreCase(r.name)) unsupported(
+              s"MERGE ON equates differently-named columns (${r.name} vs " +
+                s"${l.name}); alias the source to the target's names")
+            r.name -> (l: Expression)
+          case other => unsupported(
+            s"MERGE ON must be a conjunction of target=source column " +
+              s"equalities (got ${other.sql})")
+        }
+        if (keys.isEmpty) unsupported("MERGE ON names no key equality")
+        (matched, notMatched) match {
+          // canonical upsert: UPDATE-all + INSERT-all with agreeing images
+          case (Seq(up: UpdateAction), Seq(ins: InsertAction)) =>
+            up.condition.foreach(c => unsupported(
+              s"WHEN MATCHED AND ${c.sql} (conditional clauses)"))
+            ins.condition.foreach(c => unsupported(
+              s"WHEN NOT MATCHED AND ${c.sql} (conditional clauses)"))
+            val insByCol = imageByColumn(ins.assignments)
+            val upByCol = imageByColumn(up.assignments)
+            val targetCols = target.output.map(_.name)
+            if (insByCol.keySet != targetCols.toSet ||
+                upByCol.keySet != targetCols.toSet) unsupported(
+              "MERGE must assign every target column in both actions " +
+                "(UPDATE SET * / INSERT *)")
+            targetCols.foreach { c =>
+              if (upByCol(c).canonicalized != insByCol(c).canonicalized)
+                unsupported(s"MERGE assigns '$c' differently in UPDATE vs " +
+                  "INSERT — mergeMor lands ONE image per key")
+            }
+            // the ON key's source expr must be the image's key column,
+            // or matching and inserting would use different values
+            keys.foreach { case (k, srcExpr) =>
+              if (insByCol(k).canonicalized != srcExpr.canonicalized)
+                unsupported(s"MERGE key '$k' is matched on ${srcExpr.sql} " +
+                  s"but inserted as ${insByCol(k).sql}")
+            }
+            // one image row per key, projected to target names, executed
+            // from the analyzer-resolved source plan
+            val image = Project(
+              target.output.map(a =>
+                Alias(insByCol(a.name), a.name)()), source)
+            TxLogMergeCommand(table, image, keys.map(_._1), delete = false)
+          // erase-by-key: a sole unconditional MATCHED DELETE
+          case (Seq(del: DeleteAction), Seq()) =>
+            del.condition.foreach(c => unsupported(
+              s"WHEN MATCHED AND ${c.sql} (conditional clauses)"))
+            val image = Project(keys.map { case (k, srcExpr) =>
+              Alias(srcExpr, k)() }, source)
+            TxLogMergeCommand(table, image, keys.map(_._1), delete = true)
+          case _ => unsupported(
+            "MERGE shape (supported: UPDATE SET * + INSERT *, or a sole " +
+              "WHEN MATCHED THEN DELETE)")
+        }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def imageByColumn(as: Seq[Assignment]): Map[String, Expression] =
+    as.map { a =>
+      a.key match {
+        case k: AttributeReference => k.name -> a.value
+        case k => unsupported(s"MERGE assigns a non-column target ${k.sql}")
+      }
+    }.toMap
+}
+
+/** `UPDATE graft.`/t`` as one merge-on-read commit. */
+case class TxLogUpdateCommand(table: String, sets: Seq[(String, String)],
+                              predicate: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxLog.updateMorExpr(spark, table, predicate, sets)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.`/t`` as one merge-on-read commit: upsert
+  * ([[TxLog.mergeMor]]) or erase-by-key ([[TxLog.deleteKeysMor]]).
+  * The source image plan rides as a FIELD (already analyzer-resolved;
+  * executed via the ofRows shim at run time). */
+case class TxLogMergeCommand(table: String, image: LogicalPlan,
+                             keys: Seq[String], delete: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlShims.ofRows(spark, image)
+    if (delete) TxLog.deleteKeysMor(spark, table, src, keys)
+    else TxLog.mergeMor(spark, table, src, keys)
+    Seq.empty
+  }
+}

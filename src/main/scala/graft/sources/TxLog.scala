@@ -1943,6 +1943,111 @@ object TxLog {
     bindDeletionVectors(spark, table, base, newPos, live)
   }
 
+  /** MOR UPDATE with a FREE predicate: rows matching `predicateSql`
+    * are superseded — their positions bound to a deletion vector, their
+    * post-assignment images appended — in ONE commit tagged "merge"
+    * (the change feed delivers delete+insert images; [[graft.operators
+    * .MatView]] folds it signed). `sets` assigns LOGICAL columns from
+    * SQL expressions over the row's logical view (`n = n + 1` works).
+    * Zero data files rewritten, moved, or removed — the SQL `UPDATE`
+    * shape at 100 TB. Probe-first: no matching row, no commit.
+    * Serializable like a merge (the mask is derived against `base`). */
+  def updateMorExpr(spark: SparkSession, table: String, predicateSql: String,
+                    sets: Seq[(String, String)]): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(sets.nonEmpty, "txlog: UPDATE needs at least one assignment")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"txlog: a column is assigned twice (${sets.map(_._1).mkString(", ")})")
+    requireNonEmpty(spark, table, "update")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    val logicalCols = declared.map(_.fieldNames.toSeq).getOrElse(
+      read(spark, table, Some(base)).columns.toSeq)
+    sets.foreach { case (c, _) => require(logicalCols.contains(c),
+      s"txlog: UPDATE assigns unknown column '$c' " +
+        s"(table has: ${logicalCols.mkString(", ")})") }
+    val paths = live.map(p => new Path(table, p).toString)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val addressed = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+    val logical = declared.filter(mappingEnabled) match {
+      case None => addressed
+      case Some(s) => addressed.select(
+        s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq ++
+          Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
+    }
+    // the matched subframe feeds BOTH the mask and the images; prior
+    // deletion vectors anti-apply so an already-deleted row can neither
+    // re-mask nor re-image
+    val priorDvs = dvAt(spark, table, Some(base))
+    val matched = (if (priorDvs.isEmpty) logical else {
+      import org.apache.spark.sql.functions.broadcast
+      // restrict to rows of files CURRENTLY bound: a shared vector dir
+      // can carry stale rows for a file a later restore UNBOUND — those
+      // rows are live and must stay updatable (same per-file scoping as
+      // scanLive's anti-apply)
+      val boundNames = priorDvs.keys.map(_.split('/').last).toSeq
+      val dvRows = spark.read.parquet(
+        priorDvs.values.toSeq.distinct.map(p => new Path(table, p).toString): _*)
+        .filter(col("file").isin(boundNames: _*))
+      logical.join(broadcast(dvRows),
+        logical("_g_dv_file") === dvRows("file") &&
+          logical("_g_dv_pos") === dvRows("pos"), "left_anti")
+    }).filter(expr(predicateSql))
+    val newPos = matched
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    if (newPos.isEmpty) return base // probe-first: nothing matched
+    val images = sets.foldLeft(matched) { case (df, (c, v)) =>
+      df.withColumn(c, expr(v))
+    }.select(logicalCols.map(col): _*)
+    requireFitsDeclared(spark, table, images, "update")
+    val rel = f"data/v${base + 1}%08d-update-${uniq()}"
+    val dataDir = new Path(table, rel)
+    physicalize(images, declared).write.parquet(dataDir.toString)
+    val adds = writtenFiles(spark, table, rel)
+    try bindDeletionVectors(spark, table, base, newPos, live,
+      adds = adds, tag = "merge", commitOnNoMatch = true)
+    catch { case e: Throwable =>
+      fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
+      throw e
+    }
+  }
+
+  /** MOR DELETE of every row whose key appears in `keys` — the
+    * delete-by-id-list (GDPR erasure) shape: one broadcast semi-join
+    * scan for positions, kilobytes of deletion vector written, zero
+    * data files rewritten. `WHEN MATCHED THEN DELETE` merges and the
+    * library's id-list erasure both land here. Probe-first: keys that
+    * match nothing commit nothing. */
+  def deleteKeysMor(spark: SparkSession, table: String, keys: DataFrame,
+                    keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keyCols.nonEmpty, "txlog: deleteKeysMor needs key columns")
+    requireNonEmpty(spark, table, "delete")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    val paths = live.map(p => new Path(table, p).toString)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val pKeys = keyCols.map(k => resolvePhysical(spark, table, k, Some(base)))
+    val batchKeys = physicalize(keys.select(keyCols.map(col): _*).distinct(),
+      declared)
+    val newPos = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(batchKeys), pKeys, "left_semi")
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    bindDeletionVectors(spark, table, base, newPos, live)
+  }
+
   /** RESTORE the table to the state of `toVersion` as a NEW commit —
     * the public Delta RESTORE idea, and like it METADATA-ONLY: the
     * commit re-ADDS the target snapshot's files (they still exist —

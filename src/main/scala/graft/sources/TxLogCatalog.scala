@@ -161,7 +161,8 @@ class TxLogCatalog extends TableCatalog {
   * (declarative enough for Catalyst to push filters/pruning above it;
   * the stats-pruned entry points remain the surgical path). Writes and
   * deletes funnel into the library's OCC commits — see [[TxLogCatalog]]. */
-private[sources] class TxLogV2Table(tablePath: String, asOf: Option[Long])
+private[graft] class TxLogV2Table(private[graft] val tablePath: String,
+                                  private[graft] val asOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def snapshot = TxLog.read(SparkSession.active, tablePath, asOf)

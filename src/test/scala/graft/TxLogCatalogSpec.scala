@@ -140,6 +140,69 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() == 1L, "the failed DELETE must not land")
   }
 
+  test("UPDATE lands one MOR merge commit: images reassigned, zero files rewritten") {
+    val t = fresh("upd")
+    TxLog.append(spark, t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"UPDATE graft.`$t` SET v = v * 10 WHERE k <> 'b'")
+    assert(spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L), ("b", 2L), ("c", 30L)))
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "UPDATE must not rewrite or remove data files (merge-on-read)")
+    assert(TxLog.commitKind(spark, t, TxLog.latestVersion(spark, t))
+      .contains("merge"), "UPDATE lands tagged merge for the change feed")
+    // updating an already-updated row chains correctly (old image masked)
+    spark.sql(s"UPDATE graft.`$t` SET v = v + 1 WHERE k = 'a'")
+    assert(spark.sql(s"SELECT v FROM graft.`$t` WHERE k = 'a'")
+      .head().getLong(0) == 11L)
+    // no-match UPDATE commits nothing
+    val vs = TxLog.versions(spark, t).size
+    spark.sql(s"UPDATE graft.`$t` SET v = 0 WHERE k = 'zzz'")
+    assert(TxLog.versions(spark, t).size == vs, "no match → no commit")
+    // an UPDATE must not resurrect MOR-deleted rows: the matched set
+    // anti-applies the prior deletion vectors before imaging
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 'c'")
+    spark.sql(s"UPDATE graft.`$t` SET v = v + 100")
+    assert(spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 111L), ("b", 102L)),
+      "a deleted row re-imaged by UPDATE would be resurrection")
+  }
+
+  test("MERGE INTO upserts through mergeMor; MATCHED DELETE erases by key") {
+    val t = fresh("mrg")
+    TxLog.append(spark, t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    Seq(("b", 20L), ("d", 40L)).toDF("k", "v").createOrReplaceTempView("mrg_src")
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrg_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 20L), ("c", 3L), ("d", 40L)))
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "MERGE must stay merge-on-read")
+    // sole MATCHED DELETE = erase-by-id-list
+    Seq("a", "d", "nope").toDF("k").createOrReplaceTempView("mrg_del")
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrg_del s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("b", "c"))
+    // unsupported shapes fail loudly, with the table untouched
+    val vs = TxLog.versions(spark, t).size
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` t USING mrg_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 5 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("library API") ||
+      e.getMessage.toLowerCase.contains("conditional"),
+      s"unexpected conditional-merge error: ${e.getMessage}")
+    assert(TxLog.versions(spark, t).size == vs)
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
