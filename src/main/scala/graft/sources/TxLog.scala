@@ -71,7 +71,7 @@ private[sources] class TxLogDuplicateBatchException(msg: String)
 object TxLog {
 
   import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
-    IntegerType, LongType, ShortType, StructType}
+    IntegerType, LongType, ShortType, StructField, StructType}
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -927,6 +927,25 @@ object TxLog {
     val renamed = StructType(cur.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commitSchemaOnly(spark, table, renamed, s"rename $from->$to")
+  }
+
+  /** ADD COLUMN — metadata-only: the field joins the declared schema as
+    * NULLABLE (there is nothing to backfill 100 TB of old files with but
+    * null, and every commit path already promotes missing columns to
+    * null on read). Under column mapping the new field gets a fresh
+    * UUID physical ([[evolveSchema]]'s rule), so re-adding a dropped
+    * name can never resurrect the dropped bytes. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                dataType: DataType): Long = {
+    requireNonEmpty(spark, table, "add-column")
+    val cur = schemaAt(spark, table).getOrElse(
+      StructType(read(spark, table).schema.fields.map(_.copy(nullable = true))))
+    require(!cur.fieldNames.contains(name),
+      s"txlog: column '$name' already exists " +
+        s"(have: ${cur.fieldNames.mkString(", ")})")
+    val evolved = evolveSchema(cur,
+      StructType(cur.fields :+ StructField(name, dataType, nullable = true)))
+    commitSchemaOnly(spark, table, evolved, s"add $name")
   }
 
   /** DROP COLUMN — metadata-only: the field leaves the declared schema,

@@ -138,8 +138,43 @@ class TxLogCatalog extends TableCatalog {
     new TxLogV2Table(p, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    librarySide("ALTER TABLE")
+  /** `ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN` — each a
+    * METADATA-ONLY schema commit through the library's evolution +
+    * column-mapping machinery (old files read an added column as null;
+    * rename/drop touch zero data bytes; a re-added name gets a fresh
+    * physical so dropped data never resurrects). Anything else —
+    * type changes, positions, defaults, NOT NULL — fails loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val p = path(ident)
+    if (TxLog.versions(spark, p).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, p))
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"txlog: nested column changes are not supported " +
+          s"(${names.mkString(".")})")
+      names(0)
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.isNullable,
+          "txlog: ADD COLUMN must be nullable — 100 TB of existing " +
+            "files have nothing to backfill a NOT NULL column with")
+        require(add.position() == null,
+          "txlog: ADD COLUMN ... FIRST/AFTER is not supported")
+        require(add.defaultValue() == null,
+          "txlog: ADD COLUMN DEFAULT is not supported")
+        TxLog.addColumn(spark, p, one(add.fieldNames()), add.dataType())
+      case rn: TableChange.RenameColumn =>
+        TxLog.renameColumn(spark, p, one(rn.fieldNames()), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        TxLog.dropColumn(spark, p, one(del.fieldNames()))
+      case other => librarySide(s"ALTER TABLE change $other")
+    }
+    new TxLogV2Table(p, None)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     librarySide("RENAME TABLE")
 

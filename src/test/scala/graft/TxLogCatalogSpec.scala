@@ -47,7 +47,7 @@ class TxLogCatalogSpec extends SparkSpec {
     assert((joined.getString(0), joined.getLong(1)) == (("a", 6L)))
   }
 
-  test("a missing table errors at analysis; ALTER/RENAME stay library-side") {
+  test("a missing table errors at analysis; unsupported ALTER shapes stay loud") {
     val missing = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft.`/definitely/not/a/table`").collect()
     }
@@ -57,11 +57,38 @@ class TxLogCatalogSpec extends SparkSpec {
     val t = fresh("ro")
     TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
     val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN k TO kk")
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN v TYPE STRING")
     }
-    assert(e.getMessage.contains("library API") ||
-      e.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected ALTER error: ${e.getMessage}")
+    assert(e.getMessage.contains("not supported") ||
+      e.getMessage.toLowerCase.contains("library api") ||
+      e.getMessage.toLowerCase.contains("unsupported"),
+      s"unexpected ALTER TYPE error: ${e.getMessage}")
+  }
+
+  test("ALTER TABLE add/rename/drop column are metadata-only schema commits") {
+    val t = fresh("alter")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val files = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT k, v, note FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2))).toSeq ==
+      Seq(("a", 1L, true), ("b", 2L, true)),
+      "old files must read the added column as null")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES ('c', 3, 'hi')")
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN v TO points")
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN note")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("k", "points"))
+    assert(spark.sql(s"SELECT SUM(points) FROM graft.`$t`").head().getLong(0) == 6L)
+    assert(files.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "ALTER must touch zero data files")
+    // re-adding the dropped name must not resurrect the dropped bytes
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT note FROM graft.`$t`").collect()
+      .forall(_.isNullAt(0)), "a re-added column starts null everywhere")
+    // time travel still shows the pre-ALTER shape
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0").columns.toSeq ==
+      Seq("k", "v"))
   }
 
   test("CREATE TABLE declares an empty readable table; INSERT INTO lands OCC appends") {
