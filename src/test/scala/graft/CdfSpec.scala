@@ -151,4 +151,32 @@ class CdfSpec extends SparkSpec {
     assert(TxLog.read(spark, mv).collect().map(r => (r.getString(0), r.getLong(1))).toSet
       == Set(("z", 1L)))
   }
+
+  test("SQL UPDATE/MERGE-DELETE flow through the change feed and fold into a MatView") {
+    val src = fresh("sqlmv"); val mv = fresh("sqlmvv")
+    TxLog.append(spark, src,
+      Seq(("g", 1L), ("g", 5L), ("h", 2L), ("h", 8L)).toDF("k", "v"))
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "build")
+    // a SQL UPDATE is one merge commit: the feed must deliver the old
+    // image as delete and the reassigned image as insert, same version
+    val v0 = TxLog.latestVersion(spark, src)
+    spark.sql(s"UPDATE graft.`$src` SET v = v + 100 WHERE v >= 5")
+    val changes = TxLog.readChangesCdf(spark, src, v0, v0 + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(changes == Set(("g", 5L, "delete"), ("g", 105L, "insert"),
+      ("h", 8L, "delete"), ("h", 108L, "insert")),
+      s"unexpected UPDATE change images: $changes")
+    // and the MatView folds it signed, never recomputing
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "incremental-delete")
+    val g = TxLog.read(spark, mv).filter(col("k") === "g").head()
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) ==
+      ((2L, 106L, 1L, 105L)))
+    // a SQL MERGE-DELETE erases by key and folds the same way
+    Seq("h").toDF("k").createOrReplaceTempView("cdf_sql_del")
+    spark.sql(s"MERGE INTO graft.`$src` t USING cdf_sql_del s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    assert(MatView.refresh(spark, src, mv, Seq("k"), "v") == "incremental-delete")
+    assert(TxLog.read(spark, mv).collect().map(_.getString(0)).toSeq == Seq("g"),
+      "the erased key must leave the view, the other must survive")
+  }
 }
