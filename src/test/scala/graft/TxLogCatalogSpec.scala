@@ -230,6 +230,18 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(TxLog.versions(spark, t).size == vs)
   }
 
+  test("TRUNCATE TABLE routes through the MOR delete-all (zero files touched)") {
+    val t = fresh("trunc")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val files = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"TRUNCATE TABLE graft.`$t`")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").collect().isEmpty)
+    assert(TxLog.snapshotFiles(spark, t).toSet == files,
+      "TRUNCATE must stay merge-on-read; the old snapshot stays travelable")
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 0 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
