@@ -75,6 +75,9 @@ object Mp4 {
     /** rbsp_stop_one_bit + zero-pad to a byte boundary. */
     def stopAndAlign(): Unit = { u(1, 1); if (nBits != 0) u(0, 8 - nBits) }
 
+    /** Zero-pad to a byte boundary (pcm_alignment_zero_bit*). */
+    def alignZero(): Unit = if (nBits != 0) u(0, 8 - nBits)
+
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -140,6 +143,12 @@ object Mp4 {
       val k = ue()
       if (k % 2 == 0) -(k / 2) else (k + 1) / 2
     }
+
+    /** Consume pcm_alignment_zero_bit* to the next byte boundary —
+      * strict: a set bit is malformed (§7.3.5 pins them to zero). */
+    def align(): Unit =
+      while (pos % 8 != 0)
+        if (u(1) != 0) throw new Mp4Malformed("nonzero pcm alignment bit")
   }
 
   private[graft] final class Mp4Malformed(msg: String)
@@ -149,7 +158,13 @@ object Mp4 {
   // H.264 sequence parameter set (§7.3.2.1.1)
   // ─────────────────────────────────────────────────────────────────
 
-  case class Sps(profileIdc: Int, levelIdc: Int, width: Int, height: Int)
+  /** Display dimensions plus the fields a SLICE-HEADER parse needs
+    * ([[H264Pcm]]): frame_num bit width, POC type (+ its lsb width),
+    * chroma format, frame coding, and the coded MB grid. */
+  case class Sps(profileIdc: Int, levelIdc: Int, width: Int, height: Int,
+                 log2MaxFrameNumMinus4: Int = 0, picOrderCntType: Int = 2,
+                 log2MaxPocLsbMinus4: Int = 0, chromaFormatIdc: Int = 1,
+                 frameMbsOnly: Int = 1, mbWidth: Int = 0, mbHeight: Int = 0)
 
   /** Write a conformant Baseline SPS NAL (header byte included,
     * emulation-prevented) for even `w`×`h`, 4:2:0, frame-coded.
@@ -247,9 +262,11 @@ object Mp4 {
         }
       }
     }
-    r.ue() // log2_max_frame_num_minus4
-    r.ue() match { // pic_order_cnt_type
-      case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    val log2MaxFrameNumMinus4 = r.ue()
+    val pocType = r.ue()
+    var log2MaxPocLsbMinus4 = 0
+    pocType match { // pic_order_cnt_type
+      case 0 => log2MaxPocLsbMinus4 = r.ue()
       case 1 =>
         r.u(1) // delta_pic_order_always_zero_flag
         r.se(); r.se()
@@ -284,7 +301,42 @@ object Mp4 {
       h -= (ct + cb) * cuy
     }
     if (w <= 0 || h <= 0) throw new Mp4Malformed("cropping exceeds coded size")
-    Sps(profileIdc, levelIdc, w, h)
+    Sps(profileIdc, levelIdc, w, h, log2MaxFrameNumMinus4, pocType,
+      log2MaxPocLsbMinus4, chromaFormatIdc, frameMbsOnly, mbW, mbH)
+  }
+
+  /** PPS fields a slice-header parse needs (§7.3.2.2; the rest of the
+    * box is validated by structure but not retained). */
+  case class Pps(entropyCoding: Int, bottomFieldPicOrder: Int,
+                 numSliceGroups: Int, deblockingControl: Int,
+                 redundantPicCnt: Int)
+
+  /** Parse a PPS NAL — the subset of §7.3.2.2 up to the fields the
+    * slice header conditions on (everything after
+    * redundant_pic_cnt_present_flag is unconditional scalar syntax a
+    * PCM decode never consults). */
+  def parsePps(nal: Array[Byte]): Pps = {
+    if (nal.length < 2) throw new Mp4Malformed("PPS NAL too short")
+    if ((nal(0) & 0x1F) != 8) throw new Mp4Malformed(
+      s"not a PPS NAL (type ${nal(0) & 0x1F})")
+    val r = new BitReader(emulationStrip(nal.drop(1)))
+    r.ue() // pic_parameter_set_id
+    r.ue() // seq_parameter_set_id
+    val entropy = r.u(1)
+    val bottomField = r.u(1)
+    val groups = r.ue() + 1
+    if (groups > 1) throw new Mp4Malformed(
+      s"num_slice_groups $groups (FMO is outside every profile in use)")
+    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    r.u(1) // weighted_pred_flag
+    r.u(2) // weighted_bipred_idc
+    r.se() // pic_init_qp_minus26
+    r.se() // pic_init_qs_minus26
+    r.se() // chroma_qp_index_offset
+    val deblocking = r.u(1)
+    r.u(1) // constrained_intra_pred_flag
+    val redundant = r.u(1)
+    Pps(entropy, bottomField, groups, deblocking, redundant)
   }
 
   // ─────────────────────────────────────────────────────────────────
@@ -455,7 +507,9 @@ object Mp4 {
   case class Mp4Track(codec: String, width: Int, height: Int,
                       timescale: Long, duration: Long,
                       sps: Option[Sps], samples: Seq[Mp4Sample],
-                      lengthSize: Int)
+                      lengthSize: Int,
+                      spsNal: Array[Byte] = Array.empty,
+                      ppsNal: Array[Byte] = Array.empty)
 
   /** Demux the first video track; None quarantines anything malformed
     * (same contract as every other codec in [[Multimodal]]). */
@@ -494,6 +548,8 @@ object Mp4 {
     val entryW = u16(b, entry.start + 24)
     val entryH = u16(b, entry.start + 26)
     var lengthSize = 4
+    var spsNal: Array[Byte] = Array.empty
+    var ppsNal: Array[Byte] = Array.empty
     val sps: Option[Sps] =
       if (codec == "avc1" || codec == "avc3") {
         val avcC = boxes(b, entry.start + 78, entry.end)
@@ -507,8 +563,18 @@ object Mp4 {
         val spsLen = u16(b, avcC.start + 6)
         if (avcC.start + 8 + spsLen > avcC.end)
           throw new Mp4Malformed("SPS overruns avcC")
-        Some(parseSps(b.slice(avcC.start.toInt + 8,
-          avcC.start.toInt + 8 + spsLen)))
+        spsNal = b.slice(avcC.start.toInt + 8, avcC.start.toInt + 8 + spsLen)
+        // the first PPS rides right after the SPS array (we wrote one;
+        // any conformant avcC carries >= 1)
+        val ppsCountOff = avcC.start + 8 + spsLen
+        if (ppsCountOff + 1 <= avcC.end && (b(ppsCountOff.toInt) & 0xFF) >= 1 &&
+            ppsCountOff + 3 <= avcC.end) {
+          val ppsLen = u16(b, ppsCountOff + 1)
+          if (ppsCountOff + 3 + ppsLen <= avcC.end)
+            ppsNal = b.slice(ppsCountOff.toInt + 3,
+              ppsCountOff.toInt + 3 + ppsLen)
+        }
+        Some(parseSps(spsNal))
       } else None
 
     // sample sizes
@@ -593,7 +659,7 @@ object Mp4 {
     }
     if (sIdx < nSamples) throw new Mp4Malformed("chunk map exhausted early")
     Mp4Track(codec, entryW, entryH, timescale, duration, sps,
-      samples.result(), lengthSize)
+      samples.result(), lengthSize, spsNal, ppsNal)
   }
 
   /** Split one AVCC sample into its NAL units (type, payload-after-
