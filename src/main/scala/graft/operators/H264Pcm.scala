@@ -134,9 +134,10 @@ object H264Pcm {
       case 0 =>
         r.u(sps.log2MaxPocLsbMinus4 + 4) // pic_order_cnt_lsb
         if (pps.bottomFieldPicOrder == 1) r.se() // delta_pic_order_cnt_bottom
-      case 1 => () // delta_pic_order_always_zero assumed; fields would
-        // need the SPS flag — writeSps never emits type 1, and a type-1
-        // stream with the flag clear is caught by the MB parse below
+      case 1 => // its slice fields depend on delta_pic_order_always_zero,
+        // which Sps does not retain — misparsing could decode WRONG
+        // pixels instead of failing, so type 1 quarantines outright
+        throw new Mp4Malformed("pic_order_cnt_type 1 is out of subset")
       case _ => ()
     }
     if (pps.redundantPicCnt == 1) r.ue() // redundant_pic_cnt
