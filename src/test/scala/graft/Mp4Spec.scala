@@ -148,6 +148,48 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.demux(badSz).isEmpty, "sample overrunning the file must quarantine")
   }
 
+  test("fuzz: seeded corruption never yields a WRONG demux — only None or the exact truth") {
+    val (w, h) = (34, 22)
+    val samples = (0 until 4).map(s => Mp4.avccSample(Seq(
+      Array((if (s % 2 == 0) 0x65 else 0x41).toByte) ++
+        Array.tabulate(9 + s)(i => ((s * 11 + i * 3) % 251).toByte))))
+    val good = Mp4.writeMp4(w, h, samples, Seq(1, 3), Mp4.writeSps(w, h),
+      Mp4.writePps(), chunks = 2)
+    val truth = Mp4.demuxStrict(good)
+    def facts(t: Mp4.Mp4Track) =
+      (t.codec, t.sps.map(s => (s.width, s.height)),
+        t.samples.map(s => (s.offset, s.size, s.sync)))
+    val rng = new scala.util.Random(0xC0DEC)
+    val mdatBody = (truth.samples.head.offset,
+      truth.samples.last.offset + truth.samples.last.size)
+    var quarantined = 0
+    for (_ <- 0 until 300) {
+      val fuzzed = good.clone()
+      val touched = Seq.newBuilder[Int]
+      for (_ <- 0 to rng.nextInt(3)) {
+        val at = rng.nextInt(fuzzed.length)
+        touched += at
+        fuzzed(at) = rng.nextInt(256).toByte
+      }
+      Mp4.demux(fuzzed) match {
+        case None => quarantined += 1
+        case Some(t) =>
+          // SAFETY: whatever survived must resolve only in-bounds ranges
+          assert(t.samples.forall(s => s.offset >= 0 &&
+            s.offset + s.size <= fuzzed.length),
+            "a surviving demux resolved an out-of-bounds sample")
+          // EXACTNESS: if every corruption landed in sample PAYLOAD
+          // bytes, the metadata path is untouched and the demux must
+          // equal the truth bit for bit
+          if (touched.result().forall(at =>
+              at >= mdatBody._1 && at < mdatBody._2))
+            assert(facts(t) == facts(truth),
+              "payload-only corruption disturbed the sample table")
+      }
+    }
+    assert(quarantined > 0, "300 corruptions never tripped the quarantine")
+  }
+
   test("distributed demux + keyframe extraction over the synthetic corpus") {
     val vids = Mp4.syntheticMp4(spark, "/root/testdata/sf0.001")
     val stats = Mp4.mp4Demux(vids).collect()
