@@ -115,6 +115,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP4 file-source stream demuxes+PCM-decodes arrivals == batch chain") {
+    import graft.operators.H264Pcm
+    val dir = tempDir("stream_mp4")
+    val records = H264Pcm.syntheticMp4Pcm(spark, sfTiny)
+    val all = records.collect()
+    val (first, second) = all.splitAt(all.length / 2)
+    first.toSeq.toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("media_id LONG, payload BINARY")
+      .parquet(dir)
+      .as[VideoRecord]
+    val q = H264Pcm.h264PcmStats(stream)
+      .writeStream.format("memory").queryName("mp4_stream").outputMode("append")
+      .start()
+    val got = try {
+      q.processAllAvailable()
+      assert(spark.table("mp4_stream").count() == first.length)
+      second.toSeq.toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      spark.table("mp4_stream").collect()
+    } finally q.stop()
+    val want = H264Pcm.h264PcmStats(records).collect()
+    assert(got.length == want.length, s"stream ${got.length} vs batch ${want.length}")
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    want.foreach { r =>
+      assert(byId(r.getLong(0)) ==
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))),
+        s"media ${r.getLong(0)}")
+    }
+  }
+
   test("streaming decode plan is stateless and shuffle-free (scan -> decode -> sink)") {
     val dir = tempDir("stream_plan")
     Multimodal.syntheticPng(spark, sfTiny).write.mode("append").parquet(dir)
