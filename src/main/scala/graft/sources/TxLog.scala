@@ -2564,10 +2564,34 @@ object TxLog {
       declared)
     // the hidden _metadata struct resolves only on the scan itself —
     // materialize the address columns BEFORE the semi-join
-    val newPos = raw
+    val addressed = raw
       .withColumn("_g_dv_file", col("_metadata.file_name"))
       .withColumn("_g_dv_pos", col("_metadata.row_index"))
       .join(broadcast(batchKeys), pKeys, "left_semi")
+    // LIVE matched rows only (prior vectors anti-applied, per-file like
+    // scanLive): dead physical copies from earlier merges must neither
+    // trip the duplicate guard below nor depend on harmless re-masking
+    val priorDvs = dvAt(spark, table, Some(base))
+    val liveMatched = (if (priorDvs.isEmpty) addressed else {
+      val boundNames = priorDvs.keys.map(_.split('/').last).toSeq
+      val dvRows = spark.read.parquet(
+        priorDvs.values.toSeq.distinct.map(p => new Path(table, p).toString): _*)
+        .filter(col("file").isin(boundNames: _*))
+      addressed.join(broadcast(dvRows),
+        addressed("_g_dv_file") === dvRows("file") &&
+          addressed("_g_dv_pos") === dvRows("pos"), "left_anti")
+    }).localCheckpoint(true) // consumed twice: the guard and the mask
+    // a keyed merge on a DUPLICATE-keyed target would silently collapse
+    // the copies into one image — fail loudly instead (SQL MERGE keeps
+    // every copy; this engine's merge is the CDC one-image-per-key
+    // upsert, and the two semantics must never blur silently)
+    val posCnt = liveMatched.count()
+    val keyCnt = liveMatched.select(pKeys.map(col): _*).distinct().count()
+    require(posCnt == keyCnt,
+      s"txlog: merge matched $posCnt live rows across $keyCnt keys — " +
+        s"$table carries duplicate-keyed rows a keyed merge would " +
+        "collapse; deduplicate first (exactDedup / deleteKeysMor)")
+    val newPos = liveMatched
       .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
     // new images land as appended files regardless of match state
     val rel = f"data/v${base + 1}%08d-merge-${uniq()}"

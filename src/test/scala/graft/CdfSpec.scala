@@ -152,6 +152,27 @@ class CdfSpec extends SparkSpec {
       == Set(("z", 1L)))
   }
 
+  test("repeated merges of one key chain through dead copies; duplicate-keyed targets fail loudly") {
+    val t = fresh("remerge")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    // merging the same key twice: the second merge sees ONE live row
+    // (the first merge's superseded copy is dead) and must succeed
+    TxLog.mergeMor(spark, t, Seq(("a", 10L)).toDF("k", "v"), Seq("k"))
+    TxLog.mergeMor(spark, t, Seq(("a", 20L)).toDF("k", "v"), Seq("k"))
+    assert(TxLog.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 20L), ("b", 2L)))
+    // a genuinely duplicate-keyed target: the keyed merge would collapse
+    // the two live copies into one image — it must refuse loudly
+    val dup = fresh("dupmerge")
+    TxLog.append(spark, dup, Seq(("x", 1L), ("x", 2L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeMor(spark, dup, Seq(("x", 9L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate-keyed"))
+    assert(TxLog.read(spark, dup).count() == 2, "the refused merge must not land")
+  }
+
   test("SQL UPDATE/MERGE-DELETE flow through the change feed and fold into a MatView") {
     val src = fresh("sqlmv"); val mv = fresh("sqlmvv")
     TxLog.append(spark, src,
