@@ -2580,13 +2580,16 @@ object TxLog {
       addressed.join(broadcast(dvRows),
         addressed("_g_dv_file") === dvRows("file") &&
           addressed("_g_dv_pos") === dvRows("pos"), "left_anti")
-    }).localCheckpoint(true) // consumed twice: the guard and the mask
-    // a keyed merge on a DUPLICATE-keyed target would silently collapse
-    // the copies into one image — fail loudly instead (SQL MERGE keeps
-    // every copy; this engine's merge is the CDC one-image-per-key
-    // upsert, and the two semantics must never blur silently)
-    val posCnt = liveMatched.count()
-    val keyCnt = liveMatched.select(pKeys.map(col): _*).distinct().count()
+    }).select(pKeys.map(col) :+ col("_g_dv_file") :+ col("_g_dv_pos"): _*)
+      .localCheckpoint(true) // narrow (keys+address), consumed twice:
+    // the guard and the mask. A keyed merge on a DUPLICATE-keyed target
+    // would silently collapse the copies into one image — fail loudly
+    // instead (SQL MERGE keeps every copy; this engine's merge is the
+    // CDC one-image-per-key upsert, and the two must never blur silently)
+    import org.apache.spark.sql.functions.countDistinct
+    val guard = liveMatched
+      .agg(count(lit(1)), countDistinct(pKeys.head, pKeys.tail: _*)).head()
+    val (posCnt, keyCnt) = (guard.getLong(0), guard.getLong(1))
     require(posCnt == keyCnt,
       s"txlog: merge matched $posCnt live rows across $keyCnt keys — " +
         s"$table carries duplicate-keyed rows a keyed merge would " +
