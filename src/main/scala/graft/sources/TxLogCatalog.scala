@@ -48,9 +48,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[TxLog.deleteWhereMorExpr]] (deletion-vector MOR: kilobytes written,
   * zero files rewritten — V1 filters re-rendered as one SQL predicate by
   * [[FilterSql]]; untranslatable predicates fail loudly at analysis, no
-  * silent full-table fallback). `ALTER`/`RENAME` stay library-side
-  * (schema evolution and column mapping carry engine-specific commit
-  * payloads SQL DDL cannot express here). */
+  * silent full-table fallback); `UPDATE`/`MERGE INTO` land through
+  * [[graft.plans.TxLogDml]]; `ALTER TABLE` add/rename/drop column are
+  * metadata-only schema commits ([[alterTable]]). `RENAME TABLE` and
+  * type changes stay library-side. */
 class TxLogCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -279,7 +280,7 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
   * Total over the comparison/null/boolean core; anything else (LIKE
   * family, exotic literal types, NaN/Inf) renders None and the DELETE
   * fails loudly at analysis — never a silently-wrong predicate. */
-private[sources] object FilterSql {
+private[graft] object FilterSql {
 
   private def col(c: String): String = "`" + c.replace("`", "``") + "`"
 
