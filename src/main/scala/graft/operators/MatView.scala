@@ -386,13 +386,23 @@ object MatView {
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "incremental")
     require(refresh(spark, src, mv, Seq("lang"), "n_chars") == "noop") // idempotent
     val folded = TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
-    // fold ≡ recompute, asserted IN-ROW: any environmental corruption
-    // (a raced lifecycle, a stale table) becomes a loud err, never a
-    // silent wrong hash reaching the driver's compare
-    requireFoldEqualsRecompute(spark, mv, folded,
+    // TWO in-row guards, so any corruption becomes a loud err, never a
+    // silent wrong hash reaching the driver's compare:
+    //  1. fold ≡ recompute over the fixture table (internal consistency);
+    certifyEqual(spark, mv, folded,
       fullAggregate(spark, src, TxLog.latestVersion(spark, src), Seq("lang"), "n_chars")
-        .select("lang", "cnt", "total", "vmin", "vmax"))
-    folded.orderBy("lang")
+        .select("lang", "cnt", "total", "vmin", "vmax"),
+      "fold != recompute over fixture source")
+    //  2. fold ≡ ORACLE SEMANTICS computed straight from the source
+    //     parquet — the r13 blind spot: if the fixture INGESTION is what
+    //     corrupts, both legs of guard 1 read the same corruption and it
+    //     passes; this guard cannot (it never touches the fixture table)
+    certifyEqual(spark, mv, folded,
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total"),
+          min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax")),
+      "fold != oracle aggregate computed directly from source parquet")
+    materialize(spark, folded.orderBy("lang"))
   }
 
   /** QW — DELETE/MERGE fold under the oracle gate: the view is built and
@@ -428,30 +438,65 @@ object MatView {
       "a merge commit must fold signed, not recompute")
     require(go() == "noop")
     val folded = TxLog.read(spark, mv).select("lang", "cnt", "total", "vmin", "vmax")
-    requireFoldEqualsRecompute(spark, mv, folded,
+    // guard 1: fold ≡ recompute over the fixture table
+    certifyEqual(spark, mv, folded,
       fullAggregate(spark, src, TxLog.latestVersion(spark, src), Seq("lang"), "n_chars")
-        .select("lang", "cnt", "total", "vmin", "vmax"))
-    folded.orderBy("lang")
+        .select("lang", "cnt", "total", "vmin", "vmax"),
+      "fold != recompute over fixture source")
+    // guard 2: fold ≡ oracle semantics straight from the source parquet —
+    // the closed form of the whole lifecycle (delete of %7=3 rows that
+    // were present pre-wave-2, i.e. %3<>2; then %5=0 keys superseded or
+    // resurrected at n_chars+1000) without ever reading the fixture table
+    val oracleRows = docs
+      .filter(!(col("doc_id") % 7 === 3 && col("doc_id") % 3 =!= 2) &&
+        col("doc_id") % 5 =!= 0)
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"), (col("n_chars") + 1000L).cast("long").as("v")))
+    certifyEqual(spark, mv, folded,
+      oracleRows.groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax")),
+      "fold != oracle aggregate computed directly from source parquet")
+    materialize(spark, folded.orderBy("lang"))
   }
 
   /** Loud in-row certification that the incrementally-folded view equals
-    * a from-scratch recompute; dumps the view's commit history to stderr
-    * on divergence so a corrupted lifecycle is diagnosable post-hoc. */
-  private def requireFoldEqualsRecompute(spark: SparkSession, mv: String,
-                                         folded: DataFrame,
-                                         recomputed: DataFrame): Unit = {
-    val extra = folded.exceptAll(recomputed).count()
-    val missing = recomputed.exceptAll(folded).count()
-    if (extra != 0 || missing != 0) {
-      System.err.println(s"txlog matview DIVERGENCE at $mv: " +
-        s"$extra folded-only rows, $missing recompute-only rows; history:")
+    * a reference frame (`claim` names which reference). Dumps the FULL
+    * diverging rows AND the view's commit history to stderr, so a
+    * corrupted lifecycle is diagnosable post-hoc from the driver's log
+    * alone. The reference is cast column-by-column to the folded frame's
+    * schema first, so an int-vs-long widening in how the reference was
+    * phrased can never masquerade as a value divergence. */
+  private def certifyEqual(spark: SparkSession, mv: String,
+                           folded: DataFrame, reference: DataFrame,
+                           claim: String): Unit = {
+    val aligned = reference.select(folded.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val extra = folded.exceptAll(aligned).collect()
+    val missing = aligned.exceptAll(folded).collect()
+    if (extra.nonEmpty || missing.nonEmpty) {
+      System.err.println(s"txlog matview DIVERGENCE at $mv ($claim):")
+      extra.foreach(r => System.err.println(s"  folded-only:    $r"))
+      missing.foreach(r => System.err.println(s"  reference-only: $r"))
+      System.err.println("  view history:")
       TxLog.versions(spark, mv).foreach { v =>
         System.err.println(s"  v$v kind=${TxLog.commitKind(spark, mv, v)}")
       }
       throw new IllegalStateException(
-        s"txlog: matview $mv fold != recompute ($extra/$missing) — " +
-          "fixture lifecycle corrupted (see stderr history)")
+        s"txlog: matview $mv $claim (${extra.length} folded-only / " +
+          s"${missing.length} reference-only rows — see stderr)")
     }
+  }
+
+  /** Collect the (certified, ≤25) sorted result rows and rebuild them as
+    * a LOCAL relation: nothing that happens after the row function
+    * returns — a re-execution of the plan by the dump sink, a raced
+    * fixture teardown, a second harness pass — can change what gets
+    * written. The returned frame IS the certified rows, frozen. */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** QW — the JOIN-MV lifecycle under the oracle gate: orders (fact)
@@ -497,14 +542,27 @@ object MatView {
     require(go() == "noop") // watermark idempotence
     val folded = TxLog.read(spark, mv)
       .select("c_nationkey", "cnt", "total", "vmin", "vmax")
-    // fold ≡ recompute, asserted IN-ROW (see [[requireFoldEqualsRecompute]])
-    requireFoldEqualsRecompute(spark, mv, folded,
+    // guard 1: fold ≡ recompute over the fixture tables
+    certifyEqual(spark, mv, folded,
       joinAggregate(
         TxLog.read(spark, fact, Some(TxLog.latestVersion(spark, fact))),
         TxLog.read(spark, dim, Some(TxLog.latestVersion(spark, dim))),
         Seq("c_custkey"), Seq("c_nationkey"), "o_val", Some("o_val > 1000"))
-        .select("c_nationkey", "cnt", "total", "vmin", "vmax"))
-    folded.orderBy("c_nationkey")
+        .select("c_nationkey", "cnt", "total", "vmin", "vmax"),
+      "fold != recompute over fixture fact ⋈ dim")
+    // guard 2: fold ≡ oracle semantics straight from the source parquet
+    // (all orders minus the MOR-erased %11=5 keys, joined to the full
+    // dim) — never touches the fixture tables, so a corrupted ingestion
+    // cannot pass both guards
+    certifyEqual(spark, mv, folded,
+      factRows.withColumnRenamed("o_custkey", "c_custkey")
+        .filter(col("o_val") > 1000 && col("o_orderkey") % 11 =!= 5)
+        .join(dimRows, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_val")).as("total"),
+          min(col("o_val")).as("vmin"), max(col("o_val")).as("vmax")),
+      "fold != oracle aggregate computed directly from source parquet")
+    materialize(spark, folded.orderBy("c_nationkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -776,6 +776,52 @@ object Merge {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** QW25 — CONDITIONAL SQL MERGE ([[graft.plans.TxLogDml]] →
+    * [[graft.sources.TxLog.mergeMorConditional]]) under the hash gate:
+    * one statement carries a guarded DELETE, a guarded partial UPDATE
+    * whose RHS reads the source, an unguarded partial UPDATE, and a
+    * guarded INSERT — first-true-wins per row, landed as ONE
+    * merge-on-read commit (fired positions masked, update+insert images
+    * appended, zero files rewritten). The source mixes matched keys
+    * (every doc_id ≡ 0 mod 4, value doubled) with keys the table has
+    * never seen (negated ids) so every clause actually fires; the
+    * closed-form oracle replays the same algebra as two LEFT JOINs. */
+  def qwSqlMergeCond(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmrgc", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val view = "graft_mrgc_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("nv"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 4)
+        .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+          col("n_chars").as("nv")))
+      .createOrReplaceTempView(view)
+    try {
+      val before = TxLog.snapshotFiles(spark, table).toSet
+      val vs = TxLog.versions(spark, table).size
+      spark.sql(s"MERGE INTO graft.`$table` t USING $view s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED AND s.nv > 2000 THEN DELETE " +
+        "WHEN MATCHED AND t.lang = 'en' THEN UPDATE SET n_chars = s.nv + 5 " +
+        "WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 7 " +
+        "WHEN NOT MATCHED AND s.lang <> 'de' THEN " +
+        "INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.nv)")
+      require(TxLog.versions(spark, table).size == vs + 1,
+        "txlog: the whole conditional MERGE must land as ONE commit")
+      require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
+        "txlog: conditional MERGE must stay merge-on-read")
+      require(TxLog.commitKind(spark, table, TxLog.latestVersion(spark, table))
+        .contains("merge"),
+        "txlog: conditional MERGE must land tagged merge for the change feed")
+      spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+        "ORDER BY doc_id")
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** QW19 — DROP PARTITION ([[graft.sources.TxLog.deletePartition]])
     * under the hash gate: documents lands in three lang-partitioned
     * range waves plus ONE plain (value-less) append, then the 'de'
@@ -820,6 +866,7 @@ object Merge {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_sql_dml" -> qwSqlDml _,
     "qw_sql_update" -> qwSqlUpdate _,
+    "qw_sql_merge_cond" -> qwSqlMergeCond _,
     "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
@@ -853,6 +900,28 @@ object Merge {
       ("SELECT doc_id, lang, " +
         "CASE WHEN lang = 'de' THEN n_chars + 1000000 ELSE n_chars END " +
         "AS n_chars FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"),
+    // the conditional MERGE's closed form: the two LEFT JOIN legs replay
+    // the first-true-wins clause algebra (delete, guarded update,
+    // fallback update, guarded insert) over the same source mix
+    "qw_sql_merge_cond" ->
+      ("WITH src AS (" +
+        "SELECT doc_id, lang, n_chars * 2 AS nv FROM documents " +
+        "WHERE doc_id % 4 = 0 " +
+        "UNION ALL " +
+        "SELECT -doc_id - 1 AS doc_id, lang, n_chars AS nv FROM documents " +
+        "WHERE doc_id % 9 = 4) " +
+        "SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT t.doc_id AS doc_id, t.lang AS lang, " +
+        "CASE WHEN s.doc_id IS NULL THEN t.n_chars " +
+        "WHEN t.lang = 'en' THEN s.nv + 5 " +
+        "ELSE t.n_chars + 7 END AS n_chars " +
+        "FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id " +
+        "WHERE s.doc_id IS NULL OR s.nv <= 2000 " +
+        "UNION ALL " +
+        "SELECT s.doc_id, s.lang, s.nv " +
+        "FROM src s LEFT JOIN documents t ON t.doc_id = s.doc_id " +
+        "WHERE t.doc_id IS NULL AND s.lang <> 'de'" +
+        ") ORDER BY doc_id"),
     // the dropped partition's complement (recorded files removed as
     // metadata, the value-less file's de rows CoW'd out — REQUIREd)
     "qw_drop_partition" ->

@@ -583,6 +583,13 @@ object Mp4 {
     val nSamples = u32(b, stsz.start + 8)
     if (nSamples < 1 || nSamples > Int.MaxValue)
       throw new Mp4Malformed(s"stsz sample count $nSamples")
+    // bound the claimed sample bytes against the FILE — a malformed
+    // header claiming ~2^31 samples must fail Mp4Malformed (quarantined),
+    // not allocate gigabytes and kill the executor with an OOM Error
+    // the quarantine catch cannot contain
+    if (nSamples > b.length.toLong / math.max(fixedSize, 1L))
+      throw new Mp4Malformed(
+        s"stsz claims $nSamples samples x $fixedSize bytes > file size ${b.length}")
     val sizes: IndexedSeq[Long] =
       if (fixedSize != 0) IndexedSeq.fill(nSamples.toInt)(fixedSize)
       else {

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.{TxLog, TxLogV2Table}
+import graft.sources.{MergeMatchedClause, MergeMatchedDelete,
+  MergeMatchedUpdate, MergeNotMatchedInsert, TxLog, TxLogV2Table}
 
 /** SQL `UPDATE` and `MERGE INTO` for TxLog tables — a post-hoc
   * resolution rule (the public Delta wiring) that intercepts the
@@ -26,14 +27,19 @@ import graft.sources.{TxLog, TxLogV2Table}
   *    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
   *    [[TxLog.mergeMor]] — the canonical upsert;
   *  - `... WHEN MATCHED THEN DELETE` (sole action) →
-  *    [[TxLog.deleteKeysMor]] — erase-by-id-list, broadcast semi-join.
+  *    [[TxLog.deleteKeysMor]] — erase-by-id-list, broadcast semi-join;
+  *  - every other well-formed clause algebra — `WHEN MATCHED AND cond
+  *    THEN UPDATE SET c = expr` (partial columns), conditional DELETE,
+  *    multiple matched clauses, conditional/partial INSERT —
+  *    → [[TxLog.mergeMorConditional]], first-true-wins per row, one
+  *    merge-on-read commit.
   *
-  * Anything outside those shapes (clause conditions, partial-column
-  * upserts where the two actions disagree, non-equi ON, BY SOURCE
-  * clauses) fails LOUDLY with a pointer at the library API — never a
-  * silently different semantic. Resolved expressions are re-rendered
-  * as SQL (qualifiers stripped) so the library entry points bind them
-  * against the scan exactly as a user-written predicate. */
+  * What still fails LOUDLY (with a pointer at the library API — never
+  * a silently different semantic): non-equi ON, `WHEN NOT MATCHED BY
+  * SOURCE`, `MERGE WITH SCHEMA EVOLUTION`. Resolved expressions are
+  * re-rendered as SQL (qualifiers stripped; source columns namespaced
+  * `_src_<name>` on the conditional path) so the library entry points
+  * bind them against the scan exactly as a user-written predicate. */
 object TxLogDml extends Rule[LogicalPlan] {
 
   private def unsupported(what: String): Nothing =
@@ -107,48 +113,86 @@ object TxLogDml extends Rule[LogicalPlan] {
               s"equalities (got ${other.sql})")
         }
         if (keys.isEmpty) unsupported("MERGE ON names no key equality")
+
+        /** The canonical-upsert fast path's one-image-per-key plan, iff
+          * the shape is EXACTLY `WHEN MATCHED THEN UPDATE SET * WHEN NOT
+          * MATCHED THEN INSERT *` with agreeing, full-coverage,
+          * key-consistent images — [[TxLog.mergeMor]]'s contract. Any
+          * other well-formed shape returns None and takes the generic
+          * conditional path below. */
+        def canonicalUpsert(up: UpdateAction,
+                            ins: InsertAction): Option[LogicalPlan] = {
+          if (up.condition.nonEmpty || ins.condition.nonEmpty) return None
+          val insByCol = imageByColumn(ins.assignments)
+          val upByCol = imageByColumn(up.assignments)
+          val targetCols = target.output.map(_.name)
+          val fits =
+            insByCol.keySet == targetCols.toSet &&
+              upByCol.keySet == targetCols.toSet &&
+              targetCols.forall(c =>
+                upByCol(c).canonicalized == insByCol(c).canonicalized) &&
+              // the ON key's source expr must be the image's key column,
+              // or matching and inserting would use different values
+              keys.forall { case (k, srcExpr) =>
+                insByCol(k).canonicalized == srcExpr.canonicalized }
+          if (!fits) None
+          else Some(Project(
+            target.output.map(a => Alias(insByCol(a.name), a.name)()),
+            source))
+        }
+
+        /** Resolved expression → SQL over the conditional-merge
+          * namespace: target columns bare, source columns `_src_<name>`
+          * ([[TxLog.mergeMorConditional]]'s binding contract). */
+        def sqlOfNs(e: Expression): String =
+          e.transform {
+            case a: AttributeReference if sourceOut.contains(a) =>
+              a.withName(s"_src_${a.name}").withQualifier(Seq.empty)
+            case a: AttributeReference if targetOut.contains(a) =>
+              a.withQualifier(Seq.empty)
+          }.sql
+
+        def assignsOf(as: Seq[Assignment]): Seq[(String, String)] =
+          as.map { a =>
+            a.key match {
+              case k: AttributeReference => k.name -> sqlOfNs(a.value)
+              case k => unsupported(s"MERGE assigns a non-column target ${k.sql}")
+            }
+          }
+
         (matched, notMatched) match {
           // canonical upsert: UPDATE-all + INSERT-all with agreeing images
-          case (Seq(up: UpdateAction), Seq(ins: InsertAction)) =>
-            up.condition.foreach(c => unsupported(
-              s"WHEN MATCHED AND ${c.sql} (conditional clauses)"))
-            ins.condition.foreach(c => unsupported(
-              s"WHEN NOT MATCHED AND ${c.sql} (conditional clauses)"))
-            val insByCol = imageByColumn(ins.assignments)
-            val upByCol = imageByColumn(up.assignments)
-            val targetCols = target.output.map(_.name)
-            if (insByCol.keySet != targetCols.toSet ||
-                upByCol.keySet != targetCols.toSet) unsupported(
-              "MERGE must assign every target column in both actions " +
-                "(UPDATE SET * / INSERT *)")
-            targetCols.foreach { c =>
-              if (upByCol(c).canonicalized != insByCol(c).canonicalized)
-                unsupported(s"MERGE assigns '$c' differently in UPDATE vs " +
-                  "INSERT — mergeMor lands ONE image per key")
-            }
-            // the ON key's source expr must be the image's key column,
-            // or matching and inserting would use different values
-            keys.foreach { case (k, srcExpr) =>
-              if (insByCol(k).canonicalized != srcExpr.canonicalized)
-                unsupported(s"MERGE key '$k' is matched on ${srcExpr.sql} " +
-                  s"but inserted as ${insByCol(k).sql}")
-            }
-            // one image row per key, projected to target names, executed
-            // from the analyzer-resolved source plan
-            val image = Project(
-              target.output.map(a =>
-                Alias(insByCol(a.name), a.name)()), source)
-            TxLogMergeCommand(table, image, keys.map(_._1), delete = false)
+          case (Seq(up: UpdateAction), Seq(ins: InsertAction))
+              if canonicalUpsert(up, ins).isDefined =>
+            TxLogMergeCommand(table, canonicalUpsert(up, ins).get,
+              keys.map(_._1), delete = false)
           // erase-by-key: a sole unconditional MATCHED DELETE
-          case (Seq(del: DeleteAction), Seq()) =>
-            del.condition.foreach(c => unsupported(
-              s"WHEN MATCHED AND ${c.sql} (conditional clauses)"))
+          case (Seq(del: DeleteAction), Seq()) if del.condition.isEmpty =>
             val image = Project(keys.map { case (k, srcExpr) =>
               Alias(srcExpr, k)() }, source)
             TxLogMergeCommand(table, image, keys.map(_._1), delete = true)
-          case _ => unsupported(
-            "MERGE shape (supported: UPDATE SET * + INSERT *, or a sole " +
-              "WHEN MATCHED THEN DELETE)")
+          // everything else well-formed: the generic conditional merge —
+          // WHEN MATCHED [AND c] THEN UPDATE SET col = expr… / DELETE,
+          // WHEN NOT MATCHED [AND c] THEN INSERT, first-true-wins
+          case _ =>
+            val mClauses = matched.map {
+              case u: UpdateAction =>
+                MergeMatchedUpdate(u.condition.map(sqlOfNs),
+                  assignsOf(u.assignments))
+              case d: DeleteAction =>
+                MergeMatchedDelete(d.condition.map(sqlOfNs))
+              case other => unsupported(
+                s"MERGE matched action ${other.getClass.getSimpleName}")
+            }
+            val nmClauses = notMatched.map {
+              case i: InsertAction =>
+                MergeNotMatchedInsert(i.condition.map(sqlOfNs),
+                  assignsOf(i.assignments))
+              case other => unsupported(
+                s"MERGE not-matched action ${other.getClass.getSimpleName}")
+            }
+            TxLogMergeCondCommand(table, source, keys.map(_._1),
+              mClauses, nmClauses)
         }
     }
 
@@ -187,6 +231,22 @@ case class TxLogMergeCommand(table: String, image: LogicalPlan,
     val src = GraftSqlShims.ofRows(spark, image)
     if (delete) TxLog.deleteKeysMor(spark, table, src, keys)
     else TxLog.mergeMor(spark, table, src, keys)
+    Seq.empty
+  }
+}
+
+/** Generic conditional `MERGE INTO graft.`/t`` — one
+  * [[TxLog.mergeMorConditional]] commit. The analyzer-resolved source
+  * plan rides as a field; clause conditions/assignments ride as SQL in
+  * the merge namespace (target bare, source `_src_<name>`). */
+case class TxLogMergeCondCommand(table: String, source: LogicalPlan,
+                                 keys: Seq[String],
+                                 matched: Seq[MergeMatchedClause],
+                                 notMatched: Seq[MergeNotMatchedInsert])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxLog.mergeMorConditional(spark, table,
+      GraftSqlShims.ofRows(spark, source), keys, matched, notMatched)
     Seq.empty
   }
 }

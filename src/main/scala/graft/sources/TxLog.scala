@@ -20,6 +20,23 @@ class TxLogConcurrentModificationException(msg: String)
 private[sources] class TxLogDuplicateBatchException(msg: String)
   extends RuntimeException(msg)
 
+/** One `WHEN MATCHED` clause of [[TxLog.mergeMorConditional]]. `cond`
+  * and every assignment RHS are SQL over the merge namespace: target
+  * columns bind bare, source columns bind as `_src_<name>`. */
+sealed trait MergeMatchedClause { def cond: Option[String] }
+/** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …` — a partial
+  * column list; unassigned columns keep the old row's value. */
+case class MergeMatchedUpdate(cond: Option[String],
+                              sets: Seq[(String, String)])
+  extends MergeMatchedClause
+/** `WHEN MATCHED [AND cond] THEN DELETE`. */
+case class MergeMatchedDelete(cond: Option[String])
+  extends MergeMatchedClause
+/** `WHEN NOT MATCHED [AND cond] THEN INSERT (col, …) VALUES (expr, …)` —
+  * values see only `_src_` columns; unassigned columns land typed NULL. */
+case class MergeNotMatchedInsert(cond: Option[String],
+                                 values: Seq[(String, String)])
+
 /** Minimal log-structured versioned table — the storage idea under
   * Delta/Iceberg/Hudi (public protocol concept: an ordered commit log
   * of add/remove-FILE actions over immutable parquet data files),
@@ -1962,6 +1979,43 @@ object TxLog {
     bindDeletionVectors(spark, table, base, newPos, live)
   }
 
+  /** The live-row universe at `base`, addressed for MOR writes: logical
+    * column names plus the physical address columns
+    * (`_g_dv_file`, `_g_dv_pos`), prior deletion vectors anti-applied
+    * with scanLive's per-file scoping (rows of files a later restore
+    * UNBOUND stay live), so a dead physical copy can neither re-mask nor
+    * re-image. Every MOR write (UPDATE / conditional MERGE) derives its
+    * masks and images from this frame. */
+  private def liveAddressed(spark: SparkSession, table: String, base: Long,
+                            live: Seq[String],
+                            declared: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val paths = live.map(p => new Path(table, p).toString)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val addressed = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+    val logical = declared.filter(mappingEnabled) match {
+      case None => addressed
+      case Some(s) => addressed.select(
+        s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq ++
+          Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
+    }
+    val priorDvs = dvAt(spark, table, Some(base))
+    if (priorDvs.isEmpty) logical else {
+      val boundNames = priorDvs.keys.map(_.split('/').last).toSeq
+      val dvRows = spark.read.parquet(
+        priorDvs.values.toSeq.distinct.map(p => new Path(table, p).toString): _*)
+        .filter(col("file").isin(boundNames: _*))
+      logical.join(broadcast(dvRows),
+        logical("_g_dv_file") === dvRows("file") &&
+          logical("_g_dv_pos") === dvRows("pos"), "left_anti")
+    }
+  }
+
   /** MOR UPDATE with a FREE predicate: rows matching `predicateSql`
     * are superseded — their positions bound to a deletion vector, their
     * post-assignment images appended — in ONE commit tagged "merge"
@@ -1986,44 +2040,21 @@ object TxLog {
     sets.foreach { case (c, _) => require(logicalCols.contains(c),
       s"txlog: UPDATE assigns unknown column '$c' " +
         s"(table has: ${logicalCols.mkString(", ")})") }
-    val paths = live.map(p => new Path(table, p).toString)
-    val raw = declared match {
-      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
-    val addressed = raw
-      .withColumn("_g_dv_file", col("_metadata.file_name"))
-      .withColumn("_g_dv_pos", col("_metadata.row_index"))
-    val logical = declared.filter(mappingEnabled) match {
-      case None => addressed
-      case Some(s) => addressed.select(
-        s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq ++
-          Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
-    }
     // the matched subframe feeds BOTH the mask and the images; prior
-    // deletion vectors anti-apply so an already-deleted row can neither
-    // re-mask nor re-image
-    val priorDvs = dvAt(spark, table, Some(base))
-    val matched = (if (priorDvs.isEmpty) logical else {
-      import org.apache.spark.sql.functions.broadcast
-      // restrict to rows of files CURRENTLY bound: a shared vector dir
-      // can carry stale rows for a file a later restore UNBOUND — those
-      // rows are live and must stay updatable (same per-file scoping as
-      // scanLive's anti-apply)
-      val boundNames = priorDvs.keys.map(_.split('/').last).toSeq
-      val dvRows = spark.read.parquet(
-        priorDvs.values.toSeq.distinct.map(p => new Path(table, p).toString): _*)
-        .filter(col("file").isin(boundNames: _*))
-      logical.join(broadcast(dvRows),
-        logical("_g_dv_file") === dvRows("file") &&
-          logical("_g_dv_pos") === dvRows("pos"), "left_anti")
-    }).filter(expr(predicateSql))
+    // deletion vectors anti-apply ([[liveAddressed]]) so an
+    // already-deleted row can neither re-mask nor re-image
+    val matched = liveAddressed(spark, table, base, live, declared)
+      .filter(expr(predicateSql))
     val newPos = matched
       .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
     if (newPos.isEmpty) return base // probe-first: nothing matched
-    val images = sets.foldLeft(matched) { case (df, (c, v)) =>
-      df.withColumn(c, expr(v))
-    }.select(logicalCols.map(col): _*)
+    // ONE projection, so every RHS binds to the PRE-update row — SQL
+    // UPDATE semantics. A foldLeft of withColumn would let a later
+    // assignment's RHS see an earlier assignment's NEW value
+    // (`SET a = b, b = a` must swap, not duplicate)
+    val setsByCol = sets.toMap
+    val images = matched.select(logicalCols.map(c =>
+      setsByCol.get(c).map(v => expr(v).as(c)).getOrElse(col(c))): _*)
     requireFitsDeclared(spark, table, images, "update")
     val rel = f"data/v${base + 1}%08d-update-${uniq()}"
     val dataDir = new Path(table, rel)
@@ -2600,6 +2631,137 @@ object TxLog {
     val rel = f"data/v${base + 1}%08d-merge-${uniq()}"
     val dataDir = new Path(table, rel)
     physicalize(updates, declared).write.parquet(dataDir.toString)
+    val adds = writtenFiles(spark, table, rel)
+    try bindDeletionVectors(spark, table, base, newPos, live,
+      adds = adds, tag = "merge", commitOnNoMatch = true)
+    catch { case e: Throwable =>
+      fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
+      throw e
+    }
+  }
+
+  /** CONDITIONAL merge-on-read MERGE — the full SQL `MERGE INTO` clause
+    * algebra ([[mergeMor]] is the canonical-upsert fast path; this is
+    * everything else): matched clauses fire FIRST-TRUE-WINS per target
+    * row (`WHEN MATCHED [AND cond] THEN UPDATE SET c = expr…` with
+    * partial column lists, or `THEN DELETE`); not-matched clauses fire
+    * first-true-wins per unmatched SOURCE row (`WHEN NOT MATCHED
+    * [AND cond] THEN INSERT`, unassigned columns land typed NULL). A
+    * matched row no clause fires for stays untouched. Clause conditions
+    * and assignment RHS are SQL over a namespace where the TARGET's
+    * logical columns bind BARE and the source's bind as `_src_<name>`
+    * (insert values see only `_src_` columns).
+    *
+    * Lands as ONE "merge" commit with [[mergeMor]]'s physical shape —
+    * fired target positions into a deletion vector, update + insert
+    * images appended, zero files rewritten — so the change feed and
+    * [[graft.operators.MatView]]'s signed fold treat it identically.
+    * SQL cardinality rule enforced: two source rows firing for the same
+    * target row fail loudly (never a silent double-image). Probe-first:
+    * nothing fired, nothing committed.
+    *
+    * Scale shape: the target side scans once and semi-joins the
+    * broadcast source keys before the pair join, so the 100 TB side
+    * never shuffles; masks and images are batch-sized. */
+  def mergeMorConditional(spark: SparkSession, table: String,
+                          source: DataFrame, keys: Seq[String],
+                          matched: Seq[MergeMatchedClause],
+                          notMatched: Seq[MergeNotMatchedInsert]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+      countDistinct, expr, lit, when}
+    require(keys.nonEmpty, "txlog: merge needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "txlog: merge needs at least one WHEN clause")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"txlog: merge source carries no key column '$k'"))
+    requireNonEmpty(spark, table, "merge")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val declared = schemaAt(spark, table, Some(base))
+    val target = liveAddressed(spark, table, base, live, declared)
+    val tgtSchema = org.apache.spark.sql.types.StructType(
+      target.schema.filterNot(f => f.name.startsWith("_g_dv_")))
+    val logicalCols = tgtSchema.fieldNames.toSeq
+    require(logicalCols.forall(c => !c.startsWith("_src_")),
+      "txlog: conditional merge reserves the _src_ column prefix")
+    matched.foreach {
+      case MergeMatchedUpdate(_, sets) =>
+        require(sets.nonEmpty, "txlog: UPDATE clause assigns no column")
+        sets.foreach { case (c, _) => require(logicalCols.contains(c),
+          s"txlog: merge UPDATE assigns unknown column '$c'") }
+      case _: MergeMatchedDelete => ()
+    }
+    notMatched.foreach { ins =>
+      require(ins.values.nonEmpty, "txlog: INSERT clause assigns no column")
+      ins.values.foreach { case (c, _) => require(logicalCols.contains(c),
+        s"txlog: merge INSERT assigns unknown column '$c'") }
+    }
+    // the source, namespaced: every column rides as _src_<name>. Tiny
+    // relative to the target at 100 TB — broadcast both joins below.
+    val src = source.select(
+      source.columns.map(c => col(c).as(s"_src_$c")).toSeq: _*)
+    def fireCol(conds: Seq[Option[String]]): org.apache.spark.sql.Column =
+      // first-true-wins: clause i fires iff its condition is true and no
+      // earlier clause's was (NULL conditions read as false, SQL WHEN)
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), rest) =>
+        when(coalesce(c.map(expr).getOrElse(lit(true)), lit(false)),
+          lit(i)).otherwise(rest)
+      }
+    // ---- matched side: pair join, fire, mask + update images ----
+    val joinCond = keys.map(k => target(k) === src(s"_src_$k"))
+      .reduce(_ && _)
+    val fired = target.join(broadcast(src), joinCond, "inner")
+      .withColumn("_g_fire", fireCol(matched.map(_.cond)))
+      .filter(col("_g_fire") >= 0)
+      .localCheckpoint(true) // batch-sized; guard + mask + images below
+    val guard = fired.agg(count(lit(1)),
+      countDistinct(col("_g_dv_file"), col("_g_dv_pos"))).head()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"txlog: merge fired ${guard.getLong(0)} times across " +
+        s"${guard.getLong(1)} target rows — multiple source rows match " +
+        "one target row (SQL MERGE cardinality violation); deduplicate " +
+        "the source")
+    val newPos = fired
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    val updIdx = matched.zipWithIndex.collect {
+      case (u: MergeMatchedUpdate, i) => (u.sets.toMap, i)
+    }
+    val updateImages = fired
+      .filter(col("_g_fire").isin(updIdx.map(_._2): _*))
+      .select(logicalCols.map { c =>
+        updIdx.foldRight(col(c)) { case ((sets, i), older) =>
+          sets.get(c).fold(older)(rhs =>
+            when(col("_g_fire") === i, expr(rhs)).otherwise(older))
+        }.as(c)
+      }: _*)
+    // ---- unmatched-source side: anti-join, fire, insert images ----
+    val tgtKeys = target.select(keys.map(col): _*).distinct()
+    val insImages = if (notMatched.isEmpty) None else {
+      val unmatched = src.join(broadcast(tgtKeys),
+        keys.map(k => src(s"_src_$k") === tgtKeys(k)).reduce(_ && _),
+        "left_anti")
+        .withColumn("_g_fire", fireCol(notMatched.map(_.cond)))
+        .filter(col("_g_fire") >= 0)
+      Some(unmatched.select(tgtSchema.map { f =>
+        notMatched.zipWithIndex.foldRight(
+          lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+          case ((ins, i), older) =>
+            ins.values.toMap.get(f.name).fold(older)(rhs =>
+              when(col("_g_fire") === i, expr(rhs).cast(f.dataType))
+                .otherwise(older))
+        }.as(f.name)
+      }: _*))
+    }
+    val images = insImages.fold(updateImages)(updateImages.unionByName(_))
+    requireFitsDeclared(spark, table, images, "merge")
+    if (images.isEmpty) {
+      // delete-only (or nothing-fired) batch: mask without images
+      return bindDeletionVectors(spark, table, base, newPos, live,
+        tag = "merge")
+    }
+    val rel = f"data/v${base + 1}%08d-merge-${uniq()}"
+    val dataDir = new Path(table, rel)
+    physicalize(images, declared).write.parquet(dataDir.toString)
     val adds = writtenFiles(spark, table, rel)
     try bindDeletionVectors(spark, table, base, newPos, live,
       adds = adds, tag = "merge", commitOnNoMatch = true)

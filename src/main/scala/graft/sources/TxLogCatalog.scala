@@ -79,7 +79,10 @@ class TxLogCatalog extends TableCatalog {
 
   /** `VERSION AS OF <v>` — the literal commit version. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.forall(_.isDigit),
+    // nonEmpty + length cap: "" and >19-digit literals must fail with
+    // the txlog message, not a raw NumberFormatException / overflow
+    require(version.nonEmpty && version.length <= 18 &&
+      version.forall(_.isDigit),
       s"txlog: VERSION AS OF takes a commit version, got '$version'")
     load(ident, Some(version.toLong))
   }

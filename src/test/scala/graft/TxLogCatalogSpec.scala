@@ -217,17 +217,97 @@ class TxLogCatalogSpec extends SparkSpec {
       "WHEN MATCHED THEN DELETE")
     assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
       .map(_.getString(0)).toSeq == Seq("b", "c"))
-    // unsupported shapes fail loudly, with the table untouched
+    // still-unsupported shapes fail loudly, with the table untouched
     val vs = TxLog.versions(spark, t).size
     val e = intercept[Exception] {
       spark.sql(s"MERGE INTO graft.`$t` t USING mrg_src s ON t.k = s.k " +
-        "WHEN MATCHED AND s.v > 5 THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT *")
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
     assert(e.getMessage.contains("library API") ||
-      e.getMessage.toLowerCase.contains("conditional"),
-      s"unexpected conditional-merge error: ${e.getMessage}")
+      e.getMessage.contains("BY SOURCE"),
+      s"unexpected by-source-merge error: ${e.getMessage}")
     assert(TxLog.versions(spark, t).size == vs)
+  }
+
+  test("conditional MERGE: AND-guarded UPDATE/DELETE/INSERT, partial sets, first-true-wins") {
+    val t = fresh("mrgc")
+    TxLog.append(spark, t,
+      Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L), ("d", 4L, 40L))
+        .toDF("k", "v", "w"))
+    Seq(("a", 100L), ("b", 200L), ("c", 300L), ("e", 500L), ("f", 5L))
+      .toDF("k", "nv").createOrReplaceTempView("mrgc_src")
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    // one statement: conditional delete, conditional partial update with
+    // a source-referencing RHS, conditional insert — clause order decides
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgc_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.nv >= 300 THEN DELETE " +
+      "WHEN MATCHED AND t.v < 2 THEN UPDATE SET v = s.nv + t.w " +
+      "WHEN MATCHED THEN UPDATE SET w = t.w * 10 " +
+      "WHEN NOT MATCHED AND s.nv > 100 THEN INSERT (k, v) VALUES (s.k, s.nv)")
+    // a: matched, nv=100<300, v=1<2 → v = 100+10 = 110, w stays 10
+    // b: matched, nv=200<300, v=2 not <2 → third clause: w = 200
+    // c: matched, nv=300 → deleted
+    // d: unmatched by source → untouched
+    // e: not matched, nv=500>100 → inserted (k,v)=(e,500), w NULL
+    // f: not matched, nv=5 not >100 → NOT inserted
+    val got = spark.sql(s"SELECT k, v, w FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(("a", 110L, 10L), ("b", 2L, 200L), ("d", 4L, 40L),
+      ("e", 500L, -1L)), s"conditional merge produced $got")
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "conditional MERGE must stay merge-on-read")
+    assert(TxLog.commitKind(spark, t, TxLog.latestVersion(spark, t))
+      .contains("merge"), "conditional MERGE lands ONE tagged merge commit")
+    // the whole statement is one commit
+    assert(TxLog.versions(spark, t).size == 2)
+    // RHS binds to the PRE-update row even across multiple assignments:
+    // a swap must swap (the r13 advice bug)
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgc_src s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k = 'a' THEN UPDATE SET v = t.w, w = t.v")
+    val a = spark.sql(s"SELECT v, w FROM graft.`$t` WHERE k = 'a'").head()
+    assert((a.getLong(0), a.getLong(1)) == ((10L, 110L)),
+      "UPDATE SET v = w, w = v must SWAP (RHS binds pre-update)")
+    // cardinality violation: two source rows firing for one target row
+    Seq(("b", 1L), ("b", 2L)).toDF("k", "nv")
+      .createOrReplaceTempView("mrgc_dup")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` t USING mrgc_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality") ||
+      e.getMessage.contains("multiple source rows"),
+      s"unexpected cardinality error: ${e.getMessage}")
+    // delete-only conditional merge masks without appending images
+    val filesBefore = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgc_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.nv = 500 THEN DELETE")
+    assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "d"))
+    assert(TxLog.snapshotFiles(spark, t).toSet == filesBefore,
+      "a delete-only conditional merge adds no data files")
+  }
+
+  test("conditional MERGE equals library mergeMorConditional; SQL UPDATE swap binds pre-row") {
+    val t = fresh("mrgl")
+    TxLog.append(spark, t, Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("k", "x", "y"))
+    // library-side conditional merge: same algebra, _src_ namespace
+    TxLog.mergeMorConditional(spark, t,
+      Seq(("a", 7L), ("z", 9L)).toDF("k", "nx"), Seq("k"),
+      matched = Seq(graft.sources.MergeMatchedUpdate(Some("_src_nx > x"),
+        Seq("x" -> "_src_nx", "y" -> "x + y"))),
+      notMatched = Seq(graft.sources.MergeNotMatchedInsert(None,
+        Seq("k" -> "_src_k", "x" -> "_src_nx"))))
+    val got = spark.sql(s"SELECT k, x, y FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(("a", 7L, 3L), ("b", 3L, 4L), ("z", 9L, -1L)),
+      s"library conditional merge produced $got")
+    // plain SQL UPDATE with a swap: the one-projection fix
+    spark.sql(s"UPDATE graft.`$t` SET x = y, y = x WHERE k = 'b'")
+    val b = spark.sql(s"SELECT x, y FROM graft.`$t` WHERE k = 'b'").head()
+    assert((b.getLong(0), b.getLong(1)) == ((4L, 3L)),
+      "UPDATE SET x = y, y = x must swap, not duplicate")
   }
 
   test("TRUNCATE TABLE routes through the MOR delete-all (zero files touched)") {
