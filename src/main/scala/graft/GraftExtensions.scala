@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: runs after the target/source resolve, before the
     // analyzer's row-level-operation support check would reject them)
     ext.injectPostHocResolutionRule(_ => graft.plans.TxLogDml)
+    // maintenance + MV DDL statements Spark's grammar lacks (OPTIMIZE /
+    // VACUUM / DESCRIBE HISTORY / CREATE|REFRESH MATERIALIZED VIEW) —
+    // a delegating parser, everything else passes through untouched
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -41,6 +41,31 @@ object MatView {
   /** appId for the applied-source-version marker inside the view log. */
   private val MvAppId = "graft-matview"
 
+  /** Commit-metadata key the view's persisted definition rides under. */
+  private val DefKey = "mv-definition"
+
+  private def encodeDef(src: String, keyCols: Seq[String],
+                        valCol: String): String =
+    (Seq(src, valCol) ++ keyCols).mkString("\n")
+
+  private def decodeDef(s: String): (String, Seq[String], String) = {
+    val parts = s.split("\n", -1).toSeq
+    require(parts.length >= 3, s"txlog: malformed mv definition: $s")
+    (parts(0), parts.drop(2), parts(1))
+  }
+
+  /** Refresh `mv` from its PERSISTED definition (the metadata the BUILD
+    * commit recorded — `REFRESH MATERIALIZED VIEW` needs no re-supplied
+    * plan). Loud when the table was not built through [[refresh]]. */
+  def refreshNamed(spark: SparkSession, mv: String): String = {
+    val defn = TxLog.commitMetas(spark, mv).getOrElse(DefKey,
+      throw new IllegalStateException(
+        s"txlog: $mv carries no persisted materialized-view definition — " +
+          "build it via MatView.refresh / CREATE MATERIALIZED VIEW first"))
+    val (src, keys, valCol) = decodeDef(defn)
+    refresh(spark, src, mv, keys, valCol)
+  }
+
   /** Aggregate `src`'s live rows AS OF `srcVersion` into a fresh view
     * frame (the full recompute — also the refresh's correctness
     * reference). Pinned: a source commit racing in after the caller
@@ -89,8 +114,13 @@ object MatView {
     def retry() = refreshOnce(spark, src, mv, keyCols, valCol, attemptsLeft - 1)
     val srcLatest = TxLog.latestVersion(spark, src)
     if (TxLog.versions(spark, mv).isEmpty) {
+      // the definition rides in the BUILD commit's metadata channel, so
+      // a later refresh needs no re-supplied plan (REFRESH MATERIALIZED
+      // VIEW resolves it via [[refreshNamed]])
       if (TxLog.appendIfEmpty(spark, mv,
-        fullAggregate(spark, src, srcLatest, keyCols, valCol), MvAppId, srcLatest))
+        fullAggregate(spark, src, srcLatest, keyCols, valCol), MvAppId, srcLatest,
+        metas = Seq(TxLog.metaPayload(DefKey,
+          encodeDef(src, keyCols, valCol)))))
         "build"
       else retry() // another builder won: fold on top of ITS state
     } else {
@@ -565,12 +595,62 @@ object MatView {
     materialize(spark, folded.orderBy("c_nationkey"))
   }
 
+  /** QW — the MV lifecycle run ENTIRELY through SQL ([[graft.plans
+    * .GraftSqlParser]]): CREATE MATERIALIZED VIEW builds the view and
+    * persists its definition in the build commit's metadata; the second
+    * source wave lands via SQL INSERT INTO; REFRESH MATERIALIZED VIEW —
+    * resolving the persisted definition, no re-supplied plan — folds it
+    * incrementally; a SQL DELETE on the source folds SIGNED through the
+    * next refresh (mode REQUIREd, so a silent recompute fallback fails
+    * the row); the final view is read back through SQL and must
+    * hash-match the closed-form GROUP BY over the surviving rows. */
+  def qwMvSql(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvsql", d, "src")
+    val mv = Fixtures.table("mvsql", d, "view")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+      s"MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+      s"FROM graft.`$src` GROUP BY lang").head().getString(0) == "build")
+    def refreshSql(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    val view = "graft_mvsql_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$src` " +
+      s"SELECT doc_id, lang, n_chars FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(refreshSql() == "incremental",
+      "an INSERT INTO commit must fold incrementally")
+    // a whole-GROUP erasure: the 'de' group's count reaches zero and the
+    // group must leave the view through the signed fold
+    spark.sql(s"DELETE FROM graft.`$src` WHERE lang = 'de'")
+    require(refreshSql() == "incremental-delete",
+      "a SQL DELETE must fold signed, not recompute")
+    require(refreshSql() == "noop")
+    val folded = spark.sql(
+      s"SELECT lang, cnt, total, vmin, vmax FROM graft.`$mv`")
+    certifyEqual(spark, mv, folded,
+      docs.filter(col("lang") =!= "de").groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total"),
+          min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax")),
+      "SQL-lifecycle fold != oracle aggregate from source parquet")
+    materialize(spark, folded.orderBy("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_mv_refresh" -> qwMvRefresh _,
     "qw_mv_join_refresh" -> qwMvJoinRefresh _,
-    "qw_mv_delete_fold" -> qwMvDeleteFold _)
+    "qw_mv_delete_fold" -> qwMvDeleteFold _,
+    "qw_mv_sql" -> qwMvSql _)
 
   val oracles: Map[String, String] = Map(
+    "qw_mv_sql" ->
+      ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+        "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+        "FROM documents WHERE lang <> 'de' " +
+        "GROUP BY lang ORDER BY lang"),
     "qw_mv_refresh" ->
       ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
         "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +

@@ -822,6 +822,47 @@ object Merge {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** QW26 — the SQL MAINTENANCE surface ([[graft.plans.GraftSqlParser]])
+    * under the hash gate: six micro-appends leave a small-file tail;
+    * `OPTIMIZE` bin-packs it (kind REQUIREd compact — the change feed
+    * skips it); `DESCRIBE HISTORY` must equal the library history
+    * row-for-row; `VACUUM RETAIN 1 VERSIONS` (age horizon 0 — this
+    * fixture is single-writer) physically deletes the superseded
+    * pre-pack files; `OPTIMIZE … ZORDER BY` re-clusters. The row is
+    * SERVED AFTER all four statements: full fidelity of the maintained
+    * table against the plain oracle scan. */
+  def qwSqlMaint(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmaint", d, "t")
+    (0 until 6).foreach(i => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 6 === i)))
+    val filesBefore = TxLog.snapshotFiles(spark, table).size
+    val v = spark.sql(s"OPTIMIZE graft.`$table`").head().getLong(0)
+    require(v == TxLog.latestVersion(spark, table) &&
+      TxLog.commitKind(spark, table, v).contains("compact"),
+      "txlog: SQL OPTIMIZE must land one compact-tagged commit")
+    require(TxLog.snapshotFiles(spark, table).size < filesBefore,
+      "txlog: SQL OPTIMIZE must consolidate the small-file tail")
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$table`").collect()
+    val libHist = TxLog.history(spark, table).collect()
+    require(hist.map(_.toSeq).toSeq == libHist.map(_.toSeq).toSeq,
+      "txlog: DESCRIBE HISTORY must equal the library history")
+    spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
+    try {
+      val n = spark.sql(s"VACUUM graft.`$table` RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      require(n >= 1L,
+        "txlog: VACUUM must delete the superseded pre-pack files")
+    } finally spark.conf.unset("spark.graft.vacuum.minFileAgeMs")
+    val vz = spark.sql(s"OPTIMIZE graft.`$table` ZORDER BY (doc_id, n_chars)")
+      .head().getLong(0)
+    require(TxLog.commitKind(spark, table, vz).contains("compact"),
+      "txlog: SQL ZORDER must land one compact-tagged commit")
+    spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+      "ORDER BY doc_id")
+  }
+
   /** QW19 — DROP PARTITION ([[graft.sources.TxLog.deletePartition]])
     * under the hash gate: documents lands in three lang-partitioned
     * range waves plus ONE plain (value-less) append, then the 'de'
@@ -867,6 +908,7 @@ object Merge {
     "qw_sql_dml" -> qwSqlDml _,
     "qw_sql_update" -> qwSqlUpdate _,
     "qw_sql_merge_cond" -> qwSqlMergeCond _,
+    "qw_sql_maint" -> qwSqlMaint _,
     "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
     "qw_partition_prune" -> qwPartitionPrune _,
@@ -900,6 +942,10 @@ object Merge {
       ("SELECT doc_id, lang, " +
         "CASE WHEN lang = 'de' THEN n_chars + 1000000 ELSE n_chars END " +
         "AS n_chars FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id"),
+    // served AFTER OPTIMIZE + VACUUM + ZORDER: maintenance must be
+    // invisible to readers
+    "qw_sql_maint" ->
+      ("SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
     // the conditional MERGE's closed form: the two LEFT JOIN legs replay
     // the first-true-wins clause algebra (delete, guarded update,
     // fallback update, guarded insert) over the same source mix

@@ -1,0 +1,262 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType,
+  LongType, StringType, StructType}
+
+import graft.operators.MatView
+import graft.sources.TxLog
+
+/** SQL surface for the TxLog maintenance + materialized-view operators —
+  * a DELEGATING parser (the public Delta `DeltaSqlParser` wiring,
+  * injected via `SparkSessionExtensions.injectParser`) that intercepts
+  * the statements Spark's grammar lacks and hands everything else to the
+  * session's own parser untouched:
+  *
+  *  - `OPTIMIZE graft.`/t``              → [[TxLog.optimizeBinPack]]
+  *  - `OPTIMIZE graft.`/t`` ZORDER BY (a, b)` → [[TxLog.optimizeZOrder]]
+  *    (output file count sized from live bytes / the session's target)
+  *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS]` → [[TxLog.vacuum]]
+  *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
+  *  - `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT k…, COUNT(*) AS
+  *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax FROM
+  *    graft.`/src` GROUP BY k…`          → [[MatView.refresh]] (build),
+  *    with the definition persisted in the view's commit metadata
+  *  - `REFRESH MATERIALIZED VIEW graft.`/mv`` → [[MatView.refreshNamed]]
+  *    (no re-supplied plan — the build commit carries the definition)
+  *
+  * The MV query is parsed by the REAL parser and pattern-matched as a
+  * plan, never regex-scraped, so whitespace/quoting/case all behave;
+  * any shape outside the canonical aggregate quadruple fails loudly
+  * with a pointer at the library API. Statements naming a non-`graft`
+  * table delegate (and fail with Spark's own error), so the extension
+  * never shadows another catalog's syntax. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*(?:DESC|DESCRIBE)\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*""".r
+
+  /** The TxLog path under a `graft.`-catalog identifier, if the text
+    * parses as one (same namespace-join rule as TxLogCatalog.path). */
+  private def graftPath(ident: String): Option[String] = {
+    val parts =
+      try delegate.parseMultipartIdentifier(ident)
+      catch { case _: Exception => return None }
+    if (parts.length >= 2 && parts.head.equalsIgnoreCase("graft"))
+      Some(parts.tail.mkString("/"))
+    else None
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case HistoryRe(ident) if graftPath(ident).isDefined =>
+      TxLogHistoryCommand(graftPath(ident).get)
+    case RefreshMvRe(ident) if graftPath(ident).isDefined =>
+      MatViewRefreshCommand(graftPath(ident).get)
+    case CreateMvRe(ident, query) if graftPath(ident).isDefined =>
+      val (src, keys, valCol) = parseMvQuery(query)
+      MatViewCreateCommand(graftPath(ident).get, src, keys, valCol)
+    case OptimizeRe(ident, zcols) if graftPath(ident).isDefined =>
+      val z = Option(zcols).map { s =>
+        val cols = s.split(",").map { c =>
+          delegate.parseMultipartIdentifier(c.trim) match {
+            case Seq(one) => one
+            case other => throw new UnsupportedOperationException(
+              s"txlog: ZORDER BY takes bare column names, got " +
+                other.mkString("."))
+          }
+        }.toSeq
+        require(cols.length == 2,
+          "txlog: OPTIMIZE ... ZORDER BY takes exactly two columns " +
+            s"(got ${cols.length}) — the interleave is two-axis")
+        (cols(0), cols(1))
+      }
+      TxLogOptimizeCommand(graftPath(ident).get, z)
+    case VacuumRe(ident, retain) if graftPath(ident).isDefined =>
+      TxLogVacuumCommand(graftPath(ident).get,
+        Option(retain).map(_.toInt).getOrElse(1))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  private def mvUnsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      "txlog: CREATE MATERIALIZED VIEW supports exactly `SELECT k…, " +
+        "COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS " +
+        "vmax FROM graft.`/src` GROUP BY k…` — the incrementally " +
+        s"maintainable aggregate shape (got: $what); other shapes go " +
+        "through the MatView library API (refresh/refreshJoin)")
+
+  /** Pattern-match the parsed (unresolved) MV query down to the
+    * canonical maintainable shape: (source path, key cols, value col). */
+  private def parseMvQuery(query: String): (String, Seq[String], String) = {
+    delegate.parsePlan(query) match {
+      case Aggregate(groupings, aggs, child, _) =>
+        val src = child match {
+          case r: UnresolvedRelation
+              if r.multipartIdentifier.length >= 2 &&
+                r.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+            r.multipartIdentifier.tail.mkString("/")
+          case other =>
+            mvUnsupported(s"source must be a graft.` ` table, not " +
+              other.getClass.getSimpleName)
+        }
+        val keys = groupings.map {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            a.nameParts.head
+          case other => mvUnsupported(s"grouping ${other.sql}")
+        }
+        if (aggs.length != keys.length + 4)
+          mvUnsupported(s"${aggs.length} select items for ${keys.length} keys")
+        aggs.take(keys.length).zip(keys).foreach {
+          case (a: UnresolvedAttribute, k)
+            if a.nameParts.length == 1 && a.nameParts.head == k => ()
+          case (other, k) =>
+            mvUnsupported(s"select item ${other.sql} must be the key $k")
+        }
+        def fnOf(e: Expression, alias: String): (String, Seq[Expression]) =
+          e match {
+            case Alias(f: UnresolvedFunction, name) if name == alias =>
+              (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments)
+            case other =>
+              mvUnsupported(s"select item ${other.sql} (expected an " +
+                s"aggregate aliased AS $alias)")
+          }
+        val Seq(cntE, totalE, vminE, vmaxE) = aggs.drop(keys.length)
+        fnOf(cntE, "cnt") match {
+          case ("count", Seq(_: UnresolvedStar)) => ()
+          case ("count", Seq(_: Literal)) => ()
+          case other => mvUnsupported(s"cnt must be COUNT(*), got $other")
+        }
+        def argCol(e: Expression, alias: String, fn: String): String =
+          fnOf(e, alias) match {
+            case (`fn`, Seq(a: UnresolvedAttribute))
+              if a.nameParts.length == 1 => a.nameParts.head
+            case other =>
+              mvUnsupported(s"$alias must be ${fn.toUpperCase}(col), got $other")
+          }
+        val valCol = argCol(totalE, "total", "sum")
+        val vmin = argCol(vminE, "vmin", "min")
+        val vmax = argCol(vmaxE, "vmax", "max")
+        if (vmin != valCol || vmax != valCol)
+          mvUnsupported(s"SUM/MIN/MAX must aggregate ONE column " +
+            s"(got $valCol/$vmin/$vmax)")
+        (src, keys, valCol)
+      case other =>
+        mvUnsupported(s"a ${other.getClass.getSimpleName} query")
+    }
+  }
+
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}
+
+/** `OPTIMIZE graft.`/t`` [ZORDER BY (a, b)]` — incremental bin-pack of
+  * the small-file tail, or a stats-recording z-order rewrite whose
+  * output file count is sized from the live bytes over the session's
+  * `spark.graft.optimize.targetBytes` (default 128 MiB). Returns the
+  * committed version (unchanged when nothing needed packing). */
+case class TxLogOptimizeCommand(table: String,
+                                zorder: Option[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = spark.conf
+      .get("spark.graft.optimize.targetBytes", (128L << 20).toString).toLong
+    val v = zorder match {
+      case None => TxLog.optimizeBinPack(spark, table, target)
+      case Some((a, b)) =>
+        val root = new org.apache.hadoop.fs.Path(table)
+        val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = TxLog.snapshotFiles(spark, table).map(p =>
+          fsys.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen).sum
+        val files = math.max(1L, (bytes + target - 1) / target).toInt
+        TxLog.optimizeZOrder(spark, table, files, a, b)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM graft.`/t`` [RETAIN n VERSIONS]` — delete data files only
+  * referenced by versions older than the retained tail AND older than
+  * `spark.graft.vacuum.minFileAgeMs` (default 1 day — the in-flight
+  * writer horizon; 0 = exact, single-writer only). Returns the count. */
+case class TxLogVacuumCommand(table: String, retainLast: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val age = spark.conf
+      .get("spark.graft.vacuum.minFileAgeMs", "86400000").toLong
+    Seq(Row(TxLog.vacuum(spark, table, retainLast, age).size.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.`/t`` — the commit log as rows (version,
+  * kind, action counts, txn markers, monotonized timestamps). */
+case class TxLogHistoryCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("n_adds", IntegerType, nullable = false)(),
+    AttributeReference("n_removes", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)(),
+    AttributeReference("declares_schema", BooleanType, nullable = false)(),
+    AttributeReference("txn_markers", StringType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.history(spark, table).collect().toSeq
+}
+
+/** `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT …` — builds the
+  * view ([[MatView.refresh]]'s build path) and persists the definition
+  * in the build commit's metadata. Returns the refresh mode taken. */
+case class MatViewCreateCommand(view: String, src: String,
+                                keyCols: Seq[String], valCol: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("mode", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(TxLog.versions(spark, view).isEmpty,
+      s"txlog: materialized view $view already exists " +
+        "(REFRESH MATERIALIZED VIEW to advance it)")
+    Seq(Row(MatView.refresh(spark, src, view, keyCols, valCol)))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW graft.`/mv`` — incremental refresh from
+  * the PERSISTED definition; returns the mode actually taken ("noop" /
+  * "incremental" / "incremental-delete" / "recompute"). */
+case class MatViewRefreshCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("mode", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(MatView.refreshNamed(spark, view)))
+}

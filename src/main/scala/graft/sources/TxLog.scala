@@ -161,11 +161,12 @@ object TxLog {
                         schemaB64: Option[String] = None,
                         txns: Seq[(String, Long)] = Seq.empty,
                         stats: Seq[String] = Seq.empty,
-                        dvs: Seq[String] = Seq.empty): Boolean = {
+                        dvs: Seq[String] = Seq.empty,
+                        metas: Seq[String] = Seq.empty): Boolean = {
     // Paths are engine-generated parquet names, but make the format's
     // contract explicit: the hand-rolled quote-split parse in
     // parseAction is only sound when paths carry no quote/backslash.
-    (adds ++ removes ++ stats ++ dvs).foreach { p =>
+    (adds ++ removes ++ stats ++ dvs ++ metas).foreach { p =>
       require(!p.contains('"') && !p.contains('\\'),
         s"txlog: path contains a character the commit format cannot carry: $p")
     }
@@ -181,9 +182,42 @@ object TxLog {
         adds.map(p => s"""{"a":"add","p":"$p"}""") ++
         removes.map(p => s"""{"a":"remove","p":"$p"}""") ++
         stats.map(s => s"""{"a":"stats","p":"$s"}""") ++
-        dvs.map(s => s"""{"a":"dv","p":"$s"}""")
+        dvs.map(s => s"""{"a":"dv","p":"$s"}""") ++
+        metas.map(m => s"""{"a":"meta","p":"$m"}""")
     tryCreateExclusive(spark, new Path(logDir(table), f"$version%08d.json"),
       lines.mkString("\n") + "\n")
+  }
+
+  /** Encode a commit-metadata entry (`key` → arbitrary `value`) for the
+    * metas channel: the value rides base64 so the quote-split commit
+    * format can carry any text (SQL, JSON). Key: lowercase + dashes. */
+  private[graft] def metaPayload(key: String, value: String): String = {
+    require(key.nonEmpty && key.forall(c => c.isLower || c == '-'),
+      s"txlog: meta key must be lowercase-with-dashes: $key")
+    key + "|" + java.util.Base64.getEncoder.encodeToString(
+      value.getBytes("UTF-8"))
+  }
+
+  /** All commit-metadata entries of `table` up to `asOf`, LAST value per
+    * key winning — the durable small-metadata channel (a materialized
+    * view's persisted definition rides here). Driver-side log scan,
+    * bounded by commit count like [[versions]]; meta lines live in the
+    * commit files themselves, which vacuum never deletes. */
+  def commitMetas(spark: SparkSession, table: String,
+                  asOf: Option[Long] = None): Map[String, String] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    versions(spark, table).filter(v => asOf.forall(v <= _)).foreach { v =>
+      readLogFile(spark, new Path(logDir(table), f"$v%08d.json")).foreach {
+        case ("meta", payload) =>
+          val cut = payload.indexOf('|')
+          require(cut > 0, s"txlog: malformed meta payload in $table: $payload")
+          acc(payload.substring(0, cut)) = new String(
+            java.util.Base64.getDecoder.decode(payload.substring(cut + 1)),
+            "UTF-8")
+        case _ => ()
+      }
+    }
+    acc.toMap
   }
 
   /** Short unique suffix for per-attempt data directories, so racing
@@ -202,7 +236,7 @@ object TxLog {
     val action = t(3)
     require(action == "add" || action == "remove" || action == "tag" ||
       action == "schema" || action == "txn" || action == "stats" ||
-      action == "dv",
+      action == "dv" || action == "meta",
       s"txlog: bad action in $where: $line")
     (action, t(7))
   }
@@ -493,6 +527,7 @@ object TxLog {
         case ("txn", _) => () // idempotence marker, see lastCommittedBatch
         case ("stats", _) => () // file stats, handled by statsPayloadsAt
         case ("dv", _) => () // deletion-vector binding, see dvPayloadsAt
+        case ("meta", _) => () // small-metadata channel, see commitMetas
       }
     }
     live.toSeq
@@ -963,6 +998,36 @@ object TxLog {
     val evolved = evolveSchema(cur,
       StructType(cur.fields :+ StructField(name, dataType, nullable = true)))
     commitSchemaOnly(spark, table, evolved, s"add $name")
+  }
+
+  /** WIDEN COLUMN — metadata-only type change along the safe promotion
+    * ladder ([[widens]]: byte→short→int→long, float→double,
+    * byte/short/int→double — exactly what Spark's vectorized parquet
+    * reader promotes natively). Zero files rewritten: old files read
+    * promoted under the new declared type; time travel to a pre-widen
+    * version reads that version's own (narrower) type. Narrowing or
+    * lossy changes (long→double, anything→string) fail LOUDLY — they
+    * would need a 100 TB rewrite this library refuses to do silently. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+                  to: DataType): Long = {
+    requireNonEmpty(spark, table, "widen")
+    val cur = schemaAt(spark, table).getOrElse(
+      StructType(read(spark, table).schema.fields.map(_.copy(nullable = true))))
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog: no column '$name' to widen " +
+          s"(have: ${cur.fieldNames.mkString(", ")})"))
+    require(f.dataType != to,
+      s"txlog: column '$name' is already ${to.catalogString}")
+    require(widens(f.dataType, to),
+      s"txlog: cannot change column '$name' from " +
+        s"${f.dataType.catalogString} to ${to.catalogString} — only the " +
+        "lossless promotions byte->short->int->long, float->double, " +
+        "byte/short/int->double are metadata-only; anything else would " +
+        "rewrite every file and is unsupported")
+    val widened = StructType(cur.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    commitSchemaOnly(spark, table, widened, s"widen $name")
   }
 
   /** DROP COLUMN — metadata-only: the field leaves the declared schema,
@@ -2828,7 +2893,8 @@ object TxLog {
     * ([[graft.operators.MatView]]'s build path). */
   def appendIfEmpty(spark: SparkSession, table: String, df: DataFrame,
                     appId: String, batchId: Long,
-                    extraTxns: Seq[(String, Long)] = Seq.empty): Boolean = {
+                    extraTxns: Seq[(String, Long)] = Seq.empty,
+                    metas: Seq[String] = Seq.empty): Boolean = {
     requireAppId(appId)
     extraTxns.foreach(t => requireAppId(t._1))
     requireFitsDeclared(spark, table, df, "append")
@@ -2837,7 +2903,7 @@ object TxLog {
       .write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
     if (tryCommit(spark, table, 0L, files, Seq.empty, None, None,
-      (appId, batchId) +: extraTxns)) true
+      (appId, batchId) +: extraTxns, metas = metas)) true
     else {
       val dir = new Path(table, rel)
       fs(spark, dir).delete(dir, true) // lost the build race: no orphans

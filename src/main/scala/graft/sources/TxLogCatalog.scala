@@ -174,6 +174,10 @@ class TxLogCatalog extends TableCatalog {
         TxLog.renameColumn(spark, p, one(rn.fieldNames()), rn.newName())
       case del: TableChange.DeleteColumn =>
         TxLog.dropColumn(spark, p, one(del.fieldNames()))
+      case upd: TableChange.UpdateColumnType =>
+        // metadata-only along the safe promotion ladder; lossy changes
+        // fail loudly inside widenColumn
+        TxLog.widenColumn(spark, p, one(upd.fieldNames()), upd.newDataType())
       case other => librarySide(s"ALTER TABLE change $other")
     }
     new TxLogV2Table(p, None)

@@ -322,6 +322,143 @@ class TxLogCatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; time travel reads each version's own type") {
+    val t = fresh("widen")
+    spark.sql(s"CREATE TABLE graft.`$t` (k STRING, v INT, f FLOAT)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES ('a', 1, CAST(0.5 AS FLOAT)), " +
+      "('b', 2, CAST(1.5 AS FLOAT))")
+    val files = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN f TYPE DOUBLE")
+    assert(TxLog.snapshotFiles(spark, t).toSet == files,
+      "type widening must touch zero data files")
+    // old (int/float) files read promoted under the widened declaration
+    val wide = spark.sql(s"SELECT v, f FROM graft.`$t` ORDER BY v")
+    assert(wide.schema.map(_.dataType.catalogString) ==
+      Seq("bigint", "double"))
+    assert(wide.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 0.5), (2L, 1.5)))
+    // new data can exceed the old type's range
+    spark.sql(s"INSERT INTO graft.`$t` VALUES ('c', 3000000000, 0.0)")
+    assert(spark.sql(s"SELECT SUM(v) FROM graft.`$t`").head().getLong(0) ==
+      3000000003L)
+    // time travel to the pre-widen version reads ITS OWN narrower type
+    assert(spark.sql(s"SELECT v FROM graft.`$t` VERSION AS OF 1")
+      .schema.head.dataType.catalogString == "int")
+    // narrowing is refused loudly, table untouched
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN v TYPE INT")
+    }
+    // Spark's analyzer already refuses non-up-casts (NOT_SUPPORTED_
+    // CHANGE_COLUMN); anything it let through would hit widenColumn's
+    // own loud guard
+    assert(e.getMessage.contains("unsupported") ||
+      e.getMessage.contains("cannot change column") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"unexpected narrowing error: ${e.getMessage}")
+    assert(spark.sql(s"SELECT v FROM graft.`$t`")
+      .schema.head.dataType.catalogString == "bigint")
+  }
+
+  test("OPTIMIZE bin-packs the small-file tail; ZORDER BY rewrites clustered — SQL equals library") {
+    val t = fresh("opt")
+    (0 until 6).foreach(i => TxLog.append(spark, t,
+      Seq((i.toLong, (i * 7 % 5).toLong)).toDF("a", "b")))
+    val rowsBefore = spark.sql(s"SELECT a, b FROM graft.`$t` ORDER BY a")
+      .collect().toSeq
+    val filesBefore = TxLog.snapshotFiles(spark, t).size
+    val v = spark.sql(s"OPTIMIZE graft.`$t`").head().getLong(0)
+    assert(v == TxLog.latestVersion(spark, t))
+    assert(TxLog.commitKind(spark, t, v).contains("compact"),
+      "OPTIMIZE lands tagged compact (the change feed skips it)")
+    assert(TxLog.snapshotFiles(spark, t).size < filesBefore,
+      "OPTIMIZE must consolidate the small-file tail")
+    assert(spark.sql(s"SELECT a, b FROM graft.`$t` ORDER BY a")
+      .collect().toSeq == rowsBefore, "OPTIMIZE must not change rows")
+    // z-order flavor: same rows, tagged compact, stats recorded
+    val vz = spark.sql(s"OPTIMIZE graft.`$t` ZORDER BY (a, b)")
+      .head().getLong(0)
+    assert(vz == TxLog.latestVersion(spark, t))
+    assert(TxLog.commitKind(spark, t, vz).contains("compact"))
+    assert(spark.sql(s"SELECT a, b FROM graft.`$t` ORDER BY a")
+      .collect().toSeq == rowsBefore, "ZORDER must not change rows")
+  }
+
+  test("VACUUM deletes unretained files past the age horizon; DESCRIBE HISTORY lists commits") {
+    val t = fresh("vac")
+    TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
+    TxLog.append(spark, t, Seq(("b", 2L)).toDF("k", "v"))
+    TxLog.compact(spark, t)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$t`").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(hist.last.getString(1) == "compact")
+    val libHist = TxLog.history(spark, t).collect()
+    assert(hist.map(_.toSeq).toSeq == libHist.map(_.toSeq).toSeq,
+      "DESCRIBE HISTORY must equal the library history row-for-row")
+    // age horizon honored: default 1 day deletes nothing
+    assert(spark.sql(s"VACUUM graft.`$t`").head().getLong(0) == 0L,
+      "a fresh file is inside the in-flight-writer horizon")
+    spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
+    try {
+      val n = spark.sql(s"VACUUM graft.`$t` RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      assert(n >= 2L, s"expected the pre-compaction files deleted, got $n")
+      assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
+        .map(_.getString(0)).toSeq == Seq("a", "b"),
+        "the retained snapshot must stay fully readable after VACUUM")
+    } finally spark.conf.unset("spark.graft.vacuum.minFileAgeMs")
+  }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW: definition persists in the view's commit metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mv").toString
+    val (src, mv) = (dir + "/src", dir + "/view")
+    TxLog.append(spark, src,
+      Seq(("x", 1L), ("y", 2L), ("x", 3L)).toDF("k", "v"))
+    val mode = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT k, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax FROM graft.`$src` GROUP BY k").head().getString(0)
+    assert(mode == "build")
+    // refresh needs NO re-supplied plan: the definition rides in the
+    // build commit's metadata channel
+    TxLog.append(spark, src, Seq(("y", 10L), ("z", 5L)).toDF("k", "v"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental")
+    val got = spark.sql(
+      s"SELECT k, cnt, total, vmin, vmax FROM graft.`$mv` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("x", 2L, 4L, 1L, 3L), ("y", 2L, 12L, 2L, 10L),
+      ("z", 1L, 5L, 5L, 5L)), s"materialized view rows: $got")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "noop")
+    // a MOR delete on the source folds signed through the SQL refresh
+    spark.sql(s"DELETE FROM graft.`$src` WHERE v = 2")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental-delete")
+    assert(spark.sql(s"SELECT cnt, total FROM graft.`$mv` WHERE k = 'y'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+    // loud contracts: duplicate CREATE, non-canonical shape, not-an-MV
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+        s"SELECT k, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+        s"MAX(v) AS vmax FROM graft.`$src` GROUP BY k")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val shape = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dir/v2` AS " +
+        s"SELECT k, AVG(v) AS a FROM graft.`$src` GROUP BY k")
+    }
+    assert(shape.getMessage.contains("library API") ||
+      shape.getMessage.contains("supports exactly"),
+      s"unexpected shape error: ${shape.getMessage}")
+    val notMv = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$src`")
+    }
+    assert(notMv.getMessage.contains("no persisted materialized-view"),
+      s"unexpected not-an-MV error: ${notMv.getMessage}")
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
