@@ -28,9 +28,10 @@ import Mp4.{BitReader, BitWriter, Mp4Malformed, Pps, Sps,
   *  - QUARANTINES everything the subset excludes, loudly as None:
   *    CABAC slices, any entropy-coded macroblock (mb_type ≠ I_PCM),
   *    non-I slices, chroma formats ≠ 4:2:0, field coding, multi-slice
-  *    offsets. CAVLC/CABAC residual decode stays the one documented
-  *    exclusion of the multimodal surface — a wrong decoder is worse
-  *    than an honest None.
+  *    offsets. Entropy-coded residual decode lives in [[H264Cavlc]]
+  *    (the dense-residual CAVLC subset); what remains excluded —
+  *    sparse-residual VLC tables, CABAC — is adjudicated there: a
+  *    wrong decoder is worse than an honest None.
   *
   * Composed with [[Mp4]], this is MP4 → avcC SPS/PPS → IDR slice →
   * PIXELS end to end, scan-side in `mapPartitions`, zero shuffle. */

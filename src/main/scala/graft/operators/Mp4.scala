@@ -201,8 +201,13 @@ object Mp4 {
   }
 
   /** Minimal PPS NAL (entropy_coding_mode=0): carried in avcC because
-    * the box demands one; its fields are not needed for demux. */
-  def writePps(): Array[Byte] = {
+    * the box demands one. `deblockingControl=1` lets a slice header
+    * carry `disable_deblocking_filter_idc` — the CAVLC fixtures
+    * ([[H264Cavlc]]) disable the in-loop filter explicitly so decoded
+    * pixels are exact at any QP (the PCM fixtures don't need it: at
+    * their implied QP the filter thresholds are zero). */
+  def writePps(picInitQpMinus26: Int = 0,
+               deblockingControl: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0) // pic_parameter_set_id
     bw.ue(0) // seq_parameter_set_id
@@ -213,10 +218,10 @@ object Mp4 {
     bw.ue(0) // num_ref_idx_l1_default_active_minus1
     bw.u(0, 1) // weighted_pred_flag
     bw.u(0, 2) // weighted_bipred_idc
-    bw.se(0) // pic_init_qp_minus26
+    bw.se(picInitQpMinus26) // pic_init_qp_minus26
     bw.se(0) // pic_init_qs_minus26
     bw.se(0) // chroma_qp_index_offset
-    bw.u(0, 1) // deblocking_filter_control_present_flag
+    bw.u(deblockingControl, 1) // deblocking_filter_control_present_flag
     bw.u(0, 1) // constrained_intra_pred_flag
     bw.u(0, 1) // redundant_pic_cnt_present_flag
     bw.stopAndAlign()
@@ -309,7 +314,8 @@ object Mp4 {
     * box is validated by structure but not retained). */
   case class Pps(entropyCoding: Int, bottomFieldPicOrder: Int,
                  numSliceGroups: Int, deblockingControl: Int,
-                 redundantPicCnt: Int)
+                 redundantPicCnt: Int, picInitQpMinus26: Int = 0,
+                 chromaQpIndexOffset: Int = 0)
 
   /** Parse a PPS NAL — the subset of §7.3.2.2 up to the fields the
     * slice header conditions on (everything after
@@ -330,13 +336,14 @@ object Mp4 {
     r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
     r.u(1) // weighted_pred_flag
     r.u(2) // weighted_bipred_idc
-    r.se() // pic_init_qp_minus26
+    val picInitQp = r.se() // pic_init_qp_minus26
     r.se() // pic_init_qs_minus26
-    r.se() // chroma_qp_index_offset
+    val chromaQpOff = r.se() // chroma_qp_index_offset
     val deblocking = r.u(1)
     r.u(1) // constrained_intra_pred_flag
     val redundant = r.u(1)
-    Pps(entropy, bottomField, groups, deblocking, redundant)
+    Pps(entropy, bottomField, groups, deblocking, redundant,
+      picInitQp, chromaQpOff)
   }
 
   // ─────────────────────────────────────────────────────────────────
