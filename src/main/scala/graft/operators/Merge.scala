@@ -779,13 +779,15 @@ object Merge {
   /** QW25 — CONDITIONAL SQL MERGE ([[graft.plans.TxLogDml]] →
     * [[graft.sources.TxLog.mergeMorConditional]]) under the hash gate:
     * one statement carries a guarded DELETE, a guarded partial UPDATE
-    * whose RHS reads the source, an unguarded partial UPDATE, and a
-    * guarded INSERT — first-true-wins per row, landed as ONE
-    * merge-on-read commit (fired positions masked, update+insert images
-    * appended, zero files rewritten). The source mixes matched keys
-    * (every doc_id ≡ 0 mod 4, value doubled) with keys the table has
-    * never seen (negated ids) so every clause actually fires; the
-    * closed-form oracle replays the same algebra as two LEFT JOINs. */
+    * whose RHS reads the source, an unguarded partial UPDATE, a
+    * guarded INSERT, and BOTH `WHEN NOT MATCHED BY SOURCE` flavors (a
+    * guarded UPDATE that shadows a guarded DELETE — first-true-wins) —
+    * all landed as ONE merge-on-read commit (fired positions masked,
+    * update+insert images appended, zero files rewritten). The source
+    * mixes matched keys (every doc_id ≡ 0 mod 4, value doubled) with
+    * keys the table has never seen (negated ids) so every clause
+    * actually fires; the closed-form oracle replays the same algebra
+    * as two LEFT JOINs. */
   def qwSqlMergeCond(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
@@ -809,7 +811,10 @@ object Merge {
         "WHEN MATCHED AND t.lang = 'en' THEN UPDATE SET n_chars = s.nv + 5 " +
         "WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 7 " +
         "WHEN NOT MATCHED AND s.lang <> 'de' THEN " +
-        "INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.nv)")
+        "INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.nv) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr' THEN " +
+        "UPDATE SET n_chars = t.n_chars + 50000 " +
+        "WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 9 THEN DELETE")
       require(TxLog.versions(spark, table).size == vs + 1,
         "txlog: the whole conditional MERGE must land as ONE commit")
       require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
@@ -947,8 +952,8 @@ object Merge {
     "qw_sql_maint" ->
       ("SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
     // the conditional MERGE's closed form: the two LEFT JOIN legs replay
-    // the first-true-wins clause algebra (delete, guarded update,
-    // fallback update, guarded insert) over the same source mix
+    // the first-true-wins clause algebra (matched delete/updates,
+    // guarded insert, and the BY SOURCE update-shadows-delete pair)
     "qw_sql_merge_cond" ->
       ("WITH src AS (" +
         "SELECT doc_id, lang, n_chars * 2 AS nv FROM documents " +
@@ -958,11 +963,13 @@ object Merge {
         "WHERE doc_id % 9 = 4) " +
         "SELECT doc_id, lang, n_chars FROM (" +
         "SELECT t.doc_id AS doc_id, t.lang AS lang, " +
-        "CASE WHEN s.doc_id IS NULL THEN t.n_chars " +
+        "CASE WHEN s.doc_id IS NULL THEN " +
+        "CASE WHEN t.lang = 'fr' THEN t.n_chars + 50000 ELSE t.n_chars END " +
         "WHEN t.lang = 'en' THEN s.nv + 5 " +
         "ELSE t.n_chars + 7 END AS n_chars " +
         "FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id " +
-        "WHERE s.doc_id IS NULL OR s.nv <= 2000 " +
+        "WHERE (s.doc_id IS NOT NULL AND s.nv <= 2000) " +
+        "OR (s.doc_id IS NULL AND (t.lang = 'fr' OR t.doc_id % 10 <> 9)) " +
         "UNION ALL " +
         "SELECT s.doc_id, s.lang, s.nv " +
         "FROM src s LEFT JOIN documents t ON t.doc_id = s.doc_id " +

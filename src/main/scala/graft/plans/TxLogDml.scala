@@ -30,16 +30,17 @@ import graft.sources.{MergeMatchedClause, MergeMatchedDelete,
   *    [[TxLog.deleteKeysMor]] — erase-by-id-list, broadcast semi-join;
   *  - every other well-formed clause algebra — `WHEN MATCHED AND cond
   *    THEN UPDATE SET c = expr` (partial columns), conditional DELETE,
-  *    multiple matched clauses, conditional/partial INSERT —
-  *    → [[TxLog.mergeMorConditional]], first-true-wins per row, one
-  *    merge-on-read commit.
+  *    multiple matched clauses, conditional/partial INSERT, and
+  *    `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` —
+  *    → [[TxLog.mergeMorConditional]], first-true-wins per clause
+  *    list, ONE merge-on-read commit.
   *
   * What still fails LOUDLY (with a pointer at the library API — never
-  * a silently different semantic): non-equi ON, `WHEN NOT MATCHED BY
-  * SOURCE`, `MERGE WITH SCHEMA EVOLUTION`. Resolved expressions are
-  * re-rendered as SQL (qualifiers stripped; source columns namespaced
-  * `_src_<name>` on the conditional path) so the library entry points
-  * bind them against the scan exactly as a user-written predicate. */
+  * a silently different semantic): non-equi ON and `MERGE WITH SCHEMA
+  * EVOLUTION`. Resolved expressions are re-rendered as SQL (qualifiers
+  * stripped; source columns namespaced `_src_<name>` on the
+  * conditional path) so the library entry points bind them against the
+  * scan exactly as a user-written predicate. */
 object TxLogDml extends Rule[LogicalPlan] {
 
   private def unsupported(what: String): Nothing =
@@ -90,8 +91,6 @@ object TxLogDml extends Rule[LogicalPlan] {
         val table = requireLive(txTable(target).get)
         if (withSchemaEvolution) unsupported(
           "MERGE WITH SCHEMA EVOLUTION (evolve via TxLog.appendEvolve first)")
-        if (bySource.nonEmpty) unsupported(
-          "MERGE ... WHEN NOT MATCHED BY SOURCE")
         val sourceOut = source.outputSet
         val targetOut = target.outputSet
         // ON must be a conjunction of same-name target=source equalities
@@ -160,30 +159,35 @@ object TxLogDml extends Rule[LogicalPlan] {
             }
           }
 
-        (matched, notMatched) match {
+        (matched, notMatched, bySource) match {
           // canonical upsert: UPDATE-all + INSERT-all with agreeing images
-          case (Seq(up: UpdateAction), Seq(ins: InsertAction))
+          case (Seq(up: UpdateAction), Seq(ins: InsertAction), Seq())
               if canonicalUpsert(up, ins).isDefined =>
             TxLogMergeCommand(table, canonicalUpsert(up, ins).get,
               keys.map(_._1), delete = false)
           // erase-by-key: a sole unconditional MATCHED DELETE
-          case (Seq(del: DeleteAction), Seq()) if del.condition.isEmpty =>
+          case (Seq(del: DeleteAction), Seq(), Seq())
+              if del.condition.isEmpty =>
             val image = Project(keys.map { case (k, srcExpr) =>
               Alias(srcExpr, k)() }, source)
             TxLogMergeCommand(table, image, keys.map(_._1), delete = true)
           // everything else well-formed: the generic conditional merge —
           // WHEN MATCHED [AND c] THEN UPDATE SET col = expr… / DELETE,
-          // WHEN NOT MATCHED [AND c] THEN INSERT, first-true-wins
+          // WHEN NOT MATCHED [AND c] THEN INSERT, WHEN NOT MATCHED BY
+          // SOURCE [AND c] THEN UPDATE/DELETE — first-true-wins per list
           case _ =>
-            val mClauses = matched.map {
-              case u: UpdateAction =>
-                MergeMatchedUpdate(u.condition.map(sqlOfNs),
-                  assignsOf(u.assignments))
-              case d: DeleteAction =>
-                MergeMatchedDelete(d.condition.map(sqlOfNs))
-              case other => unsupported(
-                s"MERGE matched action ${other.getClass.getSimpleName}")
-            }
+            def updateOrDelete(actions: Seq[
+              org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+                               what: String): Seq[MergeMatchedClause] =
+              actions.map {
+                case u: UpdateAction =>
+                  MergeMatchedUpdate(u.condition.map(sqlOfNs),
+                    assignsOf(u.assignments))
+                case d: DeleteAction =>
+                  MergeMatchedDelete(d.condition.map(sqlOfNs))
+                case other => unsupported(
+                  s"MERGE $what action ${other.getClass.getSimpleName}")
+              }
             val nmClauses = notMatched.map {
               case i: InsertAction =>
                 MergeNotMatchedInsert(i.condition.map(sqlOfNs),
@@ -192,7 +196,8 @@ object TxLogDml extends Rule[LogicalPlan] {
                 s"MERGE not-matched action ${other.getClass.getSimpleName}")
             }
             TxLogMergeCondCommand(table, source, keys.map(_._1),
-              mClauses, nmClauses)
+              updateOrDelete(matched, "matched"), nmClauses,
+              updateOrDelete(bySource, "not-matched-by-source"))
         }
     }
 
@@ -242,11 +247,13 @@ case class TxLogMergeCommand(table: String, image: LogicalPlan,
 case class TxLogMergeCondCommand(table: String, source: LogicalPlan,
                                  keys: Seq[String],
                                  matched: Seq[MergeMatchedClause],
-                                 notMatched: Seq[MergeNotMatchedInsert])
+                                 notMatched: Seq[MergeNotMatchedInsert],
+                                 bySource: Seq[MergeMatchedClause] = Seq.empty)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.mergeMorConditional(spark, table,
-      GraftSqlShims.ofRows(spark, source), keys, matched, notMatched)
+      GraftSqlShims.ofRows(spark, source), keys, matched, notMatched,
+      bySource)
     Seq.empty
   }
 }

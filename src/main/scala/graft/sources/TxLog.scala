@@ -20,9 +20,11 @@ class TxLogConcurrentModificationException(msg: String)
 private[sources] class TxLogDuplicateBatchException(msg: String)
   extends RuntimeException(msg)
 
-/** One `WHEN MATCHED` clause of [[TxLog.mergeMorConditional]]. `cond`
-  * and every assignment RHS are SQL over the merge namespace: target
-  * columns bind bare, source columns bind as `_src_<name>`. */
+/** One `WHEN MATCHED` (or `WHEN NOT MATCHED BY SOURCE`) clause of
+  * [[TxLog.mergeMorConditional]]. `cond` and every assignment RHS are
+  * SQL over the merge namespace: target columns bind bare, source
+  * columns bind as `_src_<name>` (BY SOURCE clauses see only target
+  * columns — there is no source row). */
 sealed trait MergeMatchedClause { def cond: Option[String] }
 /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …` — a partial
   * column list; unassigned columns keep the old row's value. */
@@ -2712,10 +2714,13 @@ object TxLog {
     * partial column lists, or `THEN DELETE`); not-matched clauses fire
     * first-true-wins per unmatched SOURCE row (`WHEN NOT MATCHED
     * [AND cond] THEN INSERT`, unassigned columns land typed NULL). A
-    * matched row no clause fires for stays untouched. Clause conditions
-    * and assignment RHS are SQL over a namespace where the TARGET's
-    * logical columns bind BARE and the source's bind as `_src_<name>`
-    * (insert values see only `_src_` columns).
+    * matched row no clause fires for stays untouched; `bySource`
+    * clauses (`WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE /
+    * DELETE`) fire first-true-wins per target row WITHOUT a source
+    * match. Clause conditions and assignment RHS are SQL over a
+    * namespace where the TARGET's logical columns bind BARE and the
+    * source's bind as `_src_<name>` (insert values see only `_src_`
+    * columns; BY SOURCE clauses see only target columns).
     *
     * Lands as ONE "merge" commit with [[mergeMor]]'s physical shape —
     * fired target positions into a deletion vector, update + insert
@@ -2731,11 +2736,12 @@ object TxLog {
   def mergeMorConditional(spark: SparkSession, table: String,
                           source: DataFrame, keys: Seq[String],
                           matched: Seq[MergeMatchedClause],
-                          notMatched: Seq[MergeNotMatchedInsert]): Long = {
+                          notMatched: Seq[MergeNotMatchedInsert],
+                          bySource: Seq[MergeMatchedClause] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
       countDistinct, expr, lit, when}
     require(keys.nonEmpty, "txlog: merge needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "txlog: merge needs at least one WHEN clause")
     keys.foreach(k => require(source.columns.contains(k),
       s"txlog: merge source carries no key column '$k'"))
@@ -2749,7 +2755,7 @@ object TxLog {
     val logicalCols = tgtSchema.fieldNames.toSeq
     require(logicalCols.forall(c => !c.startsWith("_src_")),
       "txlog: conditional merge reserves the _src_ column prefix")
-    matched.foreach {
+    (matched ++ bySource).foreach {
       case MergeMatchedUpdate(_, sets) =>
         require(sets.nonEmpty, "txlog: UPDATE clause assigns no column")
         sets.foreach { case (c, _) => require(logicalCols.contains(c),
@@ -2799,6 +2805,32 @@ object TxLog {
             when(col("_g_fire") === i, expr(rhs)).otherwise(older))
         }.as(c)
       }: _*)
+    // ---- unmatched-TARGET side (WHEN NOT MATCHED BY SOURCE): the
+    // source keys broadcast into a left-anti probe of the one target
+    // scan; masks and images stay bounded by the FIRED rows, so a
+    // selective condition keeps the commit batch-sized even though the
+    // clause's domain is the whole unmatched table ----
+    val bySourceSides = if (bySource.isEmpty) None else {
+      val srcKeys = src
+        .select(keys.map(k => col(s"_src_$k").as(k)): _*).distinct()
+      val firedBs = target.join(broadcast(srcKeys), keys, "left_anti")
+        .withColumn("_g_fire", fireCol(bySource.map(_.cond)))
+        .filter(col("_g_fire") >= 0)
+        .localCheckpoint(true) // consumed by the mask AND the images
+      val bsUpdIdx = bySource.zipWithIndex.collect {
+        case (u: MergeMatchedUpdate, i) => (u.sets.toMap, i)
+      }
+      val img = firedBs
+        .filter(col("_g_fire").isin(bsUpdIdx.map(_._2): _*))
+        .select(logicalCols.map { c =>
+          bsUpdIdx.foldRight(col(c)) { case ((sets, i), older) =>
+            sets.get(c).fold(older)(rhs =>
+              when(col("_g_fire") === i, expr(rhs)).otherwise(older))
+          }.as(c)
+        }: _*)
+      Some((firedBs.select(col("_g_dv_file").as("file"),
+        col("_g_dv_pos").as("pos")), img))
+    }
     // ---- unmatched-source side: anti-join, fire, insert images ----
     val tgtKeys = target.select(keys.map(col): _*).distinct()
     val insImages = if (notMatched.isEmpty) None else {
@@ -2817,18 +2849,21 @@ object TxLog {
         }.as(f.name)
       }: _*))
     }
-    val images = insImages.fold(updateImages)(updateImages.unionByName(_))
+    val allPos = bySourceSides.fold(newPos)(s => newPos.unionByName(s._1))
+    val withBs = bySourceSides.fold(updateImages)(s =>
+      updateImages.unionByName(s._2))
+    val images = insImages.fold(withBs)(withBs.unionByName(_))
     requireFitsDeclared(spark, table, images, "merge")
     if (images.isEmpty) {
       // delete-only (or nothing-fired) batch: mask without images
-      return bindDeletionVectors(spark, table, base, newPos, live,
+      return bindDeletionVectors(spark, table, base, allPos, live,
         tag = "merge")
     }
     val rel = f"data/v${base + 1}%08d-merge-${uniq()}"
     val dataDir = new Path(table, rel)
     physicalize(images, declared).write.parquet(dataDir.toString)
     val adds = writtenFiles(spark, table, rel)
-    try bindDeletionVectors(spark, table, base, newPos, live,
+    try bindDeletionVectors(spark, table, base, allPos, live,
       adds = adds, tag = "merge", commitOnNoMatch = true)
     catch { case e: Throwable =>
       fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race

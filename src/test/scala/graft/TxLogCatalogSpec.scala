@@ -220,13 +220,47 @@ class TxLogCatalogSpec extends SparkSpec {
     // still-unsupported shapes fail loudly, with the table untouched
     val vs = TxLog.versions(spark, t).size
     val e = intercept[Exception] {
-      spark.sql(s"MERGE INTO graft.`$t` t USING mrg_src s ON t.k = s.k " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t " +
+        "USING mrg_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e.getMessage.contains("library API") ||
-      e.getMessage.contains("BY SOURCE"),
-      s"unexpected by-source-merge error: ${e.getMessage}")
+      e.getMessage.contains("SCHEMA EVOLUTION") ||
+      e.getMessage.contains("appendEvolve"),
+      s"unexpected schema-evolution-merge error: ${e.getMessage}")
     assert(TxLog.versions(spark, t).size == vs)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
+    val t = fresh("mrgbs")
+    TxLog.append(spark, t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v"))
+    Seq(("a", 10L)).toDF("k", "nv").createOrReplaceTempView("mrgbs_src")
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgbs_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v = 2 THEN UPDATE SET v = t.v * 100 " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v >= 2 THEN DELETE")
+    // a matched → 10; b unmatched, first clause wins (UPDATE, not the
+    // shadowing DELETE) → 200; c,d unmatched v>=2 → deleted... c has
+    // v=3 >= 2 → deleted; d v=4 → deleted
+    val got = spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 10L), ("b", 200L)),
+      s"BY SOURCE merge produced $got")
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "BY SOURCE merge must stay merge-on-read")
+    assert(TxLog.versions(spark, t).size == 2,
+      "the whole statement lands as ONE commit")
+    // library flavor: BY SOURCE clauses see target columns only
+    graft.sources.TxLog.mergeMorConditional(spark, t,
+      Seq(("zzz", 0L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq.empty,
+      notMatched = Seq.empty,
+      bySource = Seq(graft.sources.MergeMatchedUpdate(Some("k = 'a'"),
+        Seq("v" -> "v + 1"))))
+    assert(spark.sql(s"SELECT v FROM graft.`$t` WHERE k = 'a'")
+      .head().getLong(0) == 11L)
   }
 
   test("conditional MERGE: AND-guarded UPDATE/DELETE/INSERT, partial sets, first-true-wins") {
