@@ -41,8 +41,10 @@ object MatView {
   /** appId for the applied-source-version marker inside the view log. */
   private val MvAppId = "graft-matview"
 
-  /** Commit-metadata key the view's persisted definition rides under. */
+  /** Commit-metadata keys the view's persisted definition rides under
+    * (single-table and join flavors). */
   private val DefKey = "mv-definition"
+  private val DefJoinKey = "mv-definition-join"
 
   private def encodeDef(src: String, keyCols: Seq[String],
                         valCol: String): String =
@@ -54,16 +56,38 @@ object MatView {
     (parts(0), parts.drop(2), parts(1))
   }
 
+  private def encodeJoinDef(fact: String, dim: String, joinKeys: Seq[String],
+                            keyCols: Seq[String], valCol: String,
+                            factFilter: Option[String]): String =
+    Seq(fact, dim, valCol, factFilter.getOrElse(""),
+      joinKeys.mkString(","), keyCols.mkString(",")).mkString("\n")
+
+  private def decodeJoinDef(s: String)
+  : (String, String, Seq[String], Seq[String], String, Option[String]) = {
+    val p = s.split("\n", -1).toSeq
+    require(p.length == 6, s"txlog: malformed join-mv definition: $s")
+    (p(0), p(1), p(4).split(",").toSeq, p(5).split(",").toSeq, p(2),
+      Some(p(3)).filter(_.nonEmpty))
+  }
+
   /** Refresh `mv` from its PERSISTED definition (the metadata the BUILD
     * commit recorded — `REFRESH MATERIALIZED VIEW` needs no re-supplied
-    * plan). Loud when the table was not built through [[refresh]]. */
+    * plan; dispatches to [[refresh]] or [[refreshJoin]] by the stored
+    * flavor). Loud when the table was not built through either. */
   def refreshNamed(spark: SparkSession, mv: String): String = {
-    val defn = TxLog.commitMetas(spark, mv).getOrElse(DefKey,
-      throw new IllegalStateException(
-        s"txlog: $mv carries no persisted materialized-view definition — " +
-          "build it via MatView.refresh / CREATE MATERIALIZED VIEW first"))
-    val (src, keys, valCol) = decodeDef(defn)
-    refresh(spark, src, mv, keys, valCol)
+    val metas = TxLog.commitMetas(spark, mv)
+    metas.get(DefJoinKey) match {
+      case Some(d) =>
+        val (fact, dim, joinKeys, keyCols, valCol, filter) = decodeJoinDef(d)
+        refreshJoin(spark, fact, dim, mv, joinKeys, keyCols, valCol, filter)
+      case None =>
+        val defn = metas.getOrElse(DefKey,
+          throw new IllegalStateException(
+            s"txlog: $mv carries no persisted materialized-view definition " +
+              "— build it via MatView.refresh / CREATE MATERIALIZED VIEW first"))
+        val (src, keys, valCol) = decodeDef(defn)
+        refresh(spark, src, mv, keys, valCol)
+    }
   }
 
   /** Aggregate `src`'s live rows AS OF `srcVersion` into a fresh view
@@ -300,8 +324,13 @@ object MatView {
       joinKeys, keyCols, valCol, factFilter)
     val marks = Seq((MvjFactId, factLatest), (MvjDimId, dimLatest))
     if (TxLog.versions(spark, mv).isEmpty) {
+      // the join definition rides in the BUILD commit's metadata, so
+      // REFRESH MATERIALIZED VIEW resolves it via [[refreshNamed]]
       if (TxLog.appendIfEmpty(spark, mv, fullView, MvjAppId,
-        factLatest + dimLatest, extraTxns = marks)) "build"
+        factLatest + dimLatest, extraTxns = marks,
+        metas = Seq(TxLog.metaPayload(DefJoinKey,
+          encodeJoinDef(fact, dim, joinKeys, keyCols, valCol, factFilter)))))
+        "build"
       else retry()
     } else {
       val mvBase = TxLog.latestVersion(spark, mv)
@@ -639,11 +668,64 @@ object MatView {
     materialize(spark, folded.orderBy("lang"))
   }
 
+  /** QW — the JOIN-MV lifecycle ENTIRELY through SQL: CREATE
+    * MATERIALIZED VIEW over `fact JOIN dim ON k = k WHERE fact-filter`
+    * (the parser pattern-matches the plan down to [[refreshJoin]]'s
+    * shape and the build commit persists the JOIN definition); a SQL
+    * INSERT INTO the fact folds "incremental"; a SQL range DELETE on
+    * the fact folds "incremental-delete" (modes REQUIREd); the final
+    * view is read back through SQL and must hash-match the closed-form
+    * join-group-by minus the deleted key range. */
+  def qwMvSqlJoin(spark: SparkSession, d: String): DataFrame = {
+    val factRows = T.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        floor(col("o_totalprice")).cast("long").as("o_val"))
+    val dimRows = T.customer(spark, d).select("c_custkey", "c_nationkey")
+    val fact = Fixtures.table("mvjsql", d, "fact")
+    val dim = Fixtures.table("mvjsql", d, "dim")
+    val mv = Fixtures.table("mvjsql", d, "view")
+    val cut = factRows.agg(max("o_orderkey")).head().getLong(0) / 5
+    TxLog.append(spark, dim, dimRows)
+    TxLog.append(spark, fact, factRows.filter(col("o_orderkey") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT c_nationkey, COUNT(*) AS cnt, SUM(o_val) AS total, " +
+      s"MIN(o_val) AS vmin, MAX(o_val) AS vmax " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` c " +
+      s"ON f.c_custkey = c.c_custkey " +
+      s"WHERE o_val > 1000 GROUP BY c_nationkey").head().getString(0)
+      == "build")
+    def refreshSql(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    val view = "graft_mvjsql_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    factRows.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$fact` " +
+      s"SELECT o_orderkey, c_custkey, o_val FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(refreshSql() == "incremental",
+      "a fact INSERT INTO must fold incrementally")
+    spark.sql(s"DELETE FROM graft.`$fact` WHERE o_orderkey <= $cut")
+    require(refreshSql() == "incremental-delete",
+      "a fact SQL DELETE must fold signed, not recompute")
+    require(refreshSql() == "noop")
+    val folded = spark.sql(
+      s"SELECT c_nationkey, cnt, total, vmin, vmax FROM graft.`$mv`")
+    certifyEqual(spark, mv, folded,
+      factRows.filter(col("o_val") > 1000 && col("o_orderkey") > cut)
+        .join(dimRows, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_val")).as("total"),
+          min(col("o_val")).as("vmin"), max(col("o_val")).as("vmax")),
+      "SQL-lifecycle join fold != oracle aggregate from source parquet")
+    materialize(spark, folded.orderBy("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_mv_refresh" -> qwMvRefresh _,
     "qw_mv_join_refresh" -> qwMvJoinRefresh _,
     "qw_mv_delete_fold" -> qwMvDeleteFold _,
-    "qw_mv_sql" -> qwMvSql _)
+    "qw_mv_sql" -> qwMvSql _,
+    "qw_mv_sql_join" -> qwMvSqlJoin _)
 
   val oracles: Map[String, String] = Map(
     "qw_mv_sql" ->
@@ -651,6 +733,15 @@ object MatView {
         "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
         "FROM documents WHERE lang <> 'de' " +
         "GROUP BY lang ORDER BY lang"),
+    "qw_mv_sql_join" ->
+      ("SELECT c_nationkey, COUNT(*) AS cnt, " +
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total, " +
+        "MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmin, " +
+        "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
+        "AND o_orderkey > (SELECT MAX(o_orderkey) // 5 FROM orders) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     "qw_mv_refresh" ->
       ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
         "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +

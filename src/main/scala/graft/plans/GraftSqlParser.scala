@@ -4,16 +4,28 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
   UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
+  LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType,
   LongType, StringType, StructType}
 
 import graft.operators.MatView
 import graft.sources.TxLog
+
+/** A parsed `CREATE MATERIALIZED VIEW` definition: the canonical
+  * single-table aggregate, or the star-schema fact ⋈ dim flavor
+  * ([[MatView.refresh]] / [[MatView.refreshJoin]]). */
+sealed trait MvShape
+case class MvSingle(src: String, keys: Seq[String], valCol: String)
+  extends MvShape
+case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
+                  keys: Seq[String], valCol: String,
+                  factFilter: Option[String]) extends MvShape
 
 /** SQL surface for the TxLog maintenance + materialized-view operators —
   * a DELEGATING parser (the public Delta `DeltaSqlParser` wiring,
@@ -69,8 +81,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshMvRe(ident) if graftPath(ident).isDefined =>
       MatViewRefreshCommand(graftPath(ident).get)
     case CreateMvRe(ident, query) if graftPath(ident).isDefined =>
-      val (src, keys, valCol) = parseMvQuery(query)
-      MatViewCreateCommand(graftPath(ident).get, src, keys, valCol)
+      MatViewCreateCommand(graftPath(ident).get, parseMvQuery(query))
     case OptimizeRe(ident, zcols) if graftPath(ident).isDefined =>
       val z = Option(zcols).map { s =>
         val cols = s.split(",").map { c =>
@@ -97,24 +108,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     throw new UnsupportedOperationException(
       "txlog: CREATE MATERIALIZED VIEW supports exactly `SELECT k…, " +
         "COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS " +
-        "vmax FROM graft.`/src` GROUP BY k…` — the incrementally " +
-        s"maintainable aggregate shape (got: $what); other shapes go " +
+        "vmax FROM graft.`/src` [JOIN graft.`/dim` ON k = k | USING (k)]" +
+        " [WHERE fact-filter] GROUP BY k…` — the incrementally " +
+        s"maintainable aggregate shapes (got: $what); other shapes go " +
         "through the MatView library API (refresh/refreshJoin)")
 
-  /** Pattern-match the parsed (unresolved) MV query down to the
-    * canonical maintainable shape: (source path, key cols, value col). */
-  private def parseMvQuery(query: String): (String, Seq[String], String) = {
+  private def unalias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => unalias(child)
+    case other => other
+  }
+
+  private def relPath(p: LogicalPlan): String = unalias(p) match {
+    case r: UnresolvedRelation
+        if r.multipartIdentifier.length >= 2 &&
+          r.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      r.multipartIdentifier.tail.mkString("/")
+    case other => mvUnsupported(
+      s"source must be a graft.` ` table, not ${other.getClass.getSimpleName}")
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Unresolved expression → SQL text binding by bare column name
+    * (alias qualifiers stripped — the fact filter re-binds against the
+    * fact scan inside refreshJoin). */
+  private def bareSql(e: Expression): String =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }.sql
+
+  /** Pattern-match the parsed (unresolved) MV query down to a
+    * maintainable shape (single-table or fact ⋈ dim). */
+  private def parseMvQuery(query: String): MvShape = {
     delegate.parsePlan(query) match {
       case Aggregate(groupings, aggs, child, _) =>
-        val src = child match {
-          case r: UnresolvedRelation
-              if r.multipartIdentifier.length >= 2 &&
-                r.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-            r.multipartIdentifier.tail.mkString("/")
-          case other =>
-            mvUnsupported(s"source must be a graft.` ` table, not " +
-              other.getClass.getSimpleName)
-        }
         val keys = groupings.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 =>
             a.nameParts.head
@@ -155,7 +186,43 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if (vmin != valCol || vmax != valCol)
           mvUnsupported(s"SUM/MIN/MAX must aggregate ONE column " +
             s"(got $valCol/$vmin/$vmax)")
-        (src, keys, valCol)
+        def joinShape(j: Join, factFilter: Option[String]): MvJoin = {
+          val joinKeys = j.joinType match {
+            case UsingJoin(Inner, cols) => cols
+            case Inner =>
+              val cond = j.condition.getOrElse(
+                mvUnsupported("JOIN without ON key equalities"))
+              conjuncts(cond).map {
+                case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+                    if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+                  a.nameParts.last
+                case other => mvUnsupported(
+                  s"JOIN ON must be same-name column equalities " +
+                    s"(got ${other.sql}); alias the dim to the fact's names")
+              }
+            case other => mvUnsupported(s"$other join (INNER only — an " +
+              "outer join cannot fold incrementally)")
+          }
+          // FIRST relation = fact (the incrementally-folding side),
+          // second = dim (any change forces the honest recompute)
+          MvJoin(relPath(j.left), relPath(j.right), joinKeys, keys,
+            valCol, factFilter)
+        }
+        unalias(child) match {
+          case j: Join => joinShape(j, None)
+          case Filter(cond, inner) => unalias(inner) match {
+            case j: Join => joinShape(j, Some(bareSql(cond)))
+            case r: UnresolvedRelation =>
+              mvUnsupported("WHERE on a single-table MV (fold the " +
+                "filter into the view's source table, or use the join " +
+                "shape whose WHERE is the fact filter)")
+            case other =>
+              mvUnsupported(s"a ${other.getClass.getSimpleName} under WHERE")
+          }
+          case _: UnresolvedRelation => MvSingle(relPath(child), keys, valCol)
+          case other =>
+            mvUnsupported(s"a ${other.getClass.getSimpleName} source")
+        }
       case other =>
         mvUnsupported(s"a ${other.getClass.getSimpleName} query")
     }
@@ -236,10 +303,10 @@ case class TxLogHistoryCommand(table: String) extends LeafRunnableCommand {
 }
 
 /** `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT …` — builds the
-  * view ([[MatView.refresh]]'s build path) and persists the definition
-  * in the build commit's metadata. Returns the refresh mode taken. */
-case class MatViewCreateCommand(view: String, src: String,
-                                keyCols: Seq[String], valCol: String)
+  * view ([[MatView.refresh]] or [[MatView.refreshJoin]] by shape) and
+  * persists the definition in the build commit's metadata. Returns the
+  * refresh mode taken. */
+case class MatViewCreateCommand(view: String, shape: MvShape)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("mode", StringType, nullable = false)())
@@ -247,7 +314,14 @@ case class MatViewCreateCommand(view: String, src: String,
     require(TxLog.versions(spark, view).isEmpty,
       s"txlog: materialized view $view already exists " +
         "(REFRESH MATERIALIZED VIEW to advance it)")
-    Seq(Row(MatView.refresh(spark, src, view, keyCols, valCol)))
+    val mode = shape match {
+      case MvSingle(src, keys, valCol) =>
+        MatView.refresh(spark, src, view, keys, valCol)
+      case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter) =>
+        MatView.refreshJoin(spark, fact, dim, view, joinKeys, keys,
+          valCol, factFilter)
+    }
+    Seq(Row(mode))
   }
 }
 

@@ -2778,12 +2778,14 @@ object TxLog {
         when(coalesce(c.map(expr).getOrElse(lit(true)), lit(false)),
           lit(i)).otherwise(rest)
       }
-    // ---- matched side: pair join, fire, mask + update images ----
+    // ---- matched side: pair join, fire, mask + update images (an
+    // insert-only merge constant-folds this side to empty — the
+    // lit(false) filter keeps the target from being scanned for it) ----
     val joinCond = keys.map(k => target(k) === src(s"_src_$k"))
       .reduce(_ && _)
     val fired = target.join(broadcast(src), joinCond, "inner")
       .withColumn("_g_fire", fireCol(matched.map(_.cond)))
-      .filter(col("_g_fire") >= 0)
+      .filter(if (matched.isEmpty) lit(false) else col("_g_fire") >= 0)
       .localCheckpoint(true) // batch-sized; guard + mask + images below
     val guard = fired.agg(count(lit(1)),
       countDistinct(col("_g_dv_file"), col("_g_dv_pos"))).head()

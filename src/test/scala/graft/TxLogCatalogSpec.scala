@@ -493,6 +493,39 @@ class TxLogCatalogSpec extends SparkSpec {
       s"unexpected not-an-MV error: ${notMv.getMessage}")
   }
 
+  test("CREATE MATERIALIZED VIEW over a JOIN: fact folds, dim change recomputes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mvj").toString
+    val (fact, dim, mv) = (dir + "/fact", dir + "/dim", dir + "/view")
+    TxLog.append(spark, dim, Seq((1L, "x"), (2L, "y")).toDF("k", "grp"))
+    TxLog.append(spark, fact,
+      Seq((1L, 10L), (1L, 500L), (2L, 20L)).toDF("k", "v"))
+    // USING-syntax join + WHERE fact filter
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT grp, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax FROM graft.`$fact` JOIN graft.`$dim` USING (k) " +
+      s"WHERE v < 100 GROUP BY grp").head().getString(0) == "build")
+    def rf(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    // fact append folds; the filter keeps the 500 row out of the view
+    TxLog.append(spark, fact, Seq((2L, 30L)).toDF("k", "v"))
+    assert(rf() == "incremental")
+    val got = spark.sql(s"SELECT grp, cnt, total FROM graft.`$mv` ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("x", 1L, 10L), ("y", 2L, 50L)),
+      s"join MV rows after fold: $got")
+    // ANY dim change honestly forces the recompute path
+    TxLog.append(spark, dim, Seq((3L, "z")).toDF("k", "grp"))
+    assert(rf() == "recompute")
+    // a fact MOR delete folds signed through the SQL refresh
+    spark.sql(s"DELETE FROM graft.`$fact` WHERE v = 20")
+    assert(rf() == "incremental-delete")
+    assert(spark.sql(s"SELECT cnt, total FROM graft.`$mv` WHERE grp = 'y'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 30L)))
+    // the persisted definition is the JOIN flavor (refresh needs no plan)
+    assert(rf() == "noop")
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
