@@ -38,6 +38,9 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *    (output file count sized from live bytes / the session's target)
   *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS]` → [[TxLog.vacuum]]
   *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
+  *  - `DESCRIBE DETAIL graft.`/t``       → one-row operational summary
+  *  - `RESTORE TABLE graft.`/t`` TO VERSION|TIMESTAMP AS OF …` →
+  *    [[TxLog.restore]] (metadata-only rollback)
   *  - `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT k…, COUNT(*) AS
   *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax FROM
   *    graft.`/src` GROUP BY k…`          → [[MatView.refresh]] (build),
@@ -63,6 +66,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(.+?)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(.+?)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d{1,18})\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val DescDetailRe =
+    """(?is)\s*(?:DESC|DESCRIBE)\s+DETAIL\s+(.+?)\s*;?\s*""".r
 
   /** The TxLog path under a `graft.`-catalog identifier, if the text
     * parses as one (same namespace-join rule as TxLogCatalog.path). */
@@ -78,6 +87,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(ident) if graftPath(ident).isDefined =>
       TxLogHistoryCommand(graftPath(ident).get)
+    case DescDetailRe(ident) if graftPath(ident).isDefined =>
+      TxLogDetailCommand(graftPath(ident).get)
+    case RestoreRe(ident, v) if graftPath(ident).isDefined =>
+      TxLogRestoreCommand(graftPath(ident).get, Some(v.toLong), None)
+    case RestoreTsRe(ident, ts) if graftPath(ident).isDefined =>
+      TxLogRestoreCommand(graftPath(ident).get, None, Some(ts))
     case RefreshMvRe(ident) if graftPath(ident).isDefined =>
       MatViewRefreshCommand(graftPath(ident).get)
     case CreateMvRe(ident, query) if graftPath(ident).isDefined =>
@@ -300,6 +315,71 @@ case class TxLogHistoryCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("timestamp_ms", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     TxLog.history(spark, table).collect().toSeq
+}
+
+/** `RESTORE TABLE graft.`/t`` TO VERSION AS OF v | TO TIMESTAMP AS OF
+  * 'ts'` — the metadata-only rollback ([[TxLog.restore]]): re-adds the
+  * target snapshot's still-existing files, removes the head's extras,
+  * re-binds deletion vectors, zero data bytes move; history stays
+  * travelable behind it. Timestamps resolve through the same
+  * monotonized commit-time mapping as `TIMESTAMP AS OF` reads (ISO
+  * instant, or `yyyy-MM-dd HH:mm:ss` read as UTC — the engine's
+  * session zone). Returns the restore commit's version. */
+case class TxLogRestoreCommand(table: String, toVersion: Option[Long],
+                               toTimestamp: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = toVersion.getOrElse {
+      val ts = toTimestamp.get
+      val ms =
+        try java.time.Instant.parse(ts).toEpochMilli
+        catch {
+          case _: Exception =>
+            try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: Exception => throw new IllegalArgumentException(
+                s"txlog: cannot parse RESTORE timestamp '$ts' " +
+                  "(ISO instant, or 'yyyy-MM-dd HH:mm:ss' in UTC)")
+            }
+        }
+      TxLog.versionAtTime(spark, table, ms)
+    }
+    Seq(Row(TxLog.restore(spark, table, target)))
+  }
+}
+
+/** `DESCRIBE DETAIL graft.`/t`` — the table's one-row operational
+  * summary (the public Delta command): location, current version,
+  * earliest still-readable version, commit count, live file count and
+  * bytes, deletion-vector bindings, declared-schema flag. Driver-side
+  * metadata only — no data scan. */
+case class TxLogDetailCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("earliest_readable_version", LongType,
+      nullable = false)(),
+    AttributeReference("n_commits", LongType, nullable = false)(),
+    AttributeReference("n_live_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_dv_bound", LongType, nullable = false)(),
+    AttributeReference("declares_schema", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vs = TxLog.versions(spark, table)
+    require(vs.nonEmpty, s"txlog: no commits in $table")
+    val live = TxLog.snapshotFiles(spark, table)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = live.map(p => fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(table, p)).getLen).sum
+    Seq(Row(table, vs.last, TxLog.earliestReadableVersion(spark, table),
+      vs.size.toLong, live.size.toLong, bytes,
+      TxLog.dvAt(spark, table, None).size.toLong,
+      TxLog.schemaAt(spark, table).isDefined))
+  }
 }
 
 /** `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT …` — builds the

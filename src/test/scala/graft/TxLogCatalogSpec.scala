@@ -526,6 +526,56 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(rf() == "noop")
   }
 
+  test("RESTORE TABLE and DESCRIBE DETAIL through SQL equal the library ops") {
+    val t = fresh("restore")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val now = java.time.Instant.now().toString
+    TxLog.append(spark, t, Seq(("c", 3L)).toDF("k", "v"))
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 'a'")
+    // DESCRIBE DETAIL: one metadata row, no data scan needed to assert
+    val det = spark.sql(s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(det.getString(0) == t)
+    assert(det.getLong(1) == TxLog.latestVersion(spark, t))
+    assert(det.getLong(3) == 3L, "n_commits")
+    assert(det.getLong(4) == TxLog.snapshotFiles(spark, t).size.toLong)
+    assert(det.getLong(6) >= 1L, "the MOR delete bound a vector")
+    // RESTORE TO VERSION: metadata-only rollback, one new commit
+    val v = spark.sql(s"RESTORE TABLE graft.`$t` TO VERSION AS OF 0")
+      .head().getLong(0)
+    assert(v == TxLog.latestVersion(spark, t))
+    assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"),
+      "the restored snapshot must be v0's rows (delete rolled back)")
+    // history stays travelable BEHIND the restore
+    assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // RESTORE TO TIMESTAMP resolves through the commit-time mapping
+    spark.sql(s"RESTORE TABLE graft.`$t` TO TIMESTAMP AS OF '$now'")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 2L)
+    // malformed timestamp fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"RESTORE TABLE graft.`$t` TO TIMESTAMP AS OF 'yesterday'")
+    }
+    assert(e.getMessage.contains("cannot parse RESTORE timestamp"))
+  }
+
+  test("the injected parser delegates every normal statement untouched") {
+    val t = fresh("delegate")
+    TxLog.append(spark, t, Seq(("optimize", 1L), ("vacuum", 2L))
+      .toDF("restore", "describe"))
+    // identifiers/aliases named like our keywords must not be intercepted
+    assert(spark.sql(s"SELECT restore, describe FROM graft.`$t` " +
+      "WHERE restore = 'optimize'").count() == 1L)
+    assert(spark.sql("SELECT 'OPTIMIZE graft' AS s").head().getString(0)
+      == "OPTIMIZE graft")
+    // our statements on NON-graft identifiers delegate (and fail with
+    // Spark's own parse error, not ours)
+    val e = intercept[Exception] { spark.sql("OPTIMIZE not_a_catalog.t") }
+    assert(!e.getMessage.contains("txlog"),
+      s"non-graft OPTIMIZE must delegate to Spark: ${e.getMessage}")
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
