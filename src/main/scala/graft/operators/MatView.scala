@@ -70,6 +70,21 @@ object MatView {
       Some(p(3)).filter(_.nonEmpty))
   }
 
+  /** The persisted definition's SOURCE TABLES (src, or fact + dim) —
+    * what a continuous maintainer of a named view must subscribe to
+    * ([[graft.streaming.StreamingMatView.maintainNamed]]). */
+  def definedSources(spark: SparkSession, mv: String): Seq[String] = {
+    val metas = TxLog.commitMetas(spark, mv)
+    metas.get(DefJoinKey) match {
+      case Some(d) =>
+        val (fact, dim, _, _, _, _) = decodeJoinDef(d)
+        Seq(fact, dim)
+      case None => Seq(decodeDef(metas.getOrElse(DefKey,
+        throw new IllegalStateException(
+          s"txlog: $mv carries no persisted materialized-view definition")))._1)
+    }
+  }
+
   /** Refresh `mv` from its PERSISTED definition (the metadata the BUILD
     * commit recorded — `REFRESH MATERIALIZED VIEW` needs no re-supplied
     * plan; dispatches to [[refresh]] or [[refreshJoin]] by the stored

@@ -72,4 +72,28 @@ object StreamingMatView {
         .start()
     (trigger(factTable, checkpointFact), trigger(dimTable, checkpointDim))
   }
+
+  /** Continuous maintenance of a NAMED view (one built through
+    * `CREATE MATERIALIZED VIEW` / a definition-persisting build): the
+    * PERSISTED definition decides the trigger streams — one per source
+    * table (src, or fact + dim) — each firing
+    * [[MatView.refreshNamed]], so no plan is re-supplied anywhere.
+    * Race-exactness is [[maintainJoin]]'s: every refresh is a
+    * pinned-read CAS, two triggers firing together fold exactly once.
+    * Returns one query per source; stop all to stop maintenance. */
+  def maintainNamed(spark: SparkSession, mvTable: String,
+                    checkpointRoot: String): Seq[StreamingQuery] =
+    MatView.definedSources(spark, mvTable).zipWithIndex.map {
+      case (src, i) =>
+        spark.readStream.format("graft-txlog")
+          .option("skipChangeCommits", "true")
+          .load(src)
+          .writeStream
+          .option("checkpointLocation", s"$checkpointRoot/src$i")
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            MatView.refreshNamed(batch.sparkSession, mvTable)
+            ()
+          }
+          .start()
+    }
 }

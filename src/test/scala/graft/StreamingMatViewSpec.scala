@@ -115,4 +115,49 @@ class StreamingMatViewSpec extends SparkSpec {
       assert(viewMap.contains(30L), "previously-dropped fact rows must appear")
     } finally { qf.stop(); qd.stop() }
   }
+
+  test("maintainNamed drives a SQL-created view from its persisted definition") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smvn").toString
+    val src = s"$base/src"; val mv = s"$base/view"
+    TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT k, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax FROM graft.`$src` GROUP BY k").head().getString(0)
+      == "build")
+    def got: Map[String, (Long, Long)] =
+      TxLog.read(spark, mv).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val qs = graft.streaming.StreamingMatView.maintainNamed(
+      spark, mv, s"$base/ckpt")
+    try {
+      assert(qs.length == 1, "a single-table view subscribes one source")
+      TxLog.append(spark, src, Seq(("a", 10L), ("c", 5L)).toDF("k", "v"))
+      qs.foreach(_.processAllAvailable())
+      assert(got == Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L)),
+        "c" -> ((1L, 5L))), "the named maintainer must trail the commit")
+      // a MOR delete folds signed through the named refresh
+      TxLog.deleteWhereMorExpr(spark, src, "v = 2")
+      qs.foreach(_.processAllAvailable())
+      assert(got == Map("a" -> ((2L, 11L)), "c" -> ((1L, 5L))),
+        "the erased group must leave the view")
+    } finally qs.foreach(_.stop())
+    // a join view subscribes BOTH sources
+    val (fact2, dim2, mv2) = (s"$base/f2", s"$base/d2", s"$base/v2")
+    TxLog.append(spark, dim2, Seq((1L, 100L)).toDF("k", "g"))
+    TxLog.append(spark, fact2, Seq((1L, 7L)).toDF("k", "v"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv2` AS " +
+      s"SELECT g, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax FROM graft.`$fact2` JOIN graft.`$dim2` USING (k) " +
+      s"GROUP BY g")
+    val qs2 = graft.streaming.StreamingMatView.maintainNamed(
+      spark, mv2, s"$base/ckpt2")
+    try {
+      assert(qs2.length == 2, "a join view subscribes fact AND dim")
+      TxLog.append(spark, fact2, Seq((1L, 3L)).toDF("k", "v"))
+      qs2.foreach(_.processAllAvailable())
+      assert(TxLog.read(spark, mv2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((100L, 2L, 10L)), "the fact-side trigger must fold")
+    } finally qs2.foreach(_.stop())
+  }
 }
