@@ -827,6 +827,106 @@ object Merge {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** QW28 — RANGE-ON SQL MERGE (r15: [[graft.plans.TxLogDml]] lowers a
+    * non-equi ON through [[graft.sources.TxLog.mergeMorConditional]]'s
+    * `residual`) under the hash gate: the interval-keyed upsert — the
+    * source is a per-lang table of DISJOINT `[lo, hi)` n_chars bands,
+    * `ON t.lang = s.lang AND t.n_chars >= s.lo AND t.n_chars < s.hi`,
+    * matched rows re-priced by the band's bonus, bands matching NO row
+    * inserted as sentinels (exercising the not-matched classification
+    * under a residual: band membership, not key presence, decides).
+    * The pair join stays a broadcast hash join on the equi key with
+    * the band residual as its non-equi filter — REQUIREd merge-on-read,
+    * one commit. The oracle replays the algebra generically (LEFT JOIN
+    * for the re-pricing leg, NOT EXISTS for the sentinel leg), so no
+    * assumption about which bands happen to match rides on the data. */
+  def qwMergeRange(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmrgr", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val langs = docs.select("lang").distinct()
+    def band(lo: Long, hi: Long, bonus: Long) = langs.select(col("lang"),
+      lit(lo).as("lo"), lit(hi).as("hi"), lit(bonus).as("bonus"))
+    // the sentinel bands live strictly below every n_chars (min 47 in
+    // the corpus; the oracle's NOT EXISTS leg keeps this assumption out
+    // of the expected rows anyway) — lo = -rank(lang), hi = 0
+    val sentinel = langs.select(col("lang"),
+      (-row_number().over(Window.orderBy("lang"))).cast("long").as("lo"),
+      lit(0L).as("hi"), lit(0L).as("bonus"))
+    val view = "graft_mrgr_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    band(0L, 300L, 100000L).unionByName(band(300L, 600L, 200000L))
+      .unionByName(sentinel).createOrReplaceTempView(view)
+    try {
+      val before = TxLog.snapshotFiles(spark, table).toSet
+      val vs = TxLog.versions(spark, table).size
+      spark.sql(s"MERGE INTO graft.`$table` t USING $view s " +
+        "ON t.lang = s.lang AND t.n_chars >= s.lo AND t.n_chars < s.hi " +
+        "WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.bonus " +
+        "WHEN NOT MATCHED THEN " +
+        "INSERT (doc_id, lang, n_chars) VALUES (s.lo, s.lang, s.hi)")
+      require(TxLog.versions(spark, table).size == vs + 1,
+        "txlog: the range MERGE must land as ONE commit")
+      require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
+        "txlog: the range MERGE must stay merge-on-read")
+      require(TxLog.commitKind(spark, table, TxLog.latestVersion(spark, table))
+        .contains("merge"),
+        "txlog: the range MERGE must land tagged merge for the change feed")
+      spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+        "ORDER BY doc_id, lang, n_chars")
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** QW29 — MERGE WITH SCHEMA EVOLUTION (r15: [[graft.plans.TxLogDml]]
+    * → [[graft.sources.TxLog.mergeMor]]'s `evolve`) under the hash
+    * gate: the canonical upsert whose source carries a column the
+    * table was NEVER declared with (`origin`) — matched keys take the
+    * full new image, cloned keys insert, and the added column lands in
+    * the SAME merge commit's schema action: every untouched old row
+    * reads it as NULL with zero files rewritten (REQUIREd), and time
+    * travel to the pre-merge version still reads the narrow schema
+    * (REQUIREd) — the no-rewrite drift story at 100 TB. */
+  def qwMergeEvolve(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmrge", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val full = T.documents(spark, d)
+      .select("doc_id", "lang", "n_chars", "source")
+    val view = "graft_mrge_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    full.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 1000L).as("n_chars"), col("source").as("origin"))
+      .unionByName(full.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("n_chars"), col("source").as("origin")))
+      .createOrReplaceTempView(view)
+    try {
+      val preMerge = TxLog.latestVersion(spark, table)
+      val before = TxLog.snapshotFiles(spark, table).toSet
+      val vs = TxLog.versions(spark, table).size
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$table` t " +
+        s"USING $view s ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      require(TxLog.versions(spark, table).size == vs + 1,
+        "txlog: the evolving MERGE must land as ONE commit")
+      require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
+        "txlog: the evolving MERGE must stay merge-on-read — the old " +
+          "files read the added column as null, never rewritten")
+      require(!TxLog.read(spark, table, Some(preMerge)).columns
+        .contains("origin"),
+        "txlog: time travel to the pre-merge version must read the " +
+          "narrow schema")
+      spark.sql(s"SELECT doc_id, lang, n_chars, origin FROM graft.`$table` " +
+        "ORDER BY doc_id")
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** QW26 — the SQL MAINTENANCE surface ([[graft.plans.GraftSqlParser]])
     * under the hash gate: six micro-appends leave a small-file tail;
     * `OPTIMIZE` bin-packs it (kind REQUIREd compact — the change feed
@@ -913,6 +1013,8 @@ object Merge {
     "qw_sql_dml" -> qwSqlDml _,
     "qw_sql_update" -> qwSqlUpdate _,
     "qw_sql_merge_cond" -> qwSqlMergeCond _,
+    "qw_merge_range" -> qwMergeRange _,
+    "qw_merge_evolve" -> qwMergeEvolve _,
     "qw_sql_maint" -> qwSqlMaint _,
     "qw_drop_partition" -> qwDropPartition _,
     "qw_sql_read" -> qwSqlRead _,
@@ -975,6 +1077,40 @@ object Merge {
         "FROM src s LEFT JOIN documents t ON t.doc_id = s.doc_id " +
         "WHERE t.doc_id IS NULL AND s.lang <> 'de'" +
         ") ORDER BY doc_id"),
+    // the evolving MERGE's closed form: matched keys take the new
+    // image (origin filled), cloned keys insert, every untouched row
+    // reads the ADDED column as NULL (old files, never rewritten)
+    "qw_merge_evolve" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END " +
+        "AS n_chars, " +
+        "CASE WHEN doc_id % 5 = 0 THEN source ELSE NULL END AS origin " +
+        "FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id + 10000000 AS doc_id, lang, n_chars, " +
+        "source AS origin FROM documents WHERE doc_id % 5 = 1 " +
+        "ORDER BY doc_id"),
+    // the range MERGE's closed form, generic over which bands match:
+    // the LEFT JOIN leg re-prices each doc by its (disjoint) band's
+    // bonus; the NOT EXISTS leg inserts every band no doc fell into
+    "qw_merge_range" ->
+      ("WITH langs AS (SELECT DISTINCT lang FROM documents), " +
+        "bands AS (" +
+        "SELECT lang, CAST(0 AS BIGINT) AS lo, CAST(300 AS BIGINT) AS hi, " +
+        "CAST(100000 AS BIGINT) AS bonus FROM langs " +
+        "UNION ALL SELECT lang, 300, 600, 200000 FROM langs " +
+        "UNION ALL SELECT lang, -ROW_NUMBER() OVER (ORDER BY lang), 0, 0 " +
+        "FROM langs) " +
+        "SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT t.doc_id AS doc_id, t.lang AS lang, " +
+        "t.n_chars + COALESCE(b.bonus, 0) AS n_chars " +
+        "FROM documents t LEFT JOIN bands b ON t.lang = b.lang " +
+        "AND t.n_chars >= b.lo AND t.n_chars < b.hi " +
+        "UNION ALL " +
+        "SELECT b.lo AS doc_id, b.lang AS lang, b.hi AS n_chars " +
+        "FROM bands b WHERE NOT EXISTS (SELECT 1 FROM documents t " +
+        "WHERE t.lang = b.lang AND t.n_chars >= b.lo AND t.n_chars < b.hi)" +
+        ") ORDER BY doc_id, lang, n_chars"),
     // the dropped partition's complement (recorded files removed as
     // metadata, the value-less file's de rows CoW'd out — REQUIREd)
     "qw_drop_partition" ->

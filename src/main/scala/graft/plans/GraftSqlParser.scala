@@ -37,6 +37,7 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *  - `OPTIMIZE graft.`/t`` ZORDER BY (a, b)` → [[TxLog.optimizeZOrder]]
   *    (output file count sized from live bytes / the session's target)
   *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS]` → [[TxLog.vacuum]]
+  *    (no RETAIN clause = retain ALL versions, orphan-only reclaim)
   *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
   *  - `DESCRIBE DETAIL graft.`/t``       → one-row operational summary
   *  - `RESTORE TABLE graft.`/t`` TO VERSION|TIMESTAMP AS OF …` →
@@ -114,8 +115,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       TxLogOptimizeCommand(graftPath(ident).get, z)
     case VacuumRe(ident, retain) if graftPath(ident).isDefined =>
+      // bare VACUUM is CONSERVATIVE (r14 advice): retain EVERY version —
+      // only orphan files no version references are reclaimed, so time
+      // travel never silently dies behind a habit-typed `VACUUM t`.
+      // Trimming history requires the explicit RETAIN n VERSIONS.
       TxLogVacuumCommand(graftPath(ident).get,
-        Option(retain).map(_.toInt).getOrElse(1))
+        Option(retain).map(_.toInt).getOrElse(Int.MaxValue))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -289,7 +294,9 @@ case class TxLogOptimizeCommand(table: String,
 /** `VACUUM graft.`/t`` [RETAIN n VERSIONS]` — delete data files only
   * referenced by versions older than the retained tail AND older than
   * `spark.graft.vacuum.minFileAgeMs` (default 1 day — the in-flight
-  * writer horizon; 0 = exact, single-writer only). Returns the count. */
+  * writer horizon; 0 = exact, single-writer only). Without a RETAIN
+  * clause every version is retained (orphan-only reclaim — time travel
+  * survives a bare VACUUM by default). Returns the count. */
 case class TxLogVacuumCommand(table: String, retainLast: Int)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -398,6 +405,34 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
       case MvSingle(src, keys, valCol) =>
         MatView.refresh(spark, src, view, keys, valCol)
       case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter) =>
+        // the parser designated the FIRST relation as the fact and binds
+        // WHERE against its scan; a dim-first query whose WHERE names a
+        // column present in both tables would otherwise be silently
+        // filtered on the wrong side (r14 advice). Resolve the filter's
+        // column set against BOTH schemas: every referenced column must
+        // live in the fact and — unless it is a join key, where the two
+        // sides are equal by the ON — must NOT also live in the dim.
+        factFilter.foreach { f =>
+          val refs = spark.sessionState.sqlParser.parseExpression(f).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last.toLowerCase
+          }.distinct
+          val factCols = TxLog.read(spark, fact).columns.map(_.toLowerCase).toSet
+          val dimCols = TxLog.read(spark, dim).columns.map(_.toLowerCase).toSet
+          val keySet = joinKeys.map(_.toLowerCase).toSet
+          refs.foreach { c =>
+            require(factCols.contains(c),
+              s"txlog: materialized-view WHERE references '$c', which the " +
+                s"designated fact table (the query's FIRST relation, $fact) " +
+                "does not carry — write the fact first and filter only its " +
+                "columns")
+            require(keySet.contains(c) || !dimCols.contains(c),
+              s"txlog: materialized-view WHERE references '$c', present in " +
+                s"BOTH the fact and the dim — ambiguous binding (the filter " +
+                "folds on the fact scan); rename the column or filter a " +
+                "fact-only column")
+          }
+        }
         MatView.refreshJoin(spark, fact, dim, view, joinKeys, keys,
           valCol, factFilter)
     }

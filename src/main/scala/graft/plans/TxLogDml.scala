@@ -35,12 +35,27 @@ import graft.sources.{MergeMatchedClause, MergeMatchedDelete,
   *    → [[TxLog.mergeMorConditional]], first-true-wins per clause
   *    list, ONE merge-on-read commit.
   *
-  * What still fails LOUDLY (with a pointer at the library API — never
-  * a silently different semantic): non-equi ON and `MERGE WITH SCHEMA
-  * EVOLUTION`. Resolved expressions are re-rendered as SQL (qualifiers
-  * stripped; source columns namespaced `_src_<name>` on the
-  * conditional path) so the library entry points bind them against the
-  * scan exactly as a user-written predicate. */
+  * A NON-EQUI ON is supported as long as at least ONE conjunct is a
+  * same-name target=source equality (r15): the equalities become the
+  * pair join's hash keys and every other deterministic conjunct —
+  * range bounds, point-in-interval, differently-named equalities —
+  * rides to [[TxLog.mergeMorConditional]] as its `residual` (the
+  * non-equi filter of that same broadcast hash join).
+  *
+  * `MERGE WITH SCHEMA EVOLUTION` (r15) is supported for the canonical
+  * upsert: the source's extra columns append to the image and
+  * [[TxLog.mergeMor]]'s `evolve` lands the widened/extended declared
+  * schema INSIDE the merge commit (old files read added columns null /
+  * widened types promoted; time travel reads each version's own
+  * schema). What still fails LOUDLY (with a pointer at the right API —
+  * never a silently different semantic): a PURE-theta ON (no equi key
+  * — it would nest-loop the 100 TB side; pure interval lookups belong
+  * to `Temporal.rangeLookupJoin`) and WITH SCHEMA EVOLUTION beyond the
+  * canonical upsert (evolve via ALTER TABLE first).
+  * Resolved expressions are re-rendered as SQL (qualifiers stripped;
+  * source columns namespaced `_src_<name>` on the conditional path) so
+  * the library entry points bind them against the scan exactly as a
+  * user-written predicate. */
 object TxLogDml extends Rule[LogicalPlan] {
 
   private def unsupported(what: String): Nothing =
@@ -89,29 +104,52 @@ object TxLogDml extends Rule[LogicalPlan] {
           bySource, withSchemaEvolution) if m.resolved &&
           txTable(target).isDefined =>
         val table = requireLive(txTable(target).get)
-        if (withSchemaEvolution) unsupported(
-          "MERGE WITH SCHEMA EVOLUTION (evolve via TxLog.appendEvolve first)")
         val sourceOut = source.outputSet
         val targetOut = target.outputSet
-        // ON must be a conjunction of same-name target=source equalities
-        val keys: Seq[(String, Expression)] = splitConjuncts(cond).map {
+
+        /** Resolved expression → SQL over the conditional-merge
+          * namespace: target columns bare, source columns `_src_<name>`
+          * ([[TxLog.mergeMorConditional]]'s binding contract). */
+        def sqlOfNs(e: Expression): String =
+          e.transform {
+            case a: AttributeReference if sourceOut.contains(a) =>
+              a.withName(s"_src_${a.name}").withQualifier(Seq.empty)
+            case a: AttributeReference if targetOut.contains(a) =>
+              a.withQualifier(Seq.empty)
+          }.sql
+
+        // ON = same-name target=source equalities (the hash keys the
+        // pair join builds on) + any RESIDUAL conjuncts — inequalities,
+        // BETWEENs, differently-named equalities — which ride to
+        // [[TxLog.mergeMorConditional]] as the non-equi filter of that
+        // same hash join (r15: the range / point-in-interval merge).
+        // At least one equi key is required: a pure-theta ON has no
+        // hash key and would nest-loop the 100 TB side.
+        val keyB = Seq.newBuilder[(String, Expression)]
+        val resB = Seq.newBuilder[Expression]
+        splitConjuncts(cond).foreach {
           case EqualTo(l: AttributeReference, r: AttributeReference)
-              if targetOut.contains(l) && sourceOut.contains(r) =>
-            if (!l.name.equalsIgnoreCase(r.name)) unsupported(
-              s"MERGE ON equates differently-named columns (${l.name} vs " +
-                s"${r.name}); alias the source to the target's names")
-            l.name -> (r: Expression)
+              if targetOut.contains(l) && sourceOut.contains(r) &&
+                l.name.equalsIgnoreCase(r.name) =>
+            keyB += (l.name -> (r: Expression))
           case EqualTo(l: AttributeReference, r: AttributeReference)
-              if targetOut.contains(r) && sourceOut.contains(l) =>
-            if (!l.name.equalsIgnoreCase(r.name)) unsupported(
-              s"MERGE ON equates differently-named columns (${r.name} vs " +
-                s"${l.name}); alias the source to the target's names")
-            r.name -> (l: Expression)
+              if targetOut.contains(r) && sourceOut.contains(l) &&
+                r.name.equalsIgnoreCase(l.name) =>
+            keyB += (r.name -> (l: Expression))
+          case other if other.deterministic => resB += other
           case other => unsupported(
-            s"MERGE ON must be a conjunction of target=source column " +
-              s"equalities (got ${other.sql})")
+            s"MERGE ON carries a nondeterministic term (${other.sql})")
         }
-        if (keys.isEmpty) unsupported("MERGE ON names no key equality")
+        val keys: Seq[(String, Expression)] = keyB.result()
+        val residualConjs = resB.result()
+        if (keys.isEmpty) unsupported(
+          "MERGE ON names no same-name target=source key equality — a " +
+            "pure-theta ON would nest-loop the target; alias the source " +
+            "so at least one key matches by name (pure interval lookups " +
+            "belong to graft.operators.Temporal.rangeLookupJoin)")
+        val residual: Option[String] =
+          if (residualConjs.isEmpty) None
+          else Some(residualConjs.map(c => s"(${sqlOfNs(c)})").mkString(" AND "))
 
         /** The canonical-upsert fast path's one-image-per-key plan, iff
           * the shape is EXACTLY `WHEN MATCHED THEN UPDATE SET * WHEN NOT
@@ -140,17 +178,6 @@ object TxLogDml extends Rule[LogicalPlan] {
             source))
         }
 
-        /** Resolved expression → SQL over the conditional-merge
-          * namespace: target columns bare, source columns `_src_<name>`
-          * ([[TxLog.mergeMorConditional]]'s binding contract). */
-        def sqlOfNs(e: Expression): String =
-          e.transform {
-            case a: AttributeReference if sourceOut.contains(a) =>
-              a.withName(s"_src_${a.name}").withQualifier(Seq.empty)
-            case a: AttributeReference if targetOut.contains(a) =>
-              a.withQualifier(Seq.empty)
-          }.sql
-
         def assignsOf(as: Seq[Assignment]): Seq[(String, String)] =
           as.map { a =>
             a.key match {
@@ -161,13 +188,53 @@ object TxLogDml extends Rule[LogicalPlan] {
 
         (matched, notMatched, bySource) match {
           // canonical upsert: UPDATE-all + INSERT-all with agreeing images
+          // (pure-equi ON only — a residual ON needs per-row match
+          // classification, which is the conditional path's job)
           case (Seq(up: UpdateAction), Seq(ins: InsertAction), Seq())
-              if canonicalUpsert(up, ins).isDefined =>
-            TxLogMergeCommand(table, canonicalUpsert(up, ins).get,
-              keys.map(_._1), delete = false)
+              if residual.isEmpty && canonicalUpsert(up, ins).isDefined =>
+            // WITH SCHEMA EVOLUTION (r15): the analyzer's star expansion
+            // covers the target's columns only, so the source's EXTRA
+            // columns are appended to the image here and the command
+            // evolves the declared schema atomically with the merge
+            // commit ([[TxLog.mergeMor]]'s `evolve` — add-column with
+            // null backfill on old files, numeric widening; anything
+            // incompatible fails loudly before any write)
+            val image0 = canonicalUpsert(up, ins).get
+            val image =
+              if (!withSchemaEvolution) image0
+              else {
+                val tgtNames = target.output.map(_.name.toLowerCase).toSet
+                val extra = source.output
+                  .filterNot(a => tgtNames.contains(a.name.toLowerCase))
+                image0 match {
+                  case Project(list, child) =>
+                    // the analyzer's star expansion CASTS each source
+                    // column down to the target's declared type — under
+                    // evolution the source's OWN (possibly wider) type
+                    // must reach the image, so casts directly over a
+                    // source attribute are unwrapped (mergeMor's
+                    // evolveSchema then widens the declaration; an ANSI
+                    // down-cast here would overflow instead of evolve)
+                    val unwrapped = list.map {
+                      case al @ Alias(
+                        c: org.apache.spark.sql.catalyst.expressions.Cast,
+                        name) => c.child match {
+                          case a: AttributeReference if sourceOut.contains(a) =>
+                            Alias(a, name)()
+                          case _ => al
+                        }
+                      case other => other
+                    }
+                    Project(unwrapped ++ extra.map(a => Alias(a, a.name)()),
+                      child)
+                  case other => other
+                }
+              }
+            TxLogMergeCommand(table, image, keys.map(_._1), delete = false,
+              evolve = withSchemaEvolution)
           // erase-by-key: a sole unconditional MATCHED DELETE
           case (Seq(del: DeleteAction), Seq(), Seq())
-              if del.condition.isEmpty =>
+              if residual.isEmpty && del.condition.isEmpty =>
             val image = Project(keys.map { case (k, srcExpr) =>
               Alias(srcExpr, k)() }, source)
             TxLogMergeCommand(table, image, keys.map(_._1), delete = true)
@@ -175,6 +242,11 @@ object TxLogDml extends Rule[LogicalPlan] {
           // WHEN MATCHED [AND c] THEN UPDATE SET col = expr… / DELETE,
           // WHEN NOT MATCHED [AND c] THEN INSERT, WHEN NOT MATCHED BY
           // SOURCE [AND c] THEN UPDATE/DELETE — first-true-wins per list
+          case _ if withSchemaEvolution => unsupported(
+            "MERGE WITH SCHEMA EVOLUTION beyond the canonical upsert " +
+              "(UPDATE SET * + INSERT * on a pure-equi ON) — evolve via " +
+              "ALTER TABLE ADD COLUMN / TxLog.appendEvolve first, then " +
+              "run the conditional merge against the evolved schema")
           case _ =>
             def updateOrDelete(actions: Seq[
               org.apache.spark.sql.catalyst.plans.logical.MergeAction],
@@ -197,7 +269,7 @@ object TxLogDml extends Rule[LogicalPlan] {
             }
             TxLogMergeCondCommand(table, source, keys.map(_._1),
               updateOrDelete(matched, "matched"), nmClauses,
-              updateOrDelete(bySource, "not-matched-by-source"))
+              updateOrDelete(bySource, "not-matched-by-source"), residual)
         }
     }
 
@@ -230,12 +302,13 @@ case class TxLogUpdateCommand(table: String, sets: Seq[(String, String)],
   * The source image plan rides as a FIELD (already analyzer-resolved;
   * executed via the ofRows shim at run time). */
 case class TxLogMergeCommand(table: String, image: LogicalPlan,
-                             keys: Seq[String], delete: Boolean)
+                             keys: Seq[String], delete: Boolean,
+                             evolve: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlShims.ofRows(spark, image)
     if (delete) TxLog.deleteKeysMor(spark, table, src, keys)
-    else TxLog.mergeMor(spark, table, src, keys)
+    else TxLog.mergeMor(spark, table, src, keys, evolve = evolve)
     Seq.empty
   }
 }
@@ -248,12 +321,13 @@ case class TxLogMergeCondCommand(table: String, source: LogicalPlan,
                                  keys: Seq[String],
                                  matched: Seq[MergeMatchedClause],
                                  notMatched: Seq[MergeNotMatchedInsert],
-                                 bySource: Seq[MergeMatchedClause] = Seq.empty)
+                                 bySource: Seq[MergeMatchedClause] = Seq.empty,
+                                 residual: Option[String] = None)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.mergeMorConditional(spark, table,
       GraftSqlShims.ofRows(spark, source), keys, matched, notMatched,
-      bySource)
+      bySource, residual)
     Seq.empty
   }
 }

@@ -1157,10 +1157,11 @@ object TxLog {
                                    txn: Option[(String, Long)] = None,
                                    stats: Seq[String] = Seq.empty,
                                    dvs: Seq[String] = Seq.empty,
-                                   extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
+                                   extraTxns: Seq[(String, Long)] = Seq.empty,
+                                   schemaB64: Option[String] = None): Long = {
     var v = baseVersion + 1
     var attempts = 0
-    while (!tryCommit(spark, table, v, adds, removes, Some(tag), None,
+    while (!tryCommit(spark, table, v, adds, removes, Some(tag), schemaB64,
       txn.toSeq ++ extraTxns, stats, dvs)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
@@ -1973,7 +1974,8 @@ object TxLog {
                                   scope: Seq[String],
                                   adds: Seq[String] = Seq.empty,
                                   tag: String = "delete",
-                                  commitOnNoMatch: Boolean = false): Long = {
+                                  commitOnNoMatch: Boolean = false,
+                                  schemaB64: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
     val newPos = newPosRaw.localCheckpoint(true) // two consumers below
     if (newPos.isEmpty) {
@@ -1981,7 +1983,7 @@ object TxLog {
       // appended images (pure-insert batch) as one tagged commit
       if (!commitOnNoMatch || adds.isEmpty) return base
       return commitRewrite(spark, table, base, adds, Seq.empty, tag,
-        new Path(table, adds.head).getParent)
+        new Path(table, adds.head).getParent, schemaB64 = schemaB64)
     }
     val oldDvs = dvAt(spark, table, Some(base))
     val scopeNames = scope.map(p => p.split('/').last)
@@ -2007,7 +2009,7 @@ object TxLog {
       .filter(p => matchedFiles.contains(p.split('/').last))
       .map(p => s"$p|$rel")
     commitRewrite(spark, table, base, adds, Seq.empty, tag, dvDir,
-      dvs = bindings)
+      dvs = bindings, schemaB64 = schemaB64)
   }
 
   /** MOR DELETE with a FREE predicate over the table's logical columns
@@ -2636,19 +2638,50 @@ object TxLog {
     * Duplicate keys in `updates` fail loudly (nondeterministic merge).
     * Returns the committed version. */
   def mergeMor(spark: SparkSession, table: String, updates: DataFrame,
-               keys: Seq[String]): Long = {
+               keys: Seq[String], evolve: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keys.nonEmpty, "txlog: mergeMor needs at least one key column")
     requireNonEmpty(spark, table, "merge")
-    requireFitsDeclared(spark, table, updates, "merge")
     val base = latestVersion(spark, table)
+    // `evolve` (r15): `MERGE WITH SCHEMA EVOLUTION` — the batch's extra
+    // columns are ADDED to the declared schema (old files read them as
+    // null) and its wider numeric types WIDEN it (old files read
+    // promoted), under exactly [[evolveSchema]]'s contract; anything
+    // incompatible fails loudly before any write. The schema action
+    // rides INSIDE the merge commit, so the evolution is atomic with
+    // the data that introduced it and time travel reads each version's
+    // own schema. Without the flag, a batch beyond the declared schema
+    // stays a loud error (requireFitsDeclared) — evolution is opt-in.
+    val evolution: Option[StructType] = if (!evolve) {
+      requireFitsDeclared(spark, table, updates, "merge")
+      None
+    } else {
+      val cur = schemaAt(spark, table, Some(base))
+        .getOrElse(read(spark, table, Some(base)).schema)
+      keys.foreach(k => require(cur.fieldNames.contains(k),
+        s"txlog: merge key '$k' is not a column of $table — a merge " +
+          "cannot key on a column the evolution itself introduces"))
+      val evolved = evolveSchema(cur, updates.schema)
+      val needsDeclare = schemaAt(spark, table, Some(base)) match {
+        case Some(d) => evolved != d
+        case None => evolved != StructType(cur.fields.map(_.copy(nullable = true)))
+      }
+      if (!needsDeclare) {
+        requireFitsDeclared(spark, table, updates, "merge")
+        None
+      } else Some(evolved)
+    }
     val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"txlog: merge batch names key (${dup.headOption.map(_.mkString(", "))
         .getOrElse("")}) more than once — a merge must name each key once")
     val live = snapshotFiles(spark, table, Some(base))
-    val declared = schemaAt(spark, table, Some(base))
+    // under an evolution the EVOLVED schema governs every read and
+    // write below: old files scan with the new columns null / the
+    // widened types promoted (the same read path a declared ADD
+    // COLUMN produces), and the images land physicalized to it
+    val declared = evolution.orElse(schemaAt(spark, table, Some(base)))
     // positions of the superseded rows: physical scan (the _metadata
     // struct needs the un-projected scan) + broadcast semi-join on the
     // batch's keys — the 100 TB side never shuffles
@@ -2700,7 +2733,8 @@ object TxLog {
     physicalize(updates, declared).write.parquet(dataDir.toString)
     val adds = writtenFiles(spark, table, rel)
     try bindDeletionVectors(spark, table, base, newPos, live,
-      adds = adds, tag = "merge", commitOnNoMatch = true)
+      adds = adds, tag = "merge", commitOnNoMatch = true,
+      schemaB64 = evolution.map(encodeSchema))
     catch { case e: Throwable =>
       fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
       throw e
@@ -2730,16 +2764,33 @@ object TxLog {
     * target row fail loudly (never a silent double-image). Probe-first:
     * nothing fired, nothing committed.
     *
-    * Scale shape: the target side scans once and semi-joins the
-    * broadcast source keys before the pair join, so the 100 TB side
-    * never shuffles; masks and images are batch-sized. */
+    * `residual` (r15) extends the ON beyond key equality: match =
+    * `keys equal AND residual`, where residual is SQL over the merge
+    * namespace (target bare, source `_src_<name>`) — the
+    * range/point-in-interval merge (`ON t.id = s.id AND t.ts >= s.lo
+    * AND t.ts < s.hi`). The pair join STAYS a broadcast hash join on
+    * the equi keys with the residual as its non-equi filter, so the
+    * plan shape is unchanged; a target row equi-matching a source row
+    * that fails the residual is NOT matched (it is eligible for BY
+    * SOURCE clauses, and the source row for NOT MATCHED INSERT) —
+    * exactly SQL MERGE's ON semantics. A pure-theta ON (no equi key at
+    * all) is rejected loudly upstream: with no hash key the pair join
+    * would be a nested loop over the 100 TB side.
+    *
+    * Scale shape: the target side never shuffles OR broadcasts — both
+    * classification joins stream the target against the BROADCAST
+    * batch (the matched side joins src in; the not-matched side
+    * anti-joins src's row ids against the pair join's matched ids, a
+    * ≤|src| frame — never a distinct of the 100 TB side's keys, r14
+    * advice); masks and images are batch-sized. */
   def mergeMorConditional(spark: SparkSession, table: String,
                           source: DataFrame, keys: Seq[String],
                           matched: Seq[MergeMatchedClause],
                           notMatched: Seq[MergeNotMatchedInsert],
-                          bySource: Seq[MergeMatchedClause] = Seq.empty): Long = {
+                          bySource: Seq[MergeMatchedClause] = Seq.empty,
+                          residual: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
-      countDistinct, expr, lit, when}
+      countDistinct, expr, lit, monotonically_increasing_id, when}
     require(keys.nonEmpty, "txlog: merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "txlog: merge needs at least one WHEN clause")
@@ -2767,10 +2818,16 @@ object TxLog {
       ins.values.foreach { case (c, _) => require(logicalCols.contains(c),
         s"txlog: merge INSERT assigns unknown column '$c'") }
     }
-    // the source, namespaced: every column rides as _src_<name>. Tiny
-    // relative to the target at 100 TB — broadcast both joins below.
+    // the source, namespaced: every column rides as _src_<name>, plus a
+    // per-row id (_g_src_rid) the not-matched classification keys on —
+    // under a residual ON, "this source row matched" is not a function
+    // of its key columns alone. Tiny relative to the target at 100 TB —
+    // broadcast both joins below.
     val src = source.select(
       source.columns.map(c => col(c).as(s"_src_$c")).toSeq: _*)
+      .withColumn("_g_src_rid", monotonically_increasing_id())
+      .localCheckpoint(true) // pin the ids: both classification joins
+    // must see the SAME id per row, and the source may be nondeterministic
     def fireCol(conds: Seq[Option[String]]): org.apache.spark.sql.Column =
       // first-true-wins: clause i fires iff its condition is true and no
       // earlier clause's was (NULL conditions read as false, SQL WHEN)
@@ -2778,11 +2835,13 @@ object TxLog {
         when(coalesce(c.map(expr).getOrElse(lit(true)), lit(false)),
           lit(i)).otherwise(rest)
       }
-    // ---- matched side: pair join, fire, mask + update images (an
+    // ---- matched side: pair join (broadcast hash on the equi keys,
+    // residual as its non-equi filter), fire, mask + update images (an
     // insert-only merge constant-folds this side to empty — the
     // lit(false) filter keeps the target from being scanned for it) ----
-    val joinCond = keys.map(k => target(k) === src(s"_src_$k"))
+    val equiCond = keys.map(k => target(k) === src(s"_src_$k"))
       .reduce(_ && _)
+    val joinCond = residual.fold(equiCond)(r => equiCond && expr(r))
     val fired = target.join(broadcast(src), joinCond, "inner")
       .withColumn("_g_fire", fireCol(matched.map(_.cond)))
       .filter(if (matched.isEmpty) lit(false) else col("_g_fire") >= 0)
@@ -2813,9 +2872,18 @@ object TxLog {
     // selective condition keeps the commit batch-sized even though the
     // clause's domain is the whole unmatched table ----
     val bySourceSides = if (bySource.isEmpty) None else {
-      val srcKeys = src
-        .select(keys.map(k => col(s"_src_$k").as(k)): _*).distinct()
-      val firedBs = target.join(broadcast(srcKeys), keys, "left_anti")
+      // "no source match" under a residual ON must test the FULL ON,
+      // not just key presence — anti-join the streamed target against
+      // the broadcast source on equi+residual; without a residual the
+      // narrower distinct-keys probe keeps the broadcast minimal
+      val unmatchedTarget = residual match {
+        case None =>
+          val srcKeys = src
+            .select(keys.map(k => col(s"_src_$k").as(k)): _*).distinct()
+          target.join(broadcast(srcKeys), keys, "left_anti")
+        case Some(_) => target.join(broadcast(src), joinCond, "left_anti")
+      }
+      val firedBs = unmatchedTarget
         .withColumn("_g_fire", fireCol(bySource.map(_.cond)))
         .filter(col("_g_fire") >= 0)
         .localCheckpoint(true) // consumed by the mask AND the images
@@ -2833,14 +2901,36 @@ object TxLog {
       Some((firedBs.select(col("_g_dv_file").as("file"),
         col("_g_dv_pos").as("pos")), img))
     }
-    // ---- unmatched-source side: anti-join, fire, insert images ----
-    val tgtKeys = target.select(keys.map(col): _*).distinct()
+    // ---- unmatched-source side: a source row is unmatched iff NO
+    // target row satisfied the full ON for it — classified by the pair
+    // join's matched source-row ids (≤|src|, broadcast), NEVER by a
+    // distinct of the target's keys (unbounded at 100 TB, and
+    // collecting it for broadcast risks driver OOM — r14 advice). The
+    // classification pass streams the target scan against the
+    // broadcast batch, prunes to the ON's columns, and shuffles
+    // nothing. ----
     val insImages = if (notMatched.isEmpty) None else {
-      val unmatched = src.join(broadcast(tgtKeys),
-        keys.map(k => src(s"_src_$k") === tgtKeys(k)).reduce(_ && _),
+      val matchedRids = target.join(broadcast(src), joinCond, "inner")
+        .select(col("_g_src_rid")).distinct()
+      val unmatched = src.join(broadcast(matchedRids), Seq("_g_src_rid"),
         "left_anti")
         .withColumn("_g_fire", fireCol(notMatched.map(_.cond)))
         .filter(col("_g_fire") >= 0)
+      // r14 advice: an INSERT value whose resolved type does not WIDEN
+      // to the declared column must fail loudly BEFORE the cast below
+      // wraps/nulls it (the UPDATE path lands uncast and is checked by
+      // requireFitsDeclared; this makes the INSERT path as loud).
+      // Values bind only _src_ columns, so they resolve against src.
+      notMatched.foreach(_.values.foreach { case (c, rhs) =>
+        val f = tgtSchema(tgtSchema.fieldIndex(c))
+        val t = src.select(expr(rhs).as("_g_t")).schema.head.dataType
+        require(t == org.apache.spark.sql.types.NullType || t == f.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(t, f.dataType),
+          s"txlog: merge INSERT value for '$c' has type " +
+            s"${t.catalogString}, which does not widen to the declared " +
+            s"${f.dataType.catalogString} — cast explicitly in the INSERT " +
+            "clause if the narrowing is intended")
+      })
       Some(unmatched.select(tgtSchema.map { f =>
         notMatched.zipWithIndex.foldRight(
           lit(null).cast(f.dataType): org.apache.spark.sql.Column) {

@@ -105,6 +105,23 @@ class MatViewSpec extends SparkSpec {
       "both racing invocations must equal the sequential result")
   }
 
+  test("digestRow pins the canonical string format the DuckDB oracle mirrors (r15 adjudication)") {
+    // the oracle computes md5(string_agg(CAST(key AS VARCHAR) || '|' ||
+    // … , ';' ORDER BY key)) — digestRow must produce the IDENTICAL
+    // string: values rendered as decimal digits / raw strings, columns
+    // joined '|', rows joined ';' in key order, md5 as lowercase hex
+    val df = Seq(("b", 5L, 6L, 7L, 8L), ("a", 1L, 2L, 3L, 4L))
+      .toDF("lang", "cnt", "total", "vmin", "vmax")
+    val got = MatView.digestRow(spark, df, "lang").collect()
+    val canonical = "a|1|2|3|4;b|5|6|7|8"
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 2L, "n must count the certified view rows")
+    assert(got(0).getString(1) == want,
+      s"digest must be md5('$canonical') in lowercase hex")
+  }
+
   test("the incremental fold reads ONLY the delta's files (folded history is never rescanned)") {
     val (src, mv) = fresh("delta-only")
     TxLog.append(spark, src, (1L to 100L).map(i => (s"k${i % 4}", i)).toDF("k", "v"))

@@ -217,18 +217,86 @@ class TxLogCatalogSpec extends SparkSpec {
       "WHEN MATCHED THEN DELETE")
     assert(spark.sql(s"SELECT k FROM graft.`$t` ORDER BY k").collect()
       .map(_.getString(0)).toSeq == Seq("b", "c"))
-    // still-unsupported shapes fail loudly, with the table untouched
+    // WITH SCHEMA EVOLUTION beyond the canonical upsert stays loudly
+    // rejected, with the table untouched (r15 narrowed the rejection:
+    // the canonical shape now evolves — its own spec below)
     val vs = TxLog.versions(spark, t).size
     val e = intercept[Exception] {
       spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t " +
         "USING mrg_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
     }
-    assert(e.getMessage.contains("library API") ||
-      e.getMessage.contains("SCHEMA EVOLUTION") ||
-      e.getMessage.contains("appendEvolve"),
+    assert(e.getMessage.contains("beyond the canonical upsert"),
       s"unexpected schema-evolution-merge error: ${e.getMessage}")
     assert(TxLog.versions(spark, t).size == vs)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: add-column + widening land INSIDE the merge commit (r15)") {
+    val t = fresh("mrgev")
+    TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    Seq(("b", 20L, "x"), ("d", 40L, "y")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("mrgev_src")
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    val vs = TxLog.versions(spark, t).size
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t " +
+      "USING mrgev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(TxLog.versions(spark, t).size == vs + 1,
+      "evolution + merge must land as ONE commit (atomic schema action)")
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "an evolving MERGE must stay merge-on-read")
+    // old files read the added column as null; merged/inserted rows
+    // carry it
+    val got = spark.sql(s"SELECT k, v, tag FROM graft.`$t` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq(("a", 1L, null), ("b", 20L, "x"), ("c", 3L, null),
+      ("d", 40L, "y")), s"evolving merge produced $got")
+    // time travel to the pre-merge version reads ITS OWN schema
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0")
+      .columns.toSeq == Seq("k", "v"),
+      "the pre-evolution version must keep the narrow schema")
+    // a second evolving merge with the SAME schema is a plain upsert
+    // (no spurious schema action)
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t " +
+      "USING mrgev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0) == 4L)
+    // WIDENING flavor: an INT-declared column takes BIGINT images and
+    // the old int files read promoted
+    val t2 = fresh("mrgev2")
+    spark.sql(s"CREATE TABLE graft.`$t2` (k STRING, n INT)")
+    spark.sql(s"INSERT INTO graft.`$t2` VALUES ('a', 1), ('b', 2)")
+    Seq(("b", 3000000000L), ("e", 5L)).toDF("k", "n")
+      .createOrReplaceTempView("mrgev2_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t2` t " +
+      "USING mrgev2_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val wide = spark.sql(s"SELECT k, n FROM graft.`$t2` ORDER BY k")
+    assert(wide.schema("n").dataType.catalogString == "bigint",
+      "the declared type must widen through the evolving merge")
+    assert(wide.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 3000000000L), ("e", 5L)))
+    // an INCOMPATIBLE change (string into a numeric column) fails
+    // loudly before any write — evolution is widening-only
+    Seq(("a", "oops")).toDF("k", "n").createOrReplaceTempView("mrgev2_bad")
+    val vs2 = TxLog.versions(spark, t2).size
+    val bad = intercept[Exception] {
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graft.`$t2` t " +
+        "USING mrgev2_bad s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(bad.getMessage.contains("incompatible schema change") ||
+      bad.getMessage.contains("cannot read"),
+      s"unexpected incompatible-evolution error: ${bad.getMessage}")
+    assert(TxLog.versions(spark, t2).size == vs2, "the table must be untouched")
+    // library flavor: evolve=false stays the loud requireFitsDeclared
+    val narrow = intercept[Exception] {
+      TxLog.mergeMor(spark, t2, Seq(("a", 1L, 9L)).toDF("k", "n", "extra"),
+        Seq("k"))
+    }
+    assert(narrow.getMessage.contains("evolve the schema first"),
+      s"unexpected unevolved-merge error: ${narrow.getMessage}")
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
@@ -344,6 +412,77 @@ class TxLogCatalogSpec extends SparkSpec {
       "UPDATE SET x = y, y = x must swap, not duplicate")
   }
 
+  test("MERGE with a non-equi ON: equi key hashes, residual classifies every side (r15)") {
+    val t = fresh("mrgr")
+    TxLog.append(spark, t,
+      Seq(("a", 10L), ("a", 250L), ("b", 100L), ("b", 900L)).toDF("k", "v"))
+    // interval source: disjoint [lo, hi) bands per key, one matching none
+    Seq(("a", 0L, 300L, 1000L), ("b", 0L, 300L, 2000L),
+      ("b", 5000L, 6000L, 0L))
+      .toDF("k", "lo", "hi", "bonus").createOrReplaceTempView("mrgr_src")
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgr_src s " +
+      "ON t.k = s.k AND t.v >= s.lo AND t.v < s.hi " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.bonus " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.lo) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 7")
+    // a@10 and a@250 fall in (a,[0,300)) → +1000; b@100 in (b,[0,300))
+    // → +2000; b@900 equi-matches b's bands but fails EVERY residual →
+    // NOT MATCHED BY SOURCE → +7; the (b,[5000,6000)) band matches no
+    // row → INSERT sentinel (b, 5000)
+    val got = spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k, v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1010L), ("a", 1250L), ("b", 907L),
+      ("b", 2100L), ("b", 5000L)), s"range merge produced $got")
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "a range MERGE must stay merge-on-read")
+    assert(TxLog.versions(spark, t).size == 2,
+      "the whole range MERGE lands as ONE commit")
+    // cardinality stays enforced under a residual: OVERLAPPING bands
+    // (two source rows firing for one target row) fail loudly
+    Seq(("a", 0L, 2000L, 1L), ("a", 5L, 1500L, 2L))
+      .toDF("k", "lo", "hi", "bonus").createOrReplaceTempView("mrgr_dup")
+    val dup = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` t USING mrgr_dup s " +
+        "ON t.k = s.k AND t.v >= s.lo AND t.v < s.hi " +
+        "WHEN MATCHED THEN UPDATE SET v = s.bonus")
+    }
+    assert(dup.getMessage.contains("multiple source rows"),
+      s"unexpected overlap error: ${dup.getMessage}")
+    // pure-theta ON (no equi key at all) stays loud: no hash key means
+    // nest-looping the target
+    val theta = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` t USING mrgr_src s " +
+        "ON t.v >= s.lo AND t.v < s.hi " +
+        "WHEN MATCHED THEN UPDATE SET v = s.bonus")
+    }
+    assert(theta.getMessage.contains("no same-name target=source key"),
+      s"unexpected pure-theta error: ${theta.getMessage}")
+  }
+
+  test("merge INSERT values that would narrow fail loudly before the cast (r15)") {
+    val t = fresh("mrgcast")
+    TxLog.append(spark, t, Seq(("a", 1L)).toDF("k", "v"))
+    val e = intercept[Exception] {
+      TxLog.mergeMorConditional(spark, t,
+        Seq(("z", 2.5)).toDF("k", "d"), Seq("k"),
+        matched = Seq.empty,
+        notMatched = Seq(graft.sources.MergeNotMatchedInsert(None,
+          Seq("k" -> "_src_k", "v" -> "_src_d"))))
+    }
+    assert(e.getMessage.contains("does not widen"),
+      s"unexpected narrowing-insert error: ${e.getMessage}")
+    assert(TxLog.versions(spark, t).size == 1, "the table must be untouched")
+    // a WIDENING insert value stays accepted (int literal into BIGINT)
+    TxLog.mergeMorConditional(spark, t,
+      Seq(("z", 2.5)).toDF("k", "d"), Seq("k"),
+      matched = Seq.empty,
+      notMatched = Seq(graft.sources.MergeNotMatchedInsert(None,
+        Seq("k" -> "_src_k", "v" -> "CAST(_src_d AS BIGINT)"))))
+    assert(spark.sql(s"SELECT v FROM graft.`$t` WHERE k = 'z'")
+      .head().getLong(0) == 2L)
+  }
+
   test("TRUNCATE TABLE routes through the MOR delete-all (zero files touched)") {
     val t = fresh("trunc")
     TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
@@ -434,6 +573,14 @@ class TxLogCatalogSpec extends SparkSpec {
       "a fresh file is inside the in-flight-writer horizon")
     spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
     try {
+      // bare VACUUM is conservative (r15): every version retained, so
+      // even past the age horizon nothing referenced is reclaimed and
+      // time travel to version 0 survives
+      assert(spark.sql(s"VACUUM graft.`$t`").head().getLong(0) == 0L,
+        "bare VACUUM must retain all versions (orphan-only reclaim)")
+      assert(spark.sql(s"SELECT k FROM graft.`$t` VERSION AS OF 0")
+        .collect().map(_.getString(0)).toSeq == Seq("a"),
+        "time travel must survive a bare VACUUM")
       val n = spark.sql(s"VACUUM graft.`$t` RETAIN 1 VERSIONS")
         .head().getLong(0)
       assert(n >= 2L, s"expected the pre-compaction files deleted, got $n")
@@ -524,6 +671,33 @@ class TxLogCatalogSpec extends SparkSpec {
       Seq((1L, 30L)))
     // the persisted definition is the JOIN flavor (refresh needs no plan)
     assert(rf() == "noop")
+    // r15: the WHERE binds on the designated FACT (first relation) — a
+    // filter naming a column present in BOTH sides, or only in the dim,
+    // must fail loudly instead of silently filtering the wrong side
+    TxLog.append(spark, dir + "/fact2",
+      Seq((1L, 10L, "a")).toDF("k", "v", "grp")) // grp in fact AND dim
+    val ambig = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dir/v3` AS " +
+        s"SELECT grp, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+        s"MAX(v) AS vmax FROM graft.`$dir/fact2` JOIN graft.`$dim` " +
+        s"USING (k) WHERE grp = 'x' GROUP BY grp")
+    }
+    assert(ambig.getMessage.contains("BOTH the fact and the dim"),
+      s"unexpected ambiguity error: ${ambig.getMessage}")
+    val dimOnly = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dir/v4` AS " +
+        s"SELECT grp, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+        s"MAX(v) AS vmax FROM graft.`$fact` JOIN graft.`$dim` " +
+        s"USING (k) WHERE grp = 'x' GROUP BY grp")
+    }
+    assert(dimOnly.getMessage.contains("does not carry"),
+      s"unexpected dim-only error: ${dimOnly.getMessage}")
+    // a WHERE on the JOIN KEY itself stays accepted (both sides equal
+    // under the inner equi-join, so binding on the fact is exact)
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dir/v5` AS " +
+      s"SELECT grp, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax FROM graft.`$fact` JOIN graft.`$dim` " +
+      s"USING (k) WHERE k < 100 GROUP BY grp").head().getString(0) == "build")
   }
 
   test("RESTORE TABLE and DESCRIBE DETAIL through SQL equal the library ops") {
