@@ -53,7 +53,38 @@ import Mp4.{BitReader, BitWriter, Mp4Malformed, Pps, Sps,
   *
   * Still quarantined, loudly: sparse residuals (the unverifiable VLC
   * tables), CABAC, P/B slices, 8×8 transform, field/MBAFF coding,
-  * multi-slice pictures. */
+  * multi-slice pictures.
+  *
+  * PERMANENT ADJUDICATION (r15, closing the sparse-residual question
+  * for good): the contexts-0–7 coeff_token (Table 9-5), total_zeros
+  * (Tables 9-7/9-8), and run_before (Table 9-10) codes CANNOT be
+  * verified in this sandbox, by the nature of the tables themselves —
+  * not by lack of effort:
+  *  1. They are EMPIRICALLY-designed Huffman assignments. The spec
+  *     imposes only prefix-freeness and completeness, which
+  *     exponentially many distinct assignments satisfy — a structural
+  *     generator + canary can REJECT malformed candidates but can
+  *     never SELECT the one conformant assignment. There is nothing
+  *     to derive the tables FROM.
+  *  2. Encoder-contains-decoder round-trips (this module's proof shape
+  *     for everything else) prove SELF-consistency only: a
+  *     wrong-but-prefix-free table passes every randomized round-trip
+  *     while emitting bitstreams every real decoder misplays — and
+  *     would decode real streams to silently wrong pixels, the one
+  *     failure mode the multimodal contract forbids. The dense subset
+  *     is different in kind: its codes are a closed-form FLC formula
+  *     and an 18-entry table, not a recalled 400-entry assignment.
+  *  3. The r14 attempt is the direct evidence: one from-memory
+  *     Table 9-5 transcription was already caught structurally wrong
+  *     by the prefix-free canary — and a transcription that happened
+  *     to pass the canary would still carry exactly the undetectable
+  *     assignment risk of (1).
+  * The quarantine narrows only if a verifiable source enters the
+  * environment: the ITU-T H.264 table text itself, a reference codec
+  * to cross-decode against, or conformance bitstreams with known
+  * reconstructions. Until one does, sparse input returning None IS the
+  * correct behavior, and this item is closed — not to be re-attempted
+  * from memory. */
 object H264Cavlc {
 
   // ───────────────────────────────────────────────────────────────────

@@ -45,6 +45,7 @@ object MatView {
     * (single-table and join flavors). */
   private val DefKey = "mv-definition"
   private val DefJoinKey = "mv-definition-join"
+  private val DefNdvKey = "mv-definition-ndv"
 
   /** The definitions are framed by '\n' (fields) and ',' (name lists):
     * a name containing either would round-trip into a DIFFERENT
@@ -106,8 +107,9 @@ object MatView {
       case Some(d) =>
         val (fact, dim, _, _, _, _) = decodeJoinDef(d)
         Seq(fact, dim)
-      case None => Seq(decodeDef(metas.getOrElse(DefKey,
-        throw new IllegalStateException(
+      case None => Seq(decodeDef(metas.get(DefNdvKey)
+        .orElse(metas.get(DefKey))
+        .getOrElse(throw new IllegalStateException(
           s"txlog: $mv carries no persisted materialized-view definition")))._1)
     }
   }
@@ -118,11 +120,14 @@ object MatView {
     * flavor). Loud when the table was not built through either. */
   def refreshNamed(spark: SparkSession, mv: String): String = {
     val metas = TxLog.commitMetas(spark, mv)
-    metas.get(DefJoinKey) match {
-      case Some(d) =>
+    (metas.get(DefJoinKey), metas.get(DefNdvKey)) match {
+      case (Some(d), _) =>
         val (fact, dim, joinKeys, keyCols, valCol, filter) = decodeJoinDef(d)
         refreshJoin(spark, fact, dim, mv, joinKeys, keyCols, valCol, filter)
-      case None =>
+      case (None, Some(d)) =>
+        val (src, keys, valCol) = decodeDef(d)
+        refreshDistinct(spark, src, mv, keys, valCol)
+      case (None, None) =>
         val defn = metas.getOrElse(DefKey,
           throw new IllegalStateException(
             s"txlog: $mv carries no persisted materialized-view definition " +
@@ -301,6 +306,170 @@ object MatView {
         col("ncnt").as("cnt"), col("ntotal").as("total"),
         when(col("needrepair"), col("rmin")).otherwise(col("candmin")).as("vmin"),
         when(col("needrepair"), col("rmax")).otherwise(col("candmax")).as("vmax")): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // APPROX-DISTINCT MV (r15): the view maintains (cnt, ndv) per group
+  // where ndv is a DataSketches HLL sketch (Spark-native codegen'd
+  // hll_sketch_agg) of the value column — the "distinct users per day"
+  // view that at 100 TB can neither recompute nightly nor keep exact
+  // sets. Sketch registers are a per-register-max set function of the
+  // hashed input, so the APPEND-ONLY fold (hll_union_agg of view +
+  // delta partials) yields the identical state to sketching the whole
+  // table — fold ≡ recompute exactly, certified in-row. Sketches are
+  // NOT invertible: any delete/merge/rewrite commit in range honestly
+  // forces the full recompute (no signed fold exists for them), which
+  // the mode string surfaces loudly. Compactions are invisible.
+  // ---------------------------------------------------------------------
+
+  private val MvdAppId = "graft-matview-ndv"
+  /** lgConfigK for the maintained sketches: 4 KB registers, ~1.6%
+    * standard error — the Spark default, pinned so fold and recompute
+    * always sketch at the same precision. */
+  private val NdvLgK = 12
+
+  private def distinctAggregate(spark: SparkSession, src: String,
+                                srcVersion: Long, keyCols: Seq[String],
+                                valCol: String): DataFrame =
+    TxLog.read(spark, src, Some(srcVersion))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        hll_sketch_agg(col(valCol), lit(NdvLgK)).as("ndv"))
+
+  /** Refresh the approx-distinct view `mv` over `src`, returning the
+    * mode taken: "noop" / "build" / "incremental" (append-only sketch
+    * fold) / "recompute" (ANY data-changing non-append commit — the
+    * honest fallback, sketches cannot unsee a deleted value). Same
+    * race-exact skeleton as [[refresh]]: pinned reads, CAS commits,
+    * lost races re-enter on the winner's state. */
+  def refreshDistinct(spark: SparkSession, src: String, mv: String,
+                      keyCols: Seq[String], valCol: String): String =
+    refreshDistinctOnce(spark, src, mv, keyCols, valCol, attemptsLeft = 5)
+
+  private def refreshDistinctOnce(spark: SparkSession, src: String, mv: String,
+                                  keyCols: Seq[String], valCol: String,
+                                  attemptsLeft: Int): String = {
+    require(attemptsLeft > 0,
+      s"txlog: distinct-matview refresh of $mv kept losing commit races — giving up")
+    def retry() = refreshDistinctOnce(spark, src, mv, keyCols, valCol,
+      attemptsLeft - 1)
+    val srcLatest = TxLog.latestVersion(spark, src)
+    if (TxLog.versions(spark, mv).isEmpty) {
+      // the definition rides the BUILD commit's metadata, so REFRESH
+      // MATERIALIZED VIEW / continuous maintenance need no re-supplied
+      // plan (refreshNamed dispatches on the ndv flavor key)
+      if (TxLog.appendIfEmpty(spark, mv,
+        distinctAggregate(spark, src, srcLatest, keyCols, valCol),
+        MvdAppId, srcLatest,
+        metas = Seq(TxLog.metaPayload(DefNdvKey,
+          encodeDef(src, keyCols, valCol))))) "build"
+      else retry()
+    } else {
+      val mvBase = TxLog.latestVersion(spark, mv)
+      val applied = TxLog.lastCommittedBatch(spark, mv, MvdAppId, Some(mvBase))
+        .getOrElse(throw new IllegalStateException(
+          s"txlog: $mv carries no $MvdAppId marker — not a distinct-MV table"))
+      if (applied >= srcLatest) return "noop"
+      val range = TxLog.versions(spark, src)
+        .filter(v => v > applied && v <= srcLatest)
+      def commitPinned(view: DataFrame, mode: String): String =
+        try {
+          TxLog.overwriteIdempotentAt(spark, mv, mvBase, view, MvdAppId, srcLatest)
+          mode
+        } catch {
+          case _: graft.sources.TxLogConcurrentModificationException => retry()
+        }
+      // sketches fold ONLY append-deltas: any commit that changes
+      // already-delivered rows (delete, merge, overwrite, restore —
+      // compactions excepted) forces the recompute
+      val changing = range.exists { v =>
+        !TxLog.commitKind(spark, src, v).contains("compact") &&
+          TxLog.commitChangesData(spark, src, v)
+      }
+      if (changing)
+        commitPinned(distinctAggregate(spark, src, srcLatest, keyCols, valCol),
+          "recompute")
+      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact")))
+        "noop"
+      else {
+        val delta = TxLog.readChanges(spark, src, applied, srcLatest)
+          .drop("_commit_version")
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("cnt"),
+            hll_sketch_agg(col(valCol), lit(NdvLgK)).as("ndv"))
+        val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"),
+            // every partial is sketched at NdvLgK, so the strict union
+            // (allowDifferentLgConfigK = false, the default) is exact
+            hll_union_agg(col("ndv")).as("ndv"))
+        commitPinned(folded, "incremental")
+      }
+    }
+  }
+
+  /** What a dashboard reads off the distinct view: keys, row count, and
+    * the sketch estimate (rounded — exact while the sketch is below its
+    * coupon threshold, ~1.6% σ beyond). */
+  def readDistinct(spark: SparkSession, mv: String,
+                   keyCols: Seq[String]): DataFrame =
+    TxLog.read(spark, mv)
+      .select(keyCols.map(col) :+ col("cnt") :+
+        round(hll_sketch_estimate(col("ndv"))).cast("long").as("ndv_est"): _*)
+
+  /** QW — the approx-distinct MV lifecycle under the oracle gate:
+    * per-lang (row count, distinct-source sketch) built after wave 1,
+    * sketch-FOLDED across waves 2/3 (modes REQUIREd "incremental" — no
+    * rescan of folded history), invisible across a compaction, and
+    * honestly RECOMPUTED after a MOR delete (REQUIREd — a sketch
+    * cannot unsee a deleted value). In-row guard: the folded view's
+    * (cnt, estimate) equals a from-scratch recompute's EXACTLY — the
+    * register-state merge argument, not an error band. The emitted row
+    * carries the exact distinct count (oracle-computable) plus the
+    * sketch-within-5% boolean the oracle asserts TRUE, shipped in
+    * [[digestRow]] form like the rest of the MV family. */
+  def qwMvDistinct(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "source")
+    val src = Fixtures.table("mvndv", d, "src")
+    val mv = Fixtures.table("mvndv", d, "view")
+    def go() = refreshDistinct(spark, src, mv, Seq("lang"), "source")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 0))
+    require(go() == "build")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 1))
+    require(go() == "incremental",
+      "an append must fold the sketches, not recompute")
+    TxLog.compact(spark, src)
+    require(go() == "noop", "a compaction changes no rows")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 3 === 2))
+    require(go() == "incremental")
+    TxLog.deleteWhereMorExpr(spark, src, "doc_id % 9 = 4")
+    require(go() == "recompute",
+      "a delete must force the honest recompute — sketches are not invertible")
+    require(go() == "noop")
+    val served = readDistinct(spark, mv, Seq("lang"))
+    // in-row guard: fold ≡ recompute, exactly (cnt and estimate both —
+    // identical register state per the merge argument)
+    val reference = distinctAggregate(spark, src,
+      TxLog.latestVersion(spark, src), Seq("lang"), "source")
+      .select(col("lang"), col("cnt"),
+        round(hll_sketch_estimate(col("ndv"))).cast("long").as("ndv_est"))
+    certifyEqual(spark, mv, served, reference,
+      "sketch fold != recompute over fixture source")
+    // guard 2 (the family's oracle-semantics leg): the folded counts
+    // must equal the closed form computed STRAIGHT from the source
+    // parquet, never touching the fixture table
+    certifyEqual(spark, mv, served.select("lang", "cnt"),
+      docs.filter(col("doc_id") % 9 =!= 4).groupBy("lang")
+        .agg(count(lit(1)).as("cnt")),
+      "fold cnt != oracle count computed directly from source parquet")
+    val exact = docs.filter(col("doc_id") % 9 =!= 4)
+      .groupBy("lang")
+      .agg(countDistinct(col("source")).as("ndv_exact"))
+    val out = served.join(exact, "lang")
+      .select(col("lang"), col("cnt"), col("ndv_exact"),
+        (abs(col("ndv_est") - col("ndv_exact")) <=
+          greatest(col("ndv_exact") * 0.05, lit(2.0))).as("within5"))
+    digestRow(spark, out, "lang")
   }
 
   // ---------------------------------------------------------------------
@@ -788,7 +957,8 @@ object MatView {
     "qw_mv_join_refresh" -> qwMvJoinRefresh _,
     "qw_mv_delete_fold" -> qwMvDeleteFold _,
     "qw_mv_sql" -> qwMvSql _,
-    "qw_mv_sql_join" -> qwMvSqlJoin _)
+    "qw_mv_sql_join" -> qwMvSqlJoin _,
+    "qw_mv_distinct" -> qwMvDistinct _)
 
   /** Wrap a full-shape MV oracle query (cols `key, cnt, total, vmin,
     * vmax`) into [[digestRow]]'s one-row digest form: the IDENTICAL
@@ -829,6 +999,14 @@ object MatView {
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
         "AND o_orderkey % 11 <> 5 " +
         "GROUP BY c_nationkey", "c_nationkey"),
+    "qw_mv_distinct" ->
+      ("SELECT COUNT(*) AS n, md5(string_agg(" +
+        "CAST(lang AS VARCHAR) || '|' || CAST(cnt AS VARCHAR) || '|' || " +
+        "CAST(ndv_exact AS VARCHAR) || '|' || CAST(within5 AS VARCHAR), " +
+        "';' ORDER BY lang)) AS digest FROM (" +
+        "SELECT lang, COUNT(*) AS cnt, " +
+        "COUNT(DISTINCT source) AS ndv_exact, TRUE AS within5 " +
+        "FROM documents WHERE doc_id % 9 <> 4 GROUP BY lang)"),
     "qw_mv_delete_fold" -> digestOracle(
       "SELECT lang, COUNT(*) AS cnt, SUM(v) AS total, " +
         "MIN(v) AS vmin, MAX(v) AS vmax FROM (" +

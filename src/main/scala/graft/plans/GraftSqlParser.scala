@@ -23,6 +23,8 @@ import graft.sources.TxLog
 sealed trait MvShape
 case class MvSingle(src: String, keys: Seq[String], valCol: String)
   extends MvShape
+case class MvDistinct(src: String, keys: Seq[String], valCol: String)
+  extends MvShape
 case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
                   keys: Seq[String], valCol: String,
                   factFilter: Option[String]) extends MvShape
@@ -46,6 +48,10 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax FROM
   *    graft.`/src` GROUP BY k…`          → [[MatView.refresh]] (build),
   *    with the definition persisted in the view's commit metadata
+  *  - `CREATE MATERIALIZED VIEW … AS SELECT k…, COUNT(*) AS cnt,
+  *    APPROX_COUNT_DISTINCT(v) AS ndv FROM graft.`/src` GROUP BY k…` →
+  *    [[MatView.refreshDistinct]] (mergeable HLL sketch per group —
+  *    appends fold, deletes recompute honestly)
   *  - `REFRESH MATERIALIZED VIEW graft.`/mv`` → [[MatView.refreshNamed]]
   *    (no re-supplied plan — the build commit carries the definition)
   *
@@ -129,9 +135,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       "txlog: CREATE MATERIALIZED VIEW supports exactly `SELECT k…, " +
         "COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS " +
         "vmax FROM graft.`/src` [JOIN graft.`/dim` ON k = k | USING (k)]" +
-        " [WHERE fact-filter] GROUP BY k…` — the incrementally " +
-        s"maintainable aggregate shapes (got: $what); other shapes go " +
-        "through the MatView library API (refresh/refreshJoin)")
+        " [WHERE fact-filter] GROUP BY k…` or `SELECT k…, COUNT(*) AS " +
+        "cnt, APPROX_COUNT_DISTINCT(v) AS ndv FROM graft.`/src` GROUP " +
+        "BY k…` — the incrementally maintainable aggregate shapes " +
+        s"(got: $what); other shapes go through the MatView library " +
+        "API (refresh/refreshJoin/refreshDistinct)")
 
   private def unalias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => unalias(child)
@@ -171,7 +179,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             a.nameParts.head
           case other => mvUnsupported(s"grouping ${other.sql}")
         }
-        if (aggs.length != keys.length + 4)
+        if (aggs.length != keys.length + 4 && aggs.length != keys.length + 2)
           mvUnsupported(s"${aggs.length} select items for ${keys.length} keys")
         aggs.take(keys.length).zip(keys).foreach {
           case (a: UnresolvedAttribute, k)
@@ -187,8 +195,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               mvUnsupported(s"select item ${other.sql} (expected an " +
                 s"aggregate aliased AS $alias)")
           }
-        val Seq(cntE, totalE, vminE, vmaxE) = aggs.drop(keys.length)
-        fnOf(cntE, "cnt") match {
+        def requireCnt(cntE: Expression): Unit = fnOf(cntE, "cnt") match {
           case ("count", Seq(_: UnresolvedStar)) => ()
           case ("count", Seq(_: Literal)) => ()
           case other => mvUnsupported(s"cnt must be COUNT(*), got $other")
@@ -200,6 +207,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case other =>
               mvUnsupported(s"$alias must be ${fn.toUpperCase}(col), got $other")
           }
+        // the APPROX-DISTINCT flavor (r15): `k…, COUNT(*) AS cnt,
+        // APPROX_COUNT_DISTINCT(v) AS ndv` over ONE table — maintained
+        // by [[MatView.refreshDistinct]] as a mergeable HLL sketch per
+        // group (appends fold, deletes recompute honestly); joins and
+        // WHERE are not maintainable for this shape and stay loud
+        if (aggs.length == keys.length + 2) {
+          val Seq(cntE, ndvE) = aggs.drop(keys.length)
+          requireCnt(cntE)
+          val ndvCol = argCol(ndvE, "ndv", "approx_count_distinct")
+          return unalias(child) match {
+            case _: UnresolvedRelation =>
+              MvDistinct(relPath(child), keys, ndvCol)
+            case other => mvUnsupported(
+              s"a ${other.getClass.getSimpleName} source under the " +
+                "APPROX_COUNT_DISTINCT shape (single table only)")
+          }
+        }
+        val Seq(cntE, totalE, vminE, vmaxE) = aggs.drop(keys.length)
+        requireCnt(cntE)
         val valCol = argCol(totalE, "total", "sum")
         val vmin = argCol(vminE, "vmin", "min")
         val vmax = argCol(vmaxE, "vmax", "max")
@@ -404,6 +430,8 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
     val mode = shape match {
       case MvSingle(src, keys, valCol) =>
         MatView.refresh(spark, src, view, keys, valCol)
+      case MvDistinct(src, keys, valCol) =>
+        MatView.refreshDistinct(spark, src, view, keys, valCol)
       case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter) =>
         // the parser designated the FIRST relation as the fact and binds
         // WHERE against its scan; a dim-first query whose WHERE names a

@@ -105,6 +105,31 @@ class MatViewSpec extends SparkSpec {
       "both racing invocations must equal the sequential result")
   }
 
+  test("approx-distinct MV: sketch fold ≡ recompute across appends; deletes recompute honestly (r15)") {
+    val (src, mv) = fresh("ndv")
+    def est: Map[String, (Long, Long)] =
+      MatView.readDistinct(spark, mv, Seq("k")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    TxLog.append(spark, src,
+      Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u1")).toDF("k", "u"))
+    assert(MatView.refreshDistinct(spark, src, mv, Seq("k"), "u") == "build")
+    assert(est == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    // append folds: new values union into the registers, duplicates of
+    // already-seen values change nothing — and the fold must NOT rescan
+    TxLog.append(spark, src,
+      Seq(("a", "u3"), ("a", "u1"), ("b", "u2")).toDF("k", "u"))
+    assert(MatView.refreshDistinct(spark, src, mv, Seq("k"), "u") == "incremental")
+    assert(est == Map("a" -> ((5L, 3L)), "b" -> ((2L, 2L))))
+    TxLog.compact(spark, src)
+    assert(MatView.refreshDistinct(spark, src, mv, Seq("k"), "u") == "noop")
+    // a delete forces the honest recompute (sketches are not invertible):
+    // every u1 row leaves — a keeps u2+u3, b keeps only u2
+    TxLog.deleteWhereMorExpr(spark, src, "u = 'u1'")
+    assert(MatView.refreshDistinct(spark, src, mv, Seq("k"), "u") == "recompute")
+    assert(est == Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    assert(MatView.refreshDistinct(spark, src, mv, Seq("k"), "u") == "noop")
+  }
+
   test("digestRow pins the canonical string format the DuckDB oracle mirrors (r15 adjudication)") {
     // the oracle computes md5(string_agg(CAST(key AS VARCHAR) || '|' ||
     // … , ';' ORDER BY key)) — digestRow must produce the IDENTICAL

@@ -700,6 +700,45 @@ class TxLogCatalogSpec extends SparkSpec {
       s"USING (k) WHERE k < 100 GROUP BY grp").head().getString(0) == "build")
   }
 
+  test("CREATE MATERIALIZED VIEW with APPROX_COUNT_DISTINCT maintains an HLL sketch per group (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mvd").toString
+    val (src, mv) = (dir + "/src", dir + "/view")
+    TxLog.append(spark, src,
+      Seq(("a", "u1"), ("a", "u2"), ("b", "u1")).toDF("k", "u"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT k, COUNT(*) AS cnt, APPROX_COUNT_DISTINCT(u) AS ndv " +
+      s"FROM graft.`$src` GROUP BY k").head().getString(0) == "build")
+    def rf(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    def served: Map[String, (Long, Long)] =
+      spark.sql(s"SELECT k, cnt, CAST(ROUND(hll_sketch_estimate(ndv)) " +
+        s"AS BIGINT) AS e FROM graft.`$mv`").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(served == Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    // an INSERT INTO folds the sketches through the persisted definition
+    Seq(("a", "u3"), ("b", "u1")).toDF("k", "u")
+      .createOrReplaceTempView("mvd_wave2")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT k, u FROM mvd_wave2")
+    assert(rf() == "incremental",
+      "an append must fold the sketches through REFRESH MATERIALIZED VIEW")
+    assert(served == Map("a" -> ((3L, 3L)), "b" -> ((2L, 1L))))
+    // a SQL DELETE forces the honest recompute (not invertible); b's
+    // rows were ALL u1, so the whole group leaves the view
+    spark.sql(s"DELETE FROM graft.`$src` WHERE u = 'u1'")
+    assert(rf() == "recompute",
+      "a delete must recompute — a sketch cannot unsee a value")
+    assert(served == Map("a" -> ((2L, 2L))))
+    assert(rf() == "noop")
+    // the shape guard: a JOIN under the distinct shape stays loud
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dir/v2` AS " +
+        s"SELECT k, COUNT(*) AS cnt, APPROX_COUNT_DISTINCT(u) AS ndv " +
+        s"FROM graft.`$src` JOIN graft.`$src` USING (k) GROUP BY k")
+    }
+    assert(bad.getMessage.contains("single table only"),
+      s"unexpected distinct-join error: ${bad.getMessage}")
+  }
+
   test("RESTORE TABLE and DESCRIBE DETAIL through SQL equal the library ops") {
     val t = fresh("restore")
     TxLog.append(spark, t, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
