@@ -24,7 +24,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Temporal.queries ++ Graph.queries ++ Sketches.queries ++ Ingest.queries ++
       Merge.queries ++ Constraints.queries ++ Bpe.queries ++ Mpeg1.queries ++
-      Mp4.queries ++ H264Pcm.queries ++ H264Cavlc.queries ++
+      Mp4.queries ++ H264Pcm.queries ++ H264Cavlc.queries ++ Flac.queries ++
       TextIndex.queries ++ Classifier.queries ++ Skew.queries ++ Pii.queries ++
       MatView.queries
 
@@ -35,7 +35,7 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Temporal.oracles ++ Graph.oracles ++ Sketches.oracles ++ Ingest.oracles ++
       Merge.oracles ++ Constraints.oracles ++ Bpe.oracles ++ Mpeg1.oracles ++
-      Mp4.oracles ++ H264Pcm.oracles ++ H264Cavlc.oracles ++
+      Mp4.oracles ++ H264Pcm.oracles ++ H264Cavlc.oracles ++ Flac.oracles ++
       TextIndex.oracles ++ Classifier.oracles ++ Skew.oracles ++ Pii.oracles ++
       MatView.oracles
 }
