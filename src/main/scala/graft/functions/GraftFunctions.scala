@@ -58,6 +58,8 @@ object FunctionBuilders {
         intLiteral(c(2), "k")).toAggregateExpression()),
     ("zorder_key", classOf[ZOrderKey],
       (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
+    ("hilbert_key", classOf[HilbertKey],
+      (c: Seq[Expression]) => HilbertKey(c(0), c(1))),
     ("unicode_norm", classOf[UnicodeNorm],
       (c: Seq[Expression]) => UnicodeNorm(c(0), stringLiteral(c(1), "form"))),
     ("strip_accents", classOf[StripAccents],

@@ -410,6 +410,42 @@ object Merge {
     TxLog.readWhereAll(spark, zed, preds).orderBy("o_orderkey", "o_custkey")
   }
 
+  /** QW9h — [[qwZorderRead]]'s certification on the HILBERT curve
+    * ([[graft.sources.TxLog.optimizeHilbert]]): same ingest, same
+    * quarter-by-quarter two-axis box, same strict REQUIRE that the
+    * curve layout prunes more files than the lexicographic twin built
+    * in the same row (recall the adjudicated 64× boundary: when ONE
+    * axis owns nearly all the entropy any space-filling curve converges
+    * to lexicographic — correct behavior, loud fixture REQUIRE). The
+    * Hilbert layout's per-file min/max boxes are CONNECTED plane
+    * regions (no Z-seam teleports), which is what public lakehouse
+    * clustering moved to; the returned frame is the box read itself, so
+    * the hash gate also proves the rewrite was row-invisible. */
+  def qwHilbertRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val orders = T.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lex = Fixtures.table("txhilbert", d, "lex")
+    val hil = Fixtures.table("txhilbert", d, "hil")
+    val mx = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+    val (maxKey, maxCust) = (mx.getLong(0), mx.getLong(1))
+    Seq(lex, hil).foreach { t =>
+      TxLog.destroy(spark, t)
+      (0 to 2).foreach(r => TxLog.append(spark, t,
+        orders.filter(col("o_orderkey") % 3 === r)))
+    }
+    TxLog.compactClusteredWithStats(spark, lex, 64, "o_orderkey", "o_custkey")
+    TxLog.optimizeHilbert(spark, hil, 64, "o_orderkey", "o_custkey")
+    val preds = Seq(
+      ("o_orderkey", maxKey / 4, maxKey / 2),
+      ("o_custkey", maxCust / 4, maxCust / 2))
+    val (keptLex, liveLex) = TxLog.pruneFilesMulti(spark, lex, preds)
+    val (keptH, liveH) = TxLog.pruneFilesMulti(spark, hil, preds)
+    require(keptH.size < keptLex.size,
+      s"txlog: hilbert pruned no better than lexicographic " +
+        s"(${keptH.size} of $liveH vs ${keptLex.size} of $liveLex)")
+    TxLog.readWhereAll(spark, hil, preds).orderBy("o_orderkey", "o_custkey")
+  }
+
   /** QW10 — column RENAME + DROP lifecycle (column mapping) under the
     * hash gate: documents lands, `n_chars` is renamed to `chars`
     * (metadata-only — the row REQUIRES the data file set is untouched),
@@ -1029,6 +1065,7 @@ object Merge {
     "qw_pruned_read_multi" -> qwPrunedReadMulti _,
     "qw_delete_mor" -> qwDeleteMor _,
     "qw_zorder_read" -> qwZorderRead _,
+    "qw_hilbert_read" -> qwHilbertRead _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -1190,6 +1227,15 @@ object Merge {
     // the z-order rewrite is row-invisible: a two-axis box read off the
     // rewritten table is a plain AND-of-ranges scan
     "qw_zorder_read" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//4 FROM orders) " +
+        "AND (SELECT MAX(o_orderkey)//2 FROM orders) " +
+        "AND o_custkey BETWEEN (SELECT MAX(o_custkey)//4 FROM orders) " +
+        "AND (SELECT MAX(o_custkey)//2 FROM orders) " +
+        "ORDER BY o_orderkey, o_custkey"),
+    // the hilbert rewrite is row-invisible too: same box read, same
+    // plain AND-of-ranges oracle
+    "qw_hilbert_read" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey BETWEEN (SELECT MAX(o_orderkey)//4 FROM orders) " +
         "AND (SELECT MAX(o_orderkey)//2 FROM orders) " +

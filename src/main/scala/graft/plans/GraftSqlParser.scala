@@ -38,6 +38,7 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *  - `OPTIMIZE graft.`/t``              → [[TxLog.optimizeBinPack]]
   *  - `OPTIMIZE graft.`/t`` ZORDER BY (a, b)` → [[TxLog.optimizeZOrder]]
   *    (output file count sized from live bytes / the session's target)
+  *  - `OPTIMIZE graft.`/t`` HILBERT BY (a, b)` → [[TxLog.optimizeHilbert]]
   *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS]` → [[TxLog.vacuum]]
   *    (no RETAIN clause = retain ALL versions, orphan-only reclaim)
   *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
@@ -64,7 +65,7 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -104,22 +105,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MatViewRefreshCommand(graftPath(ident).get)
     case CreateMvRe(ident, query) if graftPath(ident).isDefined =>
       MatViewCreateCommand(graftPath(ident).get, parseMvQuery(query))
-    case OptimizeRe(ident, zcols) if graftPath(ident).isDefined =>
+    case OptimizeRe(ident, curve, zcols) if graftPath(ident).isDefined =>
       val z = Option(zcols).map { s =>
         val cols = s.split(",").map { c =>
           delegate.parseMultipartIdentifier(c.trim) match {
             case Seq(one) => one
             case other => throw new UnsupportedOperationException(
-              s"txlog: ZORDER BY takes bare column names, got " +
+              s"txlog: ${curve.toUpperCase} BY takes bare column names, got " +
                 other.mkString("."))
           }
         }.toSeq
         require(cols.length == 2,
-          "txlog: OPTIMIZE ... ZORDER BY takes exactly two columns " +
-            s"(got ${cols.length}) — the interleave is two-axis")
+          s"txlog: OPTIMIZE ... ${curve.toUpperCase} BY takes exactly two " +
+            s"columns (got ${cols.length}) — the curve is two-axis")
         (cols(0), cols(1))
       }
-      TxLogOptimizeCommand(graftPath(ident).get, z)
+      TxLogOptimizeCommand(graftPath(ident).get, z,
+        hilbert = Option(curve).exists(_.equalsIgnoreCase("HILBERT")))
     case VacuumRe(ident, retain) if graftPath(ident).isDefined =>
       // bare VACUUM is CONSERVATIVE (r14 advice): retain EVERY version —
       // only orphan files no version references are reclaimed, so time
@@ -290,13 +292,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseDataType(s: String): DataType = delegate.parseDataType(s)
 }
 
-/** `OPTIMIZE graft.`/t`` [ZORDER BY (a, b)]` — incremental bin-pack of
-  * the small-file tail, or a stats-recording z-order rewrite whose
-  * output file count is sized from the live bytes over the session's
+/** `OPTIMIZE graft.`/t`` [ZORDER BY (a, b) | HILBERT BY (a, b)]` —
+  * incremental bin-pack of the small-file tail, or a stats-recording
+  * two-axis curve rewrite (Morton or Hilbert) whose output file count
+  * is sized from the live bytes over the session's
   * `spark.graft.optimize.targetBytes` (default 128 MiB). Returns the
   * committed version (unchanged when nothing needed packing). */
 case class TxLogOptimizeCommand(table: String,
-                                zorder: Option[(String, String)])
+                                zorder: Option[(String, String)],
+                                hilbert: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -311,7 +315,8 @@ case class TxLogOptimizeCommand(table: String,
         val bytes = TxLog.snapshotFiles(spark, table).map(p =>
           fsys.getFileStatus(new org.apache.hadoop.fs.Path(table, p)).getLen).sum
         val files = math.max(1L, (bytes + target - 1) / target).toInt
-        TxLog.optimizeZOrder(spark, table, files, a, b)
+        if (hilbert) TxLog.optimizeHilbert(spark, table, files, a, b)
+        else TxLog.optimizeZOrder(spark, table, files, a, b)
     }
     Seq(Row(v))
   }

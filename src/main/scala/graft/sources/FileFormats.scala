@@ -147,6 +147,24 @@ object FileFormats {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrdered]]'s twin on the HILBERT curve (`hilbert_key`):
+    * same two-axis clustering contract and the same pre-normalization
+    * requirement, but every output file covers one CONNECTED plane
+    * region (the curve never jumps at cell seams), so per-file min/max
+    * boxes are as tight as a linear order can make them. */
+  def writeHilbertClustered(df: DataFrame, path: String, files: Int,
+                            exprA: String, exprB: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(!df.columns.contains("_hkey"),
+      "input already has a _hkey column; rename it before writeHilbertClustered")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("_hkey", expr(s"hilbert_key($exprA, $exprB)"))
+      .repartitionByRange(files, col("_hkey"))
+      .sortWithinPartitions("_hkey")
+      .drop("_hkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Parquet write with per-column BLOOM FILTERS in the footer — the
     * last rung of the pruning ladder this module builds: file-level key
     * ranges ([[writeRangeClustered]]) → row-group min/max

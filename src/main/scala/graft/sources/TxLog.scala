@@ -1365,7 +1365,25 @@ object TxLog {
     * Same transaction shape as [[compact]]; both columns must be
     * bigint-valued and pre-normalized into [0, 2^31). */
   def optimizeZOrder(spark: SparkSession, table: String, files: Int,
-                     colA: String, colB: String): Long = {
+                     colA: String, colB: String): Long =
+    optimizeCurve(spark, table, files, colA, colB,
+      FileFormats.writeZOrdered)
+
+  /** OPTIMIZE … HILBERT BY (colA, colB): [[optimizeZOrder]] on the
+    * Hilbert curve ([[FileFormats.writeHilbertClustered]]) — identical
+    * transaction/normalization/stats contract, tighter per-file boxes
+    * (each file covers one CONNECTED plane region; the Z-curve jumps at
+    * quadrant seams and widens its files' min/max there). Prefer it for
+    * new two-axis layouts; `optimizeZOrder` stays for parity with
+    * Z-ordered tables already on disk. */
+  def optimizeHilbert(spark: SparkSession, table: String, files: Int,
+                      colA: String, colB: String): Long =
+    optimizeCurve(spark, table, files, colA, colB,
+      FileFormats.writeHilbertClustered)
+
+  private def optimizeCurve(spark: SparkSession, table: String, files: Int,
+                            colA: String, colB: String,
+                            write: (DataFrame, String, Int, String, String) => Unit): Long = {
     import org.apache.spark.sql.functions.{max, min}
     requireNonEmpty(spark, table, "compact")
     val base = latestVersion(spark, table)
@@ -1392,7 +1410,7 @@ object TxLog {
     val (pA, pB) = (resolvePhysical(spark, table, colA, Some(base)),
       resolvePhysical(spark, table, colB, Some(base)))
     replaceCommitAt(spark, table, base, snap, "compact",
-      (d, p) => FileFormats.writeZOrdered(d, p, files,
+      (d, p) => write(d, p, files,
         norm(pA, aMin, aMax), norm(pB, bMin, bMax)),
       statsCols = Seq(colA, colB))
   }
