@@ -160,4 +160,34 @@ class StreamingMatViewSpec extends SparkSpec {
         Seq((100L, 2L, 10L)), "the fact-side trigger must fold")
     } finally qs2.foreach(_.stop())
   }
+
+  test("maintainNamed folds the approx-distinct flavor by sketch union") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smvd").toString
+    val src = s"$base/src"; val mv = s"$base/view"
+    TxLog.append(spark, src,
+      Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k", "s"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT k, COUNT(*) AS cnt, APPROX_COUNT_DISTINCT(s) AS ndv " +
+      s"FROM graft.`$src` GROUP BY k").head().getString(0) == "build")
+    def got: Map[String, (Long, Long)] =
+      graft.operators.MatView.readDistinct(spark, mv, Seq("k")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val qs = graft.streaming.StreamingMatView.maintainNamed(
+      spark, mv, s"$base/ckpt")
+    try {
+      assert(qs.length == 1)
+      // append-only delta folds by sketch union: a's new DISTINCT value
+      // registers, b's repeated one must not inflate the estimate
+      TxLog.append(spark, src,
+        Seq(("a", "z"), ("b", "x")).toDF("k", "s"))
+      qs.foreach(_.processAllAvailable())
+      assert(got == Map("a" -> ((3L, 3L)), "b" -> ((2L, 1L))),
+        "the named maintainer must union-fold the distinct sketch")
+      // a delete forces the honest recompute leg (sketches cannot unsee)
+      TxLog.deleteWhereMorExpr(spark, src, "s = 'y'")
+      qs.foreach(_.processAllAvailable())
+      assert(got == Map("a" -> ((2L, 2L)), "b" -> ((2L, 1L))),
+        "the delete must recompute the sketches from the live rows")
+    } finally qs.foreach(_.stop())
+  }
 }
