@@ -26,7 +26,7 @@ object SparkEntry {
       Merge.queries ++ Constraints.queries ++ Bpe.queries ++ Mpeg1.queries ++
       Mp4.queries ++ H264Pcm.queries ++ H264Cavlc.queries ++ Flac.queries ++
       TextIndex.queries ++ Classifier.queries ++ Skew.queries ++ Pii.queries ++
-      MatView.queries
+      MatView.queries ++ Geo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,5 @@ object SparkEntry {
       Merge.oracles ++ Constraints.oracles ++ Bpe.oracles ++ Mpeg1.oracles ++
       Mp4.oracles ++ H264Pcm.oracles ++ H264Cavlc.oracles ++ Flac.oracles ++
       TextIndex.oracles ++ Classifier.oracles ++ Skew.oracles ++ Pii.oracles ++
-      MatView.oracles
+      MatView.oracles ++ Geo.oracles
 }

@@ -60,6 +60,9 @@ object FunctionBuilders {
       (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
     ("hilbert_key", classOf[HilbertKey],
       (c: Seq[Expression]) => HilbertKey(c(0), c(1))),
+    ("geohash", classOf[GeohashEncode],
+      (c: Seq[Expression]) => GeohashEncode(c(0), c(1),
+        intLiteral(c(2), "chars"))),
     ("unicode_norm", classOf[UnicodeNorm],
       (c: Seq[Expression]) => UnicodeNorm(c(0), stringLiteral(c(1), "form"))),
     ("strip_accents", classOf[StripAccents],

@@ -527,7 +527,36 @@ object RelationalExt {
       .orderBy("l_returnflag")
   }
 
+  /** Q46 — RECURSIVE CTE (`WITH RECURSIVE`, Spark 4's iterative SQL):
+    * ancestor-chain rollup over the implicit binary tree `parent(k) =
+    * k div 2` on customer keys. Each recursion step is a JOIN back to
+    * the customer table (the real recursive shape — reachability /
+    * bill-of-materials / org-chart rollups), not bare arithmetic;
+    * depth is bounded by the key width (~11 levels at sf0.01), and
+    * Catalyst plans each iteration as an ordinary hash join over the
+    * shrinking frontier, which is exactly how a 100 TB hierarchy walk
+    * should execute (frontier-sized work per level, no driver loop).
+    * Oracle: DuckDB's own WITH RECURSIVE — cross-engine iterative-SQL
+    * parity, hash-exact. */
+  def q46RecursiveCte(spark: SparkSession, d: String): DataFrame = {
+    T.customer(spark, d).select("c_custkey").createOrReplaceTempView("q46_customer")
+    spark.sql(
+      """WITH RECURSIVE up(seed, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM q46_customer
+        |  WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT u.seed, c.c_custkey, u.depth + 1
+        |  FROM up u JOIN q46_customer c ON c.c_custkey = u.node div 2
+        |  WHERE u.node > 1
+        |) SELECT seed, COUNT(*) AS chain_len, SUM(node) AS path_sum,
+        |         MAX(depth) AS hops
+        |  FROM up GROUP BY seed ORDER BY seed""".stripMargin)
+      .selectExpr("CAST(seed AS BIGINT) AS seed", "chain_len",
+        "CAST(path_sum AS BIGINT) AS path_sum", "CAST(hops AS BIGINT) AS hops")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_recursive_cte" -> q46RecursiveCte _,
     "q45_corr_stats" -> q45CorrStats _,
     "q44_ntile" -> q44Ntile _,
     "q40_scalar_subquery" -> q40ScalarSubquery _,
@@ -563,6 +592,16 @@ object RelationalExt {
     // identical exact-decimal sufficient statistics, identical double
     // expression order — NOT DuckDB's native corr/covar (streaming
     // co-moments, order-dependent last ulps)
+    "q46_recursive_cte" ->
+      ("WITH RECURSIVE up(seed, node, depth) AS (" +
+        "SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 97 = 0 " +
+        "UNION ALL " +
+        "SELECT u.seed, c.c_custkey, u.depth + 1 FROM up u " +
+        "JOIN customer c ON c.c_custkey = u.node // 2 WHERE u.node > 1) " +
+        "SELECT CAST(seed AS BIGINT) AS seed, COUNT(*) AS chain_len, " +
+        "CAST(SUM(node) AS BIGINT) AS path_sum, " +
+        "CAST(MAX(depth) AS BIGINT) AS hops " +
+        "FROM up GROUP BY seed ORDER BY seed"),
     "q45_corr_stats" ->
       ("WITH s AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x, " +
         "CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem), " +
