@@ -226,9 +226,11 @@ object MatView {
         }
       if (unfoldable)
         commitPinned(fullAggregate(spark, src, srcLatest, keyCols, valCol), "recompute")
-      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact")))
-        // compaction-only range: nothing to fold; the watermark stays and
-        // the next delta-bearing refresh covers the wider range exactly
+      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact") ||
+        !TxLog.commitTouchesRows(spark, src, v)))
+        // compaction-only / row-invisible (schema, constraint) range:
+        // nothing to fold; the watermark stays and the next
+        // delta-bearing refresh covers the wider range exactly
         "noop"
       else if (changing.nonEmpty)
         commitPinned(foldSigned(spark, src, mv, mvBase, applied, srcLatest,
@@ -389,7 +391,8 @@ object MatView {
       if (changing)
         commitPinned(distinctAggregate(spark, src, srcLatest, keyCols, valCol),
           "recompute")
-      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact")))
+      else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact") ||
+        !TxLog.commitTouchesRows(spark, src, v)))
         "noop"
       else {
         val delta = TxLog.readChanges(spark, src, applied, srcLatest)
@@ -575,7 +578,8 @@ object MatView {
       def deliversRows(table: String, lo: Long, hi: Long): Boolean =
         TxLog.versions(spark, table)
           .filter(v => v > lo && v <= hi)
-          .exists(v => !TxLog.commitKind(spark, table, v).contains("compact"))
+          .exists(v => !TxLog.commitKind(spark, table, v).contains("compact") &&
+            TxLog.commitTouchesRows(spark, table, v))
       // any dim change beyond compaction invalidates the fold (a fresh
       // dim row may match fact rows an inner join already dropped)
       if (deliversRows(dim, appliedDim, dimLatest))

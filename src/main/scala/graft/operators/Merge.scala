@@ -446,6 +446,64 @@ object Merge {
     TxLog.readWhereAll(spark, hil, preds).orderBy("o_orderkey", "o_custkey")
   }
 
+  /** QW-CHECK — CHECK constraints at the write boundary (the Delta
+    * invariants contract) under the hash gate: a library ADD and a SQL
+    * `ALTER TABLE … ADD CONSTRAINT … CHECK` both land metadata-only
+    * commits; a conforming append folds through; a VIOLATING append is
+    * REQUIREd to fail loudly AND leave the table byte-identical
+    * (version, live files); an ADD over violating existing data is
+    * REQUIREd to fail; `SHOW CONSTRAINTS` lists both; a SQL DROP then
+    * admits the previously-rejected shape. The final read hash-matches
+    * a closed form that only holds if exactly the gated writes landed. */
+  def qwCheckConstraint(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txcheck", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.append(spark, table, docs.filter(col("doc_id") % 4 === 0))
+    TxLog.addCheckConstraint(spark, table, "n-chars-nonneg", "n_chars >= 0")
+    spark.sql(s"ALTER TABLE graft.`$table` ADD CONSTRAINT lang_present " +
+      "CHECK (lang IS NOT NULL)").head()
+    val shown = spark.sql(s"SHOW CONSTRAINTS graft.`$table`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    require(shown == Seq(("lang_present", "lang IS NOT NULL"),
+      ("n-chars-nonneg", "n_chars >= 0")),
+      s"txlog: SHOW CONSTRAINTS returned $shown")
+    TxLog.append(spark, table, docs.filter(col("doc_id") % 4 === 1))
+    val vPinned = TxLog.latestVersion(spark, table)
+    val filesPinned = TxLog.snapshotFiles(spark, table).toSet
+    def mustReject(what: String)(f: => Any): Unit = {
+      val failed =
+        try { f; false } catch { case e: IllegalArgumentException =>
+          require(e.getMessage.contains("CHECK constraint") ||
+            e.getMessage.contains("cannot add constraint"),
+            s"txlog: $what failed for the wrong reason: ${e.getMessage}")
+          true
+        }
+      require(failed, s"txlog: $what must be rejected by the constraint gate")
+      require(TxLog.latestVersion(spark, table) == vPinned &&
+        TxLog.snapshotFiles(spark, table).toSet == filesPinned,
+        s"txlog: rejected $what still changed the table")
+    }
+    mustReject("violating append") {
+      TxLog.append(spark, table, docs.filter(col("doc_id") % 4 === 2)
+        .withColumn("n_chars", -col("n_chars") - 1))
+    }
+    mustReject("violating update") {
+      TxLog.updateMorExpr(spark, table, "doc_id % 4 = 0",
+        Seq("n_chars" -> "-1"))
+    }
+    mustReject("ADD over violating existing data") {
+      TxLog.addCheckConstraint(spark, table, "too-tight", "n_chars > 100")
+    }
+    spark.sql(s"ALTER TABLE graft.`$table` DROP CONSTRAINT n-chars-nonneg")
+    // the dropped gate no longer holds the shape back; lang_present does
+    TxLog.append(spark, table, docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("n_chars", -col("n_chars") - 1))
+    TxLog.read(spark, table).select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** QW10 — column RENAME + DROP lifecycle (column mapping) under the
     * hash gate: documents lands, `n_chars` is renamed to `chars`
     * (metadata-only — the row REQUIRES the data file set is untouched),
@@ -1066,6 +1124,7 @@ object Merge {
     "qw_delete_mor" -> qwDeleteMor _,
     "qw_zorder_read" -> qwZorderRead _,
     "qw_hilbert_read" -> qwHilbertRead _,
+    "qw_check_constraint" -> qwCheckConstraint _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -1233,6 +1292,14 @@ object Merge {
         "AND o_custkey BETWEEN (SELECT MAX(o_custkey)//4 FROM orders) " +
         "AND (SELECT MAX(o_custkey)//2 FROM orders) " +
         "ORDER BY o_orderkey, o_custkey"),
+    // the gated writes: waves 0/1 land as-is, the negated wave 2 lands
+    // only after the DROP — the closed form holds only if exactly the
+    // constraint-admitted commits landed
+    "qw_check_constraint" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 IN (0, 1) " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, -n_chars - 1 AS n_chars FROM documents " +
+        "WHERE doc_id % 4 = 2 ORDER BY doc_id"),
     // the hilbert rewrite is row-invisible too: same box read, same
     // plain AND-of-ranges oracle
     "qw_hilbert_read" ->

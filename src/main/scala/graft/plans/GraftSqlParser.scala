@@ -80,6 +80,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val DescDetailRe =
     """(?is)\s*(?:DESC|DESCRIBE)\s+DETAIL\s+(.+?)\s*;?\s*""".r
+  private val AddCheckRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z][A-Za-z0-9_-]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropCheckRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*""".r
+  private val ShowChecksRe =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*""".r
 
   /** The TxLog path under a `graft.`-catalog identifier, if the text
     * parses as one (same namespace-join rule as TxLogCatalog.path). */
@@ -93,6 +99,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AddCheckRe(ident, name, check) if graftPath(ident).isDefined =>
+      TxLogAddCheckCommand(graftPath(ident).get,
+        name.toLowerCase(java.util.Locale.ROOT), check.trim)
+    case DropCheckRe(ident, name) if graftPath(ident).isDefined =>
+      TxLogDropCheckCommand(graftPath(ident).get,
+        name.toLowerCase(java.util.Locale.ROOT))
+    case ShowChecksRe(ident) if graftPath(ident).isDefined =>
+      TxLogShowChecksCommand(graftPath(ident).get)
     case HistoryRe(ident) if graftPath(ident).isDefined =>
       TxLogHistoryCommand(graftPath(ident).get)
     case DescDetailRe(ident) if graftPath(ident).isDefined =>
@@ -418,6 +432,39 @@ case class TxLogDetailCommand(table: String) extends LeafRunnableCommand {
       TxLog.dvAt(spark, table, None).size.toLong,
       TxLog.schemaAt(spark, table).isDefined))
   }
+}
+
+/** `ALTER TABLE graft.`/t`` ADD CONSTRAINT name CHECK (expr)` →
+  * [[TxLog.addCheckConstraint]] (existing rows validated, then a
+  * metadata-only commit; every later append/overwrite/update/merge is
+  * gated). Returns the committed version. */
+case class TxLogAddCheckCommand(table: String, name: String,
+                                check: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addCheckConstraint(spark, table, name, check)))
+}
+
+/** `ALTER TABLE graft.`/t`` DROP CONSTRAINT name` →
+  * [[TxLog.dropCheckConstraint]]. */
+case class TxLogDropCheckCommand(table: String,
+                                 name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropCheckConstraint(spark, table, name)))
+}
+
+/** `SHOW CONSTRAINTS graft.`/t`` — the active CHECK constraints,
+  * name-ordered. */
+case class TxLogShowChecksCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("check_expr", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.checkConstraints(spark, table).toSeq.sortBy(_._1)
+      .map { case (n, e) => Row(n, e) }
 }
 
 /** `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT …` — builds the

@@ -194,8 +194,9 @@ object TxLog {
     * metas channel: the value rides base64 so the quote-split commit
     * format can carry any text (SQL, JSON). Key: lowercase + dashes. */
   private[graft] def metaPayload(key: String, value: String): String = {
-    require(key.nonEmpty && key.forall(c => c.isLower || c == '-'),
-      s"txlog: meta key must be lowercase-with-dashes: $key")
+    require(key.nonEmpty &&
+      key.forall(c => c.isLower || c.isDigit || c == '-' || c == '_'),
+      s"txlog: meta key must be lowercase-with-dashes/digits/underscores: $key")
     key + "|" + java.util.Base64.getEncoder.encodeToString(
       value.getBytes("UTF-8"))
   }
@@ -220,6 +221,144 @@ object TxLog {
       }
     }
     acc.toMap
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // CHECK constraints (the Delta-style write-boundary gate): persisted
+  // in the metas channel under `check-<name>`, enforced on every
+  // commit that lands NEW row images (append flavors, overwrite, MOR
+  // update/merge) — never on row-invisible rewrites (compaction,
+  // clustering), whose rows already passed. Standard SQL semantics: a
+  // row violates only when the expression is FALSE (NULL passes).
+  // ─────────────────────────────────────────────────────────────────
+
+  private val CheckKeyPrefix = "check-"
+
+  /** The table's active CHECK constraints: name → SQL expression. */
+  def checkConstraints(spark: SparkSession, table: String,
+                       asOf: Option[Long] = None): Map[String, String] =
+    commitMetas(spark, table, asOf).collect {
+      case (k, v) if k.startsWith(CheckKeyPrefix) && v.nonEmpty =>
+        k.substring(CheckKeyPrefix.length) -> v
+    }
+
+  /** ADD CONSTRAINT `name` CHECK (`exprSql`): validates the expression
+    * (resolves against the current schema, boolean-typed,
+    * deterministic), validates EXISTING live rows satisfy it (an ADD
+    * over violating data fails loudly with the violation count — the
+    * constraint must be TRUE the moment it exists), then lands a
+    * metadata-only commit. The [[appendCommit]] claim loop re-reads
+    * constraints that land while it retries, so an ADD racing an
+    * in-flight violating append cannot admit the batch on the quiet. */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+                         exprSql: String): Long = {
+    requireConstraintName(name)
+    require(!checkConstraints(spark, table).contains(name),
+      s"txlog: constraint '$name' already exists on $table — DROP it first")
+    val snap = read(spark, table)
+    val cond = resolveConstraint(spark, table, snap, name, exprSql)
+    val bad = snap.filter(!cond).count() // NULL-passing: cond is coalesced
+    require(bad == 0L,
+      s"txlog: cannot add constraint '$name' CHECK ($exprSql) to $table — " +
+        s"$bad existing rows violate it")
+    commitMetaOnly(spark, table,
+      Seq(metaPayload(CheckKeyPrefix + name, exprSql)), s"add constraint $name")
+  }
+
+  /** DROP CONSTRAINT `name` — a metadata-only commit clearing the key
+    * (last value wins in the metas channel). */
+  def dropCheckConstraint(spark: SparkSession, table: String,
+                          name: String): Long = {
+    requireConstraintName(name)
+    require(checkConstraints(spark, table).contains(name),
+      s"txlog: no constraint '$name' on $table " +
+        s"(have: ${checkConstraints(spark, table).keys.toSeq.sorted.mkString(", ")})")
+    commitMetaOnly(spark, table, Seq(metaPayload(CheckKeyPrefix + name, "")),
+      s"drop constraint $name")
+  }
+
+  private def requireConstraintName(name: String): Unit =
+    require(name.nonEmpty && name.head.isLower &&
+      name.forall(c => c.isLower || c.isDigit || c == '-' || c == '_'),
+      s"txlog: constraint name must be lowercase [a-z][a-z0-9_-]*: '$name'")
+
+  /** Resolve + vet one constraint expression against `frame`'s schema:
+    * boolean-typed, deterministic, analyzable. Returns the VIOLATION-
+    * free predicate (NULL-passing, per SQL CHECK). */
+  private def resolveConstraint(spark: SparkSession, table: String,
+                                frame: DataFrame, name: String,
+                                exprSql: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val cond =
+      try {
+        val c = expr(exprSql)
+        val analyzed = frame.select(c.as("c"))
+        require(analyzed.schema.head.dataType ==
+          org.apache.spark.sql.types.BooleanType,
+          s"txlog: constraint '$name' CHECK ($exprSql) is " +
+            s"${analyzed.schema.head.dataType.catalogString}, not boolean")
+        require(analyzed.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+          s"txlog: constraint '$name' CHECK ($exprSql) is nondeterministic")
+        c
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"txlog: constraint '$name' CHECK ($exprSql) does not resolve " +
+              s"against $table: ${e.getMessage}")
+      }
+    coalesce(cond, lit(true))
+  }
+
+  /** Enforce the table's constraints (as of `asOf`) against the new
+    * row images in `df`: ONE aggregate pass counting violations per
+    * constraint, loud with name + expression + count on any hit, so
+    * nothing lands. The incoming batch is the increment, not the
+    * table, so the extra scan costs the batch — the only enforcement
+    * shape that holds at 100 TB. */
+  private def requireSatisfiesConstraints(spark: SparkSession, table: String,
+                                          df: DataFrame, what: String,
+                                          asOf: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions.{lit, sum, when}
+    val cs = checkConstraints(spark, table, asOf).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    // a batch may carry a SUBSET of declared columns (the rest read as
+    // null) — the constraint must see exactly those nulls, so pad the
+    // frame with typed null literals instead of failing resolution
+    val padded = schemaAt(spark, table).fold(df) { d =>
+      val have = df.columns.toSet
+      d.fields.filterNot(f => have.contains(f.name)).foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val aggs = cs.map { case (n, e) =>
+      sum(when(!resolveConstraint(spark, table, padded, n, e), 1L)
+        .otherwise(0L)).as(s"v_$n")
+    }
+    val row = padded.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch
+      require(v == 0L,
+        s"txlog: $what into $table violates CHECK constraint '$n' ($e): " +
+          s"$v rows — nothing was committed")
+    }
+  }
+
+  /** Commit carrying ONLY meta lines (constraint add/drop) — untagged
+    * and file-free, so the change feed sees it as empty and
+    * incremental consumers fold nothing ([[commitTouchesRows]]). */
+  private def commitMetaOnly(spark: SparkSession, table: String,
+                             metas: Seq[String], what: String): Long = {
+    var v = latestVersion(spark, table) + 1
+    var attempts = 0
+    while (!tryCommit(spark, table, v, Seq.empty, Seq.empty, None, None,
+      metas = metas)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: $what of $table still contended after $attempts attempts")
+      v = math.max(v + 1, versions(spark, table).last + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
   }
 
   /** Short unique suffix for per-attempt data directories, so racing
@@ -690,10 +829,12 @@ object TxLog {
                            what: String, txn: Option[(String, Long)],
                            statsCols: Seq[String]): Option[Long] = {
     requireFitsDeclared(spark, table, df, what)
+    requireSatisfiesConstraints(spark, table, df, what)
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
+    var checkedConstraintsAt = intended - 1
     // close the zombie-twin window: a twin's commit landing between the
     // caller's fast-path marker scan and the `versions` read above would
     // make the first tryCommit succeed at twin.version+1 WITHOUT ever
@@ -729,6 +870,26 @@ object TxLog {
           return None
         }
       }
+      // an ADD CONSTRAINT that landed while we retried must gate THIS
+      // batch too — re-validate when (and only when) a commit that beat
+      // us carries a constraint meta line (claim-loop recheck: the
+      // constraint race is closed the same way the zombie-twin race is)
+      val latestNow = versions(spark, table).lastOption.fold(-1L)(identity)
+      val constraintLanded = (checkedConstraintsAt + 1 to latestNow).exists(cv =>
+        readLogFile(spark, new Path(logDir(table), f"$cv%08d.json")).exists {
+          case ("meta", p) => p.startsWith(CheckKeyPrefix)
+          case _ => false
+        })
+      if (constraintLanded) {
+        try requireSatisfiesConstraints(spark, table, df, what)
+        catch {
+          case e: IllegalArgumentException =>
+            val dir = new Path(table, rel)
+            fs(spark, dir).delete(dir, true) // violating data never lands
+            throw e
+        }
+      }
+      checkedConstraintsAt = latestNow
       v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
     }
     maybeCheckpoint(spark, table, v)
@@ -1119,6 +1280,10 @@ object TxLog {
                               statsCols: Seq[String] = Seq.empty,
                               extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
     requireFitsDeclared(spark, table, df, tag)
+    // overwrite lands arbitrary NEW rows → gate; the row-invisible
+    // rewrites (compact / clustering) re-land rows that already passed
+    if (tag == "overwrite")
+      requireSatisfiesConstraints(spark, table, df, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
@@ -1726,6 +1891,7 @@ object TxLog {
                           statsCols: Seq[String] = Seq.empty): Long = {
     requirePartitionArgs(df, partCols, statsCols)
     requireFitsDeclared(spark, table, df, "append")
+    requireSatisfiesConstraints(spark, table, df, "append")
     val phys = physicalize(df, schemaAt(spark, table))
     val pParts = partCols.map(resolvePhysical(spark, table, _))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
@@ -2143,6 +2309,7 @@ object TxLog {
     val images = matched.select(logicalCols.map(c =>
       setsByCol.get(c).map(v => expr(v).as(c)).getOrElse(col(c))): _*)
     requireFitsDeclared(spark, table, images, "update")
+    requireSatisfiesConstraints(spark, table, images, "update")
     val rel = f"data/v${base + 1}%08d-update-${uniq()}"
     val dataDir = new Path(table, rel)
     physicalize(images, declared).write.parquet(dataDir.toString)
@@ -2422,6 +2589,15 @@ object TxLog {
     readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
       .exists(a => a._1 == "remove" || a._1 == "dv")
 
+  /** True iff commit `version` touches ROWS at all (adds, removes, or
+    * DV bindings). False for the row-invisible metadata commits —
+    * schema changes, constraint add/drop — which fold to NOTHING in an
+    * incremental consumer (a materialized-view refresh over a range of
+    * only such commits is a no-op, not a "no row changes" error). */
+  def commitTouchesRows(spark: SparkSession, table: String, version: Long): Boolean =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
+      .exists(a => a._1 == "add" || a._1 == "remove" || a._1 == "dv")
+
   /** The files a change-feed consumer should DELIVER for commit
     * `version`:
     *  - plain append → its added files;
@@ -2689,6 +2865,7 @@ object TxLog {
         None
       } else Some(evolved)
     }
+    requireSatisfiesConstraints(spark, table, updates, "merge")
     val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -2964,6 +3141,7 @@ object TxLog {
       updateImages.unionByName(s._2))
     val images = insImages.fold(withBs)(withBs.unionByName(_))
     requireFitsDeclared(spark, table, images, "merge")
+    requireSatisfiesConstraints(spark, table, images, "merge")
     if (images.isEmpty) {
       // delete-only (or nothing-fired) batch: mask without images
       return bindDeletionVectors(spark, table, base, allPos, live,
@@ -3043,6 +3221,7 @@ object TxLog {
     requireAppId(appId)
     extraTxns.foreach(t => requireAppId(t._1))
     requireFitsDeclared(spark, table, df, "append")
+    requireSatisfiesConstraints(spark, table, df, "append")
     val rel = f"data/v00000000-${uniq()}"
     physicalize(df, schemaAt(spark, table))
       .write.parquet(new Path(table, rel).toString)

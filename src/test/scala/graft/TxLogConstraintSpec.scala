@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** Write-boundary CHECK constraints ([[graft.sources.TxLog]]): the
+  * Delta-invariants contract — persisted in the metas channel, enforced
+  * on every commit that lands NEW row images, never on row-invisible
+  * rewrites, with SQL-standard NULL-passing semantics and loud
+  * rejection of every malformed shape. */
+class TxLogConstraintSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("lifecycle: add validates existing data, gates appends, drop re-admits") {
+    val t = freshTable("txck-life")
+    TxLog.append(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val v1 = TxLog.addCheckConstraint(spark, t, "v-nonneg", "v >= 0")
+    assert(TxLog.checkConstraints(spark, t) == Map("v-nonneg" -> "v >= 0"))
+    // the constraint commit is metadata-only and row-invisible
+    assert(!TxLog.commitTouchesRows(spark, t, v1))
+    assert(TxLog.checkConstraints(spark, t, asOf = Some(v1 - 1)).isEmpty,
+      "time travel below the ADD must not see the constraint")
+    val filesBefore = TxLog.snapshotFiles(spark, t).toSet
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((3L, -1L)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("v-nonneg") && e.getMessage.contains("1 rows"))
+    assert(TxLog.snapshotFiles(spark, t).toSet == filesBefore,
+      "a rejected append must not land data files")
+    assert(TxLog.latestVersion(spark, t) == v1)
+    // ADD over violating existing data fails, constraint set unchanged
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraint(spark, t, "v-big", "v > 15")
+    }
+    assert(e2.getMessage.contains("1 existing rows violate"))
+    assert(TxLog.checkConstraints(spark, t).keySet == Set("v-nonneg"))
+    TxLog.dropCheckConstraint(spark, t, "v-nonneg")
+    assert(TxLog.checkConstraints(spark, t).isEmpty)
+    TxLog.append(spark, t, Seq((3L, -1L)).toDF("k", "v")) // now admitted
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+
+  test("NULL passes (SQL CHECK semantics); IS NOT NULL still rejects nulls") {
+    val t = freshTable("txck-null")
+    TxLog.append(spark, t,
+      Seq((1L, Some(5L), "en")).toDF("k", "v", "lang"))
+    TxLog.addCheckConstraint(spark, t, "v-cap", "v < 1000")
+    TxLog.addCheckConstraint(spark, t, "lang-present", "lang IS NOT NULL")
+    // null v → v < 1000 is NULL → passes
+    TxLog.append(spark, t,
+      Seq((2L, None: Option[Long], "de")).toDF("k", "v", "lang"))
+    // null lang → IS NOT NULL is FALSE → rejected
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t,
+        Seq((3L, Some(7L), null: String)).toDF("k", "v", "lang"))
+    }
+    // a SUBSET append missing `lang` entirely reads as null → rejected
+    // by lang-present, and the error names the right constraint
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((4L, 8L)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("lang-present"))
+    assert(TxLog.read(spark, t).count() == 2)
+  }
+
+  test("malformed shapes are loud: unresolvable, non-boolean, nondeterministic, names") {
+    val t = freshTable("txck-bad")
+    TxLog.append(spark, t, Seq((1L, 2L)).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      TxLog.addCheckConstraint(spark, t, "ghost", "no_such_col > 0"))
+    intercept[IllegalArgumentException](
+      TxLog.addCheckConstraint(spark, t, "notbool", "v + 1"))
+    intercept[IllegalArgumentException](
+      TxLog.addCheckConstraint(spark, t, "coin", "rand() < 0.5"))
+    intercept[IllegalArgumentException](
+      TxLog.addCheckConstraint(spark, t, "Bad Name", "v > 0"))
+    TxLog.addCheckConstraint(spark, t, "ok", "v > 0")
+    intercept[IllegalArgumentException](
+      TxLog.addCheckConstraint(spark, t, "ok", "v > 1")) // duplicate
+    intercept[IllegalArgumentException](
+      TxLog.dropCheckConstraint(spark, t, "missing"))
+    assert(TxLog.checkConstraints(spark, t) == Map("ok" -> "v > 0"))
+  }
+
+  test("merge and overwrite are gated; compaction is not re-validated") {
+    val t = freshTable("txck-paths")
+    TxLog.append(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    TxLog.append(spark, t, Seq((3L, 30L)).toDF("k", "v"))
+    TxLog.addCheckConstraint(spark, t, "v-nonneg", "v >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.mergeMor(spark, t, Seq((2L, -5L)).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.overwrite(spark, t, Seq((9L, -9L)).toDF("k", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.updateMorExpr(spark, t, "k = 1", Seq("v" -> "-1"))
+    }
+    // a conforming merge passes and the compaction of its output does
+    // not re-scan (row-invisible by contract — would throw if the
+    // rewrite were gated and the constraint had since tightened)
+    TxLog.mergeMor(spark, t, Seq((2L, 25L)).toDF("k", "v"), Seq("k"))
+    TxLog.compact(spark, t, 1)
+    assert(TxLog.read(spark, t).orderBy("k").as[(Long, Long)].collect().toSeq
+      == Seq((1L, 10L), (2L, 25L), (3L, 30L)))
+  }
+
+  test("a constraint commit between MV folds stays incremental, never a crash") {
+    val base = java.nio.file.Files.createTempDirectory("txck-mv").toString
+    val (src, mv) = (s"$base/src", s"$base/mv")
+    TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    graft.operators.MatView.refresh(spark, src, mv, Seq("k"), "v")
+    // pure-metadata range → noop, not "no row changes"
+    TxLog.addCheckConstraint(spark, src, "v-nonneg", "v >= 0")
+    assert(graft.operators.MatView.refresh(spark, src, mv, Seq("k"), "v")
+      == "noop")
+    // metadata + append range → still an incremental fold
+    TxLog.dropCheckConstraint(spark, src, "v-nonneg")
+    TxLog.append(spark, src, Seq(("a", 5L)).toDF("k", "v"))
+    assert(graft.operators.MatView.refresh(spark, src, mv, Seq("k"), "v")
+      == "incremental")
+    val got = TxLog.read(spark, mv).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 6L), ("b", 1L, 2L)))
+  }
+
+  test("SQL surface: ADD/DROP CONSTRAINT and SHOW CONSTRAINTS round-trip") {
+    val t = freshTable("txck-sql")
+    TxLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
+    val v = spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT V_Cap " +
+      "CHECK (v < 100)").head().getLong(0)
+    assert(v == TxLog.latestVersion(spark, t))
+    assert(TxLog.checkConstraints(spark, t) == Map("v_cap" -> "v < 100"),
+      "SQL names fold to lowercase")
+    assert(spark.sql(s"SHOW CONSTRAINTS graft.`$t`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v_cap", "v < 100")))
+    intercept[Exception](
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (2, 500)"))
+    spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT v_cap").head()
+    assert(TxLog.checkConstraints(spark, t).isEmpty)
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (2, 500)")
+    assert(TxLog.read(spark, t).count() == 2)
+    // non-graft idents delegate untouched
+    intercept[Exception](
+      spark.sql("ALTER TABLE some_table ADD CONSTRAINT c CHECK (x > 0)"))
+  }
+}
