@@ -504,6 +504,66 @@ object Merge {
       .orderBy("doc_id")
   }
 
+  /** QW-GEN — GENERATED ALWAYS columns under the hash gate: declared
+    * on the empty table (one via the library, one via SQL `ALTER TABLE
+    * … ADD COLUMN … GENERATED ALWAYS AS`), then: a batch WITHOUT the
+    * columns lands them COMPUTED; a batch carrying the correct
+    * derivation validates through; a batch carrying a WRONG value is
+    * REQUIREd rejected with the table byte-identical; declaring over
+    * landed data is REQUIREd rejected; an UPDATE to a source column
+    * recomputes the derivation (and SET on the generated column itself
+    * is REQUIREd forbidden). The final read hash-matches the closed
+    * form applying the expressions in SQL — which only holds if every
+    * stored derivation is exact. */
+  def qwGeneratedCol(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txgen", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.createTable(spark, table, StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType))))
+    TxLog.addGeneratedColumn(spark, table, "len_bucket", LongType,
+      "n_chars div 100")
+    spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMN lang_len BIGINT " +
+      "GENERATED ALWAYS AS (length(lang))").head()
+    TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === 0).withColumn("n_chars",
+        col("n_chars").cast("long")))
+    TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === 1)
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .withColumn("len_bucket", expr("n_chars div 100")))
+    val vPinned = TxLog.latestVersion(spark, table)
+    def mustReject(what: String)(f: => Any): Unit = {
+      val failed =
+        try { f; false } catch { case _: IllegalArgumentException => true }
+      require(failed, s"txlog: $what must be rejected")
+      require(TxLog.latestVersion(spark, table) == vPinned,
+        s"txlog: rejected $what still committed")
+    }
+    mustReject("wrong stored derivation") {
+      TxLog.append(spark, table,
+        docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("n_chars", col("n_chars").cast("long"))
+          .withColumn("len_bucket", lit(-1L)))
+    }
+    mustReject("late generated-column declaration") {
+      TxLog.addGeneratedColumn(spark, table, "late", LongType, "n_chars")
+    }
+    mustReject("SET on a generated column") {
+      TxLog.updateMorExpr(spark, table, "doc_id % 3 = 0",
+        Seq("len_bucket" -> "7"))
+    }
+    // an update to the SOURCE column recomputes the derivation
+    TxLog.updateMorExpr(spark, table, "doc_id % 6 = 3",
+      Seq("n_chars" -> "n_chars + 1000"))
+    TxLog.read(spark, table)
+      .select("doc_id", "lang", "n_chars", "len_bucket", "lang_len")
+      .orderBy("doc_id")
+  }
+
   /** QW10 — column RENAME + DROP lifecycle (column mapping) under the
     * hash gate: documents lands, `n_chars` is renamed to `chars`
     * (metadata-only — the row REQUIRES the data file set is untouched),
@@ -1125,6 +1185,7 @@ object Merge {
     "qw_zorder_read" -> qwZorderRead _,
     "qw_hilbert_read" -> qwHilbertRead _,
     "qw_check_constraint" -> qwCheckConstraint _,
+    "qw_generated_col" -> qwGeneratedCol _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -1300,6 +1361,16 @@ object Merge {
         "UNION ALL " +
         "SELECT doc_id, lang, -n_chars - 1 AS n_chars FROM documents " +
         "WHERE doc_id % 4 = 2 ORDER BY doc_id"),
+    // waves 0/1 with the update applied; every derivation recomputed in
+    // SQL — holds only if the stored generated values are exact
+    "qw_generated_col" ->
+      ("WITH base AS (SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 6 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)) " +
+        "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(n_chars // 100 AS BIGINT) AS len_bucket, " +
+        "CAST(LENGTH(lang) AS BIGINT) AS lang_len " +
+        "FROM base ORDER BY doc_id"),
     // the hilbert rewrite is row-invisible too: same box read, same
     // plain AND-of-ranges oracle
     "qw_hilbert_read" ->

@@ -86,6 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*""".r
   private val ShowChecksRe =
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*""".r
+  private val AddGenColRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+([A-Za-z][A-Za-z0-9_,()\s]*?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
 
   /** The TxLog path under a `graft.`-catalog identifier, if the text
     * parses as one (same namespace-join rule as TxLogCatalog.path). */
@@ -107,6 +109,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         name.toLowerCase(java.util.Locale.ROOT))
     case ShowChecksRe(ident) if graftPath(ident).isDefined =>
       TxLogShowChecksCommand(graftPath(ident).get)
+    case AddGenColRe(ident, name, typeDdl, genExpr)
+        if graftPath(ident).isDefined =>
+      TxLogAddGenColCommand(graftPath(ident).get,
+        name.toLowerCase(java.util.Locale.ROOT),
+        delegate.parseDataType(typeDdl.trim), genExpr.trim)
     case HistoryRe(ident) if graftPath(ident).isDefined =>
       TxLogHistoryCommand(graftPath(ident).get)
     case DescDetailRe(ident) if graftPath(ident).isDefined =>
@@ -454,6 +461,19 @@ case class TxLogDropCheckCommand(table: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.dropCheckConstraint(spark, table, name)))
+}
+
+/** `ALTER TABLE graft.`/t`` ADD COLUMN name TYPE GENERATED ALWAYS AS
+  * (expr)` → [[TxLog.addGeneratedColumn]] (legal only before data
+  * lands; one commit carries schema + expression; every later write
+  * computes or validates the stored derivation). */
+case class TxLogAddGenColCommand(table: String, name: String,
+                                 dataType: DataType,
+                                 genExpr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addGeneratedColumn(spark, table, name, dataType, genExpr)))
 }
 
 /** `SHOW CONSTRAINTS graft.`/t`` — the active CHECK constraints,

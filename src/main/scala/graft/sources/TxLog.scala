@@ -343,6 +343,131 @@ object TxLog {
     }
   }
 
+  // ─────────────────────────────────────────────────────────────────
+  // Generated columns (GENERATED ALWAYS AS): declared before any data
+  // lands, stored on write — a batch missing the column gets it
+  // COMPUTED; a batch carrying it is VALIDATED cell-for-cell (loud on
+  // mismatch, nothing lands). Stored-not-virtual is the contract that
+  // lets partitioning/clustering/stats key on the generated value.
+  // ─────────────────────────────────────────────────────────────────
+
+  private val GenKeyPrefix = "gen-"
+
+  /** The table's generated columns: name → SQL expression. */
+  def generatedColumns(spark: SparkSession, table: String,
+                       asOf: Option[Long] = None): Map[String, String] =
+    commitMetas(spark, table, asOf).collect {
+      case (k, v) if k.startsWith(GenKeyPrefix) && v.nonEmpty =>
+        k.substring(GenKeyPrefix.length) -> v
+    }
+
+  /** ADD COLUMN `name` `dataType` GENERATED ALWAYS AS (`exprSql`) — one
+    * commit carrying the widened schema AND the persisted expression.
+    * Only legal while the table holds NO live data (a later add cannot
+    * backfill stored values without rewriting every file; at 100 TB
+    * that must be an explicit rewrite, not a side effect), re-checked
+    * inside the claim loop so a racing first append cannot slip under
+    * the declaration. The expression must resolve against the existing
+    * columns, be deterministic, and produce the declared type (or one
+    * it widens to). */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+                         dataType: DataType, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    requireConstraintName(name)
+    val declared = schemaAt(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog: $table declares no schema — createTable first, then " +
+          "declare generated columns, then land data"))
+    require(!declared.fieldNames.contains(name),
+      s"txlog: column '$name' already exists on $table")
+    def requireEmpty(): Unit = require(
+      snapshotFiles(spark, table).isEmpty,
+      s"txlog: cannot add generated column '$name' to $table — data " +
+        "already landed, and stored generated values cannot be " +
+        "backfilled without a full rewrite (declare generated columns " +
+        "before the first append)")
+    requireEmpty()
+    val probe = read(spark, table)
+    val resolved =
+      try probe.select(expr(exprSql).as(name))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"txlog: generated column '$name' AS ($exprSql) does not " +
+              s"resolve against $table: ${e.getMessage}")
+      }
+    require(resolved.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"txlog: generated column '$name' AS ($exprSql) is nondeterministic")
+    val got = resolved.schema.head.dataType
+    require(got == dataType || widens(got, dataType),
+      s"txlog: generated column '$name' AS ($exprSql) produces " +
+        s"${got.catalogString}, which the declared " +
+        s"${dataType.catalogString} cannot hold losslessly")
+    val widened = StructType(declared.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    val schemaB64 = Some(encodeSchema(widened))
+    val metas = Seq(metaPayload(GenKeyPrefix + name, exprSql))
+    var v = latestVersion(spark, table) + 1
+    var attempts = 0
+    while (!tryCommit(spark, table, v, Seq.empty, Seq.empty, None, schemaB64,
+      metas = metas)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: generated-column add on $table still contended after " +
+          s"$attempts attempts")
+      requireEmpty() // a racing first append must not slip under us
+      v = math.max(v + 1, versions(spark, table).last + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** Enforce/complete the generated columns on a batch of NEW row
+    * images: absent columns are COMPUTED (cast to the declared type),
+    * present ones VALIDATED cell-for-cell in one aggregate pass
+    * (null-safe equality — loud with the mismatch count, so an update
+    * that changed a source column but kept a stale stored value cannot
+    * land). */
+  private def applyGeneratedColumns(spark: SparkSession, table: String,
+                                    df: DataFrame, what: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, sum, when}
+    val gens = generatedColumns(spark, table).toSeq.sortBy(_._1)
+    if (gens.isEmpty) return df
+    val declared = schemaAt(spark, table).getOrElse(return df)
+    def genType(n: String) = declared.fields.find(_.name == n).map(_.dataType)
+      .getOrElse(throw new IllegalStateException(
+        s"txlog: generated column '$n' has no declared field on $table"))
+    val have = df.columns.toSet
+    val (present, absent) = gens.partition { case (n, _) => have.contains(n) }
+    var out = absent.foldLeft(df) { case (acc, (n, e)) =>
+      acc.withColumn(n, expr(e).cast(genType(n)))
+    }
+    if (present.nonEmpty) {
+      val aggs = present.flatMap { case (n, e) =>
+        Seq(
+          sum(when(!(col(n) <=> expr(e).cast(genType(n))), 1L)
+            .otherwise(0L)).as(s"g_$n"),
+          sum(when(col(n).isNotNull, 1L).otherwise(0L)).as(s"nn_$n"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      present.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+        val nonNull = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
+        if (nonNull == 0L)
+          // an ALL-NULL generated column is an ABSENT one: the SQL
+          // INSERT path pads unnamed columns with null before this
+          // layer sees the batch, and GENERATED ALWAYS means the
+          // engine owns the value either way — recompute
+          out = out.withColumn(n, expr(e).cast(genType(n)))
+        else require(bad == 0L,
+          s"txlog: $what into $table carries generated column '$n' with " +
+            s"$bad values differing from GENERATED ALWAYS AS ($e) — " +
+            "nothing was committed")
+      }
+    }
+    out
+  }
+
   /** Commit carrying ONLY meta lines (constraint add/drop) — untagged
     * and file-free, so the change feed sees it as empty and
     * incremental consumers fold nothing ([[commitTouchesRows]]). */
@@ -825,9 +950,10 @@ object TxLog {
     * beat it (Delta raises ConcurrentTransactionException here; we
     * resolve it as "already committed", which is strictly safer than
     * landing twice). The orphaned data dir is deleted. */
-  private def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+  private def appendCommit(spark: SparkSession, table: String, dfIn: DataFrame,
                            what: String, txn: Option[(String, Long)],
                            statsCols: Seq[String]): Option[Long] = {
+    val df = applyGeneratedColumns(spark, table, dfIn, what)
     requireFitsDeclared(spark, table, df, what)
     requireSatisfiesConstraints(spark, table, df, what)
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
@@ -1279,17 +1405,21 @@ object TxLog {
                               txn: Option[(String, Long)] = None,
                               statsCols: Seq[String] = Seq.empty,
                               extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
-    requireFitsDeclared(spark, table, df, tag)
-    // overwrite lands arbitrary NEW rows → gate; the row-invisible
-    // rewrites (compact / clustering) re-land rows that already passed
+    // overwrite lands arbitrary NEW rows → gate + complete generated
+    // columns; the row-invisible rewrites (compact / clustering)
+    // re-land rows that already passed
+    val df1 =
+      if (tag == "overwrite") applyGeneratedColumns(spark, table, df, tag)
+      else df
+    requireFitsDeclared(spark, table, df1, tag)
     if (tag == "overwrite")
-      requireSatisfiesConstraints(spark, table, df, tag)
+      requireSatisfiesConstraints(spark, table, df1, tag)
     val removes = snapshotFiles(spark, table, Some(baseVersion))
     val rel = f"data/v${baseVersion + 1}%08d-$tag-${uniq()}"
     val dataDir = new Path(table, rel)
     // write callbacks that key on columns (clustered/z-order rewrites)
     // receive the PHYSICAL frame and must use physical key names
-    write(physicalize(df, schemaAt(spark, table)), dataDir.toString)
+    write(physicalize(df1, schemaAt(spark, table)), dataDir.toString)
     val files = writtenFiles(spark, table, rel)
     commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn,
       statsCols.flatMap(footerStats(spark, table, files, _)),
@@ -1890,9 +2020,10 @@ object TxLog {
                           partCols: Seq[String],
                           statsCols: Seq[String] = Seq.empty): Long = {
     requirePartitionArgs(df, partCols, statsCols)
-    requireFitsDeclared(spark, table, df, "append")
-    requireSatisfiesConstraints(spark, table, df, "append")
-    val phys = physicalize(df, schemaAt(spark, table))
+    val df1 = applyGeneratedColumns(spark, table, df, "append")
+    requireFitsDeclared(spark, table, df1, "append")
+    requireSatisfiesConstraints(spark, table, df1, "append")
+    val phys = physicalize(df1, schemaAt(spark, table))
     val pParts = partCols.map(resolvePhysical(spark, table, _))
     val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     val rel = f"data/v$intended%08d-part-${uniq()}"
@@ -2306,8 +2437,19 @@ object TxLog {
     // assignment's RHS see an earlier assignment's NEW value
     // (`SET a = b, b = a` must swap, not duplicate)
     val setsByCol = sets.toMap
-    val images = matched.select(logicalCols.map(c =>
-      setsByCol.get(c).map(v => expr(v).as(c)).getOrElse(col(c))): _*)
+    // GENERATED ALWAYS: assignment is forbidden (SQL standard) and the
+    // stored values are RECOMPUTED from the updated images — dropping
+    // them first makes applyGeneratedColumns take its compute path, so
+    // an update to a source column can never leave a stale derivation
+    val gens = generatedColumns(spark, table).keySet
+    sets.foreach { case (c, _) => require(!gens.contains(c),
+      s"txlog: cannot assign to generated column '$c' — it is " +
+        "GENERATED ALWAYS and recomputed from its expression") }
+    val images = applyGeneratedColumns(spark, table,
+      matched.select(logicalCols.map(c =>
+        setsByCol.get(c).map(v => expr(v).as(c)).getOrElse(col(c))): _*)
+        .drop(gens.toSeq: _*),
+      "update")
     requireFitsDeclared(spark, table, images, "update")
     requireSatisfiesConstraints(spark, table, images, "update")
     val rel = f"data/v${base + 1}%08d-update-${uniq()}"
@@ -2831,11 +2973,14 @@ object TxLog {
     * invertible consumers ([[graft.operators.MatView]]) fold it.
     * Duplicate keys in `updates` fail loudly (nondeterministic merge).
     * Returns the committed version. */
-  def mergeMor(spark: SparkSession, table: String, updates: DataFrame,
+  def mergeMor(spark: SparkSession, table: String, updatesIn: DataFrame,
                keys: Seq[String], evolve: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keys.nonEmpty, "txlog: mergeMor needs at least one key column")
     requireNonEmpty(spark, table, "merge")
+    // complete/validate generated columns BEFORE evolution sees the
+    // batch schema — a merge image must land the stored derivation
+    val updates = applyGeneratedColumns(spark, table, updatesIn, "merge")
     val base = latestVersion(spark, table)
     // `evolve` (r15): `MERGE WITH SCHEMA EVOLUTION` — the batch's extra
     // columns are ADDED to the declared schema (old files read them as
@@ -3139,7 +3284,8 @@ object TxLog {
     val allPos = bySourceSides.fold(newPos)(s => newPos.unionByName(s._1))
     val withBs = bySourceSides.fold(updateImages)(s =>
       updateImages.unionByName(s._2))
-    val images = insImages.fold(withBs)(withBs.unionByName(_))
+    val images = applyGeneratedColumns(spark, table,
+      insImages.fold(withBs)(withBs.unionByName(_)), "merge")
     requireFitsDeclared(spark, table, images, "merge")
     requireSatisfiesConstraints(spark, table, images, "merge")
     if (images.isEmpty) {
@@ -3220,10 +3366,11 @@ object TxLog {
                     metas: Seq[String] = Seq.empty): Boolean = {
     requireAppId(appId)
     extraTxns.foreach(t => requireAppId(t._1))
-    requireFitsDeclared(spark, table, df, "append")
-    requireSatisfiesConstraints(spark, table, df, "append")
+    val df1 = applyGeneratedColumns(spark, table, df, "append")
+    requireFitsDeclared(spark, table, df1, "append")
+    requireSatisfiesConstraints(spark, table, df1, "append")
     val rel = f"data/v00000000-${uniq()}"
-    physicalize(df, schemaAt(spark, table))
+    physicalize(df1, schemaAt(spark, table))
       .write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
     if (tryCommit(spark, table, 0L, files, Seq.empty, None, None,
