@@ -129,6 +129,19 @@ class TxLogConstraintSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L, 6L), ("b", 1L, 2L)))
   }
 
+  test("the streaming exactly-once append path is gated too") {
+    val t = freshTable("txck-stream")
+    TxLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
+    TxLog.addCheckConstraint(spark, t, "v-nonneg", "v >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.appendIdempotent(spark, t, Seq((2L, -2L)).toDF("k", "v"),
+        "app-ck", 0L)
+    }
+    assert(TxLog.appendIdempotent(spark, t, Seq((2L, 2L)).toDF("k", "v"),
+      "app-ck", 0L).isDefined)
+    assert(TxLog.read(spark, t).count() == 2)
+  }
+
   test("SQL surface: ADD/DROP CONSTRAINT and SHOW CONSTRAINTS round-trip") {
     val t = freshTable("txck-sql")
     TxLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
