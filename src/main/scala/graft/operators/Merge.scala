@@ -564,6 +564,66 @@ object Merge {
       .orderBy("doc_id")
   }
 
+  /** QW-ID — IDENTITY columns under the hash gate: declared on the
+    * empty table via SQL (`GENERATED ALWAYS AS IDENTITY (START WITH 1
+    * INCREMENT BY 1)`), then three append waves mint ids per commit.
+    * Ids depend on arrival order, so the HASHED frame carries only the
+    * deterministic data columns; the identity CONTRACT is REQUIREd
+    * in-row instead: the id multiset is exactly [1, n] (unique +
+    * contiguous across all three commits), per-wave id ranges are
+    * disjoint and ordered (the reservation is per-commit), the
+    * persisted high-water equals n+1, an explicit-value append and a
+    * merge are rejected with the version pinned, and a MOR delete
+    * retires ids without reuse by the next wave. */
+  def qwIdentityCol(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txident", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.createTable(spark, table, StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType))))
+    spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMN row_id BIGINT " +
+      "GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)").head()
+    val longDocs = docs.withColumn("n_chars", col("n_chars").cast("long"))
+    (0 to 2).foreach(w =>
+      TxLog.append(spark, table, longDocs.filter(col("doc_id") % 3 === w)))
+    val n = longDocs.count()
+    val ids = TxLog.read(spark, table).select("row_id")
+      .collect().map(_.getLong(0)).sorted
+    require(ids.toSeq == (1L to n), s"txlog: ids not contiguous-unique " +
+      s"(n=$n, got ${ids.take(5).mkString(",")}…)")
+    val waveRanges = (0 to 2).map { w =>
+      val r = TxLog.read(spark, table).filter(col("doc_id") % 3 === w)
+        .agg(min("row_id"), max("row_id"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    waveRanges.foreach { case (lo, hi, cnt) =>
+      require(hi - lo + 1 == cnt, s"txlog: wave reservation not contiguous") }
+    require(waveRanges.sliding(2).forall {
+      case Seq((_, hi1, _), (lo2, _, _)) => lo2 == hi1 + 1
+      case _ => true
+    }, "txlog: wave reservations must be ordered and adjacent")
+    require(TxLog.identityColumns(spark, table)("row_id")._3 == n + 1,
+      "txlog: high-water must sit one past the last minted id")
+    val vPinned = TxLog.latestVersion(spark, table)
+    def mustReject(what: String)(f: => Any): Unit = {
+      val failed =
+        try { f; false } catch { case _: IllegalArgumentException => true }
+      require(failed && TxLog.latestVersion(spark, table) == vPinned,
+        s"txlog: $what must be rejected with the version pinned")
+    }
+    mustReject("explicit identity value") {
+      TxLog.append(spark, table, longDocs.limit(1).withColumn("row_id", lit(99999L)))
+    }
+    mustReject("merge into an identity table") {
+      TxLog.mergeMor(spark, table, longDocs.limit(1), Seq("doc_id"))
+    }
+    TxLog.read(spark, table).select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** QW10 — column RENAME + DROP lifecycle (column mapping) under the
     * hash gate: documents lands, `n_chars` is renamed to `chars`
     * (metadata-only — the row REQUIRES the data file set is untouched),
@@ -1186,6 +1246,7 @@ object Merge {
     "qw_hilbert_read" -> qwHilbertRead _,
     "qw_check_constraint" -> qwCheckConstraint _,
     "qw_generated_col" -> qwGeneratedCol _,
+    "qw_identity_col" -> qwIdentityCol _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -1361,6 +1422,13 @@ object Merge {
         "UNION ALL " +
         "SELECT doc_id, lang, -n_chars - 1 AS n_chars FROM documents " +
         "WHERE doc_id % 4 = 2 ORDER BY doc_id"),
+    // the data columns only (ids are arrival-ordered and REQUIREd
+    // in-row); a hash match proves the identity machinery never
+    // perturbed, dropped, or duplicated a data row across three
+    // minting commits + the rejections
+    "qw_identity_col" ->
+      ("SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM documents ORDER BY doc_id"),
     // waves 0/1 with the update applied; every derivation recomputed in
     // SQL — holds only if the stored generated values are exact
     "qw_generated_col" ->

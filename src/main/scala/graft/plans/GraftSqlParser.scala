@@ -88,6 +88,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*""".r
   private val AddGenColRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+([A-Za-z][A-Za-z0-9_,()\s]*?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val AddIdentityRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*;?\s*""".r
 
   /** The TxLog path under a `graft.`-catalog identifier, if the text
     * parses as one (same namespace-join rule as TxLogCatalog.path). */
@@ -109,6 +111,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         name.toLowerCase(java.util.Locale.ROOT))
     case ShowChecksRe(ident) if graftPath(ident).isDefined =>
       TxLogShowChecksCommand(graftPath(ident).get)
+    case AddIdentityRe(ident, name, start, step) if graftPath(ident).isDefined =>
+      TxLogAddIdentityCommand(graftPath(ident).get,
+        name.toLowerCase(java.util.Locale.ROOT),
+        Option(start).map(_.toLong).getOrElse(1L),
+        Option(step).map(_.toLong).getOrElse(1L))
     case AddGenColRe(ident, name, typeDdl, genExpr)
         if graftPath(ident).isDefined =>
       TxLogAddGenColCommand(graftPath(ident).get,
@@ -474,6 +481,18 @@ case class TxLogAddGenColCommand(table: String, name: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.addGeneratedColumn(spark, table, name, dataType, genExpr)))
+}
+
+/** `ALTER TABLE graft.`/t`` ADD COLUMN name BIGINT GENERATED ALWAYS AS
+  * IDENTITY [(START WITH n INCREMENT BY n)]` →
+  * [[TxLog.addIdentityColumn]]. */
+case class TxLogAddIdentityCommand(table: String, name: String,
+                                   startWith: Long,
+                                   stepBy: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addIdentityColumn(spark, table, name, startWith, stepBy)))
 }
 
 /** `SHOW CONSTRAINTS graft.`/t`` — the active CHECK constraints,

@@ -234,13 +234,17 @@ object TxLog {
 
   private val CheckKeyPrefix = "check-"
 
+  private def prefixed(metas: Map[String, String],
+                       prefix: String): Map[String, String] =
+    metas.collect {
+      case (k, v) if k.startsWith(prefix) && v.nonEmpty =>
+        k.substring(prefix.length) -> v
+    }
+
   /** The table's active CHECK constraints: name → SQL expression. */
   def checkConstraints(spark: SparkSession, table: String,
                        asOf: Option[Long] = None): Map[String, String] =
-    commitMetas(spark, table, asOf).collect {
-      case (k, v) if k.startsWith(CheckKeyPrefix) && v.nonEmpty =>
-        k.substring(CheckKeyPrefix.length) -> v
-    }
+    prefixed(commitMetas(spark, table, asOf), CheckKeyPrefix)
 
   /** ADD CONSTRAINT `name` CHECK (`exprSql`): validates the expression
     * (resolves against the current schema, boolean-typed,
@@ -318,9 +322,10 @@ object TxLog {
     * shape that holds at 100 TB. */
   private def requireSatisfiesConstraints(spark: SparkSession, table: String,
                                           df: DataFrame, what: String,
-                                          asOf: Option[Long] = None): Unit = {
+                                          asOf: Option[Long] = None,
+                                          pre: Option[Map[String, String]] = None): Unit = {
     import org.apache.spark.sql.functions.{lit, sum, when}
-    val cs = checkConstraints(spark, table, asOf).toSeq.sortBy(_._1)
+    val cs = pre.getOrElse(checkConstraints(spark, table, asOf)).toSeq.sortBy(_._1)
     if (cs.isEmpty) return
     // a batch may carry a SUBSET of declared columns (the rest read as
     // null) — the constraint must see exactly those nulls, so pad the
@@ -356,10 +361,7 @@ object TxLog {
   /** The table's generated columns: name → SQL expression. */
   def generatedColumns(spark: SparkSession, table: String,
                        asOf: Option[Long] = None): Map[String, String] =
-    commitMetas(spark, table, asOf).collect {
-      case (k, v) if k.startsWith(GenKeyPrefix) && v.nonEmpty =>
-        k.substring(GenKeyPrefix.length) -> v
-    }
+    prefixed(commitMetas(spark, table, asOf), GenKeyPrefix)
 
   /** ADD COLUMN `name` `dataType` GENERATED ALWAYS AS (`exprSql`) — one
     * commit carrying the widened schema AND the persisted expression.
@@ -429,9 +431,10 @@ object TxLog {
     * that changed a source column but kept a stale stored value cannot
     * land). */
   private def applyGeneratedColumns(spark: SparkSession, table: String,
-                                    df: DataFrame, what: String): DataFrame = {
+                                    df: DataFrame, what: String,
+                                    pre: Option[Map[String, String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, sum, when}
-    val gens = generatedColumns(spark, table).toSeq.sortBy(_._1)
+    val gens = pre.getOrElse(generatedColumns(spark, table)).toSeq.sortBy(_._1)
     if (gens.isEmpty) return df
     val declared = schemaAt(spark, table).getOrElse(return df)
     def genType(n: String) = declared.fields.find(_.name == n).map(_.dataType)
@@ -466,6 +469,111 @@ object TxLog {
       }
     }
     out
+  }
+
+  // ─────────────────────────────────────────────────────────────────
+  // Identity columns (GENERATED ALWAYS AS IDENTITY): the log itself is
+  // the sequence — each identity-assigning append advances the
+  // column's high-water INSIDE its own commit (last-value-wins in the
+  // metas channel), so uniqueness is exactly as strong as the OCC
+  // claim: a writer that loses the claim re-reads the high-water and
+  // RE-ASSIGNS before retrying. Values are monotonic per commit and
+  // unique across commits; like every real distributed IDENTITY, gaps
+  // appear when a writer aborts after reserving.
+  // ─────────────────────────────────────────────────────────────────
+
+  private val IdentityKeyPrefix = "identity-"
+
+  private def identityFrom(metas: Map[String, String]): Map[String, (Long, Long, Long)] =
+    prefixed(metas, IdentityKeyPrefix).map { case (n, v) =>
+      val t = v.split('|')
+      require(t.length == 3, s"txlog: malformed identity meta for $n: $v")
+      n -> ((t(0).toLong, t(1).toLong, t(2).toLong))
+    }
+
+  /** The table's identity columns: name → (startWith, stepBy, next). */
+  def identityColumns(spark: SparkSession, table: String,
+                      asOf: Option[Long] = None): Map[String, (Long, Long, Long)] =
+    identityFrom(commitMetas(spark, table, asOf))
+
+  /** ADD COLUMN `name` BIGINT GENERATED ALWAYS AS IDENTITY — same
+    * declare-before-data contract as [[addGeneratedColumn]] (one commit
+    * carrying the widened schema and the sequence state; emptiness
+    * re-checked in the claim loop). */
+  def addIdentityColumn(spark: SparkSession, table: String, name: String,
+                        startWith: Long = 1L, stepBy: Long = 1L): Long = {
+    requireConstraintName(name)
+    require(stepBy != 0L, "txlog: identity INCREMENT BY must be nonzero")
+    val declared = schemaAt(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog: $table declares no schema — createTable first, then " +
+          "declare identity columns, then land data"))
+    require(!declared.fieldNames.contains(name),
+      s"txlog: column '$name' already exists on $table")
+    def requireEmpty(): Unit = require(
+      snapshotFiles(spark, table).isEmpty,
+      s"txlog: cannot add identity column '$name' to $table — data " +
+        "already landed and cannot be backfilled (declare identity " +
+        "columns before the first append)")
+    requireEmpty()
+    val widened = StructType(declared.fields :+
+      org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val schemaB64 = Some(encodeSchema(widened))
+    val metas = Seq(metaPayload(IdentityKeyPrefix + name,
+      s"$startWith|$stepBy|$startWith"))
+    var v = latestVersion(spark, table) + 1
+    var attempts = 0
+    while (!tryCommit(spark, table, v, Seq.empty, Seq.empty, None, schemaB64,
+      metas = metas)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: identity-column add on $table still contended after " +
+          s"$attempts attempts")
+      requireEmpty()
+      v = math.max(v + 1, versions(spark, table).last + 1)
+    }
+    maybeCheckpoint(spark, table, v)
+    v
+  }
+
+  /** Loud guard for the write shapes identity v1 does not mint ids in. */
+  private def requireNoIdentity(spark: SparkSession, table: String,
+                                what: String): Unit = {
+    val ids = identityColumns(spark, table)
+    require(ids.isEmpty,
+      s"txlog: $what on $table is unsupported with identity columns " +
+        s"(${ids.keys.toSeq.sorted.mkString(", ")}) — identity tables " +
+        "take plain appends (ids minted per commit) and MOR updates " +
+        "that leave the identity column untouched")
+  }
+
+  /** Mint ids for one identity column over the whole batch: global
+    * zipWithIndex (one extra count job — the price of a contiguous
+    * reservation), values `next + i·step`, appended as the declared
+    * LongType field. A batch CARRYING non-null values is rejected —
+    * GENERATED ALWAYS means the engine owns the value. */
+  private def assignIdentityIds(df: DataFrame, name: String, next: Long,
+                                step: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val base =
+      if (!df.columns.contains(name)) df
+      else {
+        val r = df.agg(
+          sum(when(col(name).isNotNull, 1L).otherwise(0L)).as("nn"),
+          count(lit(1)).as("n")).head()
+        val nonNull = if (r.isNullAt(0)) 0L else r.getLong(0)
+        require(nonNull == 0L,
+          s"txlog: batch carries $nonNull explicit values for identity " +
+            s"column '$name' — it is GENERATED ALWAYS AS IDENTITY")
+        df.drop(name)
+      }
+    val schema2 = base.schema.add(name, org.apache.spark.sql.types.LongType,
+      nullable = true)
+    val rdd = base.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (next + i * step))
+    }
+    base.sparkSession.createDataFrame(rdd, schema2)
   }
 
   /** Commit carrying ONLY meta lines (constraint add/drop) — untagged
@@ -953,9 +1061,13 @@ object TxLog {
   private def appendCommit(spark: SparkSession, table: String, dfIn: DataFrame,
                            what: String, txn: Option[(String, Long)],
                            statsCols: Seq[String]): Option[Long] = {
-    val df = applyGeneratedColumns(spark, table, dfIn, what)
+    // ONE log scan serves all three write-boundary features
+    val metasNow = commitMetas(spark, table)
+    val df = applyGeneratedColumns(spark, table, dfIn, what,
+      Some(prefixed(metasNow, GenKeyPrefix)))
     requireFitsDeclared(spark, table, df, what)
-    requireSatisfiesConstraints(spark, table, df, what)
+    requireSatisfiesConstraints(spark, table, df, what,
+      pre = Some(prefixed(metasNow, CheckKeyPrefix)))
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
@@ -970,22 +1082,42 @@ object TxLog {
     txn.foreach { case (app, b) =>
       if (lastCommittedBatch(spark, table, app).exists(_ >= b)) return None
     }
-    val rel = f"data/v$intended%08d-${uniq()}"
-    physicalize(df, schemaAt(spark, table))
-      .write.parquet(new Path(table, rel).toString)
-    val files = writtenFiles(spark, table, rel)
-    val stats = statsCols.flatMap { c =>
-      val forCol = footerStats(spark, table, files, c)
-      // a stats request that records nothing would silently void the
-      // skipping contract forever — fail at write time instead
-      require(files.isEmpty || forCol.nonEmpty,
-        s"txlog: no parquet footer carried statistics for '$c' — " +
-          "the files would be permanently unprunable")
-      forCol
+    // identity minting: reserve [next, next + n·step) against the
+    // observed high-water; a lost claim re-reads it and RE-ASSIGNS
+    // (re-writing the data dir) before retrying, so ids stay unique
+    val idCols = identityFrom(metasNow).toSeq.sortBy(_._1)
+    var idNext: Map[String, Long] =
+      idCols.map { case (n, (_, _, nx)) => n -> nx }.toMap
+    def minted(frame: DataFrame): DataFrame =
+      idCols.foldLeft(frame) { case (acc, (n, (_, st, _))) =>
+        assignIdentityIds(acc, n, idNext(n), st)
+      }
+    var dfW = if (idCols.isEmpty) df else minted(df)
+    val batchN = if (idCols.isEmpty) 0L else dfW.count()
+    def idMetas: Seq[String] = idCols.map { case (n, (s0, st, _)) =>
+      metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${idNext(n) + batchN * st}")
     }
+    var rel = f"data/v$intended%08d-${uniq()}"
+    def writeData(): (Seq[String], Seq[String]) = {
+      physicalize(dfW, schemaAt(spark, table))
+        .write.parquet(new Path(table, rel).toString)
+      val files = writtenFiles(spark, table, rel)
+      val stats = statsCols.flatMap { c =>
+        val forCol = footerStats(spark, table, files, c)
+        // a stats request that records nothing would silently void the
+        // skipping contract forever — fail at write time instead
+        require(files.isEmpty || forCol.nonEmpty,
+          s"txlog: no parquet footer carried statistics for '$c' — " +
+            "the files would be permanently unprunable")
+        forCol
+      }
+      (files, stats)
+    }
+    var (files, stats) = writeData()
     var v = intended
     var attempts = 0
-    while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn.toSeq, stats)) {
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, None, txn.toSeq,
+      stats, metas = idMetas)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $what to $table still contended after $attempts attempts")
@@ -1016,6 +1148,21 @@ object TxLog {
         }
       }
       checkedConstraintsAt = latestNow
+      // identity contention: a commit that beat us may have advanced a
+      // high-water past our reservation — re-read, re-mint, re-write
+      if (idCols.nonEmpty) {
+        val current = identityColumns(spark, table)
+        if (idCols.exists { case (n, _) => current(n)._3 != idNext(n) }) {
+          val dir = new Path(table, rel)
+          fs(spark, dir).delete(dir, true)
+          idNext = current.map { case (n, (_, _, nx)) => n -> nx }
+          dfW = minted(df)
+          rel = f"data/v$intended%08d-${uniq()}"
+          val re = writeData()
+          files = re._1
+          stats = re._2
+        }
+      }
       v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
     }
     maybeCheckpoint(spark, table, v)
@@ -1408,6 +1555,7 @@ object TxLog {
     // overwrite lands arbitrary NEW rows → gate + complete generated
     // columns; the row-invisible rewrites (compact / clustering)
     // re-land rows that already passed
+    if (tag == "overwrite") requireNoIdentity(spark, table, "overwrite")
     val df1 =
       if (tag == "overwrite") applyGeneratedColumns(spark, table, df, tag)
       else df
@@ -2020,6 +2168,7 @@ object TxLog {
                           partCols: Seq[String],
                           statsCols: Seq[String] = Seq.empty): Long = {
     requirePartitionArgs(df, partCols, statsCols)
+    requireNoIdentity(spark, table, "partitioned append")
     val df1 = applyGeneratedColumns(spark, table, df, "append")
     requireFitsDeclared(spark, table, df1, "append")
     requireSatisfiesConstraints(spark, table, df1, "append")
@@ -2445,6 +2594,12 @@ object TxLog {
     sets.foreach { case (c, _) => require(!gens.contains(c),
       s"txlog: cannot assign to generated column '$c' — it is " +
         "GENERATED ALWAYS and recomputed from its expression") }
+    // identity ids are STABLE under update: images carry the existing
+    // values; only assignment to the column itself is forbidden
+    val idents = identityColumns(spark, table).keySet
+    sets.foreach { case (c, _) => require(!idents.contains(c),
+      s"txlog: cannot assign to identity column '$c' — it is " +
+        "GENERATED ALWAYS AS IDENTITY") }
     val images = applyGeneratedColumns(spark, table,
       matched.select(logicalCols.map(c =>
         setsByCol.get(c).map(v => expr(v).as(c)).getOrElse(col(c))): _*)
@@ -2978,6 +3133,7 @@ object TxLog {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keys.nonEmpty, "txlog: mergeMor needs at least one key column")
     requireNonEmpty(spark, table, "merge")
+    requireNoIdentity(spark, table, "merge")
     // complete/validate generated columns BEFORE evolution sees the
     // batch schema — a merge image must land the stored derivation
     val updates = applyGeneratedColumns(spark, table, updatesIn, "merge")
@@ -3284,6 +3440,7 @@ object TxLog {
     val allPos = bySourceSides.fold(newPos)(s => newPos.unionByName(s._1))
     val withBs = bySourceSides.fold(updateImages)(s =>
       updateImages.unionByName(s._2))
+    requireNoIdentity(spark, table, "conditional merge")
     val images = applyGeneratedColumns(spark, table,
       insImages.fold(withBs)(withBs.unionByName(_)), "merge")
     requireFitsDeclared(spark, table, images, "merge")
@@ -3366,6 +3523,7 @@ object TxLog {
                     metas: Seq[String] = Seq.empty): Boolean = {
     requireAppId(appId)
     extraTxns.foreach(t => requireAppId(t._1))
+    requireNoIdentity(spark, table, "appendIfEmpty")
     val df1 = applyGeneratedColumns(spark, table, df, "append")
     requireFitsDeclared(spark, table, df1, "append")
     requireSatisfiesConstraints(spark, table, df1, "append")

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.sources.TxLog
+
+/** Identity columns ([[graft.sources.TxLog.addIdentityColumn]]): the
+  * log is the sequence — ids minted per commit against the persisted
+  * high-water, unique and monotonic across commits, explicit values
+  * rejected, unsupported write shapes loud. */
+class TxLogIdentitySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def declared(t: String): Unit =
+    TxLog.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType))))
+
+  test("ids are minted per commit: unique, contiguous, monotonic") {
+    val t = freshTable("txid-life")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    assert(TxLog.identityColumns(spark, t) == Map("row_id" -> ((1L, 1L, 1L))))
+    TxLog.append(spark, t, Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("k", "s"))
+    TxLog.append(spark, t, Seq((20L, "d"), (21L, "e")).toDF("k", "s"))
+    val rows = TxLog.read(spark, t).select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(rows.values.toSeq.sorted == (1L to 5L),
+      s"ids not the contiguous reservation: $rows")
+    // wave boundaries respected: wave-1 keys got [1,3], wave-2 [4,5]
+    assert(Set(10L, 11L, 12L).map(rows) == Set(1L, 2L, 3L), s"$rows")
+    assert(Set(20L, 21L).map(rows) == Set(4L, 5L), s"$rows")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == 6L,
+      "high-water must advance inside the data commit")
+  }
+
+  test("START WITH / INCREMENT BY; explicit values rejected; all-null ignored") {
+    val t = freshTable("txid-step")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id", startWith = 100L, stepBy = 10L)
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val got = TxLog.read(spark, t).select("row_id")
+      .as[Long].collect().toSet
+    assert(got == Set(100L, 110L), s"stepped reservation wrong: $got")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t,
+        Seq((3L, "c", 999L)).toDF("k", "s", "row_id"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS AS IDENTITY"))
+    // an all-null column (the padded SQL INSERT shape) is minted over
+    TxLog.append(spark, t,
+      Seq((4L, "d", None: Option[Long])).toDF("k", "s", "row_id"))
+    assert(TxLog.read(spark, t).filter(col("k") === 4L)
+      .select("row_id").as[Long].head() == 120L)
+  }
+
+  test("unsupported write shapes are loud; safe updates keep ids stable") {
+    val t = freshTable("txid-paths")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    intercept[IllegalArgumentException](
+      TxLog.mergeMor(spark, t, Seq((1L, "z")).toDF("k", "s"), Seq("k")))
+    intercept[IllegalArgumentException](
+      TxLog.overwrite(spark, t, Seq((9L, "x")).toDF("k", "s")))
+    intercept[IllegalArgumentException](
+      TxLog.appendPartitionedBy(spark, t, Seq((9L, "x")).toDF("k", "s"), Seq("s")))
+    intercept[IllegalArgumentException](
+      TxLog.updateMorExpr(spark, t, "k = 1", Seq("row_id" -> "77")))
+    val before = TxLog.read(spark, t).select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    TxLog.updateMorExpr(spark, t, "k = 1", Seq("s" -> "'updated'"))
+    val after = TxLog.read(spark, t).select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(after == before, "a MOR update must carry identity ids through")
+    // deletes compose too (ids never reused)
+    TxLog.deleteWhereMorExpr(spark, t, "k = 2")
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    val ids = TxLog.read(spark, t).select("row_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"deleted id must not be reused: $ids")
+  }
+
+  test("declaration rules: empty-table only, bad step, SQL surface") {
+    val t = freshTable("txid-decl")
+    declared(t)
+    intercept[IllegalArgumentException](
+      TxLog.addIdentityColumn(spark, t, "g", stepBy = 0L))
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException](
+      TxLog.addIdentityColumn(spark, t, "late"))
+    assert(e.getMessage.contains("before the first append"))
+    val t2 = freshTable("txid-sql")
+    declared(t2)
+    val v = spark.sql(s"ALTER TABLE graft.`$t2` ADD COLUMN rid BIGINT " +
+      "GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 3)")
+      .head().getLong(0)
+    assert(v == TxLog.latestVersion(spark, t2))
+    assert(TxLog.identityColumns(spark, t2) == Map("rid" -> ((7L, 3L, 7L))))
+    spark.sql(s"INSERT INTO graft.`$t2` (k, s) VALUES (1, 'x'), (2, 'y')")
+    assert(TxLog.read(spark, t2).select("rid").as[Long].collect().toSet ==
+      Set(7L, 10L))
+  }
+}
