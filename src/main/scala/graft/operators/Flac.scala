@@ -922,8 +922,42 @@ object Flac {
     stats.drop("n_bytes").orderBy("media_id")
   }
 
+  /** QM-FLAC-F — windowed FEATURE EXTRACTION over the COMPRESSED path
+    * (the [[Multimodal.audioFeatures]] twin): per 64-frame window of
+    * channel 0 of the CRC/MD5-verified FLAC decode, integer-exact
+    * energy and zero-crossing count, partial tail window never padded.
+    * A hash match proves decode → windowing → feature math through the
+    * full codec chain, not just the plane sums. */
+  def flacFeatures(audio: Dataset[AudioRecord], window: Int = 64): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.flatMap { r =>
+      decode(r.payload).toSeq.flatMap { dec =>
+        val ch0 = dec.samples(0)
+        val frames = ch0.length
+        (0 until (frames + window - 1) / window).map { w =>
+          val lo = w * window
+          val hi = math.min(frames, lo + window)
+          var energy = 0L
+          var zc = 0L
+          var f = lo
+          while (f < hi) {
+            val s = ch0(f).toLong
+            energy += s * s
+            if (f + 1 < hi && s * ch0(f + 1).toLong < 0) zc += 1
+            f += 1
+          }
+          (r.media_id, w.toLong, (hi - lo).toLong, energy, zc)
+        }
+      }
+    }).toDF("media_id", "win", "n_frames", "energy", "crossings")
+  }
+
+  def qmFlacFeatures(spark: SparkSession, d: String): DataFrame =
+    flacFeatures(syntheticFlac(spark, d)).orderBy("media_id", "win")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qm_flac_stats" -> qmFlacStats _)
+    "qm_flac_stats" -> qmFlacStats _,
+    "qm_flac_features" -> qmFlacFeatures _)
 
   val oracles: Map[String, String] = Map(
     "qm_flac_stats" ->
@@ -935,5 +969,19 @@ object Flac {
         "(150 + doc_id % 111) AS INT)), " +
         "k -> (doc_id*131 + (k // (150 + doc_id % 111))*997 + " +
         "(k % (150 + doc_id % 111))*17) % 4001 - 2000)) AS BIGINT) AS amp_sum " +
-        "FROM documents ORDER BY media_id"))
+        "FROM documents ORDER BY media_id"),
+    // channel 0 of the fixture formula (c = 0), windowed exactly as the
+    // WAV features row — integer-exact in both engines
+    "qm_flac_features" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "a AS (SELECT id, 150 + id%111 AS frames FROM d), " +
+        "w AS (SELECT id, frames, " +
+        "unnest(range((frames + 63)//64))::BIGINT AS win FROM a) " +
+        "SELECT id AS media_id, win, least(64, frames - win*64) AS n_frames, " +
+        "CAST(list_sum(list_transform(range(win*64, least(frames, win*64+64)), " +
+        "f -> ((id*131 + f*17) % 4001 - 2000) * ((id*131 + f*17) % 4001 - 2000))) AS BIGINT) AS energy, " +
+        "CAST(COALESCE(list_sum(list_transform(range(win*64, least(frames, win*64+64) - 1), " +
+        "f -> CASE WHEN ((id*131 + f*17) % 4001 - 2000) * ((id*131 + (f+1)*17) % 4001 - 2000) < 0 " +
+        "THEN 1 ELSE 0 END)), 0) AS BIGINT) AS crossings " +
+        "FROM w ORDER BY media_id, win"))
 }

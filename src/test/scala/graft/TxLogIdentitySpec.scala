@@ -84,6 +84,41 @@ class TxLogIdentitySpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L), s"deleted id must not be reused: $ids")
   }
 
+  test("racing writers keep ids unique: the lost-claim re-mint path") {
+    val t = freshTable("txid-race")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    // two threads, interleaved appends on the same table: OCC claims
+    // WILL collide, so losers must re-read the high-water and re-mint —
+    // the assertion (global uniqueness + exact high-water) is
+    // deterministic whatever the interleaving
+    val perThread = 8
+    val rowsPer = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { ti =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { i =>
+            TxLog.append(spark, t,
+              (0 until rowsPer).map(j => (ti * 1000L + i * 10L + j, s"t$ti"))
+                .toDF("k", "s"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"racing appends failed: ${errs.peek()}")
+    val total = 2L * perThread * rowsPer
+    val ids = TxLog.read(spark, t).select("row_id").as[Long].collect().sorted
+    assert(ids.length == total && ids.distinct.length == total,
+      s"ids collided under contention: ${ids.length} rows, " +
+        s"${ids.distinct.length} distinct")
+    assert(ids.toSeq == (1L to total),
+      s"ids not the union of per-commit reservations: ${ids.take(10).toSeq}…")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == total + 1)
+  }
+
   test("declaration rules: empty-table only, bad step, SQL surface") {
     val t = freshTable("txid-decl")
     declared(t)
