@@ -43,6 +43,14 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *    (no RETAIN clause = retain ALL versions, orphan-only reclaim)
   *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
   *  - `DESCRIBE DETAIL graft.`/t``       → one-row operational summary
+  *  - `ALTER TABLE graft.`/t`` ADD CONSTRAINT c CHECK (expr)` /
+  *    `DROP CONSTRAINT c` / `SHOW CONSTRAINTS graft.`/t``
+  *    → [[TxLog.addCheckConstraint]] / [[TxLog.dropCheckConstraint]]
+  *  - `ALTER TABLE graft.`/t`` ADD COLUMN x TYPE GENERATED ALWAYS AS
+  *    (expr)` → [[TxLog.addGeneratedColumn]]
+  *  - `ALTER TABLE graft.`/t`` ADD COLUMN x BIGINT GENERATED ALWAYS AS
+  *    IDENTITY [(START WITH n INCREMENT BY n)]` →
+  *    [[TxLog.addIdentityColumn]]
   *  - `RESTORE TABLE graft.`/t`` TO VERSION|TIMESTAMP AS OF …` →
   *    [[TxLog.restore]] (metadata-only rollback)
   *  - `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT k…, COUNT(*) AS

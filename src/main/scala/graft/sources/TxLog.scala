@@ -1061,9 +1061,17 @@ object TxLog {
   private def appendCommit(spark: SparkSession, table: String, dfIn: DataFrame,
                            what: String, txn: Option[(String, Long)],
                            statsCols: Seq[String]): Option[Long] = {
+    // ORDER MATTERS: the versions read comes FIRST, the metadata read
+    // SECOND. A commit landing after the versions read occupies a
+    // version >= intended, so our first claim FAILS and the loop
+    // re-checks; a metadata read taken before the versions read could
+    // miss a constraint/generated/identity commit that our claim then
+    // silently follows with stale gates or stale ids (the identity
+    // race spec caught exactly this under full-suite contention).
+    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
     // ONE log scan serves all three write-boundary features
     val metasNow = commitMetas(spark, table)
-    val df = applyGeneratedColumns(spark, table, dfIn, what,
+    var df = applyGeneratedColumns(spark, table, dfIn, what,
       Some(prefixed(metasNow, GenKeyPrefix)))
     requireFitsDeclared(spark, table, df, what)
     requireSatisfiesConstraints(spark, table, df, what,
@@ -1071,8 +1079,7 @@ object TxLog {
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
-    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
-    var checkedConstraintsAt = intended - 1
+    var checkedBoundaryAt = intended - 1
     // close the zombie-twin window: a twin's commit landing between the
     // caller's fast-path marker scan and the `versions` read above would
     // make the first tryCommit succeed at twin.version+1 WITHOUT ever
@@ -1085,7 +1092,7 @@ object TxLog {
     // identity minting: reserve [next, next + n·step) against the
     // observed high-water; a lost claim re-reads it and RE-ASSIGNS
     // (re-writing the data dir) before retrying, so ids stay unique
-    val idCols = identityFrom(metasNow).toSeq.sortBy(_._1)
+    var idCols = identityFrom(metasNow).toSeq.sortBy(_._1)
     var idNext: Map[String, Long] =
       idCols.map { case (n, (_, _, nx)) => n -> nx }.toMap
     def minted(frame: DataFrame): DataFrame =
@@ -1093,7 +1100,7 @@ object TxLog {
         assignIdentityIds(acc, n, idNext(n), st)
       }
     var dfW = if (idCols.isEmpty) df else minted(df)
-    val batchN = if (idCols.isEmpty) 0L else dfW.count()
+    var batchN = if (idCols.isEmpty) 0L else dfW.count()
     def idMetas: Seq[String] = idCols.map { case (n, (s0, st, _)) =>
       metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${idNext(n) + batchN * st}")
     }
@@ -1128,42 +1135,59 @@ object TxLog {
           return None
         }
       }
-      // an ADD CONSTRAINT that landed while we retried must gate THIS
-      // batch too — re-validate when (and only when) a commit that beat
-      // us carries a constraint meta line (claim-loop recheck: the
-      // constraint race is closed the same way the zombie-twin race is)
+      // a write-boundary change that landed while we retried must gate
+      // THIS batch too: an ADD CONSTRAINT re-validates, a generated /
+      // identity declaration (possible while the table is still empty)
+      // re-derives the frame, and an identity high-water advance
+      // re-mints — one unified recheck, run only when a commit that
+      // beat us carries one of the three meta prefixes (a plain
+      // contending append on an identity table always does: its
+      // high-water line IS the signal to re-mint)
       val latestNow = versions(spark, table).lastOption.fold(-1L)(identity)
-      val constraintLanded = (checkedConstraintsAt + 1 to latestNow).exists(cv =>
+      val boundaryLanded = (checkedBoundaryAt + 1 to latestNow).exists(cv =>
         readLogFile(spark, new Path(logDir(table), f"$cv%08d.json")).exists {
-          case ("meta", p) => p.startsWith(CheckKeyPrefix)
+          case ("meta", p) => p.startsWith(CheckKeyPrefix) ||
+            p.startsWith(GenKeyPrefix) || p.startsWith(IdentityKeyPrefix)
           case _ => false
         })
-      if (constraintLanded) {
-        try requireSatisfiesConstraints(spark, table, df, what)
-        catch {
-          case e: IllegalArgumentException =>
-            val dir = new Path(table, rel)
-            fs(spark, dir).delete(dir, true) // violating data never lands
-            throw e
-        }
+      if (boundaryLanded) {
+        val fresh = commitMetas(spark, table)
+        val df2 =
+          try {
+            val d2 = applyGeneratedColumns(spark, table, dfIn, what,
+              Some(prefixed(fresh, GenKeyPrefix)))
+            requireFitsDeclared(spark, table, d2, what)
+            requireSatisfiesConstraints(spark, table, d2, what,
+              pre = Some(prefixed(fresh, CheckKeyPrefix)))
+            d2
+          } catch {
+            case e: IllegalArgumentException =>
+              val dir = new Path(table, rel)
+              fs(spark, dir).delete(dir, true) // gated data never lands
+              throw e
+          }
+        df = df2
+        idCols = identityFrom(fresh).toSeq.sortBy(_._1)
+        idNext = idCols.map { case (n, (_, _, nx)) => n -> nx }.toMap
+        val dir = new Path(table, rel)
+        fs(spark, dir).delete(dir, true)
+        dfW = if (idCols.isEmpty) df else minted(df)
+        batchN = if (idCols.isEmpty) 0L else dfW.count()
+        rel = f"data/v$intended%08d-${uniq()}"
+        val re = writeData()
+        files = re._1
+        stats = re._2
       }
-      checkedConstraintsAt = latestNow
-      // identity contention: a commit that beat us may have advanced a
-      // high-water past our reservation — re-read, re-mint, re-write
-      if (idCols.nonEmpty) {
-        val current = identityColumns(spark, table)
-        if (idCols.exists { case (n, _) => current(n)._3 != idNext(n) }) {
-          val dir = new Path(table, rel)
-          fs(spark, dir).delete(dir, true)
-          idNext = current.map { case (n, (_, _, nx)) => n -> nx }
-          dfW = minted(df)
-          rel = f"data/v$intended%08d-${uniq()}"
-          val re = writeData()
-          files = re._1
-          stats = re._2
-        }
-      }
-      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
+      checkedBoundaryAt = latestNow
+      // claim ONLY the version immediately past what we scanned — never
+      // leapfrog: `max(v+1, last+1)` could jump PAST a commit that
+      // landed after the scan (between the recheck read and our claim),
+      // and a successful claim above an unscanned commit silently
+      // follows stale gates / duplicate ids (the identity race probe
+      // caught exactly this interleaving). Claiming checkedBoundaryAt+1
+      // makes claim success IMPLY the scan was complete: anything that
+      // lands there first fails our claim and the loop rescans.
+      v = checkedBoundaryAt + 1
     }
     maybeCheckpoint(spark, table, v)
     Some(v)
@@ -2885,6 +2909,12 @@ object TxLog {
   def commitChangesData(spark: SparkSession, table: String, version: Long): Boolean =
     readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
       .exists(a => a._1 == "remove" || a._1 == "dv")
+
+  /** Dev probe accessor: the add-paths of one commit. */
+  private[graft] def commitAddsForProbe(spark: SparkSession, table: String,
+                                        version: Long): Seq[String] =
+    readLogFile(spark, new Path(logDir(table), f"$version%08d.json"))
+      .collect { case ("add", p) => p }
 
   /** True iff commit `version` touches ROWS at all (adds, removes, or
     * DV bindings). False for the row-invisible metadata commits —
