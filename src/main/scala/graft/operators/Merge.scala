@@ -573,8 +573,12 @@ object Merge {
     * contiguous across all three commits), per-wave id ranges are
     * disjoint and ordered (the reservation is per-commit), the
     * persisted high-water equals n+1, an explicit-value append and a
-    * merge are rejected with the version pinned, and a MOR delete
-    * retires ids without reuse by the next wave. */
+    * merge keyed ON the identity column are rejected with the version
+    * pinned, and a MOR delete retires ids WITHOUT reuse: the retired
+    * band is re-appended and the row REQUIREs its fresh ids all sit
+    * past the old high-water while the retired ids never reappear —
+    * so the final data frame equals the full source again and the
+    * hash gate closes over the whole retire/re-mint lifecycle. */
   def qwIdentityCol(spark: SparkSession, d: String): DataFrame = {
     import graft.sources.TxLog
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -617,10 +621,68 @@ object Merge {
     mustReject("explicit identity value") {
       TxLog.append(spark, table, longDocs.limit(1).withColumn("row_id", lit(99999L)))
     }
-    mustReject("merge into an identity table") {
-      TxLog.mergeMor(spark, table, longDocs.limit(1), Seq("doc_id"))
+    mustReject("merge keyed ON the identity column") {
+      TxLog.mergeMor(spark, table,
+        longDocs.limit(1).withColumnRenamed("doc_id", "row_id"), Seq("row_id"))
     }
+    // retire-without-reuse: a MOR delete retires a band's ids; the band
+    // re-appends and must mint STRICTLY past the old high-water
+    val retired = TxLog.read(spark, table).filter(col("doc_id") % 10 === 7)
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    require(retired.nonEmpty, "txlog: fixture grew no retire band")
+    TxLog.deleteWhereMorExpr(spark, table, "doc_id % 10 = 7")
+    TxLog.append(spark, table, longDocs.filter(col("doc_id") % 10 === 7))
+    val fresh = TxLog.read(spark, table).filter(col("doc_id") % 10 === 7)
+      .select("row_id").collect().map(_.getLong(0))
+    require(fresh.forall(_ > n), s"txlog: re-appended band must mint past " +
+      s"the old high-water $n, got ${fresh.min}")
+    require(TxLog.read(spark, table).filter(col("row_id")
+      .isin(retired.toSeq: _*)).count() == 0L,
+      "txlog: a retired id was reused")
     TxLog.read(spark, table).select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** QW-MERGE-ID — MERGE INTO an IDENTITY table (the default Delta
+    * upsert idiom, the r15 verdict's top gap): wave 1 lands the even
+    * doc_ids SORTED, so the minted ids are exactly `row_number() OVER
+    * (ORDER BY doc_id)` (the mint is a global zipWithIndex over the
+    * batch — sorted input makes arrival order deterministic). One
+    * [[graft.sources.TxLog.mergeMor]] then upserts a batch of matched
+    * re-images (doc_id % 4 = 0: lang re-tagged, n_chars bumped) plus
+    * brand-new odd keys, also sorted: matched rows must KEEP their
+    * wave-1 id untouched, inserts must mint n1+rank — both closed-form
+    * SQL, so the ids themselves sit inside the hash gate (unlike
+    * [[qwIdentityCol]], where multi-commit arrival order forces the
+    * contract into in-row REQUIREs). The high-water advance riding the
+    * merge commit is REQUIREd in-row. */
+  def qwMergeIdentity(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.functions.concat
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+      .withColumn("n_chars", col("n_chars").cast("long"))
+    val table = Fixtures.table("txmergeid", d, "t")
+    TxLog.destroy(spark, table)
+    TxLog.createTable(spark, table, StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType))))
+    spark.sql(s"ALTER TABLE graft.`$table` ADD COLUMN row_id BIGINT " +
+      "GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)").head()
+    val wave1 = docs.filter(col("doc_id") % 2 === 0).orderBy("doc_id")
+    TxLog.append(spark, table, wave1)
+    val n1 = wave1.count()
+    val updates = docs.filter(col("doc_id") % 4 === 0)
+      .withColumn("lang", concat(lit("merged-"), col("lang")))
+      .withColumn("n_chars", col("n_chars") + 5000L)
+      .unionByName(docs.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id")
+    val inserts = docs.filter(col("doc_id") % 2 === 1).count()
+    TxLog.mergeMor(spark, table, updates, Seq("doc_id"))
+    require(TxLog.identityColumns(spark, table)("row_id")._3 ==
+      n1 + inserts + 1,
+      "txlog: the merge must advance the high-water by its insert count")
+    TxLog.read(spark, table).select("doc_id", "lang", "n_chars", "row_id")
       .orderBy("doc_id")
   }
 
@@ -1094,6 +1156,49 @@ object Merge {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** QW-THETA — PURE-theta SQL MERGE (r16: [[graft.plans.TxLogDml]]
+    * accepts an ON with NO equi key when a residual exists): the
+    * interval-keyed upsert WITHOUT a lang key — `ON t.n_chars >= s.lo
+    * AND t.n_chars < s.hi` over disjoint global bands. The pair join
+    * lowers to a broadcast NESTED-LOOP join: the target streams once
+    * against the broadcast band table (per-row cost |bands| residual
+    * evaluations — the honest bounded-build-side plan; the target side
+    * never shuffles or broadcasts). Matched rows re-price by the
+    * band's bonus; a band matching NO row inserts a sentinel
+    * (exercising the not-matched classification under pure theta,
+    * where match is a function of the FULL ON, not key presence).
+    * REQUIREd merge-on-read, one commit. The oracle replays the
+    * algebra generically (LEFT JOIN + NOT EXISTS), so no assumption
+    * about which bands match rides on the data. */
+  def qwMergeTheta(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmrgt", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val view = "graft_mrgt_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    import spark.implicits._
+    Seq((0L, 200L, 1000L), (200L, 400L, 2000L), (400L, 1000L, 3000L),
+      (100000L, 100100L, 9999L)).toDF("lo", "hi", "bonus")
+      .createOrReplaceTempView(view)
+    try {
+      val before = TxLog.snapshotFiles(spark, table).toSet
+      val vs = TxLog.versions(spark, table).size
+      spark.sql(s"MERGE INTO graft.`$table` t USING $view s " +
+        "ON t.n_chars >= s.lo AND t.n_chars < s.hi " +
+        "WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.bonus " +
+        "WHEN NOT MATCHED THEN " +
+        "INSERT (doc_id, lang, n_chars) VALUES (-s.lo - 1, 'band', s.lo)")
+      require(TxLog.versions(spark, table).size == vs + 1,
+        "txlog: the theta MERGE must land as ONE commit")
+      require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
+        "txlog: the theta MERGE must stay merge-on-read")
+      spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+        "ORDER BY doc_id")
+    } finally spark.catalog.dropTempView(view)
+  }
+
   /** QW29 — MERGE WITH SCHEMA EVOLUTION (r15: [[graft.plans.TxLogDml]]
     * → [[graft.sources.TxLog.mergeMor]]'s `evolve`) under the hash
     * gate: the canonical upsert whose source carries a column the
@@ -1228,6 +1333,7 @@ object Merge {
     "qw_sql_update" -> qwSqlUpdate _,
     "qw_sql_merge_cond" -> qwSqlMergeCond _,
     "qw_merge_range" -> qwMergeRange _,
+    "qw_merge_theta" -> qwMergeTheta _,
     "qw_merge_evolve" -> qwMergeEvolve _,
     "qw_sql_maint" -> qwSqlMaint _,
     "qw_drop_partition" -> qwDropPartition _,
@@ -1247,6 +1353,7 @@ object Merge {
     "qw_check_constraint" -> qwCheckConstraint _,
     "qw_generated_col" -> qwGeneratedCol _,
     "qw_identity_col" -> qwIdentityCol _,
+    "qw_merge_identity" -> qwMergeIdentity _,
     "qw_pruned_read" -> qwPrunedRead _,
     "qw_delete_where" -> qwDeleteWhere _,
     "qw_merge_upsert" -> qwMergeUpsert _,
@@ -1429,6 +1536,42 @@ object Merge {
     "qw_identity_col" ->
       ("SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars " +
         "FROM documents ORDER BY doc_id"),
+    // the pure-theta merge's closed form: LEFT JOIN on the interval
+    // alone re-prices, NOT EXISTS inserts the empty bands' sentinels
+    "qw_merge_theta" ->
+      ("WITH b(lo, hi, bonus) AS (VALUES " +
+        "(0, 200, 1000), (200, 400, 2000), (400, 1000, 3000), " +
+        "(100000, 100100, 9999)) " +
+        "SELECT t.doc_id, t.lang, " +
+        "CAST(t.n_chars + COALESCE(b.bonus, 0) AS BIGINT) AS n_chars " +
+        "FROM documents t LEFT JOIN b " +
+        "ON t.n_chars >= b.lo AND t.n_chars < b.hi " +
+        "UNION ALL " +
+        "SELECT CAST(-(b.lo + 1) AS BIGINT) AS doc_id, 'band' AS lang, " +
+        "CAST(b.lo AS BIGINT) AS n_chars FROM b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents t " +
+        "WHERE t.n_chars >= b.lo AND t.n_chars < b.hi) " +
+        "ORDER BY doc_id"),
+    // the upsert-into-identity closed form: sorted single-commit mints
+    // make the ids themselves deterministic — wave-1 ids are the rank
+    // by doc_id among the evens, matched re-images KEEP that id, and
+    // the merge's inserts mint n1 + rank among the sorted odd keys
+    "qw_merge_identity" ->
+      ("WITH w1 AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "upd AS (SELECT doc_id, 'merged-' || lang AS lang, " +
+        "CAST(n_chars + 5000 AS BIGINT) AS n_chars " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "ins AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST((SELECT COUNT(*) FROM w1) + " +
+        "row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id " +
+        "FROM documents WHERE doc_id % 2 = 1) " +
+        "SELECT w1.doc_id, COALESCE(upd.lang, w1.lang) AS lang, " +
+        "COALESCE(upd.n_chars, w1.n_chars) AS n_chars, w1.row_id " +
+        "FROM w1 LEFT JOIN upd ON w1.doc_id = upd.doc_id " +
+        "UNION ALL SELECT doc_id, lang, n_chars, row_id FROM ins " +
+        "ORDER BY doc_id"),
     // waves 0/1 with the update applied; every derivation recomputed in
     // SQL — holds only if the stored generated values are exact
     "qw_generated_col" ->

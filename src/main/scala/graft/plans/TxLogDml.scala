@@ -35,12 +35,16 @@ import graft.sources.{MergeMatchedClause, MergeMatchedDelete,
   *    → [[TxLog.mergeMorConditional]], first-true-wins per clause
   *    list, ONE merge-on-read commit.
   *
-  * A NON-EQUI ON is supported as long as at least ONE conjunct is a
-  * same-name target=source equality (r15): the equalities become the
-  * pair join's hash keys and every other deterministic conjunct —
-  * range bounds, point-in-interval, differently-named equalities —
-  * rides to [[TxLog.mergeMorConditional]] as its `residual` (the
-  * non-equi filter of that same broadcast hash join).
+  * A NON-EQUI ON is supported (r15): same-name target=source
+  * equalities become the pair join's hash keys and every other
+  * deterministic conjunct — range bounds, point-in-interval,
+  * differently-named equalities — rides to
+  * [[TxLog.mergeMorConditional]] as its `residual` (the non-equi
+  * filter of that same broadcast hash join). A PURE-theta ON (r16: no
+  * equi key at all, residual only) lowers to a broadcast NESTED-LOOP
+  * join — the target still streams once against the broadcast source,
+  * per-row cost |src| residual evaluations, the honest
+  * bounded-build-side plan for an interval/theta merge.
   *
   * `MERGE WITH SCHEMA EVOLUTION` (r15) is supported for the canonical
   * upsert: the source's extra columns append to the image and
@@ -48,10 +52,9 @@ import graft.sources.{MergeMatchedClause, MergeMatchedDelete,
   * schema INSIDE the merge commit (old files read added columns null /
   * widened types promoted; time travel reads each version's own
   * schema). What still fails LOUDLY (with a pointer at the right API —
-  * never a silently different semantic): a PURE-theta ON (no equi key
-  * — it would nest-loop the 100 TB side; pure interval lookups belong
-  * to `Temporal.rangeLookupJoin`) and WITH SCHEMA EVOLUTION beyond the
-  * canonical upsert (evolve via ALTER TABLE first).
+  * never a silently different semantic): an ON with NEITHER an equi
+  * key nor a residual (a cross join) and WITH SCHEMA EVOLUTION beyond
+  * the canonical upsert (evolve via ALTER TABLE first).
   * Resolved expressions are re-rendered as SQL (qualifiers stripped;
   * source columns namespaced `_src_<name>` on the conditional path) so
   * the library entry points bind them against the scan exactly as a
@@ -123,8 +126,12 @@ object TxLogDml extends Rule[LogicalPlan] {
         // BETWEENs, differently-named equalities — which ride to
         // [[TxLog.mergeMorConditional]] as the non-equi filter of that
         // same hash join (r15: the range / point-in-interval merge).
-        // At least one equi key is required: a pure-theta ON has no
-        // hash key and would nest-loop the 100 TB side.
+        // r16: a PURE-theta ON (no equi key, residual only) is accepted
+        // too — it lowers to a broadcast nested-loop join in which the
+        // target still streams ONCE against the broadcast source
+        // (per-row cost |src| residual evaluations — the honest
+        // bounded-build-side plan); only an ON with NEITHER keys nor
+        // residual (a cross join) stays rejected.
         val keyB = Seq.newBuilder[(String, Expression)]
         val resB = Seq.newBuilder[Expression]
         splitConjuncts(cond).foreach {
@@ -142,11 +149,9 @@ object TxLogDml extends Rule[LogicalPlan] {
         }
         val keys: Seq[(String, Expression)] = keyB.result()
         val residualConjs = resB.result()
-        if (keys.isEmpty) unsupported(
-          "MERGE ON names no same-name target=source key equality — a " +
-            "pure-theta ON would nest-loop the target; alias the source " +
-            "so at least one key matches by name (pure interval lookups " +
-            "belong to graft.operators.Temporal.rangeLookupJoin)")
+        if (keys.isEmpty && residualConjs.isEmpty) unsupported(
+          "MERGE ON names neither a same-name target=source key equality " +
+            "nor a residual condition — that ON is a cross join")
         val residual: Option[String] =
           if (residualConjs.isEmpty) None
           else Some(residualConjs.map(c => s"(${sqlOfNs(c)})").mkString(" AND "))

@@ -257,16 +257,39 @@ object TxLog {
   def addCheckConstraint(spark: SparkSession, table: String, name: String,
                          exprSql: String): Long = {
     requireConstraintName(name)
-    require(!checkConstraints(spark, table).contains(name),
-      s"txlog: constraint '$name' already exists on $table — DROP it first")
-    val snap = read(spark, table)
-    val cond = resolveConstraint(spark, table, snap, name, exprSql)
-    val bad = snap.filter(!cond).count() // NULL-passing: cond is coalesced
-    require(bad == 0L,
-      s"txlog: cannot add constraint '$name' CHECK ($exprSql) to $table — " +
-        s"$bad existing rows violate it")
-    commitMetaOnly(spark, table,
-      Seq(metaPayload(CheckKeyPrefix + name, exprSql)), s"add constraint $name")
+    // validate against a PINNED snapshot and claim only one version past
+    // it — claim success then IMPLIES the validation covered every
+    // committed row. A generic meta-only loop would leapfrog concurrent
+    // commits unvalidated: a violating append landing between the
+    // validation scan and the meta commit would yield an active
+    // constraint over violating data (the appendCommit side re-checks
+    // constraints that land while IT retries; this is the mirror-image
+    // duty on the constraint side — r15 advice).
+    def validate(): Long = {
+      require(!checkConstraints(spark, table).contains(name),
+        s"txlog: constraint '$name' already exists on $table — DROP it first")
+      val base = latestVersion(spark, table)
+      val snap = read(spark, table, Some(base))
+      val cond = resolveConstraint(spark, table, snap, name, exprSql)
+      val bad = snap.filter(!cond).count() // NULL-passing: cond is coalesced
+      require(bad == 0L,
+        s"txlog: cannot add constraint '$name' CHECK ($exprSql) to $table — " +
+          s"$bad existing rows violate it")
+      base
+    }
+    val metas = Seq(metaPayload(CheckKeyPrefix + name, exprSql))
+    var v = validate() + 1
+    var attempts = 0
+    while (!tryCommit(spark, table, v, Seq.empty, Seq.empty, None, None,
+      metas = metas)) {
+      attempts += 1
+      require(attempts < maxCommitAttempts,
+        s"txlog: add constraint $name on $table still contended after " +
+          s"$attempts attempts")
+      v = validate() + 1 // rows landed since the last scan: re-validate ALL
+    }
+    maybeCheckpoint(spark, table, v)
+    v
   }
 
   /** DROP CONSTRAINT `name` — a metadata-only commit clearing the key
@@ -535,17 +558,6 @@ object TxLog {
     }
     maybeCheckpoint(spark, table, v)
     v
-  }
-
-  /** Loud guard for the write shapes identity v1 does not mint ids in. */
-  private def requireNoIdentity(spark: SparkSession, table: String,
-                                what: String): Unit = {
-    val ids = identityColumns(spark, table)
-    require(ids.isEmpty,
-      s"txlog: $what on $table is unsupported with identity columns " +
-        s"(${ids.keys.toSeq.sorted.mkString(", ")}) — identity tables " +
-        "take plain appends (ids minted per commit) and MOR updates " +
-        "that leave the identity column untouched")
   }
 
   /** Mint ids for one identity column over the whole batch: global
@@ -1060,7 +1072,9 @@ object TxLog {
     * landing twice). The orphaned data dir is deleted. */
   private def appendCommit(spark: SparkSession, table: String, dfIn: DataFrame,
                            what: String, txn: Option[(String, Long)],
-                           statsCols: Seq[String]): Option[Long] = {
+                           statsCols: Seq[String],
+                           writeBatch: Option[(DataFrame, String) =>
+                             (Seq[String], Seq[String])] = None): Option[Long] = {
     // ORDER MATTERS: the versions read comes FIRST, the metadata read
     // SECOND. A commit landing after the versions read occupies a
     // version >= intended, so our first claim FAILS and the loop
@@ -1105,20 +1119,26 @@ object TxLog {
       metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${idNext(n) + batchN * st}")
     }
     var rel = f"data/v$intended%08d-${uniq()}"
-    def writeData(): (Seq[String], Seq[String]) = {
-      physicalize(dfW, schemaAt(spark, table))
-        .write.parquet(new Path(table, rel).toString)
-      val files = writtenFiles(spark, table, rel)
-      val stats = statsCols.flatMap { c =>
-        val forCol = footerStats(spark, table, files, c)
-        // a stats request that records nothing would silently void the
-        // skipping contract forever — fail at write time instead
-        require(files.isEmpty || forCol.nonEmpty,
-          s"txlog: no parquet footer carried statistics for '$c' — " +
-            "the files would be permanently unprunable")
-        forCol
-      }
-      (files, stats)
+    // `writeBatch` lets a layout-owning flavor (partitioned append) land
+    // its own file shape while riding THIS loop's boundary recheck —
+    // it receives the minted logical frame + rel and returns (files,
+    // extra stats-channel lines); the default is the plain parquet write
+    def writeData(): (Seq[String], Seq[String]) = writeBatch match {
+      case Some(wb) => wb(dfW, rel)
+      case None =>
+        physicalize(dfW, schemaAt(spark, table))
+          .write.parquet(new Path(table, rel).toString)
+        val files = writtenFiles(spark, table, rel)
+        val stats = statsCols.flatMap { c =>
+          val forCol = footerStats(spark, table, files, c)
+          // a stats request that records nothing would silently void the
+          // skipping contract forever — fail at write time instead
+          require(files.isEmpty || forCol.nonEmpty,
+            s"txlog: no parquet footer carried statistics for '$c' — " +
+              "the files would be permanently unprunable")
+          forCol
+        }
+        (files, stats)
     }
     var (files, stats) = writeData()
     var v = intended
@@ -1578,11 +1598,35 @@ object TxLog {
                               extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
     // overwrite lands arbitrary NEW rows → gate + complete generated
     // columns; the row-invisible rewrites (compact / clustering)
-    // re-land rows that already passed
-    if (tag == "overwrite") requireNoIdentity(spark, table, "overwrite")
-    val df1 =
+    // re-land rows that already passed (their ids ride through their
+    // own columns — no identity work)
+    val df0 =
       if (tag == "overwrite") applyGeneratedColumns(spark, table, df, tag)
       else df
+    // identity columns under OVERWRITE (r16): the incoming rows are all
+    // NEW row images — every existing id is RETIRED (never reused) and
+    // the batch mints fresh ids CONTINUING the sequence from the
+    // high-water observed at `baseVersion` (monotonic, Delta parity;
+    // contiguity holds within the batch, gaps across retirals are the
+    // documented identity contract). Race-proof without a re-mint loop:
+    // an overwrite is serializable — commitRewrite aborts on ANY
+    // intervening commit, so landing at baseVersion+1 proves no other
+    // writer advanced the sequence since the read.
+    val idCols =
+      if (tag == "overwrite")
+        identityColumns(spark, table, Some(baseVersion)).toSeq.sortBy(_._1)
+      else Seq.empty
+    val (df1, idMetas) = if (idCols.isEmpty) (df0, Seq.empty[String])
+    else {
+      val pinned = df0.localCheckpoint(true) // count + write below
+      val mintN = pinned.count()
+      val minted = idCols.foldLeft(pinned) { case (acc, (n, (_, st, nx))) =>
+        assignIdentityIds(acc, n, nx, st)
+      }
+      (minted, idCols.map { case (n, (s0, st, nx)) =>
+        metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${nx + mintN * st}")
+      })
+    }
     requireFitsDeclared(spark, table, df1, tag)
     if (tag == "overwrite")
       requireSatisfiesConstraints(spark, table, df1, tag)
@@ -1595,7 +1639,7 @@ object TxLog {
     val files = writtenFiles(spark, table, rel)
     commitRewrite(spark, table, baseVersion, files, removes, tag, dataDir, txn,
       statsCols.flatMap(footerStats(spark, table, files, _)),
-      extraTxns = extraTxns)
+      extraTxns = extraTxns, metas = idMetas)
   }
 
   private def replaceCommit(spark: SparkSession, table: String,
@@ -1625,11 +1669,12 @@ object TxLog {
                                    stats: Seq[String] = Seq.empty,
                                    dvs: Seq[String] = Seq.empty,
                                    extraTxns: Seq[(String, Long)] = Seq.empty,
-                                   schemaB64: Option[String] = None): Long = {
+                                   schemaB64: Option[String] = None,
+                                   metas: Seq[String] = Seq.empty): Long = {
     var v = baseVersion + 1
     var attempts = 0
     while (!tryCommit(spark, table, v, adds, removes, Some(tag), schemaB64,
-      txn.toSeq ++ extraTxns, stats, dvs)) {
+      txn.toSeq ++ extraTxns, stats, dvs, metas)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $tag of $table still contended after $attempts attempts")
@@ -2192,33 +2237,28 @@ object TxLog {
                           partCols: Seq[String],
                           statsCols: Seq[String] = Seq.empty): Long = {
     requirePartitionArgs(df, partCols, statsCols)
-    requireNoIdentity(spark, table, "partitioned append")
-    val df1 = applyGeneratedColumns(spark, table, df, "append")
-    requireFitsDeclared(spark, table, df1, "append")
-    requireSatisfiesConstraints(spark, table, df1, "append")
-    val phys = physicalize(df1, schemaAt(spark, table))
-    val pParts = partCols.map(resolvePhysical(spark, table, _))
-    val intended = versions(spark, table).lastOption.fold(0L)(_ + 1)
-    val rel = f"data/v$intended%08d-part-${uniq()}"
-    val (files, partLines) =
-      writePartitioned(spark, table, phys, pParts, rel, onePerLeaf = false)
-    val stats = statsCols.flatMap { c =>
-      val forCol = footerStats(spark, table, files.map(_._1), c)
-      require(files.isEmpty || forCol.nonEmpty,
-        s"txlog: no parquet footer carried statistics for '$c'")
-      forCol
-    }
-    var v = intended
-    var attempts = 0
-    while (!tryCommit(spark, table, v, files.map(_._1), Seq.empty, None, None,
-      Seq.empty, partLines ++ stats)) {
-      attempts += 1
-      require(attempts < maxCommitAttempts,
-        s"txlog: partitioned append to $table still contended after $attempts attempts")
-      v = math.max(v + 1, versions(spark, table).lastOption.fold(0L)(_ + 1))
-    }
-    maybeCheckpoint(spark, table, v)
-    v
+    // funnel through appendCommit's OCC loop: the partitioned flavor
+    // thereby inherits the SAME write-boundary discipline as a plain
+    // append — constraints/generated/identity commits that land while
+    // the claim retries re-gate THIS batch (re-validate, re-derive,
+    // re-mint), and claims never leapfrog an unscanned commit. Before
+    // r16 this path had its own leapfrogging loop with no recheck, so
+    // an ADD CONSTRAINT racing a violating partitioned append could
+    // admit the batch on the quiet (and identity was rejected outright).
+    appendCommit(spark, table, df, "partitioned append", None, statsCols,
+      writeBatch = Some { (dfW: DataFrame, rel: String) =>
+        val phys = physicalize(dfW, schemaAt(spark, table))
+        val pParts = partCols.map(resolvePhysical(spark, table, _))
+        val (files, partLines) =
+          writePartitioned(spark, table, phys, pParts, rel, onePerLeaf = false)
+        val stats = statsCols.flatMap { c =>
+          val forCol = footerStats(spark, table, files.map(_._1), c)
+          require(files.isEmpty || forCol.nonEmpty,
+            s"txlog: no parquet footer carried statistics for '$c'")
+          forCol
+        }
+        (files.map(_._1), partLines ++ stats)
+      }).get
   }
 
   /** COMPACTION that PRESERVES the partition layout and its recorded
@@ -2463,7 +2503,8 @@ object TxLog {
                                   adds: Seq[String] = Seq.empty,
                                   tag: String = "delete",
                                   commitOnNoMatch: Boolean = false,
-                                  schemaB64: Option[String] = None): Long = {
+                                  schemaB64: Option[String] = None,
+                                  metas: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val newPos = newPosRaw.localCheckpoint(true) // two consumers below
     if (newPos.isEmpty) {
@@ -2471,7 +2512,8 @@ object TxLog {
       // appended images (pure-insert batch) as one tagged commit
       if (!commitOnNoMatch || adds.isEmpty) return base
       return commitRewrite(spark, table, base, adds, Seq.empty, tag,
-        new Path(table, adds.head).getParent, schemaB64 = schemaB64)
+        new Path(table, adds.head).getParent, schemaB64 = schemaB64,
+        metas = metas)
     }
     val oldDvs = dvAt(spark, table, Some(base))
     val scopeNames = scope.map(p => p.split('/').last)
@@ -2497,7 +2539,7 @@ object TxLog {
       .filter(p => matchedFiles.contains(p.split('/').last))
       .map(p => s"$p|$rel")
     commitRewrite(spark, table, base, adds, Seq.empty, tag, dvDir,
-      dvs = bindings, schemaB64 = schemaB64)
+      dvs = bindings, schemaB64 = schemaB64, metas = metas)
   }
 
   /** MOR DELETE with a FREE predicate over the table's logical columns
@@ -2685,7 +2727,19 @@ object TxLog {
     * the change feed classifies it as a rewrite; MatView recomputes
     * across it. If the declared schema changed since the target, the
     * target's effective schema is re-declared in the same commit.
-    * Restoring to the current head is a commit-free no-op. */
+    * Restoring to the current head is a commit-free no-op.
+    *
+    * CHECK constraints and RESTORE — intended behavior, Delta parity:
+    * constraints gate NEW row images at write time ([[appendCommit]],
+    * merge/update); a restore re-lands HISTORICAL rows metadata-only
+    * and deliberately does NOT re-validate them against constraints
+    * added after the target version, exactly like Delta's RESTORE. So
+    * a restore can reintroduce rows that predate (and violate) an
+    * active constraint — by design: re-validating would force a full
+    * data scan inside a metadata-only rollback, and rejecting would
+    * make RESTORE unusable as the incident-recovery tool it exists to
+    * be. Callers that want the strict check can run
+    * `read(table).filter(not(constraint)).count()` after restoring. */
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     requireNonEmpty(spark, table, "restore")
     val base = latestVersion(spark, table)
@@ -3163,11 +3217,38 @@ object TxLog {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keys.nonEmpty, "txlog: mergeMor needs at least one key column")
     requireNonEmpty(spark, table, "merge")
-    requireNoIdentity(spark, table, "merge")
+    val base = latestVersion(spark, table)
+    // identity columns (r16): a MERGE is the default upsert idiom on an
+    // identity table — matched keys KEEP their existing id untouched
+    // (joined back from the same address scan that computes the mask),
+    // not-matched keys mint fresh ids against the high-water observed
+    // at `base`, and the advanced high-water rides INSIDE the merge
+    // commit. Race-proof without a re-mint loop because a merge is
+    // serializable: commitRewrite aborts on ANY intervening commit, so
+    // the commit landing at base+1 PROVES no other writer advanced the
+    // sequence since we read it. Keying ON an identity column is
+    // rejected — GENERATED ALWAYS means a source can never legitimately
+    // carry the ids an upsert-by-id would need.
+    val idCols = identityColumns(spark, table, Some(base)).toSeq.sortBy(_._1)
+    idCols.foreach { case (n, _) => require(!keys.contains(n),
+      s"txlog: merge into $table cannot key on identity column '$n' — " +
+        "it is GENERATED ALWAYS AS IDENTITY, so a merge source never " +
+        "legitimately carries its values; key on the natural key instead") }
+    val cleaned = idCols.foldLeft(updatesIn) { case (acc, (n, _)) =>
+      if (!acc.columns.contains(n)) acc
+      else {
+        import org.apache.spark.sql.functions.{sum, when}
+        val r = acc.agg(sum(when(col(n).isNotNull, 1L).otherwise(0L))).head()
+        val nonNull = if (r.isNullAt(0)) 0L else r.getLong(0)
+        require(nonNull == 0L,
+          s"txlog: merge batch carries $nonNull explicit values for " +
+            s"identity column '$n' — it is GENERATED ALWAYS AS IDENTITY")
+        acc.drop(n)
+      }
+    }
     // complete/validate generated columns BEFORE evolution sees the
     // batch schema — a merge image must land the stored derivation
-    val updates = applyGeneratedColumns(spark, table, updatesIn, "merge")
-    val base = latestVersion(spark, table)
+    val updates = applyGeneratedColumns(spark, table, cleaned, "merge")
     // `evolve` (r15): `MERGE WITH SCHEMA EVOLUTION` — the batch's extra
     // columns are ADDED to the declared schema (old files read them as
     // null) and its wider numeric types WIDEN it (old files read
@@ -3237,8 +3318,11 @@ object TxLog {
       addressed.join(broadcast(dvRows),
         addressed("_g_dv_file") === dvRows("file") &&
           addressed("_g_dv_pos") === dvRows("pos"), "left_anti")
-    }).select(pKeys.map(col) :+ col("_g_dv_file") :+ col("_g_dv_pos"): _*)
-      .localCheckpoint(true) // narrow (keys+address), consumed twice:
+    }).select(pKeys.map(col) ++
+        idCols.map { case (n, _) =>
+          col(resolvePhysical(spark, table, n, Some(base))).as(s"_g_id_$n")
+        } ++ Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
+      .localCheckpoint(true) // narrow (keys+ids+address), consumed twice:
     // the guard and the mask. A keyed merge on a DUPLICATE-keyed target
     // would silently collapse the copies into one image — fail loudly
     // instead (SQL MERGE keeps every copy; this engine's merge is the
@@ -3253,14 +3337,35 @@ object TxLog {
         "collapse; deduplicate first (exactDedup / deleteKeysMor)")
     val newPos = liveMatched
       .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    // identity fill: matched keys inherit their existing id from the
+    // address scan (broadcast key→id map, batch-sized); unmatched keys
+    // mint [next, next + n·step) — the commit carries the advance
+    val (images, idMetas) = if (idCols.isEmpty) (updates, Seq.empty[String])
+    else {
+      val keyIds = liveMatched.select(
+        keys.zip(pKeys).map { case (l, p) => col(p).as(l) } ++
+          idCols.map { case (n, _) => col(s"_g_id_$n").as(n) }: _*)
+      val enriched = updates.join(broadcast(keyIds), keys, "left")
+      val firstId = idCols.head._1
+      val toMint = enriched.filter(col(firstId).isNull)
+        .drop(idCols.map(_._1): _*)
+      val kept = enriched.filter(col(firstId).isNotNull)
+      val mintN = toMint.count()
+      val minted = idCols.foldLeft(toMint) { case (acc, (n, (_, st, nx))) =>
+        assignIdentityIds(acc, n, nx, st)
+      }
+      (kept.unionByName(minted), idCols.map { case (n, (s0, st, nx)) =>
+        metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${nx + mintN * st}")
+      })
+    }
     // new images land as appended files regardless of match state
     val rel = f"data/v${base + 1}%08d-merge-${uniq()}"
     val dataDir = new Path(table, rel)
-    physicalize(updates, declared).write.parquet(dataDir.toString)
+    physicalize(images, declared).write.parquet(dataDir.toString)
     val adds = writtenFiles(spark, table, rel)
     try bindDeletionVectors(spark, table, base, newPos, live,
       adds = adds, tag = "merge", commitOnNoMatch = true,
-      schemaB64 = evolution.map(encodeSchema))
+      schemaB64 = evolution.map(encodeSchema), metas = idMetas)
     catch { case e: Throwable =>
       fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
       throw e
@@ -3317,13 +3422,33 @@ object TxLog {
                           residual: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
       countDistinct, expr, lit, monotonically_increasing_id, when}
-    require(keys.nonEmpty, "txlog: merge needs at least one key column")
+    // pure-theta ON (r16): an ON with NO equi key is accepted when a
+    // residual is given — the pair join lowers to a broadcast
+    // nested-loop join (the target STREAMS once against the broadcast
+    // batch, per-row cost |src| residual evaluations), which is the
+    // honest bounded-build-side plan for a theta merge and still never
+    // shuffles or broadcasts the 100 TB side. An ON with neither keys
+    // nor residual would be a cross join — rejected loudly.
+    require(keys.nonEmpty || residual.nonEmpty,
+      "txlog: merge needs equi key columns or a residual ON condition " +
+        "(pure-theta) — an ON with neither is a cross join")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "txlog: merge needs at least one WHEN clause")
     keys.foreach(k => require(source.columns.contains(k),
       s"txlog: merge source carries no key column '$k'"))
     requireNonEmpty(spark, table, "merge")
     val base = latestVersion(spark, table)
+    // identity columns (r16): matched/by-source images keep the target
+    // row's id untouched (they project the target's columns, so the id
+    // rides through — SET naming it is rejected below, mirroring MOR
+    // UPDATE); not-matched INSERT images mint fresh ids against the
+    // high-water at `base`, whose advance rides inside the merge commit
+    // — serializable like mergeMor, so no re-mint loop is needed.
+    val idCols = identityColumns(spark, table, Some(base)).toSeq.sortBy(_._1)
+    val idents = idCols.map(_._1).toSet
+    idCols.foreach { case (n, _) => require(!keys.contains(n),
+      s"txlog: merge into $table cannot key on identity column '$n' — " +
+        "it is GENERATED ALWAYS AS IDENTITY; key on the natural key") }
     val live = snapshotFiles(spark, table, Some(base))
     val declared = schemaAt(spark, table, Some(base))
     val target = liveAddressed(spark, table, base, live, declared)
@@ -3335,14 +3460,22 @@ object TxLog {
     (matched ++ bySource).foreach {
       case MergeMatchedUpdate(_, sets) =>
         require(sets.nonEmpty, "txlog: UPDATE clause assigns no column")
-        sets.foreach { case (c, _) => require(logicalCols.contains(c),
-          s"txlog: merge UPDATE assigns unknown column '$c'") }
+        sets.foreach { case (c, _) =>
+          require(logicalCols.contains(c),
+            s"txlog: merge UPDATE assigns unknown column '$c'")
+          require(!idents.contains(c),
+            s"txlog: merge cannot assign to identity column '$c' — it is " +
+              "GENERATED ALWAYS AS IDENTITY (matched rows keep their id)") }
       case _: MergeMatchedDelete => ()
     }
     notMatched.foreach { ins =>
       require(ins.values.nonEmpty, "txlog: INSERT clause assigns no column")
-      ins.values.foreach { case (c, _) => require(logicalCols.contains(c),
-        s"txlog: merge INSERT assigns unknown column '$c'") }
+      ins.values.foreach { case (c, _) =>
+        require(logicalCols.contains(c),
+          s"txlog: merge INSERT assigns unknown column '$c'")
+        require(!idents.contains(c),
+          s"txlog: merge INSERT cannot name identity column '$c' — it is " +
+            "GENERATED ALWAYS AS IDENTITY (inserted rows mint fresh ids)") }
     }
     // the source, namespaced: every column rides as _src_<name>, plus a
     // per-row id (_g_src_rid) the not-matched classification keys on —
@@ -3366,8 +3499,13 @@ object TxLog {
     // insert-only merge constant-folds this side to empty — the
     // lit(false) filter keeps the target from being scanned for it) ----
     val equiCond = keys.map(k => target(k) === src(s"_src_$k"))
-      .reduce(_ && _)
-    val joinCond = residual.fold(equiCond)(r => equiCond && expr(r))
+      .reduceOption(_ && _)
+    val joinCond = (equiCond, residual.map(expr)) match {
+      case (Some(e), Some(r)) => e && r
+      case (Some(e), None) => e
+      case (None, Some(r)) => r // pure-theta: broadcast nested loop
+      case (None, None) => lit(false) // unreachable (require above)
+    }
     val fired = target.join(broadcast(src), joinCond, "inner")
       .withColumn("_g_fire", fireCol(matched.map(_.cond)))
       .filter(if (matched.isEmpty) lit(false) else col("_g_fire") >= 0)
@@ -3470,13 +3608,29 @@ object TxLog {
     val allPos = bySourceSides.fold(newPos)(s => newPos.unionByName(s._1))
     val withBs = bySourceSides.fold(updateImages)(s =>
       updateImages.unionByName(s._2))
-    requireNoIdentity(spark, table, "conditional merge")
+    // identity mint for the INSERT images only — update/by-source images
+    // carry the target row's existing id through their projection. The
+    // typed-NULL id the unassigned-column fill produced is replaced by
+    // the minted value; the high-water advance rides the merge commit.
+    val (insMinted, idMetas) =
+      if (idCols.isEmpty || insImages.isEmpty) (insImages, Seq.empty[String])
+      else {
+        val pinned = insImages.get.localCheckpoint(true) // count + write
+        val mintN = pinned.count()
+        val mintedIns = idCols.foldLeft(pinned) { case (acc, (n, (_, st, nx))) =>
+          assignIdentityIds(acc, n, nx, st)
+        }
+        (Some(mintedIns), idCols.map { case (n, (s0, st, nx)) =>
+          metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${nx + mintN * st}")
+        })
+      }
     val images = applyGeneratedColumns(spark, table,
-      insImages.fold(withBs)(withBs.unionByName(_)), "merge")
+      insMinted.fold(withBs)(withBs.unionByName(_)), "merge")
     requireFitsDeclared(spark, table, images, "merge")
     requireSatisfiesConstraints(spark, table, images, "merge")
     if (images.isEmpty) {
-      // delete-only (or nothing-fired) batch: mask without images
+      // delete-only (or nothing-fired) batch: mask without images (no
+      // insert fired, so there is no identity advance to record)
       return bindDeletionVectors(spark, table, base, allPos, live,
         tag = "merge")
     }
@@ -3485,7 +3639,7 @@ object TxLog {
     physicalize(images, declared).write.parquet(dataDir.toString)
     val adds = writtenFiles(spark, table, rel)
     try bindDeletionVectors(spark, table, base, allPos, live,
-      adds = adds, tag = "merge", commitOnNoMatch = true)
+      adds = adds, tag = "merge", commitOnNoMatch = true, metas = idMetas)
     catch { case e: Throwable =>
       fs(spark, dataDir).delete(dataDir, true) // no orphans on a lost race
       throw e
@@ -3553,7 +3707,10 @@ object TxLog {
                     metas: Seq[String] = Seq.empty): Boolean = {
     requireAppId(appId)
     extraTxns.foreach(t => requireAppId(t._1))
-    requireNoIdentity(spark, table, "appendIfEmpty")
+    // identity columns are structurally impossible here: this claims
+    // version 0, and declaring an identity column requires a committed
+    // schema (createTable) — i.e. at least one prior commit, which makes
+    // the version-0 claim below fail. No guard needed.
     val df1 = applyGeneratedColumns(spark, table, df, "append")
     requireFitsDeclared(spark, table, df1, "append")
     requireSatisfiesConstraints(spark, table, df1, "append")

@@ -449,15 +449,18 @@ class TxLogCatalogSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("multiple source rows"),
       s"unexpected overlap error: ${dup.getMessage}")
-    // pure-theta ON (no equi key at all) stays loud: no hash key means
-    // nest-looping the target
-    val theta = intercept[Exception] {
-      spark.sql(s"MERGE INTO graft.`$t` t USING mrgr_src s " +
-        "ON t.v >= s.lo AND t.v < s.hi " +
-        "WHEN MATCHED THEN UPDATE SET v = s.bonus")
-    }
-    assert(theta.getMessage.contains("no same-name target=source key"),
-      s"unexpected pure-theta error: ${theta.getMessage}")
+    // pure-theta ON (r16): NO equi key lowers to a broadcast
+    // nested-loop join (target streams once against the broadcast
+    // source) — the (b,[5000,6000)) band's interval now catches the
+    // sentinel b@5000 REGARDLESS of k, proving the ON really dropped
+    // the key; every other row matches no band and stays untouched
+    spark.sql(s"MERGE INTO graft.`$t` t USING mrgr_src s " +
+      "ON t.v >= s.lo AND t.v < s.hi " +
+      "WHEN MATCHED THEN UPDATE SET v = s.bonus")
+    val gotTheta = spark.sql(s"SELECT k, v FROM graft.`$t` ORDER BY k, v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotTheta == Seq(("a", 1010L), ("a", 1250L), ("b", 0L),
+      ("b", 907L), ("b", 2100L)), s"pure-theta merge produced $gotTheta")
   }
 
   test("merge INSERT values that would narrow fail loudly before the cast (r15)") {

@@ -142,6 +142,52 @@ class TxLogConstraintSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 2)
   }
 
+  test("ADD CONSTRAINT racing violating appends can never admit them (r16)") {
+    val t = freshTable("txck-race")
+    TxLog.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    // writer thread: keeps landing VIOLATING rows; legal while no
+    // constraint exists, must be rejected the instant one is active —
+    // including the r15-advice window between the ADD's validation scan
+    // and its meta commit (the add claims only validated-through+1, so
+    // a violating append that lands first fails the claim and forces a
+    // full re-validation)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get() && i < 60) {
+          try TxLog.append(spark, t, Seq((1000L + i, -1L)).toDF("k", "v"))
+          catch { case _: IllegalArgumentException => () } // gated: correct
+          i += 1
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.start()
+    var active = false
+    var tries = 0
+    while (!active && tries < 500) {
+      tries += 1
+      try { TxLog.addCheckConstraint(spark, t, "v_pos", "v >= 0"); active = true }
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("violate") =>
+          // violations landed BEFORE the constraint existed: clean, retry
+          TxLog.deleteWhereMorExpr(spark, t, "v < 0")
+        case e: IllegalArgumentException if e.getMessage.contains("contended") =>
+          () // claim starved this round: retry
+      }
+    }
+    stop.set(true)
+    writer.join(300000)
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    assert(active, "constraint add starved out entirely")
+    // THE invariant (r15 advice): an active constraint is never active
+    // over violating data, whatever the interleaving
+    assert(TxLog.checkConstraints(spark, t).contains("v_pos"))
+    assert(TxLog.read(spark, t).filter(col("v") < 0).count() == 0L,
+      "a violating append slipped between validation and the meta commit")
+  }
+
   test("SQL surface: ADD/DROP CONSTRAINT and SHOW CONSTRAINTS round-trip") {
     val t = freshTable("txck-sql")
     TxLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))

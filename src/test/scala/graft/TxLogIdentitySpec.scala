@@ -58,30 +58,118 @@ class TxLogIdentitySpec extends AnyFunSuite {
       .select("row_id").as[Long].head() == 120L)
   }
 
-  test("unsupported write shapes are loud; safe updates keep ids stable") {
+  test("identity survives every write shape; SET on the id stays loud") {
     val t = freshTable("txid-paths")
     declared(t)
     TxLog.addIdentityColumn(spark, t, "row_id")
     TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // MERGE (r16): matched keys KEEP their id, unmatched keys mint fresh
+    TxLog.mergeMor(spark, t, Seq((1L, "z"), (5L, "new")).toDF("k", "s"), Seq("k"))
+    val afterMerge = TxLog.read(spark, t).select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(afterMerge(1L) <= 2L, s"matched row must keep its id: $afterMerge")
+    assert(afterMerge(5L) == 3L, s"insert must mint the next id: $afterMerge")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == 4L,
+      "merge must advance the high-water by its insert count only")
+    // keying the merge ON the identity column is rejected
     intercept[IllegalArgumentException](
-      TxLog.mergeMor(spark, t, Seq((1L, "z")).toDF("k", "s"), Seq("k")))
+      TxLog.mergeMor(spark, t, Seq((1L, "w")).toDF("row_id", "s"), Seq("row_id")))
+    // explicit identity values in a merge batch are rejected
     intercept[IllegalArgumentException](
-      TxLog.overwrite(spark, t, Seq((9L, "x")).toDF("k", "s")))
+      TxLog.mergeMor(spark, t,
+        Seq((1L, "w", 42L)).toDF("k", "s", "row_id"), Seq("k")))
+    // partitioned append mints through the shared OCC loop
+    TxLog.appendPartitionedBy(spark, t, Seq((9L, "x")).toDF("k", "s"), Seq("s"))
+    assert(TxLog.read(spark, t).filter(col("k") === 9L)
+      .select("row_id").as[Long].head() == 4L)
+    // OVERWRITE retires every id and mints fresh, CONTINUING the sequence
+    TxLog.overwrite(spark, t, Seq((100L, "o1"), (101L, "o2")).toDF("k", "s"))
+    val afterOw = TxLog.read(spark, t).select("row_id").as[Long].collect().toSet
+    assert(afterOw == Set(5L, 6L),
+      s"overwrite must mint past the prior high-water, never reuse: $afterOw")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == 7L)
+    // SET on the identity column stays rejected; data updates keep ids
     intercept[IllegalArgumentException](
-      TxLog.appendPartitionedBy(spark, t, Seq((9L, "x")).toDF("k", "s"), Seq("s")))
-    intercept[IllegalArgumentException](
-      TxLog.updateMorExpr(spark, t, "k = 1", Seq("row_id" -> "77")))
+      TxLog.updateMorExpr(spark, t, "k = 100", Seq("row_id" -> "77")))
     val before = TxLog.read(spark, t).select("k", "row_id")
       .as[(Long, Long)].collect().toMap
-    TxLog.updateMorExpr(spark, t, "k = 1", Seq("s" -> "'updated'"))
+    TxLog.updateMorExpr(spark, t, "k = 100", Seq("s" -> "'updated'"))
     val after = TxLog.read(spark, t).select("k", "row_id")
       .as[(Long, Long)].collect().toMap
     assert(after == before, "a MOR update must carry identity ids through")
     // deletes compose too (ids never reused)
-    TxLog.deleteWhereMorExpr(spark, t, "k = 2")
+    TxLog.deleteWhereMorExpr(spark, t, "k = 101")
     TxLog.append(spark, t, Seq((3L, "c")).toDF("k", "s"))
     val ids = TxLog.read(spark, t).select("row_id").as[Long].collect().toSet
-    assert(ids == Set(1L, 3L), s"deleted id must not be reused: $ids")
+    assert(ids == Set(5L, 7L), s"deleted id must not be reused: $ids")
+  }
+
+  test("conditional merge: updates keep ids, inserts mint, clauses loud") {
+    val t = freshTable("txid-cond")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    import graft.sources.{MergeMatchedUpdate, MergeNotMatchedInsert}
+    // SET naming the identity column is rejected before any work
+    intercept[IllegalArgumentException](
+      TxLog.mergeMorConditional(spark, t, Seq((1L, "z")).toDF("k", "s"),
+        Seq("k"), matched = Seq(MergeMatchedUpdate(None,
+          Seq("row_id" -> "99"))), notMatched = Seq.empty))
+    // INSERT naming the identity column is rejected too
+    intercept[IllegalArgumentException](
+      TxLog.mergeMorConditional(spark, t, Seq((7L, "n")).toDF("k", "s"),
+        Seq("k"), matched = Seq.empty,
+        notMatched = Seq(MergeNotMatchedInsert(None,
+          Seq("k" -> "_src_k", "row_id" -> "123")))))
+    TxLog.mergeMorConditional(spark, t, Seq((1L, "z"), (7L, "n")).toDF("k", "s"),
+      Seq("k"),
+      matched = Seq(MergeMatchedUpdate(None, Seq("s" -> "_src_s"))),
+      notMatched = Seq(MergeNotMatchedInsert(None,
+        Seq("k" -> "_src_k", "s" -> "_src_s"))))
+    val rows = TxLog.read(spark, t).select("k", "s", "row_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L)._1 == "z" && rows(1L)._2 <= 2L,
+      s"updated row must keep its id: $rows")
+    assert(rows(7L) == (("n", 3L)), s"insert must mint id 3: $rows")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == 4L)
+  }
+
+  test("racing MERGEs keep ids unique: serializable abort + retry") {
+    val t = freshTable("txid-mergerace")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    TxLog.append(spark, t, Seq((1L, "seed")).toDF("k", "s"))
+    // two threads upsert DISJOINT key ranges concurrently; a merge is
+    // serializable (any intervening commit aborts it), so losers retry
+    // the whole operation — ids must come out unique with the exact
+    // high-water whatever the interleaving
+    val perThread = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { ti =>
+      new Thread(() => {
+        try (0 until perThread).foreach { i =>
+          val batch = Seq((100L * (ti + 1) + i, s"t$ti-$i")).toDF("k", "s")
+          var landed = false
+          var tries = 0
+          while (!landed) {
+            try { TxLog.mergeMor(spark, t, batch, Seq("k")); landed = true }
+            catch {
+              case _: graft.sources.TxLogConcurrentModificationException =>
+                tries += 1
+                require(tries < 200, "merge starved under contention")
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"racing merges failed: ${errs.peek()}")
+    val total = 1L + 2L * perThread
+    val ids = TxLog.read(spark, t).select("row_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to total),
+      s"merge-minted ids must be the contiguous union: ${ids.toSeq}")
+    assert(TxLog.identityColumns(spark, t)("row_id")._3 == total + 1)
   }
 
   test("racing writers keep ids unique: the lost-claim re-mint path") {
