@@ -25,11 +25,20 @@ object GeoUtil {
   }
 
   /** Geohash of (lat, lon) at `chars` characters (≤ 22: beyond that
-    * the 5-bit steps drop under double ulp and add nothing). */
+    * the 5-bit steps drop under double ulp and add nothing).
+    *
+    * The upper bounds are EXCLUSIVE (lat < 90, lon < 180): every cell's
+    * decoded box is half-open (`[lo, hi)` — [[decodeBox]]), so the
+    * inclusive boundary coordinates would encode fine yet violate the
+    * containment invariant qgeo_cells certifies per row (point ∈ its
+    * own decoded box). Callers with a literal lon = 180 should wrap it
+    * to -180 (the same meridian); lat = 90 has no half-open home by
+    * construction and is rejected loudly (r15 advice). */
   def encode(lat: Double, lon: Double, chars: Int): String = {
     require(chars >= 1 && chars <= 22, s"geohash precision out of range: $chars")
-    require(lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180,
-      s"geohash: coordinates out of range: ($lat, $lon)")
+    require(lat >= -90 && lat < 90 && lon >= -180 && lon < 180,
+      s"geohash: coordinates out of half-open range [-90,90)x[-180,180): " +
+        s"($lat, $lon) — wrap lon 180 to -180")
     val sb = new java.lang.StringBuilder(chars)
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0

@@ -323,7 +323,13 @@ object Flac {
           cost += codes(p)._2
           p += 1
         }
-        cost += 2 + 4 + parts.toLong * 4 // header overhead approximation (method 0)
+        // header overhead: 2 (method) + 4 (order) + one param field per
+        // partition, charged at the width the candidate's own codes
+        // FORCE — a param > 14 needs method 1's 5-bit fields, so
+        // charging a flat 4 would bias the compare toward partition
+        // orders that are mildly worse once written (r15 advice)
+        val candKBits = if (codes.exists(_._1 > 14)) 5L else 4L
+        cost += 2 + 4 + parts.toLong * candKBits
         if (cost < bestCost) { bestCost = cost; bestPo = po; bestCodes = codes }
       }
       po += 1

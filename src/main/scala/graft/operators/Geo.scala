@@ -83,10 +83,39 @@ object Geo {
     * cells meets exactly once (the probe copy targeting the build
     * point's unique cell), so no dedup shuffle is needed. Per-point
     * neighbor count + key checksum, both-directions semantics. */
-  def qgeoRadiusJoin(spark: SparkSession, d: String): DataFrame = {
-    val pts = withCoords(T.customer(spark, d))
+  def qgeoRadiusJoin(spark: SparkSession, d: String): DataFrame =
+    radiusNeighborAgg(spark, d, maxPerCell = None)
+
+  /** Per-cell fan-out cap the CAPPED radius row binds at: each cell
+    * contributes only its first `cap` points BY KEY — the documented
+    * density governor (the `ngramJaccardPairs(maxDocFreq)` pattern,
+    * deterministic because the rank orders by the unique key), mirrored
+    * closed-form by the oracle's `row_number() OVER (PARTITION BY cell
+    * ORDER BY k)`. */
+  private val CellCap = 8
+
+  /** The shared radius-join body. `maxPerCell` governs the honest
+    * output law (pairs ∝ n × local density): with a cap, each cell
+    * keeps only its first `cap` points by key BEFORE the join — every
+    * surviving probe meets ≤ 9·cap build points and the kept set is
+    * bounded by cells × cap (a constant of the geometry: area / D²),
+    * so pair output stays bounded at ANY density and the row's wall
+    * tracks n (the one governor scan) instead of n × density — the
+    * knob the r15 64× adjudication asked to expose (ScaleUp folds
+    * every copy into one coordinate space, so uncapped pairs grow
+    * ∝ n²). The rank truncation is one key-partitioned window over the
+    * cell id — the same shuffle shape the banded dedup family uses. */
+  private def radiusNeighborAgg(spark: SparkSession, d: String,
+                                maxPerCell: Option[Int]): DataFrame = {
+    val pts0 = withCoords(T.customer(spark, d))
       .withColumn("cx", expr(s"(lon_u + 180000000) div $RadiusMicro"))
       .withColumn("cy", expr(s"(lat_u + 60000000) div $RadiusMicro"))
+    val pts = maxPerCell.fold(pts0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cx", "cy").orderBy("k")
+      pts0.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
     val offsets = Seq(-1L, 0L, 1L)
       .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
     val probe = pts.crossJoin(
@@ -105,6 +134,18 @@ object Geo {
       .agg(count(lit(1)).as("n_near"), sum("k2").as("near_sum"))
       .orderBy("k")
   }
+
+  /** QGEO4 — the CAPPED radius join (r15 verdict task: govern the
+    * output law): identical semantics to [[qgeoRadiusJoin]] over the
+    * density-governed point set — each cell contributes only its first
+    * [[CellCap]] points by key (both sides), so pair output is ≤ 9·cap
+    * per point and bounded by cells × cap² overall: the row's wall
+    * tracks n at 64× instead of n × density. The oracle rebuilds the
+    * truncation closed-form (row_number per cell ordered by the unique
+    * key), so the row is exact whether or not the cap binds at a given
+    * SF. */
+  def qgeoRadiusCapped(spark: SparkSession, d: String): DataFrame =
+    radiusNeighborAgg(spark, d, maxPerCell = Some(CellCap))
 
   /** QGEO3 — haversine distances (the one FLOAT row, isolated): sampled
     * customers' great-circle km to a fixed anchor, rounded to 6 — the
@@ -127,6 +168,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qgeo_cells" -> qgeoCells _,
     "qgeo_radius_join" -> qgeoRadiusJoin _,
+    "qgeo_radius_capped" -> qgeoRadiusCapped _,
     "qgeo_haversine" -> qgeoHaversine _)
 
   private val CoordsSql =
@@ -148,6 +190,21 @@ object Geo {
       ("WITH pts AS (" + CoordsSql + ") " +
         "SELECT a.k AS k, COUNT(*) AS n_near, CAST(SUM(b.k) AS BIGINT) AS near_sum " +
         "FROM pts a JOIN pts b ON a.k <> b.k " +
+        "AND (a.lat_u - b.lat_u)*(a.lat_u - b.lat_u) + " +
+        "(a.lon_u - b.lon_u)*(a.lon_u - b.lon_u) <= 64000000000000 " +
+        "GROUP BY a.k ORDER BY k"),
+    "qgeo_radius_capped" ->
+      ("WITH pts AS (" + CoordsSql + "), " +
+        "c AS (SELECT k, lat_u, lon_u, " +
+        "(lon_u + 180000000) // 8000000 AS cx, " +
+        "(lat_u + 60000000) // 8000000 AS cy FROM pts), " +
+        "kept AS (SELECT k, lat_u, lon_u FROM (" +
+        "SELECT k, lat_u, lon_u, " +
+        "row_number() OVER (PARTITION BY cx, cy ORDER BY k) AS rn " +
+        "FROM c) WHERE rn <= 8) " +
+        "SELECT a.k AS k, COUNT(*) AS n_near, " +
+        "CAST(SUM(b.k) AS BIGINT) AS near_sum " +
+        "FROM kept a JOIN kept b ON a.k <> b.k " +
         "AND (a.lat_u - b.lat_u)*(a.lat_u - b.lat_u) + " +
         "(a.lon_u - b.lon_u)*(a.lon_u - b.lon_u) <= 64000000000000 " +
         "GROUP BY a.k ORDER BY k"),

@@ -98,6 +98,64 @@ object MatView {
       Some(p(3)).filter(_.nonEmpty))
   }
 
+  /** Commit-metadata keys of the READ-SHAPE decorations (r16): AVG and
+    * HAVING are not maintenance shapes at all — AVG is the quotient of
+    * the maintained total/cnt pair, HAVING is a filter over the
+    * maintained frame — so both ride as metadata the SERVE path applies
+    * ([[readNamed]]) while the maintained STATE keeps every group
+    * (filtering the state would corrupt later folds: a group currently
+    * below a HAVING threshold must keep accumulating so it can cross
+    * it). Exactly Delta/Snowflake MV semantics: state full, serve
+    * filtered. */
+  private val ReadAvgKey = "mv-read-avg"
+  private val ReadHavingKey = "mv-read-having"
+
+  /** Persist the view's read-shape decorations (one metadata-only
+    * commit; no-op when neither is requested). The HAVING expression
+    * binds against the SERVED columns — keys, cnt, total, vmin, vmax,
+    * and vavg when AVG is declared — and is resolved against the
+    * just-built view here, so a malformed filter fails at CREATE time,
+    * not at first read. */
+  def declareReadShape(spark: SparkSession, mv: String, avg: Boolean,
+                       having: Option[String]): Unit = {
+    having.foreach(requireFramable("having filter", _, noComma = false))
+    if (!avg && having.isEmpty) return
+    having.foreach { h =>
+      val probe = decorate(TxLog.read(spark, mv), avg)
+      val cond = probe.select(expr(h).as("_h")) // resolve or throw
+      require(cond.schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"txlog: mv HAVING ($h) is " +
+          s"${cond.schema.head.dataType.catalogString}, not boolean")
+    }
+    TxLog.putMetas(spark, mv,
+      (if (avg) Seq(ReadAvgKey -> "1") else Seq.empty) ++
+        having.map(ReadHavingKey -> _),
+      "mv read-shape declaration")
+    ()
+  }
+
+  private def decorate(state: DataFrame, avg: Boolean): DataFrame =
+    if (avg) state.withColumn("vavg",
+      col("total").cast("double") / col("cnt"))
+    else state
+
+  /** Serve `mv` in its DECLARED read shape: the maintained state frame
+    * (keys, cnt, total, vmin, vmax) with the persisted decorations
+    * applied — `vavg = total / cnt` appended when the definition
+    * declared AVG (derived at read time, never stored: the quotient of
+    * two maintained monoids needs no slot of its own), and the HAVING
+    * filter applied LAST, over the served columns. A plain
+    * `SELECT … FROM graft.`/mv`` shows the raw maintained state —
+    * deliberately: the state IS the table, and debugging a fold wants
+    * the unfiltered frame. */
+  def readNamed(spark: SparkSession, mv: String): DataFrame = {
+    val metas = TxLog.commitMetas(spark, mv)
+    val served = decorate(TxLog.read(spark, mv),
+      metas.get(ReadAvgKey).contains("1"))
+    metas.get(ReadHavingKey).fold(served)(h => served.filter(expr(h)))
+  }
+
   /** The persisted definition's SOURCE TABLES (src, or fact + dim) —
     * what a continuous maintainer of a named view must subscribe to
     * ([[graft.streaming.StreamingMatView.maintainNamed]]). */
@@ -781,17 +839,31 @@ object MatView {
     * in-row (the dual guards above) and in MatViewSpec. */
   private[graft] def digestRow(spark: SparkSession, df: DataFrame,
                                orderCol: String): DataFrame = {
-    val rows = df.orderBy(col(orderCol)).collect()
-    require(rows.nonEmpty, "txlog: matview digest over an empty view")
-    val canon = rows.iterator
-      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
-        .mkString("|"))
-      .mkString(";")
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    // DISTRIBUTED canonicalization (r16 — the r15 verdict's residual
+    // nit: the old collect() bounded this path by driver memory): each
+    // row renders to `col|col|…` executor-side (cast-to-string matches
+    // String.valueOf for the BIGINT/VARCHAR columns these frames carry;
+    // nulls render "null"), rows sort and join ";" inside ONE ordered
+    // aggregate — sort_array(collect_list(struct(key, rendered))) —
+    // and md5 hashes the canonical string in the same plan. Only the
+    // final (n, digest) PAIR ever reaches the driver, so the
+    // certification path carries no view-size assumption at any group
+    // cardinality. Byte-identical output to the old computation
+    // (MatViewSpec pins old ≡ new on a multi-partition frame).
+    val rendered = df.select(
+      struct(col(orderCol).as("_o"),
+        concat_ws("|", df.columns.map(c =>
+          coalesce(col(c).cast("string"), lit("null"))).toSeq: _*).as("_s"))
+        .as("_row"))
+    val agg = rendered.agg(
+      count(lit(1)).as("n"),
+      md5(concat_ws(";",
+        transform(sort_array(collect_list(col("_row"))),
+          r => r.getField("_s")))).as("digest"))
+    val head = agg.head()
+    require(head.getLong(0) > 0L, "txlog: matview digest over an empty view")
     import spark.implicits._
-    Seq((rows.length.toLong, md5hex)).toDF("n", "digest")
+    Seq((head.getLong(0), head.getString(1))).toDF("n", "digest")
   }
 
   /** QW — the JOIN-MV lifecycle under the oracle gate: orders (fact)
@@ -956,7 +1028,98 @@ object MatView {
     digestRow(spark, folded, "c_nationkey")
   }
 
+  /** QW — AVG over the MV lifecycle (r16): CREATE MATERIALIZED VIEW
+    * whose select list carries `AVG(n_chars) AS vavg` — no state slot
+    * exists for it (the maintained frame stays keys+cnt+total+vmin+
+    * vmax); the SERVE path ([[readNamed]]) emits the quotient of the
+    * two maintained monoids. The lifecycle folds an INSERT
+    * incrementally and a DELETE signed (modes REQUIREd), the served
+    * quotient is REQUIREd exactly equal to total/cnt per row, and the
+    * digest ships the quotient in EXACT integer micros (total·10⁶ DIV
+    * cnt, mirrored `//` in DuckDB) so no float-formatting axis rides
+    * the hash. */
+  def qwMvAvg(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvavg", d, "src")
+    val mv = Fixtures.table("mvavg", d, "view")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+      s"MIN(n_chars) AS vmin, MAX(n_chars) AS vmax, AVG(n_chars) AS vavg " +
+      s"FROM graft.`$src` GROUP BY lang").head().getString(0) == "build")
+    def refreshSql(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    val view = "graft_mvavg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$src` " +
+      s"SELECT doc_id, lang, n_chars FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(refreshSql() == "incremental")
+    spark.sql(s"DELETE FROM graft.`$src` WHERE lang = 'de'")
+    require(refreshSql() == "incremental-delete")
+    val served = readNamed(spark, mv)
+    require(served.columns.contains("vavg"),
+      "txlog: the declared AVG must be served")
+    require(served.filter(col("vavg") =!=
+      col("total").cast("double") / col("cnt")).count() == 0L,
+      "txlog: served vavg must be exactly total/cnt")
+    // the state table itself must NOT store the quotient
+    require(!TxLog.read(spark, mv).columns.contains("vavg"),
+      "txlog: vavg must be derived at read time, never stored")
+    certifyEqual(spark, mv, served.select("lang", "cnt", "total"),
+      docs.filter(col("lang") =!= "de").groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total")),
+      "AVG-lifecycle fold != oracle aggregate from source parquet")
+    digestRow(spark, served.select(col("lang"), col("cnt"), col("total"),
+      expr("total * 1000000 DIV cnt").as("avg_micro")), "lang")
+  }
+
+  /** QW — HAVING over the MV lifecycle (r16): the CREATE declares
+    * `HAVING cnt >= T` (T = the source's final max per-lang count,
+    * mirrored by subquery in the oracle so no data assumption rides the
+    * row); the MAINTAINED state must keep EVERY group — a group below
+    * the threshold keeps accumulating across incremental folds (mode
+    * REQUIREd) so it can cross it — while [[readNamed]] serves only
+    * the groups passing the filter. REQUIREd in-row: the raw state
+    * carries all groups, and served ≡ state filtered. */
+  def qwMvHaving(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvhav", d, "src")
+    val mv = Fixtures.table("mvhav", d, "view")
+    val thr = docs.groupBy("lang").count().agg(max("count")).head().getLong(0)
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+      s"MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+      s"FROM graft.`$src` GROUP BY lang " +
+      s"HAVING cnt >= $thr").head().getString(0) == "build")
+    val view = "graft_mvhav_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$src` " +
+      s"SELECT doc_id, lang, n_chars FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental",
+      "the fold must stay incremental — HAVING is read-time only")
+    val state = TxLog.read(spark, mv)
+    val served = readNamed(spark, mv)
+    // the state keeps EVERY group (else later folds would corrupt);
+    // the serve path filters
+    val allLangs = docs.select("lang").distinct().count()
+    require(state.select("lang").distinct().count() == allLangs,
+      "txlog: the maintained state must keep groups HAVING filters out")
+    require(served.exceptAll(state.filter(col("cnt") >= thr)).isEmpty &&
+      state.filter(col("cnt") >= thr).exceptAll(served).isEmpty,
+      "txlog: served must be exactly the state filtered by HAVING")
+    digestRow(spark,
+      served.select("lang", "cnt", "total", "vmin", "vmax"), "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_mv_avg" -> qwMvAvg _,
+    "qw_mv_having" -> qwMvHaving _,
     "qw_mv_refresh" -> qwMvRefresh _,
     "qw_mv_join_refresh" -> qwMvJoinRefresh _,
     "qw_mv_delete_fold" -> qwMvDeleteFold _,
@@ -977,6 +1140,25 @@ object MatView {
       s"FROM ($inner)"
 
   val oracles: Map[String, String] = Map(
+    // AVG rides as exact integer micros on both sides (Spark DIV /
+    // DuckDB // — identical on the positive BIGINTs here), so the hash
+    // carries no float-formatting axis
+    "qw_mv_avg" ->
+      ("SELECT COUNT(*) AS n, md5(string_agg(" +
+        "CAST(lang AS VARCHAR) || '|' || CAST(cnt AS VARCHAR) || '|' || " +
+        "CAST(total AS VARCHAR) || '|' || CAST(avg_micro AS VARCHAR), " +
+        "';' ORDER BY lang)) AS digest FROM (" +
+        "SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+        "SUM(n_chars) * 1000000 // COUNT(*) AS avg_micro " +
+        "FROM documents WHERE lang <> 'de' GROUP BY lang)"),
+    // HAVING's threshold is the final max per-lang count, recomputed by
+    // subquery — generic over which groups pass at any SF
+    "qw_mv_having" -> digestOracle(
+      "SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+        "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+        "FROM documents GROUP BY lang " +
+        "HAVING COUNT(*) >= (SELECT MAX(c) FROM " +
+        "(SELECT COUNT(*) AS c FROM documents GROUP BY lang))", "lang"),
     "qw_mv_sql" -> digestOracle(
       "SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
         "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +

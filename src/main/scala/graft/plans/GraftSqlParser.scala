@@ -20,14 +20,25 @@ import graft.sources.TxLog
 /** A parsed `CREATE MATERIALIZED VIEW` definition: the canonical
   * single-table aggregate, or the star-schema fact ⋈ dim flavor
   * ([[MatView.refresh]] / [[MatView.refreshJoin]]). */
-sealed trait MvShape
-case class MvSingle(src: String, keys: Seq[String], valCol: String)
+sealed trait MvShape {
+  /** r16 read-shape decorations: `avg` = the select list carried
+    * `AVG(v) AS vavg` (served as total/cnt at read time, no state
+    * slot); `having` = the post-GROUP-BY filter over the SERVED
+    * columns, applied by [[MatView.readNamed]] while the maintained
+    * state keeps every group. */
+  def avg: Boolean
+  def having: Option[String]
+}
+case class MvSingle(src: String, keys: Seq[String], valCol: String,
+                    avg: Boolean = false, having: Option[String] = None)
   extends MvShape
 case class MvDistinct(src: String, keys: Seq[String], valCol: String)
-  extends MvShape
+  extends MvShape { def avg = false; def having: Option[String] = None }
 case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
                   keys: Seq[String], valCol: String,
-                  factFilter: Option[String]) extends MvShape
+                  factFilter: Option[String],
+                  avg: Boolean = false, having: Option[String] = None)
+  extends MvShape
 
 /** SQL surface for the TxLog maintenance + materialized-view operators —
   * a DELEGATING parser (the public Delta `DeltaSqlParser` wiring,
@@ -172,9 +183,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     throw new UnsupportedOperationException(
       "txlog: CREATE MATERIALIZED VIEW supports exactly `SELECT k…, " +
         "COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS " +
-        "vmax FROM graft.`/src` [JOIN graft.`/dim` ON k = k | USING (k)]" +
-        " [WHERE fact-filter] GROUP BY k…` or `SELECT k…, COUNT(*) AS " +
-        "cnt, APPROX_COUNT_DISTINCT(v) AS ndv FROM graft.`/src` GROUP " +
+        "vmax [, AVG(v) AS vavg] FROM graft.`/src` [JOIN graft.`/dim` " +
+        "ON k = k | USING (k)] [WHERE fact-filter] GROUP BY k… [HAVING " +
+        "served-cols-predicate]` or `SELECT k…, COUNT(*) AS cnt, " +
+        "APPROX_COUNT_DISTINCT(v) AS ndv FROM graft.`/src` GROUP " +
         "BY k…` — the incrementally maintainable aggregate shapes " +
         s"(got: $what); other shapes go through the MatView library " +
         "API (refresh/refreshJoin/refreshDistinct)")
@@ -208,16 +220,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }.sql
 
   /** Pattern-match the parsed (unresolved) MV query down to a
-    * maintainable shape (single-table or fact ⋈ dim). */
+    * maintainable shape (single-table or fact ⋈ dim), with the r16
+    * read-shape decorations: an optional `AVG(v) AS vavg` select item
+    * and an optional HAVING clause (both serve-time — see [[MvShape]]). */
   private def parseMvQuery(query: String): MvShape = {
     delegate.parsePlan(query) match {
-      case Aggregate(groupings, aggs, child, _) =>
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(cond, agg: Aggregate) =>
+        parseMvAggregate(agg, Some(cond))
+      case agg: Aggregate => parseMvAggregate(agg, None)
+      case other =>
+        mvUnsupported(s"a ${other.getClass.getSimpleName} query")
+    }
+  }
+
+  private def parseMvAggregate(aggPlan: Aggregate,
+                               havingCond: Option[Expression]): MvShape = {
+    (aggPlan, havingCond) match {
+      case (Aggregate(groupings, aggs, child, _), havingRaw) =>
         val keys = groupings.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 =>
             a.nameParts.head
           case other => mvUnsupported(s"grouping ${other.sql}")
         }
-        if (aggs.length != keys.length + 4 && aggs.length != keys.length + 2)
+        if (aggs.length != keys.length + 5 && aggs.length != keys.length + 4 &&
+          aggs.length != keys.length + 2)
           mvUnsupported(s"${aggs.length} select items for ${keys.length} keys")
         aggs.take(keys.length).zip(keys).foreach {
           case (a: UnresolvedAttribute, k)
@@ -251,6 +278,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // group (appends fold, deletes recompute honestly); joins and
         // WHERE are not maintainable for this shape and stay loud
         if (aggs.length == keys.length + 2) {
+          if (havingRaw.nonEmpty) mvUnsupported(
+            "HAVING under the APPROX_COUNT_DISTINCT shape (the sketch " +
+              "view serves through readDistinct, which has no decorated " +
+              "read path)")
           val Seq(cntE, ndvE) = aggs.drop(keys.length)
           requireCnt(cntE)
           val ndvCol = argCol(ndvE, "ndv", "approx_count_distinct")
@@ -262,7 +293,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
                 "APPROX_COUNT_DISTINCT shape (single table only)")
           }
         }
-        val Seq(cntE, totalE, vminE, vmaxE) = aggs.drop(keys.length)
+        val Seq(cntE, totalE, vminE, vmaxE) =
+          aggs.slice(keys.length, keys.length + 4)
         requireCnt(cntE)
         val valCol = argCol(totalE, "total", "sum")
         val vmin = argCol(vminE, "vmin", "min")
@@ -270,6 +302,37 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if (vmin != valCol || vmax != valCol)
           mvUnsupported(s"SUM/MIN/MAX must aggregate ONE column " +
             s"(got $valCol/$vmin/$vmax)")
+        // optional 5th item (r16): AVG(v) AS vavg — no state slot, the
+        // serve path emits total/cnt ([[MatView.readNamed]]); it must
+        // aggregate the SAME column as the maintained pair
+        val avg = aggs.length == keys.length + 5
+        if (avg) {
+          val vavgCol = argCol(aggs.last, "vavg", "avg")
+          if (vavgCol != valCol) mvUnsupported(
+            s"AVG must aggregate the maintained column $valCol " +
+              s"(got $vavgCol) — vavg is served as total/cnt")
+        }
+        // HAVING (r16) binds the SERVED columns — keys and the aggregate
+        // aliases — never raw aggregate calls (the filter runs over the
+        // maintained frame at read time, where only the aliases exist)
+        val having: Option[String] = havingRaw.map { c =>
+          c.foreach {
+            case f: UnresolvedFunction => mvUnsupported(
+              s"HAVING contains ${f.nameParts.mkString(".")}(…) — " +
+                "reference the aliased outputs instead (cnt, total, " +
+                "vmin, vmax" + (if (avg) ", vavg" else "") + ")")
+            case _ => ()
+          }
+          val allowed = (keys ++ Seq("cnt", "total", "vmin", "vmax") ++
+            (if (avg) Seq("vavg") else Seq.empty)).map(_.toLowerCase).toSet
+          c.collect { case u: UnresolvedAttribute => u.nameParts.last }
+            .foreach { n =>
+              if (!allowed.contains(n.toLowerCase)) mvUnsupported(
+                s"HAVING references '$n' — it binds the served columns " +
+                  s"only (${allowed.toSeq.sorted.mkString(", ")})")
+            }
+          bareSql(c)
+        }
         def joinShape(j: Join, factFilter: Option[String]): MvJoin = {
           val joinKeys = j.joinType match {
             case UsingJoin(Inner, cols) => cols
@@ -290,7 +353,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           // FIRST relation = fact (the incrementally-folding side),
           // second = dim (any change forces the honest recompute)
           MvJoin(relPath(j.left), relPath(j.right), joinKeys, keys,
-            valCol, factFilter)
+            valCol, factFilter, avg, having)
         }
         unalias(child) match {
           case j: Join => joinShape(j, None)
@@ -303,12 +366,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case other =>
               mvUnsupported(s"a ${other.getClass.getSimpleName} under WHERE")
           }
-          case _: UnresolvedRelation => MvSingle(relPath(child), keys, valCol)
+          case _: UnresolvedRelation =>
+            MvSingle(relPath(child), keys, valCol, avg, having)
           case other =>
             mvUnsupported(s"a ${other.getClass.getSimpleName} source")
         }
-      case other =>
-        mvUnsupported(s"a ${other.getClass.getSimpleName} query")
     }
   }
 
@@ -527,11 +589,11 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
       s"txlog: materialized view $view already exists " +
         "(REFRESH MATERIALIZED VIEW to advance it)")
     val mode = shape match {
-      case MvSingle(src, keys, valCol) =>
+      case MvSingle(src, keys, valCol, _, _) =>
         MatView.refresh(spark, src, view, keys, valCol)
       case MvDistinct(src, keys, valCol) =>
         MatView.refreshDistinct(spark, src, view, keys, valCol)
-      case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter) =>
+      case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter, _, _) =>
         // the parser designated the FIRST relation as the fact and binds
         // WHERE against its scan; a dim-first query whose WHERE names a
         // column present in both tables would otherwise be silently
@@ -563,6 +625,11 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
         MatView.refreshJoin(spark, fact, dim, view, joinKeys, keys,
           valCol, factFilter)
     }
+    // read-shape decorations (AVG / HAVING) land AFTER the build, as
+    // their own metadata-only commit: they never touch maintenance —
+    // the state keeps every group; [[MatView.readNamed]] serves the
+    // declared shape (quotient + filter) over it
+    MatView.declareReadShape(spark, view, shape.avg, shape.having)
     Seq(Row(mode))
   }
 }

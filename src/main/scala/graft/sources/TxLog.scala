@@ -606,6 +606,19 @@ object TxLog {
     v
   }
 
+  /** Land arbitrary commit-metadata entries as ONE metadata-only commit
+    * (row-invisible to the change feed — incremental consumers fold
+    * nothing). The channel engine-level declarations outside the
+    * constraint/generated/identity families ride — e.g. a materialized
+    * view's read-shape decorations ([[graft.operators.MatView]]). */
+  private[graft] def putMetas(spark: SparkSession, table: String,
+                              kvs: Seq[(String, String)],
+                              what: String): Long = {
+    require(kvs.nonEmpty, s"txlog: $what writes no metadata")
+    commitMetaOnly(spark, table,
+      kvs.map { case (k, v) => metaPayload(k, v) }, what)
+  }
+
   /** Short unique suffix for per-attempt data directories, so racing
     * writers that pick the same intended version never collide on the
     * data PATH (the log claim, not the path, decides who wins). */

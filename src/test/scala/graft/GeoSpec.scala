@@ -18,8 +18,19 @@ class GeoSpec extends AnyFunSuite {
     assert(GeoUtil.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
     assert(GeoUtil.encode(42.605, -5.603, 5) == "ezs42")
     assert(GeoUtil.encode(0.0, 0.0, 1) == "s")
-    assert(GeoUtil.encode(90.0, 180.0, 4) == "zzzz")
+    // the domain is HALF-OPEN (r15 advice): the inclusive corner would
+    // encode into a cell whose half-open box does not contain it —
+    // rejected loudly; the top cell is reached from just inside
+    assert(GeoUtil.encode(math.nextDown(90.0), math.nextDown(180.0), 4)
+      == "zzzz")
     assert(GeoUtil.encode(-90.0, -180.0, 4) == "0000")
+    intercept[IllegalArgumentException](GeoUtil.encode(90.0, 0.0, 4))
+    intercept[IllegalArgumentException](GeoUtil.encode(0.0, 180.0, 4))
+    // the rejected corners still satisfy containment when wrapped/nudged
+    val (la, lb, lo, hi) = GeoUtil.decodeBox(
+      GeoUtil.encode(math.nextDown(90.0), -180.0, 6))
+    assert(math.nextDown(90.0) >= la && math.nextDown(90.0) < lb &&
+      -180.0 >= lo && -180.0 < hi)
   }
 
   test("geohash decode: containment, prefix nesting, width halving") {
@@ -79,6 +90,39 @@ class GeoSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(got.toSeq == want, "bucketed join differs from all-pairs truth")
     assert(want.nonEmpty, "fixture produced no neighbor pairs")
+  }
+
+  test("capped radius join: rank-truncated truth, fan-out bounded, no cartesian (r16)") {
+    val spark = SharedSpark.spark
+    val df = Geo.qgeoRadiusCapped(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the capped radius join must stay grid-bucketed")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // truth over the RANK-KEPT points: first 8 per cell by key
+    val pts = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 7919) % 120000000 - 60000000,
+        (k * 104729) % 360000000 - 180000000))
+    val kept = pts
+      .groupBy { case (_, la, lo) =>
+        ((lo + 180000000L) / 8000000L, (la + 60000000L) / 8000000L) }
+      .values.flatMap(_.sortBy(_._1).take(8)).toSeq
+    val d2 = 8000000L * 8000000L
+    val want = (for {
+      (k1, la1, lo1) <- kept
+      (k2, la2, lo2) <- kept
+      if k1 != k2 &&
+        (la1 - la2) * (la1 - la2) + (lo1 - lo2) * (lo1 - lo2) <= d2
+    } yield (k1, k2))
+      .groupBy(_._1).toSeq
+      .map { case (k, ps) => (k, ps.length.toLong, ps.map(_._2).sum) }
+      .sortBy(_._1)
+    assert(got.toSeq == want, "capped join differs from rank-truncated truth")
+    assert(want.nonEmpty, "capped fixture produced no neighbor pairs")
+    // the governed output law: ≤ 9·cap neighbors per point, ever
+    assert(got.forall(_._2 <= 9L * 8L),
+      "per-point fan-out exceeded the 9·cap bound the cap exists to enforce")
   }
 
   test("cell row certifies the string path and matches the kernel") {

@@ -147,6 +147,78 @@ class MatViewSpec extends SparkSpec {
       s"digest must be md5('$canonical') in lowercase hex")
   }
 
+  test("digestRow is distributed: multi-partition digest ≡ the collect-side computation (r16)") {
+    // the r15 nit: digestRow collected the full view to the driver; it
+    // now canonicalizes with an ordered distributed aggregate. Pin the
+    // two computations equal on a frame spread over many partitions
+    // (including a null, rendered 'null' like String.valueOf)
+    val rows = (0 until 97).map(i => (f"k$i%03d", i.toLong, 2L * i,
+      if (i == 13) None else Some(i.toLong), i.toLong))
+    val df = rows.toDF("lang", "cnt", "total", "vmin", "vmax")
+      .repartition(16)
+    val got = MatView.digestRow(spark, df, "lang").collect()(0)
+    val canonical = rows.sortBy(_._1).map { case (k, c, t, mn, mx) =>
+      s"$k|$c|$t|${mn.map(String.valueOf(_)).getOrElse("null")}|$mx"
+    }.mkString(";")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.getLong(0) == 97L)
+    assert(got.getString(1) == want,
+      "distributed digest must equal the collect-side canonical md5")
+  }
+
+  test("AVG and HAVING are read-shape decorations: state full, serve filtered (r16)") {
+    val (src, mv) = fresh("avghav")
+    TxLog.append(spark, src,
+      Seq(("a", 10L), ("a", 20L), ("b", 1L)).toDF("k", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT k, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax, AVG(v) AS vavg FROM graft.`$src` GROUP BY k " +
+      "HAVING cnt >= 2").head().getString(0) == "build")
+    // group b (cnt=1) is filtered from the SERVE, kept in the STATE
+    val served1 = MatView.readNamed(spark, mv)
+    assert(served1.select("k").as[String].collect().toSet == Set("a"))
+    assert(served1.filter(col("k") === "a").select("vavg")
+      .as[Double].head() == 15.0, "vavg must be total/cnt")
+    assert(TxLog.read(spark, mv).select("k").as[String].collect().toSet ==
+      Set("a", "b"), "the maintained state must keep the filtered group")
+    assert(!TxLog.read(spark, mv).columns.contains("vavg"),
+      "the quotient is served, never stored")
+    // b accumulates across an incremental fold and crosses the threshold
+    TxLog.append(spark, src, Seq(("b", 5L)).toDF("k", "v"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental")
+    val served2 = MatView.readNamed(spark, mv)
+    assert(served2.filter(col("k") === "b")
+      .select("cnt", "total", "vavg").as[(Long, Long, Double)].head() ==
+      ((2L, 6L, 3.0)),
+      "a group crossing the HAVING threshold must serve its FULL history")
+  }
+
+  test("malformed AVG/HAVING shapes stay loud (r16)") {
+    val (src, mv) = fresh("avgbad")
+    TxLog.append(spark, src, Seq(("a", 1L)).toDF("k", "v"))
+    def bad(sqlText: String, want: String): Unit = {
+      val e = intercept[Exception](spark.sql(sqlText))
+      assert(e.getMessage.contains(want),
+        s"unexpected error for [$sqlText]: ${e.getMessage}")
+    }
+    bad(s"CREATE MATERIALIZED VIEW graft.`$mv` AS SELECT k, COUNT(*) AS " +
+      s"cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax, " +
+      s"AVG(k) AS vavg FROM graft.`$src` GROUP BY k",
+      "AVG must aggregate the maintained column")
+    bad(s"CREATE MATERIALIZED VIEW graft.`$mv` AS SELECT k, COUNT(*) AS " +
+      s"cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax " +
+      s"FROM graft.`$src` GROUP BY k HAVING COUNT(*) >= 2",
+      "reference the aliased outputs")
+    bad(s"CREATE MATERIALIZED VIEW graft.`$mv` AS SELECT k, COUNT(*) AS " +
+      s"cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax " +
+      s"FROM graft.`$src` GROUP BY k HAVING nope >= 2",
+      "binds the served columns")
+    assert(TxLog.versions(spark, mv).isEmpty,
+      "a rejected CREATE must leave no view behind")
+  }
+
   test("the incremental fold reads ONLY the delta's files (folded history is never rescanned)") {
     val (src, mv) = fresh("delta-only")
     TxLog.append(spark, src, (1L to 100L).map(i => (s"k${i % 4}", i)).toDF("k", "v"))
