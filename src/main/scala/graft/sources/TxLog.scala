@@ -3224,6 +3224,12 @@ object TxLog {
     * positionally and its inserts from the appended files, and
     * invertible consumers ([[graft.operators.MatView]]) fold it.
     * Duplicate keys in `updates` fail loudly (nondeterministic merge).
+    *
+    * Identity columns (r16): matched keys KEEP their existing id
+    * untouched; unmatched keys MINT fresh ids whose high-water advance
+    * rides inside this commit (serializable, so the reservation can
+    * never go stale); a batch carrying explicit id values, or a merge
+    * KEYED on the identity column, is rejected loudly.
     * Returns the committed version. */
   def mergeMor(spark: SparkSession, table: String, updatesIn: DataFrame,
                keys: Seq[String], evolve: Boolean = false): Long = {
