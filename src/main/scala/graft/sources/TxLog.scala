@@ -1103,9 +1103,10 @@ object TxLog {
     requireFitsDeclared(spark, table, df, what)
     requireSatisfiesConstraints(spark, table, df, what,
       pre = Some(prefixed(metasNow, CheckKeyPrefix)))
-    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c) ||
+      identityFrom(metasNow).contains(c),
       s"txlog: stats column '$c' is not in the appended schema " +
-        s"(${df.schema.fieldNames.mkString(", ")})"))
+        s"(${df.schema.fieldNames.mkString(", ")}) nor engine-derived"))
     var checkedBoundaryAt = intended - 1
     // close the zombie-twin window: a twin's commit landing between the
     // caller's fast-path marker scan and the `versions` read above would
@@ -2215,20 +2216,31 @@ object TxLog {
     (files, partLines)
   }
 
+  /** Validate the partitioned-append arguments. `engineCols` names the
+    * columns the WRITE BOUNDARY itself will add to the batch before it
+    * lands — GENERATED ALWAYS derivations and IDENTITY columns — so
+    * partitioning (or recording stats) BY a derived column works, the
+    * Delta idiom `PARTITIONED BY (date_bucket)` where date_bucket is
+    * GENERATED ALWAYS AS (…): the value exists in every landed file
+    * even though the incoming batch never carries it (r16). */
   private def requirePartitionArgs(df: DataFrame, partCols: Seq[String],
-                                   statsCols: Seq[String]): Unit = {
+                                   statsCols: Seq[String],
+                                   engineCols: Set[String] = Set.empty): Unit = {
     require(partCols.nonEmpty, "txlog: at least one partition column")
     require(partCols.distinct == partCols, "txlog: duplicate partition columns")
-    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"txlog: partition column '$c' is not in the schema"))
+    val have = df.schema.fieldNames.toSet ++ engineCols
+    partCols.foreach(c => require(have.contains(c),
+      s"txlog: partition column '$c' is neither in the batch nor " +
+        "engine-derived (generated/identity)"))
     statsCols.foreach { c =>
       require(!partCols.contains(c),
         "txlog: the partition value subsumes stats for a partition column")
-      require(df.schema.fieldNames.contains(c),
-        s"txlog: stats column '$c' is not in the schema")
+      require(have.contains(c),
+        s"txlog: stats column '$c' is neither in the batch nor " +
+          "engine-derived (generated/identity)")
     }
     pvCols(partCols.length).foreach(d =>
-      require(!df.schema.fieldNames.contains(d),
+      require(!have.contains(d),
         s"txlog: table schema collides with the partitioned writer's '$d'"))
   }
 
@@ -2249,7 +2261,9 @@ object TxLog {
   def appendPartitionedBy(spark: SparkSession, table: String, df: DataFrame,
                           partCols: Seq[String],
                           statsCols: Seq[String] = Seq.empty): Long = {
-    requirePartitionArgs(df, partCols, statsCols)
+    requirePartitionArgs(df, partCols, statsCols,
+      engineCols = generatedColumns(spark, table).keySet ++
+        identityColumns(spark, table).keySet)
     // funnel through appendCommit's OCC loop: the partitioned flavor
     // thereby inherits the SAME write-boundary discipline as a plain
     // append — constraints/generated/identity commits that land while

@@ -195,6 +195,30 @@ class MatViewSpec extends SparkSpec {
       "a group crossing the HAVING threshold must serve its FULL history")
   }
 
+  test("AVG/HAVING decorate the JOIN shape too (r16)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mvspec-javh").toString
+    val (fact, dim, mv) = (s"$base/fact", s"$base/dim", s"$base/view")
+    TxLog.append(spark, dim, Seq((1L, 10L), (2L, 20L)).toDF("ck", "nation"))
+    TxLog.append(spark, fact,
+      Seq((1L, 100L), (1L, 200L), (2L, 5L)).toDF("ck", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT nation, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax, AVG(v) AS vavg " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` c ON f.ck = c.ck " +
+      "GROUP BY nation HAVING cnt >= 2").head().getString(0) == "build")
+    val served = MatView.readNamed(spark, mv)
+    assert(served.select("nation", "cnt", "vavg")
+      .as[(Long, Long, Double)].collect().toSeq == Seq((10L, 2L, 150.0)),
+      "join-MV decorations must serve the quotient over the filter")
+    // a fact append folds incrementally; the filtered group keeps state
+    TxLog.append(spark, fact, Seq((2L, 7L)).toDF("ck", "v"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental")
+    assert(MatView.readNamed(spark, mv).filter(col("nation") === 20L)
+      .select("cnt", "vavg").as[(Long, Double)].head() == ((2L, 6.0)),
+      "the group crossing HAVING must serve its FULL fact history")
+  }
+
   test("malformed AVG/HAVING shapes stay loud (r16)") {
     val (src, mv) = fresh("avgbad")
     TxLog.append(spark, src, Seq(("a", 1L)).toDF("k", "v"))

@@ -97,6 +97,30 @@ class TxLogGeneratedSpec extends AnyFunSuite {
       Seq((1L, 44L, 4L), (2L, 51L, 5L)))
   }
 
+  test("partitioned append BY a generated column (the Delta date-bucket idiom, r16)") {
+    val t = freshTable("txgen-part")
+    declared(t)
+    TxLog.addGeneratedColumn(spark, t, "v_bucket", LongType, "v div 10")
+    // the batch never carries v_bucket; the write boundary derives it
+    // and the partitioned layout records it per file
+    TxLog.appendPartitioned(spark, t,
+      Seq((1L, 15L), (2L, 27L), (3L, 12L)).toDF("k", "v"), "v_bucket")
+    val rows = TxLog.read(spark, t).select("k", "v", "v_bucket")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 15L, 1L), (2L, 27L, 2L), (3L, 12L, 1L)))
+    // the recorded partition values prune from the log alone
+    assert(TxLog.partitionValuesAt(spark, t, "v_bucket")
+      .map(_._2).toSet == Set("1", "2"))
+    val pruned = TxLog.readWherePartition(spark, t, "v_bucket", "1")
+    assert(pruned.select("k").as[Long].collect().toSet == Set(1L, 3L))
+    // a wrong explicit derivation still rejects through this path
+    intercept[IllegalArgumentException](TxLog.appendPartitioned(spark, t,
+      Seq((4L, 10L, 99L)).toDF("k", "v", "v_bucket"), "v_bucket"))
+    // a column that is neither in the batch nor derived stays loud
+    intercept[IllegalArgumentException](TxLog.appendPartitioned(spark, t,
+      Seq((4L, 10L)).toDF("k", "v"), "nope"))
+  }
+
   test("SQL ADD COLUMN ... GENERATED ALWAYS AS; plain ADD COLUMN delegates") {
     val t = freshTable("txgen-sql")
     TxLog.createTable(spark, t, StructType(Seq(

@@ -134,6 +134,29 @@ class TxLogIdentitySpec extends AnyFunSuite {
     assert(TxLog.identityColumns(spark, t)("row_id")._3 == 4L)
   }
 
+  test("stats on the identity column: minted id ranges prune files (r16)") {
+    val t = freshTable("txid-stats")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    // the batch never carries row_id; the boundary mints it and the
+    // commit records its per-file min/max — id-range reads then prune
+    // from the log alone (each commit's reservation is contiguous, so
+    // per-commit files have naturally disjoint id ranges)
+    TxLog.appendWithStats(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1), "row_id")
+    TxLog.appendWithStats(spark, t,
+      Seq((4L, "d"), (5L, "e")).toDF("k", "s").coalesce(1), "row_id")
+    val hit = TxLog.readWhere(spark, t, "row_id", 4L, 5L)
+    assert(hit.select("k").as[Long].collect().toSet == Set(4L, 5L))
+    // the skip decides FILES: the second commit's file alone serves it
+    assert(hit.inputFiles.length == 1,
+      s"id-range read must prune to the one covering file, " +
+        s"scanned ${hit.inputFiles.length}")
+    // a stats column that is neither in the batch nor minted stays loud
+    intercept[IllegalArgumentException](TxLog.appendWithStats(spark, t,
+      Seq((6L, "f")).toDF("k", "s"), "nope"))
+  }
+
   test("racing MERGEs keep ids unique: serializable abort + retry") {
     val t = freshTable("txid-mergerace")
     declared(t)
@@ -205,6 +228,33 @@ class TxLogIdentitySpec extends AnyFunSuite {
     assert(ids.toSeq == (1L to total),
       s"ids not the union of per-commit reservations: ${ids.take(10).toSeq}…")
     assert(TxLog.identityColumns(spark, t)("row_id")._3 == total + 1)
+  }
+
+  test("SQL MERGE INTO an identity table: the Delta upsert idiom end-to-end (r16)") {
+    val t = freshTable("txid-sqlmerge")
+    declared(t)
+    TxLog.addIdentityColumn(spark, t, "row_id")
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    Seq((1L, "updated"), (7L, "new")).toDF("k", "s")
+      .createOrReplaceTempView("txid_sql_src")
+    try {
+      // canonical upsert through the SQL surface — matched keeps its id,
+      // the insert mints; note the images DON'T name row_id (GENERATED
+      // ALWAYS); naming it in the SET is rejected
+      spark.sql(s"MERGE INTO graft.`$t` t USING txid_sql_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET s = s.s " +
+        "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)")
+      val rows = spark.sql(s"SELECT k, s, row_id FROM graft.`$t`")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(1L) == (("updated", 1L)) || rows(1L) == (("updated", 2L)),
+        s"matched row must keep its wave-1 id: $rows")
+      assert(rows(7L)._2 == 3L, s"SQL merge insert must mint id 3: $rows")
+      assert(TxLog.identityColumns(spark, t)("row_id")._3 == 4L)
+      val e = intercept[Exception](
+        spark.sql(s"MERGE INTO graft.`$t` t USING txid_sql_src s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET row_id = 99"))
+      assert(e.getMessage.contains("identity"), e.getMessage)
+    } finally spark.catalog.dropTempView("txid_sql_src")
   }
 
   test("declaration rules: empty-table only, bad step, SQL surface") {
