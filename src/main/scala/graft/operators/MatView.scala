@@ -191,7 +191,8 @@ object MatView {
             s"txlog: $mv carries no persisted materialized-view definition " +
               "— build it via MatView.refresh / CREATE MATERIALIZED VIEW first"))
         val (src, keys, valCol) = decodeDef(defn)
-        refresh(spark, src, mv, keys, valCol)
+        refresh(spark, src, mv, keys, valCol,
+          metas.get(KeyExprsKey).map(decodeKeyExprs).getOrElse(Map.empty))
     }
   }
 
@@ -210,11 +211,48 @@ object MatView {
     * full-recompute fallback, so the fold is exact everywhere it runs.
     * AVG needs no slot at all: it is total/cnt, derived at read time. */
   private def fullAggregate(spark: SparkSession, src: String, srcVersion: Long,
-                            keyCols: Seq[String], valCol: String): DataFrame =
-    TxLog.read(spark, src, Some(srcVersion))
+                            keyCols: Seq[String], valCol: String,
+                            keyExprs: Map[String, String] = Map.empty): DataFrame =
+    withKeyExprs(TxLog.read(spark, src, Some(srcVersion)), keyExprs)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
         min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
+
+  /** EXPRESSION grouping keys (r16): a computed key (`SELECT n_chars
+    * div 100 AS bucket … GROUP BY bucket` — the daily-rollup /
+    * bucketed-histogram MV idiom) is maintained by deriving the column
+    * on EVERY source-side frame the refresh machinery reads (full
+    * recompute, append delta, signed CDF delta, min/max repair scan)
+    * before the group-by; the maintained state then stores the
+    * computed value like any bare key, so the fold algebra is
+    * untouched. Scan-side `withColumn` — codegen'd, no extra shuffle.
+    * The expressions persist with the definition (`mv-key-exprs`,
+    * tab/newline-framed) so `REFRESH MATERIALIZED VIEW` re-derives
+    * them; resolution failures (or aggregate functions, which
+    * `withColumn` rejects) are loud at BUILD time. */
+  private def withKeyExprs(df: DataFrame,
+                           keyExprs: Map[String, String]): DataFrame =
+    keyExprs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (n, e)) =>
+      acc.withColumn(n, expr(e))
+    }
+
+  private val KeyExprsKey = "mv-key-exprs"
+
+  private def encodeKeyExprs(keyExprs: Map[String, String]): String =
+    keyExprs.toSeq.sortBy(_._1).map { case (n, e) =>
+      requireFramable("computed-key name", n, noComma = false)
+      requireFramable("computed-key expression", e, noComma = false)
+      require(!n.contains("\t") && !e.contains("\t"),
+        s"txlog: mv computed key '$n' contains a tab — unframable")
+      s"$n\t$e"
+    }.mkString("\n")
+
+  private def decodeKeyExprs(s: String): Map[String, String] =
+    s.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+      val cut = line.indexOf('\t')
+      require(cut > 0, s"txlog: malformed mv key-exprs line: $line")
+      line.substring(0, cut) -> line.substring(cut + 1)
+    }.toMap
 
   /** Refresh `mv` to cover `src`'s latest version. Returns the refresh
     * mode actually taken: "noop" (already current), "build" (first
@@ -232,24 +270,32 @@ object MatView {
     * lost race re-enters refresh on the winner's state, so no source
     * commit can ever be folded twice. */
   def refresh(spark: SparkSession, src: String, mv: String,
-              keyCols: Seq[String], valCol: String): String =
-    refreshOnce(spark, src, mv, keyCols, valCol, attemptsLeft = 5)
+              keyCols: Seq[String], valCol: String,
+              keyExprs: Map[String, String] = Map.empty): String =
+    refreshOnce(spark, src, mv, keyCols, valCol, keyExprs, attemptsLeft = 5)
 
   private def refreshOnce(spark: SparkSession, src: String, mv: String,
                           keyCols: Seq[String], valCol: String,
+                          keyExprs: Map[String, String],
                           attemptsLeft: Int): String = {
     require(attemptsLeft > 0,
       s"txlog: matview refresh of $mv kept losing commit races — giving up")
-    def retry() = refreshOnce(spark, src, mv, keyCols, valCol, attemptsLeft - 1)
+    keyExprs.keys.foreach(n => require(keyCols.contains(n),
+      s"txlog: computed key '$n' is not a grouping key of the view"))
+    def retry() =
+      refreshOnce(spark, src, mv, keyCols, valCol, keyExprs, attemptsLeft - 1)
     val srcLatest = TxLog.latestVersion(spark, src)
     if (TxLog.versions(spark, mv).isEmpty) {
       // the definition rides in the BUILD commit's metadata channel, so
       // a later refresh needs no re-supplied plan (REFRESH MATERIALIZED
       // VIEW resolves it via [[refreshNamed]])
       if (TxLog.appendIfEmpty(spark, mv,
-        fullAggregate(spark, src, srcLatest, keyCols, valCol), MvAppId, srcLatest,
+        fullAggregate(spark, src, srcLatest, keyCols, valCol, keyExprs),
+        MvAppId, srcLatest,
         metas = Seq(TxLog.metaPayload(DefKey,
-          encodeDef(src, keyCols, valCol)))))
+          encodeDef(src, keyCols, valCol))) ++
+          (if (keyExprs.isEmpty) Seq.empty
+           else Seq(TxLog.metaPayload(KeyExprsKey, encodeKeyExprs(keyExprs))))))
         "build"
       else retry() // another builder won: fold on top of ITS state
     } else {
@@ -283,7 +329,8 @@ object MatView {
           case _: graft.sources.TxLogConcurrentModificationException => retry()
         }
       if (unfoldable)
-        commitPinned(fullAggregate(spark, src, srcLatest, keyCols, valCol), "recompute")
+        commitPinned(fullAggregate(spark, src, srcLatest, keyCols, valCol,
+          keyExprs), "recompute")
       else if (range.forall(v => TxLog.commitKind(spark, src, v).contains("compact") ||
         !TxLog.commitTouchesRows(spark, src, v)))
         // compaction-only / row-invisible (schema, constraint) range:
@@ -292,10 +339,11 @@ object MatView {
         "noop"
       else if (changing.nonEmpty)
         commitPinned(foldSigned(spark, src, mv, mvBase, applied, srcLatest,
-          keyCols, valCol), "incremental-delete")
+          keyCols, valCol, keyExprs), "incremental-delete")
       else {
-        val delta = TxLog.readChanges(spark, src, applied, srcLatest)
-          .drop("_commit_version")
+        val delta = withKeyExprs(
+          TxLog.readChanges(spark, src, applied, srcLatest)
+            .drop("_commit_version"), keyExprs)
           .groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
             min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
@@ -321,12 +369,15 @@ object MatView {
     * whose count reaches zero leave the view. */
   private def foldSigned(spark: SparkSession, src: String, mv: String,
                          mvBase: Long, applied: Long, srcLatest: Long,
-                         keyCols: Seq[String], valCol: String): DataFrame = {
-    val cdf = TxLog.readChangesCdf(spark, src, applied, srcLatest)
+                         keyCols: Seq[String], valCol: String,
+                         keyExprs: Map[String, String] = Map.empty): DataFrame = {
+    val cdf = withKeyExprs(
+      TxLog.readChangesCdf(spark, src, applied, srcLatest), keyExprs)
       .withColumn("_w",
         when(col("_change_type") === "insert", 1L).otherwise(-1L))
     foldSignedDelta(spark, mv, mvBase, cdf,
-      TxLog.read(spark, src, Some(srcLatest)), keyCols, valCol)
+      withKeyExprs(TxLog.read(spark, src, Some(srcLatest)), keyExprs),
+      keyCols, valCol)
   }
 
   /** The shared signed-fold tail: `signedRows` carries the key columns,
@@ -1117,7 +1168,51 @@ object MatView {
       served.select("lang", "cnt", "total", "vmin", "vmax"), "lang")
   }
 
+  /** QW — COMPUTED grouping key over the MV lifecycle (r16): the
+    * CREATE groups by `n_chars div 100 AS bucket` — a column no source
+    * table carries; the refresh machinery derives it on every frame it
+    * reads (build, append delta, signed CDF delta, repair scan), so
+    * the maintained state stores the computed value like a bare key
+    * and the fold algebra is untouched. Modes REQUIREd across an
+    * INSERT (incremental) and a DELETE (signed); digest vs the same
+    * bucketing closed-form in DuckDB. */
+  def qwMvExprKey(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvexpr", d, "src")
+    val mv = Fixtures.table("mvexpr", d, "view")
+    TxLog.append(spark, src, docs.filter(col("doc_id") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT n_chars div 100 AS bucket, COUNT(*) AS cnt, " +
+      s"SUM(n_chars) AS total, MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+      s"FROM graft.`$src` GROUP BY bucket").head().getString(0) == "build")
+    def refreshSql(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    val view = "graft_mvexpr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$src` " +
+      s"SELECT doc_id, lang, n_chars FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(refreshSql() == "incremental",
+      "an INSERT must fold incrementally under a computed key")
+    spark.sql(s"DELETE FROM graft.`$src` WHERE lang = 'de'")
+    require(refreshSql() == "incremental-delete",
+      "a DELETE must fold signed under a computed key")
+    require(refreshSql() == "noop")
+    val folded = spark.sql(
+      s"SELECT bucket, cnt, total, vmin, vmax FROM graft.`$mv`")
+    certifyEqual(spark, mv, folded,
+      docs.filter(col("lang") =!= "de")
+        .withColumn("bucket", expr("n_chars div 100"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total"),
+          min(col("n_chars")).as("vmin"), max(col("n_chars")).as("vmax")),
+      "computed-key fold != oracle aggregate from source parquet")
+    digestRow(spark, folded, "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_mv_exprkey" -> qwMvExprKey _,
     "qw_mv_avg" -> qwMvAvg _,
     "qw_mv_having" -> qwMvHaving _,
     "qw_mv_refresh" -> qwMvRefresh _,
@@ -1151,6 +1246,13 @@ object MatView {
         "SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
         "SUM(n_chars) * 1000000 // COUNT(*) AS avg_micro " +
         "FROM documents WHERE lang <> 'de' GROUP BY lang)"),
+    // the computed key's bucketing replayed closed-form (DuckDB `//` ≡
+    // Spark `div` on the positive BIGINTs here)
+    "qw_mv_exprkey" -> digestOracle(
+      "SELECT n_chars // 100 AS bucket, COUNT(*) AS cnt, " +
+        "SUM(n_chars) AS total, MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+        "FROM documents WHERE lang <> 'de' GROUP BY bucket",
+      "bucket"),
     // HAVING's threshold is the final max per-lang count, recomputed by
     // subquery — generic over which groups pass at any SF
     "qw_mv_having" -> digestOracle(

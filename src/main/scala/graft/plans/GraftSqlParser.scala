@@ -30,7 +30,8 @@ sealed trait MvShape {
   def having: Option[String]
 }
 case class MvSingle(src: String, keys: Seq[String], valCol: String,
-                    avg: Boolean = false, having: Option[String] = None)
+                    avg: Boolean = false, having: Option[String] = None,
+                    keyExprs: Seq[(String, String)] = Seq.empty)
   extends MvShape
 case class MvDistinct(src: String, keys: Seq[String], valCol: String)
   extends MvShape { def avg = false; def having: Option[String] = None }
@@ -246,12 +247,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if (aggs.length != keys.length + 5 && aggs.length != keys.length + 4 &&
           aggs.length != keys.length + 2)
           mvUnsupported(s"${aggs.length} select items for ${keys.length} keys")
+        // a key select item is either the bare grouping column or (r16)
+        // an ALIASED EXPRESSION the grouping names — `SELECT n_chars
+        // div 100 AS bucket … GROUP BY bucket`, the rollup-by-derived-
+        // value MV idiom; the expression is re-derived on every frame
+        // the refresh machinery reads (single-table shape only —
+        // resolution failures and aggregate functions are loud at
+        // build time, where withColumn rejects them)
+        val keyExprB = Seq.newBuilder[(String, String)]
         aggs.take(keys.length).zip(keys).foreach {
           case (a: UnresolvedAttribute, k)
             if a.nameParts.length == 1 && a.nameParts.head == k => ()
+          case (Alias(child, name), k) if name == k =>
+            keyExprB += (k -> bareSql(child))
           case (other, k) =>
-            mvUnsupported(s"select item ${other.sql} must be the key $k")
+            mvUnsupported(s"select item ${other.sql} must be the key $k " +
+              "(bare, or an expression aliased AS the key)")
         }
+        val keyExprs = keyExprB.result()
         def fnOf(e: Expression, alias: String): (String, Seq[Expression]) =
           e match {
             case Alias(f: UnresolvedFunction, name) if name == alias =>
@@ -282,6 +295,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "HAVING under the APPROX_COUNT_DISTINCT shape (the sketch " +
               "view serves through readDistinct, which has no decorated " +
               "read path)")
+          if (keyExprs.nonEmpty) mvUnsupported(
+            "a computed grouping key under the APPROX_COUNT_DISTINCT " +
+              "shape (single-table bare keys only)")
           val Seq(cntE, ndvE) = aggs.drop(keys.length)
           requireCnt(cntE)
           val ndvCol = argCol(ndvE, "ndv", "approx_count_distinct")
@@ -334,6 +350,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           bareSql(c)
         }
         def joinShape(j: Join, factFilter: Option[String]): MvJoin = {
+          if (keyExprs.nonEmpty) mvUnsupported(
+            "a computed grouping key on the JOIN shape (computed keys " +
+              "are single-table v1 — derive the column on the fact " +
+              "table via GENERATED ALWAYS instead)")
           val joinKeys = j.joinType match {
             case UsingJoin(Inner, cols) => cols
             case Inner =>
@@ -367,7 +387,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               mvUnsupported(s"a ${other.getClass.getSimpleName} under WHERE")
           }
           case _: UnresolvedRelation =>
-            MvSingle(relPath(child), keys, valCol, avg, having)
+            MvSingle(relPath(child), keys, valCol, avg, having, keyExprs)
           case other =>
             mvUnsupported(s"a ${other.getClass.getSimpleName} source")
         }
@@ -589,8 +609,8 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
       s"txlog: materialized view $view already exists " +
         "(REFRESH MATERIALIZED VIEW to advance it)")
     val mode = shape match {
-      case MvSingle(src, keys, valCol, _, _) =>
-        MatView.refresh(spark, src, view, keys, valCol)
+      case MvSingle(src, keys, valCol, _, _, keyExprs) =>
+        MatView.refresh(spark, src, view, keys, valCol, keyExprs.toMap)
       case MvDistinct(src, keys, valCol) =>
         MatView.refreshDistinct(spark, src, view, keys, valCol)
       case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter, _, _) =>

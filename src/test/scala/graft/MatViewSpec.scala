@@ -219,6 +219,46 @@ class MatViewSpec extends SparkSpec {
       "the group crossing HAVING must serve its FULL fact history")
   }
 
+  test("computed grouping keys: fold ≡ recompute across every commit kind (r16)") {
+    val (src, mv) = fresh("exprkey")
+    TxLog.append(spark, src,
+      Seq(("a", 15L), ("b", 27L), ("c", 12L)).toDF("k", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT v div 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax FROM graft.`$src` " +
+      "GROUP BY bucket").head().getString(0) == "build")
+    def buckets: Map[Long, (Long, Long)] =
+      TxLog.read(spark, mv).select("bucket", "cnt", "total")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(buckets == Map(1L -> ((2L, 27L)), 2L -> ((1L, 27L))))
+    // append folds incrementally — the delta derives the bucket too
+    TxLog.append(spark, src, Seq(("d", 19L), ("e", 33L)).toDF("k", "v"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental")
+    assert(buckets == Map(1L -> ((3L, 46L)), 2L -> ((1L, 27L)), 3L -> ((1L, 33L))))
+    // a MOR delete folds signed; the emptied bucket leaves the view
+    TxLog.deleteWhereMorExpr(spark, src, "v = 27")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental-delete")
+    assert(buckets == Map(1L -> ((3L, 46L)), 3L -> ((1L, 33L))))
+    // computed keys compose with HAVING over the computed name
+    val (src2, mv2) = fresh("exprkey-hav")
+    TxLog.append(spark, src2, Seq(("a", 15L), ("b", 17L), ("c", 25L)).toDF("k", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv2` AS " +
+      s"SELECT v div 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax FROM graft.`$src2` " +
+      "GROUP BY bucket HAVING cnt >= 2").head().getString(0) == "build")
+    assert(MatView.readNamed(spark, mv2).select("bucket")
+      .as[Long].collect().toSeq == Seq(1L))
+    // the JOIN shape rejects computed keys loudly (single-table v1)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`${mv2}x` AS " +
+        s"SELECT v div 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS total, " +
+        s"MIN(v) AS vmin, MAX(v) AS vmax FROM graft.`$src` f " +
+        s"JOIN graft.`$src2` c ON f.k = c.k GROUP BY bucket"))
+    assert(e.getMessage.contains("computed grouping key"), e.getMessage)
+  }
+
   test("malformed AVG/HAVING shapes stay loud (r16)") {
     val (src, mv) = fresh("avgbad")
     TxLog.append(spark, src, Seq(("a", 1L)).toDF("k", "v"))
