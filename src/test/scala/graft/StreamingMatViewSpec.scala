@@ -161,6 +161,26 @@ class StreamingMatViewSpec extends SparkSpec {
     } finally qs2.foreach(_.stop())
   }
 
+  test("maintainNamed maintains a computed-key view from its persisted expression (r16)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smve").toString
+    val src = s"$base/src"; val mv = s"$base/view"
+    TxLog.append(spark, src, Seq(("a", 15L), ("b", 27L)).toDF("k", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT v div 10 AS bucket, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax FROM graft.`$src` GROUP BY bucket")
+      .head().getString(0) == "build")
+    val qs = graft.streaming.StreamingMatView.maintainNamed(
+      spark, mv, s"$base/ckpt")
+    try {
+      TxLog.append(spark, src, Seq(("c", 12L), ("d", 33L)).toDF("k", "v"))
+      qs.foreach(_.processAllAvailable())
+      val got = TxLog.read(spark, mv).select("bucket", "cnt", "total")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(1L -> ((2L, 27L)), 2L -> ((1L, 27L)), 3L -> ((1L, 33L))),
+        "the continuous maintainer must derive the computed key on deltas")
+    } finally qs.foreach(_.stop())
+  }
+
   test("maintainNamed folds the approx-distinct flavor by sketch union") {
     val base = java.nio.file.Files.createTempDirectory("graft-smvd").toString
     val src = s"$base/src"; val mv = s"$base/view"
