@@ -66,9 +66,14 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *  - `RESTORE TABLE graft.`/t`` TO VERSION|TIMESTAMP AS OF …` →
   *    [[TxLog.restore]] (metadata-only rollback)
   *  - `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT k…, COUNT(*) AS
-  *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax FROM
-  *    graft.`/src` GROUP BY k…`          → [[MatView.refresh]] (build),
-  *    with the definition persisted in the view's commit metadata
+  *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax [, AVG(v)
+  *    AS vavg] FROM graft.`/src` GROUP BY k… [HAVING pred]` →
+  *    [[MatView.refresh]] (build), with the definition persisted in
+  *    the view's commit metadata. r16: keys may be ALIASED EXPRESSIONS
+  *    (`n_chars div 100 AS bucket … GROUP BY bucket` — re-derived on
+  *    every refresh frame); AVG/HAVING are read-shape decorations
+  *    served by [[MatView.readNamed]] while the state keeps every
+  *    group
   *  - `CREATE MATERIALIZED VIEW … AS SELECT k…, COUNT(*) AS cnt,
   *    APPROX_COUNT_DISTINCT(v) AS ndv FROM graft.`/src` GROUP BY k…` →
   *    [[MatView.refreshDistinct]] (mergeable HLL sketch per group —
