@@ -818,6 +818,69 @@ object Merge {
     TxLog.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** QW — SHALLOW CLONE ([[graft.sources.TxLog.shallowClone]]) under
+    * the hash gate: documents lands in three appends, a MOR delete
+    * erases `lang = 'de'`, the table is FORKED zero-copy, then the
+    * SOURCE diverges (a second MOR delete the clone must not see) —
+    * the row REQUIREs the clone's directory holds ZERO parquet bytes
+    * (the fork copied nothing; every add is an absolute reference into
+    * the source) and serves the CLONE, which must hash-match the
+    * snapshot at the fork point, not the diverged source. This is the
+    * zero-copy dev/test-sandbox fork a 100 TB table cannot afford to
+    * materialize. */
+  def qwCloneRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("txclonesrc", d, "t")
+    val dst = Fixtures.table("txclonedst", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, src,
+      docs.filter(col("doc_id") % 3 === r)))
+    TxLog.deleteWhereMorExpr(spark, src, "lang = 'de'")
+    TxLog.shallowClone(spark, src, dst)
+    TxLog.deleteWhereMorExpr(spark, src, "n_chars % 2 = 0") // divergence
+    val copied = {
+      val root = java.nio.file.Paths.get(dst).getParent
+      val it = java.nio.file.Files.walk(root)
+      try it.filter(p => p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    require(copied == 0L,
+      s"txlog: shallow clone must copy zero data files, found $copied")
+    require(TxLog.read(spark, src).count() < TxLog.read(spark, dst).count(),
+      "txlog: the fixture's post-fork divergence must be visible on the source")
+    TxLog.read(spark, dst).orderBy("doc_id")
+  }
+
+  /** QW — LOG-NATIVE BLOOM SKIPPING ([[graft.sources.TxLog
+    * .appendWithBloom]] / [[graft.sources.TxLog.readWhereEquals]])
+    * under the hash gate: documents lands in 8 single-file waves split
+    * `doc_id % 8` — every file spans the FULL doc_id range, so min/max
+    * stats cannot skip ANY file for a point probe — each wave recording
+    * a per-file bloom filter over doc_id. Two point lookups (the min
+    * and max doc_id) must each prune to ≲1 of the 8 files (REQUIREd
+    * in-row, with the 1% false-positive allowance) and their union must
+    * hash-match the closed-form SQL. The needle-in-haystack lookup a
+    * 100 TB table serves without touching 7/8ths of its bytes. */
+  def qwBloomRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txbloom", d, "t")
+    (0 until 8).foreach(r => TxLog.appendWithBloom(spark, table,
+      docs.filter(col("doc_id") % 8 === r).repartition(1), "doc_id"))
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(lo < hi, "txlog: bloom fixture needs at least two documents")
+    Seq(lo, hi).foreach { k =>
+      val (kept, total) = TxLog.pruneFilesBloom(spark, table, "doc_id", k)
+      require(total == 8 && kept.size <= 2,
+        s"txlog: bloom skip must prune the banded layout: " +
+          s"kept ${kept.size} of $total for probe $k")
+    }
+    TxLog.readWhereEquals(spark, table, "doc_id", lo)
+      .unionByName(TxLog.readWhereEquals(spark, table, "doc_id", hi))
+      .orderBy("doc_id")
+  }
+
   /** QW14 — FREE-PREDICATE merge-on-read delete under the hash gate:
     * documents lands in three appends, then a GDPR-shaped erasure by a
     * predicate no stats column can prune (`lang = 'de' AND n_chars`
@@ -1343,6 +1406,8 @@ object Merge {
     "qw_merge_mor" -> qwMergeMor _,
     "qw_delete_expr" -> qwDeleteExpr _,
     "qw_restore_read" -> qwRestoreRead _,
+    "qw_clone_read" -> qwCloneRead _,
+    "qw_bloom_read" -> qwBloomRead _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
     "qw_binpack_read" -> qwBinpackRead _,
     "qw_rename_lifecycle" -> qwRenameLifecycle _,
@@ -1482,6 +1547,17 @@ object Merge {
     // restore rolls back both delete flavors: identity scan
     "qw_restore_read" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    // the clone serves the FORK-POINT snapshot (post first delete),
+    // blind to the source's later divergence — zero-copy REQUIREd in-row
+    "qw_clone_read" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE NOT (lang = 'de') ORDER BY doc_id"),
+    // two bloom-pruned point probes (skipping REQUIREd in-row — the
+    // filters decide files, the exact equality decides rows)
+    "qw_bloom_read" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id = (SELECT MIN(doc_id) FROM documents) " +
+        "OR doc_id = (SELECT MAX(doc_id) FROM documents) ORDER BY doc_id"),
     // string-range scan: the skip (proved by the in-row REQUIRE) decides
     // files, never rows; byte-order BETWEEN is identical in both engines
     "qw_pruned_read_str" ->

@@ -65,6 +65,8 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *    [[TxLog.addIdentityColumn]]
   *  - `RESTORE TABLE graft.`/t`` TO VERSION|TIMESTAMP AS OF …` →
   *    [[TxLog.restore]] (metadata-only rollback)
+  *  - `CREATE TABLE graft.`/dst`` SHALLOW CLONE graft.`/src``
+  *    [VERSION AS OF v]` → [[TxLog.shallowClone]] (zero-copy fork)
   *  - `CREATE MATERIALIZED VIEW graft.`/mv`` AS SELECT k…, COUNT(*) AS
   *    cnt, SUM(v) AS total, MIN(v) AS vmin, MAX(v) AS vmax [, AVG(v)
   *    AS vavg] FROM graft.`/src` GROUP BY k… [HAVING pred]` →
@@ -113,6 +115,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SHOW\s+CONSTRAINTS\s+(.+?)\s*;?\s*""".r
   private val AddGenColRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+([A-Za-z][A-Za-z0-9_,()\s]*?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d{1,18}))?\s*;?\s*""".r
   private val AddIdentityRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*;?\s*""".r
 
@@ -150,6 +154,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogHistoryCommand(graftPath(ident).get)
     case DescDetailRe(ident) if graftPath(ident).isDefined =>
       TxLogDetailCommand(graftPath(ident).get)
+    case CloneRe(dstIdent, srcIdent, v) if graftPath(dstIdent).isDefined =>
+      val src = graftPath(srcIdent).getOrElse(throw
+        new UnsupportedOperationException(
+          s"txlog: SHALLOW CLONE sources only graft.-catalog tables, got " +
+            s"$srcIdent — a foreign table has no TxLog snapshot to fork"))
+      TxLogCloneCommand(src, graftPath(dstIdent).get,
+        Option(v).map(_.toLong))
     case RestoreRe(ident, v) if graftPath(ident).isDefined =>
       TxLogRestoreCommand(graftPath(ident).get, Some(v.toLong), None)
     case RestoreTsRe(ident, ts) if graftPath(ident).isDefined =>
@@ -510,6 +521,21 @@ case class TxLogRestoreCommand(table: String, toVersion: Option[Long],
     }
     Seq(Row(TxLog.restore(spark, table, target)))
   }
+}
+
+/** `CREATE TABLE graft.`/dst`` SHALLOW CLONE graft.`/src`` [VERSION AS
+  * OF v]` — the zero-copy metadata-only fork ([[TxLog.shallowClone]]):
+  * one commit that re-adds the source snapshot's files by absolute
+  * path, with deletion vectors, per-file stats, schema, constraints,
+  * and identity high-water marks all carried. Returns the clone's
+  * commit version (always 0). */
+case class TxLogCloneCommand(src: String, dst: String,
+                             asOf: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.shallowClone(spark, src, dst, asOf)))
 }
 
 /** `DESCRIBE DETAIL graft.`/t`` — the table's one-row operational

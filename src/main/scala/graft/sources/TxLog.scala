@@ -785,10 +785,15 @@ object TxLog {
     def fold(payload: String): Unit = {
       val t = payload.split('|')
       // 4 fields = integral min/max; 5 with trailing "s" = base64 string
-      // bounds; 5 with trailing "p" = base64 partition value
-      require(t.length == 4 || (t.length == 5 && (t(4) == "s" || t(4) == "p")),
+      // bounds; 5 with trailing "p" = base64 partition value; 5 with
+      // trailing "bf" = per-file bloom sidecar reference
+      require(t.length == 4 || (t.length == 5 &&
+        (t(4) == "s" || t(4) == "p" || t(4) == BloomSuffix)),
         s"txlog: malformed stats payload in $table: $payload")
-      acc((t(0), t(1))) = payload
+      // a bloom reference COEXISTS with the same column's value bounds
+      // (both can be recorded for one file) — distinct last-wins slot
+      val cls = if (t.length == 5 && t(4) == BloomSuffix) " bf" else ""
+      acc((t(0), t(1) + cls)) = payload
     }
     startCkpt.foreach { cv =>
       readCheckpoint(spark, table, cv).foreach {
@@ -2120,6 +2125,197 @@ object TxLog {
     readWhereAll(spark, table, Seq((statsCol, lo, hi)), asOf)
 
   // ---------------------------------------------------------------------
+  // LOG-NATIVE PER-FILE BLOOM FILTERS (the public Delta bloom-filter
+  // index idea): min/max stats prune range reads on CLUSTERED columns,
+  // but a point lookup on a high-cardinality column the layout is NOT
+  // sorted by (needle-in-haystack: one doc id, one user hash, one URL
+  // in a 100 TB table) intersects every file's [min,max] and scans
+  // everything. appendWithBloom records one bloom filter PER DATA FILE
+  // over the column's values — the filters live in a sidecar parquet
+  // next to the data (like deletion vectors; far too big for log
+  // lines), referenced from the stats channel (payload
+  // `file|physCol|sidecarRel|numBits|bf`, checkpoint-replayed and
+  // rename-stable like every stats line) — and an equality read skips
+  // every file whose filter excludes the probe: no false negatives
+  // (bloom contract), so the skip can never drop a real row; false
+  // positives only cost a wasted file scan. Files without a recorded
+  // filter are conservatively kept; rewrites (compaction, clustering)
+  // drop their inputs' filters with the files. The filter bytes and
+  // probe hashing are Spark's OWN runtime-filter machinery
+  // (BloomFilterAggregate / spark-sketch, probed over xxhash64), so
+  // executor build and driver probe can never disagree on format.
+  // ---------------------------------------------------------------------
+
+  private val BloomSuffix = "bf"
+
+  /** [[append]] that additionally records a per-file bloom filter over
+    * `bloomCol` (plus optional min/max `statsCols`, as in
+    * [[appendWithStats]]). Sizing: one filter per file, all sized for
+    * the batch's LARGEST file (footer row counts — no data scan) at
+    * `fpp`; build is ONE extra pass over the just-written batch (a
+    * file-grouped aggregate — no shuffle wider than the batch), riding
+    * inside [[appendCommit]]'s claim loop so a lost claim rebuilds
+    * data AND filters against the re-minted frame. */
+  def appendWithBloom(spark: SparkSession, table: String, df: DataFrame,
+                      bloomCol: String, statsCols: String*): Long =
+    appendWithBloomFpp(spark, table, df, bloomCol, 0.01, statsCols: _*)
+
+  /** [[appendWithBloom]] with an explicit false-positive rate. */
+  def appendWithBloomFpp(spark: SparkSession, table: String, df: DataFrame,
+                         bloomCol: String, fpp: Double,
+                         statsCols: String*): Long = {
+    require(fpp > 0 && fpp < 0.5, s"txlog: bloom fpp out of range: $fpp")
+    appendCommit(spark, table, df, "append", None, statsCols,
+      writeBatch = Some { (dfW, rel) =>
+        require(dfW.schema.fieldNames.contains(bloomCol),
+          s"txlog: bloom column '$bloomCol' is not in the appended schema " +
+            s"(${dfW.schema.fieldNames.mkString(", ")})")
+        physicalize(dfW, schemaAt(spark, table))
+          .write.parquet(new Path(table, rel).toString)
+        val files = writtenFiles(spark, table, rel)
+        val stats = statsCols.flatMap { c =>
+          val forCol = footerStats(spark, table, files, c)
+          require(files.isEmpty || forCol.nonEmpty,
+            s"txlog: no parquet footer carried statistics for '$c' — " +
+              "the files would be permanently unprunable")
+          forCol
+        }
+        (files, stats ++ buildBloomLines(spark, table, rel, files, bloomCol, fpp))
+      }).get
+  }
+
+  /** Build the per-file bloom sidecar for the files of one freshly
+    * written batch dir `rel`; returns their stats-channel lines. */
+  private def buildBloomLines(spark: SparkSession, table: String, rel: String,
+                              files: Seq[String], bloomCol: String,
+                              fpp: Double): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val phys = resolvePhysical(spark, table, bloomCol)
+    require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
+      s"txlog: bloom column name unsupported by the line format: $phys")
+    // size every filter for the batch's largest file, from footer row
+    // counts alone (metadata read, same as footerStats)
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxRows = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(table, f), conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.max.max(1L)
+    // optimal bits for n items at fpp: -n·ln(p)/ln(2)²; clamp to keep a
+    // single sidecar row bounded (16 MiB ≈ 100M items at 1%)
+    val numBits = math.min(1L << 27, math.max(64L,
+      math.ceil(-maxRows * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{col, lit, xxhash64, call_function}
+    val sidecarRel = s"$rel-bloom"
+    val scanned = spark.read.parquet(new Path(table, rel).toString)
+    require(!scanned.columns.contains("_g_bloom_file"),
+      "txlog: table schema collides with the bloom build's internal column")
+    scanned
+      .withColumn("_g_bloom_file", col("_metadata.file_name"))
+      .groupBy("_g_bloom_file")
+      .agg(call_function("seen_filter_agg",
+        xxhash64(col(phys)), lit(maxRows), lit(numBits)).as("filter"))
+      // keyed by file NAME (globally unique part-file UUIDs) — the dv
+      // sidecar convention, which also keeps probes resolvable after a
+      // shallow clone rebases the log's file keys to absolute paths
+      .select(col("_g_bloom_file").as("file"), col("filter"))
+      .coalesce(1) // one row per file: driver-side metadata scale
+      .write.parquet(new Path(table, sidecarRel).toString)
+    files.map(f => s"$f|$phys|$sidecarRel|$numBits|$BloomSuffix")
+  }
+
+  /** Live files' bloom sidecar references for `bloomCol` as of `asOf`
+    * (file → sidecar dir; empty when the column was never bloomed —
+    * readers treat absence as "cannot skip"). */
+  private def bloomForLive(spark: SparkSession, table: String,
+                           bloomCol: String, live: Set[String],
+                           asOf: Option[Long]): Map[String, String] = {
+    val phys = resolvePhysical(spark, table, bloomCol, asOf)
+    statsPayloadsAt(spark, table, asOf).flatMap { payload =>
+      payload.split('|') match {
+        case Array(p, c, sidecar, _, `BloomSuffix`)
+          if c == phys && live.contains(p) => Some(p -> sidecar)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Bloom sidecar dirs referenced by `asOf`'s live bloom lines — the
+    * vacuum protection set (mirror of the dv-dir rule). */
+  private def bloomDirsAt(spark: SparkSession, table: String,
+                          asOf: Option[Long]): Set[String] = {
+    val live = snapshotFiles(spark, table, asOf).toSet
+    statsPayloadsAt(spark, table, asOf).flatMap { payload =>
+      payload.split('|') match {
+        case Array(p, _, sidecar, _, `BloomSuffix`) if live.contains(p) =>
+          Some(sidecar)
+        case _ => None
+      }
+    }.toSet
+  }
+
+  /** The live files an equality probe `bloomCol = value` must scan:
+    * every file whose recorded filter might contain the probe, plus
+    * every file with no filter (conservative keep). Returns
+    * (kept, live-count). The probe is hashed by the ENGINE itself
+    * (xxhash64 over the value cast to the column's type), so the
+    * driver-side check agrees bit-for-bit with the executor-side
+    * build. */
+  def pruneFilesBloom(spark: SparkSession, table: String, bloomCol: String,
+                      value: Any,
+                      asOf: Option[Long] = None): (Seq[String], Int) = {
+    require(value != null, "txlog: bloom probe value must be non-null " +
+      "(equality to NULL matches no row)")
+    val live = snapshotFiles(spark, table, asOf)
+    val blooms = bloomForLive(spark, table, bloomCol, live.toSet, asOf)
+    if (blooms.isEmpty) return (live, live.size)
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val colType = schemaAt(spark, table, asOf)
+      .flatMap(_.fields.find(_.name == bloomCol)).map(_.dataType)
+      .getOrElse(read(spark, table, asOf).schema(bloomCol).dataType)
+    val probeHash = spark.range(1)
+      .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
+    // load each referenced sidecar once: (file → filter bytes), bounded
+    // by live-file count — driver-side metadata scale like the log
+    val sidecars = blooms.values.toSeq.distinct
+      .map(p => new Path(table, p).toString)
+    val filters: Map[String, Array[Byte]] =
+      spark.read.parquet(sidecars: _*).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val kept = live.filter { f =>
+      if (!blooms.contains(f)) true // never bloomed: cannot skip
+      else filters.get(new Path(f).getName).forall { bytes =>
+        bytes == null || bytes.isEmpty ||
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(probeHash)
+      }
+    }
+    (kept, live.size)
+  }
+
+  /** Point-equality read with log-native bloom skipping — the
+    * needle-in-haystack lookup ([[readWhere]]'s range twin for columns
+    * the layout is NOT clustered by). The filters decide file
+    * SKIPPING, never row membership: the exact equality predicate runs
+    * on every kept file, and deletion vectors anti-apply as in
+    * [[read]]. */
+  def readWhereEquals(spark: SparkSession, table: String, bloomCol: String,
+                      value: Any, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneFilesBloom(spark, table, bloomCol, value, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, table, asOf).limit(0)
+      else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+        dvAt(spark, table, asOf).filter(kv => kept.contains(kv._1)))
+    base.filter(col(bloomCol) === lit(value))
+  }
+
+  // ---------------------------------------------------------------------
   // PARTITION COLUMNS (Hive-style): each add action of a partitioned
   // append records the file's partition VALUE in the log (payload
   // `file|physCol|b64(value)|-|p`, riding the stats channel and its
@@ -2804,6 +3000,87 @@ object TxLog {
     v
   }
 
+  /** SHALLOW CLONE — the public Delta `CREATE TABLE … SHALLOW CLONE`
+    * idea: fork `src` (at `asOf`, default its head) into a brand-new
+    * table `dst` as ONE metadata-only commit that copies ZERO data
+    * bytes. The clone's commit 0 re-ADDS the source snapshot's live
+    * files by ABSOLUTE path (the log format's relative paths resolve
+    * through `new Path(table, rel)`, and Hadoop path resolution lets an
+    * absolute child win — exactly how Delta clone logs carry
+    * `absolutePath=true` entries), carries the snapshot's deletion-
+    * vector bindings and per-file stats (rebased to the same absolute
+    * keys, so data skipping and MOR masks survive the fork), re-declares
+    * the source's schema (column mapping included), and replicates the
+    * source's active commit metadata — CHECK constraints, GENERATED
+    * columns, and IDENTITY high-water marks all ride the metas channel,
+    * so the clone enforces the same write-boundary contracts and its
+    * future identity mints continue past the fork point without
+    * colliding with rows it inherited. Provenance is recorded under the
+    * `clone-source` meta key (`<absolute src>@<version>`).
+    *
+    * After the fork the tables evolve INDEPENDENTLY: writes to either
+    * side are invisible to the other (both sides mint identity ids from
+    * the same fork high-water mark — cross-table uniqueness after a
+    * fork is not a contract, same as Delta). Vacuum interplay, both
+    * directions:
+    *  - vacuum on the CLONE only walks the clone's own `data/` root
+    *    ([[vacuum]] lists `new Path(table, "data")`), so inherited
+    *    source files are never candidates — a clone can compact away
+    *    every inherited reference and vacuum aggressively without
+    *    touching one source byte.
+    *  - vacuum on the SOURCE does not know its clones exist: a
+    *    `RETAIN n VERSIONS` source vacuum may reclaim files a clone
+    *    still references (the documented Delta shallow-clone hazard,
+    *    kept deliberately — tracking clones would couple the tables the
+    *    fork exists to decouple). The bare `VACUUM` (retain ALL,
+    *    orphan-only) is always clone-safe.
+    * The change feed classifies the clone commit like an overwrite
+    * (full snapshot as inserts at version 0), so CDF consumers of the
+    * clone start from a consistent base. */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+                   asOf: Option[Long] = None): Long = {
+    requireNonEmpty(spark, src, "clone")
+    val head = latestVersion(spark, src)
+    val v = asOf.getOrElse(head)
+    val wm = earliestReadableVersion(spark, src)
+    require(v >= wm,
+      s"txlog: version $v was vacuumed (earliest readable: $wm)")
+    require(v <= head,
+      s"txlog: cannot clone $src at future version $v (latest: $head)")
+    require(versions(spark, dst).isEmpty,
+      s"txlog: clone target $dst already exists")
+    // fully qualified absolute root: resolution-stable from any caller,
+    // on any filesystem (the same qualify-both-sides rule vacuum uses)
+    val srcRoot = fs(spark, new Path(src))
+      .makeQualified(new Path(src)).toString
+    def abs(rel: String): String =
+      if (new Path(rel).isAbsolute || rel.contains(":/")) rel // clone-of-clone
+      else s"$srcRoot/$rel"
+    val live = snapshotFiles(spark, src, Some(v))
+    val adds = live.map(abs)
+    val dvLines = dvAt(spark, src, Some(v)).toSeq
+      .map { case (fl, dvDir) => s"${abs(fl)}|${abs(dvDir)}" }
+    val liveSet = live.toSet
+    val statsLines = statsPayloadsAt(spark, src, Some(v))
+      .filter(s => liveSet.contains(s.split('|')(0)))
+      .map { s =>
+        val t = s.split('|')
+        // bloom lines carry a SECOND path (the sidecar dir) — rebase it
+        // with the file key so the clone's probes resolve the filters
+        if (t.length == 5 && t(4) == BloomSuffix)
+          Seq(abs(t(0)), t(1), abs(t(2)), t(3), t(4)).mkString("|")
+        else (abs(t(0)) +: t.drop(1)).mkString("|")
+      }
+    val schemaB64 = schemaAt(spark, src, Some(v)).map(encodeSchema)
+    val metaLines = commitMetas(spark, src, Some(v)).toSeq
+      .map { case (k, value) => metaPayload(k, value) } :+
+      metaPayload("clone-source", s"$srcRoot@$v")
+    require(tryCommit(spark, dst, 0L, adds, Seq.empty, Some("clone"),
+      schemaB64, Seq.empty, statsLines, dvLines, metaLines),
+      s"txlog: clone target $dst claimed by a concurrent writer")
+    0L
+  }
+
   /** DESCRIBE HISTORY: one row per commit — version, kind, action
     * counts, txn markers, and the commit file's (monotonized)
     * timestamp. Driver-side log scan, bounded by commit count. */
@@ -2935,11 +3212,16 @@ object TxLog {
     // read path even though snapshotFiles doesn't list them
     val referencedDvDirs = retainedVersions
       .flatMap(v => dvAt(spark, table, Some(v)).values).toSet
-    def underReferencedDv(rel: String): Boolean =
-      referencedDvDirs.exists(d => rel.startsWith(d + "/"))
+    // ...and the bloom sidecars referenced by any retained version's
+    // live bloom lines — same part-of-the-read-path rule as dv dirs
+    val referencedBloomDirs = retainedVersions
+      .flatMap(v => bloomDirsAt(spark, table, Some(v))).toSet
+    val referencedSidecarDirs = referencedDvDirs ++ referencedBloomDirs
+    def underReferencedSidecar(rel: String): Boolean =
+      referencedSidecarDirs.exists(d => rel.startsWith(d + "/"))
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     candidates.foreach { case (p, rel) =>
-      if (!referenced.contains(rel) && !underReferencedDv(rel)) {
+      if (!referenced.contains(rel) && !underReferencedSidecar(rel)) {
         f.delete(p, false); removed += rel
       }
     }

@@ -776,6 +776,30 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot parse RESTORE timestamp"))
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE through SQL equals the library op") {
+    val src = fresh("clonesrc")
+    TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v")) // v0
+    TxLog.append(spark, src, Seq(("c", 3L)).toDF("k", "v"))            // v1
+    val dst = fresh("clonedst").stripSuffix("/t") + "/head"
+    val v = spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`")
+      .head().getLong(0)
+    assert(v == 0L)
+    assert(spark.sql(s"SELECT k FROM graft.`$dst` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // VERSION AS OF pins the fork point
+    val dst0 = dst.stripSuffix("/head") + "/at0"
+    spark.sql(s"CREATE TABLE graft.`$dst0` SHALLOW CLONE graft.`$src` " +
+      "VERSION AS OF 0")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dst0`").head().getLong(0)
+      == 2L)
+    // a non-graft source is loud (nothing to fork), not silently delegated
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${dst}2` SHALLOW CLONE some_cat.t")
+    }
+    assert(e.getMessage.contains("SHALLOW CLONE sources only"),
+      s"unexpected clone-source error: ${e.getMessage}")
+  }
+
   test("the injected parser delegates every normal statement untouched") {
     val t = fresh("delegate")
     TxLog.append(spark, t, Seq(("optimize", 1L), ("vacuum", 2L))
