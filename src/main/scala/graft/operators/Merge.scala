@@ -872,13 +872,75 @@ object Merge {
     require(lo < hi, "txlog: bloom fixture needs at least two documents")
     Seq(lo, hi).foreach { k =>
       val (kept, total) = TxLog.pruneFilesBloom(spark, table, "doc_id", k)
-      require(total == 8 && kept.size <= 2,
+      require(total == 8 && kept.size <= 3, // 1 true hit + the fpp sliver
         s"txlog: bloom skip must prune the banded layout: " +
           s"kept ${kept.size} of $total for probe $k")
     }
     TxLog.readWhereEquals(spark, table, "doc_id", lo)
       .unionByName(TxLog.readWhereEquals(spark, table, "doc_id", hi))
       .orderBy("doc_id")
+  }
+
+  /** QW — METADATA-ONLY AGGREGATES ([[graft.sources.TxLog.countRows]] /
+    * [[graft.sources.TxLog.minMaxSkipping]]) under the hash gate:
+    * documents lands in three stats-covered waves (`doc_id % 3`), then
+    * a MOR delete masks rows in wave 0 only — COUNT(*) must be served
+    * as a LOG FOLD (zero footer fallbacks REQUIREd; the dv sidecar
+    * counts subtract) and MIN/MAX of doc_id must scan ONLY the one
+    * masked file (REQUIREd in-row) while the two clean waves serve
+    * from their recorded bounds. The `SELECT COUNT(*)` a 100 TB table
+    * answers without launching a single task. */
+  def qwMetaAgg(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmetaagg", d, "t")
+    (0 until 3).foreach(r => TxLog.appendWithStats(spark, table,
+      docs.filter(col("doc_id") % 3 === r).repartition(1), "doc_id"))
+    TxLog.deleteWhereMorExpr(spark, table, "lang = 'de' AND doc_id % 3 = 0")
+    val (n, fromFooter, maskedFiles) = TxLog.countRowsDetail(spark, table)
+    require(fromFooter == 0,
+      "txlog: engine-written files must be counted from the log alone")
+    require(maskedFiles == 1,
+      s"txlog: the fixture's mask must touch exactly wave 0, got $maskedFiles")
+    val (lo, hi, scanned) = TxLog.minMaxSkipping(spark, table, "doc_id")
+    require(scanned == 1,
+      s"txlog: min/max must scan only the masked file, scanned $scanned")
+    import spark.implicits._
+    Seq((n, lo, hi)).toDF("n", "lo", "hi")
+  }
+
+  /** QW — BLOOM-ACCELERATED MERGE under the hash gate: documents lands
+    * in 8 single-file waves split `doc_id % 8` (every file spans the
+    * full id range — min/max stats prune nothing), each with a per-file
+    * bloom on doc_id, then a NEEDLE upsert (re-price the min and max
+    * docs, insert one fresh key) merges in. The row REQUIREs the
+    * multi-probe prune admits ≤4 of the 8 files (the address scan a
+    * 100 TB merge would otherwise pay in full), and the post-merge read
+    * must hash-match the closed-form upsert — a false skip would land
+    * the matched keys twice and break the hash. */
+  def qwMergeBloom(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.types.StructType
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txmergebloom", d, "t")
+    TxLog.createTable(spark, table,
+      StructType(docs.schema.fields.map(_.copy(nullable = true))))
+    (0 until 8).foreach(r => TxLog.appendWithBloom(spark, table,
+      docs.filter(col("doc_id") % 8 === r).repartition(1), "doc_id"))
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    require(lo < hi, "txlog: bloom-merge fixture needs two documents")
+    val updates = docs
+      .filter(col("doc_id") === lo || col("doc_id") === hi)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .unionByName(docs.filter(col("doc_id") === hi)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    val (kept, total) = TxLog.pruneFilesBloomAny(spark, table, "doc_id",
+      Seq(lo, hi, hi + 10000000L))
+    require(total == 8 && kept.size <= 5, // ≤2-3 true hits + the 1%-fpp sliver
+      s"txlog: needle merge must skip most files: kept ${kept.size} of $total")
+    TxLog.mergeMor(spark, table, updates, Seq("doc_id"))
+    TxLog.read(spark, table).orderBy("doc_id")
   }
 
   /** QW14 — FREE-PREDICATE merge-on-read delete under the hash gate:
@@ -1408,6 +1470,8 @@ object Merge {
     "qw_restore_read" -> qwRestoreRead _,
     "qw_clone_read" -> qwCloneRead _,
     "qw_bloom_read" -> qwBloomRead _,
+    "qw_meta_agg" -> qwMetaAgg _,
+    "qw_merge_bloom" -> qwMergeBloom _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
     "qw_binpack_read" -> qwBinpackRead _,
     "qw_rename_lifecycle" -> qwRenameLifecycle _,
@@ -1558,6 +1622,20 @@ object Merge {
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE doc_id = (SELECT MIN(doc_id) FROM documents) " +
         "OR doc_id = (SELECT MAX(doc_id) FROM documents) ORDER BY doc_id"),
+    // count = log fold minus the dv mask; min/max = log bounds + the
+    // one masked file's scan (both REQUIREd in-row)
+    "qw_meta_agg" ->
+      ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents WHERE NOT (lang = 'de' AND doc_id % 3 = 0)"),
+    // the needle upsert's closed form: min/max re-priced, max cloned to
+    // a fresh key — the address scan's pruning REQUIREd in-row
+    "qw_merge_bloom" ->
+      ("SELECT doc_id, lang, CASE WHEN doc_id = (SELECT MIN(doc_id) " +
+        "FROM documents) OR doc_id = (SELECT MAX(doc_id) FROM documents) " +
+        "THEN n_chars + 1000 ELSE n_chars END AS n_chars FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000 AS doc_id, lang, n_chars " +
+        "FROM documents WHERE doc_id = (SELECT MAX(doc_id) FROM documents) " +
+        "ORDER BY doc_id"),
     // string-range scan: the skip (proved by the in-row REQUIRE) decides
     // files, never rows; byte-order BETWEEN is identical in both engines
     "qw_pruned_read_str" ->

@@ -1142,22 +1142,27 @@ object TxLog {
     // its own file shape while riding THIS loop's boundary recheck —
     // it receives the minted logical frame + rel and returns (files,
     // extra stats-channel lines); the default is the plain parquet write
-    def writeData(): (Seq[String], Seq[String]) = writeBatch match {
-      case Some(wb) => wb(dfW, rel)
-      case None =>
-        physicalize(dfW, schemaAt(spark, table))
-          .write.parquet(new Path(table, rel).toString)
-        val files = writtenFiles(spark, table, rel)
-        val stats = statsCols.flatMap { c =>
-          val forCol = footerStats(spark, table, files, c)
-          // a stats request that records nothing would silently void the
-          // skipping contract forever — fail at write time instead
-          require(files.isEmpty || forCol.nonEmpty,
-            s"txlog: no parquet footer carried statistics for '$c' — " +
-              "the files would be permanently unprunable")
-          forCol
-        }
-        (files, stats)
+    def writeData(): (Seq[String], Seq[String]) = {
+      val (files, stats) = writeBatch match {
+        case Some(wb) => wb(dfW, rel)
+        case None =>
+          physicalize(dfW, schemaAt(spark, table))
+            .write.parquet(new Path(table, rel).toString)
+          val files = writtenFiles(spark, table, rel)
+          val stats = statsCols.flatMap { c =>
+            val forCol = footerStats(spark, table, files, c)
+            // a stats request that records nothing would silently void the
+            // skipping contract forever — fail at write time instead
+            require(files.isEmpty || forCol.nonEmpty,
+              s"txlog: no parquet footer carried statistics for '$c' — " +
+                "the files would be permanently unprunable")
+            forCol
+          }
+          (files, stats)
+      }
+      // every data-landing commit records its files' row counts, so
+      // COUNT(*) is a log fold forever after ([[countRows]])
+      (files, stats ++ rowCountLines(spark, table, files))
     }
     var (files, stats) = writeData()
     var v = intended
@@ -1325,9 +1330,11 @@ object TxLog {
     physicalize(df, Some(evolved)).write.parquet(dataDir.toString)
     val files = writtenFiles(spark, table, rel)
     val schemaB64 = Some(encodeSchema(evolved))
+    val counts = rowCountLines(spark, table, files)
     var v = intended
     var attempts = 0
-    while (!tryCommit(spark, table, v, files, Seq.empty, None, schemaB64)) {
+    while (!tryCommit(spark, table, v, files, Seq.empty, None, schemaB64,
+      Seq.empty, counts)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: evolving append to $table still contended after $attempts attempts")
@@ -1690,10 +1697,13 @@ object TxLog {
                                    extraTxns: Seq[(String, Long)] = Seq.empty,
                                    schemaB64: Option[String] = None,
                                    metas: Seq[String] = Seq.empty): Long = {
+    // every data-landing commit records its files' row counts
+    // ([[countRows]]); rewrites funnel here, appends through appendCommit
+    val statsAll = stats ++ rowCountLines(spark, table, adds)
     var v = baseVersion + 1
     var attempts = 0
     while (!tryCommit(spark, table, v, adds, removes, Some(tag), schemaB64,
-      txn.toSeq ++ extraTxns, stats, dvs, metas)) {
+      txn.toSeq ++ extraTxns, statsAll, dvs, metas)) {
       attempts += 1
       require(attempts < maxCommitAttempts,
         s"txlog: $tag of $table still contended after $attempts attempts")
@@ -2125,6 +2135,107 @@ object TxLog {
     readWhereAll(spark, table, Seq((statsCol, lo, hi)), asOf)
 
   // ---------------------------------------------------------------------
+  // METADATA-ONLY AGGREGATES (the public Delta "numRecords in the log"
+  // idea): every commit that lands data files records each file's row
+  // count in the stats channel under the reserved `_g_rows` key, so
+  // `SELECT COUNT(*)` on a 100 TB table is a driver-side log fold —
+  // zero file opens, zero tasks — minus the deletion-vector mask counts
+  // (a scan of the TINY dv sidecars, never the data). MIN/MAX serve
+  // from recorded per-file bounds for every clean covered file and
+  // scan ONLY the files a mask touches or stats never covered — the
+  // aggregate's cost tracks the mask, not the table.
+  // ---------------------------------------------------------------------
+
+  private val RowsStatsCol = "_g_rows"
+
+  /** Per-file footer row counts of freshly written `files`, as stats
+    * lines — recorded by every data-landing commit path (metadata read;
+    * the write boundary already opens these footers for min/max). */
+  private def rowCountLines(spark: SparkSession, table: String,
+                            files: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(table, f), conf))
+      val n = try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+      s"$f|$RowsStatsCol|$n|$n"
+    }
+  }
+
+  /** Rows each live masked file's CURRENT deletion vector hides —
+    * counted per (file → its own bound dir), never across dirs (an old
+    * dir may still hold a superseded copy of another file's positions). */
+  private def dvMaskedCounts(spark: SparkSession, table: String,
+                             asOf: Option[Long]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val dvs = dvAt(spark, table, asOf)
+    if (dvs.isEmpty) return Map.empty
+    dvs.groupBy(_._2).flatMap { case (dir, bound) =>
+      val names = bound.keys.map(f => new Path(f).getName).toSeq
+      val got = spark.read.parquet(new Path(table, dir).toString)
+        .filter(col("file").isin(names: _*))
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      bound.keys.map(f => f -> got.getOrElse(new Path(f).getName, 0L))
+    }
+  }
+
+  /** Exact COUNT(*) with provenance: (count, files counted from parquet
+    * footers because the log carried no record — 0 on tables written by
+    * this engine — , files whose dv mask was subtracted). */
+  def countRowsDetail(spark: SparkSession, table: String,
+                      asOf: Option[Long] = None): (Long, Int, Int) = {
+    val live = snapshotFiles(spark, table, asOf)
+    val recorded = statsForLive(spark, table, RowsStatsCol, live.toSet, asOf)
+    val missing = live.filterNot(recorded.contains)
+    val fromLog = recorded.values.map(_._1).sum
+    val fromFooter = rowCountLines(spark, table, missing)
+      .map(_.split('|')(2).toLong).sum
+    val masked = dvMaskedCounts(spark, table, asOf)
+    (fromLog + fromFooter - masked.values.sum, missing.size, masked.size)
+  }
+
+  /** Exact row count served from the log alone (plus the dv sidecars'
+    * mask counts; parquet footers only for files some FOREIGN writer
+    * landed without a count record). Never scans a data row. */
+  def countRows(spark: SparkSession, table: String,
+                asOf: Option[Long] = None): Long =
+    countRowsDetail(spark, table, asOf)._1
+
+  /** Exact (MIN, MAX, scanned-file-count) of integral `statsCol`: log
+    * bounds serve every live file with recorded stats and no deletion
+    * vector; ONLY the dirty remainder (masked, or stats never recorded)
+    * is scanned — a masked file's recorded bound may belong to a
+    * deleted row, so trusting it would be wrong, and scanning just
+    * those files is the honest minimum. Loud on an empty table. */
+  def minMaxSkipping(spark: SparkSession, table: String, statsCol: String,
+                     asOf: Option[Long] = None): (Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val live = snapshotFiles(spark, table, asOf)
+    val stats = statsForLive(spark, table, statsCol, live.toSet, asOf)
+    val dvs = dvAt(spark, table, asOf)
+    val (clean, dirty) = live.partition(f =>
+      stats.contains(f) && !dvs.contains(f))
+    val cleanBounds = clean.map(stats)
+    val scanned =
+      if (dirty.isEmpty) None
+      else {
+        val r = scanLive(spark, table, dirty, schemaAt(spark, table, asOf),
+          dvs.filter(kv => dirty.contains(kv._1)))
+          .agg(min(col(statsCol)), max(col(statsCol))).head()
+        if (r.isNullAt(0)) None // every dirty row was masked out
+        else Some((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      }
+    val all = cleanBounds ++ scanned
+    require(all.nonEmpty,
+      s"txlog: MIN/MAX of '$statsCol' over zero live rows in $table")
+    (all.map(_._1).min, all.map(_._2).max, dirty.size)
+  }
+
+  // ---------------------------------------------------------------------
   // LOG-NATIVE PER-FILE BLOOM FILTERS (the public Delta bloom-filter
   // index idea): min/max stats prune range reads on CLUSTERED columns,
   // but a point lookup on a high-cardinality column the layout is NOT
@@ -2297,6 +2408,62 @@ object TxLog {
     }
     (kept, live.size)
   }
+
+  /** Multi-probe bloom prune: the live files that might contain AT
+    * LEAST ONE of `values` in `bloomCol` — [[pruneFilesBloom]] for a
+    * key SET (the MERGE address scan's shape: a file no batch key can
+    * live in holds no superseded row, so the scan skips it whole).
+    * Unbloomed files are conservatively kept. */
+  def pruneFilesBloomAny(spark: SparkSession, table: String, bloomCol: String,
+                         values: Seq[Any],
+                         asOf: Option[Long] = None): (Seq[String], Int) = {
+    require(values.nonEmpty, "txlog: bloom multi-probe needs values")
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val colType = schemaAt(spark, table, asOf)
+      .flatMap(_.fields.find(_.name == bloomCol)).map(_.dataType)
+      .getOrElse(read(spark, table, asOf).schema(bloomCol).dataType)
+    import spark.implicits._
+    val hashes = values.map(_.toString).toDF("v")
+      .select(xxhash64(col("v").cast(colType))).collect().map(_.getLong(0))
+    pruneFilesBloomHashes(spark, table, bloomCol, hashes, asOf)
+      .getOrElse {
+        val l = snapshotFiles(spark, table, asOf)
+        (l, l.size)
+      }
+  }
+
+  /** [[pruneFilesBloomAny]] over pre-computed xxhash64 probe hashes;
+    * None when the column carries no filters at `asOf` (callers keep
+    * their full scan). */
+  private def pruneFilesBloomHashes(spark: SparkSession, table: String,
+                                    bloomCol: String, hashes: Array[Long],
+                                    asOf: Option[Long]
+                                   ): Option[(Seq[String], Int)] = {
+    val live = snapshotFiles(spark, table, asOf)
+    val blooms = bloomForLive(spark, table, bloomCol, live.toSet, asOf)
+    if (blooms.isEmpty) return None
+    val sidecars = blooms.values.toSeq.distinct
+      .map(p => new Path(table, p).toString)
+    val filters: Map[String, Array[Byte]] =
+      spark.read.parquet(sidecars: _*).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val kept = live.filter { f =>
+      if (!blooms.contains(f)) true
+      else filters.get(new Path(f).getName).forall { bytes =>
+        bytes == null || bytes.isEmpty || {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+        }
+      }
+    }
+    Some((kept, live.size))
+  }
+
+  /** Probe-key ceiling for the bloom-accelerated merge: above this the
+    * driver-side files × keys membership sweep costs more than it
+    * saves, and the merge falls back to the full address scan. */
+  private val MaxMergeBloomProbes = 100000
 
   /** Point-equality read with log-native bloom skipping — the
     * needle-in-haystack lookup ([[readWhere]]'s range twin for columns
@@ -3598,7 +3765,33 @@ object TxLog {
     require(dup.isEmpty,
       s"txlog: merge batch names key (${dup.headOption.map(_.mkString(", "))
         .getOrElse("")}) more than once — a merge must name each key once")
-    val live = snapshotFiles(spark, table, Some(base))
+    // bloom-accelerated address scan (r16): when the leading key column
+    // carries per-file filters ([[appendWithBloom]]), skip every file
+    // whose filter excludes ALL batch keys — no false negatives means a
+    // skipped file holds zero superseded rows, so the mask, the
+    // duplicate guard, and the identity join-back are unaffected; the
+    // merge's scan cost tracks the TOUCHED files, not the table. Capped
+    // at [[MaxMergeBloomProbes]] distinct keys (beyond that the
+    // driver-side membership sweep stops paying for itself).
+    val liveAll = snapshotFiles(spark, table, Some(base))
+    val live = {
+      import org.apache.spark.sql.functions.xxhash64
+      // hash through the TABLE's key type: a legally narrower batch key
+      // (upcast at physicalize time) must probe as the stored type, or
+      // a hash mismatch would skip files that DO hold matches
+      val keyType = evolution.orElse(schemaAt(spark, table, Some(base)))
+        .flatMap(_.fields.find(_.name == keys.head)).map(_.dataType)
+      keyType match {
+        case None => liveAll // undeclared legacy table: no safe probe type
+        case Some(t) =>
+          val probeHashes = updates
+            .select(xxhash64(col(keys.head).cast(t))).distinct()
+            .limit(MaxMergeBloomProbes + 1).collect().map(_.getLong(0))
+          if (probeHashes.length > MaxMergeBloomProbes) liveAll
+          else pruneFilesBloomHashes(spark, table, keys.head, probeHashes,
+            Some(base)).map(_._1).getOrElse(liveAll)
+      }
+    }
     // under an evolution the EVOLVED schema governs every read and
     // write below: old files scan with the new columns null / the
     // widened types promoted (the same read path a declared ADD
@@ -4034,7 +4227,8 @@ object TxLog {
       .write.parquet(new Path(table, rel).toString)
     val files = writtenFiles(spark, table, rel)
     if (tryCommit(spark, table, 0L, files, Seq.empty, None, None,
-      (appId, batchId) +: extraTxns, metas = metas)) true
+      (appId, batchId) +: extraTxns, rowCountLines(spark, table, files),
+      metas = metas)) true
     else {
       val dir = new Path(table, rel)
       fs(spark, dir).delete(dir, true) // lost the build race: no orphans

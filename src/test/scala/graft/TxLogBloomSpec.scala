@@ -27,10 +27,14 @@ class TxLogBloomSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
   /** 8 single-file appends, each holding keys ≡ r (mod 8): every file
-    * spans the FULL key range (min/max useless), bloom prunes to ~1. */
+    * spans the FULL key range (min/max useless), bloom prunes to ~1.
+    * Schema declared up front so the merge fast path has a probe type. */
   private def bandedTable(prefix: String, n: Long = 400L): String = {
     val t = freshTable(prefix)
     val rows = (1L to n).map(i => (i, s"k$i", i % 97)).toDF("id", "sk", "v")
+    TxLog.createTable(spark, t,
+      org.apache.spark.sql.types.StructType(rows.schema.fields
+        .map(_.copy(nullable = true))))
     (0 until 8).foreach { r =>
       TxLog.appendWithBloom(spark, t,
         rows.filter(col("id") % 8 === r).repartition(1), "sk")
@@ -116,6 +120,48 @@ class TxLogBloomSpec extends AnyFunSuite {
     val (kept, total) = TxLog.pruneFilesBloom(spark, t, "sk", "k17")
     assert(kept.size == total)
     assert(TxLog.readWhereEquals(spark, t, "sk", "k17").count() == 1L)
+  }
+
+  test("merge prunes its address scan through the key column's filters") {
+    val t = bandedTable("txbloom-merge")
+    // needle batch: one matched key (re-priced) + one fresh insert
+    val batch = Seq((131L, "k131", 999L), (9999L, "k9999", 1L))
+      .toDF("id", "sk", "v")
+    TxLog.mergeMor(spark, t, batch, Seq("sk"))
+    val rows = TxLog.read(spark, t)
+    assert(rows.filter(col("sk") === "k131").select("v").as[Long].head()
+      == 999L, "the pruned address scan must still supersede the match")
+    assert(rows.filter(col("sk") === "k9999").count() == 1L)
+    assert(rows.count() == 401L,
+      "a false skip would append the matched key as a duplicate")
+    // helper-level proof the needle set has ~1 candidate of the 8
+    // 8 banded files + the merge's unbloomed image file(s): the probe
+    // set must still skip MOST banded files (1 true hit; the 1%-fpp
+    // filters admit a bounded false-positive sliver per probe)
+    val (kept, total) = TxLog.pruneFilesBloomAny(spark, t, "sk",
+      Seq("k131", "k9999"))
+    assert(total >= 9 && kept.size <= total - 5,
+      s"multi-probe prune kept ${kept.size} of $total")
+  }
+
+  test("narrower-typed batch keys probe as the stored type") {
+    val t = freshTable("txbloom-cast")
+    val rows = (1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+    TxLog.createTable(spark, t,
+      org.apache.spark.sql.types.StructType(rows.schema.fields
+        .map(_.copy(nullable = true))))
+    (0 until 4).foreach(r => TxLog.appendWithBloom(spark, t,
+      rows.filter(col("id") % 4 === r).repartition(1), "id"))
+    // an INT-keyed batch against the LONG column: legal (upcast), and
+    // the probe must hash as LONG — a raw-type hash would skip the
+    // matching file and land the key twice
+    val batch = Seq((7, 999)).toDF("id", "v")
+    TxLog.mergeMor(spark, t, batch, Seq("id"))
+    val got = TxLog.read(spark, t).filter(col("id") === 7L)
+      .select("v").as[Long].collect().toSeq
+    assert(got == Seq(999L),
+      s"narrow-typed probe must still find its file: got rows $got")
+    assert(TxLog.read(spark, t).count() == 100L)
   }
 
   test("filters travel through a shallow clone") {
