@@ -51,8 +51,9 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
   *  - `OPTIMIZE graft.`/t`` ZORDER BY (a, b)` → [[TxLog.optimizeZOrder]]
   *    (output file count sized from live bytes / the session's target)
   *  - `OPTIMIZE graft.`/t`` HILBERT BY (a, b)` → [[TxLog.optimizeHilbert]]
-  *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS]` → [[TxLog.vacuum]]
-  *    (no RETAIN clause = retain ALL versions, orphan-only reclaim)
+  *  - `VACUUM graft.`/t`` [RETAIN n VERSIONS] [DRY RUN]` →
+  *    [[TxLog.vacuum]] (no RETAIN clause = retain ALL versions,
+  *    orphan-only reclaim; DRY RUN reports and deletes nothing)
   *  - `DESCRIBE HISTORY graft.`/t``      → [[TxLog.history]] rows
   *  - `DESCRIBE DETAIL graft.`/t``       → one-row operational summary
   *  - `ALTER TABLE graft.`/t`` ADD CONSTRAINT c CHECK (expr)` /
@@ -94,7 +95,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*(?:DESC|DESCRIBE)\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val CreateMvRe =
@@ -186,13 +187,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       TxLogOptimizeCommand(graftPath(ident).get, z,
         hilbert = Option(curve).exists(_.equalsIgnoreCase("HILBERT")))
-    case VacuumRe(ident, retain) if graftPath(ident).isDefined =>
+    case VacuumRe(ident, retain, dry) if graftPath(ident).isDefined =>
       // bare VACUUM is CONSERVATIVE (r14 advice): retain EVERY version —
       // only orphan files no version references are reclaimed, so time
       // travel never silently dies behind a habit-typed `VACUUM t`.
       // Trimming history requires the explicit RETAIN n VERSIONS.
+      // DRY RUN reports the reclaim set, deletes nothing.
       TxLogVacuumCommand(graftPath(ident).get,
-        Option(retain).map(_.toInt).getOrElse(Int.MaxValue))
+        Option(retain).map(_.toInt).getOrElse(Int.MaxValue),
+        dryRun = dry != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -462,14 +465,15 @@ case class TxLogOptimizeCommand(table: String,
   * writer horizon; 0 = exact, single-writer only). Without a RETAIN
   * clause every version is retained (orphan-only reclaim — time travel
   * survives a bare VACUUM by default). Returns the count. */
-case class TxLogVacuumCommand(table: String, retainLast: Int)
+case class TxLogVacuumCommand(table: String, retainLast: Int,
+                              dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val age = spark.conf
       .get("spark.graft.vacuum.minFileAgeMs", "86400000").toLong
-    Seq(Row(TxLog.vacuum(spark, table, retainLast, age).size.toLong))
+    Seq(Row(TxLog.vacuum(spark, table, retainLast, age, dryRun).size.toLong))
   }
 }
 
@@ -553,7 +557,8 @@ case class TxLogDetailCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("n_live_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("n_dv_bound", LongType, nullable = false)(),
-    AttributeReference("declares_schema", BooleanType, nullable = false)())
+    AttributeReference("declares_schema", BooleanType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = TxLog.versions(spark, table)
     require(vs.nonEmpty, s"txlog: no commits in $table")
@@ -565,7 +570,10 @@ case class TxLogDetailCommand(table: String) extends LeafRunnableCommand {
     Seq(Row(table, vs.last, TxLog.earliestReadableVersion(spark, table),
       vs.size.toLong, live.size.toLong, bytes,
       TxLog.dvAt(spark, table, None).size.toLong,
-      TxLog.schemaAt(spark, table).isDefined))
+      TxLog.schemaAt(spark, table).isDefined,
+      // exact, metadata-only ([[TxLog.countRows]]): the log's recorded
+      // per-file counts minus the dv mask — no data scan
+      TxLog.countRows(spark, table)))
   }
 }
 

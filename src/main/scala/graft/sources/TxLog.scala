@@ -2339,6 +2339,58 @@ object TxLog {
     files.map(f => s"$f|$phys|$sidecarRel|$numBits|$BloomSuffix")
   }
 
+  /** REBLOOM — restore needle skipping after rewrites: build filters
+    * for every live file MISSING one on `bloomCol` (compaction and
+    * clustering drop their inputs' filters with the files; their packed
+    * outputs land unbloomed) and commit the references metadata-only.
+    * Incremental: already-filtered files are untouched, so the cost
+    * tracks the rewritten tail, not the table — run it after OPTIMIZE
+    * the way Delta re-indexes. Files are immutable, so a filter built
+    * here can never go stale; the commit rides [[commitRewrite]] with
+    * the row-invisible "compact" classification (the change feed and
+    * view maintenance skip it) and the sidecar is cleaned on an
+    * aborted claim like any orphan. Returns the committed version, or
+    * the current one when nothing is missing. */
+  def rebloom(spark: SparkSession, table: String, bloomCol: String,
+              fpp: Double = 0.01): Long = {
+    require(fpp > 0 && fpp < 0.5, s"txlog: bloom fpp out of range: $fpp")
+    requireNonEmpty(spark, table, "rebloom")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val existing = bloomForLive(spark, table, bloomCol, live.toSet, Some(base))
+    val missing = live.filterNot(existing.contains)
+    if (missing.isEmpty) return base
+    val phys = resolvePhysical(spark, table, bloomCol, Some(base))
+    require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
+      s"txlog: bloom column name unsupported by the line format: $phys")
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxRows = missing.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(table, f), conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.max.max(1L)
+    val numBits = math.min(1L << 27, math.max(64L,
+      math.ceil(-maxRows * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{col, lit, xxhash64, call_function}
+    val sidecarRel = f"data/v${base + 1}%08d-rebloom-${uniq()}"
+    val sidecarDir = new Path(table, sidecarRel)
+    spark.read.parquet(missing.map(p => new Path(table, p).toString): _*)
+      .withColumn("_g_bloom_file", col("_metadata.file_name"))
+      .groupBy("_g_bloom_file")
+      .agg(call_function("seen_filter_agg",
+        xxhash64(col(phys)), lit(maxRows), lit(numBits)).as("filter"))
+      .select(col("_g_bloom_file").as("file"), col("filter"))
+      .coalesce(1)
+      .write.parquet(sidecarDir.toString)
+    val lines = missing.map(f => s"$f|$phys|$sidecarRel|$numBits|$BloomSuffix")
+    commitRewrite(spark, table, base, Seq.empty, Seq.empty, "compact",
+      sidecarDir, stats = lines)
+  }
+
   /** Live files' bloom sidecar references for `bloomCol` as of `asOf`
     * (file → sidecar dir; empty when the column was never bloomed —
     * readers treat absence as "cannot skip"). */
@@ -3327,8 +3379,12 @@ object TxLog {
     * the subsequent commit reference deleted files (silent corruption
     * until scan time). 0 keeps the single-writer behavior: delete
     * every unreferenced file immediately. */
+  /** `dryRun`: report the files a real vacuum would reclaim, delete
+    * nothing, leave the watermark untouched — the Delta `VACUUM ...
+    * DRY RUN` audit step before an irreversible retention trim. */
   def vacuum(spark: SparkSession, table: String,
-             retainLast: Int = 1, minFileAgeMs: Long = 86400000L): Seq[String] = {
+             retainLast: Int = 1, minFileAgeMs: Long = 86400000L,
+             dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, "txlog: must retain at least the latest version")
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"txlog: nothing to vacuum in $table")
@@ -3389,9 +3445,11 @@ object TxLog {
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     candidates.foreach { case (p, rel) =>
       if (!referenced.contains(rel) && !underReferencedSidecar(rel)) {
-        f.delete(p, false); removed += rel
+        if (!dryRun) f.delete(p, false)
+        removed += rel
       }
     }
+    if (dryRun) return removed.toSeq.sorted // nothing moved, no watermark
     // the watermark is REPLACED atomically (write-temp + rename): a
     // racing reader of a half-written watermark would otherwise parse a
     // truncated number and mis-gate its time travel

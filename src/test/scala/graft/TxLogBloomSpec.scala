@@ -164,6 +164,25 @@ class TxLogBloomSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 100L)
   }
 
+  test("rebloom restores needle skipping after a compaction drops filters") {
+    val t = bandedTable("txbloom-rebloom", n = 160L)
+    TxLog.compact(spark, t) // filters die with their input files
+    val (keptBefore, totalBefore) = TxLog.pruneFilesBloom(spark, t, "sk", "k17")
+    assert(keptBefore.size == totalBefore,
+      "compacted output must start unbloomed (conservative full keep)")
+    val v = TxLog.rebloom(spark, t, "sk")
+    assert(v == TxLog.latestVersion(spark, t))
+    // incremental: nothing missing → commit-free no-op
+    assert(TxLog.rebloom(spark, t, "sk") == v,
+      "a rebloom with nothing missing must not commit")
+    val (kept, total) = TxLog.pruneFilesBloom(spark, t, "sk", "no-such")
+    assert(kept.size < total, s"rebloomed filters must skip: $kept")
+    assert(TxLog.readWhereEquals(spark, t, "sk", "k17").count() == 1L,
+      "rebloomed probes must still find every present value")
+    // the rebloom commit is row-invisible: the snapshot is unchanged
+    assert(TxLog.read(spark, t).count() == 160L)
+  }
+
   test("filters travel through a shallow clone") {
     val base = java.nio.file.Files.createTempDirectory("txbloom-clone").toString
     val src = s"$base/src"; val dst = s"$base/dst"

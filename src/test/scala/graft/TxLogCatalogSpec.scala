@@ -776,6 +776,34 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot parse RESTORE timestamp"))
   }
 
+  test("VACUUM DRY RUN reports without deleting; DESCRIBE DETAIL serves n_rows") {
+    val t = fresh("dryrun")
+    TxLog.append(spark, t, (1L to 30L).map(i => (i, s"r$i")).toDF("k", "s"))
+    TxLog.compact(spark, t) // the old files become reclaimable
+    spark.conf.set("spark.graft.vacuum.minFileAgeMs", "0")
+    try {
+      val wouldDelete = spark
+        .sql(s"VACUUM graft.`$t` RETAIN 1 VERSIONS DRY RUN")
+        .head().getLong(0)
+      assert(wouldDelete >= 1L, "the pre-compact files must be reported")
+      // nothing moved: the old snapshot is still fully readable
+      assert(TxLog.read(spark, t, Some(0L)).count() == 30L,
+        "DRY RUN must not reclaim (time travel must survive)")
+      assert(TxLog.earliestReadableVersion(spark, t) == 0L,
+        "DRY RUN must not raise the watermark")
+      // the real vacuum then reclaims exactly what the dry run promised
+      val deleted = spark.sql(s"VACUUM graft.`$t` RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      assert(deleted == wouldDelete)
+    } finally spark.conf.unset("spark.graft.vacuum.minFileAgeMs")
+    val det = spark.sql(s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(det.getLong(8) == 30L,
+      s"n_rows must serve the metadata-only count: ${det.getLong(8)}")
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k <= 10")
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$t`").head().getLong(8) == 20L,
+      "n_rows must subtract the deletion-vector mask")
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE through SQL equals the library op") {
     val src = fresh("clonesrc")
     TxLog.append(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v")) // v0
