@@ -117,7 +117,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AddGenColRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+([A-Za-z][A-Za-z0-9_,()\s]*?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d{1,18}))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d{1,18})|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
   private val AddIdentityRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*;?\s*""".r
 
@@ -155,13 +155,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogHistoryCommand(graftPath(ident).get)
     case DescDetailRe(ident) if graftPath(ident).isDefined =>
       TxLogDetailCommand(graftPath(ident).get)
-    case CloneRe(dstIdent, srcIdent, v) if graftPath(dstIdent).isDefined =>
+    case CloneRe(dstIdent, srcIdent, v, ts) if graftPath(dstIdent).isDefined =>
       val src = graftPath(srcIdent).getOrElse(throw
         new UnsupportedOperationException(
           s"txlog: SHALLOW CLONE sources only graft.-catalog tables, got " +
             s"$srcIdent — a foreign table has no TxLog snapshot to fork"))
       TxLogCloneCommand(src, graftPath(dstIdent).get,
-        Option(v).map(_.toLong))
+        Option(v).map(_.toLong), Option(ts))
     case RestoreRe(ident, v) if graftPath(ident).isDefined =>
       TxLogRestoreCommand(graftPath(ident).get, Some(v.toLong), None)
     case RestoreTsRe(ident, ts) if graftPath(ident).isDefined =>
@@ -528,18 +528,37 @@ case class TxLogRestoreCommand(table: String, toVersion: Option[Long],
 }
 
 /** `CREATE TABLE graft.`/dst`` SHALLOW CLONE graft.`/src`` [VERSION AS
-  * OF v]` — the zero-copy metadata-only fork ([[TxLog.shallowClone]]):
-  * one commit that re-adds the source snapshot's files by absolute
-  * path, with deletion vectors, per-file stats, schema, constraints,
-  * and identity high-water marks all carried. Returns the clone's
-  * commit version (always 0). */
+  * OF v | TIMESTAMP AS OF 'ts']` — the zero-copy metadata-only fork
+  * ([[TxLog.shallowClone]]): one commit that re-adds the source
+  * snapshot's files by absolute path, with deletion vectors, per-file
+  * stats, schema, constraints, and identity high-water marks all
+  * carried. Timestamps resolve through the same monotonized
+  * commit-time mapping as RESTORE. Returns the clone's commit version
+  * (always 0). */
 case class TxLogCloneCommand(src: String, dst: String,
-                             asOf: Option[Long])
+                             asOf: Option[Long],
+                             asOfTs: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.shallowClone(spark, src, dst, asOf)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pinned = asOf.orElse(asOfTs.map { ts =>
+      val ms =
+        try java.time.Instant.parse(ts).toEpochMilli
+        catch {
+          case _: Exception =>
+            try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: Exception => throw new IllegalArgumentException(
+                s"txlog: cannot parse CLONE timestamp '$ts' " +
+                  "(ISO instant, or 'yyyy-MM-dd HH:mm:ss' in UTC)")
+            }
+        }
+      TxLog.versionAtTime(spark, src, ms)
+    })
+    Seq(Row(TxLog.shallowClone(spark, src, dst, pinned)))
+  }
 }
 
 /** `DESCRIBE DETAIL graft.`/t`` — the table's one-row operational

@@ -4344,6 +4344,18 @@ object TxLog {
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) { append(batch.sparkSession, table, batch); () }
 
+  /** [[appendSink]] recording a per-file bloom filter over `bloomCol`
+    * on every micro-batch ([[appendWithBloom]]): the streaming-ingested
+    * table keeps point-lookup skipping WITHOUT a maintenance pass —
+    * each micro-batch's files arrive filtered, so a needle probe skips
+    * the whole ingest history except the files that might hold it. */
+  def appendSinkWithBloom(table: String,
+                          bloomCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        appendWithBloom(batch.sparkSession, table, batch, bloomCol); ()
+      }
+
   /** [[appendSink]] with the txn guard: a replayed micro-batch is
     * detected by its (appId, batchId) marker and skipped — exactly-once
     * landing under foreachBatch's at-least-once replay contract

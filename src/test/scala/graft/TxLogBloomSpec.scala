@@ -183,6 +183,22 @@ class TxLogBloomSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 160L)
   }
 
+  test("the streaming sink records filters per micro-batch") {
+    val t = freshTable("txbloom-sink")
+    val sink = TxLog.appendSinkWithBloom(t, "sk")
+    (0 until 4).foreach { b =>
+      sink((1L to 25L).map(i => (b * 25L + i, s"k${b * 25 + i}"))
+        .toDF("id", "sk").repartition(1), b.toLong)
+    }
+    sink(spark.emptyDataset[(Long, String)].toDF("id", "sk"), 4L) // no-op
+    assert(TxLog.versions(spark, t).size == 4, "empty batches must not commit")
+    val (kept, total) = TxLog.pruneFilesBloom(spark, t, "sk", "k60")
+    assert(total == 4 && kept.size <= 2,
+      s"per-batch filters must prune the ingest history: ${kept.size}/$total")
+    assert(TxLog.readWhereEquals(spark, t, "sk", "k60")
+      .as[(Long, String)].head() == ((60L, "k60")))
+  }
+
   test("filters travel through a shallow clone") {
     val base = java.nio.file.Files.createTempDirectory("txbloom-clone").toString
     val src = s"$base/src"; val dst = s"$base/dst"

@@ -826,6 +826,18 @@ class TxLogCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("SHALLOW CLONE sources only"),
       s"unexpected clone-source error: ${e.getMessage}")
+    // TIMESTAMP AS OF resolves through the commit-time mapping
+    val now = java.time.Instant.now().toString
+    val dstTs = dst.stripSuffix("/head") + "/atts"
+    spark.sql(s"CREATE TABLE graft.`$dstTs` SHALLOW CLONE graft.`$src` " +
+      s"TIMESTAMP AS OF '$now'")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dstTs`").head().getLong(0)
+      == 3L, "a now-timestamp clone must pin the head snapshot")
+    val eTs = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${dst}3` SHALLOW CLONE graft.`$src` " +
+        "TIMESTAMP AS OF 'yesterday'")
+    }
+    assert(eTs.getMessage.contains("cannot parse CLONE timestamp"))
   }
 
   test("the injected parser delegates every normal statement untouched") {
