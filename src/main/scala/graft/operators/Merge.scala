@@ -943,6 +943,64 @@ object Merge {
     TxLog.read(spark, table).orderBy("doc_id")
   }
 
+  /** QW — REBLOOM after OPTIMIZE ([[graft.sources.TxLog.rebloom]])
+    * under the hash gate: the 8-way banded bloomed layout is COMPACTED
+    * (filters die with their input files — the row REQUIREs the point
+    * probe degrades to a conservative full keep), then rebloomed as a
+    * row-invisible metadata commit — the row REQUIREs needle skipping
+    * is RESTORED (kept < total) and the served read hash-matches the
+    * identity scan. The maintenance pass that keeps point lookups
+    * cheap across a 100 TB table's compaction lifecycle. */
+  def qwRebloomRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txrebloom", d, "t")
+    (0 until 8).foreach(r => TxLog.appendWithBloom(spark, table,
+      docs.filter(col("doc_id") % 8 === r).repartition(1), "doc_id"))
+    val probe = docs.agg(max("doc_id")).head().getLong(0)
+    TxLog.compact(spark, table, numFiles = 4)
+    val (keptDegraded, totalDegraded) =
+      TxLog.pruneFilesBloom(spark, table, "doc_id", probe)
+    require(keptDegraded.size == totalDegraded,
+      "txlog: compacted output must start unbloomed (conservative keep)")
+    val v = TxLog.rebloom(spark, table, "doc_id")
+    require(v == TxLog.latestVersion(spark, table),
+      "txlog: rebloom must land one maintenance commit")
+    val (kept, total) = TxLog.pruneFilesBloom(spark, table, "doc_id", probe)
+    require(kept.size < total,
+      s"txlog: rebloom must restore skipping: kept ${kept.size} of $total")
+    TxLog.readWhereEquals(spark, table, "doc_id", probe)
+      .unionByName(TxLog.read(spark, table).filter(col("doc_id") =!= probe))
+      .orderBy("doc_id")
+  }
+
+  /** QW — REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]]) under
+    * the hash gate: documents lands in three appends, then ONE atomic
+    * backfill replaces the `lang = 'de'` slice with re-priced images of
+    * the same docs — the row REQUIREs zero prior files were rewritten
+    * (the slice is masked, not copied), the commit is merge-tagged (the
+    * change feed and view maintenance fold it), and the post-backfill
+    * read must hash-match the closed-form CASE. The
+    * re-land-one-slice-of-100 TB idiom, priced at the slice. */
+  def qwReplaceWhere(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txreplwhere", d, "t")
+    (0 to 2).foreach(r => TxLog.append(spark, table,
+      docs.filter(col("doc_id") % 3 === r)))
+    val before = TxLog.snapshotFiles(spark, table).toSet
+    val backfill = docs.filter(col("lang") === "de")
+      .withColumn("n_chars", col("n_chars") + 5000L)
+    val v = TxLog.replaceWhere(spark, table, backfill, "lang = 'de'")
+    require(before.subsetOf(TxLog.snapshotFiles(spark, table).toSet),
+      "txlog: REPLACE WHERE rewrote or removed a prior data file")
+    require(TxLog.commitKind(spark, table, v).contains("merge"),
+      "txlog: the backfill commit must be merge-tagged for the change feed")
+    require(TxLog.dvAt(spark, table).nonEmpty,
+      "txlog: the replaced slice must be masked by deletion vectors")
+    TxLog.read(spark, table).orderBy("doc_id")
+  }
+
   /** QW14 — FREE-PREDICATE merge-on-read delete under the hash gate:
     * documents lands in three appends, then a GDPR-shaped erasure by a
     * predicate no stats column can prune (`lang = 'de' AND n_chars`
@@ -1472,6 +1530,8 @@ object Merge {
     "qw_bloom_read" -> qwBloomRead _,
     "qw_meta_agg" -> qwMetaAgg _,
     "qw_merge_bloom" -> qwMergeBloom _,
+    "qw_rebloom_read" -> qwRebloomRead _,
+    "qw_replace_where" -> qwReplaceWhere _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
     "qw_binpack_read" -> qwBinpackRead _,
     "qw_rename_lifecycle" -> qwRenameLifecycle _,
@@ -1627,6 +1687,15 @@ object Merge {
     "qw_meta_agg" ->
       ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
         "FROM documents WHERE NOT (lang = 'de' AND doc_id % 3 = 0)"),
+    // the atomic slice backfill's closed form: the de slice re-priced,
+    // every other row untouched (zero-rewrite REQUIREd in-row)
+    "qw_replace_where" ->
+      ("SELECT doc_id, lang, CASE WHEN lang = 'de' THEN n_chars + 5000 " +
+        "ELSE n_chars END AS n_chars FROM documents ORDER BY doc_id"),
+    // compact degrades to full keep (REQUIREd), rebloom restores the
+    // skip (REQUIREd) — the served snapshot is the identity either way
+    "qw_rebloom_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     // the needle upsert's closed form: min/max re-priced, max cloned to
     // a fresh key — the address scan's pruning REQUIREd in-row
     "qw_merge_bloom" ->

@@ -118,6 +118,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+([A-Za-z][A-Za-z0-9_,()\s]*?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d{1,18})|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+  private val ReplaceWhereRe =
+    """(?is)\s*INSERT\s+INTO\s+(.+?)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*""".r
   private val AddIdentityRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z][A-Za-z0-9_-]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*;?\s*""".r
 
@@ -155,6 +157,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogHistoryCommand(graftPath(ident).get)
     case DescDetailRe(ident) if graftPath(ident).isDefined =>
       TxLogDetailCommand(graftPath(ident).get)
+    case ReplaceWhereRe(ident, pred, select) if graftPath(ident).isDefined =>
+      TxLogReplaceWhereCommand(graftPath(ident).get, pred.trim, select.trim)
     case CloneRe(dstIdent, srcIdent, v, ts) if graftPath(dstIdent).isDefined =>
       val src = graftPath(srcIdent).getOrElse(throw
         new UnsupportedOperationException(
@@ -559,6 +563,22 @@ case class TxLogCloneCommand(src: String, dst: String,
     })
     Seq(Row(TxLog.shallowClone(spark, src, dst, pinned)))
   }
+}
+
+/** `INSERT INTO graft.`/t`` REPLACE WHERE pred SELECT …` — the atomic
+  * slice backfill ([[TxLog.replaceWhere]]): exactly the rows matching
+  * `pred` are replaced by the SELECT's rows, merge-on-read, in one
+  * commit; incoming rows outside the slice fail loudly. The predicate
+  * must not itself contain a SELECT (the clause boundary is textual;
+  * use the library API for subquery predicates). Returns the committed
+  * version. */
+case class TxLogReplaceWhereCommand(table: String, pred: String,
+                                    selectSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.replaceWhere(spark, table, spark.sql(selectSql), pred)))
 }
 
 /** `DESCRIBE DETAIL graft.`/t`` — the table's one-row operational

@@ -3020,6 +3020,89 @@ object TxLog {
     bindDeletionVectors(spark, table, base, newPos, live)
   }
 
+  /** REPLACE WHERE (the public Delta `INSERT INTO … REPLACE WHERE` /
+    * writer-option idea): atomically replace EXACTLY the rows matching
+    * `predicateSql` with `df`, in ONE merge-tagged merge-on-read
+    * commit — the matched rows' positions bind to deletion vectors
+    * (zero files rewritten, moved, or removed) and the new images
+    * append. This is the BACKFILL idiom: re-land one day/tenant/
+    * language slice of a 100 TB table without touching any other byte,
+    * atomically (a reader sees the old slice or the new one, never a
+    * mix, never a gap). Contract (Delta parity): every incoming row
+    * must itself satisfy the predicate — a batch that spills outside
+    * its declared slice fails loudly BEFORE any write (NULL predicate
+    * counts as outside, mirroring the replace scan where NULL rows are
+    * not replaced). Write-boundary features apply as on any merge:
+    * generated columns derive, CHECK constraints gate, identity
+    * columns mint fresh ids for every image (all images are new rows
+    * by definition; the high-water advance rides inside the commit,
+    * race-proof by the merge serializability argument). The change
+    * feed delivers positional deletes + the appended inserts;
+    * MatView folds it. */
+  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+                   predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
+    requireNonEmpty(spark, table, "merge")
+    val base = latestVersion(spark, table)
+    val metasNow = commitMetas(spark, table)
+    // identity: explicit values rejected (GENERATED ALWAYS), fresh ids
+    // minted for every image — all images are NEW rows by definition
+    val idCols = identityFrom(metasNow).toSeq.sortBy(_._1)
+    val cleaned = idCols.foldLeft(df) { case (acc, (n, _)) =>
+      if (!acc.columns.contains(n)) acc
+      else {
+        val r = acc.agg(sum(when(col(n).isNotNull, 1L).otherwise(0L))).head()
+        val nonNull = if (r.isNullAt(0)) 0L else r.getLong(0)
+        require(nonNull == 0L,
+          s"txlog: REPLACE WHERE batch carries $nonNull explicit values " +
+            s"for identity column '$n' — it is GENERATED ALWAYS AS IDENTITY")
+        acc.drop(n)
+      }
+    }
+    val images0 = applyGeneratedColumns(spark, table, cleaned, "merge",
+      Some(prefixed(metasNow, GenKeyPrefix)))
+    requireFitsDeclared(spark, table, images0, "merge")
+    requireSatisfiesConstraints(spark, table, images0, "merge",
+      pre = Some(prefixed(metasNow, CheckKeyPrefix)))
+    val outside = images0
+      .filter(not(coalesce(expr(predicateSql), lit(false)))).count()
+    require(outside == 0L,
+      s"txlog: $outside incoming rows fall OUTSIDE the REPLACE WHERE " +
+        s"slice ($predicateSql) — a backfill must stay inside the slice " +
+        "it replaces, or it silently duplicates rows it did not erase")
+    val images = idCols.foldLeft(images0) { case (acc, (n, (_, st, nx))) =>
+      assignIdentityIds(acc, n, nx, st)
+    }
+    val nImg = if (idCols.isEmpty) 0L else images.count()
+    val idMetas = idCols.map { case (n, (s0, st, nx)) =>
+      metaPayload(IdentityKeyPrefix + n, s"$s0|$st|${nx + nImg * st}")
+    }
+    val declared = schemaAt(spark, table, Some(base))
+    val rel = f"data/v${base + 1}%08d-replace-${uniq()}"
+    physicalize(images, declared).write.parquet(new Path(table, rel).toString)
+    val adds = writtenFiles(spark, table, rel)
+    // addresses of the replaced slice — the deleteWhereMorExpr scan
+    val live = snapshotFiles(spark, table, Some(base))
+    val paths = live.map(p => new Path(table, p).toString)
+    val raw = declared match {
+      case Some(s) => spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val addressed = raw
+      .withColumn("_g_dv_file", col("_metadata.file_name"))
+      .withColumn("_g_dv_pos", col("_metadata.row_index"))
+    val logical = declared.filter(mappingEnabled) match {
+      case None => addressed
+      case Some(s) => addressed.select(
+        s.fields.map(f => col(physicalName(f)).as(f.name)).toSeq ++
+          Seq(col("_g_dv_file"), col("_g_dv_pos")): _*)
+    }
+    val newPos = logical.filter(expr(predicateSql))
+      .select(col("_g_dv_file").as("file"), col("_g_dv_pos").as("pos"))
+    bindDeletionVectors(spark, table, base, newPos, live, adds = adds,
+      tag = "merge", commitOnNoMatch = true, metas = idMetas)
+  }
+
   /** The live-row universe at `base`, addressed for MOR writes: logical
     * column names plus the physical address columns
     * (`_g_dv_file`, `_g_dv_pos`), prior deletion vectors anti-applied
