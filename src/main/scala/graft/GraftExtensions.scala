@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => builder(children)))
     }
     ext.injectOptimizerRule(_ => graft.plans.BroadcastBoundedDims)
+    // transparent MV routing: a matching fresh aggregate over a source
+    // table serves from its registered materialized view instead
+    // (opt-in via spark.graft.mv.route; correct-first — stale or
+    // non-matching shapes read the source untouched)
+    ext.injectOptimizerRule(_ => graft.plans.RouteToMatView)
     // SQL UPDATE / MERGE INTO on TxLog tables → merge-on-read commits
     // (post-hoc: runs after the target/source resolve, before the
     // analyzer's row-level-operation support check would reject them)

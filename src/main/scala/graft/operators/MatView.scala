@@ -156,6 +156,26 @@ object MatView {
     metas.get(ReadHavingKey).fold(served)(h => served.filter(expr(h)))
   }
 
+  /** Routing descriptor for [[graft.plans.RouteToMatView]]: the
+    * single-table definition `(src, keys, valCol)` of `mv` — None when
+    * the view is a join / approx-distinct / computed-key flavor (not
+    * routable v1) or carries no persisted definition. */
+  private[graft] def routeDescriptor(spark: SparkSession,
+                                     mv: String): Option[(String, Seq[String], String)] = {
+    val metas = TxLog.commitMetas(spark, mv)
+    if (metas.contains(DefJoinKey) || metas.contains(DefNdvKey) ||
+      metas.contains(KeyExprsKey)) None
+    else metas.get(DefKey).map(decodeDef)
+  }
+
+  /** True iff `mv` reflects EXACTLY the source's latest version — the
+    * routing gate: a stale view must never serve a query that named the
+    * source table. */
+  private[graft] def isFresh(spark: SparkSession, mv: String,
+                             src: String): Boolean =
+    TxLog.lastCommittedBatch(spark, mv, MvAppId)
+      .contains(TxLog.latestVersion(spark, src))
+
   /** The persisted definition's SOURCE TABLES (src, or fact + dim) —
     * what a continuous maintainer of a named view must subscribe to
     * ([[graft.streaming.StreamingMatView.maintainNamed]]). */
@@ -1211,6 +1231,46 @@ object MatView {
     digestRow(spark, folded, "bucket")
   }
 
+  /** QW — TRANSPARENT MV ROUTING ([[graft.plans.RouteToMatView]])
+    * under the hash gate: documents lands as a source table, a view
+    * maintains `GROUP BY lang`, the view path is registered for
+    * routing, and the UNCHANGED source-table SQL aggregate must (a) be
+    * REWRITTEN to read the view — REQUIREd by the optimized plan
+    * carrying ZERO catalog relations (the routed subtree reads the
+    * view's files through the library scan) — and (b) hash-match the
+    * closed-form aggregate computed by DuckDB over the SOURCE. The
+    * routing conf is scoped to this row (set, proven, unset). */
+  def qwMvRoute(spark: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val src = Fixtures.table("mvroute", d, "src")
+    val mv = Fixtures.table("mvroute", d, "view")
+    TxLog.append(spark, src, docs)
+    refresh(spark, src, mv, Seq("lang"), "n_chars")
+    spark.conf.set(graft.plans.RouteToMatView.ConfKey, mv)
+    graft.plans.RouteToMatView.invalidateCache()
+    try {
+      val served = spark.sql(
+        s"SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+          s"MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+          s"FROM graft.`$src` GROUP BY lang ORDER BY lang")
+      // force + pin the optimized plan NOW (QueryExecution memoizes), so
+      // the proof below is the plan the write will execute
+      val catalogScans = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2Relation => r.table.name()
+        case s: org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2ScanRelation => s.relation.table.name()
+      }
+      require(catalogScans.isEmpty,
+        s"txlog: the aggregate must route to the view, still scans: " +
+          catalogScans.mkString(", "))
+      served
+    } finally {
+      spark.conf.unset(graft.plans.RouteToMatView.ConfKey)
+      graft.plans.RouteToMatView.invalidateCache()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qw_mv_exprkey" -> qwMvExprKey _,
     "qw_mv_avg" -> qwMvAvg _,
@@ -1220,7 +1280,8 @@ object MatView {
     "qw_mv_delete_fold" -> qwMvDeleteFold _,
     "qw_mv_sql" -> qwMvSql _,
     "qw_mv_sql_join" -> qwMvSqlJoin _,
-    "qw_mv_distinct" -> qwMvDistinct _)
+    "qw_mv_distinct" -> qwMvDistinct _,
+    "qw_mv_route" -> qwMvRoute _)
 
   /** Wrap a full-shape MV oracle query (cols `key, cnt, total, vmin,
     * vmax`) into [[digestRow]]'s one-row digest form: the IDENTICAL
@@ -1235,6 +1296,12 @@ object MatView {
       s"FROM ($inner)"
 
   val oracles: Map[String, String] = Map(
+    // the routed aggregate must equal the closed form over the SOURCE —
+    // plan-level routing proof rides in-row
+    "qw_mv_route" ->
+      ("SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
+        "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // AVG rides as exact integer micros on both sides (Spark DIV /
     // DuckDB // — identical on the positive BIGINTs here), so the hash
     // carries no float-formatting axis

@@ -1,0 +1,189 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.{col, max => fMax, min => fMin, sum => fSum}
+import org.apache.spark.sql.types.DoubleType
+
+/** AUTOMATIC MATERIALIZED-VIEW ROUTING (the public "transparent query
+  * rewrite over materialized views" idea): an injected optimizer rule
+  * that rewrites a matching aggregate over a TxLog SOURCE table to read
+  * the maintained VIEW state instead — the 100 TB group-by answered
+  * from the kilobyte view, with zero query changes.
+  *
+  * Opt-in and safe by construction:
+  *  - routing considers only the views named in the session conf
+  *    `spark.graft.mv.route` (comma-separated view paths);
+  *  - a view serves only while FRESH — its applied-source-version
+  *    marker must equal the source's LATEST version
+  *    ([[graft.operators.MatView.isFresh]]); one source commit later
+  *    the same query silently reads the source again (correct first,
+  *    fast when possible);
+  *  - only the exact maintained algebra routes: grouping by the view's
+  *    keys (or a SUBSET — the rollup rewrite: the state's slots are
+  *    commutative monoids, so `cnt = SUM(cnt)`, `total = SUM(total)`,
+  *    `vmin = MIN(vmin)`, `vmax = MAX(vmax)` re-aggregate exactly) with
+  *    aggregates drawn from COUNT(*) / SUM / MIN / MAX / AVG of the
+  *    maintained value column — no DISTINCT, no FILTER clauses, no
+  *    expression over the input, no Filter between the aggregate and
+  *    the bare scan;
+  *  - every routed output must carry EXACTLY the original attribute's
+  *    data type (a decimal re-widening, for example, refuses to route
+  *    rather than serve a subtly different type);
+  *  - join / approx-distinct / computed-key view flavors never route
+  *    (their state is not this algebra).
+  *
+  * The rewrite preserves the aggregate's output attribute ids (each
+  * replacement column is aliased under the original `exprId`), so the
+  * surrounding plan — HAVING filters, projections, sorts — resolves
+  * over the routed subtree untouched. Freshness and definition reads
+  * are driver-side log IO, memoized for [[ttlMs]] because the
+  * optimizer re-runs rules to fixpoint. */
+object RouteToMatView extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.mv.route"
+
+  private val ttlMs = 2000L
+  private val cache =
+    TrieMap.empty[String, (Long, Option[(String, Seq[String], String, Boolean)])]
+
+  /** For tests: drop memoized freshness so a just-committed source
+    * version is observed immediately. */
+  private[graft] def invalidateCache(): Unit = cache.clear()
+
+  private def descriptor(spark: SparkSession, mv: String
+                        ): Option[(String, Seq[String], String, Boolean)] = {
+    val now = System.currentTimeMillis()
+    cache.get(mv).filter(_._1 > now).map(_._2).getOrElse {
+      val d =
+        try graft.operators.MatView.routeDescriptor(spark, mv)
+          .map { case (src, keys, valCol) =>
+            (src, keys, valCol,
+              graft.operators.MatView.isFresh(spark, mv, src))
+          }
+        catch { case _: Exception => None } // unreadable view: never route
+      cache.put(mv, (now + ttlMs, d))
+      d
+    }
+  }
+
+  /** The TxLog table path under a BARE live scan. Alias chains and
+    * attribute-only projections (the optimizer's own column pruning)
+    * are transparent; anything else — filters, computed projections,
+    * time travel — refuses. */
+  private def srcOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, c) => srcOf(c)
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      srcOf(c)
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.TxLogV2Table if t.asOf.isEmpty => Some(t.tablePath)
+      case _ => None
+    }
+    case s: DataSourceV2ScanRelation => s.relation.table match {
+      case t: graft.sources.TxLogV2Table if t.asOf.isEmpty => Some(t.tablePath)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private sealed trait Out
+  private case class KeyOut(name: String) extends Out
+  private case class AggOut(op: String) extends Out // cnt|total|vmin|vmax|vavg
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mvs = conf.getConfString(ConfKey, "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    if (mvs.isEmpty) return plan
+    val spark = SparkSession.active
+    plan.transformUp {
+      case agg @ Aggregate(groupings, _, child, _) if groupings.nonEmpty =>
+        srcOf(child).flatMap { src =>
+          mvs.iterator.map { mv =>
+            descriptor(spark, mv) match {
+              case Some((s, keys, valCol, fresh)) if s == src && fresh =>
+                tryRewrite(spark, mv, keys, valCol, agg)
+              case _ => None
+            }
+          }.collectFirst { case Some(p) => p }
+        }.getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(spark: SparkSession, mv: String, keys: Seq[String],
+                         valCol: String, agg: Aggregate): Option[LogicalPlan] = {
+    // grouping: bare attributes, unique, drawn from the view's keys
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.distinct.size != groupNames.size) return None
+    if (!groupNames.forall(keys.contains)) return None
+    val exact = groupNames.toSet == keys.toSet
+
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    val outs: Seq[Out] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) => KeyOut(a.name)
+      case Alias(inner, _) => inner match {
+        case a: AttributeReference if groupNames.contains(a.name) =>
+          KeyOut(a.name)
+        case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+              AggOut("cnt")
+            case s: Sum if attrName(s.child).contains(valCol) =>
+              AggOut("total")
+            case m: Min if attrName(m.child).contains(valCol) =>
+              AggOut("vmin")
+            case m: Max if attrName(m.child).contains(valCol) =>
+              AggOut("vmax")
+            case a: Average if attrName(a.child).contains(valCol) =>
+              AggOut("vavg")
+            case _ => return None
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+
+    // the state-side frame: the raw view for an exact key match, the
+    // monoid re-aggregation for a rollup over a key subset
+    val state: DataFrame = graft.sources.TxLog.read(spark, mv)
+    val served: DataFrame =
+      if (exact) state
+      else state.groupBy(groupNames.map(col): _*).agg(
+        fSum(col("cnt")).as("cnt"), fSum(col("total")).as("total"),
+        fMin(col("vmin")).as("vmin"), fMax(col("vmax")).as("vmax"))
+    val analyzed = served.queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    def slot(op: String): Expression = op match {
+      case "vavg" => Divide(Cast(byName("total"), DoubleType),
+        Cast(byName("cnt"), DoubleType))
+      case "cnt" => byName("cnt")
+      case "total" => byName("total")
+      case "vmin" => byName("vmin")
+      case "vmax" => byName("vmax")
+    }
+    val projectList = agg.output.zip(outs).map { case (outAttr, o) =>
+      val e = o match {
+        case KeyOut(n) => byName(n)
+        case AggOut(op) => slot(op)
+      }
+      // refuse to route across ANY type drift (e.g. decimal re-widening
+      // under the rollup's sum-of-sums) — falling back to the source is
+      // always correct; serving a different type never is
+      if (e.dataType != outAttr.dataType) return None
+      Alias(e, outAttr.name)(exprId = outAttr.exprId)
+    }
+    Some(Project(projectList, analyzed))
+  }
+}

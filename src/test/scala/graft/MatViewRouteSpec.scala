@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.MatView
+import graft.plans.RouteToMatView
+import graft.sources.TxLog
+
+/** Transparent MV routing ([[graft.plans.RouteToMatView]]): a matching
+  * fresh aggregate over the SOURCE serves from the view's state —
+  * proven by the optimized plan (no source relation survives) AND by
+  * value equality with the direct computation. Staleness, shape
+  * mismatches, type drift, and an unset conf all fall back to the
+  * source, loudly-correct by construction. */
+class MatViewRouteSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** TxLog table paths of every catalog relation left in the optimized
+    * plan — a ROUTED query has none (the view reads through the
+    * library's file scan, not the catalog). */
+  private def catalogScans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name()
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table.name()
+    }
+
+  private def fixture(prefix: String): (String, String) = {
+    val base = freshDir(prefix)
+    val src = s"$base/src"; val mv = s"$base/mv"
+    val rows = (1L to 300L)
+      .map(i => (if (i % 3 == 0) "de" else "en", i % 5, i))
+      .toDF("lang", "band", "v")
+    TxLog.append(spark, src, rows)
+    MatView.refresh(spark, src, mv, Seq("lang", "band"), "v")
+    (src, mv)
+  }
+
+  private def withRoute[T](mv: String)(body: => T): T = {
+    spark.conf.set(RouteToMatView.ConfKey, mv)
+    RouteToMatView.invalidateCache()
+    try body
+    finally {
+      spark.conf.unset(RouteToMatView.ConfKey)
+      RouteToMatView.invalidateCache()
+    }
+  }
+
+  test("an exact-shape aggregate routes to the view and matches the source") {
+    val (src, mv) = fixture("mvroute-exact")
+    val sql = s"SELECT lang, band, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax, AVG(v) AS vavg " +
+      s"FROM graft.`$src` GROUP BY lang, band"
+    val truth = spark.sql(sql).collect().toSet // conf unset: source scan
+    withRoute(mv) {
+      val routed = spark.sql(sql)
+      assert(catalogScans(routed).isEmpty,
+        s"routed plan still scans the catalog: ${catalogScans(routed)}")
+      assert(routed.collect().toSet == truth)
+    }
+  }
+
+  test("a key-subset rollup re-aggregates the state's monoids") {
+    val (src, mv) = fixture("mvroute-rollup")
+    val sql = s"SELECT lang, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax " +
+      s"FROM graft.`$src` GROUP BY lang"
+    val truth = spark.sql(sql).collect().toSet
+    withRoute(mv) {
+      val routed = spark.sql(sql)
+      assert(catalogScans(routed).isEmpty, "rollup must route")
+      assert(routed.collect().toSet == truth)
+    }
+  }
+
+  test("HAVING above the routed aggregate resolves untouched") {
+    val (src, mv) = fixture("mvroute-having")
+    val sql = s"SELECT lang, band, COUNT(*) AS cnt FROM graft.`$src` " +
+      s"GROUP BY lang, band HAVING COUNT(*) > 30 ORDER BY lang, band"
+    val truth = spark.sql(sql).collect().toSeq
+    withRoute(mv) {
+      val routed = spark.sql(sql)
+      assert(catalogScans(routed).isEmpty)
+      assert(routed.collect().toSeq == truth)
+    }
+  }
+
+  test("a stale view never serves; a refresh restores routing") {
+    val (src, mv) = fixture("mvroute-stale")
+    val sql = s"SELECT lang, band, COUNT(*) AS cnt FROM graft.`$src` " +
+      s"GROUP BY lang, band"
+    withRoute(mv) {
+      assert(catalogScans(spark.sql(sql)).isEmpty, "fresh: must route")
+      TxLog.append(spark, src, Seq(("fr", 9L, 1L)).toDF("lang", "band", "v"))
+      RouteToMatView.invalidateCache()
+      val stale = spark.sql(sql)
+      assert(catalogScans(stale).nonEmpty,
+        "one source commit later the query must read the source again")
+      assert(stale.filter(col("lang") === "fr").count() == 1L,
+        "the fallback must see the new rows the view has not folded")
+      MatView.refreshNamed(spark, mv)
+      RouteToMatView.invalidateCache()
+      val again = spark.sql(sql)
+      assert(catalogScans(again).isEmpty, "refreshed: routing restored")
+      assert(again.filter(col("lang") === "fr").count() == 1L)
+    }
+  }
+
+  test("non-matching shapes read the source: filter, distinct, wrong column") {
+    val (src, mv) = fixture("mvroute-shape")
+    withRoute(mv) {
+      val shapes = Seq(
+        s"SELECT lang, band, COUNT(*) AS cnt FROM graft.`$src` " +
+          "WHERE v > 10 GROUP BY lang, band", // filtered scan
+        s"SELECT lang, band, COUNT(DISTINCT v) AS d FROM graft.`$src` " +
+          "GROUP BY lang, band", // distinct aggregate
+        s"SELECT lang, band, SUM(band) AS s FROM graft.`$src` " +
+          "GROUP BY lang, band", // not the maintained value column
+        s"SELECT lang, band, SUM(v + 1) AS s FROM graft.`$src` " +
+          "GROUP BY lang, band") // expression over the input
+      shapes.foreach { q =>
+        assert(catalogScans(spark.sql(q)).nonEmpty,
+          s"must NOT route: $q")
+      }
+    }
+  }
+
+  test("without the conf no query routes") {
+    val (src, _) = fixture("mvroute-off")
+    val q = spark.sql(s"SELECT lang, band, COUNT(*) AS cnt " +
+      s"FROM graft.`$src` GROUP BY lang, band")
+    assert(catalogScans(q).nonEmpty)
+  }
+}
