@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions.{col, max => fMax, min => fMin, sum => fSum}
@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.DoubleType
   *    `vmin = MIN(vmin)`, `vmax = MAX(vmax)` re-aggregate exactly) with
   *    aggregates drawn from COUNT(*) / SUM / MIN / MAX / AVG of the
   *    maintained value column — no DISTINCT, no FILTER clauses, no
-  *    expression over the input, no Filter between the aggregate and
-  *    the bare scan;
+  *    expression over the input; WHERE predicates route ONLY when they
+  *    touch grouping-key columns alone (filtering source rows on key
+  *    columns filters whole GROUPS, so the same predicate applies
+  *    exactly on the state — the dashboard `WHERE tenant = …` shape);
+  *    any predicate naming a non-key column reads the source;
   *  - every routed output must carry EXACTLY the original attribute's
   *    data type (a decimal re-widening, for example, refuses to route
   *    rather than serve a subtly different type);
@@ -96,6 +99,22 @@ object RouteToMatView extends Rule[LogicalPlan] {
   private case class KeyOut(name: String) extends Out
   private case class AggOut(op: String) extends Out // cnt|total|vmin|vmax|vavg
 
+  /** Peel WHERE predicates off the aggregate's child (alias/pruning
+    * layers transparent). A predicate over GROUPING-KEY columns only is
+    * routable — filtering source rows on key columns filters whole
+    * GROUPS, so the same predicate applies exactly on the view state;
+    * any predicate touching a non-key column refuses downstream. */
+  private def stripFilters(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
+    p match {
+      case SubqueryAlias(_, c) => stripFilters(c)
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        stripFilters(c)
+      case Filter(cond, c) =>
+        val (fs, leaf) = stripFilters(c)
+        (cond +: fs, leaf)
+      case other => (Nil, other)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = conf.getConfString(ConfKey, "")
       .split(',').map(_.trim).filter(_.nonEmpty)
@@ -103,11 +122,15 @@ object RouteToMatView extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     plan.transformUp {
       case agg @ Aggregate(groupings, _, child, _) if groupings.nonEmpty =>
-        srcOf(child).flatMap { src =>
+        val (preds, leaf) = stripFilters(child)
+        srcOf(leaf).flatMap { src =>
           mvs.iterator.map { mv =>
             descriptor(spark, mv) match {
               case Some((s, keys, valCol, fresh)) if s == src && fresh =>
-                tryRewrite(spark, mv, keys, valCol, agg)
+                // a failed rewrite ATTEMPT must never fail the query —
+                // refusing always falls back to the correct source scan
+                try tryRewrite(spark, mv, keys, valCol, agg, preds)
+                catch { case scala.util.control.NonFatal(_) => None }
               case _ => None
             }
           }.collectFirst { case Some(p) => p }
@@ -116,7 +139,20 @@ object RouteToMatView extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(spark: SparkSession, mv: String, keys: Seq[String],
-                         valCol: String, agg: Aggregate): Option[LogicalPlan] = {
+                         valCol: String, agg: Aggregate,
+                         preds: Seq[Expression]): Option[LogicalPlan] = {
+    // WHERE predicates route only when they touch grouping keys alone
+    // (then they filter whole groups — exact on the state); rendering
+    // back to SQL re-resolves them against the state's columns by name
+    if (!preds.forall(_.references.forall(a => keys.contains(a.name))))
+      return None
+    val predSql: Seq[String] =
+      try preds.map(_.transform {
+        // strip qualifiers: the rendered SQL re-resolves by bare name
+        // against the state's columns
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql)
+      catch { case _: Exception => return None } // unrenderable: refuse
     // grouping: bare attributes, unique, drawn from the view's keys
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
@@ -155,9 +191,12 @@ object RouteToMatView extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    // the state-side frame: the raw view for an exact key match, the
-    // monoid re-aggregation for a rollup over a key subset
-    val state: DataFrame = graft.sources.TxLog.read(spark, mv)
+    // the state-side frame: key-only WHERE predicates first (they
+    // filter whole groups), then the raw view for an exact key match or
+    // the monoid re-aggregation for a rollup over a key subset
+    val state: DataFrame = predSql.foldLeft(
+      graft.sources.TxLog.read(spark, mv))(
+      (df, p) => df.filter(org.apache.spark.sql.functions.expr(p)))
     val served: DataFrame =
       if (exact) state
       else state.groupBy(groupNames.map(col): _*).agg(

@@ -112,6 +112,32 @@ class MatViewRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("key-only WHERE predicates filter groups on the state") {
+    val (src, mv) = fixture("mvroute-where")
+    val sql = s"SELECT lang, band, COUNT(*) AS cnt, SUM(v) AS total " +
+      s"FROM graft.`$src` WHERE lang = 'de' AND band < 3 " +
+      s"GROUP BY lang, band"
+    val truth = spark.sql(sql).collect().toSet
+    withRoute(mv) {
+      val routed = spark.sql(sql)
+      assert(catalogScans(routed).isEmpty, "key-only WHERE must route")
+      assert(routed.collect().toSet == truth)
+      // ...and composes with the rollup
+      val roll = s"SELECT band, COUNT(*) AS cnt FROM graft.`$src` " +
+        s"WHERE lang = 'de' GROUP BY band"
+      val rollTruth =
+        spark.conf.unset(graft.plans.RouteToMatView.ConfKey) match {
+          case _ =>
+            try spark.sql(roll).collect().toSet
+            finally spark.conf.set(graft.plans.RouteToMatView.ConfKey, mv)
+        }
+      RouteToMatView.invalidateCache()
+      val rolled = spark.sql(roll)
+      assert(catalogScans(rolled).isEmpty, "filtered rollup must route")
+      assert(rolled.collect().toSet == rollTruth)
+    }
+  }
+
   test("non-matching shapes read the source: filter, distinct, wrong column") {
     val (src, mv) = fixture("mvroute-shape")
     withRoute(mv) {
