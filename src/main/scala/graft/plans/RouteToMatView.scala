@@ -174,8 +174,12 @@ object RouteToMatView extends Rule[LogicalPlan] {
         case ae: AggregateExpression
           if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-              AggOut("cnt")
+            case c: Count if c.children.nonEmpty && c.children.forall {
+              // COUNT(*) resolves to COUNT(1); COUNT(NULL) is always 0
+              // and COUNT(col) skips nulls — neither is the state's cnt
+              case Literal(v, _) => v != null
+              case _ => false
+            } => AggOut("cnt")
             case s: Sum if attrName(s.child).contains(valCol) =>
               AggOut("total")
             case m: Min if attrName(m.child).contains(valCol) =>

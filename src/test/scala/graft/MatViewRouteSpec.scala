@@ -157,6 +157,26 @@ class MatViewRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous maintenance keeps routing live across source commits") {
+    val (src, mv) = fixture("mvroute-live")
+    val ckpt = freshDir("mvroute-live-ckpt")
+    val queries = graft.streaming.StreamingMatView
+      .maintainNamed(spark, mv, ckpt)
+    try withRoute(mv) {
+      val sql = s"SELECT lang, band, COUNT(*) AS cnt FROM graft.`$src` " +
+        s"GROUP BY lang, band"
+      assert(catalogScans(spark.sql(sql)).isEmpty)
+      TxLog.append(spark, src, Seq(("fr", 9L, 1L)).toDF("lang", "band", "v"))
+      queries.foreach(_.processAllAvailable()) // the maintainer folds it
+      RouteToMatView.invalidateCache()
+      val after = spark.sql(sql)
+      assert(catalogScans(after).isEmpty,
+        "the maintained view must stay fresh — no fallback to the source")
+      assert(after.filter(col("lang") === "fr").head().getLong(2) == 1L,
+        "the routed answer must include the just-folded commit")
+    } finally queries.foreach(_.stop())
+  }
+
   test("without the conf no query routes") {
     val (src, _) = fixture("mvroute-off")
     val q = spark.sql(s"SELECT lang, band, COUNT(*) AS cnt " +
