@@ -881,6 +881,42 @@ object Merge {
       .orderBy("doc_id")
   }
 
+  /** QW — SQL FILTER PUSHDOWN INTO LOG-NATIVE SKIPPING
+    * ([[graft.sources.TxLog.pruneForFilters]] behind the catalog scan's
+    * `PrunedFilteredScan`): documents lands in FOUR range-banded
+    * stats-covered waves, then plain `SELECT … WHERE doc_id = ?` SQL —
+    * no library call anywhere in the read — must open only the band
+    * the needle lives in. The row REQUIREs the pushed point filter
+    * keeps 1 file of 4 and the pushed OR-of-points keeps the 2 end
+    * bands; the served rows hash-match the closed form (Spark
+    * re-applies every pushed filter on the kept files, so the skip
+    * decides files, never rows — conservative-correct by construction). */
+  def qwSqlPrune(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.sources.{EqualTo, Or}
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txsqlprune", d, "t")
+    val banded = docs.withColumn("_b",
+      ntile(4).over(Window.orderBy("doc_id")))
+    (1 to 4).foreach(b => TxLog.appendWithStats(spark, table,
+      banded.filter(col("_b") === b).drop("_b").repartition(1), "doc_id"))
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(lo < hi, "txlog: pushdown fixture needs two documents")
+    val keptPoint = TxLog.pruneForFilters(spark, table,
+      Seq(EqualTo("doc_id", lo)), None)
+    require(keptPoint.size == 1,
+      s"txlog: pushed point filter must keep 1 of 4 band files, " +
+        s"kept ${keptPoint.size}")
+    val keptOr = TxLog.pruneForFilters(spark, table,
+      Seq(Or(EqualTo("doc_id", lo), EqualTo("doc_id", hi))), None)
+    require(keptOr.size == 2,
+      s"txlog: pushed OR-of-points must keep the 2 end bands, " +
+        s"kept ${keptOr.size}")
+    spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+      s"WHERE doc_id = $lo OR doc_id = $hi ORDER BY doc_id")
+  }
+
   /** QW — METADATA-ONLY AGGREGATES ([[graft.sources.TxLog.countRows]] /
     * [[graft.sources.TxLog.minMaxSkipping]]) under the hash gate:
     * documents lands in three stats-covered waves (`doc_id % 3`), then
@@ -972,6 +1008,46 @@ object Merge {
     TxLog.readWhereEquals(spark, table, "doc_id", probe)
       .unionByName(TxLog.read(spark, table).filter(col("doc_id") =!= probe))
       .orderBy("doc_id")
+  }
+
+  /** QW — RESTAT ([[graft.sources.TxLog.restat]]) under the hash gate,
+    * [[qwRebloomRead]]'s twin for the min/max channel: four
+    * stats-covered range bands prune a point filter to 1 file; a
+    * CLUSTERED compaction (no WithStats flavor) preserves the prunable
+    * layout but drops every recorded bound — the point filter degrades
+    * to full keep (REQUIREd); `restat` re-records bounds from FOOTERS
+    * ALONE as one row-invisible commit and the skip returns (REQUIREd
+    * kept=1). The maintenance step that keeps a long-lived table's
+    * skipping contract alive across rewrites, priced at one footer
+    * open per rewritten file. */
+  def qwRestatRead(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.sources.EqualTo
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txrestat", d, "t")
+    val banded = docs.withColumn("_b",
+      ntile(4).over(Window.orderBy("doc_id")))
+    (1 to 4).foreach(b => TxLog.appendWithStats(spark, table,
+      banded.filter(col("_b") === b).drop("_b").repartition(1), "doc_id"))
+    val probe = docs.agg(max("doc_id")).head().getLong(0)
+    require(TxLog.pruneForFilters(spark, table,
+      Seq(EqualTo("doc_id", probe)), None).size == 1,
+      "txlog: the banded fixture must prune the point filter to 1 of 4")
+    TxLog.compactClustered(spark, table, files = 4, "doc_id")
+    val degraded = TxLog.pruneForFilters(spark, table,
+      Seq(EqualTo("doc_id", probe)), None)
+    require(degraded.size == 4,
+      s"txlog: clustered compaction must start unrecorded " +
+        s"(conservative full keep), kept ${degraded.size}")
+    val v = TxLog.restat(spark, table, "doc_id")
+    require(v == TxLog.latestVersion(spark, table),
+      "txlog: restat must land one maintenance commit")
+    require(TxLog.restat(spark, table, "doc_id") == v,
+      "txlog: a second restat must be a commit-free no-op")
+    require(TxLog.pruneForFilters(spark, table,
+      Seq(EqualTo("doc_id", probe)), None).size == 1,
+      "txlog: restat must restore the 1-of-4 skip from footers alone")
+    TxLog.read(spark, table).orderBy("doc_id")
   }
 
   /** QW — REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]]) under
@@ -1528,9 +1604,11 @@ object Merge {
     "qw_restore_read" -> qwRestoreRead _,
     "qw_clone_read" -> qwCloneRead _,
     "qw_bloom_read" -> qwBloomRead _,
+    "qw_sql_prune" -> qwSqlPrune _,
     "qw_meta_agg" -> qwMetaAgg _,
     "qw_merge_bloom" -> qwMergeBloom _,
     "qw_rebloom_read" -> qwRebloomRead _,
+    "qw_restat_read" -> qwRestatRead _,
     "qw_replace_where" -> qwReplaceWhere _,
     "qw_pruned_read_str" -> qwPrunedReadStr _,
     "qw_binpack_read" -> qwBinpackRead _,
@@ -1682,6 +1760,12 @@ object Merge {
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE doc_id = (SELECT MIN(doc_id) FROM documents) " +
         "OR doc_id = (SELECT MAX(doc_id) FROM documents) ORDER BY doc_id"),
+    // the pushed-down point probes' closed form (file skipping REQUIREd
+    // in-row; the catalog scan re-applies the filter on kept rows)
+    "qw_sql_prune" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id = (SELECT MIN(doc_id) FROM documents) " +
+        "OR doc_id = (SELECT MAX(doc_id) FROM documents) ORDER BY doc_id"),
     // count = log fold minus the dv mask; min/max = log bounds + the
     // one masked file's scan (both REQUIREd in-row)
     "qw_meta_agg" ->
@@ -1695,6 +1779,11 @@ object Merge {
     // compact degrades to full keep (REQUIREd), rebloom restores the
     // skip (REQUIREd) — the served snapshot is the identity either way
     "qw_rebloom_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    // clustered compaction drops recorded bounds (full keep REQUIREd),
+    // restat re-records them from footers alone (1-of-4 skip REQUIREd)
+    // — the served snapshot is the identity either way
+    "qw_restat_read" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     // the needle upsert's closed form: min/max re-priced, max cloned to
     // a fresh key — the address scan's pruning REQUIREd in-row

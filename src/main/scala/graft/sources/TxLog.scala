@@ -2391,6 +2391,42 @@ object TxLog {
       sidecarDir, stats = lines)
   }
 
+  /** Rebuild per-file MIN/MAX STATS for every live file missing them —
+    * [[rebloom]]'s twin for the min/max channel: rewrites (plain
+    * [[compact]], [[compactClustered]] without the WithStats flavor,
+    * CoW delete, overwrite) drop their inputs' recorded stats with the
+    * files and land their outputs unrecorded, so a table's skipping
+    * contract silently degrades to full scans after routine
+    * maintenance. `restat` re-records bounds for exactly the missing
+    * tail as ONE row-invisible metadata commit — and unlike rebloom it
+    * reads ONLY parquet FOOTERS (the bounds are already there; no data
+    * pass at any table size): cost = one footer open per unrecorded
+    * live file. Already-covered files are untouched (their recorded
+    * bounds may be tighter than a re-derivation — never clobbered);
+    * commit-free no-op when nothing is missing. Numeric and string
+    * columns both supported (the two payload channels
+    * [[footerStats]] emits). */
+  def restat(spark: SparkSession, table: String, statsCols: String*): Long = {
+    require(statsCols.nonEmpty, "txlog: restat needs at least one column")
+    requireNonEmpty(spark, table, "restat")
+    val base = latestVersion(spark, table)
+    val live = snapshotFiles(spark, table, Some(base))
+    val payloads = statsPayloadsAt(spark, table, Some(base))
+    val lines = statsCols.flatMap { c =>
+      val phys = resolvePhysical(spark, table, c, Some(base))
+      val covered = payloads.flatMap(_.split('|') match {
+        case Array(f, pc, _, _) if pc == phys => Some(f)
+        case Array(f, pc, _, _, "s") if pc == phys => Some(f)
+        case _ => None // partition values / blooms serve other rungs
+      }).toSet
+      footerStats(spark, table, live.filterNot(covered), c)
+    }
+    if (lines.isEmpty) return base
+    commitRewrite(spark, table, base, Seq.empty, Seq.empty, "compact",
+      new Path(table, f"data/v${base + 1}%08d-restat-${uniq()}"),
+      stats = lines)
+  }
+
   /** Live files' bloom sidecar references for `bloomCol` as of `asOf`
     * (file → sidecar dir; empty when the column was never bloomed —
     * readers treat absence as "cannot skip"). */
@@ -2516,6 +2552,109 @@ object TxLog {
     * driver-side files × keys membership sweep costs more than it
     * saves, and the merge falls back to the full address scan. */
   private val MaxMergeBloomProbes = 100000
+
+  // ---------------------------------------------------------------------
+  // LOG-NATIVE SKIPPING FOR THE SQL SURFACE: the catalog's scan
+  // ([[TxLogCatalog]]) hands its pushed-down filters to
+  // [[pruneForFilters]], which composes every skipping rung this log
+  // records — numeric min/max stats, string byte bounds, partition
+  // values, per-file bloom filters — into ONE kept-file set. Strictly
+  // conservative: a rung that cannot answer keeps its files, unknown
+  // filter shapes prune nothing, and Spark re-applies every filter on
+  // the returned rows, so pruning can only ever skip files that hold
+  // no matching row. `SELECT … WHERE id = ?` on a 100 TB catalog table
+  // now opens the files a needle CAN live in, not all of them.
+  // ---------------------------------------------------------------------
+
+  private[graft] def pruneForFilters(spark: SparkSession, table: String,
+                                     filters: Seq[org.apache.spark.sql.sources.Filter],
+                                     asOf: Option[Long]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    val live = snapshotFiles(spark, table, asOf)
+    if (filters.isEmpty || live.isEmpty) return live
+    // ONE extra log fold answers which rungs recorded ANYTHING for which
+    // physical column — a rung is consulted only when it can possibly
+    // prune, so a table (or column) with no stats/blooms/partition
+    // values pays nothing beyond this fold: the common catalog read
+    // stays one replay, never one-replay-per-rung-per-predicate (and the
+    // bloom probe's hashing job never launches for unbloomed columns)
+    val recorded: Set[(String, Char)] =
+      statsPayloadsAt(spark, table, asOf).flatMap(_.split('|') match {
+        case Array(_, c, _, _) => Some((c, 'n'))
+        case Array(_, c, _, _, "s") => Some((c, 's'))
+        case Array(_, c, _, _, "p") => Some((c, 'p'))
+        case Array(_, c, _, _, BloomSuffix) => Some((c, 'b'))
+        case _ => None
+      }).toSet
+    def has(attr: String, rung: Char): Boolean =
+      recorded.contains((resolvePhysical(spark, table, attr, asOf), rung))
+    def longOf(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None // doubles/decimals: integral stats cannot bound them
+    }
+    def rangeKeep(attr: String, lo: Long, hi: Long): Set[String] =
+      if (lo > hi) Set.empty
+      else if (!has(attr, 'n')) live.toSet
+      else pruneFilesMulti(spark, table, Seq((attr, lo, hi)), asOf)._1.toSet
+    def eqKeep(attr: String, v: Any): Set[String] = {
+      if (attr.contains('.')) return live.toSet // nested: no record
+      val rungs = Seq(
+        longOf(v).map(n => rangeKeep(attr, n, n)),
+        v match {
+          case s: String =>
+            val byStats =
+              if (!has(attr, 's')) live.toSet
+              else pruneFilesString(spark, table, attr, s, s, asOf)._1.toSet
+            val byPart =
+              if (!has(attr, 'p')) live.toSet
+              else pruneFilesPartition(spark, table, attr, s, asOf)._1.toSet
+            Some(byStats.intersect(byPart))
+          case _ => None
+        },
+        if (v == null || !has(attr, 'b')) None
+        else try Some(pruneFilesBloom(spark, table, attr, v, asOf)._1.toSet)
+        catch { case scala.util.control.NonFatal(_) => None })
+      rungs.flatten.foldLeft(live.toSet)(_ intersect _)
+    }
+    // one filter → the files it keeps; None = cannot answer (keep all)
+    def keep(f: Filter): Option[Set[String]] = f match {
+      case And(l, r) => (keep(l), keep(r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for (a <- keep(l); b <- keep(r)) yield a.union(b)
+      case EqualTo(attr, v) => Some(eqKeep(attr, v))
+      case In(attr, vs) if vs.nonEmpty =>
+        Some(vs.map(v => eqKeep(attr, v)).reduce(_ union _))
+      case GreaterThan(attr, v) => longOf(v).map(n =>
+        if (n == Long.MaxValue) Set.empty[String]
+        else rangeKeep(attr, n + 1, Long.MaxValue))
+      case GreaterThanOrEqual(attr, v) =>
+        longOf(v).map(n => rangeKeep(attr, n, Long.MaxValue))
+      case LessThan(attr, v) => longOf(v).map(n =>
+        if (n == Long.MinValue) Set.empty[String]
+        else rangeKeep(attr, Long.MinValue, n - 1))
+      case LessThanOrEqual(attr, v) =>
+        longOf(v).map(n => rangeKeep(attr, Long.MinValue, n))
+      case _ => None // IsNull / Not / StringStartsWith / …: no pruning
+    }
+    val keptSet = filters.flatMap(keep)
+      .foldLeft(live.toSet)(_ intersect _)
+    live.filter(keptSet) // preserve first-added order
+  }
+
+  /** Scan exactly `kept` (a [[pruneForFilters]] answer) under the
+    * declared schema with deletion vectors anti-applied — the catalog
+    * scan's row source. */
+  private[graft] def readFiles(spark: SparkSession, table: String,
+                               kept: Seq[String],
+                               asOf: Option[Long]): DataFrame =
+    if (kept.isEmpty) read(spark, table, asOf).limit(0)
+    else scanLive(spark, table, kept, schemaAt(spark, table, asOf),
+      dvAt(spark, table, asOf).filter(kv => kept.contains(kv._1)))
 
   /** Point-equality read with log-native bloom skipping — the
     * needle-in-haystack lookup ([[readWhere]]'s range twin for columns

@@ -322,6 +322,33 @@ class TxLogSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("restat re-records only the MISSING files' bounds, string columns included") {
+    import org.apache.spark.sql.sources.EqualTo
+    val t = freshTable("restat")
+    // wave 0 covered at append time; wave 1 lands unrecorded
+    TxLog.appendWithStats(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(1), "id", "s")
+    TxLog.append(spark, t,
+      Seq((10L, "x"), (11L, "y")).toDF("id", "s").repartition(1))
+    // the unrecorded file can never be skipped: point filter keeps 2
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("id", 1L)), None)
+      .size == 2)
+    val v = TxLog.restat(spark, t, "id", "s")
+    assert(v == TxLog.latestVersion(spark, t))
+    // both channels now prune to 1 file; wave 0's bounds were never
+    // re-derived (restat covered only the missing tail)
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("id", 1L)), None)
+      .size == 1)
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("id", 10L)), None)
+      .size == 1)
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("s", "x")), None)
+      .size == 1, "string bounds must restat from the footer's binary stats")
+    // nothing missing → commit-free no-op
+    assert(TxLog.restat(spark, t, "id", "s") == v)
+    // rows are untouched by the metadata commit
+    assert(TxLog.read(spark, t).count() == 4L)
+  }
+
   test("streaming read: a rewrite commit in the unread range aborts; behind the offset it is fine") {
     val t = freshTable("streamrw")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-txlog-ckpt2").toString
