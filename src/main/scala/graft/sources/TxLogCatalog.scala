@@ -8,8 +8,10 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
   SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
-  V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -217,18 +219,63 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = TxLogV2Table.this.schema()
+
+        /** `spark.readStream.table("graft.…")` — the catalog table AS a
+          * stream: one commit per micro-batch over the SAME
+          * [[TxLogMicroBatchStream]] the `graft-txlog` format runs,
+          * but under the table's OWN schema (no injected
+          * `_commit_version` — batch and stream reads of a catalog
+          * table agree column-for-column, the Delta `readStream.table`
+          * contract). `startingVersion` / `skipChangeCommits` options
+          * pass through; the change-feed flavor needs its extra
+          * columns, which the catalog's declared schema cannot carry —
+          * loud pointer at the format path. */
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(asOf.isEmpty,
+            s"txlog: cannot stream $tablePath VERSION AS OF ${asOf.get} — " +
+              "a pinned snapshot is immutable; stream the live table")
+          require(!options.getBoolean("readchangefeed", false),
+            "txlog: readChangeFeed adds _change_type/_commit_version " +
+              "columns the catalog table's schema cannot carry — use " +
+              "spark.readStream.format(\"graft-txlog\")" +
+              ".option(\"readChangeFeed\", \"true\").load(path)")
+          val s = TxLogV2Table.this.schema()
+          TxLogStream.validateSchema(s)
+          new TxLogMicroBatchStream(tablePath, s,
+            Option(options.get("startingversion")).map(_.toLong).getOrElse(0L),
+            options.getBoolean("skipchangecommits", false))
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new BaseRelation with TableScan {
+          // PrunedFilteredScan: pushed filters drive LOG-NATIVE file
+          // skipping (min/max stats, string bounds, partition values,
+          // bloom filters — [[TxLog.pruneForFilters]]); Spark re-applies
+          // every filter on the returned rows (unhandledFilters default),
+          // so the skip is conservative-correct by construction. A point
+          // SELECT on a catalog table opens the files the needle can
+          // live in, not the table.
+          new BaseRelation with TableScan with PrunedFilteredScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = TxLogV2Table.this.schema()
             override def buildScan(): RDD[Row] = snapshot.rdd
+            override def buildScan(requiredColumns: Array[String],
+                                   filters: Array[Filter]): RDD[Row] = {
+              val spark = SparkSession.active
+              val kept = TxLog.pruneForFilters(spark, tablePath,
+                filters.toSeq, asOf)
+              val base = TxLog.readFiles(spark, tablePath, kept, asOf)
+              (if (requiredColumns.isEmpty) base
+               else base.select(requiredColumns.map(base.col(_)).toSeq: _*))
+                .rdd
+            }
           }.asInstanceOf[T]
       }
     }
@@ -242,16 +289,52 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
     require(asOf.isEmpty,
       s"txlog: cannot write to $tablePath VERSION AS OF ${asOf.get} — " +
         "a pinned snapshot is immutable; write the live table")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var overwriteAll = false
+      private var replaceFilters: Option[Seq[Filter]] = None
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      /** `INSERT INTO … REPLACE WHERE pred SELECT …` (and
+        * `DataFrameWriterV2.overwrite(cond)`) → [[TxLog.replaceWhere]]:
+        * ONE merge-tagged commit masks exactly the matching rows and
+        * appends the batch — zero files rewritten, atomic slice swap.
+        * Delta-parity guard applies: incoming rows OUTSIDE the
+        * predicate fail loudly before any write (never a silent
+        * duplicate of rows the overwrite did not erase). An
+        * always-true condition is a plain overwrite. */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) overwriteAll = true
+        else replaceFilters = Some(filters.toSeq)
+        this
+      }
       override def build(): Write = new V1Write {
+        /** `writeStream.toTable("graft.…")` — every micro-batch lands
+          * as one idempotent OCC append keyed on the streaming query's
+          * stable id (or a `txnAppId` option), exactly-once across
+          * restarts; append output mode only ([[TxLogStreamingWriteImpl]]). */
+        override def toStreaming: StreamingWrite = {
+          require(!overwriteAll && replaceFilters.isEmpty,
+            "txlog: streaming writes are append-only (complete/update " +
+              "output needs per-epoch truncation) — use foreachBatch " +
+              "with TxLog.overwrite for that shape")
+          val appId = Option(info.options.get("txnappid"))
+            .getOrElse(info.queryId())
+          new TxLogStreamingWriteImpl(tablePath, info.schema(), appId)
+        }
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val spark = data.sparkSession
-              if (overwriteAll) TxLog.overwrite(spark, tablePath, data)
-              else TxLog.append(spark, tablePath, data)
+              replaceFilters match {
+                case Some(fs) =>
+                  val preds = fs.map(f => FilterSql.render(f).getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"txlog: REPLACE WHERE predicate not translatable: $f")))
+                  TxLog.replaceWhere(spark, tablePath, data,
+                    preds.map(p => s"($p)").mkString(" AND "))
+                case None =>
+                  if (overwriteAll) TxLog.overwrite(spark, tablePath, data)
+                  else TxLog.append(spark, tablePath, data)
+              }
               ()
             }
           }

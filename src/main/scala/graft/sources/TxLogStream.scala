@@ -431,6 +431,11 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
 
   private val emitsChangeType =
     schema.fieldNames.contains(TxLogStream.ChangeTypeColumn)
+  // the catalog streaming path (`readStream.table`) serves the table's
+  // OWN schema — no injected version column — so injection is keyed on
+  // the schema actually requested, never assumed
+  private val emitsVersion =
+    schema.fieldNames.contains(TxLogStream.VersionColumn)
   private var rowPos = -1L
 
   // resolved per data column on the first record: (parquet field index,
@@ -520,7 +525,7 @@ private[sources] class TxLogPartitionReader(file: String, commitVersion: Long,
     }
     if (emitsChangeType)
       out(schema.length - 2) = UTF8String.fromString(changeType)
-    out(schema.length - 1) = commitVersion
+    if (emitsVersion) out(schema.length - 1) = commitVersion
     new GenericInternalRow(out)
   }
 

@@ -129,6 +129,40 @@ class StreamingFailureSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("writeStream.toTable (V2 sink) lands exactly-once across the injected crash window") {
+    val src = freshTable("v2-src"); val dst = freshTable("v2-dst")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-fail-ckptV2").toString
+    TxLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    def start() = spark.readStream.format("graft-txlog").load(src)
+      .select(col("id"), col("s")) // the source's version column stays behind
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable(s"graft.`$dst`")
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(TxLog.read(spark, dst).count() == 2,
+      "the first epoch must land (auto-created table included)")
+    dropLastCheckpointCommit(ckpt)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.read(spark, dst).count() == 2,
+      "the replayed epoch must be detected by its txn marker, never re-land")
+    // new data still flows after the recovery
+    TxLog.append(spark, src, Seq((3L, "c")).toDF("id", "s"))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the staging tree carries no leftover parquet
+    def parquetUnder(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Seq.empty
+      else if (f.isFile) Seq(f).filter(_.getName.endsWith(".parquet"))
+      else f.listFiles().toSeq.flatMap(parquetUnder)
+    assert(parquetUnder(new java.io.File(dst, "_staging")).isEmpty,
+      "every committed epoch must clean its staging dir")
+  }
+
   test("txn primitives: lastCommittedBatch tracks, replays return None") {
     val t = freshTable("txn")
     assert(TxLog.lastCommittedBatch(spark, t, "app").isEmpty)

@@ -856,6 +856,193 @@ class TxLogCatalogSpec extends SparkSpec {
       s"non-graft OPTIMIZE must delegate to Spark: ${e.getMessage}")
   }
 
+  test("catalog WHERE pushes filters into log-native file skipping") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, IsNull, Or}
+    val t = fresh("prune")
+    // three files with disjoint id ranges and disjoint string prefixes,
+    // min/max stats recorded for both columns at append time
+    TxLog.appendWithStats(spark, t,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "s").repartition(1),
+      "id", "s")
+    TxLog.appendWithStats(spark, t,
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "s").repartition(1),
+      "id", "s")
+    TxLog.appendWithStats(spark, t,
+      (21L to 30L).map(i => (i, s"c$i")).toDF("id", "s").repartition(1),
+      "id", "s")
+    assert(TxLog.snapshotFiles(spark, t, None).size == 3)
+    // point equality on the long column keeps exactly the middle file
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("id", 15L)), None)
+      .size == 1, "long point filter must keep one file")
+    // string equality prunes through the byte-order string stats
+    assert(TxLog.pruneForFilters(spark, t, Seq(EqualTo("s", "b15")), None)
+      .size == 1, "string point filter must keep one file")
+    // OR and IN union their branches' kept sets
+    assert(TxLog.pruneForFilters(spark, t,
+      Seq(Or(EqualTo("id", 5L), EqualTo("id", 25L))), None).size == 2)
+    assert(TxLog.pruneForFilters(spark, t,
+      Seq(In("id", Array[Any](5L, 25L))), None).size == 2)
+    // open range keeps only the tail file
+    assert(TxLog.pruneForFilters(spark, t,
+      Seq(GreaterThan("id", 20L)), None).size == 1)
+    // an unanswerable shape prunes nothing (conservative keep-all)
+    assert(TxLog.pruneForFilters(spark, t, Seq(IsNull("s")), None).size == 3)
+    // the SQL surface rides the same skip and stays exact
+    assert(spark.sql(s"SELECT s FROM graft.`$t` WHERE id = 15")
+      .head().getString(0) == "b15")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE id > 20")
+      .head().getLong(0) == 10L)
+    // a contradictory conjunction keeps zero files yet stays well-typed
+    assert(spark.sql(s"SELECT id, s FROM graft.`$t` WHERE id > 20 AND id < 5")
+      .count() == 0L)
+    // VERSION AS OF prunes against the pinned snapshot's files
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$t` VERSION AS OF 0 WHERE id >= 5")
+      .head().getLong(0) == 6L)
+    // a MOR delete's mask still applies on the pruned scan
+    TxLog.deleteWhereMorExpr(spark, t, "id = 15")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE id >= 11 AND id <= 20")
+      .head().getLong(0) == 9L,
+      "deletion vectors must anti-apply on the file-skipped scan")
+  }
+
+  test("native INSERT INTO ... REPLACE WHERE lands one atomic slice swap") {
+    val t = fresh("replw")
+    TxLog.append(spark, t,
+      Seq((1L, "de", 10L), (2L, "en", 20L), (3L, "de", 30L))
+        .toDF("id", "lang", "v"))
+    val before = TxLog.snapshotFiles(spark, t).toSet
+    // the V2 overwrite-by-filter path (DataFrameWriterV2.overwrite →
+    // SupportsOverwrite → TxLog.replaceWhere); the SQL REPLACE WHERE
+    // shape rides the injected parser and is pinned elsewhere
+    Seq((1L, "de", 100L), (3L, "de", 300L)).toDF("id", "lang", "v")
+      .writeTo(s"graft.`$t`").overwrite(col("lang") === "de")
+    // the slice is masked, never copied: every prior file survives
+    assert(before.subsetOf(TxLog.snapshotFiles(spark, t).toSet),
+      "REPLACE WHERE must not rewrite prior files")
+    val got = spark.sql(s"SELECT id, v FROM graft.`$t` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 20L), (3L, 300L)), got.toString)
+    // outside-slice rows fail loudly before any write (Delta parity)
+    val e = intercept[Exception] {
+      Seq((9L, "en", 900L)).toDF("id", "lang", "v")
+        .writeTo(s"graft.`$t`").overwrite(col("lang") === "de")
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c => c.getMessage +: messages(c.getCause))
+    assert(messages(e).exists(_.contains("OUTSIDE")),
+      s"unexpected outside-slice error: ${messages(e)}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 3L, "the rejected backfill must land nothing")
+    // INSERT OVERWRITE (no WHERE) stays a plain full overwrite
+    spark.sql(s"INSERT OVERWRITE graft.`$t` " +
+      "SELECT * FROM VALUES (7L, 'fr', 70L) AS x(id, lang, v)")
+    assert(spark.sql(s"SELECT id, lang, v FROM graft.`$t`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq((7L, "fr", 70L)))
+  }
+
+  test("readStream.table streams the catalog table under its own schema") {
+    val t = fresh("catstream")
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-catstream-ckpt").toString
+    val batches = collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    def start() = spark.readStream.table(s"graft.`$t`")
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          assert(df.columns.toSeq == Seq("id", "s"),
+            s"stream schema must be the table's own: ${df.columns.toSeq}")
+          val rows = df.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+          batches.synchronized { batches += (id -> rows) }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      def delivered = batches.synchronized(batches.flatMap(_._2).toSet)
+      assert(delivered == Set((1L, "a"), (2L, "b"), (3L, "c")),
+        delivered.toString)
+      // one commit per micro-batch: two commits → two non-empty batches
+      assert(batches.synchronized(batches.count(_._2.nonEmpty)) == 2,
+        batches.synchronized(batches.toSeq).toString)
+      // a commit landing while the stream runs is picked up
+      TxLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(delivered.contains((4L, "d")), delivered.toString)
+    } finally q.stop()
+    // restart from the checkpoint: only NEW commits are delivered
+    TxLog.append(spark, t, Seq((5L, "e")).toDF("id", "s"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = batches.synchronized(batches.flatMap(_._2).toSeq)
+      assert(all.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+        (5L, "e")), all.toString)
+      assert(all.size == all.distinct.size,
+        s"restart re-delivered commits: $all")
+    } finally q2.stop()
+    // the change-feed flavor needs columns the catalog schema cannot
+    // carry — loud pointer at the format path
+    val e = intercept[Exception] {
+      val qBad = spark.readStream.option("readChangeFeed", "true")
+        .table(s"graft.`$t`")
+        .writeStream.foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ()
+        }
+        .option("checkpointLocation", ckpt + "-cdf").start()
+      try qBad.processAllAvailable() finally qBad.stop()
+    }
+    assert(e.getMessage.contains("readChangeFeed") ||
+      Option(e.getCause).exists(_.getMessage.contains("readChangeFeed")),
+      s"unexpected CDF-option error: ${e.getMessage}")
+  }
+
+  test("writeStream.toTable rides the full write boundary; complete mode is loud") {
+    val src = fresh("sinksrc")
+    val dst = fresh("sinkdst")
+    TxLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    spark.sql(s"CREATE TABLE graft.`$dst` (id BIGINT, s STRING)")
+    spark.sql(s"ALTER TABLE graft.`$dst` ADD CONSTRAINT pos CHECK (id > 0)")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-catsink-ckpt").toString
+    def start() = spark.readStream.format("graft-txlog").load(src)
+      .select(col("id"), col("s"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable(s"graft.`$dst`")
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dst`").head().getLong(0)
+      == 2L)
+    // a violating epoch fails the query at the commit's constraint gate
+    // and lands NOTHING
+    TxLog.append(spark, src, Seq((-5L, "bad")).toDF("id", "s"))
+    val q2 = start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c =>
+        Option(c.getMessage).toSeq ++ messages(c.getCause))
+    assert(messages(e).exists(m => m.contains("constraint") || m.contains("pos")),
+      s"unexpected sink-constraint error: ${messages(e).take(3)}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dst`").head().getLong(0)
+      == 2L, "the violating epoch must land nothing")
+    // complete output mode needs per-epoch truncation — loud
+    val aggCkpt = java.nio.file.Files
+      .createTempDirectory("graft-catsink-ckpt2").toString
+    val e2 = intercept[Exception] {
+      val qc = spark.readStream.format("graft-txlog").load(src)
+        .groupBy("s").count()
+        .writeStream.option("checkpointLocation", aggCkpt)
+        .outputMode("complete").toTable(s"graft.`${dst}2`")
+      try qc.processAllAvailable() finally qc.stop()
+    }
+    assert(messages(e2).exists(_.contains("append-only")),
+      s"unexpected complete-mode error: ${messages(e2).take(3)}")
+  }
+
   test("DROP TABLE removes the table; a fresh CREATE reuses the path") {
     val t = fresh("drop")
     spark.sql(s"CREATE TABLE graft.`$t` (k STRING)")
