@@ -945,6 +945,30 @@ object Merge {
     Seq((n, lo, hi)).toDF("n", "lo", "hi")
   }
 
+  /** QW — SQL AGGREGATE PUSHDOWN under the hash gate: `SELECT COUNT(*),
+    * MIN, MAX FROM graft.t` — plain SQL, no library call — must plan as
+    * a [[org.apache.spark.sql.connector.read.LocalScan]] holding the
+    * one answer row folded driver-side from the log (REQUIREd: the
+    * executed plan is a LocalTableScan with no file scan anywhere), on
+    * the same three-wave + MOR-mask fixture [[qwMetaAgg]] certifies for
+    * the library ops. The zero-task 100 TB COUNT(*), now from SQL. */
+  def qwAggPushdown(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txaggpush", d, "t")
+    (0 until 3).foreach(r => TxLog.appendWithStats(spark, table,
+      docs.filter(col("doc_id") % 3 === r).repartition(1), "doc_id"))
+    TxLog.deleteWhereMorExpr(spark, table, "lang = 'de' AND doc_id % 3 = 0")
+    val df = spark.sql(s"SELECT COUNT(*) AS n, MIN(doc_id) AS lo, " +
+      s"MAX(doc_id) AS hi FROM graft.`$table`")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan"),
+      s"txlog: the aggregate must serve from the log fold, got: $plan")
+    require(!plan.toLowerCase.contains("parquet"),
+      "txlog: the pushed aggregate plan must carry no file scan")
+    df
+  }
+
   /** QW — BLOOM-ACCELERATED MERGE under the hash gate: documents lands
     * in 8 single-file waves split `doc_id % 8` (every file spans the
     * full id range — min/max stats prune nothing), each with a per-file
@@ -1606,6 +1630,7 @@ object Merge {
     "qw_bloom_read" -> qwBloomRead _,
     "qw_sql_prune" -> qwSqlPrune _,
     "qw_meta_agg" -> qwMetaAgg _,
+    "qw_agg_pushdown" -> qwAggPushdown _,
     "qw_merge_bloom" -> qwMergeBloom _,
     "qw_rebloom_read" -> qwRebloomRead _,
     "qw_restat_read" -> qwRestatRead _,
@@ -1769,6 +1794,11 @@ object Merge {
     // count = log fold minus the dv mask; min/max = log bounds + the
     // one masked file's scan (both REQUIREd in-row)
     "qw_meta_agg" ->
+      ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM documents WHERE NOT (lang = 'de' AND doc_id % 3 = 0)"),
+    // same closed form, but served by the SQL surface's pushed-down
+    // LocalScan log fold (zero-file-scan plan REQUIREd in-row)
+    "qw_agg_pushdown" ->
       ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
         "FROM documents WHERE NOT (lang = 'de' AND doc_id % 3 = 0)"),
     // the atomic slice backfill's closed form: the de slice re-priced,

@@ -7,13 +7,16 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
   SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder,
+  SupportsPushDownAggregates, V1Scan}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite,
   SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL surface for [[TxLog]] tables — a DataSource V2 `TableCatalog`
@@ -224,8 +227,95 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new V1Scan {
+    new ScanBuilder with SupportsPushDownAggregates {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+        CountStar, Max, Min}
+
+      /** AGGREGATE PUSHDOWN — `SELECT COUNT(*) / MIN(x) / MAX(x) FROM
+        * graft.t` with no grouping and no residual filter collapses to
+        * a DRIVER-SIDE LOG FOLD: COUNT(*) is [[TxLog.countRows]] (the
+        * recorded footer row counts minus the deletion-vector masks —
+        * zero file opens), MIN/MAX of an integral column is
+        * [[TxLog.minMaxSkipping]] (recorded bounds for every clean
+        * covered file; only the masked-or-unrecorded remainder is
+        * scanned). The scan Spark plans is a [[LocalScan]] holding the
+        * ONE answer row — the 100 TB `COUNT(*)` that launches zero
+        * tasks, now reachable from plain SQL. Any other shape (grouping,
+        * other functions, non-integral columns, COUNT(col)) refuses the
+        * push and the normal scan serves it. */
+      private type Served = Seq[Either[Unit, (StructField, Boolean)]]
+      private var pushed: Option[Served] = None
+
+      private def parse(agg: Aggregation): Option[Served] = {
+        if (agg.groupByExpressions.nonEmpty) return None
+        def field(e: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[StructField] = e match {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            TxLogV2Table.this.schema().fields.find(_.name == r.fieldNames()(0))
+              .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+          case _ => None
+        }
+        val specs: Seq[Option[Either[Unit, (StructField, Boolean)]]] =
+          agg.aggregateExpressions.toSeq.map {
+            case _: CountStar => Some(Left(()))
+            case m: Min => field(m.column).map(f => Right((f, true)))
+            case m: Max => field(m.column).map(f => Right((f, false)))
+            case _ => None
+          }
+        if (specs.isEmpty || specs.exists(_.isEmpty)) None
+        else Some(specs.flatten)
+      }
+
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        parse(agg).isDefined
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        pushed = parse(agg)
+        pushed.isDefined
+      }
+
+      private def aggScan(specs: Served): Scan = {
+        val spark = SparkSession.active
+        val mm = scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
+        def bounds(f: StructField): Option[(Long, Long)] =
+          mm.getOrElseUpdate(f.name,
+            try {
+              val (lo, hi, _) = TxLog.minMaxSkipping(spark, tablePath, f.name, asOf)
+              Some((lo, hi))
+            } catch {
+              // zero live rows / all-null column: SQL's MIN over no
+              // values is NULL, never an error
+              case e: IllegalArgumentException
+                if Option(e.getMessage).exists(_.contains("zero live rows")) =>
+                None
+            })
+        val fields = specs.zipWithIndex.map {
+          case (Left(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (Right((f, _)), i) => StructField(s"agg_$i", f.dataType)
+        }
+        val values: Array[Any] = specs.map {
+          case Left(_) => TxLog.countRows(spark, tablePath, asOf): Any
+          case Right((f, isMin)) => bounds(f).map { case (lo, hi) =>
+            val v = if (isMin) lo else hi
+            f.dataType match {
+              case IntegerType => v.toInt: Any
+              case _ => v: Any
+            }
+          }.orNull
+        }.toArray
+        new LocalScan {
+          override def readSchema(): StructType = StructType(fields)
+          override def rows(): Array[InternalRow] =
+            Array(new GenericInternalRow(values))
+        }
+      }
+
+      override def build(): Scan = pushed match {
+        case Some(specs) => aggScan(specs)
+        case None => v1Scan()
+      }
+
+      private def v1Scan(): Scan = new V1Scan {
         override def readSchema(): StructType = TxLogV2Table.this.schema()
 
         /** `spark.readStream.table("graft.…")` — the catalog table AS a

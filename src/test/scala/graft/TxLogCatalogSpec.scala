@@ -906,6 +906,38 @@ class TxLogCatalogSpec extends SparkSpec {
       "deletion vectors must anti-apply on the file-skipped scan")
   }
 
+  test("COUNT/MIN/MAX collapse to a driver-side log fold (LocalScan)") {
+    val t = fresh("aggpush")
+    (0 until 3).foreach(r => TxLog.appendWithStats(spark, t,
+      (1L to 30L).filter(_ % 3 == r).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartition(1), "id"))
+    TxLog.deleteWhereMorExpr(spark, t, "id = 30")
+    val df = spark.sql(
+      s"SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi FROM graft.`$t`")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"the aggregate must serve from the log fold: $plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"the pushed plan must carry no file scan: $plan")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((29L, 1L, 29L)),
+      r.toString)
+    // VERSION AS OF folds the pinned snapshot's log prefix
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` VERSION AS OF 0")
+      .head().getLong(0) == 10L)
+    // grouped and filtered shapes refuse the push and stay exact
+    assert(spark.sql(s"SELECT s, COUNT(*) AS n FROM graft.`$t` GROUP BY s")
+      .count() == 29L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE id <= 10")
+      .head().getLong(0) == 10L)
+    // empty table: COUNT 0, MIN is SQL NULL (never an error)
+    val t2 = fresh("aggpush0")
+    spark.sql(s"CREATE TABLE graft.`$t2` (id BIGINT)")
+    val r2 = spark.sql(s"SELECT COUNT(*) AS n, MIN(id) AS lo FROM graft.`$t2`")
+      .head()
+    assert(r2.getLong(0) == 0L && r2.isNullAt(1), r2.toString)
+  }
+
   test("native INSERT INTO ... REPLACE WHERE lands one atomic slice swap") {
     val t = fresh("replw")
     TxLog.append(spark, t,
