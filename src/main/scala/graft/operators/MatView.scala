@@ -79,23 +79,29 @@ object MatView {
 
   private def encodeJoinDef(fact: String, dim: String, joinKeys: Seq[String],
                             keyCols: Seq[String], valCol: String,
-                            factFilter: Option[String]): String = {
+                            factFilter: Option[String],
+                            joinType: String): String = {
     requireFramable("fact table", fact, noComma = false)
     requireFramable("dim table", dim, noComma = false)
     requireFramable("value column", valCol, noComma = false)
     factFilter.foreach(requireFramable("fact filter", _, noComma = false))
     joinKeys.foreach(requireFramable("join key", _, noComma = true))
     keyCols.foreach(requireFramable("key column", _, noComma = true))
+    require(joinType == "inner" || joinType == "left",
+      s"txlog: unsupported mv join type: $joinType")
     Seq(fact, dim, valCol, factFilter.getOrElse(""),
-      joinKeys.mkString(","), keyCols.mkString(",")).mkString("\n")
+      joinKeys.mkString(","), keyCols.mkString(","), joinType).mkString("\n")
   }
 
   private def decodeJoinDef(s: String)
-  : (String, String, Seq[String], Seq[String], String, Option[String]) = {
+  : (String, String, Seq[String], Seq[String], String, Option[String], String) = {
     val p = s.split("\n", -1).toSeq
-    require(p.length == 6, s"txlog: malformed join-mv definition: $s")
+    // 6 lines = pre-left-join definitions (always inner); 7 adds the type
+    require(p.length == 6 || p.length == 7,
+      s"txlog: malformed join-mv definition: $s")
     (p(0), p(1), p(4).split(",").toSeq, p(5).split(",").toSeq, p(2),
-      Some(p(3)).filter(_.nonEmpty))
+      Some(p(3)).filter(_.nonEmpty),
+      if (p.length == 7) p(6) else "inner")
   }
 
   /** Commit-metadata keys of the READ-SHAPE decorations (r16): AVG and
@@ -183,7 +189,7 @@ object MatView {
     val metas = TxLog.commitMetas(spark, mv)
     metas.get(DefJoinKey) match {
       case Some(d) =>
-        val (fact, dim, _, _, _, _) = decodeJoinDef(d)
+        val (fact, dim, _, _, _, _, _) = decodeJoinDef(d)
         Seq(fact, dim)
       case None => Seq(decodeDef(metas.get(DefNdvKey)
         .orElse(metas.get(DefKey))
@@ -200,8 +206,8 @@ object MatView {
     val metas = TxLog.commitMetas(spark, mv)
     (metas.get(DefJoinKey), metas.get(DefNdvKey)) match {
       case (Some(d), _) =>
-        val (fact, dim, joinKeys, keyCols, valCol, filter) = decodeJoinDef(d)
-        refreshJoin(spark, fact, dim, mv, joinKeys, keyCols, valCol, filter)
+        val (fact, dim, joinKeys, keyCols, valCol, filter, jt) = decodeJoinDef(d)
+        refreshJoin(spark, fact, dim, mv, joinKeys, keyCols, valCol, filter, jt)
       case (None, Some(d)) =>
         val (src, keys, valCol) = decodeDef(d)
         refreshDistinct(spark, src, mv, keys, valCol)
@@ -415,8 +421,20 @@ object MatView {
         max(when(col("_w") === 1, col(valCol))).as("insmax"),
         min(when(col("_w") === -1, col(valCol))).as("delmin"),
         max(when(col("_w") === -1, col(valCol))).as("delmax"))
-    val joined = TxLog.read(spark, mv, Some(mvBase))
-      .join(delta, keyCols, "full_outer")
+    // EVERY key join below is NULL-SAFE (<=>): GROUP BY treats NULL as
+    // one real group — a NULL source key value, or the LEFT-JOIN MV's
+    // unmatched-fact group under NULL dim keys — but an equi-join
+    // matches NULL to nothing, so the state row would pass through
+    // unchanged while the group's delta died at the ncnt>0 filter and
+    // the fold silently diverged from the recompute (MatViewSpec pins
+    // the null-group delete fold).
+    val state = TxLog.read(spark, mv, Some(mvBase))
+    val joined = state.join(delta,
+        keyCols.map(k => state(k) <=> delta(k)).reduce(_ && _), "full_outer")
+      .select(keyCols.map(k => coalesce(state(k), delta(k)).as(k)) ++ Seq(
+        col("cnt"), col("total"), col("vmin"), col("vmax"), col("dcnt"),
+        col("dtotal"), col("insmin"), col("insmax"), col("delmin"),
+        col("delmax")): _*)
       .withColumn("ncnt",
         coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
       .withColumn("ntotal",
@@ -428,12 +446,16 @@ object MatView {
       .filter(col("ncnt") > 0)
       .localCheckpoint(true) // view-sized; consumed by the repair AND the fold
     val affected = joined.filter(col("needrepair")).select(keyC: _*)
+      .localCheckpoint(true) // broadcast twice below; keys only
     val repaired = repairSource
-      .join(broadcast(affected), keyCols, "left_semi")
+      .join(broadcast(affected),
+        keyCols.map(k => repairSource(k) <=> affected(k)).reduce(_ && _),
+        "left_semi")
       .groupBy(keyC: _*)
       .agg(min(col(valCol)).as("rmin"), max(col(valCol)).as("rmax"))
-    joined.join(repaired, keyCols, "left")
-      .select(keyC ++ Seq(
+    joined.join(repaired,
+        keyCols.map(k => joined(k) <=> repaired(k)).reduce(_ && _), "left")
+      .select(keyCols.map(k => joined(k).as(k)) ++ Seq(
         col("ncnt").as("cnt"), col("ntotal").as("total"),
         when(col("needrepair"), col("rmin")).otherwise(col("candmin")).as("vmin"),
         when(col("needrepair"), col("rmax")).otherwise(col("candmax")).as("vmax")): _*)
@@ -617,18 +639,26 @@ object MatView {
   private val MvjFactId = "graft-mvjoin-fact"
   private val MvjDimId = "graft-mvjoin-dim"
 
-  /** `factDf FILTER factFilter INNER JOIN broadcast(dimDf) ON joinKeys
-    * GROUP BY keyCols → (cnt, sum, min, max of valCol)` — the
+  /** `factDf FILTER factFilter [INNER|LEFT] JOIN broadcast(dimDf) ON
+    * joinKeys GROUP BY keyCols → (cnt, sum, min, max of valCol)` — the
     * maintained shape (same monoid argument as [[fullAggregate]]:
     * min/max fold exactly under append-only fact deltas, and every
     * delta-breaking case — fact rewrites, ANY dim change — already
-    * takes the recompute path). */
+    * takes the recompute path). LEFT OUTER folds by the same argument:
+    * it is FACT-preserving, so each fact row contributes exactly once
+    * (matched, or the null-dim row) against the — by precondition
+    * unchanged — dim; unmatched facts group under the dim keys' NULLs
+    * exactly as a recompute would. RIGHT/FULL are DIM-preserving and
+    * cannot fold (a fact append can RETIRE a dim's null row — a
+    * subtractive move no additive fold expresses), which is why the
+    * parser rejects them loudly. */
   private def joinAggregate(factDf: DataFrame, dimDf: DataFrame,
                             joinKeys: Seq[String], keyCols: Seq[String],
                             valCol: String,
-                            factFilter: Option[String]): DataFrame = {
+                            factFilter: Option[String],
+                            joinType: String): DataFrame = {
     val filtered = factFilter.fold(factDf)(factDf.filter)
-    filtered.join(broadcast(dimDf), joinKeys)
+    filtered.join(broadcast(dimDf), joinKeys, joinType)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valCol)).as("total"),
         min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"))
@@ -646,25 +676,27 @@ object MatView {
     * [[refresh]]'s: pinned reads, CAS commits, lost races re-enter. */
   def refreshJoin(spark: SparkSession, fact: String, dim: String, mv: String,
                   joinKeys: Seq[String], keyCols: Seq[String], valCol: String,
-                  factFilter: Option[String] = None): String =
+                  factFilter: Option[String] = None,
+                  joinType: String = "inner"): String =
     refreshJoinOnce(spark, fact, dim, mv, joinKeys, keyCols, valCol,
-      factFilter, attemptsLeft = 5)
+      factFilter, joinType, attemptsLeft = 5)
 
   private def refreshJoinOnce(spark: SparkSession, fact: String, dim: String,
                               mv: String, joinKeys: Seq[String],
                               keyCols: Seq[String], valCol: String,
                               factFilter: Option[String],
+                              joinType: String,
                               attemptsLeft: Int): String = {
     require(attemptsLeft > 0,
       s"txlog: join-matview refresh of $mv kept losing commit races — giving up")
     def retry() = refreshJoinOnce(spark, fact, dim, mv, joinKeys, keyCols,
-      valCol, factFilter, attemptsLeft - 1)
+      valCol, factFilter, joinType, attemptsLeft - 1)
     val factLatest = TxLog.latestVersion(spark, fact)
     val dimLatest = TxLog.latestVersion(spark, dim)
     def fullView: DataFrame = joinAggregate(
       TxLog.read(spark, fact, Some(factLatest)),
       TxLog.read(spark, dim, Some(dimLatest)),
-      joinKeys, keyCols, valCol, factFilter)
+      joinKeys, keyCols, valCol, factFilter, joinType)
     val marks = Seq((MvjFactId, factLatest), (MvjDimId, dimLatest))
     if (TxLog.versions(spark, mv).isEmpty) {
       // the join definition rides in the BUILD commit's metadata, so
@@ -672,7 +704,8 @@ object MatView {
       if (TxLog.appendIfEmpty(spark, mv, fullView, MvjAppId,
         factLatest + dimLatest, extraTxns = marks,
         metas = Seq(TxLog.metaPayload(DefJoinKey,
-          encodeJoinDef(fact, dim, joinKeys, keyCols, valCol, factFilter)))))
+          encodeJoinDef(fact, dim, joinKeys, keyCols, valCol, factFilter,
+            joinType)))))
         "build"
       else retry()
     } else {
@@ -744,11 +777,11 @@ object MatView {
             TxLog.readChangesCdf(spark, fact, appliedFact, factLatest).filter(f))
             .withColumn("_w",
               when(col("_change_type") === "insert", 1L).otherwise(-1L))
-            .join(broadcast(dimNow), joinKeys)
+            .join(broadcast(dimNow), joinKeys, joinType)
           val repairSource = factFilter.fold(
             TxLog.read(spark, fact, Some(factLatest)))(f =>
             TxLog.read(spark, fact, Some(factLatest)).filter(f))
-            .join(broadcast(dimNow), joinKeys)
+            .join(broadcast(dimNow), joinKeys, joinType)
           commitPinned(foldSignedDelta(spark, mv, mvBase, signed, repairSource,
             keyCols, valCol), "incremental-delete")
         } else {
@@ -756,7 +789,7 @@ object MatView {
             TxLog.readChanges(spark, fact, appliedFact, factLatest)
               .drop("_commit_version"),
             TxLog.read(spark, dim, Some(dimLatest)),
-            joinKeys, keyCols, valCol, factFilter)
+            joinKeys, keyCols, valCol, factFilter, joinType)
           val folded = TxLog.read(spark, mv, Some(mvBase)).unionByName(delta)
             .groupBy(keyCols.map(col): _*)
             .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
@@ -985,7 +1018,8 @@ object MatView {
       joinAggregate(
         TxLog.read(spark, fact, Some(TxLog.latestVersion(spark, fact))),
         TxLog.read(spark, dim, Some(TxLog.latestVersion(spark, dim))),
-        Seq("c_custkey"), Seq("c_nationkey"), "o_val", Some("o_val > 1000"))
+        Seq("c_custkey"), Seq("c_nationkey"), "o_val", Some("o_val > 1000"),
+        "inner")
         .select("c_nationkey", "cnt", "total", "vmin", "vmax"),
       "fold != recompute over fixture fact ⋈ dim")
     // guard 2: fold ≡ oracle semantics straight from the source parquet
@@ -1097,6 +1131,65 @@ object MatView {
           min(col("o_val")).as("vmin"), max(col("o_val")).as("vmax")),
       "SQL-lifecycle join fold != oracle aggregate from source parquet")
     digestRow(spark, folded, "c_nationkey")
+  }
+
+  /** QW — LEFT OUTER JOIN MV (r16): the FACT-preserving outer join
+    * folds additively — each fact row contributes exactly once, matched
+    * or as the null-dim row, against the (by precondition unchanged)
+    * dim — so the whole append/signed fold machinery carries over
+    * unchanged. The dim is deliberately HALF-missing so the NULL group
+    * is load-bearing at every SF; modes REQUIREd (an implementation
+    * that silently recomputed would pass values but fail these); the
+    * digest key is coalesced to −1 on BOTH sides (nation keys are ≥ 0)
+    * because a NULL digest key would vanish inside DuckDB's
+    * string_agg. */
+  def qwMvLeftJoin(spark: SparkSession, d: String): DataFrame = {
+    val factRows = T.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        floor(col("o_totalprice")).cast("long").as("o_val"))
+    val dimRows = T.customer(spark, d)
+      .filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_nationkey")
+    val fact = Fixtures.table("mvljoin", d, "fact")
+    val dim = Fixtures.table("mvljoin", d, "dim")
+    val mv = Fixtures.table("mvljoin", d, "view")
+    val cut = factRows.agg(max("o_orderkey")).head().getLong(0) / 5
+    TxLog.append(spark, dim, dimRows)
+    TxLog.append(spark, fact, factRows.filter(col("o_orderkey") % 2 === 0))
+    require(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT c_nationkey, COUNT(*) AS cnt, SUM(o_val) AS total, " +
+      s"MIN(o_val) AS vmin, MAX(o_val) AS vmax " +
+      s"FROM graft.`$fact` f LEFT OUTER JOIN graft.`$dim` c " +
+      s"ON f.c_custkey = c.c_custkey " +
+      s"GROUP BY c_nationkey").head().getString(0) == "build")
+    def refreshSql(): String =
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head().getString(0)
+    val view = "graft_mvljoin_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    factRows.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO graft.`$fact` " +
+      s"SELECT o_orderkey, c_custkey, o_val FROM $view")
+    finally spark.catalog.dropTempView(view)
+    require(refreshSql() == "incremental",
+      "a fact append must fold incrementally under LEFT JOIN")
+    spark.sql(s"DELETE FROM graft.`$fact` WHERE o_orderkey <= $cut")
+    require(refreshSql() == "incremental-delete",
+      "a fact delete must fold signed under LEFT JOIN")
+    require(refreshSql() == "noop")
+    val folded = spark.sql(
+      s"SELECT c_nationkey, cnt, total, vmin, vmax FROM graft.`$mv`")
+    require(folded.filter(col("c_nationkey").isNull).count() == 1L,
+      "the unmatched facts must serve as ONE null-dim group")
+    certifyEqual(spark, mv, folded,
+      factRows.filter(col("o_orderkey") > cut)
+        .join(dimRows, Seq("c_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_val")).as("total"),
+          min(col("o_val")).as("vmin"), max(col("o_val")).as("vmax")),
+      "LEFT-JOIN fold != oracle aggregate from source parquet")
+    digestRow(spark, folded.select(
+      coalesce(col("c_nationkey"), lit(-1L)).as("k"),
+      col("cnt"), col("total"), col("vmin"), col("vmax")), "k")
   }
 
   /** QW — AVG over the MV lifecycle (r16): CREATE MATERIALIZED VIEW
@@ -1280,6 +1373,7 @@ object MatView {
     "qw_mv_delete_fold" -> qwMvDeleteFold _,
     "qw_mv_sql" -> qwMvSql _,
     "qw_mv_sql_join" -> qwMvSqlJoin _,
+    "qw_mv_left_join" -> qwMvLeftJoin _,
     "qw_mv_distinct" -> qwMvDistinct _,
     "qw_mv_route" -> qwMvRoute _)
 
@@ -1341,6 +1435,17 @@ object MatView {
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
         "AND o_orderkey > (SELECT MAX(o_orderkey) // 5 FROM orders) " +
         "GROUP BY c_nationkey", "c_nationkey"),
+    // the fact-preserving outer join's closed form: the half-missing
+    // dim leaves a null group, coalesced to -1 on both digest sides
+    "qw_mv_left_join" -> digestOracle(
+      "SELECT COALESCE(c_nationkey, -1) AS k, COUNT(*) AS cnt, " +
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total, " +
+        "MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmin, " +
+        "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
+        "FROM orders LEFT JOIN (SELECT c_custkey, c_nationkey FROM " +
+        "customer WHERE c_custkey % 2 = 0) c ON o_custkey = c_custkey " +
+        "WHERE o_orderkey > (SELECT MAX(o_orderkey) // 5 FROM orders) " +
+        "GROUP BY 1", "k"),
     "qw_mv_refresh" -> digestOracle(
       "SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS total, " +
         "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax " +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -38,7 +38,8 @@ case class MvDistinct(src: String, keys: Seq[String], valCol: String)
 case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
                   keys: Seq[String], valCol: String,
                   factFilter: Option[String],
-                  avg: Boolean = false, having: Option[String] = None)
+                  avg: Boolean = false, having: Option[String] = None,
+                  joinType: String = "inner")
   extends MvShape
 
 /** SQL surface for the TxLog maintenance + materialized-view operators —
@@ -377,26 +378,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "a computed grouping key on the JOIN shape (computed keys " +
               "are single-table v1 — derive the column on the fact " +
               "table via GENERATED ALWAYS instead)")
-          val joinKeys = j.joinType match {
-            case UsingJoin(Inner, cols) => cols
-            case Inner =>
-              val cond = j.condition.getOrElse(
-                mvUnsupported("JOIN without ON key equalities"))
-              conjuncts(cond).map {
-                case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-                    if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-                  a.nameParts.last
-                case other => mvUnsupported(
-                  s"JOIN ON must be same-name column equalities " +
-                    s"(got ${other.sql}); alias the dim to the fact's names")
-              }
-            case other => mvUnsupported(s"$other join (INNER only — an " +
-              "outer join cannot fold incrementally)")
+          // INNER folds additively; LEFT OUTER folds too (it is
+          // FACT-preserving: each fact row contributes exactly once,
+          // matched or as the null-dim row). RIGHT/FULL are
+          // DIM-preserving — a fact append can RETIRE a dim's null row,
+          // a subtractive move no additive fold expresses — loud.
+          def onKeys: Seq[String] = {
+            val cond = j.condition.getOrElse(
+              mvUnsupported("JOIN without ON key equalities"))
+            conjuncts(cond).map {
+              case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+                  if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+                a.nameParts.last
+              case other => mvUnsupported(
+                s"JOIN ON must be same-name column equalities " +
+                  s"(got ${other.sql}); alias the dim to the fact's names")
+            }
+          }
+          val (joinType, joinKeys) = j.joinType match {
+            case UsingJoin(Inner, cols) => ("inner", cols)
+            case UsingJoin(LeftOuter, cols) => ("left", cols)
+            case Inner => ("inner", onKeys)
+            case LeftOuter => ("left", onKeys)
+            case other => mvUnsupported(s"$other join (INNER or LEFT " +
+              "OUTER only — a dim-preserving outer join cannot fold " +
+              "incrementally)")
           }
           // FIRST relation = fact (the incrementally-folding side),
           // second = dim (any change forces the honest recompute)
           MvJoin(relPath(j.left), relPath(j.right), joinKeys, keys,
-            valCol, factFilter, avg, having)
+            valCol, factFilter, avg, having, joinType)
         }
         unalias(child) match {
           case j: Join => joinShape(j, None)
@@ -691,7 +702,7 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
         MatView.refresh(spark, src, view, keys, valCol, keyExprs.toMap)
       case MvDistinct(src, keys, valCol) =>
         MatView.refreshDistinct(spark, src, view, keys, valCol)
-      case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter, _, _) =>
+      case MvJoin(fact, dim, joinKeys, keys, valCol, factFilter, _, _, joinType) =>
         // the parser designated the FIRST relation as the fact and binds
         // WHERE against its scan; a dim-first query whose WHERE names a
         // column present in both tables would otherwise be silently
@@ -721,7 +732,7 @@ case class MatViewCreateCommand(view: String, shape: MvShape)
           }
         }
         MatView.refreshJoin(spark, fact, dim, view, joinKeys, keys,
-          valCol, factFilter)
+          valCol, factFilter, joinType)
     }
     // read-shape decorations (AVG / HAVING) land AFTER the build, as
     // their own metadata-only commit: they never touch maintenance —

@@ -792,7 +792,7 @@ object TxLog {
         s"txlog: malformed stats payload in $table: $payload")
       // a bloom reference COEXISTS with the same column's value bounds
       // (both can be recorded for one file) — distinct last-wins slot
-      val cls = if (t.length == 5 && t(4) == BloomSuffix) " bf" else ""
+      val cls = if (t.length == 5 && t(4) == BloomSuffix) "\u0000bf" else ""
       acc((t(0), t(1) + cls)) = payload
     }
     startCkpt.foreach { cv =>

@@ -219,6 +219,51 @@ class MatViewSpec extends SparkSpec {
       "the group crossing HAVING must serve its FULL fact history")
   }
 
+  test("LEFT OUTER join MV: null-dim group folds exactly; dim-preserving joins stay loud (r16)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mvspec-lj").toString
+    val (fact, dim, mv) = (s"$base/fact", s"$base/dim", s"$base/view")
+    // ck=3 has NO dim row — its facts must serve under the null group
+    TxLog.append(spark, dim, Seq((1L, 10L), (2L, 20L)).toDF("ck", "nation"))
+    TxLog.append(spark, fact,
+      Seq((1L, 100L), (2L, 5L), (3L, 7L)).toDF("ck", "v"))
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT nation, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+      s"MAX(v) AS vmax " +
+      s"FROM graft.`$fact` f LEFT OUTER JOIN graft.`$dim` c ON f.ck = c.ck " +
+      "GROUP BY nation").head().getString(0) == "build")
+    def state() = TxLog.read(spark, mv)
+      .select("nation", "cnt", "total")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(state() == Set((10L, 1L, 100L), (20L, 1L, 5L), (-1L, 1L, 7L)))
+    // an unmatched-fact append folds INTO the null group incrementally
+    TxLog.append(spark, fact, Seq((3L, 8L), (1L, 50L)).toDF("ck", "v"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental")
+    assert(state() == Set((10L, 2L, 150L), (20L, 1L, 5L), (-1L, 2L, 15L)))
+    // a delete of a null-group fact folds SIGNED
+    TxLog.deleteWhereMorExpr(spark, fact, "ck = 3 AND v = 7")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "incremental-delete")
+    assert(state() == Set((10L, 2L, 150L), (20L, 1L, 5L), (-1L, 1L, 8L)))
+    // a dim append still forces the honest recompute (a fresh dim row
+    // must RETIRE its key's null-group contribution — never foldable)
+    TxLog.append(spark, dim, Seq((3L, 30L)).toDF("ck", "nation"))
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .head().getString(0) == "recompute")
+    assert(state() == Set((10L, 2L, 150L), (20L, 1L, 5L), (30L, 1L, 8L)),
+      "the matched key must leave the null group on recompute")
+    // RIGHT/FULL stay loud: dim-preserving joins cannot fold
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$base/v2` AS " +
+        s"SELECT nation, COUNT(*) AS cnt, SUM(v) AS total, MIN(v) AS vmin, " +
+        s"MAX(v) AS vmax " +
+        s"FROM graft.`$fact` f RIGHT OUTER JOIN graft.`$dim` c ON f.ck = c.ck " +
+        "GROUP BY nation"))
+    assert(e.getMessage.contains("INNER or LEFT"),
+      s"unexpected right-join error: ${e.getMessage}")
+  }
+
   test("computed grouping keys: fold ≡ recompute across every commit kind (r16)") {
     val (src, mv) = fresh("exprkey")
     TxLog.append(spark, src,
