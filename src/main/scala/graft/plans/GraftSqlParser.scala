@@ -94,7 +94,9 @@ case class MvJoin(fact: String, dim: String, joinKeys: Seq[String],
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+(.+?)""" +
+      """(?:\s+WHERE\s+([\w`]+)\s*=\s*(?:'([^']*)'|([\w.\-]+)))?""" +
+      """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
@@ -175,7 +177,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MatViewRefreshCommand(graftPath(ident).get)
     case CreateMvRe(ident, query) if graftPath(ident).isDefined =>
       MatViewCreateCommand(graftPath(ident).get, parseMvQuery(query))
-    case OptimizeRe(ident, curve, zcols) if graftPath(ident).isDefined =>
+    case OptimizeRe(ident, wcol, wstr, wbare, curve, zcols)
+        if graftPath(ident).isDefined =>
+      val where = Option(wcol).map { c =>
+        (c.replace("`", ""), Option(wstr).getOrElse(wbare))
+      }
+      require(where.isEmpty || zcols == null,
+        "txlog: OPTIMIZE ... WHERE is partition-scoped bin-packing only " +
+          "— a clustering curve reorders the WHOLE live set (run " +
+          "OPTIMIZE ... ZORDER/HILBERT BY without the WHERE)")
       val z = Option(zcols).map { s =>
         val cols = s.split(",").map { c =>
           delegate.parseMultipartIdentifier(c.trim) match {
@@ -191,7 +201,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         (cols(0), cols(1))
       }
       TxLogOptimizeCommand(graftPath(ident).get, z,
-        hilbert = Option(curve).exists(_.equalsIgnoreCase("HILBERT")))
+        hilbert = Option(curve).exists(_.equalsIgnoreCase("HILBERT")),
+        where = where)
     case VacuumRe(ident, retain, dry) if graftPath(ident).isDefined =>
       // bare VACUUM is CONSERVATIVE (r14 advice): retain EVERY version —
       // only orphan files no version references are reclaimed, so time
@@ -452,13 +463,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * committed version (unchanged when nothing needed packing). */
 case class TxLogOptimizeCommand(table: String,
                                 zorder: Option[(String, String)],
-                                hilbert: Boolean = false)
+                                hilbert: Boolean = false,
+                                where: Option[(String, String)] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val target = spark.conf
       .get("spark.graft.optimize.targetBytes", (128L << 20).toString).toLong
+    val v = (zorder, where) match {
+      case (None, Some((c, value))) =>
+        TxLog.compactPartition(spark, table, c, value, target)
+      case _ => runUnscoped(spark, target)
+    }
+    Seq(Row(v))
+  }
+  private def runUnscoped(spark: SparkSession, target: Long): Long = {
     val v = zorder match {
       case None => TxLog.optimizeBinPack(spark, table, target)
       case Some((a, b)) =>
@@ -470,7 +490,7 @@ case class TxLogOptimizeCommand(table: String,
         if (hilbert) TxLog.optimizeHilbert(spark, table, files, a, b)
         else TxLog.optimizeZOrder(spark, table, files, a, b)
     }
-    Seq(Row(v))
+    v
   }
 }
 

@@ -2079,6 +2079,38 @@ object TxLog {
     base.filter(col(statsCol).between(lo, hi))
   }
 
+  /** The live files a `statsCol LIKE 'prefix%'` read must scan: a
+    * prefix is the byte range `[p, next(p))` where `next(p)` strips
+    * trailing 0xFF bytes and increments the last remaining one (the
+    * smallest byte string greater than EVERY string carrying the
+    * prefix; an all-0xFF prefix has no upper bound). Conservative like
+    * every rung: no recorded bounds keeps the file. */
+  private[graft] def pruneFilesPrefix(spark: SparkSession, table: String,
+                                      statsCol: String, prefix: String,
+                                      asOf: Option[Long] = None
+                                     ): (Seq[String], Int) = {
+    val live = snapshotFiles(spark, table, asOf)
+    val stats = stringStatsForLive(spark, table, statsCol, live.toSet, asOf)
+    val p = prefix.getBytes("UTF-8")
+    val upper: Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val u = p.take(i + 1)
+        u(i) = (u(i) + 1).toByte
+        Some(u)
+      }
+    }
+    val kept = live.filter { f =>
+      stats.get(f).forall { case (mn, mx) =>
+        UnsignedBytes.compare(mx, p) >= 0 &&
+          upper.forall(u => UnsignedBytes.compare(mn, u) < 0)
+      }
+    }
+    (kept, live.size)
+  }
+
   /** The live files a conjunction of `[lo, hi]` range predicates must
     * scan: (kept, total live) — kept = EVERY predicate's recorded range
     * intersects, or no stats recorded for that column (absence can
@@ -2639,7 +2671,10 @@ object TxLog {
         else rangeKeep(attr, Long.MinValue, n - 1))
       case LessThanOrEqual(attr, v) =>
         longOf(v).map(n => rangeKeep(attr, Long.MinValue, n))
-      case _ => None // IsNull / Not / StringStartsWith / …: no pruning
+      case StringStartsWith(attr, p) if p.nonEmpty && has(attr, 's') =>
+        // LIKE 'p%' = the byte range [p, next(p)) against string stats
+        Some(pruneFilesPrefix(spark, table, attr, p, asOf)._1.toSet)
+      case _ => None // IsNull / Not / EndsWith / …: no pruning
     }
     val keptSet = filters.flatMap(keep)
       .foldLeft(live.toSet)(_ intersect _)
@@ -2755,11 +2790,30 @@ object TxLog {
     // compaction wants one file per leaf: co-locate each value tuple
     val laid = if (onePerLeaf) driven.repartition(drivers.map(col): _*) else driven
     laid.write.partitionBy(drivers: _*).parquet(new Path(table, rel).toString)
-    val files = writtenPartitionedFiles(spark, table, rel, pParts.length)
-    files.foreach { case (_, vs) =>
+    val files0 = writtenPartitionedFiles(spark, table, rel, pParts.length)
+    files0.foreach { case (_, vs) =>
       require(!vs.contains("__HIVE_DEFAULT_PARTITION__"),
         "txlog: null partition value — partitioned writes require " +
           "non-null partition columns")
+    }
+    // NAME-UNIQUENESS RENAME: the deletion-vector and bloom sidecars
+    // key their rows by file NAME (root-independent, which is what
+    // makes shallow-clone rebasing free) — but ONE partitioned write
+    // job reuses each task's `part-NNNNN-<jobUUID>` name in EVERY leaf
+    // dir it writes, so two leaves of the same write can collide and a
+    // MOR delete in one partition would mask same-positioned rows of
+    // its name-twin in another (TxLogCatalogSpec pins the 39-vs-38
+    // count this caused). A per-file index prefix restores global
+    // uniqueness as a pure metadata rename; no other write shape can
+    // collide (every other path writes one directory per job, where
+    // Spark's own split numbering is already unique).
+    val fsys = fs(spark, new Path(table))
+    val files = files0.zipWithIndex.map { case ((p, vs), i) =>
+      val old = new Path(table, p)
+      val dst = new Path(old.getParent, s"u$i-${old.getName}")
+      require(fsys.rename(old, dst),
+        s"txlog: could not uniquify partitioned output $p")
+      (p.stripSuffix(old.getName) + dst.getName, vs)
     }
     val enc = java.util.Base64.getEncoder
     val partLines = files.flatMap { case (p, vs) =>
@@ -2866,6 +2920,52 @@ object TxLog {
     val stats = statsCols.flatMap(c => footerStats(spark, table, files.map(_._1), c))
     commitRewrite(spark, table, base, files.map(_._1), removes, "compact",
       new Path(table, rel), stats = partLines ++ stats)
+  }
+
+  /** PARTITION-SCOPED compaction — `OPTIMIZE t WHERE part = value`:
+    * rewrite ONLY the live files whose RECORDED partition value matches
+    * into ceil(scopeBytes / targetBytes) packed files, as one commit
+    * that never touches any other partition's files — the maintenance
+    * a date-partitioned 100 TB table runs on yesterday's slice while
+    * the other 3,650 days stay untouched. The rewritten rows pass
+    * through [[scanLive]], so the scope's deletion-vector masks are
+    * PURGED into the new files (the public OPTIMIZE side effect);
+    * recorded stats for other columns die with the rewritten files
+    * (conservative — [[restat]] re-records from footers). Files
+    * appended without partition recording are never scoped (their rows
+    * may span values); already-packed unmasked scopes return
+    * commit-free. */
+  def compactPartition(spark: SparkSession, table: String, partCol: String,
+                       value: String,
+                       targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, s"txlog: target bytes must be positive")
+    requireNonEmpty(spark, table, "compact")
+    val base = latestVersion(spark, table)
+    val pv = partitionValuesAt(spark, table, partCol, Some(base))
+    val scope = snapshotFiles(spark, table, Some(base))
+      .filter(f => pv.get(f).contains(value))
+    require(scope.nonEmpty,
+      s"txlog: no live file of $table records $partCol=$value — nothing " +
+        "to optimize (files appended without partition recording are " +
+        "never scoped)")
+    val fsys = fs(spark, new Path(table))
+    val bytes = scope.map(p =>
+      fsys.getFileStatus(new Path(table, p)).getLen).sum
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val dvs = dvAt(spark, table, Some(base)).filter(kv => scope.contains(kv._1))
+    if (scope.size <= numFiles && dvs.isEmpty) return base
+    val declared = schemaAt(spark, table, Some(base))
+    val rel = f"data/v${base + 1}%08d-compact-${uniq()}"
+    physicalize(scanLive(spark, table, scope, declared, dvs)
+      .repartition(numFiles), declared)
+      .write.parquet(new Path(table, rel).toString)
+    val files = writtenFiles(spark, table, rel)
+    val phys = resolvePhysical(spark, table, partCol, Some(base))
+    val enc = java.util.Base64.getEncoder
+    val partLines = files.map(f =>
+      s"$f|$phys|${enc.encodeToString(value.getBytes("UTF-8"))}|-|p")
+    commitRewrite(spark, table, base, files, scope, "compact",
+      new Path(table, rel), stats = partLines)
   }
 
   /** Live files' recorded partition value for `partCol` as of `asOf`
@@ -3669,6 +3769,26 @@ object TxLog {
       if (!referenced.contains(rel) && !underReferencedSidecar(rel)) {
         if (!dryRun) f.delete(p, false)
         removed += rel
+      }
+    }
+    // the streaming sink's `_staging` tree: an epoch that COMMITS (or
+    // aborts) deletes its own dir, so any staged file older than the
+    // age horizon belongs to a query that died mid-epoch and will
+    // re-stage from its checkpoint — never referenced by any commit,
+    // reclaimable without a log check (the same horizon covers a LIVE
+    // epoch's in-flight files, exactly as it covers in-flight appends)
+    val stagingRoot = new Path(table, "_staging")
+    if (f.exists(stagingRoot)) {
+      val it = f.listFiles(stagingRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getModificationTime < deleteBefore) {
+          val full = st.getPath.toString
+          require(full.startsWith(rootPrefix),
+            s"txlog: staged file $full outside table root $rootPrefix")
+          if (!dryRun) f.delete(st.getPath, false)
+          removed += full.stripPrefix(rootPrefix)
+        }
       }
     }
     if (dryRun) return removed.toSeq.sorted // nothing moved, no watermark

@@ -887,6 +887,12 @@ class TxLogCatalogSpec extends SparkSpec {
       Seq(GreaterThan("id", 20L)), None).size == 1)
     // an unanswerable shape prunes nothing (conservative keep-all)
     assert(TxLog.pruneForFilters(spark, t, Seq(IsNull("s")), None).size == 3)
+    // LIKE 'b%' prunes as the byte range [b, c) against string stats
+    import org.apache.spark.sql.sources.StringStartsWith
+    assert(TxLog.pruneForFilters(spark, t,
+      Seq(StringStartsWith("s", "b")), None).size == 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE s LIKE 'b%'")
+      .head().getLong(0) == 10L)
     // the SQL surface rides the same skip and stays exact
     assert(spark.sql(s"SELECT s FROM graft.`$t` WHERE id = 15")
       .head().getString(0) == "b15")
@@ -904,6 +910,56 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE id >= 11 AND id <= 20")
       .head().getLong(0) == 9L,
       "deletion vectors must anti-apply on the file-skipped scan")
+  }
+
+  test("OPTIMIZE ... WHERE compacts one partition, leaves the rest untouched, purges its masks") {
+    val t = fresh("optwhere")
+    val rows = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "de" else "en")).toDF("id", "lang")
+    // two waves, both langs in each → 2 recorded files per lang
+    (0 until 2).foreach { w =>
+      TxLog.appendPartitioned(spark, t,
+        rows.filter(if (w == 0) col("id") <= 20 else col("id") > 20)
+          .repartition(1), "lang")
+    }
+    val pv0 = TxLog.partitionValuesAt(spark, t, "lang")
+    val enFiles = pv0.filter(_._2 == "en").keys.toSet
+    assert(pv0.count(_._2 == "de") == 2 && enFiles.size == 2, pv0.toString)
+    // every leaf file of one partitioned write carries a UNIQUE name —
+    // the dv/bloom sidecars key rows by name, and Spark reuses a task's
+    // part-file name across the leaves it writes (the collision that
+    // let a de mask hit its en name-twin before the uniquify rename)
+    val names = pv0.keys.map(p => p.split('/').last).toSeq
+    assert(names.distinct.size == names.size, s"leaf name collision: $names")
+    // mask one de row; the count must drop by EXACTLY one (a name
+    // collision would mask the same position in the en twin too)
+    TxLog.deleteWhereMorExpr(spark, t, "id = 2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 39L, "the mask must erase one row, never a name-twin's row")
+    def deFiles = TxLog.partitionValuesAt(spark, t, "lang")
+      .filter(_._2 == "de").keys.toSet
+    assert(TxLog.dvAt(spark, t).keys.toSet.intersect(deFiles).nonEmpty,
+      "the fixture's mask must bind inside the de scope")
+    val v = spark.sql(s"OPTIMIZE graft.`$t` WHERE lang = 'de'")
+      .head().getLong(0)
+    assert(v == TxLog.latestVersion(spark, t))
+    val pv1 = TxLog.partitionValuesAt(spark, t, "lang")
+    assert(pv1.filter(_._2 == "en").keys.toSet == enFiles,
+      "the other partition's files must be untouched")
+    assert(pv1.count(_._2 == "de") == 1, s"de must pack to one file: $pv1")
+    assert(TxLog.dvAt(spark, t).keys.toSet.intersect(deFiles).isEmpty,
+      "the scope's deletion-vector mask must purge into the rewrite")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 39L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE lang = 'de'")
+      .head().getLong(0) == 19L)
+    // the rewritten scope re-records its partition value: pruning holds
+    val (kept, total) = TxLog.pruneFilesPartition(spark, t, "lang", "de")
+    assert(total == 3 && kept.size == 1, s"kept ${kept.size} of $total")
+    // a clustering curve reorders the whole live set — WHERE is loud
+    val e = intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t` WHERE lang = 'de' ZORDER BY (id, id)"))
+    assert(e.getMessage.contains("partition-scoped"), e.getMessage)
   }
 
   test("COUNT/MIN/MAX collapse to a driver-side log fold (LocalScan)") {

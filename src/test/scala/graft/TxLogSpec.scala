@@ -322,6 +322,29 @@ class TxLogSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("vacuum reclaims aged orphaned streaming-staging files") {
+    val t = freshTable("stagevac")
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val staged = new java.io.File(t, "_staging/app/7")
+    staged.mkdirs()
+    val orphan = new java.io.File(staged, "part-0-1.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // dry run reports it, deletes nothing
+    val report = TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L,
+      dryRun = true)
+    assert(report.exists(_.contains("_staging")) && orphan.exists(),
+      report.toString)
+    // a real vacuum under the exact horizon reclaims it; data untouched
+    val gone = TxLog.vacuum(spark, t, retainLast = 1, minFileAgeMs = 0L)
+    assert(gone.exists(_.contains("_staging")) && !orphan.exists(),
+      gone.toString)
+    assert(TxLog.read(spark, t).count() == 1L)
+    // a fresh staged file inside the default in-flight horizon survives
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1))
+    TxLog.vacuum(spark, t, retainLast = 1)
+    assert(orphan.exists(), "an in-horizon staged file must survive vacuum")
+  }
+
   test("restat re-records only the MISSING files' bounds, string columns included") {
     import org.apache.spark.sql.sources.EqualTo
     val t = freshTable("restat")
