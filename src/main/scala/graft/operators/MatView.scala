@@ -182,6 +182,30 @@ object MatView {
     TxLog.lastCommittedBatch(spark, mv, MvAppId)
       .contains(TxLog.latestVersion(spark, src))
 
+  /** [[routeDescriptor]]'s JOIN twin: (fact, dim, joinKeys, keyCols,
+    * valCol, joinType) — None for non-join views and for views defined
+    * WITH a fact filter (a filtered view cannot serve an unfiltered
+    * query). */
+  private[graft] def routeJoinDescriptor(spark: SparkSession, mv: String)
+  : Option[(String, String, Seq[String], Seq[String], String, String)] = {
+    val metas = TxLog.commitMetas(spark, mv)
+    metas.get(DefJoinKey).flatMap { d =>
+      val (fact, dim, joinKeys, keyCols, valCol, filter, jt) = decodeJoinDef(d)
+      if (filter.isDefined) None
+      else Some((fact, dim, joinKeys, keyCols, valCol, jt))
+    }
+  }
+
+  /** [[isFresh]] for the join flavor: BOTH applied watermarks must
+    * equal their source's latest version — one commit on EITHER side
+    * and the query reads the sources again. */
+  private[graft] def isFreshJoin(spark: SparkSession, mv: String,
+                                 fact: String, dim: String): Boolean =
+    TxLog.lastCommittedBatch(spark, mv, MvjFactId)
+      .contains(TxLog.latestVersion(spark, fact)) &&
+      TxLog.lastCommittedBatch(spark, mv, MvjDimId)
+        .contains(TxLog.latestVersion(spark, dim))
+
   /** The persisted definition's SOURCE TABLES (src, or fact + dim) —
     * what a continuous maintainer of a named view must subscribe to
     * ([[graft.streaming.StreamingMatView.maintainNamed]]). */
@@ -1364,7 +1388,53 @@ object MatView {
     }
   }
 
+  /** QW — TRANSPARENT ROUTING FOR JOIN MVs (r16): the dashboard's
+    * `fact ⋈ dim GROUP BY dim-key` aggregate — plain SQL naming BOTH
+    * source tables — serves from the maintained join view when both
+    * watermarks are fresh: the 100 TB fact never enters the plan
+    * (zero catalog relations REQUIREd in-row, the [[qwMvRoute]] proof
+    * on the two-table shape). Values hash-match the closed join form
+    * over the source parquet. */
+  def qwMvRouteJoin(spark: SparkSession, d: String): DataFrame = {
+    val factRows = T.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        floor(col("o_totalprice")).cast("long").as("o_val"))
+    val dimRows = T.customer(spark, d).select("c_custkey", "c_nationkey")
+    val fact = Fixtures.table("mvroutej", d, "fact")
+    val dim = Fixtures.table("mvroutej", d, "dim")
+    val mv = Fixtures.table("mvroutej", d, "view")
+    TxLog.append(spark, fact, factRows)
+    TxLog.append(spark, dim, dimRows)
+    refreshJoin(spark, fact, dim, mv,
+      joinKeys = Seq("c_custkey"), keyCols = Seq("c_nationkey"),
+      valCol = "o_val")
+    spark.conf.set(graft.plans.RouteToMatView.ConfKey, mv)
+    graft.plans.RouteToMatView.invalidateCache()
+    try {
+      val served = spark.sql(
+        s"SELECT c_nationkey, COUNT(*) AS cnt, SUM(o_val) AS total, " +
+          s"MIN(o_val) AS vmin, MAX(o_val) AS vmax " +
+          s"FROM graft.`$fact` f JOIN graft.`$dim` c " +
+          s"ON f.c_custkey = c.c_custkey " +
+          "GROUP BY c_nationkey ORDER BY c_nationkey")
+      val catalogScans = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2Relation => r.table.name()
+        case s: org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2ScanRelation => s.relation.table.name()
+      }
+      require(catalogScans.isEmpty,
+        s"txlog: the join aggregate must route to the view, still scans: " +
+          catalogScans.mkString(", "))
+      served
+    } finally {
+      spark.conf.unset(graft.plans.RouteToMatView.ConfKey)
+      graft.plans.RouteToMatView.invalidateCache()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qw_mv_route_join" -> qwMvRouteJoin _,
     "qw_mv_exprkey" -> qwMvExprKey _,
     "qw_mv_avg" -> qwMvAvg _,
     "qw_mv_having" -> qwMvHaving _,
@@ -1435,6 +1505,15 @@ object MatView {
         "WHERE CAST(FLOOR(o_totalprice) AS BIGINT) > 1000 " +
         "AND o_orderkey > (SELECT MAX(o_orderkey) // 5 FROM orders) " +
         "GROUP BY c_nationkey", "c_nationkey"),
+    // the routed join aggregate ≡ the closed join form over the source
+    // parquet (zero-catalog-scan plan proof rides in-row)
+    "qw_mv_route_join" ->
+      ("SELECT c_nationkey, COUNT(*) AS cnt, " +
+        "SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total, " +
+        "MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmin, " +
+        "MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS vmax " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     // the fact-preserving outer join's closed form: the half-missing
     // dim leaves a null group, coalesced to -1 on both digest sides
     "qw_mv_left_join" -> digestOracle(

@@ -3,9 +3,10 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Divide, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions.{col, max => fMax, min => fMin, sum => fSum}
@@ -55,10 +56,12 @@ object RouteToMatView extends Rule[LogicalPlan] {
   private val ttlMs = 2000L
   private val cache =
     TrieMap.empty[String, (Long, Option[(String, Seq[String], String, Boolean)])]
+  private val cacheJ = TrieMap.empty[String,
+    (Long, Option[(String, String, Seq[String], Seq[String], String, String, Boolean)])]
 
   /** For tests: drop memoized freshness so a just-committed source
     * version is observed immediately. */
-  private[graft] def invalidateCache(): Unit = cache.clear()
+  private[graft] def invalidateCache(): Unit = { cache.clear(); cacheJ.clear() }
 
   private def descriptor(spark: SparkSession, mv: String
                         ): Option[(String, Seq[String], String, Boolean)] = {
@@ -72,6 +75,22 @@ object RouteToMatView extends Rule[LogicalPlan] {
           }
         catch { case _: Exception => None } // unreadable view: never route
       cache.put(mv, (now + ttlMs, d))
+      d
+    }
+  }
+
+  private def joinDescriptor(spark: SparkSession, mv: String
+  ): Option[(String, String, Seq[String], Seq[String], String, String, Boolean)] = {
+    val now = System.currentTimeMillis()
+    cacheJ.get(mv).filter(_._1 > now).map(_._2).getOrElse {
+      val d =
+        try graft.operators.MatView.routeJoinDescriptor(spark, mv)
+          .map { case (fact, dim, joinKeys, keys, valCol, jt) =>
+            (fact, dim, joinKeys, keys, valCol, jt,
+              graft.operators.MatView.isFreshJoin(spark, mv, fact, dim))
+          }
+        catch { case _: Exception => None } // unreadable view: never route
+      cacheJ.put(mv, (now + ttlMs, d))
       d
     }
   }
@@ -134,9 +153,68 @@ object RouteToMatView extends Rule[LogicalPlan] {
               case _ => None
             }
           }.collectFirst { case Some(p) => p }
+        }.orElse {
+          // JOIN-MV routing: an unfiltered aggregate over the view's
+          // exact fact ⋈ dim shape. Predicates anywhere (above the join
+          // or pushed into a leg) refuse in v1 — on a join they filter
+          // ROWS, not whole groups, and proving group-exactness per
+          // side is the v2 extension; refusing reads the sources.
+          if (preds.nonEmpty) None
+          else joinRoute(spark, mvs.toSeq, leaf, agg)
         }.getOrElse(agg)
     }
   }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** Route `agg` over a bare fact ⋈ dim join matching a registered
+    * join-MV definition: both legs bare live scans of the defined
+    * tables (inner orientation free, LEFT fact-first), the ON exactly
+    * the defined same-name key equalities, both watermarks fresh. The
+    * grouping/aggregate matching and the monoid rollup are
+    * [[tryRewrite]] unchanged — the state's columns carry the same
+    * algebra either way. */
+  private def joinRoute(spark: SparkSession, mvs: Seq[String],
+                        leaf: LogicalPlan, agg: Aggregate): Option[LogicalPlan] =
+    leaf match {
+      case j: Join =>
+        val (fPreds, fLeaf) = stripFilters(j.left)
+        val (dPreds, dLeaf) = stripFilters(j.right)
+        if (fPreds.nonEmpty || dPreds.nonEmpty) return None
+        val jt = j.joinType match {
+          case Inner => "inner"
+          case LeftOuter => "left"
+          case _ => return None
+        }
+        val onNames: Seq[String] = j.condition.map(conjunctsOf).getOrElse(Nil)
+          .map {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+              if a.name == b.name => a.name
+            case _ => return None
+          }
+        if (onNames.isEmpty || onNames.distinct.size != onNames.size)
+          return None
+        (srcOf(fLeaf), srcOf(dLeaf)) match {
+          case (Some(left), Some(right)) =>
+            mvs.iterator.map { mv =>
+              joinDescriptor(spark, mv) match {
+                case Some((fact, dim, joinKeys, keys, valCol, vjt, fresh))
+                  if fresh && vjt == jt && onNames.toSet == joinKeys.toSet &&
+                    ((left == fact && right == dim) ||
+                      // inner is symmetric; LEFT needs the fact on the left
+                      (jt == "inner" && left == dim && right == fact)) =>
+                  try tryRewrite(spark, mv, keys, valCol, agg, Nil)
+                  catch { case scala.util.control.NonFatal(_) => None }
+                case _ => None
+              }
+            }.collectFirst { case Some(p) => p }
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def tryRewrite(spark: SparkSession, mv: String, keys: Seq[String],
                          valCol: String, agg: Aggregate,

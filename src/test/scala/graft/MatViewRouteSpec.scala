@@ -66,6 +66,61 @@ class MatViewRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("a fact-join-dim aggregate routes to the JOIN view; filters/staleness fall back") {
+    val base = freshDir("mvroute-join")
+    val (fact, dim, mv) = (s"$base/fact", s"$base/dim", s"$base/mv")
+    TxLog.append(spark, dim,
+      (1L to 20L).map(i => (i, i % 4)).toDF("ck", "nation"))
+    TxLog.append(spark, fact,
+      (1L to 300L).map(i => (i, i % 25 + 1, i)).toDF("ok", "ck", "v"))
+    MatView.refreshJoin(spark, fact, dim, mv,
+      joinKeys = Seq("ck"), keyCols = Seq("nation"), valCol = "v")
+    val sql = s"SELECT nation, COUNT(*) AS cnt, SUM(v) AS total, " +
+      s"MIN(v) AS vmin, MAX(v) AS vmax " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.ck = d.ck " +
+      "GROUP BY nation"
+    val truth = spark.sql(sql).collect().toSet
+    withRoute(mv) {
+      val routed = spark.sql(sql)
+      assert(catalogScans(routed).isEmpty,
+        s"join aggregate must route: ${catalogScans(routed)}")
+      assert(routed.collect().toSet == truth)
+      // dim-first orientation routes too (inner is symmetric)
+      val flipped = spark.sql(s"SELECT nation, COUNT(*) AS cnt " +
+        s"FROM graft.`$dim` d JOIN graft.`$fact` f ON f.ck = d.ck " +
+        "GROUP BY nation")
+      assert(catalogScans(flipped).isEmpty, "flipped inner must route")
+      // a WHERE refuses in v1 (join filters filter rows, not groups)
+      val filtered = spark.sql(s"SELECT nation, COUNT(*) AS cnt " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.ck = d.ck " +
+        "WHERE v > 100 GROUP BY nation")
+      assert(catalogScans(filtered).nonEmpty,
+        "a filtered join aggregate must read the sources")
+      // a different ON refuses (other key semantics)
+      val otherOn = spark.sql(s"SELECT nation, COUNT(*) AS cnt " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.v = d.ck " +
+        "GROUP BY nation")
+      assert(catalogScans(otherOn).nonEmpty,
+        "an ON outside the view's keys must read the sources")
+    }
+    // a fact commit makes the view stale: the SAME query reads sources
+    TxLog.append(spark, fact, Seq((1000L, 1L, 999L)).toDF("ok", "ck", "v"))
+    withRoute(mv) {
+      val stale = spark.sql(sql)
+      assert(catalogScans(stale).nonEmpty,
+        "a stale join view must never serve")
+      // refresh restores routing (and the new row shows up)
+      MatView.refreshJoin(spark, fact, dim, mv,
+        joinKeys = Seq("ck"), keyCols = Seq("nation"), valCol = "v")
+      RouteToMatView.invalidateCache()
+      val again = spark.sql(sql)
+      assert(catalogScans(again).isEmpty, "refreshed join view must route")
+      assert(again.filter(col("nation") === 1L)
+        .head().getAs[Long]("vmax") == 999L,
+        "the routed state must reflect the refreshed fact")
+    }
+  }
+
   test("a key-subset rollup re-aggregates the state's monoids") {
     val (src, mv) = fixture("mvroute-rollup")
     val sql = s"SELECT lang, COUNT(*) AS cnt, SUM(v) AS total, " +
