@@ -154,13 +154,7 @@ object RouteToMatView extends Rule[LogicalPlan] {
             }
           }.collectFirst { case Some(p) => p }
         }.orElse {
-          // JOIN-MV routing: an unfiltered aggregate over the view's
-          // exact fact ⋈ dim shape. Predicates anywhere (above the join
-          // or pushed into a leg) refuse in v1 — on a join they filter
-          // ROWS, not whole groups, and proving group-exactness per
-          // side is the v2 extension; refusing reads the sources.
-          if (preds.nonEmpty) None
-          else joinRoute(spark, mvs.toSeq, leaf, agg)
+          joinRoute(spark, mvs.toSeq, leaf, agg, preds)
         }.getOrElse(agg)
     }
   }
@@ -171,24 +165,35 @@ object RouteToMatView extends Rule[LogicalPlan] {
   }
 
   /** Route `agg` over a bare fact ⋈ dim join matching a registered
-    * join-MV definition: both legs bare live scans of the defined
-    * tables (inner orientation free, LEFT fact-first), the ON exactly
-    * the defined same-name key equalities, both watermarks fresh. The
-    * grouping/aggregate matching and the monoid rollup are
-    * [[tryRewrite]] unchanged — the state's columns carry the same
-    * algebra either way. */
+    * join-MV definition: both legs live scans of the defined tables
+    * (inner orientation free, LEFT fact-first), the ON exactly the
+    * defined same-name key equalities, both watermarks fresh.
+    * Predicates — above the join OR pushed into a leg by the optimizer
+    * — route only when they reference the view's GROUPING KEYS alone:
+    * every row of a group shares its key values, so a key-only
+    * predicate filters whole groups identically wherever it sits, and
+    * applies exactly on the state (a LEFT join's null-dim group fails
+    * any non-null-safe key predicate on state and source alike — same
+    * SQL three-valued logic both places). Anything else refuses and
+    * reads the sources. The grouping/aggregate matching and the monoid
+    * rollup are [[tryRewrite]] unchanged. */
   private def joinRoute(spark: SparkSession, mvs: Seq[String],
-                        leaf: LogicalPlan, agg: Aggregate): Option[LogicalPlan] =
+                        leaf: LogicalPlan, agg: Aggregate,
+                        topPreds: Seq[Expression]): Option[LogicalPlan] =
     leaf match {
       case j: Join =>
-        val (fPreds, fLeaf) = stripFilters(j.left)
-        val (dPreds, dLeaf) = stripFilters(j.right)
-        if (fPreds.nonEmpty || dPreds.nonEmpty) return None
+        val (lPreds, fLeaf) = stripFilters(j.left)
+        val (rPreds, dLeaf) = stripFilters(j.right)
+        val preds = topPreds ++ lPreds ++ rPreds
         val jt = j.joinType match {
           case Inner => "inner"
           case LeftOuter => "left"
           case _ => return None
         }
+        // a LEFT join's left-leg filter commutes (fact-preserving), but
+        // a filter UNDER its dim leg is not the same query as one above
+        // the join (it null-extends instead of dropping) — refuse
+        if (jt == "left" && rPreds.nonEmpty) return None
         val onNames: Seq[String] = j.condition.map(conjunctsOf).getOrElse(Nil)
           .map {
             case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -206,7 +211,7 @@ object RouteToMatView extends Rule[LogicalPlan] {
                     ((left == fact && right == dim) ||
                       // inner is symmetric; LEFT needs the fact on the left
                       (jt == "inner" && left == dim && right == fact)) =>
-                  try tryRewrite(spark, mv, keys, valCol, agg, Nil)
+                  try tryRewrite(spark, mv, keys, valCol, agg, preds)
                   catch { case scala.util.control.NonFatal(_) => None }
                 case _ => None
               }

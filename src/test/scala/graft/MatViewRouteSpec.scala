@@ -80,6 +80,11 @@ class MatViewRouteSpec extends AnyFunSuite {
       s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.ck = d.ck " +
       "GROUP BY nation"
     val truth = spark.sql(sql).collect().toSet
+    val keyFilteredSql = s"SELECT nation, COUNT(*) AS cnt, SUM(v) AS total " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.ck = d.ck " +
+      "WHERE nation IN (1, 2) GROUP BY nation"
+    val kfTruth = spark.sql(keyFilteredSql).collect().toSet // conf unset
+    assert(kfTruth.nonEmpty)
     withRoute(mv) {
       val routed = spark.sql(sql)
       assert(catalogScans(routed).isEmpty,
@@ -90,12 +95,18 @@ class MatViewRouteSpec extends AnyFunSuite {
         s"FROM graft.`$dim` d JOIN graft.`$fact` f ON f.ck = d.ck " +
         "GROUP BY nation")
       assert(catalogScans(flipped).isEmpty, "flipped inner must route")
-      // a WHERE refuses in v1 (join filters filter rows, not groups)
+      // a KEY-only WHERE routes (it filters whole groups, wherever the
+      // optimizer pushed it) and stays value-exact vs the unrouted truth
+      val kfRouted = spark.sql(keyFilteredSql)
+      assert(catalogScans(kfRouted).isEmpty,
+        "a grouping-key WHERE must route on the join shape")
+      assert(kfRouted.collect().toSet == kfTruth)
+      // a non-key WHERE refuses (join filters filter rows, not groups)
       val filtered = spark.sql(s"SELECT nation, COUNT(*) AS cnt " +
         s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.ck = d.ck " +
         "WHERE v > 100 GROUP BY nation")
       assert(catalogScans(filtered).nonEmpty,
-        "a filtered join aggregate must read the sources")
+        "a non-key-filtered join aggregate must read the sources")
       // a different ON refuses (other key semantics)
       val otherOn = spark.sql(s"SELECT nation, COUNT(*) AS cnt " +
         s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.v = d.ck " +
