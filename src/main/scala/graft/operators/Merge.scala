@@ -917,6 +917,39 @@ object Merge {
       s"WHERE doc_id = $lo OR doc_id = $hi ORDER BY doc_id")
   }
 
+  /** QW — DECLARED PARTITIONING BEHIND PLAIN SQL (r16): `CREATE TABLE
+    * … PARTITIONED BY (lang)` persists the partition columns in
+    * commit-0 metadata, and every later plain `INSERT INTO` lands
+    * through the partitioned append — per-file values recorded WITHOUT
+    * the writer naming them. The row REQUIREs a partition probe prunes
+    * (the declared contract actually held) and that the pushed catalog
+    * filter rides the same rung; the served snapshot is the identity. */
+  def qwSqlPartition(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.sources.EqualTo
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txsqlpart", d, "t")
+    spark.sql(s"CREATE TABLE graft.`$table` " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    require(TxLog.declaredPartitionCols(spark, table) == Seq("lang"),
+      "txlog: commit 0 must persist the declared partition columns")
+    val view = "graft_sqlpart_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    docs.createOrReplaceTempView(view)
+    try (0 to 1).foreach(w => spark.sql(s"INSERT INTO graft.`$table` " +
+      s"SELECT doc_id, lang, n_chars FROM $view WHERE doc_id % 2 = $w"))
+    finally spark.catalog.dropTempView(view)
+    val probe = docs.agg(min("lang")).head().getString(0)
+    val (kept, total) = TxLog.pruneFilesPartition(spark, table, "lang", probe)
+    require(kept.size < total,
+      s"txlog: declared partitioning must prune: kept ${kept.size} of $total")
+    require(TxLog.pruneForFilters(spark, table,
+      Seq(EqualTo("lang", probe)), None).size <= kept.size,
+      "txlog: the pushed catalog filter must ride the partition rung")
+    spark.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$table` " +
+      "ORDER BY doc_id")
+  }
+
   /** QW — METADATA-ONLY AGGREGATES ([[graft.sources.TxLog.countRows]] /
     * [[graft.sources.TxLog.minMaxSkipping]]) under the hash gate:
     * documents lands in three stats-covered waves (`doc_id % 3`), then
@@ -1629,6 +1662,7 @@ object Merge {
     "qw_clone_read" -> qwCloneRead _,
     "qw_bloom_read" -> qwBloomRead _,
     "qw_sql_prune" -> qwSqlPrune _,
+    "qw_sql_partition" -> qwSqlPartition _,
     "qw_meta_agg" -> qwMetaAgg _,
     "qw_agg_pushdown" -> qwAggPushdown _,
     "qw_merge_bloom" -> qwMergeBloom _,
@@ -1785,6 +1819,10 @@ object Merge {
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE doc_id = (SELECT MIN(doc_id) FROM documents) " +
         "OR doc_id = (SELECT MAX(doc_id) FROM documents) ORDER BY doc_id"),
+    // declared partitioning kept by plain INSERTs (pruning REQUIREd
+    // in-row) — the served snapshot is the identity
+    "qw_sql_partition" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     // the pushed-down point probes' closed form (file skipping REQUIREd
     // in-row; the catalog scan re-applies the filter on kept rows)
     "qw_sql_prune" ->

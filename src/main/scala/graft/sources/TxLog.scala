@@ -1367,18 +1367,46 @@ object TxLog {
     * winner, the loser fails loudly (CREATE TABLE IF NOT EXISTS is the
     * caller's check). */
   def createTable(spark: SparkSession, table: String,
-                  schema: org.apache.spark.sql.types.StructType): Long = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  metas: Seq[String] = Seq.empty): Long = {
     require(schema.nonEmpty, "txlog: cannot create a table with no columns")
     require(versions(spark, table).isEmpty,
       s"txlog: $table already exists — use append/overwrite to write it")
     val declared = org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(nullable = true)))
     if (!tryCommit(spark, table, 0L, Seq.empty, Seq.empty, None,
-        Some(encodeSchema(declared))))
+        Some(encodeSchema(declared)), metas = metas))
       throw new TxLogConcurrentModificationException(
         s"txlog: $table was created concurrently — one creator wins")
     0L
   }
+
+  private[graft] val PartitionColsKey = "partition-cols"
+
+  /** [[createTable]] that also DECLARES the table's partition columns
+    * (persisted in the same commit-0 metadata): every catalog INSERT
+    * and streaming epoch then lands through [[appendPartitionedBy]],
+    * recording per-file partition values WITHOUT the writer naming
+    * them — the `CREATE TABLE … PARTITIONED BY` contract behind plain
+    * SQL, kept at the write boundary instead of trusted to callers. */
+  def createTablePartitioned(spark: SparkSession, table: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "txlog: at least one partition column")
+    require(partCols.distinct == partCols,
+      s"txlog: duplicate partition columns: $partCols")
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"txlog: partition column '$c' is not in the declared schema"))
+    createTable(spark, table, schema,
+      metas = Seq(metaPayload(PartitionColsKey, partCols.mkString(","))))
+  }
+
+  /** The partition columns [[createTablePartitioned]] declared (empty
+    * for undeclared tables — the caller-driven partitioned appends
+    * still work there). */
+  def declaredPartitionCols(spark: SparkSession, table: String): Seq[String] =
+    commitMetas(spark, table).get(PartitionColsKey)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
 
   /** Scan `files` (relative paths) under the optional declared schema,
     * ANTI-APPLYING each file's deletion vector: files bound to a dv dir
@@ -2868,7 +2896,29 @@ object TxLog {
     * equality pruning composes across levels (and with range stats). */
   def appendPartitionedBy(spark: SparkSession, table: String, df: DataFrame,
                           partCols: Seq[String],
-                          statsCols: Seq[String] = Seq.empty): Long = {
+                          statsCols: Seq[String] = Seq.empty): Long =
+    appendPartitionedCommit(spark, table, df, partCols, statsCols, None).get
+
+  /** [[appendPartitionedBy]] with the txn marker — the partitioned twin
+    * of [[appendIdempotent]] (None = this (appId, batchId) already
+    * landed), so a streaming epoch into a PARTITIONED BY table records
+    * its files' partition values AND stays exactly-once. */
+  def appendPartitionedIdempotent(spark: SparkSession, table: String,
+                                  df: DataFrame, partCols: Seq[String],
+                                  appId: String, batchId: Long,
+                                  statsCols: Seq[String] = Seq.empty
+                                 ): Option[Long] = {
+    requireAppId(appId)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) None
+    else appendPartitionedCommit(spark, table, df, partCols, statsCols,
+      Some((appId, batchId)))
+  }
+
+  private def appendPartitionedCommit(spark: SparkSession, table: String,
+                                      df: DataFrame, partCols: Seq[String],
+                                      statsCols: Seq[String],
+                                      txn: Option[(String, Long)]
+                                     ): Option[Long] = {
     requirePartitionArgs(df, partCols, statsCols,
       engineCols = generatedColumns(spark, table).keySet ++
         identityColumns(spark, table).keySet)
@@ -2880,7 +2930,7 @@ object TxLog {
     // r16 this path had its own leapfrogging loop with no recheck, so
     // an ADD CONSTRAINT racing a violating partitioned append could
     // admit the batch on the quiet (and identity was rejected outright).
-    appendCommit(spark, table, df, "partitioned append", None, statsCols,
+    appendCommit(spark, table, df, "partitioned append", txn, statsCols,
       writeBatch = Some { (dfW: DataFrame, rel: String) =>
         val phys = physicalize(dfW, schemaAt(spark, table))
         val pParts = partCols.map(resolvePhysical(spark, table, _))
@@ -2893,7 +2943,7 @@ object TxLog {
           forCol
         }
         (files.map(_._1), partLines ++ stats)
-      }).get
+      })
   }
 
   /** COMPACTION that PRESERVES the partition layout and its recorded

@@ -113,19 +113,27 @@ class TxLogCatalog extends TableCatalog {
         "renameColumn/dropColumn), whose commits carry schema-evolution " +
         "payloads SQL DDL cannot express here")
 
-  /** `CREATE TABLE graft.`/path`` (cols...)` — an empty declared-schema
-    * table as commit 0 ([[TxLog.createTable]]); CTAS follows with the
-    * insert through [[TxLogV2Table.newWriteBuilder]]. Partition
-    * transforms are rejected loudly: TxLog's Hive-style layout records
-    * per-file partition VALUES at append time
-    * ([[TxLog.appendPartitionedBy]]), a contract a blind SQL INSERT
-    * cannot keep. */
+  /** `CREATE TABLE graft.`/path`` (cols...) [PARTITIONED BY (col, …)]`
+    * — an empty declared-schema table as commit 0
+    * ([[TxLog.createTable]]); CTAS follows with the insert through
+    * [[TxLogV2Table.newWriteBuilder]]. Bare-column PARTITIONED BY
+    * declares the columns in the same commit-0 metadata
+    * ([[TxLog.createTablePartitioned]]), and every later INSERT /
+    * streaming epoch lands through the partitioned append so per-file
+    * values are recorded WITHOUT the writer naming them; bucket/expr
+    * transforms stay loud. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "txlog: PARTITIONED BY is library-side (TxLog.appendPartitionedBy " +
-        "records per-file partition values the INSERT path cannot)")
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+        refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"txlog: PARTITIONED BY supports bare columns only, got $t " +
+          "(derive the value with GENERATED ALWAYS AS and partition by " +
+          "that column)")
+    }
     val props = new util.HashMap[String, String](properties)
     // engine-injected bookkeeping; parquet is what TxLog stores anyway
     props.remove(TableCatalog.PROP_OWNER)
@@ -143,7 +151,8 @@ class TxLogCatalog extends TableCatalog {
     if (TxLog.versions(spark, p).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName, p))
-    TxLog.createTable(spark, p, schema)
+    if (partCols.isEmpty) TxLog.createTable(spark, p, schema)
+    else TxLog.createTablePartitioned(spark, p, schema, partCols)
     new TxLogV2Table(p, None)
   }
 
@@ -219,6 +228,13 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
     tablePath + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def schema(): StructType = snapshot.schema
+
+  /** The declared PARTITIONED BY columns (identity transforms) — what
+    * `CREATE TABLE` recorded; the write paths honor it. */
+  override def partitioning(): Array[Transform] =
+    TxLog.declaredPartitionCols(SparkSession.active, tablePath)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c)).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -422,7 +438,18 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
                   TxLog.replaceWhere(spark, tablePath, data,
                     preds.map(p => s"($p)").mkString(" AND "))
                 case None =>
-                  if (overwriteAll) TxLog.overwrite(spark, tablePath, data)
+                  val pcols = TxLog.declaredPartitionCols(spark, tablePath)
+                  if (overwriteAll) {
+                    require(pcols.isEmpty,
+                      "txlog: INSERT OVERWRITE on a PARTITIONED BY table " +
+                        "would land value-less files and silently degrade " +
+                        "partition pruning — DELETE + INSERT, or the " +
+                        "library overwrite + compactPartitioned")
+                    TxLog.overwrite(spark, tablePath, data)
+                  } else if (pcols.nonEmpty)
+                    // the declared contract: every INSERT records its
+                    // files' partition values
+                    TxLog.appendPartitionedBy(spark, tablePath, data, pcols)
                   else TxLog.append(spark, tablePath, data)
               }
               ()

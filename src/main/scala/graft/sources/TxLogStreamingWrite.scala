@@ -115,8 +115,14 @@ private[sources] class TxLogStreamingWriteImpl(table: String,
         val staged = spark.read.schema(schema)
           .parquet(rels.map(r => new Path(table, r).toString): _*)
         // full write-boundary recheck + txn-marked OCC claim; None =
-        // the epoch already landed (zombie-twin replay) — exactly-once
-        TxLog.appendIdempotent(spark, table, staged, appId, epochId)
+        // the epoch already landed (zombie-twin replay) — exactly-once.
+        // A PARTITIONED BY table's epochs land through the partitioned
+        // flavor, so streaming ingest keeps per-file partition values.
+        val pcols = TxLog.declaredPartitionCols(spark, table)
+        if (pcols.nonEmpty)
+          TxLog.appendPartitionedIdempotent(spark, table, staged, pcols,
+            appId, epochId)
+        else TxLog.appendIdempotent(spark, table, staged, appId, epochId)
         ()
       }
     } finally fsys.delete(dir, true)

@@ -912,6 +912,49 @@ class TxLogCatalogSpec extends SparkSpec {
       "deletion vectors must anti-apply on the file-skipped scan")
   }
 
+  test("CREATE TABLE ... PARTITIONED BY: INSERTs and streaming epochs record values") {
+    val t = fresh("declpart")
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    assert(TxLog.declaredPartitionCols(spark, t) == Seq("lang"))
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1L, 'de'), (2L, 'en')")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (3L, 'de')")
+    val pv = TxLog.partitionValuesAt(spark, t, "lang")
+    assert(pv.values.toSeq.sorted == Seq("de", "de", "en"), pv.toString)
+    val (kept, total) = TxLog.pruneFilesPartition(spark, t, "lang", "en")
+    assert(total == 3 && kept.size == 1, s"kept ${kept.size} of $total")
+    // INSERT OVERWRITE would land value-less files — loud
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.`$t` VALUES (9L, 'fr')")
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(c =>
+        Option(c.getMessage).toSeq ++ messages(c.getCause))
+    assert(messages(e).exists(_.contains("PARTITIONED BY")),
+      s"unexpected overwrite error: ${messages(e).take(3)}")
+    // OPTIMIZE WHERE scopes the declared partition
+    spark.sql(s"OPTIMIZE graft.`$t` WHERE lang = 'de'")
+    assert(TxLog.partitionValuesAt(spark, t, "lang")
+      .count(_._2 == "de") == 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 3L)
+    // a streaming epoch into the declared table records values too
+    val src = fresh("declpartsrc")
+    TxLog.append(spark, src, Seq((10L, "fr"), (11L, "en")).toDF("id", "lang"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-declpart-ckpt").toString
+    val q = spark.readStream.format("graft-txlog").load(src)
+      .select(col("id"), col("lang"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable(s"graft.`$t`")
+    try q.processAllAvailable() finally q.stop()
+    val pv2 = TxLog.partitionValuesAt(spark, t, "lang")
+    assert(pv2.values.toSeq.sorted == Seq("de", "en", "en", "fr"),
+      s"the epoch must record its files' values: $pv2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t` WHERE lang = 'fr'")
+      .head().getLong(0) == 1L)
+  }
+
   test("OPTIMIZE ... WHERE compacts one partition, leaves the rest untouched, purges its masks") {
     val t = fresh("optwhere")
     val rows = (1L to 40L)
