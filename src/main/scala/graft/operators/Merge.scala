@@ -1002,6 +1002,30 @@ object Merge {
     df
   }
 
+  /** QW — GROUPED AGGREGATE PUSHDOWN (r16): `SELECT lang, COUNT(*),
+    * MIN, MAX … GROUP BY lang` over a partition-recorded table plans as
+    * a [[org.apache.spark.sql.connector.read.LocalScan]] of one row per
+    * partition value — counts folded from recorded footer rows, bounds
+    * from recorded per-file stats (restat supplies them for the
+    * partitioned layout) — zero tasks for the per-partition dashboard
+    * rollup (plan REQUIREd in-row, values hash-matched). */
+  def qwAggGroup(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.TxLog
+    val docs = T.documents(spark, d).select("doc_id", "lang", "n_chars")
+    val table = Fixtures.table("txagggrp", d, "t")
+    (0 until 2).foreach(w => TxLog.appendPartitioned(spark, table,
+      docs.filter(col("doc_id") % 2 === w), "lang"))
+    TxLog.restat(spark, table, "n_chars")
+    val df = spark.sql(s"SELECT lang, COUNT(*) AS n, MIN(n_chars) AS lo, " +
+      s"MAX(n_chars) AS hi FROM graft.`$table` GROUP BY lang ORDER BY lang")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan"),
+      s"txlog: the grouped aggregate must serve from the log fold: $plan")
+    require(!plan.toLowerCase.contains("parquet"),
+      "txlog: the grouped pushed plan must carry no file scan")
+    df
+  }
+
   /** QW — BLOOM-ACCELERATED MERGE under the hash gate: documents lands
     * in 8 single-file waves split `doc_id % 8` (every file spans the
     * full id range — min/max stats prune nothing), each with a per-file
@@ -1665,6 +1689,7 @@ object Merge {
     "qw_sql_partition" -> qwSqlPartition _,
     "qw_meta_agg" -> qwMetaAgg _,
     "qw_agg_pushdown" -> qwAggPushdown _,
+    "qw_agg_group" -> qwAggGroup _,
     "qw_merge_bloom" -> qwMergeBloom _,
     "qw_rebloom_read" -> qwRebloomRead _,
     "qw_restat_read" -> qwRestatRead _,
@@ -1834,6 +1859,11 @@ object Merge {
     "qw_meta_agg" ->
       ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
         "FROM documents WHERE NOT (lang = 'de' AND doc_id % 3 = 0)"),
+    // one LocalScan row per partition value, folded from the log
+    // (zero-file-scan plan REQUIREd in-row)
+    "qw_agg_group" ->
+      ("SELECT lang, COUNT(*) AS n, MIN(n_chars) AS lo, " +
+        "MAX(n_chars) AS hi FROM documents GROUP BY lang ORDER BY lang"),
     // same closed form, but served by the SQL surface's pushed-down
     // LocalScan log fold (zero-file-scan plan REQUIREd in-row)
     "qw_agg_pushdown" ->

@@ -2243,6 +2243,51 @@ object TxLog {
     }
   }
 
+  /** Metadata-only GROUP BY a recorded partition column: per-value
+    * EXACT row counts (recorded footer counts minus dv mask counts) —
+    * None unless EVERY live file records both its partition value and
+    * its row count (partial coverage cannot be grouped exactly; the
+    * caller falls back to the scan). The `SELECT day, COUNT(*) …
+    * GROUP BY day` a 100 TB date-partitioned table answers with zero
+    * tasks. */
+  private[graft] def partitionedCounts(spark: SparkSession, table: String,
+                                       partCol: String, asOf: Option[Long]
+                                      ): Option[Map[String, Long]] = {
+    val live = snapshotFiles(spark, table, asOf)
+    if (live.isEmpty) return Some(Map.empty)
+    val pv = partitionValuesAt(spark, table, partCol, asOf)
+    if (!live.forall(pv.contains)) return None
+    val rows = statsForLive(spark, table, RowsStatsCol, live.toSet, asOf)
+    if (!live.forall(rows.contains)) return None
+    val masked = dvMaskedCounts(spark, table, asOf)
+    Some(live.groupBy(pv).map { case (v, fs) =>
+      v -> fs.map(f => rows(f)._1 - masked.getOrElse(f, 0L)).sum
+    })
+  }
+
+  /** [[partitionedCounts]]'s MIN/MAX sibling for an integral stats
+    * column: per-partition-value bounds folded from the recorded
+    * per-file bounds — None unless every live file records both, and
+    * None whenever ANY deletion vector is bound (a masked file's
+    * recorded bound may belong to a deleted row; unlike the global
+    * [[minMaxSkipping]] there is no per-group dirty-scan fallback
+    * here, so the caller takes the honest full plan). */
+  private[graft] def partitionedMinMax(spark: SparkSession, table: String,
+                                       partCol: String, statsCol: String,
+                                       asOf: Option[Long]
+                                      ): Option[Map[String, (Long, Long)]] = {
+    val live = snapshotFiles(spark, table, asOf)
+    if (live.isEmpty) return Some(Map.empty)
+    if (dvAt(spark, table, asOf).nonEmpty) return None
+    val pv = partitionValuesAt(spark, table, partCol, asOf)
+    if (!live.forall(pv.contains)) return None
+    val st = statsForLive(spark, table, statsCol, live.toSet, asOf)
+    if (!live.forall(st.contains)) return None
+    Some(live.groupBy(pv).map { case (v, fs) =>
+      v -> ((fs.map(st(_)._1).min, fs.map(st(_)._2).max))
+    })
+  }
+
   /** Exact COUNT(*) with provenance: (count, files counted from parquet
     * footers because the log carried no record — 0 on tables written by
     * this engine — , files whose dv mask was subtracted). */

@@ -261,37 +261,38 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
         * other functions, non-integral columns, COUNT(col)) refuses the
         * push and the normal scan serves it. */
       private type Served = Seq[Either[Unit, (StructField, Boolean)]]
-      private var pushed: Option[Served] = None
+      private var pushed: Option[(StructType, Array[InternalRow])] = None
+      private var lastAgg: Aggregation = _
+      private var lastServe: Option[(StructType, Array[InternalRow])] = None
 
-      private def parse(agg: Aggregation): Option[Served] = {
-        if (agg.groupByExpressions.nonEmpty) return None
-        def field(e: org.apache.spark.sql.connector.expressions.Expression)
-            : Option[StructField] = e match {
-          case r: NamedReference if r.fieldNames.length == 1 =>
-            TxLogV2Table.this.schema().fields.find(_.name == r.fieldNames()(0))
-              .filter(f => f.dataType == LongType || f.dataType == IntegerType)
-          case _ => None
-        }
+      private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[StructField] = e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          TxLogV2Table.this.schema().fields.find(_.name == r.fieldNames()(0))
+        case _ => None
+      }
+
+      private def parseAggs(agg: Aggregation): Option[Served] = {
         val specs: Seq[Option[Either[Unit, (StructField, Boolean)]]] =
           agg.aggregateExpressions.toSeq.map {
             case _: CountStar => Some(Left(()))
-            case m: Min => field(m.column).map(f => Right((f, true)))
-            case m: Max => field(m.column).map(f => Right((f, false)))
+            case m: Min => fieldOf(m.column)
+              .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+              .map(f => Right((f, true)))
+            case m: Max => fieldOf(m.column)
+              .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+              .map(f => Right((f, false)))
             case _ => None
           }
         if (specs.isEmpty || specs.exists(_.isEmpty)) None
         else Some(specs.flatten)
       }
 
-      override def supportCompletePushDown(agg: Aggregation): Boolean =
-        parse(agg).isDefined
-      override def pushAggregation(agg: Aggregation): Boolean = {
-        pushed = parse(agg)
-        pushed.isDefined
-      }
-
-      private def aggScan(specs: Served): Scan = {
-        val spark = SparkSession.active
+      /** Ungrouped: ONE answer row from [[TxLog.countRows]] /
+        * [[TxLog.minMaxSkipping]] (exact across dv masks — the dirty
+        * remainder is scanned eagerly at plan time). */
+      private def globalRow(spark: SparkSession, specs: Served
+                           ): (StructType, Array[InternalRow]) = {
         val mm = scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
         def bounds(f: StructField): Option[(Long, Long)] =
           mm.getOrElseUpdate(f.name,
@@ -319,15 +320,92 @@ private[graft] class TxLogV2Table(private[graft] val tablePath: String,
             }
           }.orNull
         }.toArray
-        new LocalScan {
-          override def readSchema(): StructType = StructType(fields)
-          override def rows(): Array[InternalRow] =
-            Array(new GenericInternalRow(values))
+        (StructType(fields), Array(new GenericInternalRow(values)))
+      }
+
+      /** GROUP BY one recorded STRING partition column: one row per
+        * value, counts from recorded footer rows minus dv masks
+        * (zero-count groups omitted — a fully-masked group has no
+        * surviving row, exactly as the real GROUP BY would drop it),
+        * MIN/MAX from per-file bounds (refused whenever any dv is
+        * bound — [[TxLog.partitionedMinMax]]). None on ANY coverage
+        * gap: the normal scan is always the fallback. */
+      private def groupedRows(spark: SparkSession, gf: StructField,
+                              specs: Served
+                             ): Option[(StructType, Array[InternalRow])] = {
+        val needCount = specs.exists(_.isLeft)
+        val mmCols = specs.collect { case Right((f, _)) => f.name }.distinct
+        val counts: Option[Map[String, Long]] =
+          if (!needCount) Some(Map.empty)
+          else TxLog.partitionedCounts(spark, tablePath, gf.name, asOf)
+        val mms: Option[Map[String, Map[String, (Long, Long)]]] =
+          mmCols.foldLeft(Option(Map.empty[String, Map[String, (Long, Long)]])) {
+            (accOpt, c) => accOpt.flatMap(acc =>
+              TxLog.partitionedMinMax(spark, tablePath, gf.name, c, asOf)
+                .map(m => acc + (c -> m)))
+          }
+        for (c <- counts; mm <- mms) yield {
+          val values: Seq[String] =
+            (c.keySet ++ mm.values.flatMap(_.keySet))
+              .toSeq.sorted
+              .filterNot(v => needCount && c.getOrElse(v, 0L) == 0L)
+          val fields = StructField(gf.name, gf.dataType) +:
+            specs.zipWithIndex.map {
+              case (Left(_), i) =>
+                StructField(s"agg_$i", LongType, nullable = false)
+              case (Right((f, _)), i) => StructField(s"agg_$i", f.dataType)
+            }
+          val rows = values.map { v =>
+            val cells: Array[Any] =
+              (org.apache.spark.unsafe.types.UTF8String.fromString(v): Any) +:
+                specs.map {
+                  case Left(_) => c(v): Any
+                  case Right((f, isMin)) =>
+                    val (lo, hi) = mm(f.name)(v)
+                    val x = if (isMin) lo else hi
+                    f.dataType match {
+                      case IntegerType => x.toInt: Any
+                      case _ => x: Any
+                    }
+                }.toArray
+            new GenericInternalRow(cells): InternalRow
+          }.toArray
+          (StructType(fields), rows)
         }
       }
 
+      private def serve(agg: Aggregation
+                       ): Option[(StructType, Array[InternalRow])] = {
+        if (!(agg eq lastAgg)) {
+          lastAgg = agg
+          val spark = SparkSession.active
+          lastServe =
+            try parseAggs(agg).flatMap { specs =>
+              agg.groupByExpressions.toSeq match {
+                case Seq() => Some(globalRow(spark, specs))
+                case Seq(g) => fieldOf(g)
+                  .filter(_.dataType == org.apache.spark.sql.types.StringType)
+                  .flatMap(gf => groupedRows(spark, gf, specs))
+                case _ => None
+              }
+            }
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+        lastServe
+      }
+
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        serve(agg).isDefined
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        pushed = serve(agg)
+        pushed.isDefined
+      }
+
       override def build(): Scan = pushed match {
-        case Some(specs) => aggScan(specs)
+        case Some((servedSchema, servedRows)) => new LocalScan {
+          override def readSchema(): StructType = servedSchema
+          override def rows(): Array[InternalRow] = servedRows
+        }
         case None => v1Scan()
       }
 

@@ -1037,6 +1037,52 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(r2.getLong(0) == 0L && r2.isNullAt(1), r2.toString)
   }
 
+  test("GROUP BY a recorded partition column collapses to a log fold") {
+    val t = fresh("aggpushgrp")
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1L,'de'),(2L,'en'),(3L,'de')")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (4L,'fr'),(5L,'de')")
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val grouped = s"SELECT lang, COUNT(*) AS n FROM graft.`$t` " +
+      "GROUP BY lang ORDER BY lang"
+    assert(planOf(grouped).contains("LocalTableScan") &&
+      !planOf(grouped).toLowerCase.contains("parquet"),
+      s"grouped count must serve from the log: ${planOf(grouped)}")
+    assert(spark.sql(grouped).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("de", 3L), ("en", 1L), ("fr", 1L)))
+    // MIN/MAX needs recorded bounds: unrecorded → the honest full scan;
+    // restat upgrades the SAME query to metadata-only
+    val mm = s"SELECT lang, MIN(id) AS lo, MAX(id) AS hi FROM graft.`$t` " +
+      "GROUP BY lang ORDER BY lang"
+    val truthMm = spark.sql(mm).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(!planOf(mm).contains("LocalTableScan"),
+      "unrecorded bounds must fall back to the scan")
+    TxLog.restat(spark, t, "id")
+    assert(planOf(mm).contains("LocalTableScan"),
+      s"restat must upgrade the grouped MIN/MAX to a log fold: ${planOf(mm)}")
+    assert(spark.sql(mm).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == truthMm)
+    // a mask: the grouped COUNT subtracts (the fully-masked group
+    // DROPS, exactly as the real GROUP BY drops a rowless group);
+    // grouped MIN/MAX refuses under any bound vector
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id = 2")
+    assert(planOf(grouped).contains("LocalTableScan"),
+      "masked grouped count must still serve from the log")
+    assert(spark.sql(grouped).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("de", 3L), ("fr", 1L)))
+    assert(!planOf(mm).contains("LocalTableScan"),
+      "grouped MIN/MAX under a bound vector must take the honest scan")
+    assert(spark.sql(mm).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == truthMm.filterNot(_._1 == "en"))
+  }
+
   test("native INSERT INTO ... REPLACE WHERE lands one atomic slice swap") {
     val t = fresh("replw")
     TxLog.append(spark, t,
