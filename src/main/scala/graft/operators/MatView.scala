@@ -928,24 +928,55 @@ object MatView {
     * alone. The reference is cast column-by-column to the folded frame's
     * schema first, so an int-vs-long widening in how the reference was
     * phrased can never masquerade as a value divergence. */
+  /** Multiset equality in ONE job (the signed-union compare certifyEqual
+    * uses, sans diagnostics): sum of +1/−1 per distinct row is 0 iff the
+    * two frames agree on every row's multiplicity. Replaces the
+    * two-directional exceptAll probe (two jobs, both inputs recomputed
+    * per direction). */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val keys = a.columns.toSeq
+    a.withColumn("_side", lit(1L))
+      .unionByName(b.select(keys.map(col): _*).withColumn("_side", lit(-1L)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_side")).as("_d"))
+      .filter(col("_d") =!= 0L)
+      .isEmpty
+  }
+
   private def certifyEqual(spark: SparkSession, mv: String,
                            folded: DataFrame, reference: DataFrame,
                            claim: String): Unit = {
     val aligned = reference.select(folded.schema.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    val extra = folded.exceptAll(aligned).collect()
-    val missing = aligned.exceptAll(folded).collect()
-    if (extra.nonEmpty || missing.nonEmpty) {
+    // ONE signed multiset compare instead of the two exceptAll legs the
+    // r15 shape ran (guide §2.4 — each exceptAll was its own job, and
+    // each job recomputed BOTH input plans, so every certifyEqual paid
+    // the reference aggregate twice and shuffled four times). A signed
+    // union-groupBy is the same multiset equality — sum of +1/−1 per
+    // distinct row is 0 iff multiplicities match — in one job, one
+    // shuffle, with map-side partial aggregation (guide §2.3).
+    val keys = folded.columns.toSeq
+    val diff = folded.withColumn("_side", lit(1L))
+      .unionByName(aligned.withColumn("_side", lit(-1L)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_side")).as("_d"))
+      .filter(col("_d") =!= 0L)
+      .collect()
+    if (diff.nonEmpty) {
+      val extra = diff.filter(_.getLong(keys.length) > 0L)
+      val missing = diff.filter(_.getLong(keys.length) < 0L)
       System.err.println(s"txlog matview DIVERGENCE at $mv ($claim):")
-      extra.foreach(r => System.err.println(s"  folded-only:    $r"))
-      missing.foreach(r => System.err.println(s"  reference-only: $r"))
+      extra.foreach(r => System.err.println(
+        s"  folded-only (x${r.getLong(keys.length)}):    $r"))
+      missing.foreach(r => System.err.println(
+        s"  reference-only (x${-r.getLong(keys.length)}): $r"))
       System.err.println("  view history:")
       TxLog.versions(spark, mv).foreach { v =>
         System.err.println(s"  v$v kind=${TxLog.commitKind(spark, mv, v)}")
       }
       throw new IllegalStateException(
         s"txlog: matview $mv $claim (${extra.length} folded-only / " +
-          s"${missing.length} reference-only rows — see stderr)")
+          s"${missing.length} reference-only distinct rows — see stderr)")
     }
   }
 
@@ -1298,8 +1329,7 @@ object MatView {
     val allLangs = docs.select("lang").distinct().count()
     require(state.select("lang").distinct().count() == allLangs,
       "txlog: the maintained state must keep groups HAVING filters out")
-    require(served.exceptAll(state.filter(col("cnt") >= thr)).isEmpty &&
-      state.filter(col("cnt") >= thr).exceptAll(served).isEmpty,
+    require(multisetEqual(served, state.filter(col("cnt") >= thr)),
       "txlog: served must be exactly the state filtered by HAVING")
     digestRow(spark,
       served.select("lang", "cnt", "total", "vmin", "vmax"), "lang")

@@ -1832,19 +1832,43 @@ object TxLog {
     * Payloads are keyed by the PHYSICAL column name: a later rename
     * changes only the logical name, so every previously recorded stat
     * stays valid and addressable (readers resolve logical → physical). */
+  /** Parquet footers, cached by absolute path. Data files are WRITE-ONCE
+    * (every commit attempt lands in a fresh `data/vNNN-<uniq>` dir; an
+    * aborted claim deletes its dir and re-mints a NEW path), so a footer
+    * read once can be reused for the file's whole life — the r16 measure
+    * pass found each commit opening the same footers up to 3× (per stats
+    * column + row counts + bloom sizing), and a 64-file clustering commit
+    * paying ~190 redundant driver-side opens (guide §1.2: per-task work,
+    * after the algorithm). Bounded: footers are small (KBs), entries are
+    * dropped wholesale past a size far above any pack's file count. */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+
+  private def footerOf(spark: SparkSession, p: Path)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val key = p.toString
+    val hit = footerCache.get(key)
+    if (hit != null) return hit
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration))
+    val md = try r.getFooter finally r.close()
+    if (footerCache.size() > 16384) footerCache.clear()
+    footerCache.put(key, md)
+    md
+  }
+
   private def footerStats(spark: SparkSession, table: String,
                           rels: Seq[String], statsCol: String): Seq[String] = {
     val phys = resolvePhysical(spark, table, statsCol)
     require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
       s"txlog: stats column name unsupported by the line format: $phys")
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
     rels.flatMap { rel =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(table, rel), conf))
-      try {
-        val raw = r.getFooter.getBlocks.asScala.flatMap { b =>
+      val footer = footerOf(spark, new Path(table, rel))
+      locally {
+        val raw = footer.getBlocks.asScala.flatMap { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == phys).flatMap { c =>
             val st = c.getStatistics
             // an empty row group (e.g. the part file of an all-rows-deleted
@@ -1878,7 +1902,7 @@ object TxLog {
           case other => throw new IllegalArgumentException(
             s"txlog: unsupported stats type ${other.getClass.getName} for '$phys'")
         }
-      } finally r.close()
+      }
     }
   }
 
@@ -2214,13 +2238,9 @@ object TxLog {
   private def rowCountLines(spark: SparkSession, table: String,
                             files: Seq[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
     files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(table, f), conf))
-      val n = try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally r.close()
+      val n = footerOf(spark, new Path(table, f))
+        .getBlocks.asScala.map(_.getRowCount).sum
       s"$f|$RowsStatsCol|$n|$n"
     }
   }
@@ -2412,13 +2432,9 @@ object TxLog {
     // size every filter for the batch's largest file, from footer row
     // counts alone (metadata read, same as footerStats)
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
     val maxRows = files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(table, f), conf))
-      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally r.close()
+      footerOf(spark, new Path(table, f))
+        .getBlocks.asScala.map(_.getRowCount).sum
     }.max.max(1L)
     // optimal bits for n items at fpp: -n·ln(p)/ln(2)²; clamp to keep a
     // single sidecar row bounded (16 MiB ≈ 100M items at 1%)
@@ -2469,13 +2485,9 @@ object TxLog {
     require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
       s"txlog: bloom column name unsupported by the line format: $phys")
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
     val maxRows = missing.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(table, f), conf))
-      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally r.close()
+      footerOf(spark, new Path(table, f))
+        .getBlocks.asScala.map(_.getRowCount).sum
     }.max.max(1L)
     val numBits = math.min(1L << 27, math.max(64L,
       math.ceil(-maxRows * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
