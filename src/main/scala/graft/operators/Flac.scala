@@ -884,9 +884,9 @@ object Flac {
     * partial tail frame. */
   def syntheticFlac(spark: SparkSession, d: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val (rate, ch, frames) = fixtureParams(id)
         val pcm = Array.tabulate(ch, frames)((c, i) => pcmAt(id, c, i))

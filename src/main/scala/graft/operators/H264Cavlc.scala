@@ -1371,7 +1371,7 @@ object H264Cavlc {
     * zero shuffle — the 100 TB shape is decode-at-scan-speed. */
   def qmH264Cavlc(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables.documents(spark, d).select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val w = 16 * (2 + (id % 2)).toInt
         val h = 16 * (2 + (id % 3)).toInt

@@ -211,9 +211,9 @@ object H264Pcm {
     * slices — every byte decodable, every container table real. */
   def syntheticMp4Pcm(spark: SparkSession, d: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (16 + 2 * (id % 9)).toInt
         val h = (16 + 2 * (id % 5)).toInt

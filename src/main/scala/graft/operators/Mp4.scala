@@ -710,9 +710,9 @@ object Mp4 {
     * same closed-form family as the other qm fixtures. */
   def syntheticMp4(spark: SparkSession, d: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (18 + 2 * (id % 15)).toInt
         val h = (16 + 2 * (id % 11)).toInt

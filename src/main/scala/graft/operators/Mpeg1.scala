@@ -1276,8 +1276,8 @@ object Mpeg1 {
     * step 8), so plane sums admit a closed-form oracle. */
   def syntheticMpeg1(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
-      .select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long])
       .map { id =>
         val (w, h, nf) = flatGeom(id)
         val mbw = w / 16; val cw = w / 2
@@ -1368,8 +1368,8 @@ object Mpeg1 {
     * MPEG's lossy quantizer here). */
   def qmMpeg1Roundtrip(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
-      .select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long])
       .mapPartitions(_.map { id =>
         val (w, h, frames) = texFrames(id)
         val payload = Mpeg1Codec.encode(w, h, TexQscale, frames)
@@ -1428,8 +1428,8 @@ object Mpeg1 {
     * slices 2 (flat-residual exact). */
   def syntheticMpeg1P(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
-      .select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long])
       .map { id =>
         val (w, h, nf) = pGeom(id)
         val mbw = w / 16; val mbh = h / 16; val mbs = mbw * mbh; val cw = w / 2
@@ -1516,8 +1516,8 @@ object Mpeg1 {
     * predictor chains, interpolation, and temporal reordering. */
   def syntheticMpeg1B(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
-      .select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long])
       .map { id =>
         val (w, h, nf) = bGeom(id)
         val mbw = w / 16; val mbh = h / 16; val mbs = mbw * mbh; val cw = w / 2

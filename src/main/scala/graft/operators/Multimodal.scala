@@ -672,9 +672,9 @@ object Multimodal {
     * could open them. */
   def syntheticPpm(spark: SparkSession, d: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (8 + id % 13).toInt; val h = (6 + id % 9).toInt
         ImageRecord(id, PpmCodec.encode(w, h, i => ((id * 31 + i * 7) % 251).toInt))
@@ -711,9 +711,9 @@ object Multimodal {
     * exact dedup would miss it. */
   def syntheticPpmShifted(spark: SparkSession, d: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val clone = id % 17 == 5 && id >= 3
         val src = if (clone) id - 3 else id
@@ -778,9 +778,9 @@ object Multimodal {
     * oracle can recompute sums closed-form without seeing a byte. */
   def syntheticPng(spark: SparkSession, d: String): Dataset[ImageRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (6 + id % 11).toInt; val h = (4 + id % 7).toInt
         ImageRecord(id, ImageIoCodec.encode(w, h, "png", i => ((id * 37 + i * 11) % 253).toInt))
@@ -805,9 +805,9 @@ object Multimodal {
     * are exact and the oracle recomputes them closed-form. */
   def syntheticWav(spark: SparkSession, d: String): Dataset[AudioRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val rate = (8000 * (1 + id % 3)).toInt
         val ch = (1 + id % 2).toInt
@@ -876,9 +876,9 @@ object Multimodal {
     * per-plane sums oracle exactly. */
   def syntheticY4m(spark: SparkSession, d: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
         val frames = (2 + id % 4).toInt
@@ -999,9 +999,9 @@ object Multimodal {
     * payload body, doc stats become dimensions. */
   def syntheticMedia(spark: SparkSession, d: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .as[(Long, String, Long)]
+      .as[(Long, String, Long)])
       .map { case (id, lang, n) =>
         val mediaType = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
         val w = (64 + (n % 128)).toInt; val h = (48 + (id % 96)).toInt
@@ -1134,9 +1134,9 @@ object Multimodal {
     * container; any MJPEG-capable player could open them. */
   def syntheticAvi(spark: SparkSession, d: String): Dataset[VideoRecord] = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    Tables.fanOut(Tables.documents(spark, d)
       .select(col("doc_id"))
-      .as[Long]
+      .as[Long])
       .map { id =>
         val w = (8 + id % 13).toInt; val h = (6 + id % 9).toInt
         val frames = (1 + id % 4).toInt

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -69,6 +69,25 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Fan a SMALL projected scan out to the session's full parallelism
+    * before heavy per-row compute (codec decode/encode, tokenizer
+    * passes). A parquet file under the scan split size arrives as ONE
+    * partition, which silently serializes downstream
+    * embarrassingly-parallel map work — at bench SF the whole documents
+    * table is a single 600 KB file, so every per-row codec certification
+    * ran on one core of 32 (guide §2: make partitioning scale-adaptive,
+    * never a constant tuned for one tier). Only ever WIDENS: an input
+    * already at or above the session's parallelism passes through
+    * untouched, so a real at-scale scan keeps its natural splits and
+    * this is a no-op there. Cost: one round-robin exchange of the
+    * projected columns — call it AFTER projecting to the narrow columns
+    * the map needs (guide §2.3: project before the exchange).
+    */
+  def fanOut[T](ds: Dataset[T]): Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions >= target) ds else ds.repartition(target)
+  }
 
   /** Register every table as a temp view so `spark.sql` works too
     * (`events` goes through its nanos→timestamp normalization, so SQL
