@@ -252,7 +252,8 @@ object Bpe {
   /** QT11 — [[encode]] over `documents` with the 3 merges of
     * [[qtBpeMerges]]. */
   def qtBpeEncode(spark: SparkSession, d: String): DataFrame =
-    encode(T.documents(spark, d))
+    encode(graft.sources.Tables.fanOut(
+      T.documents(spark, d).select("doc_id", "text")))
 
   /** Persist a learned merge table — the tokenizer ARTIFACT (the
     * stored-ANN-index pattern applied to the lexical tokenizer: train

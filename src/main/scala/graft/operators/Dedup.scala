@@ -492,8 +492,12 @@ object Dedup {
     // a hash collision can only ADD a candidate pair, and every candidate
     // passes the exact levenshtein filter below (the same argument that
     // makes deletion blocking itself a superset).
-    val v = df
-      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    // fan the projected (id, s) frame out before the variant explode:
+    // the neighborhood generation is the expensive map stage, and a
+    // sub-split-size input otherwise runs it on one core (Tables.fanOut
+    // widens only — at-scale inputs pass through untouched)
+    val v = Tables.fanOut(df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
       .select(col("id"), col("s"), explode(expr(neighborhood)).as("vs"))
       .select(col("id"), col("s"), xxhash64(col("vs")).as("v"))
     val candidates = v.toDF("id_a", "s_a", "v")
@@ -512,6 +516,15 @@ object Dedup {
 
   // ---- query-pack entries over the documents table ----
 
+  /** The documents scan projected to the two columns the fingerprint
+    * operators read, fanned out to session parallelism (Tables.fanOut):
+    * at bench SF the table is one sub-split-size file, so the
+    * shingle/variant explode — the expensive map stage feeding every
+    * pair join — ran on one core. Projection FIRST, so the round-robin
+    * exchange carries (id, text), nothing wider (guide §2.3). */
+  private def fannedDocs(spark: SparkSession, d: String): DataFrame =
+    Tables.fanOut(T.documents(spark, d).select("doc_id", "text"))
+
   def qdExactDedup(spark: SparkSession, d: String): DataFrame =
     exactDedup(T.documents(spark, d), Seq("lang", "source"))
       .orderBy("lang", "source")
@@ -526,17 +539,17 @@ object Dedup {
   val NgramMaxDocFreq = 50L
 
   def qdNgramJaccard(spark: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(T.documents(spark, d), minJ = 0.1,
+    ngramJaccardPairs(fannedDocs(spark, d), minJ = 0.1,
       maxDocFreq = NgramMaxDocFreq)
 
   def qdMinhashLsh(spark: SparkSession, d: String): DataFrame =
-    minhashPairs(T.documents(spark, d), minJ = 0.8)
+    minhashPairs(fannedDocs(spark, d), minJ = 0.8)
 
   /** Containment at C ≥ 0.2 over trigram shingles, same stop-shingle cap
     * as the Jaccard entry so the two rows describe the same filtered
     * shingle universe. */
   def qdContainment(spark: SparkSession, d: String): DataFrame =
-    containmentPairs(T.documents(spark, d), minC = 0.2,
+    containmentPairs(fannedDocs(spark, d), minC = 0.2,
       maxDocFreq = NgramMaxDocFreq)
       .orderBy("doc_in", "doc_out")
 
@@ -587,8 +600,12 @@ object Dedup {
   }
 
   def qdDupClusters(spark: SparkSession, d: String): DataFrame =
-    dupClusters(ngramJaccardPairs(T.documents(spark, d), minJ = 0.5,
-      maxDocFreq = NgramMaxDocFreq))
+    // NOT fanned out: the label-propagation rounds re-execute their
+    // input plan per iteration, so the extra exchange multiplies
+    // (measured 4.1 s -> 4.9-6.1 s at sf0.1); the pairs pipeline's own
+    // shuffles already parallelize the heavy legs
+    dupClusters(ngramJaccardPairs(T.documents(spark, d).select("doc_id", "text"),
+      minJ = 0.5, maxDocFreq = NgramMaxDocFreq))
       .orderBy("id")
 
   /** Window length for the declared substring-dedup entry. 8 tokens

@@ -113,7 +113,8 @@ object Pii {
     * Luhn-valid/invalid card split, and the redacted text pinned
     * byte-exactly (length + md5). */
   def qtPiiReport(spark: SparkSession, d: String): DataFrame =
-    detectAndRedact(withPlantedPii(T.documents(spark, d)), "raw")
+    detectAndRedact(withPlantedPii(graft.sources.Tables.fanOut(
+      T.documents(spark, d).select("doc_id", "text"))), "raw")
       .select(col("doc_id"),
         size(col("emails")).cast("long").as("n_email"),
         size(col("phones")).cast("long").as("n_phone"),

@@ -879,6 +879,9 @@ object Similarity {
   val PqCertifiedHits = 7L
 
   def qsPqRecall(spark: SparkSession, d: String): DataFrame = {
+    // NOT fanned out: the KMeans fits re-execute their input per
+    // iteration, so an added exchange multiplies across iterations
+    // (measured 1.5 s -> 2.1 s at sf0.1)
     val e = T.embeddings(spark, d)
     val q = e.filter(col("vec_id") < 5)
     // the STORED-index lifecycle under the gate: build → persist →
