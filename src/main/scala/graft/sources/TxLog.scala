@@ -1859,12 +1859,29 @@ object TxLog {
     md
   }
 
+  /** Warm [[footerOf]] for a batch of files in parallel — a clustering
+    * commit records stats over 64 files, and 64 sequential ~2-4 ms
+    * driver-side footer opens add up; the cache itself stays the single
+    * source of truth (a prefetch failure surfaces on the sequential
+    * read path with its real exception). */
+  private def prefetchFooters(spark: SparkSession, table: String,
+                              rels: Seq[String]): Unit =
+    if (rels.count(r => !footerCache.containsKey(
+      new Path(table, r).toString)) > 4) {
+      import scala.jdk.CollectionConverters._
+      rels.asJava.parallelStream.forEach { rel =>
+        try { footerOf(spark, new Path(table, rel)); () }
+        catch { case _: Throwable => () }
+      }
+    }
+
   private def footerStats(spark: SparkSession, table: String,
                           rels: Seq[String], statsCol: String): Seq[String] = {
     val phys = resolvePhysical(spark, table, statsCol)
     require(!phys.contains('|') && !phys.contains('"') && !phys.contains('\\'),
       s"txlog: stats column name unsupported by the line format: $phys")
     import scala.jdk.CollectionConverters._
+    prefetchFooters(spark, table, rels)
     rels.flatMap { rel =>
       val footer = footerOf(spark, new Path(table, rel))
       locally {
@@ -2238,6 +2255,7 @@ object TxLog {
   private def rowCountLines(spark: SparkSession, table: String,
                             files: Seq[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
+    prefetchFooters(spark, table, files)
     files.map { f =>
       val n = footerOf(spark, new Path(table, f))
         .getBlocks.asScala.map(_.getRowCount).sum
