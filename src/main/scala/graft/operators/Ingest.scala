@@ -71,10 +71,18 @@ object Ingest {
     val status = Multimodal
       .imageStatsQuarantined(Multimodal.syntheticPpmCorrupted(spark, d))
       .toDF().select(col("media_id").as("doc_id"), col("status"))
-    val docs = injectDuplicates(T.documents(spark, d).select("doc_id", "text"))
-      .join(status, "doc_id")
-      .withColumn("k", md5(col("text")))
-      .select("doc_id", "k", "status")
+    // materialized ONCE: the funnel reads this frame from six branches
+    // (b1 keys, b1 fates, b2 clean/corrupt splits, the probe tiers), and
+    // without the cut each branch re-runs the whole decode + md5 subtree
+    // (the status leg is a real per-payload image decode). The frame is
+    // (id, hash, status) — kilobytes per thousand docs — and recomputes
+    // from parquet on every invocation (no cross-run state).
+    val docs = Dedup.cutLineage(
+      injectDuplicates(T.documents(spark, d).select("doc_id", "text"))
+        .join(status, "doc_id")
+        .withColumn("k", md5(col("text")))
+        .select("doc_id", "k", "status"),
+      eager = true)
     val b1 = docs.filter(col("doc_id") % 3 =!= 0)
     val b2 = docs.filter(col("doc_id") % 3 === 0)
     val clean2 = b2.filter(col("status") === "ok")
