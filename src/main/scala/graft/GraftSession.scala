@@ -25,6 +25,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst deliberately stays at its default (true): the
+      // r16 optimization round A/B-measured size-based coalescing
+      // (false, the Spark-doc recommendation for clusters) and it lost
+      // uniformly at this tier — 1.06-1.82x across a 16-row mixed
+      // subset — because coalescing a tiny-bytes shuffle to one
+      // advisory-sized partition serializes downstream CPU-heavy work
+      // (pair joins, codec sorts) that parallelism-first spreads across
+      // cores. On a real cluster revisit with
+      // spark.sql.adaptive.advisoryPartitionSizeInBytes sized to the
+      // tier (guide §2.2).
       // runtime skew-join splitting: oversized partitions are divided at
       // the exchange instead of stalling one task
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
