@@ -86,7 +86,16 @@ object Tables {
     */
   def fanOut[T](ds: Dataset[T]): Dataset[T] = {
     val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions >= target) ds else ds.repartition(target)
+    // Fire only on PATHOLOGICAL under-partitioning (a quarter of the
+    // session's cores or less — the single-file bench scan is the
+    // motivating case at 1). An input already near the core count runs
+    // its map work at natural parallelism, and topping it up with a
+    // round-robin exchange costs a stage and an extra execution of the
+    // exchange under every re-executed consumer (range-sort sampling,
+    // AQE stage re-runs) for at best a fractional occupancy gain — the
+    // r16 64x smoke measured the top-up variant slower, never faster.
+    if (ds.rdd.getNumPartitions > math.max(1, target / 4)) ds
+    else ds.repartition(target)
   }
 
   /** Register every table as a temp view so `spark.sql` works too
